@@ -1,0 +1,467 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Search, TextAnalysis}
+
+/** One declared query: the Spark build plus (when SQL-expressible) the
+  * DuckDB oracle that must hash-match it on the same parquet fixtures. */
+final case class DeclaredQuery(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+/** The engine's declared query set — one entry per implemented operator
+  * from SURVEY.md §2, wired into `SparkEntry.queries` / `oracleSql`.
+  *
+  * Determinism contract (SURVEY.md §7.5) for every query:
+  *   - every output row order is pinned by a unique key suffix;
+  *   - float outputs are `round(x, 4)` (mirroring the reference's 4-decimal
+  *     display contract, reference `app.py:91`);
+  *   - large double sums go through an exact DECIMAL(18,4) per-row cast so
+  *     partial-aggregation order (Spark) vs single-threaded order (DuckDB)
+  *     cannot change the result;
+  *   - aggregates over BIGINT are cast to BIGINT on the DuckDB side
+  *     (DuckDB widens integer sums to HUGEINT, Spark keeps LongType).
+  */
+object Queries {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact decimal sum of a double column — deterministic under any
+    * partitioning; see class doc. */
+  private def decSum(c: Column): Column = sum(c.cast(DecimalType(18, 4)))
+
+  private def dbl(c: Column): Column = c.cast("double")
+  private def r4(c: Column): Column = round(c, 4)
+
+  private val q1Sql = QueryVectors.sql(QueryVectors.q1)
+  private val q2Sql = QueryVectors.sql(QueryVectors.q2)
+
+  /** DuckDB double-precision dot product matching `VectorFunctions.dot`. */
+  private def duckDot(a: String, b: String) =
+    s"list_dot_product(CAST($a AS DOUBLE[]), $b)"
+
+  val all: ListMap[String, DeclaredQuery] = ListMap(
+
+    // ----- vector search: the reference's flagship path -------------------
+
+    "knn_topk" -> DeclaredQuery(
+      (s, dir) => Search.topK(T(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding")),
+        "embedding", "vec_id", QueryVectors.q1, k = 5)
+        .select(col("vec_id"), col("label"), col("sim")),
+      Some(s"""SELECT vec_id, label,
+         |  round(${duckDot("embedding", q1Sql)}, 4) AS sim
+         |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
+      "A4+A5: brute-force dot-product top-k (reference app.py:40-48)"),
+
+    "cosine_topk" -> DeclaredQuery(
+      (s, dir) => Search.topK(T(s, dir, "embeddings"),
+        "embedding", "vec_id", QueryVectors.q2, k = 5, score = cosine)
+        .select(col("vec_id"), col("sim")),
+      Some(s"""SELECT vec_id,
+         |  round(${duckDot("embedding", q2Sql)}
+         |    / (sqrt(${duckDot("embedding", "CAST(embedding AS DOUBLE[])")})
+         |       * sqrt(list_dot_product($q2Sql, $q2Sql))), 4) AS sim
+         |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
+      "B1: cosine top-k"),
+
+    "l2_nn" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          r4(l2Dist(col("embedding"), vecLit(QueryVectors.q1))).as("dist"))
+        .orderBy(asc("dist"), asc("vec_id")).limit(5),
+      Some(s"""SELECT vec_id,
+         |  round(sqrt(list_sum(list_transform(range(1, 65),
+         |    i -> pow(embedding[i]::DOUBLE - ($q1Sql)[i], 2)))), 4) AS dist
+         |FROM embeddings ORDER BY dist ASC, vec_id LIMIT 5""".stripMargin),
+      "B2: L2 nearest neighbours"),
+
+    "vec_norms" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          r4(l2Norm(col("embedding"))).as("norm"),
+          r4(l2Norm(normalize(col("embedding")))).as("unit_norm"))
+        .orderBy(asc("vec_id")).limit(200),
+      Some("""SELECT vec_id, round(n, 4) AS norm,
+         |  round(sqrt(list_dot_product(u, u)), 4) AS unit_norm
+         |FROM (
+         |  SELECT vec_id, n, list_transform(e, x -> x / n) AS u
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                                CAST(embedding AS DOUBLE[]))) AS n
+         |        FROM embeddings))
+         |ORDER BY vec_id LIMIT 200""".stripMargin),
+      "B3: norm / normalize"),
+
+    "knn_join" -> DeclaredQuery(
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Search.knnJoin(
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 3)
+          .select(col("qid"), col("vec_id"), col("sim"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |           FROM embeddings WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qvec)
+         |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+         |                               CAST(e.embedding AS DOUBLE[])))
+         |         * sqrt(list_dot_product(q.qvec, q.qvec))), 4) AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+         |      FROM scored)
+         |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin),
+      "B4: k-NN join, broadcast queries x corpus + per-key window top-k"),
+
+    "search_threshold" -> DeclaredQuery(
+      (s, dir) => Search.aboveThreshold(T(s, dir, "embeddings"),
+        "embedding", QueryVectors.q1, minSim = 0.5)
+        .select(col("vec_id"), col("sim"))
+        .orderBy(asc("vec_id")),
+      Some(s"""SELECT vec_id, sim FROM (
+         |  SELECT vec_id, round(${duckDot("embedding", q1Sql)}, 4) AS sim
+         |  FROM embeddings)
+         |WHERE sim >= 0.5 ORDER BY vec_id""".stripMargin),
+      "B9: similarity-threshold filter"),
+
+    // ----- dedup + text analysis (LLM-pipeline tier) ----------------------
+
+    "dedup_fingerprint" -> DeclaredQuery(
+      (s, dir) => Dedup.exact(T(s, dir, "documents"),
+        Dedup.tokenFingerprint(col("text")), col("doc_id"))
+        .select(col("rep_id"), col("dup_cnt"), md5(col("fp")).as("fp"))
+        .orderBy(asc("rep_id")),
+      Some("""SELECT min(doc_id) AS rep_id, count(*) AS dup_cnt,
+         |  md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp
+         |FROM documents
+         |GROUP BY fp ORDER BY rep_id""".stripMargin),
+      "B7: exact dedup on sorted-token fingerprint"),
+
+    "doc_stats" -> DeclaredQuery(
+      (s, dir) => TextAnalysis.docStats(T(s, dir, "documents"),
+        "doc_id", "text", "n_chars").orderBy(asc("doc_id")),
+      Some("""SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+         |  round(len(list_distinct(t))::DOUBLE / len(t), 4) AS distinct_ratio,
+         |  round(n_chars::DOUBLE / len(t), 4) AS chars_per_token
+         |FROM (SELECT doc_id, n_chars,
+         |        list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin),
+      "B10 + quality scoring: per-doc token stats"),
+
+    "word_freq" -> DeclaredQuery(
+      (s, dir) => TextAnalysis.wordFreq(T(s, dir, "documents"), "text")
+        .orderBy(desc("cnt"), asc("word")).limit(100),
+      Some("""SELECT w AS word, count(*) AS cnt
+         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |WHERE w <> '' GROUP BY w ORDER BY cnt DESC, word LIMIT 100""".stripMargin),
+      "B11: corpus word frequency"),
+
+    "tfidf_top" -> DeclaredQuery(
+      (s, dir) => TextAnalysis.tfIdf(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(desc("tfidf"), asc("doc_id"), asc("word")).limit(100),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |             FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+         |       WHERE word <> '' GROUP BY doc_id, word),
+         |dfc AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok
+         |        WHERE word <> '' GROUP BY word),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+         |SELECT tf.doc_id AS doc_id, tf.word AS word,
+         |  round(tf.tf * ln(n.n / dfc.df), 4) AS tfidf
+         |FROM tf JOIN dfc ON tf.word = dfc.word CROSS JOIN n
+         |ORDER BY tfidf DESC, tf.doc_id, tf.word LIMIT 100""".stripMargin),
+      "B12: tf-idf"),
+
+    "lang_rollup" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("cnt"), col("chars"))
+        .orderBy(asc("lang"), asc("source")),
+      Some("""SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+         |  count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM documents GROUP BY ROLLUP(lang, source)
+         |ORDER BY lang, source""".stripMargin),
+      "B13+B25: language/source distribution via ROLLUP"),
+
+    // ----- relational core over the TPC-H-ish fixtures --------------------
+
+    "q1_pricing" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r4(dbl(decSum(col("l_quantity")))).as("sum_qty"),
+          r4(dbl(decSum(col("l_extendedprice")))).as("sum_price"),
+          r4(dbl(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+            .as("sum_disc"),
+          r4(dbl(decSum(col("l_quantity"))) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price,
+         |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc,
+         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+         |  count(*) AS cnt
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      "B22: two-phase hash aggregation (TPC-H Q1 shape)"),
+
+    "q_region_acct" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "customer")
+        .join(broadcast(T(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          r4(dbl(decSum(col("c_acctbal")))).as("sum_acctbal"))
+        .orderBy(col("r_name")),
+      Some("""SELECT r_name, count(*) AS n_cust,
+         |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_acctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin),
+      "B18: broadcast hash joins through the dimension chain"),
+
+    "q_priority_join" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "orders")
+        .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          r4(dbl(decSum(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "B19: shuffle (sort-merge) fact-to-fact equi-join"),
+
+    "q_semi" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, count(*) AS n_cust
+         |FROM customer WHERE EXISTS
+         |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "B20: left-semi join (EXISTS)"),
+
+    "q_anti" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")).limit(100),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS
+         |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |ORDER BY c_custkey LIMIT 100""".stripMargin),
+      "B20: left-anti join (NOT EXISTS)"),
+
+    "q_top_order_per_cust" -> DeclaredQuery(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        T(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("top_price"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price
+         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+         |        row_number() OVER (PARTITION BY o_custkey
+         |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |      FROM orders)
+         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin),
+      "B26: window row_number per partition"),
+
+    "q_mov_sum" -> DeclaredQuery(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+        T(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            r4(dbl(sum(col("value").cast(DecimalType(18, 4))).over(w)))
+              .as("msum"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS msum
+         |FROM events ORDER BY user_id, event_id""".stripMargin),
+      "B26: sliding window frame (exact DECIMAL so retraction is lossless)"),
+
+    "q_funnel" -> DeclaredQuery(
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("t1"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u2"), col("ts").as("t2"))
+        clicks.join(purchases,
+          col("user_id") === col("u2") &&
+            col("t2") >= col("t1") &&
+            col("t2") <= col("t1") + expr("INTERVAL 10 MINUTES"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT c.user_id, count(*) AS n_pairs
+         |FROM events c JOIN events p
+         |  ON p.user_id = c.user_id
+         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin),
+      "B21: range join (equi on user + time-window predicate)"),
+
+    "q_setops" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"))
+        .intersect(T(s, dir, "orders").select(col("o_custkey")))
+        .orderBy(col("c_custkey")).limit(200),
+      Some("""SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         |INTERSECT
+         |SELECT o_custkey FROM orders
+         |ORDER BY c_custkey LIMIT 200""".stripMargin),
+      "B28: INTERSECT"),
+
+    "q_monthly" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          r4(dbl(decSum(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("month")),
+      Some("""SELECT date_trunc('month', o_orderdate) AS month,
+         |  count(*) AS n_orders,
+         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+         |FROM orders GROUP BY month ORDER BY month""".stripMargin),
+      "B29: date_trunc bucket aggregation"),
+
+    "q_string_fns" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 5).as("pfx"),
+          length(col("p_name")).cast("long").as("nlen"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("bt"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("w1"))
+        .orderBy(col("p_partkey")).limit(300),
+      Some("""SELECT p_partkey, upper(p_name) AS uname,
+         |  substring(p_name, 1, 5) AS pfx,
+         |  length(p_name) AS nlen,
+         |  concat(p_brand, '/', p_type) AS bt,
+         |  regexp_extract(p_name, '^([a-z]+)', 1) AS w1
+         |FROM part ORDER BY p_partkey LIMIT 300""".stripMargin),
+      "B14: string scalar functions"),
+
+    "q_math_fns" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "part")
+        .select(col("p_partkey"),
+          r4(sqrt(col("p_retailprice"))).as("rsqrt"),
+          r4(log(col("p_retailprice"))).as("rln"),
+          pow(col("p_size"), 2).as("p2"),
+          floor(col("p_retailprice")).cast("long").as("fl"),
+          ceil(col("p_retailprice")).cast("long").as("ce"),
+          abs(col("p_size") - 25).as("ab"))
+        .orderBy(col("p_partkey")).limit(300),
+      Some("""SELECT p_partkey, round(sqrt(p_retailprice), 4) AS rsqrt,
+         |  round(ln(p_retailprice), 4) AS rln,
+         |  pow(p_size, 2) AS p2,
+         |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+         |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+         |  abs(p_size - 25) AS ab
+         |FROM part ORDER BY p_partkey LIMIT 300""".stripMargin),
+      "B30: math scalar functions"),
+
+    "q_array_fns" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"),
+          slice(sort_array(split(col("text"), " ")), 1, 5).as("first5"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
+          array_contains(split(col("text"), " "), "spark").as("has_spark"))
+        .orderBy(col("doc_id")).limit(500),
+      Some("""SELECT doc_id,
+         |  (list_sort(string_split(text, ' ')))[1:5] AS first5,
+         |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |  list_contains(string_split(text, ' '), 'spark') AS has_spark
+         |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin),
+      "B31: array functions"),
+
+    "q_json_agg" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "B15: JSON extraction + aggregation"),
+
+    "q_distinct_parts" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+         |  count(DISTINCT l_partkey) AS n_parts,
+         |  count(DISTINCT l_suppkey) AS n_supps
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "B23: distinct aggregation"),
+
+    "corpus_stats" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources")),
+      Some("""SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |  count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources
+         |FROM documents""".stripMargin),
+      "A8: corpus stats (count/min/max/distinct)"),
+
+    "q_filter_pushdown" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(500),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_quantity < 10
+         |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin),
+      "B17: predicate + projection pushdown to the parquet scan")
+  )
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the harness fixture tables (TESTDATA.md / FIXTURES.md).
+  *
+  * All declared queries read through here so every scan is a plain
+  * `spark.read.parquet` — Catalyst's vectorized parquet reader, column
+  * pruning and filter pushdown apply unmodified. At 100 TB the same code
+  * path works: the `dir` simply points at a partitioned table root.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md §3), which
+      // Spark 4 rejects by default. Read the raw int64 nanos and convert
+      // with integer division (the values carry no sub-microsecond
+      // component, so this is lossless and matches DuckDB's own ns→us
+      // read of the same file). Plain double division would be WRONG
+      // here: ~1.7e18 ns exceeds double's 2^53 integer range.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}

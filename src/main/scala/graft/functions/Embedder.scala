@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** Pluggable text embedder — the reference's only "type constructor"
+  * (reference `app.py:27-37`: tokenize → DistilBERT → mean-pool, yielding
+  * an UNNORMALIZED fixed-dim dense float vector).
+  *
+  * The engine keeps the *capability* behind this trait: any
+  * `String => Array[Float]` of fixed dim. The default implementation is a
+  * deterministic feature-hashing bag-of-words (no torch on the JVM — see
+  * SURVEY.md §7.3 "Embedder parity"). A heavy-model variant would be a
+  * per-executor lazy singleton (the standard Spark pattern mirroring the
+  * reference's `@st.cache_resource` at `app.py:13-14`), documented but not
+  * shipped here.
+  *
+  * Instances must be Serializable: they are closed over by executor-side
+  * UDFs and shipped with the task closure — cheap, stateless objects, not
+  * per-row allocations.
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  def embed(text: String): Array[Float]
+}
+
+/** Deterministic feature-hashing embedder.
+  *
+  * Tokenizes on whitespace (mirroring the fixture corpus), hashes each
+  * token with a portable 31-polynomial rolling hash (documented so it can
+  * be re-expressed in SQL if an oracle ever needs it), and adds ±1 into
+  * `hash mod dim` with a sign bit — the classic hashing trick. Like the
+  * reference's embedder the output is intentionally NOT normalized
+  * (`app.py:37` — no L2 normalization; SURVEY.md §1.2).
+  *
+  * Mirrors the reference's input truncation semantics (`app.py:29`,
+  * `max_length=512`): at most `maxTokens` tokens contribute.
+  */
+final class HashingEmbedder(val dim: Int = 64, val maxTokens: Int = 512)
+    extends Embedder {
+
+  def embed(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    if (text == null) return v
+    var i = 0
+    var tok = 0
+    val n = text.length
+    while (i < n && tok < maxTokens) {
+      // skip whitespace
+      while (i < n && text.charAt(i) == ' ') i += 1
+      if (i < n) {
+        var h = 0
+        while (i < n && text.charAt(i) != ' ') {
+          h = h * 31 + text.charAt(i)
+          i += 1
+        }
+        val bucket = java.lang.Math.floorMod(h, dim)
+        val sign = if (java.lang.Math.floorMod(h >> 16, 2) == 0) 1f else -1f
+        v(bucket) += sign
+        tok += 1
+      }
+    }
+    v
+  }
+}
+
+object Embedder {
+  /** Default engine embedder: 64-dim to match the `embeddings.parquet`
+    * fixture dimension (FIXTURES.md §2). */
+  val default: Embedder = new HashingEmbedder(64)
+
+  /** Scala UDF wrapping an embedder. The embedder is serialized into the
+    * closure once per task, not per row. */
+  def asUdf(e: Embedder): UserDefinedFunction =
+    udf((s: String) => e.embed(s))
+
+  def embedCol(e: Embedder)(text: Column): Column = asUdf(e)(text)
+}

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` / `ArrayType(DoubleType)`
+  * columns as pure Column expressions — built-in higher-order functions
+  * (`zip_with` / `aggregate` / `transform`), no UDFs, so everything stays
+  * inside whole-stage codegen and Catalyst can prune/push around it.
+  *
+  * Accumulation is a sequential left fold in DoubleType: results are
+  * bit-deterministic and independent of partitioning — required by the
+  * DuckDB-oracle gate (SURVEY.md §7.5) and sane at any scale.
+  *
+  * Semantics follow the reference's raw-dot similarity (reference
+  * `app.py:45` — plain dot product, NOT cosine; vectors are never
+  * normalized there, see SURVEY.md §1.2), plus the cosine / L2 / normalize
+  * extensions (SURVEY.md §2 B1-B3).
+  */
+object VectorFunctions {
+
+  /** Sequential double-precision sum of an array column's elements. */
+  def dsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Raw dot product in double precision (reference `app.py:45`). */
+  def dot(a: Column, b: Column): Column =
+    dsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** L2 (Euclidean) norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity = dot / (|a|·|b|) (SURVEY.md §2 B1; the
+    * `scikit-learn` capability the reference declared but never shipped,
+    * reference `requirements.txt:6`). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Euclidean distance (B2). */
+  def l2Dist(a: Column, b: Column): Column =
+    sqrt(dsum(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    })))
+
+  /** a / |a| — unit-normalize, elements cast to double (B3). */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(a, x => x.cast("double") / n)
+  }
+
+  /** A fixed query vector as a typed array-literal Column. Constant, so
+    * Catalyst constant-folds all arithmetic against it. */
+  def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
+}

