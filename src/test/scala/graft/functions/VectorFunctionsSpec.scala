@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import VectorFunctions._
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val eps = 1e-9
+
+  private def eval(c: org.apache.spark.sql.Column): Double =
+    Seq(1).toDF("x").select(c.cast("double")).head.getDouble(0)
+
+  private val a = vecLit(Seq(1.0, 2.0, 3.0))
+  private val b = vecLit(Seq(-1.0, 0.5, 2.0))
+
+  test("dot: hand-computed") {
+    assert(math.abs(eval(dot(a, b)) - (1 * -1 + 2 * 0.5 + 3 * 2.0)) < eps)
+  }
+
+  test("dot: symmetric") {
+    assert(eval(dot(a, b)) === eval(dot(b, a)))
+  }
+
+  test("l2Norm: hand-computed") {
+    assert(math.abs(eval(l2Norm(a)) - math.sqrt(14.0)) < eps)
+  }
+
+  test("cosine: identical vectors = 1") {
+    assert(math.abs(eval(cosine(a, a)) - 1.0) < eps)
+  }
+
+  test("cosine: orthogonal vectors = 0") {
+    val x = vecLit(Seq(1.0, 0.0))
+    val y = vecLit(Seq(0.0, 3.0))
+    assert(math.abs(eval(cosine(x, y))) < eps)
+  }
+
+  test("l2Dist: hand-computed") {
+    val expected = math.sqrt(4.0 + 2.25 + 1.0)
+    assert(math.abs(eval(l2Dist(a, b)) - expected) < eps)
+  }
+
+  test("l2Dist: zero to itself") {
+    assert(eval(l2Dist(a, a)) === 0.0)
+  }
+
+  test("normalize: unit norm") {
+    assert(math.abs(eval(l2Norm(normalize(a))) - 1.0) < eps)
+  }
+
+  test("dot works on FloatType arrays (fixture schema)") {
+    val df = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
+    val got = df.select(dot(col("v"), vecLit(Seq(3.0, 4.0))).as("d"))
+      .head.getDouble(0)
+    assert(math.abs(got - 11.0) < eps)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.VectorFunctions
+
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, Array(1.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f)),
+    (3L, Array(1.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f)),
+    (5L, Array(0.5f, 0.5f))
+  ).toDF("vec_id", "embedding")
+
+  test("topK: dot-product order with q=(1,0)") {
+    val got = Search.topK(corpus, "embedding", "vec_id", Seq(1.0, 0.0), k = 3)
+      .select("vec_id").as[Long].collect.toSeq
+    // dots: 1->1, 2->0, 3->1, 4->-1, 5->0.5; tie 1 vs 3 broken by vec_id
+    assert(got === Seq(1L, 3L, 5L))
+  }
+
+  test("topK: k larger than corpus returns all") {
+    val got = Search.topK(corpus, "embedding", "vec_id", Seq(1.0, 0.0), k = 99)
+    assert(got.count === 5)
+  }
+
+  test("topK on empty corpus is empty (reference empty-guard A9)") {
+    val empty = corpus.filter(lit(false))
+    assert(Search.topK(empty, "embedding", "vec_id", Seq(1.0, 0.0), 5).count === 0)
+  }
+
+  test("aboveThreshold keeps only rows at/above the rounded threshold") {
+    val got = Search.aboveThreshold(corpus, "embedding", Seq(1.0, 0.0), 0.5)
+      .select("vec_id").as[Long].collect.toSet
+    assert(got === Set(1L, 3L, 5L))
+  }
+
+  test("knnJoin: matches brute force, excludes self") {
+    val got = Search.knnJoin(
+      corpus.filter($"vec_id" <= 2), "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 2,
+      score = VectorFunctions.cosine)
+      .select("qid", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect.toSet
+    // q1=(1,0): best cosine among {2,3,4,5}: 3 and 5 tie at 0.7071 -> id order
+    // q2=(0,1): among {1,3,4,5}: 3 and 5 tie -> 3 then 5
+    assert(got === Set((1L, 3L, 1), (1L, 5L, 2), (2L, 3L, 1), (2L, 5L, 2)))
+  }
+
+  test("scored does not mutate the input relation (fix of app.py:45)") {
+    val before = corpus.columns.toSeq
+    Search.scored(corpus, "embedding", Seq(1.0, 0.0)).collect()
+    assert(corpus.columns.toSeq === before)
+  }
+}

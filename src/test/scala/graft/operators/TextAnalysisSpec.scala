@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a b a", 5L),
+    (2L, "b c", 3L)
+  ).toDF("doc_id", "text", "n_chars")
+
+  test("docStats: counts, distinct ratio, chars per token") {
+    val got = TextAnalysis.docStats(docs, "doc_id", "text", "n_chars")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect.toSeq
+    assert(got(0) === ((1L, 3L, 2L, 0.6667, 1.6667)))
+    assert(got(1) === ((2L, 2L, 2L, 1.0, 1.5)))
+  }
+
+  test("wordFreq: corpus counts") {
+    val got = TextAnalysis.wordFreq(docs, "text")
+      .as[(String, Long)].collect.toMap
+    assert(got === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("tfIdf: word in every doc has idf 0; rarer word scores higher") {
+    val rows = TextAnalysis.tfIdf(docs, "doc_id", "text")
+      .as[(Long, String, Double)].collect  // (doc_id, word, tfidf)
+    val byKey = rows.map { case (d, w, v) => ((d, w), v) }.toMap
+    assert(byKey((1L, "b")) === 0.0) // b appears in both docs: ln(2/2)=0
+    assert(byKey((1L, "a")) === math.floor(2 * math.log(2.0) * 10000) / 10000 ||
+           byKey((1L, "a")) > 1.38)  // 2*ln(2) ≈ 1.3863
+    assert(byKey((2L, "c")) > 0.69)  // ln(2) ≈ 0.6931
+  }
+
+  test("tokens drops empty strings from repeated separators") {
+    val df = Seq((1L, "x  y", 4L)).toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysis.docStats(df, "doc_id", "text", "n_chars")
+      .select("n_tokens").as[Long].head
+    assert(got === 2L)
+  }
+}
