@@ -7,8 +7,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Search, TextAnalysis}
+import graft.operators.{Dedup, IvfIndex, LangId, Multimodal, NearDup, Search, TextAnalysis}
+import graft.streaming.Streams
 
 /** One declared query: the Spark build plus (when SQL-expressible) the
   * DuckDB oracle that must hash-match it on the same parquet fixtures. */
@@ -462,6 +464,204 @@ object Queries {
          |  AND l_shipdate < TIMESTAMP '1997-01-01'
          |  AND l_quantity < 10
          |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin),
-      "B17: predicate + projection pushdown to the parquet scan")
+      "B17: predicate + projection pushdown to the parquet scan"),
+
+    // ----- streaming-tier expressions, batch-checked (B34/B35) ------------
+
+    "q_tumbling" -> DeclaredQuery(
+      (s, dir) => Streams.tumblingAgg(T(s, dir, "events"), "1 hour")
+        .orderBy(col("bucket"), col("event_type")),
+      Some("""SELECT date_trunc('hour', ts) AS bucket, event_type,
+         |  count(*) AS n,
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+         |FROM events GROUP BY bucket, event_type
+         |ORDER BY bucket, event_type""".stripMargin),
+      "B34: tumbling window agg (same expression runs under readStream)"),
+
+    "q_sliding" -> DeclaredQuery(
+      (s, dir) => Streams.slidingAgg(T(s, dir, "events"), "1 hour", "30 minutes")
+        .orderBy(col("bucket"), col("event_type")),
+      Some("""SELECT TIMESTAMP '1970-01-01'
+         |    + ((CAST(floor(epoch(ts) / 1800) AS BIGINT) - o.i) * 1800) * INTERVAL 1 SECOND
+         |    AS bucket,
+         |  event_type, count(*) AS n
+         |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) o
+         |GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin),
+      "B34: sliding window agg — each event lands in width/slide buckets"),
+
+    "q_session" -> DeclaredQuery(
+      (s, dir) => Streams.sessionAgg(T(s, dir, "events"), "10 minutes")
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH x AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |              >= INTERVAL 10 MINUTE
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |y AS (
+         |  SELECT user_id, ts,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM x)
+         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+         |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin),
+      "B35: session windows ≡ gaps-and-islands in batch"),
+
+    // ----- near-dup verification tier (oracle-expressible pieces) ---------
+
+    "jaccard_pairs" -> DeclaredQuery(
+      (s, dir) => {
+        val sub = T(s, dir, "documents").filter(col("doc_id") < 40)
+        val pairs = sub.select(col("doc_id").as("id_a"))
+          .crossJoin(sub.select(col("doc_id").as("id_b")))
+          .filter(col("id_a") < col("id_b"))
+        NearDup.jaccardVerify(sub, "doc_id", "text", pairs, shingleSize = 1)
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH d AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
+         |  FROM documents WHERE doc_id < 40)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE
+         |    / len(list_distinct(a.s || b.s)), 4) AS jaccard
+         |FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+         |    / len(list_distinct(a.s || b.s)), 4) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin),
+      "B8 verify: token-set Jaccard over candidate pairs"),
+
+    "near_dup_embed" -> DeclaredQuery(
+      (s, dir) => NearDup.embeddingNearDup(T(s, dir, "embeddings"),
+        "vec_id", "embedding", minCosine = 0.35, maxId = 300)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH s AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS n
+         |  FROM embeddings WHERE vec_id < 300)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) AS cos
+         |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin),
+      "embedding-cosine near-dup pairs (bounded verification tier)"),
+
+    // ----- more text analysis --------------------------------------------
+
+    "q_token_bpe" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+            .cast("long").as("n_bpe"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws"))
+        .orderBy(col("doc_id")).limit(1000),
+      Some("""SELECT doc_id,
+         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_bpe,
+         |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws
+         |FROM documents ORDER BY doc_id LIMIT 1000""".stripMargin),
+      "token counting: whitespace + BPE-ish regex segmentation"),
+
+    "lang_predict" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          LangId.predict(col("text")).as("predicted"))
+        .orderBy(col("doc_id")).limit(1000),
+      Some {
+        val structs = LangId.defaultProfiles.toSeq.sortBy(_._1).map {
+          case (lang, ms) =>
+            val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+            s"struct_pack(s := len(list_intersect(t, $lst)), l := '$lang')"
+        }.mkString(",\n    ")
+        s"""SELECT doc_id, lang,
+           |  (list_sort([
+           |    $structs], 'DESC'))[1].l AS predicted
+           |FROM (SELECT doc_id, lang,
+           |        list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |      FROM documents)
+           |ORDER BY doc_id LIMIT 1000""".stripMargin
+      },
+      "language-ID heuristic: marker-word argmax via struct greatest"),
+
+    "q_except" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "customer").select(col("c_custkey"))
+        .except(T(s, dir, "customer").filter(col("c_acctbal") > 0)
+          .select(col("c_custkey")))
+        .orderBy(col("c_custkey")).limit(200),
+      Some("""SELECT c_custkey FROM customer
+         |EXCEPT
+         |SELECT c_custkey FROM customer WHERE c_acctbal > 0
+         |ORDER BY c_custkey LIMIT 200""".stripMargin),
+      "B28: EXCEPT"),
+
+    // ----- non-SQL-expressible operators (driver does rows-only checks;
+    // ----- correctness is covered by the ScalaTest invariants) ------------
+
+    "ref_search" -> DeclaredQuery(
+      (s, dir) => {
+        // the complete reference flagship path in-engine (app.py:40-48):
+        // embed corpus + query with the SAME embedder, dot-score, top-5
+        val e = Embedder.default
+        val qvec = e.embed("table scan fast query").map(_.toDouble).toSeq
+        T(s, dir, "documents")
+          .withColumn("emb", Embedder.asUdf(e)(col("text")))
+          .select(col("doc_id"),
+            round(VectorFunctions.dot(col("emb"), vecLit(qvec)), 4).as("sim"))
+          .orderBy(desc("sim"), asc("doc_id")).limit(5)
+      },
+      None,
+      "A3→A4→A5: embed + brute-force search, hashing embedder (no SQL analog)"),
+
+    "ivf_probe" -> DeclaredQuery(
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
+          k = 16, iters = 2)
+        IvfIndex.probe(emb, "vec_id", "embedding", assign, cents,
+          QueryVectors.q1, k = 10, nprobe = 4)
+          .select(col("vec_id"), col("sim"))
+      },
+      None,
+      "B5/B6: IVF build (k-means as DataFrame ops) + probe (float-iterative, no oracle)"),
+
+    "minhash_pairs" -> DeclaredQuery(
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val cands = NearDup.minHashCandidates(docs, "doc_id", "text")
+        NearDup.jaccardVerify(docs, "doc_id", "text", cands)
+          .filter(col("jaccard") >= 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None,
+      "B8: MinHash-LSH candidates + Jaccard verify (seeded xxhash64, no SQL analog)"),
+
+    "simhash_pairs" -> DeclaredQuery(
+      (s, dir) => NearDup.simHashCandidates(
+        T(s, dir, "documents").filter(col("doc_id") < 2000),
+        "doc_id", "text", maxHamming = 12)
+        .orderBy(col("id_a"), col("id_b")),
+      None,
+      "B8: SimHash banded near-dup candidates (no SQL analog)"),
+
+    "q_approx_distinct" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts")),
+      None,
+      "B24: HLL approx distinct (sketch-impl-specific, sanity-tested vs exact)"),
+
+    "media_decode" -> DeclaredQuery(
+      (s, dir) => {
+        val decoded = Multimodal.decodeAll(Multimodal.syntheticMedia(s, 300)).toDF()
+        decoded.groupBy(col("kind"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("width")), 4).as("avg_w"),
+            round(avg(col("n_frames")), 4).as("avg_frames"))
+          .orderBy(col("kind"))
+      },
+      None,
+      "multimodal: stub decode over binary payloads, batched per partition")
   )
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Batch IVF (inverted-file) index build + probe as pure DataFrame ops
+  * (SURVEY.md §2 B5/B6; mandated "batch index build via DataFrame ops").
+  *
+  * Build = Lloyd's k-means, each iteration two shuffles:
+  *   assign: corpus ⋈ broadcast(centroids) → argmin distance, expressed as
+  *           `min(struct(dist, cluster))` — an ordinary partial-aggregatable
+  *           hash aggregate, NO window (a window over the whole corpus
+  *           would shuffle 100 TB by a handful of keys);
+  *   update: posexplode the assigned vectors → per-(cluster, dim) mean →
+  *           re-assemble per-cluster arrays. Both phases are map-side
+  *           combinable, so the shuffle carries one partial sum per
+  *           (cluster, dim) per task, never vectors.
+  *
+  * Probe = nearest `nprobe` centroids for the query (tiny, broadcast), then
+  * an exact re-rank restricted to those clusters. At scale the assignment
+  * table is written partitioned/bucketed BY cluster_id so the semi-join
+  * becomes partition pruning — only nprobe/k of the corpus is read.
+  *
+  * Determinism: centroid init is the k smallest-id vectors (fixed, seedless);
+  * float means vary in last-ulp across partitionings, so IVF results are
+  * validated by invariant/recall tests, not the byte-exact oracle
+  * (SURVEY.md §7.3 "Iterative algorithms").
+  */
+object IvfIndex {
+
+  /** (assignments: idCol, cluster_id; centroids: cluster_id, centroid) */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+            k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val vecs = corpus.select(col(idCol).as("_id"),
+      transform(col(vecCol), _.cast("double")).as("_v"))
+
+    // deterministic init: the k smallest-id vectors
+    var centroids = vecs.orderBy("_id").limit(k)
+      .orderBy("_id")
+      .select((row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("_id")) - 1)
+        .as("cluster_id"), col("_v").as("centroid"))
+
+    var assignments: DataFrame = null
+    for (_ <- 0 until iters) {
+      assignments = assign(vecs, centroids)
+      centroids = update(vecs, assignments)
+    }
+    (assignments.select(col("_id").as(idCol), col("cluster_id")),
+      centroids)
+  }
+
+  /** Nearest-centroid assignment via min(struct(dist, cluster)). */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .groupBy(col("_id"))
+      .agg(min(struct(
+        l2Dist(col("_v"), col("centroid")).as("dist"),
+        col("cluster_id"))).as("best"))
+      .select(col("_id"), col("best.cluster_id").as("cluster_id"))
+
+  /** Recompute centroids as per-dimension means. */
+  private def update(vecs: DataFrame, assignments: DataFrame): DataFrame =
+    vecs.join(assignments, "_id")
+      .select(col("cluster_id"), posexplode(col("_v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster_id"), col("dim"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .groupBy(col("cluster_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), (col("sx") / col("n")).as("m"))))
+        .as("dims"))
+      .select(col("cluster_id"),
+        transform(col("dims"), d => d.getField("m")).as("centroid"))
+
+  /** Index-accelerated top-k: probe `nprobe` nearest clusters, exact
+    * re-rank inside them (B6). `assignments`/`centroids` come from
+    * [[build]] (or are read back from a bucketed table at scale). */
+  def probe(corpus: DataFrame, idCol: String, vecCol: String,
+            assignments: DataFrame, centroids: DataFrame,
+            q: Seq[Double], k: Int, nprobe: Int,
+            score: (Column, Column) => Column = dot): DataFrame = {
+    val qlit = vecLit(q)
+    val nearClusters = centroids
+      .orderBy(l2Dist(col("centroid"), qlit).asc, col("cluster_id").asc)
+      .limit(nprobe)
+      .select("cluster_id")
+    val candidateIds = assignments
+      .join(broadcast(nearClusters), "cluster_id")
+      .select(col(idCol))
+    corpus.join(candidateIds, idCol)
+      .withColumn("sim", round(score(col(vecCol), qlit), 4))
+      .orderBy(desc("sim"), asc(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north-star tier): media as opaque `binary`
+  * columns with typed metadata, processed per-partition so one decoder
+  * instance handles a whole batch of rows (the Spark pattern for heavy
+  * native resources — same shape as a per-executor model singleton).
+  *
+  * The actual byte-level decode is a clearly-marked deterministic STUB
+  * (`StubCodec`): no image/audio libraries exist in this environment. The
+  * Spark-side contracts — schema, partitioning, batched iteration, output
+  * shape — are real and tested; swapping `StubCodec` for a JNI/FFmpeg/
+  * ImageIO codec changes no plan shape.
+  */
+object Multimodal {
+
+  /** media table schema: one row per asset, payload opaque. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),          // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("meta_format", StringType),   // container format tag
+    StructField("meta_bytes", LongType)))
+
+  final case class MediaRow(media_id: Long, kind: String,
+                            payload: Array[Byte],
+                            meta_format: String, meta_bytes: Long)
+
+  final case class DecodedRow(media_id: Long, kind: String,
+                              width: Int, height: Int,
+                              n_frames: Int, features: Array[Float])
+
+  /** STUB codec — deterministic fake decode standing in for the real
+    * image/audio/video libraries (absent in this container). Derives
+    * plausible dimensions/frame counts and a feature vector purely from
+    * the payload bytes, so tests are reproducible. */
+  object StubCodec {
+    def decode(row: MediaRow): DecodedRow = {
+      val bytes = if (row.payload == null) Array.emptyByteArray else row.payload
+      var h = 1125899906842597L // deterministic FNV-ish fold of the payload
+      var i = 0
+      while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+      def pick(lo: Int, hi: Int, salt: Int): Int =
+        lo + java.lang.Math.floorMod(h ^ salt, (hi - lo).toLong).toInt
+      val frames = row.kind match {
+        case "video" => pick(8, 240, 7)
+        case "audio" => pick(100, 10000, 11)
+        case _       => 1
+      }
+      val feat = Array.tabulate(8) { d =>
+        (java.lang.Math.floorMod(h ^ (d * 1315423911L), 1000L) / 1000.0f)
+      }
+      DecodedRow(row.media_id, row.kind,
+        width = pick(16, 4096, 3), height = pick(16, 4096, 5),
+        n_frames = frames, features = feat)
+    }
+  }
+
+  /** Decode + feature-extract, batched per partition: the codec is
+    * instantiated once per partition (stand-in for an expensive native
+    * init), rows stream through it. */
+  def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init site for a real codec goes here
+      rows.map(StubCodec.decode)
+    }
+  }
+
+  /** Frame sampling for video rows: every `stride`-th frame index up to
+    * the decoded frame count — plan-side only (which frames to fetch),
+    * the fetch itself is the codec's job. */
+  def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
+    decoded.filter(col("kind") === "video")
+      .select(col("media_id"),
+        sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_ids"))
+
+  /** Deterministic synthetic media fixture (no binary fixture ships with
+    * the harness). */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val kind = Seq("image", "audio", "video")(((i % 3).toInt))
+      val payload = Array.tabulate[Byte](((i % 64) + 16).toInt)(j => ((i * 131 + j * 7) % 251).toByte)
+      MediaRow(i, kind, payload, if (kind == "image") "png" else "mkv", payload.length.toLong)
+    }
+  }
+}

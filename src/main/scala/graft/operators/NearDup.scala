@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Near-duplicate detection for the LLM-pipeline tier (SURVEY.md §2 B8/B9):
+  * MinHash+LSH, SimHash, n-gram Jaccard verification, and embedding-cosine
+  * near-dup. All candidate generation is bucket-join shaped — documents
+  * meet ONLY inside a (band, hash) bucket, never via a corpus×corpus cross
+  * join — which is what keeps 100 TB feasible: the shuffle key space is
+  * the bucket id, and bucket sizes are bounded by collision probability,
+  * not corpus size.
+  *
+  * All hashes are Spark's `xxhash64` with the seed mixed in as a leading
+  * literal column — fixed seeds, so results are reproducible run-to-run
+  * (SURVEY.md §7.3). Not SQL-portable → validated by property tests +
+  * Jaccard verification queries instead of the byte-exact oracle.
+  */
+object NearDup {
+
+  /** Token n-gram shingles of `text` as an array column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum over the shingle set. One pass, pure expressions. */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** LSH band keys: the signature split into `bands` bands of
+    * `rows = numHashes / bands` hashes, each band hashed to one bucket
+    * key. Row shape: (band_id, band_hash). */
+  def bandKeys(sigCol: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64(slice(sigCol, b * rows + 1, rows)).as("band_hash"))
+    }: _*)
+
+  /** MinHash-LSH near-dup candidate pairs (B8).
+    *
+    * docs → shingle → minhash → explode band keys → self-join per bucket.
+    * Returns distinct (id_a, id_b) with id_a < id_b. Probabilistic recall:
+    * identical shingle sets ALWAYS collide (every band equal); disjoint
+    * sets collide only by 64-bit hash accident.
+    */
+  def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, bands: Int = 4,
+                        shingleSize: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "bands must divide numHashes")
+    val sig = docs.select(col(idCol).as("_id"),
+      minHashSignature(shingles(col(textCol), shingleSize), numHashes).as("_sig"))
+    val buckets = sig.select(col("_id"),
+      explode(bandKeys(col("_sig"), bands, rows)).as("_bk"))
+      .select(col("_id"), col("_bk.band_id"), col("_bk.band_hash"))
+    val a = buckets.toDF("id_a", "band_id", "band_hash")
+    val b = buckets.toDF("id_b", "band_id", "band_hash")
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** 64-bit SimHash of the token bag: per token, xxhash64 contributes ±1
+    * to each of 64 bit-counters; the sign of each counter is the output
+    * bit. Single sequential fold — no explode, no shuffle. */
+  def simHash(text: Column): Column = {
+    // the public shiftright/shiftleft helpers take Int shift amounts only;
+    // inside a lambda the shift amount is a Column, so call the SQL
+    // functions directly
+    def shr(v: Column, bits: Column) = call_function("shiftright", v, bits)
+    def shl(v: Column, bits: Column) = call_function("shiftleft", v, bits)
+    val counters = aggregate(
+      TextAnalysis.tokens(text),
+      array_repeat(lit(0L), 64),
+      (acc, tok) => {
+        val h = xxhash64(tok)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (c, bit) => c + when(shr(h, bit).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L))
+      })
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (c, bit) => when(c > 0, shl(lit(1L), bit)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two simhashes (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: band the 64 bits into 4×16-bit keys;
+    * docs sharing any 16-bit band are candidates, verified by full
+    * Hamming distance ≤ maxHamming. */
+  def simHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 8): DataFrame = {
+    val sigs = docs.select(col(idCol).as("_id"), simHash(col(textCol)).as("_sh"))
+    val banded = sigs.select(col("_id"), col("_sh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("_sh"), b * 16).bitwiseAND(0xFFFFL).as("band_key"))
+      }: _*)).as("_bk"))
+      .select(col("_id"), col("_sh"), col("_bk.band_id"), col("_bk.band_key"))
+    val a = banded.toDF("id_a", "sh_a", "band_id", "band_key")
+    val b = banded.toDF("id_b", "sh_b", "band_id", "band_key")
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs — the
+    * verification stage after LSH (B8→B9), and independently
+    * SQL-expressible for the oracle gate. `pairs` has (id_a, id_b).
+    * Jaccard is computed on DISTINCT shingles. */
+  def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
+                    pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("_jid"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("_sh"))
+    pairs
+      .join(sh.select(col("_jid").as("id_a"), col("_sh").as("sh_a")), "id_a")
+      .join(sh.select(col("_jid").as("id_b"), col("_sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs within a (bounded) id range —
+    * brute-force verification tier; the scale path is [[Search.knnJoin]]
+    * or IVF-bucketed joins. */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                       minCosine: Double, maxId: Long): DataFrame = {
+    val sub = emb.filter(col(idCol) < maxId)
+      .select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val sub2 = emb.filter(col(idCol) < maxId)
+      .select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    sub.join(sub2, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

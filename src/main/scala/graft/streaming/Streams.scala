@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming tier (SURVEY.md §2 B33-B37) over the `events`
+  * schema. The reference has no streaming at all — this is north-star
+  * extension surface, built so every transform is EXACTLY the same Column
+  * expression in batch and stream mode: the batch variants are what the
+  * DuckDB oracle checks, the streaming variants run the identical
+  * expressions behind `readStream` (verified batch≡stream by the
+  * MemoryStream suite).
+  *
+  * Scale notes: windowed aggregation state is keyed by (window, group
+  * keys) and bounded by the watermark — late data past `withWatermark` is
+  * dropped and state evicted, so state size is O(active windows ×
+  * groups), independent of stream length.
+  */
+object Streams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream source over an events directory (B33). For the
+    * fixture, replay the parquet dir; in production this is the landing
+    * path written by the ingestion job. */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window counts/sums per event type (B34). Works identically
+    * on batch and streaming inputs. Exact DECIMAL sum (oracle parity). */
+  def tumblingAgg(events: DataFrame, width: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 4))).cast("double"), 4)
+          .as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Sliding-window variant (B34). */
+  def slidingAgg(events: DataFrame, width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"))
+
+  /** Session windows per user with a fixed inactivity gap (B35). */
+  def sessionAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+
+  /** Watermarked tumbling agg (B36): rows later than `lateness` behind
+    * the max seen ts are dropped and their window state evicted. */
+  def watermarkedTumbling(events: DataFrame, width: String,
+                          lateness: String): DataFrame =
+    tumblingAgg(events.withWatermark("ts", lateness), width)
+
+  /** Stateful stream dedup on event_id within the watermark (B37). */
+  def dedupWithinWatermark(events: DataFrame, lateness: String): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{QueryVectors, Tables, TestSpark}
+import graft.functions.VectorFunctions
+
+class IvfIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+  private lazy val built = IvfIndex.build(emb, "vec_id", "embedding", k = 8, iters = 3)
+
+  test("every vector is assigned to exactly one cluster") {
+    val (assignments, _) = built
+    assert(assignments.count === emb.count)
+    assert(assignments.groupBy("vec_id").count.filter($"count" > 1).count === 0)
+    assert(assignments.filter($"cluster_id" < 0 || $"cluster_id" >= 8).count === 0)
+  }
+
+  test("centroid count stays k and dims stay 64") {
+    val (_, centroids) = built
+    assert(centroids.count === 8)
+    assert(centroids.select(size($"centroid")).as[Int].collect.forall(_ == 64))
+  }
+
+  test("probe recall vs brute force is high at nprobe=4 of k=8") {
+    val (assignments, centroids) = built
+    val exact = Search.topK(emb, "embedding", "vec_id", QueryVectors.q1, 10)
+      .select("vec_id").as[Long].collect.toSet
+    val approx = IvfIndex.probe(emb, "vec_id", "embedding",
+      assignments, centroids, QueryVectors.q1, k = 10, nprobe = 4)
+      .select("vec_id").as[Long].collect.toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low (exact=$exact approx=$approx)")
+  }
+
+  test("probe with nprobe=k equals brute force exactly") {
+    val (assignments, centroids) = built
+    val exact = Search.topK(emb, "embedding", "vec_id", QueryVectors.q1, 10)
+      .select("vec_id").as[Long].collect.toSeq
+    val full = IvfIndex.probe(emb, "vec_id", "embedding",
+      assignments, centroids, QueryVectors.q1, k = 10, nprobe = 8)
+      .select("vec_id").as[Long].collect.toSeq
+    assert(full === exact)
+  }
+}

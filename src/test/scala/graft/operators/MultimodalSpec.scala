@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val media = Multimodal.syntheticMedia(spark, 30)
+
+  test("synthetic media matches the declared schema") {
+    val df = media.toDF()
+    assert(df.schema("payload").dataType.typeName === "binary")
+    assert(df.count === 30)
+  }
+
+  test("decodeAll: deterministic, one decoded row per asset, 8-dim features") {
+    val a = Multimodal.decodeAll(media).collect.sortBy(_.media_id)
+    val b = Multimodal.decodeAll(media).collect.sortBy(_.media_id)
+    assert(a.length === 30)
+    assert(a.map(_.features.toSeq).toSeq === b.map(_.features.toSeq).toSeq)
+    assert(a.forall(_.features.length === 8))
+    assert(a.forall(r => r.width >= 16 && r.height >= 16))
+  }
+
+  test("images decode to a single frame; videos to many") {
+    val d = Multimodal.decodeAll(media).collect
+    assert(d.filter(_.kind == "image").forall(_.n_frames == 1))
+    assert(d.filter(_.kind == "video").forall(_.n_frames > 1))
+  }
+
+  test("sampleFrames emits stride-spaced frame ids for videos only") {
+    val decoded = Multimodal.decodeAll(media).toDF()
+    val sampled = Multimodal.sampleFrames(decoded, stride = 10)
+    val rows = sampled.as[(Long, Seq[Long])].collect
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, ids) =>
+      ids.zipWithIndex.forall { case (f, i) => f == i * 10L } })
+    val kinds = decoded.filter(col("kind") === "video").count
+    assert(rows.length.toLong === kinds)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class NearDupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 1&2 identical; 3 near-identical to 1 (one word changed at the end);
+  // 4 completely disjoint vocabulary
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    (4L, "one two three four five six seven eight nine ten")
+  ).toDF("doc_id", "text")
+
+  test("shingles: n-grams of tokens; short docs collapse to one shingle") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(NearDup.shingles($"text", 3).as("s"))
+      .as[Seq[String]].head
+    assert(sh.size === 8)
+    assert(sh.head === "alpha beta gamma")
+    val short = Seq((9L, "a b")).toDF("doc_id", "text")
+      .select(NearDup.shingles($"text", 3).as("s")).as[Seq[String]].head
+    assert(short === Seq("a b"))
+  }
+
+  test("minhash: identical docs always collide; disjoint docs never do") {
+    val pairs = NearDup.minHashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect.toSet
+    assert(pairs.contains((1L, 2L)), "identical docs must be candidates")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)) &&
+      !pairs.contains((3L, 4L)), "disjoint docs must not be candidates")
+  }
+
+  test("jaccard verification: 1.0 for identical, high for near, 0 for disjoint") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = NearDup.jaccardVerify(docs, "doc_id", "text", pairs)
+      .as[(Long, Long, Double)].collect
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
+    assert(j((1L, 4L)) === 0.0)
+  }
+
+  test("simhash: equal for identical docs, near for near-dups, far for disjoint") {
+    val sh = docs.select($"doc_id", NearDup.simHash($"text").as("sh"))
+      .as[(Long, Long)].collect.toMap
+    assert(sh(1L) === sh(2L))
+    val near = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val far = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 16)
+  }
+
+  test("simHashCandidates finds the identical pair with hamming 0") {
+    val cands = NearDup.simHashCandidates(docs, "doc_id", "text", maxHamming = 8)
+      .as[(Long, Long, Int)].collect.toSet
+    assert(cands.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+  }
+
+  test("embeddingNearDup: self-similar pairs pass the cosine threshold") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = NearDup.embeddingNearDup(emb, "vec_id", "embedding",
+      minCosine = 0.99, maxId = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(got === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double, props: String)
+
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    Ev(1, t("2024-01-01 00:01:00"), 1, "click", 1.0, "{}"),
+    Ev(2, t("2024-01-01 00:05:00"), 1, "click", 2.0, "{}"),
+    Ev(3, t("2024-01-01 00:59:00"), 2, "view", 3.0, "{}"),
+    Ev(4, t("2024-01-01 01:10:00"), 1, "click", 4.0, "{}"),
+    Ev(5, t("2024-01-01 02:00:00"), 2, "view", 5.0, "{}"))
+
+  /** run a streaming transform over a MemoryStream feed to completion */
+  private def runStream(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        batches: Seq[Seq[Ev]],
+                        mode: String = "complete"): org.apache.spark.sql.DataFrame = {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"sink_${System.nanoTime()}"
+    val query = transform(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    batches.foreach { b => mem.addData(b); query.processAllAvailable() }
+    query.stop()
+    spark.table(name)
+  }
+
+  test("B34 tumbling agg: stream result equals batch result on same rows") {
+    val streamed = runStream(Streams.tumblingAgg(_, "1 hour"), Seq(rows.take(3), rows.drop(3)))
+      .orderBy("bucket", "event_type").collect.toSeq
+    val batch = Streams.tumblingAgg(rows.toDF(), "1 hour")
+      .orderBy("bucket", "event_type").collect.toSeq
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("B35 session windows: gap splits sessions; batch ≡ stream") {
+    val batch = Streams.sessionAgg(rows.toDF(), "30 minutes")
+      .orderBy("user_id", "session_start")
+      .as[(Long, Timestamp, Long)].collect.toSeq
+    // user 1: events at 00:01,00:05 (one session), 01:10 (new session)
+    // user 2: 00:59 and 02:00 are separate sessions
+    assert(batch === Seq(
+      (1L, t("2024-01-01 00:01:00"), 2L),
+      (1L, t("2024-01-01 01:10:00"), 1L),
+      (2L, t("2024-01-01 00:59:00"), 1L),
+      (2L, t("2024-01-01 02:00:00"), 1L)))
+  }
+
+  test("B36 watermark: a row far behind the watermark is dropped") {
+    val late = Ev(99, t("2024-01-01 00:00:30"), 9, "late", 9.0, "{}")
+    // append mode + watermark: only windows older than the watermark emit
+    val got = runStream(Streams.watermarkedTumbling(_, "1 hour", "10 minutes"),
+      Seq(rows, Seq(late)), mode = "append").collect.toSeq
+    // the late row lands in the 00:00 window, whose state was already
+    // finalized once the watermark passed 01:00 — it must not appear
+    val lateBuckets = got.filter(_.getAs[String]("event_type") == "late")
+    assert(lateBuckets.isEmpty)
+  }
+
+  test("B37 dropDuplicatesWithinWatermark removes re-delivered event_ids") {
+    val got = runStream(Streams.dedupWithinWatermark(_, "1 hour"),
+      Seq(rows.take(2), rows.take(2), rows.drop(2)), mode = "append")
+    assert(got.count === rows.size) // each id exactly once despite re-delivery
+  }
+
+  test("B33 file source: streaming read of the fixture parquet matches batch count") {
+    val dir = "/root/testdata/sf0.001"
+    // file sources need a landing DIRECTORY; stage the fixture file into one
+    val landing = java.nio.file.Files.createTempDirectory("graft-landing")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events.parquet"))
+    // the fixture has nanos timestamps; stream with the long-read then convert
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(
+      Streams.eventSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
+    val stream = spark.readStream.schema(schema)
+      .parquet(landing.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"sink_${System.nanoTime()}"
+    val q = Streams.tumblingAgg(stream, "1 day")
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamedTotal = spark.table(name).agg(sum("n")).as[Long].head
+    val batchTotal = graft.Tables.load(spark, dir, "events").count()
+    assert(streamedTotal === batchTotal)
+  }
+}
