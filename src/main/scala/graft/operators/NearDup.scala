@@ -29,12 +29,29 @@ object NearDup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum over the shingle set. One pass, pure expressions. */
-  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
-    }: _*)
+  /** MinHash signature over token 3-grams, in ONE pass.
+    *
+    * Deliberately NOT `numHashes` separate `array_min(transform(shingles,
+    * ...))` projections: ProjectCollapse re-inlines the shingle-building
+    * subtree into every per-seed expression, so shingle strings get built
+    * `numHashes`× per row (measured: 73 s for 5 k docs at sf0.1). Instead:
+    * three shifted token arrays are zipped (each array evaluated once per
+    * row), every position hashes its token triple directly —
+    * `xxhash64(seed, t_i, t_i+1, t_i+2)` — with no intermediate shingle
+    * strings, and a final fold takes the per-seed elementwise min. */
+  def minHashSignature(toks: Column, numHashes: Int): Column = {
+    val pad1 = array(lit(""))
+    val t2 = concat(slice(toks, lit(2), greatest(size(toks) - 1, lit(0))), pad1)
+    val t3 = concat(slice(toks, lit(3), greatest(size(toks) - 2, lit(0))), pad1, pad1)
+    val seeds = array((0 until numHashes).map(lit): _*)
+    val pairs = zip_with(toks, t2, (a, b) => struct(a.as("a"), b.as("b")))
+    val perPosition = zip_with(pairs, t3, (p, c) =>
+      transform(seeds, s =>
+        xxhash64(s, p.getField("a"), p.getField("b"), c)))
+    aggregate(perPosition,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, hs) => zip_with(acc, hs, (x, y) => least(x, y)))
+  }
 
   /** LSH band keys: the signature split into `bands` bands of
     * `rows = numHashes / bands` hashes, each band hashed to one bucket
@@ -58,7 +75,7 @@ object NearDup {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
     val sig = docs.select(col(idCol).as("_id"),
-      minHashSignature(shingles(col(textCol), shingleSize), numHashes).as("_sig"))
+      minHashSignature(TextAnalysis.tokens(col(textCol)), numHashes).as("_sig"))
     val buckets = sig.select(col("_id"),
       explode(bandKeys(col("_sig"), bands, rows)).as("_bk"))
       .select(col("_id"), col("_bk.band_id"), col("_bk.band_hash"))
@@ -125,8 +142,13 @@ object NearDup {
     * Jaccard is computed on DISTINCT shingles. */
   def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
                     pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    // only shingle the docs that actually appear in a candidate pair —
+    // post-LSH that is a tiny fraction of the corpus
+    val ids = pairs.select(col("id_a").as("_jid"))
+      .union(pairs.select(col("id_b").as("_jid"))).distinct()
     val sh = docs.select(col(idCol).as("_jid"),
       array_distinct(shingles(col(textCol), shingleSize)).as("_sh"))
+      .join(ids, Seq("_jid"), "left_semi")
     pairs
       .join(sh.select(col("_jid").as("id_a"), col("_sh").as("sh_a")), "id_a")
       .join(sh.select(col("_jid").as("id_b"), col("_sh").as("sh_b")), "id_b")
