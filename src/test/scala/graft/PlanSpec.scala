@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale properties the engine is
+  * designed around (SURVEY.md §4.2) must stay visible in the plan —
+  * pushdown reaching the scan, broadcasts where intended, top-k without a
+  * global sort, partial aggregation. A refactor that silently degrades a
+  * plan (e.g. re-introduces a full shuffle before a limit) fails here
+  * even though results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    Queries.all(name).build(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("knn_topk: per-partition heap top-k, no shuffle, no global sort") {
+    val p = plan("knn_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange"), "top-k must not shuffle the corpus")
+  }
+
+  test("q_filter_pushdown: predicates reach the parquet scan, columns pruned") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("l_shipdate"), "shipdate predicate must be pushed")
+    assert(!p.contains("l_extendedprice"),
+      "unreferenced columns must not be read")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_region_acct: both dimension joins broadcast, none sort-merge") {
+    val p = plan("q_region_acct")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("knn_join: queries side broadcast, never a shuffled cartesian") {
+    val p = plan("knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"))
+  }
+
+  test("q1_pricing: two-phase (partial + final) hash aggregation") {
+    val p = plan("q1_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("semi/anti joins plan as semi/anti, not inner + dedup") {
+    assert(plan("q_semi").contains("Semi"))
+    assert(plan("q_anti").contains("Anti"))
+  }
+
+  test("embeddings scan for knn_topk prunes the label-only queries' columns") {
+    // vec_norms reads only vec_id + embedding; label must not be scanned
+    val p = plan("vec_norms")
+    assert(!p.contains("label"))
+  }
+}
