@@ -106,11 +106,13 @@ object Queries {
 
     "knn_join" -> DeclaredQuery(
       (s, dir) => {
+        // the TopKAggregator shape: map-side partial top-k, no window —
+        // results proven identical to the window form (TopKAggregatorSpec)
         val emb = T(s, dir, "embeddings")
-        Search.knnJoin(
+        Search.knnJoinAgg(
           emb.filter(col("vec_id") < 8), "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 3)
-          .select(col("qid"), col("vec_id"), col("sim"),
+          .select(col("qid"), col("cid").as("vec_id"), col("sim"),
             col("rank").cast("long").as("rank"))
           .orderBy(col("qid"), col("rank"))
       },
@@ -595,6 +597,42 @@ object Queries {
          |SELECT c_custkey FROM customer WHERE c_acctbal > 0
          |ORDER BY c_custkey LIMIT 200""".stripMargin),
       "B28: EXCEPT"),
+
+    "q_append" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "documents").select(col("doc_id"))
+        .unionByName(s.range(1).select(lit(999999L).as("doc_id")))
+        .agg(count(lit(1)).as("n"), max(col("doc_id")).as("max_id")),
+      Some("""SELECT count(*) AS n, max(doc_id) AS max_id
+         |FROM (SELECT doc_id FROM documents
+         |      UNION ALL SELECT 999999 AS doc_id)""".stripMargin),
+      "A6: append = lazy union of new rows (vs the reference's full-table copy, app.py:118)"),
+
+    "q_datefns" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast("long").as("d_days"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy(col("o_orderkey")).limit(300),
+      Some("""SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         |  day(o_orderdate) AS dom,
+         |  date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS d_days,
+         |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+         |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin),
+      "B29: date/time scalar functions"),
+
+    "q_format" -> DeclaredQuery(
+      (s, dir) => Search.topK(T(s, dir, "embeddings"),
+        "embedding", "vec_id", QueryVectors.q2, k = 5)
+        .select(col("vec_id"),
+          format_string("%.4f", col("sim")).as("sim_fmt")),
+      Some(s"""SELECT vec_id, printf('%.4f', sim) AS sim_fmt FROM (
+         |  SELECT vec_id, round(${duckDot("embedding", q2Sql)}, 4) AS sim
+         |  FROM embeddings ORDER BY sim DESC, vec_id LIMIT 5)""".stripMargin),
+      "A11: 4-decimal result formatting (reference app.py:91)"),
 
     // ----- non-SQL-expressible operators (driver does rows-only checks;
     // ----- correctness is covered by the ScalaTest invariants) ------------

@@ -76,4 +76,30 @@ object Search {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** k-NN join via the bounded [[graft.functions.TopKAggregator]] instead
+    * of a window — the 100 TB-preferred shape: partial aggregation reduces
+    * every map task to ≤k rows per query BEFORE the shuffle, so the
+    * exchange carries k·tasks rows per query instead of the whole scored
+    * corpus (a window's `row_number` must see every row of a key in one
+    * partition — with few query keys that is catastrophic skew at scale).
+    * Results are identical to [[knnJoin]] (same ordering + tie-break). */
+  def knnJoinAgg(queries: DataFrame, qIdCol: String, qVecCol: String,
+                 corpus: DataFrame, cIdCol: String, cVecCol: String,
+                 k: Int, score: (Column, Column) => Column = cosine,
+                 excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"))
+    val pairs = corpus.join(broadcast(q),
+      if (excludeSelf) col(cIdCol) =!= col("qid") else lit(true))
+    val scoredPairs = pairs.select(
+      col("qid"), col(cIdCol).as("cid"),
+      round(score(col(cVecCol), col("qvec")), 4).as("sim"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    scoredPairs
+      .groupBy(col("qid"))
+      .agg(topk(col("sim"), col("cid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), col("hit._2").as("cid"),
+        col("hit._1").as("sim"), (col("pos") + 1).as("rank"))
+  }
 }

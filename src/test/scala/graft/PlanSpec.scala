@@ -37,11 +37,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("knn_join: queries side broadcast, never a shuffled cartesian") {
+  test("knn_join: queries side broadcast, partial top-k agg, no window") {
     val p = plan("knn_join")
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("Window"))
+    // TopKAggregator shape: map-side partial + final aggregation, no
+    // window shuffle of the whole scored corpus
+    assert(!p.contains("Window"))
+    assert("Aggregate".r.findAllIn(p).size >= 2)
   }
 
   test("q1_pricing: two-phase (partial + final) hash aggregation") {
