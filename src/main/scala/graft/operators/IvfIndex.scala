@@ -73,6 +73,36 @@ object IvfIndex {
       .select(col("cluster_id"),
         transform(col("dims"), d => d.getField("m")).as("centroid"))
 
+  /** Materialize the indexed corpus as a parquet table PARTITIONED BY
+    * cluster_id — the at-scale layout: a probe that touches `nprobe` of
+    * `k` clusters reads `nprobe/k` of the data via partition pruning,
+    * no index structure beyond the directory layout. */
+  def writePartitioned(corpus: DataFrame, idCol: String,
+                       assignments: DataFrame, path: String): Unit =
+    corpus.join(assignments, idCol)
+      .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+
+  /** Probe against a [[writePartitioned]] layout: the `cluster_id IN (…)`
+    * filter prunes partitions at planning time, so only the probed
+    * clusters' files are ever opened. */
+  def probePartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                       idCol: String, vecCol: String, centroids: DataFrame,
+                       q: Seq[Double], k: Int, nprobe: Int,
+                       score: (Column, Column) => Column = dot): DataFrame = {
+    val qlit = vecLit(q)
+    // centroids are tiny (k rows) — resolving the probe set locally is a
+    // driver-side O(k·d) computation, not a distributed job worth running
+    val near = centroids
+      .orderBy(l2Dist(col("centroid"), qlit).asc, col("cluster_id").asc)
+      .limit(nprobe).select("cluster_id")
+      .collect().map(_.getInt(0))
+    spark.read.parquet(path)
+      .filter(col("cluster_id").isin(near.toIndexedSeq: _*))
+      .withColumn("sim", round(score(col(vecCol), qlit), 4))
+      .orderBy(desc("sim"), asc(idCol))
+      .limit(k)
+  }
+
   /** Index-accelerated top-k: probe `nprobe` nearest clusters, exact
     * re-rank inside them (B6). `assignments`/`centroids` come from
     * [[build]] (or are read back from a bucketed table at scale). */

@@ -40,11 +40,15 @@ object NearDup {
     * `xxhash64(seed, t_i, t_i+1, t_i+2)` — with no intermediate shingle
     * strings, and a final fold takes the per-seed elementwise min. */
   def minHashSignature(toks: Column, numHashes: Int): Column = {
-    val pad1 = array(lit(""))
-    val t2 = concat(slice(toks, lit(2), greatest(size(toks) - 1, lit(0))), pad1)
-    val t3 = concat(slice(toks, lit(3), greatest(size(toks) - 2, lit(0))), pad1, pad1)
+    // each token string is hashed exactly once; shingle hashes then mix
+    // three fixed-width longs, so the numHashes× inner loop never touches
+    // string bytes
+    val th = transform(toks, t => xxhash64(t))
+    val pad = array(lit(0L))
+    val t2 = concat(slice(th, lit(2), greatest(size(th) - 1, lit(0))), pad)
+    val t3 = concat(slice(th, lit(3), greatest(size(th) - 2, lit(0))), pad, pad)
     val seeds = array((0 until numHashes).map(lit): _*)
-    val pairs = zip_with(toks, t2, (a, b) => struct(a.as("a"), b.as("b")))
+    val pairs = zip_with(th, t2, (a, b) => struct(a.as("a"), b.as("b")))
     val perPosition = zip_with(pairs, t3, (p, c) =>
       transform(seeds, s =>
         xxhash64(s, p.getField("a"), p.getField("b"), c)))
@@ -162,13 +166,18 @@ object NearDup {
     * or IVF-bucketed joins. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        minCosine: Double, maxId: Long): DataFrame = {
-    val sub = emb.filter(col(idCol) < maxId)
-      .select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val sub2 = emb.filter(col(idCol) < maxId)
-      .select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    sub.join(sub2, col("id_a") < col("id_b"))
+    // norms are computed ONCE PER ROW in the pre-join projections (N·d
+    // work), not per pair (N²·d) — `cosine(va, vb)` inline would
+    // re-evaluate both self-dots for every pair
+    def side(ai: String, av: String, an: String) =
+      emb.filter(col(idCol) < maxId)
+        .select(col(idCol).as(ai), col(vecCol).as(av),
+          VectorFunctions.l2Norm(col(vecCol)).as(an))
+    side("id_a", "va", "na")
+      .join(side("id_b", "vb", "nb"), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(VectorFunctions.cosine(col("va"), col("vb")), 4).as("cos"))
+        round(VectorFunctions.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 4).as("cos"))
       .filter(col("cos") >= minCosine)
   }
 }

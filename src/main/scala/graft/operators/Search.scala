@@ -86,14 +86,24 @@ object Search {
     * Results are identical to [[knnJoin]] (same ordering + tie-break). */
   def knnJoinAgg(queries: DataFrame, qIdCol: String, qVecCol: String,
                  corpus: DataFrame, cIdCol: String, cVecCol: String,
-                 k: Int, score: (Column, Column) => Column = cosine,
+                 k: Int, metric: String = "cosine",
                  excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"))
-    val pairs = corpus.join(broadcast(q),
-      if (excludeSelf) col(cIdCol) =!= col("qid") else lit(true))
+    // norms are projected ONCE PER ROW on each side before the join —
+    // an inline cosine would recompute both self-dots for every
+    // (corpus × query) pair
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"),
+      l2Norm(col(qVecCol)).as("qn"))
+    val c = corpus.select(col(cIdCol).as("cid"), col(cVecCol).as("cvec"),
+      l2Norm(col(cVecCol)).as("cn"))
+    val pairs = c.join(broadcast(q),
+      if (excludeSelf) col("cid") =!= col("qid") else lit(true))
+    val simExpr = metric match {
+      case "cosine" => dot(col("cvec"), col("qvec")) / (col("cn") * col("qn"))
+      case "dot"    => dot(col("cvec"), col("qvec"))
+      case m        => throw new IllegalArgumentException(s"unknown metric $m")
+    }
     val scoredPairs = pairs.select(
-      col("qid"), col(cIdCol).as("cid"),
-      round(score(col(cVecCol), col("qvec")), 4).as("sim"))
+      col("qid"), col("cid"), round(simExpr, 4).as("sim"))
     val topk = udaf(new graft.functions.TopKAggregator(k))
     scoredPairs
       .groupBy(col("qid"))

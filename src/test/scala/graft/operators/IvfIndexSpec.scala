@@ -37,6 +37,24 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low (exact=$exact approx=$approx)")
   }
 
+  test("partitioned store: probe prunes partitions and matches in-memory probe") {
+    val (assignments, centroids) = built
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/corpus"
+    IvfIndex.writePartitioned(emb, "vec_id", assignments, path)
+
+    val direct = IvfIndex.probe(emb, "vec_id", "embedding",
+      assignments, centroids, QueryVectors.q1, k = 10, nprobe = 4)
+      .select("vec_id").as[Long].collect.toSeq
+    val fromStore = IvfIndex.probePartitioned(spark, path,
+      "vec_id", "embedding", centroids, QueryVectors.q1, k = 10, nprobe = 4)
+    val got = fromStore.select("vec_id").as[Long].collect.toSeq
+    assert(got === direct)
+
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"probe must prune by partition:\n$plan")
+  }
+
   test("probe with nprobe=k equals brute force exactly") {
     val (assignments, centroids) = built
     val exact = Search.topK(emb, "embedding", "vec_id", QueryVectors.q1, 10)
