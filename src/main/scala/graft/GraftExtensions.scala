@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.DotProduct
+
+/** Engine extensions: registers the native expressions as SQL functions.
+  *
+  * Two install paths:
+  *  - `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `builder.withExtensions(new GraftExtensions)`) — the standard
+  *    extension-point route;
+  *  - `GraftExtensions.install(spark)` — programmatic registration on an
+  *    already-running session (what Verify/Bench/tests use).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.dotFunction)
+}
+
+object GraftExtensions {
+  private val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "graft_dot(a, b) takes two array arguments")
+      DotProduct(exprs.head, exprs(1))
+    })
+
+  def install(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      dotFunction._1, dotFunction._2, dotFunction._3)
+
+  /** Column-API handle on the native expression. */
+  def dotCol(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  }
+}

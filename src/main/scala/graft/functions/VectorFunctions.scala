@@ -23,8 +23,17 @@ object VectorFunctions {
   def dsum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Raw dot product in double precision (reference `app.py:45`). */
+  /** Raw dot product in double precision (reference `app.py:45`), backed
+    * by the native codegen'd [[graft.expressions.DotProduct]] — same
+    * sequential-fold arithmetic as [[dotHof]] (asserted bit-equal in
+    * VectorFunctionsSpec), compiled to a primitive loop. */
   def dot(a: Column, b: Column): Column =
+    graft.GraftExtensions.dotCol(a, b)
+
+  /** Reference formulation via built-in higher-order functions — kept as
+    * the arithmetic spec for [[dot]] and for engines without the native
+    * expression. */
+  def dotHof(a: Column, b: Column): Column =
     dsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
   /** L2 (Euclidean) norm. */

@@ -53,6 +53,25 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(math.abs(eval(l2Norm(normalize(a))) - 1.0) < eps)
   }
 
+  test("native dot ≡ higher-order-function dot, bit-for-bit, on fixture data") {
+    val emb = graft.Tables.load(spark, graft.TestSpark.sf0001, "embeddings")
+    val q = vecLit(graft.QueryVectors.q1)
+    val mismatches = emb.select(
+      dot(col("embedding"), q).as("native"),
+      dotHof(col("embedding"), q).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("graft_dot is callable from SQL once extensions are installed") {
+    graft.GraftExtensions.install(spark)
+    val got = spark.sql(
+      "SELECT graft_dot(array(1.0f, 2.0f), array(cast(3.0 as double), cast(4.0 as double))) AS d")
+      .head.getDouble(0)
+    assert(got === 11.0)
+  }
+
   test("dot works on FloatType arrays (fixture schema)") {
     val df = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
     val got = df.select(dot(col("v"), vecLit(Seq(3.0, 4.0))).as("d"))
