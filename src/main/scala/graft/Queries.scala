@@ -598,6 +598,59 @@ object Queries {
          |ORDER BY c_custkey LIMIT 200""".stripMargin),
       "B28: EXCEPT"),
 
+    "q_quality" -> DeclaredQuery(
+      (s, dir) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val stop = Seq("the", "a", "of", "to", "in")
+        T(s, dir, "documents").select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("text_len"),
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long")
+            .as("punct_cnt"),
+          round(size(filter(toks, t => t.isin(stop: _*))).cast("double") /
+            size(toks), 4).as("stop_ratio"),
+          round(aggregate(transform(toks, t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).cast("double") / size(toks), 4)
+            .as("avg_word_len"))
+          .orderBy(col("doc_id")).limit(1000)
+      },
+      Some("""SELECT doc_id, length(text) AS text_len,
+         |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS punct_cnt,
+         |  round(len(list_filter(t, x -> x IN ('the','a','of','to','in')))::DOUBLE
+         |    / len(t), 4) AS stop_ratio,
+         |  round(list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t), 4)
+         |    AS avg_word_len
+         |FROM (SELECT doc_id, text,
+         |        list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |      FROM documents)
+         |ORDER BY doc_id LIMIT 1000""".stripMargin),
+      "quality scoring: length / punctuation / stopword ratios"),
+
+    "q_csv_roundtrip" -> DeclaredQuery(
+      (s, dir) => {
+        // A1/A2/B32 through the driver gate: encode 100 fixture vectors in
+        // the reference CSV contract, read them back, aggregate — the
+        // oracle computes the same aggregate straight from the parquet, so
+        // any round-trip loss breaks the hash match
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-csvrt").toString + "/corpus"
+        val src = T(s, dir, "embeddings").filter(col("vec_id") < 100)
+          .select(col("vec_id").as("chunk_id"),
+            lit("fixture").as("document_id"),
+            concat(lit("chunk "), col("vec_id")).as("chunk_text"),
+            col("embedding").as("vector_embedding"))
+        graft.sources.EmbeddingCsv.write(src, tmp)
+        graft.sources.EmbeddingCsv.read(s, tmp)
+          .agg(count(lit(1)).as("n"),
+            r4(dbl(decSum(element_at(col("vector_embedding"), 1)))).as("sum_e1"),
+            max(col("chunk_id")).as("max_id"))
+      },
+      Some("""SELECT count(*) AS n,
+         |  round(CAST(sum(CAST(embedding[1] AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_e1,
+         |  max(vec_id) AS max_id
+         |FROM embeddings WHERE vec_id < 100""".stripMargin),
+      "A1/A2/B32: reference CSV codec round-trip vs parquet ground truth"),
+
     "q_append" -> DeclaredQuery(
       (s, dir) => T(s, dir, "documents").select(col("doc_id"))
         .unionByName(s.range(1).select(lit(999999L).as("doc_id")))

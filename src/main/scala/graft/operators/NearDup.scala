@@ -91,6 +91,28 @@ object NearDup {
       .distinct()
   }
 
+  /** Winnowing document fingerprint (rolling-hash local-minima sampling):
+    * hash every token 3-gram (same long-mixing scheme as
+    * [[minHashSignature]]), then keep the minimum of each sliding window
+    * of `window` consecutive shingle hashes, deduplicated and sorted.
+    * Two documents sharing a sufficiently long run of text share
+    * fingerprint hashes — the standard winnowing guarantee — so partial
+    * overlaps surface via a fingerprint-explode + self-join, bucket-shaped
+    * like the other candidate generators. */
+  def winnowFingerprint(text: Column, window: Int = 4): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val th = transform(toks, t => xxhash64(t))
+    val pad = array(lit(0L))
+    val t2 = concat(slice(th, lit(2), greatest(size(th) - 1, lit(0))), pad)
+    val t3 = concat(slice(th, lit(3), greatest(size(th) - 2, lit(0))), pad, pad)
+    val pairs = zip_with(th, t2, (a, b) => struct(a.as("a"), b.as("b")))
+    val sh = zip_with(pairs, t3, (p, c) =>
+      xxhash64(p.getField("a"), p.getField("b"), c))
+    val nWin = greatest(size(sh) - (window - 1), lit(1))
+    array_sort(array_distinct(
+      transform(sequence(lit(1), nWin), i => array_min(slice(sh, i, lit(window))))))
+  }
+
   /** 64-bit SimHash of the token bag: per token, xxhash64 contributes ±1
     * to each of 64 bit-counters; the sign of each counter is the output
     * bit. Single sequential fold — no explode, no shuffle. */

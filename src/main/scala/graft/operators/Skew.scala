@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins (SURVEY.md §4.2 "shuffle/partitioning";
+  * the 100 TB mandate). AQE's skew-join split handles most cases at
+  * runtime; this explicit salted join is for the planned-ahead case —
+  * e.g. a fact table where one hot key holds 10% of all rows and the
+  * other side is too big to broadcast but small enough to replicate
+  * `factor`×.
+  *
+  * The big side's rows get a salt in [0, factor); the small side is
+  * exploded once per salt value; the join key becomes (key, salt). Every
+  * big-side row still meets every matching small-side row exactly once,
+  * so the result multiset is identical to the plain join — only the
+  * shuffle key space is `factor`× finer.
+  */
+object Skew {
+
+  def saltedJoin(big: DataFrame, bigKey: String,
+                 small: DataFrame, smallKey: String,
+                 factor: Int): DataFrame = {
+    require(factor > 1, "salting with factor <= 1 is a no-op")
+    // any per-row salt works (the small side matches all of them);
+    // spreading rows of the same hot key across salts is the point
+    val saltedBig = big.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(factor.toLong)))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(factor.toLong - 1))))
+    saltedBig.join(replicatedSmall,
+      saltedBig(bigKey) === replicatedSmall(smallKey) &&
+        saltedBig("_salt") === replicatedSmall("_salt"))
+      .drop("_salt")
+  }
+}

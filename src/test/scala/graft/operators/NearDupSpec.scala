@@ -63,6 +63,21 @@ class NearDupSpec extends AnyFunSuite {
     assert(cands.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
   }
 
+  test("winnowing: identical docs share all fingerprints; partial overlap shares some") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      // first half of doc 1 + unrelated tail
+      (3L, "alpha beta gamma delta epsilon zeta xx yy zz qq ww ee"),
+      (4L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val fp = d.select($"doc_id", NearDup.winnowFingerprint($"text").as("fp"))
+      .as[(Long, Seq[Long])].collect.toMap
+    assert(fp(1L) === fp(2L))
+    assert((fp(1L).toSet & fp(3L).toSet).nonEmpty, "shared prefix must share fingerprints")
+    assert((fp(1L).toSet & fp(4L).toSet).isEmpty, "disjoint docs must not")
+  }
+
   test("embeddingNearDup: self-similar pairs pass the cosine threshold") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)),
