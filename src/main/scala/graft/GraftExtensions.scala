@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.DotProduct
+import graft.expressions.{DotProduct, SimHash64}
 
 /** Engine extensions: registers the native expressions as SQL functions.
   *
@@ -16,8 +16,10 @@ import graft.expressions.DotProduct
   *    already-running session (what Verify/Bench/tests use).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.simhashFunction)
+  }
 }
 
 object GraftExtensions {
@@ -29,9 +31,20 @@ object GraftExtensions {
       DotProduct(exprs.head, exprs(1))
     })
 
-  def install(spark: SparkSession): Unit =
+  private val simhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 1, "graft_simhash(tokens) takes one array<string> argument")
+      SimHash64(exprs.head)
+    })
+
+  def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotFunction._1, dotFunction._2, dotFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      simhashFunction._1, simhashFunction._2, simhashFunction._3)
+  }
 
   /** Column-API handle on the native expression. */
   def dotCol(a: Column, b: Column): Column = {

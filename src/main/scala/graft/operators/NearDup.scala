@@ -113,10 +113,18 @@ object NearDup {
       transform(sequence(lit(1), nWin), i => array_min(slice(sh, i, lit(window))))))
   }
 
-  /** 64-bit SimHash of the token bag: per token, xxhash64 contributes ±1
-    * to each of 64 bit-counters; the sign of each counter is the output
-    * bit. Single sequential fold — no explode, no shuffle. */
+  /** 64-bit SimHash of the token bag — native codegen'd expression
+    * ([[graft.expressions.SimHash64]]); one static call per row, no
+    * shuffle. Bit-identical to [[simHashHof]]. */
   def simHash(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.expressions.SimHash64(
+      Bridge.expression(TextAnalysis.tokens(text))))
+  }
+
+  /** Reference higher-order-function formulation of [[simHash]] — the
+    * arithmetic spec, kept for parity testing. */
+  def simHashHof(text: Column): Column = {
     // the public shiftright/shiftleft helpers take Int shift amounts only;
     // inside a lambda the shift amount is a Column, so call the SQL
     // functions directly

@@ -69,4 +69,33 @@ object Streams {
   def dedupWithinWatermark(events: DataFrame, lateness: String): DataFrame =
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user running totals emitted on every update — custom state via
+    * `flatMapGroupsWithState` (B37's full surface). State per key is one
+    * (count, sum) pair. Production would add
+    * `GroupStateTimeout.EventTimeTimeout` + a watermark to evict idle
+    * users' state (NoTimeout here: processing-time timeouts make the
+    * engine run continuous empty micro-batches, which wedges
+    * `processAllAvailable`-style deterministic tests). */
+  final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningUserTotals(events: DataFrame): org.apache.spark.sql.Dataset[UserStat] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), UserStat](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var s = s0
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update((n, s))
+          Iterator.single(UserStat(user, n, s))
+      }
+  }
 }

@@ -57,6 +57,15 @@ class NearDupSpec extends AnyFunSuite {
     assert(near <= 16)
   }
 
+  test("native simHash ≡ HOF simHash bit-for-bit on fixture docs") {
+    val fixture = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+    val mismatches = fixture.select(
+      NearDup.simHash($"text").as("native"),
+      NearDup.simHashHof($"text").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(mismatches === 0L)
+  }
+
   test("simHashCandidates finds the identical pair with hamming 0") {
     val cands = NearDup.simHashCandidates(docs, "doc_id", "text", maxHamming = 8)
       .as[(Long, Long, Int)].collect.toSet

@@ -77,6 +77,25 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.count === rows.size) // each id exactly once despite re-delivery
   }
 
+  test("B37 flatMapGroupsWithState: running per-user totals accumulate across batches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"sink_${System.nanoTime()}"
+    val q = Streams.runningUserTotals(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    mem.addData(rows.take(2))          // user 1: 2 events, sum 3.0
+    q.processAllAvailable()
+    mem.addData(rows.drop(2))          // user 1: +1 (4.0), user 2: 2 events
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name)
+      .as[(Long, Long, Double)].collect.toSeq
+    // last emitted state per user reflects the full history
+    val last = out.groupBy(_._1).map { case (u, xs) => u -> xs.maxBy(_._2) }
+    assert(last(1L) === ((1L, 3L, 7.0)))
+    assert(last(2L) === ((2L, 2L, 8.0)))
+  }
+
   test("B33 file source: streaming read of the fixture parquet matches batch count") {
     val dir = "/root/testdata/sf0.001"
     // file sources need a landing DIRECTORY; stage the fixture file into one
