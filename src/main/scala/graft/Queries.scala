@@ -342,6 +342,30 @@ object Queries {
          |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin),
       "B21: range join (equi on user + time-window predicate)"),
 
+    "q_asof" -> DeclaredQuery(
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        graft.operators.AsOf.asOfJoin(
+          ev.filter(col("event_type") === "purchase"), "event_id", "user_id", "ts",
+          ev.filter(col("event_type") === "click"), "event_id", "user_id", "ts",
+          expr("INTERVAL 30 MINUTES"))
+          .select(col("_lid").as("pid"), col("_rid").as("cid"),
+            col("_rt").as("cts"))
+          .orderBy(col("pid"))
+      },
+      Some("""WITH p AS (SELECT event_id AS pid, user_id, ts FROM events
+         |          WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id AS cid, user_id, ts AS cts FROM events
+         |      WHERE event_type = 'click')
+         |SELECT pid, cid, cts FROM (
+         |  SELECT p.pid, c.cid, c.cts,
+         |    row_number() OVER (PARTITION BY p.pid
+         |      ORDER BY c.cts DESC, c.cid DESC) AS rn
+         |  FROM p JOIN c ON c.user_id = p.user_id
+         |    AND c.cts <= p.ts AND c.cts >= p.ts - INTERVAL 30 MINUTE)
+         |WHERE rn = 1 ORDER BY pid""".stripMargin),
+      "B21: as-of join = range join + latest-match pick via max(struct)"),
+
     "q_setops" -> DeclaredQuery(
       (s, dir) => T(s, dir, "customer")
         .filter(col("c_acctbal") > 5000)

@@ -29,32 +29,42 @@ object NearDup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** MinHash signature over token 3-grams, in ONE pass.
+  /** MinHash signature over token 3-grams — native codegen'd expression
+    * ([[graft.expressions.MinHashSig]]): one static call per row over
+    * primitive long arrays. Bit-identical to [[minHashSignatureHof]]. */
+  def minHashSignature(toks: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.expressions.MinHashSig(Bridge.expression(toks), numHashes))
+  }
+
+  /** Reference higher-order-function formulation of [[minHashSignature]]
+    * — the arithmetic spec, kept for parity testing.
     *
     * Deliberately NOT `numHashes` separate `array_min(transform(shingles,
     * ...))` projections: ProjectCollapse re-inlines the shingle-building
     * subtree into every per-seed expression, so shingle strings get built
     * `numHashes`× per row (measured: 73 s for 5 k docs at sf0.1). Instead:
-    * three shifted token arrays are zipped (each array evaluated once per
-    * row), every position hashes its token triple directly —
-    * `xxhash64(seed, t_i, t_i+1, t_i+2)` — with no intermediate shingle
-    * strings, and a final fold takes the per-seed elementwise min. */
-  def minHashSignature(toks: Column, numHashes: Int): Column = {
-    // each token string is hashed exactly once; shingle hashes then mix
-    // three fixed-width longs, so the numHashes× inner loop never touches
-    // string bytes
+    * each token is hashed once, two pad-shifted copies of the hash array
+    * are zipped (each evaluated once per row), every position hashes its
+    * 3-gram of longs per seed, and a final fold takes the elementwise
+    * min. */
+  def minHashSignatureHof(toks: Column, numHashes: Int): Column = {
     val th = transform(toks, t => xxhash64(t))
-    val pad = array(lit(0L))
-    val t2 = concat(slice(th, lit(2), greatest(size(th) - 1, lit(0))), pad)
-    val t3 = concat(slice(th, lit(3), greatest(size(th) - 2, lit(0))), pad, pad)
+    val n = size(th)
+    val thp = concat(th, array(lit(0L), lit(0L)))
+    // shifted views, each exactly length n (zip_with would null-pad a
+    // shorter array, injecting phantom positions on 0/1-token docs)
+    val t2 = slice(thp, lit(2), greatest(n, lit(1)))
+    val t3 = slice(thp, lit(3), greatest(n, lit(1)))
     val seeds = array((0 until numHashes).map(lit): _*)
     val pairs = zip_with(th, t2, (a, b) => struct(a.as("a"), b.as("b")))
     val perPosition = zip_with(pairs, t3, (p, c) =>
       transform(seeds, s =>
         xxhash64(s, p.getField("a"), p.getField("b"), c)))
-    aggregate(perPosition,
+    val folded = aggregate(perPosition,
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, hs) => zip_with(acc, hs, (x, y) => least(x, y)))
+    when(n === 0, array_repeat(lit(Long.MaxValue), numHashes)).otherwise(folded)
   }
 
   /** LSH band keys: the signature split into `bands` bands of

@@ -44,7 +44,10 @@ object TextAnalysis {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("word"))
     val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfc = tok.groupBy("word").agg(countDistinct("doc_id").as("df"))
+    // document frequency from the tf relation — (doc, word) is already
+    // unique there, so this is countDistinct(doc) without a second
+    // explode + scan of the corpus
+    val dfc = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
     tf.join(broadcast(dfc), "word")
       .crossJoin(broadcast(n))

@@ -57,6 +57,19 @@ class NearDupSpec extends AnyFunSuite {
     assert(near <= 16)
   }
 
+  test("native minhash signature ≡ HOF signature, incl. 0/1-token edge docs") {
+    val fixture = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((9001L, "solo"), (9002L, ""), (9003L, "two words"))
+        .toDF("doc_id", "text"))
+    val toks = TextAnalysis.tokens($"text")
+    val mismatches = fixture.select(
+      NearDup.minHashSignature(toks, 16).as("native"),
+      NearDup.minHashSignatureHof(toks, 16).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(mismatches === 0L)
+  }
+
   test("native simHash ≡ HOF simHash bit-for-bit on fixture docs") {
     val fixture = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
     val mismatches = fixture.select(
