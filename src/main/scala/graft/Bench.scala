@@ -10,11 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen/parquet-reader warmup so per-query times measure the
-    // queries, not first-touch class loading (several seconds on JDK 17)
+    // JIT/codegen/parquet-reader warmup so per-query times measure the
+    // queries, not first-touch compilation (measured: the first hash-join
+    // heavy query pays 5+ s of JIT in a cold JVM). A representative subset
+    // runs once at the smallest scale factor to warm the hash, join,
+    // aggregate, and higher-order-function code paths.
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
-      SparkEntry.entry(spark).count()
+      val warmDir = {
+        val p = java.nio.file.Paths.get(sfDir)
+        val sibling = p.getParent.resolve("sf0.001")
+        if (java.nio.file.Files.isDirectory(sibling)) sibling.toString else sfDir
+      }
+      Seq("knn_topk", "minhash_pairs", "simhash_pairs", "tfidf_top",
+        "q1_pricing", "q_asof", "knn_join")
+        .foreach(q => SparkEntry.queries(q)(spark, warmDir).count())
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

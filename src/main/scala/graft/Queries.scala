@@ -378,6 +378,32 @@ object Queries {
          |ORDER BY c_custkey LIMIT 200""".stripMargin),
       "B28: INTERSECT"),
 
+    "q_cube" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"), col("cnt"))
+        .orderBy(asc("lang"), asc("source")),
+      Some("""SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+         |  count(*) AS cnt
+         |FROM documents GROUP BY CUBE(lang, source)
+         |ORDER BY lang, source""".stripMargin),
+      "B25: CUBE grouping sets"),
+
+    "q_intersect_all" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "orders").select(col("o_custkey"))
+        .intersectAll(T(s, dir, "orders")
+          .filter(col("o_totalprice") > 1000).select(col("o_custkey")))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_custkey")).limit(300),
+      Some("""SELECT o_custkey, count(*) AS n FROM (
+         |  SELECT o_custkey FROM orders
+         |  INTERSECT ALL
+         |  SELECT o_custkey FROM orders WHERE o_totalprice > 1000)
+         |GROUP BY o_custkey ORDER BY o_custkey LIMIT 300""".stripMargin),
+      "B28: INTERSECT ALL (multiset semantics)"),
+
     "q_monthly" -> DeclaredQuery(
       (s, dir) => T(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))

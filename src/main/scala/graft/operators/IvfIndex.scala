@@ -33,8 +33,14 @@ object IvfIndex {
   /** (assignments: idCol, cluster_id; centroids: cluster_id, centroid) */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int): (DataFrame, DataFrame) = {
+    // each Lloyd iteration reads the vectors twice (assign + update);
+    // persist once instead of re-scanning the source 2·iters times.
+    // At cluster scale this is the standard iterate-over-cached-working-set
+    // pattern (MEMORY_AND_DISK spills gracefully if the corpus outgrows
+    // executor memory).
     val vecs = corpus.select(col(idCol).as("_id"),
       transform(col(vecCol), _.cast("double")).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // deterministic init: the k smallest-id vectors
     var centroids = vecs.orderBy("_id").limit(k)
