@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Embedder, VectorFunctions}
+import graft.operators.Search
+import graft.sources.EmbeddingCsv
+
+/** The reference application's complete user-facing surface — its four
+  * verbs *load, embed, search, append* (reference `app.py`: load
+  * 51-58/145-152, embed 27-37, search 40-48, append 105-118) plus the
+  * stats sidebar (A8/A9) — as a thin facade over the engine operators. A
+  * user of the reference maps 1:1:
+  *
+  * | reference                           | here                     |
+  * |-------------------------------------|--------------------------|
+  * | upload CSV (replaces table)         | `load(path)`             |
+  * | predefined file at startup          | `VectorDb.open(...)`     |
+  * | "Add New Data" form                 | `add(chunkId, text)`     |
+  * | "Search" button                     | `search(query, topK)`    |
+  * | sidebar count / empty warning       | `count` / `isEmpty`      |
+  * | (implied) persist                   | `save(path)`             |
+  *
+  * Deliberate semantic upgrades carried over from SURVEY.md §1.5: search
+  * never mutates the stored corpus (vs `app.py:45`), ties break on
+  * chunk_id, malformed CSV fails fast, and `add` is a lazy union instead
+  * of a full-table copy (`app.py:118`).
+  *
+  * The session-scoped mutable corpus mirrors the reference's
+  * `st.session_state` lifecycle (SURVEY.md §1.4); at scale the same calls
+  * run against a parquet/Delta-style table root instead.
+  */
+final class VectorDb(spark: SparkSession,
+                     embedder: Embedder = Embedder.default) {
+
+  @volatile private var corpus: DataFrame = VectorDb.emptyCorpus(spark)
+
+  /** A9 — `df.empty` guard. */
+  def isEmpty: Boolean = corpus.isEmpty
+
+  /** A8 — sidebar count. */
+  def count: Long = corpus.count()
+
+  /** current corpus (read-only view). */
+  def table: DataFrame = corpus
+
+  /** A1/A2/A7 — read the reference CSV contract, REPLACING the corpus. */
+  def load(path: String): this.type = {
+    corpus = EmbeddingCsv.read(spark, path).cache()
+    this
+  }
+
+  /** B32 — persist in the reference CSV contract. */
+  def save(path: String): Unit = EmbeddingCsv.write(corpus, path)
+
+  /** A6 — append one chunk, embedding computed with the engine embedder;
+    * `document_id` is pinned to "user_added" exactly like `app.py:112`.
+    * Lazy union — no table copy. */
+  def add(chunkId: Long, text: String): this.type = {
+    val row = Row(chunkId, "user_added", text, embedder.embed(text).toSeq)
+    val newRow = spark.createDataFrame(
+      java.util.List.of(row), VectorDb.schema)
+    corpus = corpus.unionByName(newRow)
+    this
+  }
+
+  /** A3→A4→A5 — the flagship query: embed the text, raw-dot score every
+    * chunk (NOT cosine — reference semantics, `app.py:45`), top-k with
+    * deterministic tie-break. Returns (chunk_id, chunk_text, sim). */
+  def search(query: String, topK: Int = 5): DataFrame = {
+    require(query != null && query.nonEmpty, "empty query (A14 guard, app.py:95)")
+    val q = embedder.embed(query).map(_.toDouble).toSeq
+    Search.topK(corpus, "vector_embedding", "chunk_id", q, topK)
+      .select(col("chunk_id"), col("chunk_text"), col("sim"))
+  }
+
+  /** A11 — results with the reference's 4-decimal display format. */
+  def searchFormatted(query: String, topK: Int = 5): DataFrame =
+    search(query, topK)
+      .withColumn("sim", format_string("%.4f", col("sim")))
+}
+
+object VectorDb {
+  /** A10 — the canonical 4-column schema (SURVEY.md §1.1). */
+  val schema: StructType = StructType(Seq(
+    StructField("chunk_id", LongType),
+    StructField("document_id", StringType),
+    StructField("chunk_text", StringType),
+    StructField("vector_embedding", ArrayType(FloatType))))
+
+  def emptyCorpus(spark: SparkSession): DataFrame =
+    spark.createDataFrame(java.util.List.of[Row](), schema)
+
+  /** A13 — open a predefined file if present, else start empty
+    * (`app.py:66-73`). */
+  def open(spark: SparkSession, predefinedPath: Option[String] = None): VectorDb = {
+    val db = new VectorDb(spark)
+    predefinedPath.filter { p =>
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(p))
+    }.foreach(db.load)
+    db
+  }
+}
