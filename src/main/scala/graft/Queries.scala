@@ -648,6 +648,20 @@ object Queries {
          |ORDER BY c_custkey LIMIT 200""".stripMargin),
       "B28: EXCEPT"),
 
+    "chunk_docs" -> DeclaredQuery(
+      (s, dir) => TextAnalysis.chunk(
+        T(s, dir, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", width = 40, stride = 20)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH t AS (SELECT doc_id,
+         |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |        FROM documents WHERE doc_id < 50)
+         |SELECT doc_id, CAST((u.s - 1) // 20 AS BIGINT) AS chunk_idx,
+         |  array_to_string(tk[u.s : u.s + 39], ' ') AS chunk_text
+         |FROM t, UNNEST(range(1, greatest(len(tk), 1) + 1, 20)) AS u(s)
+         |ORDER BY doc_id, chunk_idx""".stripMargin),
+      "document chunker: fixed-width token windows with stride overlap"),
+
     "q_quality" -> DeclaredQuery(
       (s, dir) => {
         val toks = TextAnalysis.tokens(col("text"))

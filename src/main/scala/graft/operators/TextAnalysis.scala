@@ -31,6 +31,29 @@ object TextAnalysis {
         .as("chars_per_token"))
   }
 
+  /** Document chunker — the operator that produces the reference's data
+    * model (chunk rows from documents; the implied upstream of
+    * `app.py`'s chunk_id/chunk_text columns). Fixed-width token windows
+    * with stride overlap, one output row per chunk. UDTF-equivalent via
+    * `explode` of the window-start sequence (SURVEY.md §2 "UDF/UDAF/UDTF"
+    * — a Generator is the documented escape hatch, not needed). Pure
+    * projection + explode: embarrassingly parallel, no shuffle. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      "need 0 < stride <= width")
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol), col(textCol))
+      .select(col(idCol),
+        explode(sequence(lit(1), greatest(size(toks), lit(1)), lit(stride)))
+          .as("_s"),
+        toks.as("_tk"))
+      .select(col(idCol),
+        ((col("_s") - 1) / stride).cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("_tk"), col("_s"), lit(width)))
+          .as("chunk_text"))
+  }
+
   /** Corpus-wide word frequency (B11): one explode + one hash agg. */
   def wordFreq(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("word"))

@@ -37,6 +37,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(byKey((2L, "c")) > 0.69)  // ln(2) ≈ 0.6931
   }
 
+  test("chunk: stride windows cover every token; overlap is width-stride") {
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "), 0L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysis.chunk(df, "doc_id", "text", width = 4, stride = 2)
+      .orderBy("chunk_idx")
+      .as[(Long, Long, String)].collect.toSeq
+    assert(got.map(_._2) === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.head._3 === "w1 w2 w3 w4")
+    assert(got(1)._3 === "w3 w4 w5 w6")     // 2-token overlap
+    assert(got.last._3 === "w9 w10")        // short tail chunk
+  }
+
   test("tokens drops empty strings from repeated separators") {
     val df = Seq((1L, "x  y", 4L)).toDF("doc_id", "text", "n_chars")
     val got = TextAnalysis.docStats(df, "doc_id", "text", "n_chars")
