@@ -70,6 +70,27 @@ object Streams {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases matched to the clicks that
+    * preceded them within `window`, same user. Both sides carry
+    * watermarks so the join state for old clicks is evicted once no
+    * in-window purchase can still arrive — state stays O(events in the
+    * watermark horizon). Batch-equivalent of the `q_funnel` oracle
+    * query. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        window: String, lateness: String): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", lateness)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $window"))
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+  }
+
   /** Per-user running totals emitted on every update — custom state via
     * `flatMapGroupsWithState` (B37's full surface). State per key is one
     * (count, sum) pair. Production would add

@@ -96,6 +96,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(last(2L) === ((2L, 2L, 8.0)))
   }
 
+  test("stream-stream interval join matches the batch join on the same rows") {
+    implicit val sql = spark.sqlContext
+    val clicks = Seq(
+      Ev(1, t("2024-01-01 10:00:00"), 1, "click", 0, "{}"),
+      Ev(2, t("2024-01-01 10:20:00"), 1, "click", 0, "{}"),
+      Ev(3, t("2024-01-01 10:00:00"), 2, "click", 0, "{}"))
+    val purchases = Seq(
+      Ev(10, t("2024-01-01 10:05:00"), 1, "purchase", 0, "{}"),  // joins click 1
+      Ev(11, t("2024-01-01 10:25:00"), 1, "purchase", 0, "{}"),  // joins clicks 1(25m)+2(5m)
+      Ev(12, t("2024-01-01 11:30:00"), 2, "purchase", 0, "{}"))  // out of window
+    val mc = MemoryStream[Ev]
+    val mp = MemoryStream[Ev]
+    val name = s"sink_${System.nanoTime()}"
+    val q = Streams.clickPurchaseJoin(mc.toDF(), mp.toDF(), "30 MINUTES", "1 hour")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    mc.addData(clicks); mp.addData(purchases)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table(name)
+      .select("click_id", "purchase_id").as[(Long, Long)].collect.toSet
+    val batch = Streams.clickPurchaseJoin(
+      clicks.toDF(), purchases.toDF(), "30 MINUTES", "1 hour")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect.toSet
+    assert(streamed === batch)
+    assert(batch === Set((1L, 10L), (1L, 11L), (2L, 11L)))
+  }
+
   test("B33 file source: streaming read of the fixture parquet matches batch count") {
     val dir = "/root/testdata/sf0.001"
     // file sources need a landing DIRECTORY; stage the fixture file into one
