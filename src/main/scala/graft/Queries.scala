@@ -575,7 +575,8 @@ object Queries {
       Some("""WITH d AS (
          |  SELECT doc_id,
          |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
-         |  FROM documents WHERE doc_id < 40)
+         |  FROM documents WHERE doc_id < 40
+         |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) > 0)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  round(len(list_intersect(a.s, b.s))::DOUBLE
          |    / len(list_distinct(a.s || b.s)), 4) AS jaccard
@@ -696,8 +697,11 @@ object Queries {
         // the reference CSV contract, read them back, aggregate — the
         // oracle computes the same aggregate straight from the parquet, so
         // any round-trip loss breaks the hash match
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-csvrt").toString + "/corpus"
+        // fixed per-input path + overwrite mode: repeated invocations
+        // (Bench, determinism reruns) reuse one directory instead of
+        // accumulating temp garbage
+        val tmp = System.getProperty("java.io.tmpdir") +
+          s"/graft-csvrt-${dir.replaceAll("[^a-zA-Z0-9]", "_")}/corpus"
         val src = T(s, dir, "embeddings").filter(col("vec_id") < 100)
           .select(col("vec_id").as("chunk_id"),
             lit("fixture").as("document_id"),

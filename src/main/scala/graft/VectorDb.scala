@@ -46,9 +46,12 @@ final class VectorDb(spark: SparkSession,
   /** current corpus (read-only view). */
   def table: DataFrame = corpus
 
-  /** A1/A2/A7 — read the reference CSV contract, REPLACING the corpus. */
+  /** A1/A2/A7 — read the reference CSV contract, REPLACING the corpus
+    * (and releasing the previous corpus' cache). */
   def load(path: String): this.type = {
+    val old = corpus
     corpus = EmbeddingCsv.read(spark, path).cache()
+    old.unpersist()
     this
   }
 
@@ -98,8 +101,10 @@ object VectorDb {
   def open(spark: SparkSession, predefinedPath: Option[String] = None): VectorDb = {
     val db = new VectorDb(spark)
     predefinedPath.filter { p =>
-      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(p))
+      val path = new org.apache.hadoop.fs.Path(p)
+      // resolve the FS from the path itself — the session's default FS
+      // may be a different scheme (hdfs vs s3a vs file)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
     }.foreach(db.load)
     db
   }

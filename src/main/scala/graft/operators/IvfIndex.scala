@@ -33,11 +33,13 @@ object IvfIndex {
   /** (assignments: idCol, cluster_id; centroids: cluster_id, centroid) */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, "k-means needs at least one assign/update iteration")
     // each Lloyd iteration reads the vectors twice (assign + update);
     // persist once instead of re-scanning the source 2·iters times.
     // At cluster scale this is the standard iterate-over-cached-working-set
     // pattern (MEMORY_AND_DISK spills gracefully if the corpus outgrows
-    // executor memory).
+    // executor memory). Released before returning — the results are
+    // materialized first so the lineage never re-reads the cache.
     val vecs = corpus.select(col(idCol).as("_id"),
       transform(col(vecCol), _.cast("double")).as("_v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -54,8 +56,13 @@ object IvfIndex {
       assignments = assign(vecs, centroids)
       centroids = update(vecs, assignments)
     }
-    (assignments.select(col("_id").as(idCol), col("cluster_id")),
-      centroids)
+    // materialize the (small) results, then release the working set —
+    // otherwise every build leaks a cached copy of the corpus vectors
+    val outAssign = assignments.select(col("_id").as(idCol), col("cluster_id"))
+      .localCheckpoint(eager = true)
+    val outCents = centroids.localCheckpoint(eager = true)
+    vecs.unpersist()
+    (outAssign, outCents)
   }
 
   /** Nearest-centroid assignment via min(struct(dist, cluster)). */

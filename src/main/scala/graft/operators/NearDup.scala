@@ -81,11 +81,12 @@ object NearDup {
     * docs → shingle → minhash → explode band keys → self-join per bucket.
     * Returns distinct (id_a, id_b) with id_a < id_b. Probabilistic recall:
     * identical shingle sets ALWAYS collide (every band equal); disjoint
-    * sets collide only by 64-bit hash accident.
+    * sets collide only by 64-bit hash accident. Signatures are always
+    * over token 3-grams ([[graft.expressions.MinHashSig]] hard-codes the
+    * shingle width); pair a 3-gram `jaccardVerify` with it.
     */
   def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16, bands: Int = 4,
-                        shingleSize: Int = 3): DataFrame = {
+                        numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
     val sig = docs.select(col(idCol).as("_id"),
@@ -112,15 +113,20 @@ object NearDup {
   def winnowFingerprint(text: Column, window: Int = 4): Column = {
     val toks = TextAnalysis.tokens(text)
     val th = transform(toks, t => xxhash64(t))
-    val pad = array(lit(0L))
-    val t2 = concat(slice(th, lit(2), greatest(size(th) - 1, lit(0))), pad)
-    val t3 = concat(slice(th, lit(3), greatest(size(th) - 2, lit(0))), pad, pad)
+    val n = size(th)
+    val thp = concat(th, array(lit(0L), lit(0L)))
+    // exact-length shifted views (same guard as minHashSignatureHof:
+    // zip_with null-pads shorter arrays, which would inject a
+    // data-independent phantom shingle shared by all 0/1-token docs)
+    val t2 = slice(thp, lit(2), greatest(n, lit(1)))
+    val t3 = slice(thp, lit(3), greatest(n, lit(1)))
     val pairs = zip_with(th, t2, (a, b) => struct(a.as("a"), b.as("b")))
     val sh = zip_with(pairs, t3, (p, c) =>
       xxhash64(p.getField("a"), p.getField("b"), c))
     val nWin = greatest(size(sh) - (window - 1), lit(1))
-    array_sort(array_distinct(
-      transform(sequence(lit(1), nWin), i => array_min(slice(sh, i, lit(window))))))
+    when(n === 0, array().cast("array<bigint>"))
+      .otherwise(array_sort(array_distinct(
+        transform(sequence(lit(1), nWin), i => array_min(slice(sh, i, lit(window)))))))
   }
 
   /** 64-bit SimHash of the token bag — native codegen'd expression
@@ -192,6 +198,9 @@ object NearDup {
       .union(pairs.select(col("id_b").as("_jid"))).distinct()
     val sh = docs.select(col(idCol).as("_jid"),
       array_distinct(shingles(col(textCol), shingleSize)).as("_sh"))
+      // empty docs have no shingle set — Jaccard is undefined (0/0);
+      // drop them rather than diverge between engines on the edge
+      .filter(size(TextAnalysis.tokens(col(textCol))) > 0)
       .join(ids, Seq("_jid"), "left_semi")
     pairs
       .join(sh.select(col("_jid").as("id_a"), col("_sh").as("sh_a")), "id_a")

@@ -70,6 +70,9 @@ object Search {
     val scoredPairs = pairs.select(
       col("qid"), col(cIdCol),
       round(score(col(cVecCol), col("qvec")), 4).as("sim"))
+      // undefined similarity (zero-norm vector → null score) is not a
+      // neighbor; same rule in knnJoinAgg keeps the two shapes identical
+      .filter(col("sim").isNotNull)
     val w = Window.partitionBy(col("qid"))
       .orderBy(desc("sim"), asc(cIdCol))
     scoredPairs
@@ -98,12 +101,16 @@ object Search {
     val pairs = c.join(broadcast(q),
       if (excludeSelf) col("cid") =!= col("qid") else lit(true))
     val simExpr = metric match {
-      case "cosine" => dot(col("cvec"), col("qvec")) / (col("cn") * col("qn"))
+      // nullif guards zero-norm vectors: null score instead of a
+      // divide-by-zero, filtered below (same rule as knnJoin)
+      case "cosine" => dot(col("cvec"), col("qvec")) /
+        nullif(col("cn") * col("qn"), lit(0.0))
       case "dot"    => dot(col("cvec"), col("qvec"))
       case m        => throw new IllegalArgumentException(s"unknown metric $m")
     }
     val scoredPairs = pairs.select(
       col("qid"), col("cid"), round(simExpr, 4).as("sim"))
+      .filter(col("sim").isNotNull)
     val topk = udaf(new graft.functions.TopKAggregator(k))
     scoredPairs
       .groupBy(col("qid"))

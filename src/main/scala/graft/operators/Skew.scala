@@ -18,14 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  def saltedJoin(big: DataFrame, bigKey: String,
+  def saltedJoin(big: DataFrame, bigKey: String, bigSaltCols: Seq[String],
                  small: DataFrame, smallKey: String,
                  factor: Int): DataFrame = {
     require(factor > 1, "salting with factor <= 1 is a no-op")
-    // any per-row salt works (the small side matches all of them);
-    // spreading rows of the same hot key across salts is the point
+    require(bigSaltCols.nonEmpty, "need columns to derive the salt from")
+    // the salt MUST be deterministic per row: it becomes a shuffle key,
+    // and a nondeterministic salt (rand, monotonically_increasing_id)
+    // silently duplicates/loses rows when lost map tasks are recomputed
+    // with different values (the SPARK-23207 failure class). Derive it
+    // from row content — ideally a unique id — so retries re-produce it.
     val saltedBig = big.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(factor.toLong)))
+      pmod(xxhash64(bigSaltCols.map(col): _*), lit(factor.toLong)))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(factor.toLong - 1))))
     saltedBig.join(replicatedSmall,
