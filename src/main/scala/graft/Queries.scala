@@ -404,6 +404,41 @@ object Queries {
          |GROUP BY o_custkey ORDER BY o_custkey LIMIT 300""".stripMargin),
       "B28: INTERSECT ALL (multiset semantics)"),
 
+    "q_pivot" -> DeclaredQuery(
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val p = T(s, dir, "documents")
+          .groupBy(col("source")).pivot("lang", langs).agg(count(lit(1)))
+        p.select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source,
+         |  count(*) FILTER (lang = 'de') AS de,
+         |  count(*) FILTER (lang = 'en') AS en,
+         |  count(*) FILTER (lang = 'es') AS es,
+         |  count(*) FILTER (lang = 'fr') AS fr,
+         |  count(*) FILTER (lang = 'zh') AS zh
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      "pivot (wide conditional aggregation)"),
+
+    "q_stats" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(r4(median(col("l_quantity"))).as("med_qty"),
+          r4(percentile(col("l_extendedprice"), lit(0.9))).as("p90_price"),
+          r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          r4(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qd"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, round(median(l_quantity), 4) AS med_qty,
+         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+         |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+         |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "statistical aggregates: median / percentile / stddev / corr / covar"),
+
     "q_monthly" -> DeclaredQuery(
       (s, dir) => T(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.operators.Search
+
+/** Property-based invariants (SURVEY.md §5.2 item 3) over randomized
+  * vectors and corpora, evaluated through the engine expressions. */
+class PropertySpec extends AnyFunSuite {
+
+  /** sample-based property runner (the scalatestplus bridge isn't in the
+    * offline dependency cache; raw ScalaCheck generators are) */
+  private def forAll[A](g: Gen[A], n: Int = 30)(f: A => Unit): Unit =
+    Iterator.continually(g.sample).flatten.take(n).foreach(f)
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc))(t => f(t._1, t._2, t._3))
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecGen: Gen[List[Double]] =
+    Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0))
+
+  private def eval(c: org.apache.spark.sql.Column): Double =
+    Seq(1).toDF("x").select(c.cast("double")).head.getDouble(0)
+
+  test("dot is symmetric and bilinear in scaling") {
+    forAll(vecGen, vecGen, Gen.chooseNum(-3.0, 3.0)) { (a, b, s) =>
+      val ab = eval(dot(vecLit(a), vecLit(b)))
+      val ba = eval(dot(vecLit(b), vecLit(a)))
+      assert(math.abs(ab - ba) < 1e-9)
+      val scaled = eval(dot(vecLit(a.map(_ * s)), vecLit(b)))
+      assert(math.abs(scaled - s * ab) < 1e-6)
+    }
+  }
+
+  test("cauchy-schwarz: |dot| <= |a||b|; cosine in [-1, 1]") {
+    forAll(vecGen, vecGen) { (a, b) =>
+      val d = math.abs(eval(dot(vecLit(a), vecLit(b))))
+      val na = eval(l2Norm(vecLit(a)))
+      val nb = eval(l2Norm(vecLit(b)))
+      assert(d <= na * nb + 1e-6)
+      whenever(na > 1e-9 && nb > 1e-9) {
+        val c = eval(cosine(vecLit(a), vecLit(b)))
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      }
+    }
+  }
+
+  test("triangle inequality for l2Dist") {
+    forAll(vecGen, vecGen, vecGen) { (a, b, c) =>
+      val ab = eval(l2Dist(vecLit(a), vecLit(b)))
+      val bc = eval(l2Dist(vecLit(b), vecLit(c)))
+      val ac = eval(l2Dist(vecLit(a), vecLit(c)))
+      assert(ac <= ab + bc + 1e-9)
+    }
+  }
+
+  test("normalize is idempotent up to fp noise") {
+    forAll(vecGen.suchThat(v => v.exists(_ != 0.0))) { a =>
+      val n1 = eval(l2Norm(normalize(vecLit(a))))
+      assert(math.abs(n1 - 1.0) < 1e-9)
+    }
+  }
+
+  test("topK(k) is a prefix of topK(k+1) on the fixture corpus") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    for (k <- Seq(1, 3, 7)) {
+      val small = Search.topK(emb, "embedding", "vec_id", QueryVectors.q1, k)
+        .select("vec_id").as[Long].collect.toSeq
+      val big = Search.topK(emb, "embedding", "vec_id", QueryVectors.q1, k + 3)
+        .select("vec_id").as[Long].collect.toSeq
+      assert(big.take(k) === small)
+    }
+  }
+
+  test("union count additivity (A6 invariant)") {
+    forAll(Gen.chooseNum(0, 20), Gen.chooseNum(0, 20)) { (n, m) =>
+      val a = spark.range(n.toLong).toDF("id")
+      val b = spark.range(m.toLong).toDF("id")
+      assert(a.unionByName(b).count() === (n + m).toLong)
+    }
+  }
+}
