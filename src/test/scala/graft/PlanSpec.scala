@@ -52,6 +52,15 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("join strategy hints are honored (SHUFFLE_HASH)") {
+    val orders = Tables.load(spark, TestSpark.sf0001, "orders")
+    val lineitem = Tables.load(spark, TestSpark.sf0001, "lineitem")
+    val p = lineitem.join(orders.hint("SHUFFLE_HASH"),
+      lineitem("l_orderkey") === orders("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"hint ignored:\n$p")
+  }
+
   test("semi/anti joins plan as semi/anti, not inner + dedup") {
     assert(plan("q_semi").contains("Semi"))
     assert(plan("q_anti").contains("Anti"))
