@@ -823,6 +823,14 @@ object Queries {
       None,
       "B5/B6: IVF build (k-means as DataFrame ops) + probe (float-iterative, no oracle)"),
 
+    "ann_lsh" -> DeclaredQuery(
+      (s, dir) => graft.operators.HyperplaneLsh.annSearch(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        QueryVectors.q1, k = 10, nBits = 6)
+        .select(col("vec_id"), col("sim")),
+      None,
+      "LSH-bucketed ANN: sign-random-projection buckets + multi-probe + exact rerank"),
+
     "minhash_pairs" -> DeclaredQuery(
       (s, dir) => {
         val docs = T(s, dir, "documents")
