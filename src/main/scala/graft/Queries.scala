@@ -732,21 +732,27 @@ object Queries {
         // the reference CSV contract, read them back, aggregate — the
         // oracle computes the same aggregate straight from the parquet, so
         // any round-trip loss breaks the hash match
-        // fixed per-input path + overwrite mode: repeated invocations
-        // (Bench, determinism reruns) reuse one directory instead of
-        // accumulating temp garbage
-        val tmp = System.getProperty("java.io.tmpdir") +
-          s"/graft-csvrt-${dir.replaceAll("[^a-zA-Z0-9]", "_")}/corpus"
+        // unique temp dir per invocation (a shared fixed path would race
+        // under concurrent runs); the round-trip is materialized eagerly
+        // so the directory can be deleted before returning
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-csvrt")
+        val tmp = s"$tmpRoot/corpus"
         val src = T(s, dir, "embeddings").filter(col("vec_id") < 100)
           .select(col("vec_id").as("chunk_id"),
             lit("fixture").as("document_id"),
             concat(lit("chunk "), col("vec_id")).as("chunk_text"),
             col("embedding").as("vector_embedding"))
         graft.sources.EmbeddingCsv.write(src, tmp)
-        graft.sources.EmbeddingCsv.read(s, tmp)
+        val agg = graft.sources.EmbeddingCsv.read(s, tmp)
           .agg(count(lit(1)).as("n"),
             r4(dbl(decSum(element_at(col("vector_embedding"), 1)))).as("sum_e1"),
             max(col("chunk_id")).as("max_id"))
+        val rows = agg.collect().toSeq
+        val schema = agg.schema
+        org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), schema)
       },
       Some("""SELECT count(*) AS n,
          |  round(CAST(sum(CAST(embedding[1] AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_e1,

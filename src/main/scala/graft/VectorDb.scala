@@ -36,6 +36,10 @@ final class VectorDb(spark: SparkSession,
                      embedder: Embedder = Embedder.default) {
 
   @volatile private var corpus: DataFrame = VectorDb.emptyCorpus(spark)
+  // the handle that was actually cached — `corpus` may later wrap it in
+  // unions (add), and unpersist matches by plan, so releasing must go
+  // through the original cached plan, not the current corpus
+  @volatile private var cached: Option[DataFrame] = None
 
   /** A9 — `df.empty` guard. */
   def isEmpty: Boolean = corpus.isEmpty
@@ -47,11 +51,14 @@ final class VectorDb(spark: SparkSession,
   def table: DataFrame = corpus
 
   /** A1/A2/A7 — read the reference CSV contract, REPLACING the corpus
-    * (and releasing the previous corpus' cache). */
+    * (and releasing the previous corpus' cache). The release happens
+    * BEFORE re-caching so reloading the same path cannot drop the fresh
+    * entry (cache entries match by plan, not by reference). */
   def load(path: String): this.type = {
-    val old = corpus
-    corpus = EmbeddingCsv.read(spark, path).cache()
-    old.unpersist()
+    cached.foreach(_.unpersist())
+    val fresh = EmbeddingCsv.read(spark, path).cache()
+    cached = Some(fresh)
+    corpus = fresh
     this
   }
 

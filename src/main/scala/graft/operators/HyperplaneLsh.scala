@@ -25,10 +25,14 @@ import graft.functions.VectorFunctions._
 object HyperplaneLsh {
 
   /** deterministic exact-decimal hyperplanes */
-  def planes(dim: Int, nBits: Int): Seq[IndexedSeq[Double]] =
+  def planes(dim: Int, nBits: Int): Seq[IndexedSeq[Double]] = {
+    // bucket ids live in a Long bitmask; 0 bits has no planes to reduce
+    // and >63 silently wraps the shift (bit 64 aliases bit 0)
+    require(nBits >= 1 && nBits <= 63, s"nBits must be in [1, 63], got $nBits")
     (0 until nBits).map { b =>
       (0 until dim).map(i => (((i * 31 + b * 17 + 7) % 21) - 10) / 10.0)
     }
+  }
 
   /** bucket id column: bit b set iff dot(vec, plane_b) > 0 */
   def bucketCol(vec: Column, planes: Seq[IndexedSeq[Double]]): Column =

@@ -56,11 +56,16 @@ object IvfIndex {
       assignments = assign(vecs, centroids)
       centroids = update(vecs, assignments)
     }
-    // materialize the (small) results, then release the working set —
-    // otherwise every build leaks a cached copy of the corpus vectors
+    // materialize the (small) results as ordinary persisted datasets,
+    // then release the big working set. persist (not localCheckpoint):
+    // the caller can free the returned frames with unpersist(), and the
+    // lineage stays recomputable if an executor is lost.
     val outAssign = assignments.select(col("_id").as(idCol), col("cluster_id"))
-      .localCheckpoint(eager = true)
-    val outCents = centroids.localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    outAssign.count()
+    val outCents = centroids
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    outCents.count()
     vecs.unpersist()
     (outAssign, outCents)
   }

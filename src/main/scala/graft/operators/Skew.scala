@@ -23,6 +23,11 @@ object Skew {
                  factor: Int): DataFrame = {
     require(factor > 1, "salting with factor <= 1 is a no-op")
     require(bigSaltCols.nonEmpty, "need columns to derive the salt from")
+    // salting exists to SPREAD rows of one hot key; a salt derived only
+    // from the join key is constant within a key — all cost, no benefit
+    require(bigSaltCols != Seq(bigKey),
+      "salt columns must distinguish rows WITHIN a join key " +
+        "(e.g. add a line-number or unique id column)")
     // the salt MUST be deterministic per row: it becomes a shuffle key,
     // and a nondeterministic salt (rand, monotonically_increasing_id)
     // silently duplicates/loses rows when lost map tasks are recomputed

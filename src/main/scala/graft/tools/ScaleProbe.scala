@@ -7,14 +7,15 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val emb = graft.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
     val big = (0 until 50).map(i => emb.select((col("vec_id") + i * 100000).as("vec_id"),
       col("embedding"))).reduce(_ union _).repartition(16).cache()
     println("corpus=" + big.count())
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
       graft.operators.Search.topK(big, "embedding", "vec_id", graft.QueryVectors.q1, 10).collect()
-      println(s"topk10 run$i: ${(System.nanoTime()-t0)/1e6}%.0f ms".replace("%.0f",""))
+      println(f"topk10 run$i: ${(System.nanoTime() - t0) / 1e6}%.0f ms")
     }
     val q = emb.filter(col("vec_id") < 8)
     val t0 = System.nanoTime()

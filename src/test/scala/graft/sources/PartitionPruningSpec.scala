@@ -33,8 +33,9 @@ class PartitionPruningSpec extends AnyFunSuite {
     val dimPath = java.nio.file.Files.createTempDirectory("graft-dim").toString + "/d"
     Seq(("click", 1), ("purchase", 2), ("view", 3), ("error", 4), ("signup", 5))
       .toDF("etype", "w").write.mode("overwrite").parquet(dimPath)
-    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10")
-    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val ratioKey = "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"
+    val prevRatio = spark.conf.get(ratioKey)
+    spark.conf.set(ratioKey, "10")
     try {
       val dim = spark.read.parquet(dimPath).filter($"w" === 1)
       val joined = fact.join(dim, fact("event_type") === dim("etype"))
@@ -44,7 +45,7 @@ class PartitionPruningSpec extends AnyFunSuite {
       assert(joined.count() === Tables.load(spark, TestSpark.sf0001, "events")
         .filter($"event_type" === "click").count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set(ratioKey, prevRatio)
     }
   }
 }
