@@ -439,6 +439,58 @@ object Queries {
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       "statistical aggregates: median / percentile / stddev / corr / covar"),
 
+    "q_grouping_sets" -> DeclaredQuery(
+      // deliberately through the spark.sql surface (direct-file SQL):
+      // the engine's SQL entry point is part of the contract
+      (s, dir) => s.sql(
+        s"""SELECT coalesce(lang, 'ALL') AS lang,
+           |  coalesce(source, 'ALL') AS source, count(*) AS cnt
+           |FROM parquet.`$dir/documents.parquet`
+           |GROUP BY GROUPING SETS ((lang), (source), ())
+           |ORDER BY lang, source""".stripMargin),
+      Some("""SELECT coalesce(lang, 'ALL') AS lang,
+         |  coalesce(source, 'ALL') AS source, count(*) AS cnt
+         |FROM documents
+         |GROUP BY GROUPING SETS ((lang), (source), ())
+         |ORDER BY lang, source""".stripMargin),
+      "B25: explicit GROUPING SETS via the SQL surface"),
+
+    "q_corr_subquery" -> DeclaredQuery(
+      (s, dir) => s.sql(
+        s"""SELECT c_custkey,
+           |  (SELECT count(*) FROM parquet.`$dir/orders.parquet` o
+           |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+           |FROM parquet.`$dir/customer.parquet` c
+           |ORDER BY c_custkey LIMIT 200""".stripMargin),
+      Some("""SELECT c_custkey,
+         |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+         |    AS n_orders
+         |FROM customer c ORDER BY c_custkey LIMIT 200""".stripMargin),
+      "correlated scalar subquery (Catalyst decorrelates to an aggregate join)"),
+
+    "q_lag_rank" -> DeclaredQuery(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wv = Window.partitionBy(col("user_id"))
+          .orderBy(desc("value"), asc("event_id"))
+        T(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            r4(col("value") - lag(col("value"), 1).over(w)).as("d_prev"),
+            rank().over(wv).cast("long").as("rnk"),
+            dense_rank().over(wv).cast("long").as("drnk"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+         |  round(value - lag(value, 1) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id), 4) AS d_prev,
+         |  rank() OVER (PARTITION BY user_id
+         |    ORDER BY value DESC, event_id) AS rnk,
+         |  dense_rank() OVER (PARTITION BY user_id
+         |    ORDER BY value DESC, event_id) AS drnk
+         |FROM events ORDER BY user_id, event_id""".stripMargin),
+      "B26: lag / rank / dense_rank window family"),
+
     "q_monthly" -> DeclaredQuery(
       (s, dir) => T(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
