@@ -70,6 +70,40 @@ object Multimodal {
     }
   }
 
+  final case class ResizedRow(media_id: Long, width: Int, height: Int,
+                              payload: Array[Byte])
+
+  /** Resize for image rows — STUB pixel path (no imaging libs in this
+    * container): target dims are computed aspect-preserving for real
+    * (`fit`), the payload transform is the deterministic fake. Batched
+    * per partition like [[decodeAll]]; swapping in a real scaler changes
+    * no plan shape. */
+  def resizeImages(decoded: Dataset[DecodedRow],
+                   media: Dataset[MediaRow],
+                   maxSide: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    val dims = decoded.filter(_.kind == "image")
+      .map(d => (d.media_id, d.width, d.height))
+      .toDF("media_id", "w", "h")
+    media.toDF().join(dims, "media_id")
+      .select(col("media_id"), col("w"), col("h"), col("payload"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init site for a real scaler goes here
+        rows.map { case (id, w, h, payload) =>
+          val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+          val nw = math.max(1, math.round(w * scale).toInt)
+          val nh = math.max(1, math.round(h * scale).toInt)
+          // STUB: a real implementation re-encodes pixels; the fake keeps
+          // a deterministic payload prefix proportional to the area ratio
+          val keep = math.max(1,
+            (payload.length * (nw.toLong * nh) /
+              math.max(1L, w.toLong * h)).toInt)
+          ResizedRow(id, nw, nh, payload.take(keep))
+        }
+      }
+  }
+
   /** Frame sampling for video rows: every `stride`-th frame index up to
     * the decoded frame count — plan-side only (which frames to fetch),
     * the fetch itself is the codec's job. */

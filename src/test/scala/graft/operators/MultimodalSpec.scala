@@ -32,6 +32,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.filter(_.kind == "video").forall(_.n_frames > 1))
   }
 
+  test("resizeImages: aspect-preserving dims capped at maxSide, images only") {
+    val decoded = Multimodal.decodeAll(media)
+    val resized = Multimodal.resizeImages(decoded, media, maxSide = 256).collect()
+    val nImages = decoded.filter(_.kind == "image").count()
+    assert(resized.length.toLong === nImages)
+    val byId = decoded.collect().map(d => d.media_id -> d).toMap
+    resized.foreach { r =>
+      assert(math.max(r.width, r.height) <= 256)
+      val d = byId(r.media_id)
+      // aspect ratio preserved within rounding
+      val orig = d.width.toDouble / d.height
+      val now = r.width.toDouble / r.height
+      assert(math.abs(orig - now) / orig < 0.05, s"aspect drift: $orig vs $now")
+      assert(r.payload.nonEmpty)
+    }
+    // deterministic
+    val again = Multimodal.resizeImages(decoded, media, maxSide = 256).collect()
+    assert(resized.map(r => (r.media_id, r.width, r.height, r.payload.toSeq)).toSet ===
+      again.map(r => (r.media_id, r.width, r.height, r.payload.toSeq)).toSet)
+  }
+
   test("sampleFrames emits stride-spaced frame ids for videos only") {
     val decoded = Multimodal.decodeAll(media).toDF()
     val sampled = Multimodal.sampleFrames(decoded, stride = 10)
