@@ -442,15 +442,20 @@ object Queries {
     "q_grouping_sets" -> DeclaredQuery(
       // deliberately through the spark.sql surface (direct-file SQL):
       // the engine's SQL entry point is part of the contract
+      // NULL key values are excluded so coalesce's 'ALL' marker can only
+      // mean "grouping null" — otherwise a NULL-lang group and the grand
+      // total would share a sort key and the row order would be ambiguous
       (s, dir) => s.sql(
         s"""SELECT coalesce(lang, 'ALL') AS lang,
            |  coalesce(source, 'ALL') AS source, count(*) AS cnt
            |FROM parquet.`$dir/documents.parquet`
+           |WHERE lang IS NOT NULL AND source IS NOT NULL
            |GROUP BY GROUPING SETS ((lang), (source), ())
            |ORDER BY lang, source""".stripMargin),
       Some("""SELECT coalesce(lang, 'ALL') AS lang,
          |  coalesce(source, 'ALL') AS source, count(*) AS cnt
          |FROM documents
+         |WHERE lang IS NOT NULL AND source IS NOT NULL
          |GROUP BY GROUPING SETS ((lang), (source), ())
          |ORDER BY lang, source""".stripMargin),
       "B25: explicit GROUPING SETS via the SQL surface"),

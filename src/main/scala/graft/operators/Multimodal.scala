@@ -85,12 +85,16 @@ object Multimodal {
     val dims = decoded.filter(_.kind == "image")
       .map(d => (d.media_id, d.width, d.height))
       .toDF("media_id", "w", "h")
-    media.toDF().join(dims, "media_id")
+    // filter to images BEFORE the join — audio/video payloads (the bulk
+    // of the bytes) must never be deserialized just to be dropped
+    media.filter(_.kind == "image").toDF().join(dims, "media_id")
       .select(col("media_id"), col("w"), col("h"), col("payload"))
       .as[(Long, Int, Int, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition init site for a real scaler goes here
-        rows.map { case (id, w, h, payload) =>
+        rows.map { case (id, w, h, payloadOrNull) =>
+          val payload =
+            if (payloadOrNull == null) Array.emptyByteArray else payloadOrNull
           val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
           val nw = math.max(1, math.round(w * scale).toInt)
           val nh = math.max(1, math.round(h * scale).toInt)
