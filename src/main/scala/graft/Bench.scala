@@ -26,15 +26,39 @@ object Bench {
         "q1_pricing", "q_asof", "knn_join")
         .foreach(q => SparkEntry.queries(q)(spark, warmDir).count())
     } catch { case _: Throwable => () }
+    // a query that throws is recorded as FAILED (negative elapsed time +
+    // an entry in "errors"), never silently counted as a fast success
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case t: Throwable =>
+            errors(name) = (t.getClass.getSimpleName + ": " +
+              String.valueOf(t.getMessage).take(200)).replaceAll("[\"\\\\\n\r\t]", " ")
+            false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    // total sums only successful queries; "failed" carries the count
+    val total = results.values.filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    // sbt wraps stdout lines in its [info] logger, which broke the
+    // driver's parser in round 1 — so the same JSON is ALSO written to a
+    // well-known file next to the repo root, and printed last on stdout.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
+    println(line)
   }
 }

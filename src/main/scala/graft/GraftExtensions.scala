@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, SimHash64}
+import graft.expressions.{DotProduct, Shingles, SimHash64}
 
 /** Engine extensions: registers the native expressions as SQL functions.
   *
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.simhashFunction)
+    ext.injectFunction(GraftExtensions.shinglesFunction)
   }
 }
 
@@ -39,11 +40,27 @@ object GraftExtensions {
       SimHash64(exprs.head)
     })
 
+  private val shinglesFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingles"),
+    new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 2,
+        "graft_shingles(tokens, n) takes an array<string> and an int literal")
+      val n = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles: n must be an int literal, got $other")
+      }
+      Shingles(exprs.head, n)
+    })
+
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotFunction._1, dotFunction._2, dotFunction._3)
     spark.sessionState.functionRegistry.registerFunction(
       simhashFunction._1, simhashFunction._2, simhashFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      shinglesFunction._1, shinglesFunction._2, shinglesFunction._3)
   }
 
   /** Column-API handle on the native expression. */

@@ -545,14 +545,19 @@ object Queries {
       "B30: math scalar functions"),
 
     "q_array_fns" -> DeclaredQuery(
+      // first5 is emitted as a space-joined STRING, not a raw array: the
+      // driver's comparer sorts result columns with pandas, which cannot
+      // hash numpy array cells (round-1 red row). The array ops under it
+      // (slice/sort_array/array_distinct/array_contains) are unchanged.
       (s, dir) => T(s, dir, "documents")
         .select(col("doc_id"),
-          slice(sort_array(split(col("text"), " ")), 1, 5).as("first5"),
+          array_join(slice(sort_array(split(col("text"), " ")), 1, 5), " ")
+            .as("first5"),
           size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
           array_contains(split(col("text"), " "), "spark").as("has_spark"))
         .orderBy(col("doc_id")).limit(500),
       Some("""SELECT doc_id,
-         |  (list_sort(string_split(text, ' ')))[1:5] AS first5,
+         |  array_to_string((list_sort(string_split(text, ' ')))[1:5], ' ') AS first5,
          |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
          |  list_contains(string_split(text, ' '), 'spark') AS has_spark
          |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin),
@@ -879,9 +884,16 @@ object Queries {
         // covered by IvfIndexSpec's recall tests at iters=3
         val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
           k = 16, iters = 1)
-        IvfIndex.probe(emb, "vec_id", "embedding", assign, cents,
+        val res = IvfIndex.probe(emb, "vec_id", "embedding", assign, cents,
           QueryVectors.q1, k = 10, nprobe = 4)
           .select(col("vec_id"), col("sim"))
+        // materialize the (k-row) probe result eagerly so build()'s two
+        // persisted frames can be released HERE — round 1 leaked both
+        // cache entries per bench/verify invocation
+        val out = res.collect()
+        assign.unpersist()
+        cents.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(out: _*), res.schema)
       },
       None,
       "B5/B6: IVF build (k-means as DataFrame ops) + probe (float-iterative, no oracle)"),
@@ -897,7 +909,10 @@ object Queries {
     "minhash_pairs" -> DeclaredQuery(
       (s, dir) => {
         val docs = T(s, dir, "documents")
-        val cands = NearDup.minHashCandidates(docs, "doc_id", "text")
+        // materialize the (tiny, post-LSH) candidate set once — otherwise
+        // jaccardVerify's three references to it re-execute the whole
+        // signature + band-join lineage three times (round-1 bench tail)
+        val cands = NearDup.minHashCandidatesMaterialized(docs, "doc_id", "text")
         NearDup.jaccardVerify(docs, "doc_id", "text", cands)
           .filter(col("jaccard") >= 0.8)
           .orderBy(col("id_a"), col("id_b"))

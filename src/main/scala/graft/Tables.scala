@@ -24,6 +24,16 @@ object Tables {
       // component, so this is lossless and matches DuckDB's own ns→us
       // read of the same file). Plain double division would be WRONG
       // here: ~1.7e18 ns exceeds double's 2^53 integer range.
+      //
+      // The conf is DELIBERATELY left set for the session rather than
+      // save/restored around the read: the parquet scan consults it again
+      // at physical-planning/execution time (it is copied into the scan's
+      // hadoopConf when the action runs), so restoring it here — before
+      // the returned lazy frame is ever executed — would make the read
+      // fail at action time. Its only effect is on NANOS-typed columns,
+      // which no other fixture table has; a caller who needs strict
+      // NANOS rejection for other data can unset it after materializing
+      // every events-derived result.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (df.schema("ts").dataType == LongType)

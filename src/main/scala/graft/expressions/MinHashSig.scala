@@ -51,8 +51,20 @@ object MinHashSig {
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      th(i) = if (s == null) 0L else XxHash64Function.hash(s, StringType, 42L)
+      // xxhash64(null) returns the seed unchanged, so a null token must
+      // hash to 42L (not 0L) to stay bit-identical to the HOF twin
+      th(i) = if (s == null) 42L else XxHash64Function.hash(s, StringType, 42L)
       i += 1
+    }
+    // the first link of the multi-arg xxhash64 chain, hash(seed_id, 42),
+    // is position-invariant — hoist it out of the per-position loop
+    // (saves a quarter of all hash calls: numHashes per row instead of
+    // numHashes per position)
+    val seedBase = new Array[Long](numHashes)
+    var s0 = 0
+    while (s0 < numHashes) {
+      seedBase(s0) = XxHash64Function.hash(s0, IntegerType, 42L)
+      s0 += 1
     }
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var p = 0
@@ -61,8 +73,7 @@ object MinHashSig {
       while (s < numHashes) {
         // Spark multi-arg xxhash64 chain: each value hashed with the
         // running hash as seed, starting at 42
-        var h = XxHash64Function.hash(s, IntegerType, 42L)
-        h = XxHash64Function.hash(th(p), LongType, h)
+        var h = XxHash64Function.hash(th(p), LongType, seedBase(s))
         h = XxHash64Function.hash(th(p + 1), LongType, h)
         h = XxHash64Function.hash(th(p + 2), LongType, h)
         if (h < sig(s)) sig(s) = h

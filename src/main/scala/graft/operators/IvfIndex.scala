@@ -44,17 +44,29 @@ object IvfIndex {
       transform(col(vecCol), _.cast("double")).as("_v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // deterministic init: the k smallest-id vectors
-    var centroids = vecs.orderBy("_id").limit(k)
-      .orderBy("_id")
-      .select((row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("_id")) - 1)
-        .as("cluster_id"), col("_v").as("centroid"))
+    // deterministic init: the k smallest-id vectors, ids assigned
+    // DRIVER-SIDE over the k collected rows — a row_number() over a
+    // partition-less window here would (a) warn "No Partition Defined"
+    // and (b) funnel the frame through one task; k rows are driver work.
+    // The collect doubles as the first materialization of the cached
+    // working set.
+    val spark = corpus.sparkSession
+    val initRows = vecs.orderBy("_id").limit(k).collect()
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = false)))
+    var centroids = spark.createDataFrame(
+      java.util.Arrays.asList(initRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.getSeq[Double](1)): org.apache.spark.sql.Row
+      }: _*), centSchema)
 
     var assignments: DataFrame = null
     for (_ <- 0 until iters) {
       assignments = assign(vecs, centroids)
-      centroids = update(vecs, assignments)
+      centroids = update(vecs, assignments, centroids)
     }
     // materialize the (small) results as ordinary persisted datasets,
     // then release the big working set. persist (not localCheckpoint):
@@ -62,10 +74,13 @@ object IvfIndex {
     // lineage stays recomputable if an executor is lost.
     val outAssign = assignments.select(col("_id").as(idCol), col("cluster_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    outAssign.count()
     val outCents = centroids
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    outCents.count()
+    // ONE fused materialization job: the union plan contains both
+    // InMemoryRelations, so computing it populates both caches without
+    // paying two sequential job latencies (round-1 bench-tail fix)
+    outAssign.select(lit(1).as("_one"))
+      .union(outCents.select(lit(1).as("_one"))).count()
     vecs.unpersist()
     (outAssign, outCents)
   }
@@ -79,9 +94,13 @@ object IvfIndex {
         col("cluster_id"))).as("best"))
       .select(col("_id"), col("best.cluster_id").as("cluster_id"))
 
-  /** Recompute centroids as per-dimension means. */
-  private def update(vecs: DataFrame, assignments: DataFrame): DataFrame =
-    vecs.join(assignments, "_id")
+  /** Recompute centroids as per-dimension means. A cluster that received
+    * zero assignments produces no mean row; it keeps its PREVIOUS centroid
+    * (left join + coalesce) so the centroid set never silently shrinks
+    * below k — probes assume `nprobe <= k` surviving clusters. */
+  private def update(vecs: DataFrame, assignments: DataFrame,
+                     prev: DataFrame): DataFrame = {
+    val means = vecs.join(assignments, "_id")
       .select(col("cluster_id"), posexplode(col("_v")).as(Seq("dim", "x")))
       .groupBy(col("cluster_id"), col("dim"))
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
@@ -90,6 +109,12 @@ object IvfIndex {
         .as("dims"))
       .select(col("cluster_id"),
         transform(col("dims"), d => d.getField("m")).as("centroid"))
+    prev.select(col("cluster_id"), col("centroid").as("_prev"))
+      .join(means.select(col("cluster_id"), col("centroid").as("_new")),
+        Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        coalesce(col("_new"), col("_prev")).as("centroid"))
+  }
 
   /** Materialize the indexed corpus as a parquet table PARTITIONED BY
     * cluster_id — the at-scale layout: a probe that touches `nprobe` of

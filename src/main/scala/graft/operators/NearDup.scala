@@ -20,8 +20,18 @@ import graft.functions.VectorFunctions
   */
 object NearDup {
 
-  /** Token n-gram shingles of `text` as an array column. */
+  /** Token n-gram shingles of `text` as an array column — native
+    * codegen'd expression ([[graft.expressions.Shingles]]), bit-identical
+    * to [[shinglesHof]] (asserted in NearDupSpec). */
   def shingles(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.expressions.Shingles(
+      Bridge.expression(TextAnalysis.tokens(text)), n))
+  }
+
+  /** Reference higher-order-function formulation of [[shingles]] — the
+    * string-building spec, kept for parity testing. */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(
@@ -84,22 +94,58 @@ object NearDup {
     * sets collide only by 64-bit hash accident. Signatures are always
     * over token 3-grams ([[graft.expressions.MinHashSig]] hard-codes the
     * shingle width); pair a 3-gram `jaccardVerify` with it.
+    *
+    * Banding defaults target the 0.8-Jaccard verification threshold:
+    * b=4 bands of r=8 rows put the LSH S-curve midpoint at
+    * (1/b)^(1/r) = 0.25^0.125 ≈ 0.84, so sub-threshold pairs are mostly
+    * never generated (with 16 hashes / r=4 the midpoint sat at ≈0.71 and
+    * the verify stage had to discard a band of 0.7-0.8 near-misses).
     */
   def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                        numHashes: Int = 32, bands: Int = 4): DataFrame =
+    bucketSelfJoin(minHashBuckets(docs, idCol, textCol, numHashes, bands))
+
+  /** The (doc, band, bucket) relation the LSH self-join runs over. */
+  def minHashBuckets(docs: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 32, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
     val sig = docs.select(col(idCol).as("_id"),
       minHashSignature(TextAnalysis.tokens(col(textCol)), numHashes).as("_sig"))
-    val buckets = sig.select(col("_id"),
+    sig.select(col("_id"),
       explode(bandKeys(col("_sig"), bands, rows)).as("_bk"))
       .select(col("_id"), col("_bk.band_id"), col("_bk.band_hash"))
+  }
+
+  private def bucketSelfJoin(buckets: DataFrame): DataFrame = {
     val a = buckets.toDF("id_a", "band_id", "band_hash")
     val b = buckets.toDF("id_b", "band_id", "band_hash")
     a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** Eager variant of [[minHashCandidates]] returning a
+    * [[materializePairs]]-style local frame: the bucket relation is
+    * persisted for the duration of the self-join so the signature pass
+    * over the corpus runs ONCE (a lazy self-join executes its (identical)
+    * build and probe subtrees independently — two full signature scans),
+    * then released. This persist-across-the-self-join is also the shape
+    * you want on a cluster; the local collect at the end is what you'd
+    * replace with a table write there. */
+  def minHashCandidatesMaterialized(docs: DataFrame, idCol: String,
+                                    textCol: String, numHashes: Int = 32,
+                                    bands: Int = 4,
+                                    maxRows: Int = 1 << 20): DataFrame = {
+    val buckets = minHashBuckets(docs, idCol, textCol, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // populate the cache BEFORE the self-join: its two subtrees execute
+    // concurrently, and a cold cache would be missed by both — the
+    // signature pass would still run twice
+    buckets.count()
+    try materializePairs(bucketSelfJoin(buckets), maxRows)
+    finally buckets.unpersist()
   }
 
   /** Winnowing document fingerprint (rolling-hash local-minima sampling):
@@ -184,6 +230,25 @@ object NearDup {
         hamming(col("sh_a"), col("sh_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Materialize a small candidate-pair set into a [[LocalRelation]]-backed
+    * DataFrame. [[jaccardVerify]] references `pairs` three times (two id
+    * projections for the semi-join spine plus the pair join itself); if
+    * `pairs` is an unpersisted LSH lineage, Spark re-executes the whole
+    * signature + band-join pipeline once per reference. Post-LSH candidate
+    * sets are tiny by construction (bounded by collision probability, not
+    * corpus size — ~234 pairs on the sf0.1 fixture), so collecting them to
+    * the driver truncates the lineage at zero cache-management cost and
+    * lets Catalyst broadcast the pair spine into the verify joins. For
+    * candidate sets that might exceed `maxRows`, `.persist()` the pairs
+    * frame instead and unpersist after the verify output materializes. */
+  def materializePairs(pairs: DataFrame, maxRows: Int = 1 << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val rows = pairs.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"candidate set exceeds $maxRows rows; persist() it instead of materializing")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), pairs.schema)
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs — the

@@ -28,6 +28,9 @@ object Skew {
     require(bigSaltCols != Seq(bigKey),
       "salt columns must distinguish rows WITHIN a join key " +
         "(e.g. add a line-number or unique id column)")
+    // the internal working column must not silently clobber caller data
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs must not already have a _salt column")
     // the salt MUST be deterministic per row: it becomes a shuffle key,
     // and a nondeterministic salt (rand, monotonically_increasing_id)
     // silently duplicates/loses rows when lost map tasks are recomputed

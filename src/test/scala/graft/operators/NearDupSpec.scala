@@ -70,6 +70,34 @@ class NearDupSpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("native shingles ≡ HOF shingles on fixture docs + edge docs, n=1 and n=3") {
+    val fixture = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((9001L, "solo"), (9002L, ""), (9003L, "two words"),
+        (9004L, "  padded   tokens  ")).toDF("doc_id", "text"))
+    for (n <- Seq(1, 3)) {
+      val mismatches = fixture.select(
+        NearDup.shingles($"text", n).as("native"),
+        NearDup.shinglesHof($"text", n).as("hof"))
+        .filter($"native" =!= $"hof").count()
+      assert(mismatches === 0L, s"shingle width $n")
+    }
+  }
+
+  test("native minhash ≡ HOF minhash on arrays containing null tokens") {
+    // xxhash64(null) = seed, so the native path must hash nulls to 42L
+    val arrs = Seq(
+      Seq("a", null, "b", "c"),
+      Seq[String](null, null, null),
+      Seq("x", "y", null)
+    ).toDF("toks")
+    val mismatches = arrs.select(
+      NearDup.minHashSignature($"toks", 16).as("native"),
+      NearDup.minHashSignatureHof($"toks", 16).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(mismatches === 0L)
+  }
+
   test("native simHash ≡ HOF simHash bit-for-bit on fixture docs") {
     val fixture = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
     val mismatches = fixture.select(
