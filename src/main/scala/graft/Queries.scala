@@ -760,6 +760,30 @@ object Queries {
          |ORDER BY doc_id, chunk_idx""".stripMargin),
       "document chunker: fixed-width token windows with stride overlap"),
 
+    "q_extract_chunks" -> DeclaredQuery(
+      // the full binary-ingest path: documents re-encoded as opaque
+      // binary media rows → per-partition text EXTRACTION (the
+      // reference's declared PyPDF2 capability; stub = lossless UTF-8
+      // decode) → token chunker. The oracle chunks the original text
+      // column directly, so a green row proves the binary roundtrip is
+      // exact end-to-end.
+      (s, dir) => {
+        val media = Multimodal.asDocumentMedia(
+          T(s, dir, "documents").filter(col("doc_id") < 50), "doc_id", "text")
+        val extracted = Multimodal.extractText(media).toDF()
+          .select(col("media_id").as("doc_id"), col("text"))
+        TextAnalysis.chunk(extracted, "doc_id", "text", width = 30, stride = 15)
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+         |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |        FROM documents WHERE doc_id < 50)
+         |SELECT doc_id, CAST((u.s - 1) // 15 AS BIGINT) AS chunk_idx,
+         |  array_to_string(tk[u.s : u.s + 29], ' ') AS chunk_text
+         |FROM t, UNNEST(range(1, greatest(len(tk), 1) + 1, 15)) AS u(s)
+         |ORDER BY doc_id, chunk_idx""".stripMargin),
+      "binary→text extraction (stub UTF-8 extractor) + chunker, oracle-checked"),
+
     "q_quality" -> DeclaredQuery(
       (s, dir) => {
         val toks = TextAnalysis.tokens(col("text"))

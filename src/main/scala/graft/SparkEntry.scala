@@ -19,4 +19,29 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.all.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
+
+  /** Streaming mirrors of the windowed/stateful batch queries (SURVEY.md
+    * §2 B33-B37), same Column expressions behind `readStream` over the
+    * sfDir's events fixture. Each returns an UNSTARTED streaming frame
+    * (`isStreaming == true`) — attach a sink + trigger to run. Not part
+    * of the batch Verify contract; the batch twins are oracle-checked,
+    * and `StreamsSpec` asserts stream ≡ batch on these. */
+  def streamingQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.streaming.Streams
+    Map(
+      "s_tumbling" -> ((s, dir) =>
+        Streams.tumblingAgg(Streams.fixtureEventSource(s, dir), "1 hour")),
+      "s_sliding" -> ((s, dir) =>
+        Streams.slidingAgg(Streams.fixtureEventSource(s, dir), "1 hour", "30 minutes")),
+      "s_session" -> ((s, dir) =>
+        Streams.sessionAgg(Streams.fixtureEventSource(s, dir), "10 minutes")),
+      "s_watermark_tumbling" -> ((s, dir) =>
+        Streams.watermarkedTumbling(Streams.fixtureEventSource(s, dir),
+          "1 hour", "30 minutes")),
+      "s_dedup" -> ((s, dir) =>
+        Streams.dedupWithinWatermark(Streams.fixtureEventSource(s, dir), "1 hour")),
+      "s_running_totals" -> ((s, dir) =>
+        Streams.runningUserTotals(Streams.fixtureEventSource(s, dir)).toDF())
+    )
+  }
 }

@@ -108,6 +108,60 @@ object Multimodal {
       }
   }
 
+  final case class DocMediaRow(media_id: Long, payload: Array[Byte],
+                               meta_format: String)
+  final case class ExtractedRow(media_id: Long, text: String)
+
+  /** STUB document-text extractor — stands in for a real PDF/HTML/DOCX
+    * extraction library (the reference declares PyPDF2 in
+    * requirements.txt:7 but the capability surface is binary→text; no
+    * such library exists in this container). The stub handles the `txt`
+    * format for real (UTF-8 decode — deterministic and lossless, which
+    * is what lets the downstream chunker be oracle-checked end-to-end
+    * through the binary roundtrip); any other format would be the real
+    * library's job. */
+  object StubExtractor {
+    def extract(format: String, payload: Array[Byte]): String = {
+      val bytes = if (payload == null) Array.emptyByteArray else payload
+      format match {
+        case "txt" | null =>
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        case other =>
+          // a real extractor dispatches on container format here (pdf,
+          // html, docx, ...); the stub refuses rather than fake it
+          throw new UnsupportedOperationException(
+            s"no extractor for format '$other' in this environment")
+      }
+    }
+  }
+
+  /** Binary→text document extraction, batched per partition like
+    * [[decodeAll]]: one extractor instance per partition (the init site
+    * for a real native library), rows stream through it. Input columns:
+    * (media_id, payload, meta_format); output: (media_id, text).
+    * Feed the result to `TextAnalysis.chunk` for the document→chunk
+    * pipeline the reference's data model implies. */
+  def extractText(media: Dataset[DocMediaRow]): Dataset[ExtractedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init site for a real extraction library goes here
+      rows.map(r => ExtractedRow(r.media_id,
+        StubExtractor.extract(r.meta_format, r.payload)))
+    }
+  }
+
+  /** View a documents table as binary media rows (UTF-8 payload, `txt`
+    * format tag) — the ingest shape a real pipeline sees when documents
+    * arrive as files rather than clean text columns. */
+  def asDocumentMedia(docs: DataFrame, idCol: String,
+                      textCol: String): Dataset[DocMediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit("txt").as("meta_format"))
+      .as[DocMediaRow]
+  }
+
   /** Frame sampling for video rows: every `stride`-th frame index up to
     * the decoded frame count — plan-side only (which frames to fetch),
     * the fetch itself is the codec's job. */

@@ -33,6 +33,26 @@ object Streams {
   def fileSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** [[fileSource]] for the harness fixture's `events.parquet`, whose
+    * `ts` is parquet TIMESTAMP(NANOS): stream-read the raw int64 nanos
+    * (same legacy conf + lossless `div 1000` conversion as
+    * `graft.Tables.load` — see there for why the conf stays
+    * session-scoped) so the streaming queries replay the exact batch
+    * fixture. */
+  def fixtureEventSource(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    // the fixture is a single FILE; FileStreamSource force-sets
+    // basePath to the source path (must be a directory) for NON-glob
+    // paths, so read via a self-matching glob and pin basePath to sfDir
+    spark.readStream.schema(nanosSchema).option("basePath", sfDir)
+      .parquet(s"$sfDir/events.parquet*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Tumbling-window counts/sums per event type (B34). Works identically
     * on batch and streaming inputs. Exact DECIMAL sum (oracle parity). */
   def tumblingAgg(events: DataFrame, width: String): DataFrame =

@@ -53,6 +53,29 @@ class MultimodalSpec extends AnyFunSuite {
       again.map(r => (r.media_id, r.width, r.height, r.payload.toSeq)).toSet)
   }
 
+  test("extractText roundtrips document text through the binary ingest shape") {
+    val docs = Seq(
+      (1L, "plain ascii text"),
+      (2L, "unicode: ñ ü 中文 🚀"),
+      (3L, ""),
+      (4L, "  spaced   out  ")
+    ).toDF("doc_id", "text")
+    val media = Multimodal.asDocumentMedia(docs, "doc_id", "text")
+    val out = Multimodal.extractText(media).collect()
+      .map(r => r.media_id -> r.text).toMap
+    assert(out === Map(1L -> "plain ascii text", 2L -> "unicode: ñ ü 中文 🚀",
+      3L -> "", 4L -> "  spaced   out  "))
+  }
+
+  test("extractText refuses formats the stub has no extractor for") {
+    val media = Seq(Multimodal.DocMediaRow(1L, Array[Byte](1, 2), "pdf")).toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractText(media).collect()
+    }
+    assert(ex.getMessage.contains("no extractor") ||
+      String.valueOf(ex.getCause).contains("no extractor"))
+  }
+
   test("sampleFrames emits stride-spaced frame ids for videos only") {
     val decoded = Multimodal.decodeAll(media).toDF()
     val sampled = Multimodal.sampleFrames(decoded, stride = 10)

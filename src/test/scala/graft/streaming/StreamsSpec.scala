@@ -122,6 +122,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch === Set((1L, 10L), (1L, 11L), (2L, 11L)))
   }
 
+  test("declared streamingQueries: all unstarted streaming frames; windowed ones ≡ batch twins") {
+    val dir = "/root/testdata/sf0.001"
+    val sq = graft.SparkEntry.streamingQueries
+    assert(sq.keySet === Set("s_tumbling", "s_sliding", "s_session",
+      "s_watermark_tumbling", "s_dedup", "s_running_totals"))
+    sq.foreach { case (name, fn) =>
+      assert(fn(spark, dir).isStreaming, s"$name must be a streaming frame")
+    }
+    def runComplete(name: String): org.apache.spark.sql.DataFrame = {
+      val sink = s"sink_${System.nanoTime()}"
+      val q = sq(name)(spark, dir).writeStream.format("memory")
+        .queryName(sink).outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      spark.table(sink)
+    }
+    val events = graft.Tables.load(spark, dir, "events")
+    val st = runComplete("s_tumbling").orderBy("bucket", "event_type").collect.toSeq
+    val bt = Streams.tumblingAgg(events, "1 hour")
+      .orderBy("bucket", "event_type").collect.toSeq
+    assert(st === bt && bt.nonEmpty)
+    val ss = runComplete("s_session").orderBy("user_id", "session_start").collect.toSeq
+    val bs = Streams.sessionAgg(events, "10 minutes")
+      .orderBy("user_id", "session_start").collect.toSeq
+    assert(ss === bs && bs.nonEmpty)
+  }
+
   test("B33 file source: streaming read of the fixture parquet matches batch count") {
     val dir = "/root/testdata/sf0.001"
     // file sources need a landing DIRECTORY; stage the fixture file into one
