@@ -944,6 +944,25 @@ object Queries {
       None,
       "B8: MinHash-LSH candidates + Jaccard verify (seeded xxhash64, no SQL analog)"),
 
+    "near_dup_embed_lsh" -> DeclaredQuery(
+      // the SCALE path for embedding near-dup (vs near_dup_embed's
+      // bounded all-pairs verification tier): sign-LSH bucketed
+      // candidates + exact-cosine verify, never corpus×corpus
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        // apply the operator's sizing rule: nBits ≈ log2(N / target
+        // occupancy) keeps per-bucket join fan-out constant across SFs
+        val nBits = math.max(6,
+          math.ceil(math.log(emb.count() / 4.0) / math.log(2.0)).toInt)
+        val cands = NearDup.materializePairs(
+          NearDup.embeddingCandidates(emb, "vec_id", "embedding", nBits))
+        NearDup.cosineVerify(emb, "vec_id", "embedding", cands)
+          .filter(col("cos") >= 0.3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None,
+      "embedding near-dup, bucketed: sign-LSH candidates + exact cosine verify"),
+
     "simhash_pairs" -> DeclaredQuery(
       (s, dir) => NearDup.simHashCandidates(
         T(s, dir, "documents").filter(col("doc_id") < 2000),

@@ -275,9 +275,63 @@ object NearDup {
           size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
   }
 
+  /** Embedding near-dup candidate pairs via sign-random-projection LSH —
+    * the SCALE path for embedding-cosine dedup: vectors meet only inside
+    * a shared hyperplane-sign bucket (see
+    * [[HyperplaneLsh]] — same deterministic planes), never corpus×corpus.
+    * Multi-probe for recall: one join side is exploded into its own
+    * bucket plus every single-bit flip, so pairs whose sign patterns
+    * differ in at most one plane still collide. The shuffle carries only
+    * (id, bucket) longs — vectors stay out of the candidate join and are
+    * fetched per-candidate by [[cosineVerify]].
+    *
+    * Sizing at scale: expected candidate volume is
+    * O(N × occupancy × (nBits+1)) where occupancy ≈ N / 2^nBits for
+    * non-clustered data — so pick `nBits ≈ log2(N) − log2(target bucket
+    * size)` to hold occupancy (and therefore per-bucket join fan-out)
+    * constant as the corpus grows. 8 bits suits the 10^3-row fixtures;
+    * a 10^9-row corpus wants ~24-28 bits (the bucket id stays one long
+    * up to 63 planes). */
+  def embeddingCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                          nBits: Int = 8): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val ps = HyperplaneLsh.planes(dim, nBits)
+    val bucketed = emb.select(col(idCol).as("_id"),
+      HyperplaneLsh.bucketCol(col(vecCol), ps).as("_bucket"))
+    val a = bucketed.toDF("id_a", "bucket")
+    val b = bucketed.select(col("_id").as("id_b"),
+      explode(array((col("_bucket") +:
+        (0 until nBits).map(i => col("_bucket").bitwiseXOR(lit(1L << i)))): _*))
+        .as("bucket"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact-cosine verification for candidate pairs — the embedding twin
+    * of [[jaccardVerify]]: vectors and norms are fetched only for
+    * candidate-touched ids (left_semi prune), norms pre-projected per
+    * row, cosine computed once per pair. */
+  def cosineVerify(emb: DataFrame, idCol: String, vecCol: String,
+                   pairs: DataFrame): DataFrame = {
+    val ids = pairs.select(col("id_a").as("_vid"))
+      .union(pairs.select(col("id_b").as("_vid"))).distinct()
+    val side = emb.select(col(idCol).as("_vid"), col(vecCol).as("_v"),
+      VectorFunctions.l2Norm(col(vecCol)).as("_n"))
+      .join(ids, Seq("_vid"), "left_semi")
+    pairs
+      .join(side.select(col("_vid").as("id_a"), col("_v").as("va"), col("_n").as("na")), "id_a")
+      .join(side.select(col("_vid").as("id_b"), col("_v").as("vb"), col("_n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 4).as("cos"))
+  }
+
   /** Embedding-cosine near-dup pairs within a (bounded) id range —
-    * brute-force verification tier; the scale path is [[Search.knnJoin]]
-    * or IVF-bucketed joins. */
+    * brute-force verification tier for small slices and the oracle gate;
+    * [[embeddingCandidates]] + [[cosineVerify]] is the bucketed scale
+    * path, [[Search.knnJoin]]/IVF the top-k alternatives. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        minCosine: Double, maxId: Long): DataFrame = {
     // norms are computed ONCE PER ROW in the pre-join projections (N·d

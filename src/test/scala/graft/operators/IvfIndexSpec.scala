@@ -55,6 +55,27 @@ class IvfIndexSpec extends AnyFunSuite {
       s"probe must prune by partition:\n$plan")
   }
 
+  test("a cluster that empties retains its previous centroid (no silent shrink)") {
+    // init = the k smallest-id vectors; ids 0 and 1 are identical, so
+    // both rows tie to cluster 0 (min struct breaks ties by cluster_id)
+    // and cluster 1 receives zero assignments on the first iteration
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val (assignments, centroids) = IvfIndex.build(tiny, "vec_id", "embedding",
+      k = 3, iters = 2)
+    assert(centroids.count === 3, "empty cluster must keep its centroid")
+    assert(assignments.count === 3)
+    val cents = centroids.orderBy("cluster_id")
+      .as[(Int, Seq[Double])].collect.toSeq
+    assert(cents.map(_._1) === Seq(0, 1, 2))
+    // cluster 1 kept its init centroid [1, 0]
+    assert(cents(1)._2 === Seq(1.0, 0.0))
+    assignments.unpersist(); centroids.unpersist()
+  }
+
   test("probe with nprobe=k equals brute force exactly") {
     val (assignments, centroids) = built
     val exact = Search.topK(emb, "embedding", "vec_id", QueryVectors.q1, 10)

@@ -128,6 +128,34 @@ class NearDupSpec extends AnyFunSuite {
     assert((fp(1L).toSet & fp(4L).toSet).isEmpty, "disjoint docs must not")
   }
 
+  test("bucketed embedding near-dup: exact dups always collide, orthogonals never; precision exact") {
+    // 64-dim so the fixture planes shape is exercised; ids 1/2 identical,
+    // 3 a tiny perturbation of 1, 4 orthogonal to all
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (((i * 13 + seed * 7) % 19) - 9) / 9.0f)
+    val base = v(1)
+    val near = base.clone(); near(0) += 0.01f
+    val orth = Array.tabulate(64)(i => if (i % 2 == 0) v(5)(i) else -v(5)(i))
+    val emb = Seq((1L, base), (2L, base), (3L, near), (4L, orth))
+      .toDF("vec_id", "embedding")
+    val cands = NearDup.embeddingCandidates(emb, "vec_id", "embedding", nBits = 8)
+      .as[(Long, Long)].collect.toSet
+    assert(cands.contains((1L, 2L)), "identical vectors must share every bucket")
+    assert(cands.contains((1L, 3L)), "1-bit-flip multiprobe must catch the perturbed twin")
+    val verified = NearDup.cosineVerify(emb, "vec_id", "embedding",
+      NearDup.embeddingCandidates(emb, "vec_id", "embedding", nBits = 8))
+      .filter($"cos" >= 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(verified.contains((1L, 2L)) && verified.contains((1L, 3L)))
+    assert(!verified.exists { case (a, b) => a == 4L || b == 4L },
+      "orthogonal vector must not pass exact-cosine verification")
+    // precision is exact by construction: bucketed ⊆ bounded all-pairs
+    val allPairs = NearDup.embeddingNearDup(emb, "vec_id", "embedding",
+      minCosine = 0.99, maxId = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(verified.subsetOf(allPairs))
+  }
+
   test("embeddingNearDup: self-similar pairs pass the cosine threshold") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)),
