@@ -51,6 +51,42 @@ object Queries {
   private def duckDot(a: String, b: String) =
     s"list_dot_product(CAST($a AS DOUBLE[]), $b)"
 
+  /** Generic source/sink round-trip through `fmt` (B32): write a typed
+    * lineitem slice (long, decimal, date, string columns), read it back
+    * with the writer's schema, aggregate. The oracle computes the same
+    * aggregate straight from parquet, so any type/precision loss in the
+    * sink→source cycle breaks the hash match. Same eager-materialize +
+    * temp-dir-per-invocation discipline as `q_csv_roundtrip`. */
+  private def formatRoundTrip(s: SparkSession, dir: String,
+                              fmt: String): DataFrame = {
+    val tmpRoot = java.nio.file.Files.createTempDirectory(s"graft-${fmt}rt")
+    val tmp = s"$tmpRoot/slice"
+    val src = T(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"),
+        col("l_returnflag"))
+    src.write.format(fmt).mode("overwrite").save(tmp)
+    // explicit schema on re-read: JSON lines are schemaless text, so this
+    // is what pins decimal/date types through the text cycle
+    val back = s.read.format(fmt).schema(src.schema).load(tmp)
+    val agg = back.agg(count(lit(1)).as("n"),
+      r4(dbl(decSum(col("l_quantity")))).as("sum_qty"),
+      max(col("l_shipdate")).as("max_ship"),
+      countDistinct(col("l_returnflag")).as("n_flags"))
+    val rows = agg.collect().toSeq
+    val schema = agg.schema
+    org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+    s.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
+  private val formatRoundTripOracle: String =
+    """SELECT count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+      |  max(l_shipdate) AS max_ship,
+      |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+      |FROM lineitem WHERE l_orderkey < 100""".stripMargin
+
   val all: ListMap[String, DeclaredQuery] = ListMap(
 
     // ----- vector search: the reference's flagship path -------------------
@@ -421,6 +457,55 @@ object Queries {
          |  count(*) FILTER (lang = 'zh') AS zh
          |FROM documents GROUP BY source ORDER BY source""".stripMargin),
       "pivot (wide conditional aggregation)"),
+
+    "q_sample_split" -> DeclaredQuery(
+      // deterministic train/val/test split — the training-pipeline
+      // sampling op. The split key is a Knuth multiplicative hash of the
+      // row id, NOT rand(): a seeded rand() is partition-order-dependent
+      // and re-rolls on task retry (the SPARK-23207 class), whereas a
+      // content-derived hash reproduces the same split on any cluster,
+      // any partitioning, any engine — which is what makes it
+      // oracle-checkable here
+      (s, dir) => {
+        val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+        T(s, dir, "documents")
+          .withColumn("split",
+            when(bucket < 800, "train").when(bucket < 900, "val")
+              .otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text")).cast("long")).as("total_chars"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy(col("split"))
+      },
+      Some("""SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+         |            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM documents GROUP BY split ORDER BY split""".stripMargin),
+      "deterministic hash-based train/val/test split (retry-safe, engine-portable)"),
+
+    "q_unpivot" -> DeclaredQuery(
+      // wide→long melt via the native unpivot operator (pure projection +
+      // generate — no shuffle before the final sort)
+      (s, dir) => T(s, dir, "part")
+        .filter(col("p_partkey") <= 100)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").cast("double").as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+          "metric", "value")
+        .orderBy(col("p_partkey"), col("metric")),
+      Some("""SELECT p_partkey, metric, value FROM (
+         |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+         |  FROM part WHERE p_partkey <= 100
+         |  UNION ALL
+         |  SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE)
+         |  FROM part WHERE p_partkey <= 100)
+         |ORDER BY p_partkey, metric""".stripMargin),
+      "unpivot/melt (wide→long), UNION ALL-equivalent"),
 
     "q_stats" -> DeclaredQuery(
       (s, dir) => T(s, dir, "lineitem")
@@ -845,6 +930,16 @@ object Queries {
          |  max(vec_id) AS max_id
          |FROM embeddings WHERE vec_id < 100""".stripMargin),
       "A1/A2/B32: reference CSV codec round-trip vs parquet ground truth"),
+
+    "q_orc_roundtrip" -> DeclaredQuery(
+      (s, dir) => formatRoundTrip(s, dir, "orc"),
+      Some(formatRoundTripOracle),
+      "B32: ORC source/sink round-trip vs parquet ground truth"),
+
+    "q_jsonl_roundtrip" -> DeclaredQuery(
+      (s, dir) => formatRoundTrip(s, dir, "json"),
+      Some(formatRoundTripOracle),
+      "B32: JSON-lines source/sink round-trip vs parquet ground truth"),
 
     "q_append" -> DeclaredQuery(
       (s, dir) => T(s, dir, "documents").select(col("doc_id"))
