@@ -35,8 +35,11 @@ object Bench {
         try { fn(spark, sfDir).count(); true }
         catch {
           case t: Throwable =>
+            // strip quotes/backslashes AND all raw control chars — any
+            // char < 0x20 inside a JSON string invalidates the line
             errors(name) = (t.getClass.getSimpleName + ": " +
-              String.valueOf(t.getMessage).take(200)).replaceAll("[\"\\\\\n\r\t]", " ")
+              String.valueOf(t.getMessage).take(200))
+              .replaceAll("[\\x00-\\x1F\"\\\\]", " ")
             false
         }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -51,6 +51,14 @@ object Queries {
   private def duckDot(a: String, b: String) =
     s"list_dot_product(CAST($a AS DOUBLE[]), $b)"
 
+  /** Eagerly execute `df` and return the result as a LocalRelation-backed
+    * frame — the shared tail of every round-trip/materializing declared
+    * query (the result is tiny; the point is truncating lineage so temp
+    * dirs and cache entries can be released before returning). */
+  private def localFrame(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** Generic source/sink round-trip through `fmt` (B32): write a typed
     * lineitem slice (long, decimal, date, string columns), read it back
     * with the writer's schema, aggregate. The oracle computes the same
@@ -60,24 +68,20 @@ object Queries {
   private def formatRoundTrip(s: SparkSession, dir: String,
                               fmt: String): DataFrame = {
     val tmpRoot = java.nio.file.Files.createTempDirectory(s"graft-${fmt}rt")
-    val tmp = s"$tmpRoot/slice"
-    val src = T(s, dir, "lineitem").filter(col("l_orderkey") < 100)
-      .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"),
-        col("l_returnflag"))
-    src.write.format(fmt).mode("overwrite").save(tmp)
-    // explicit schema on re-read: JSON lines are schemaless text, so this
-    // is what pins decimal/date types through the text cycle
-    val back = s.read.format(fmt).schema(src.schema).load(tmp)
-    val agg = back.agg(count(lit(1)).as("n"),
-      r4(dbl(decSum(col("l_quantity")))).as("sum_qty"),
-      max(col("l_shipdate")).as("max_ship"),
-      countDistinct(col("l_returnflag")).as("n_flags"))
-    val rows = agg.collect().toSeq
-    val schema = agg.schema
-    org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
-    s.createDataFrame(
-      new java.util.ArrayList(scala.jdk.CollectionConverters
-        .SeqHasAsJava(rows).asJava), schema)
+    try {
+      val tmp = s"$tmpRoot/slice"
+      val src = T(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"),
+          col("l_returnflag"))
+      src.write.format(fmt).mode("overwrite").save(tmp)
+      // explicit schema on re-read: JSON lines are schemaless text, so this
+      // is what pins decimal/date types through the text cycle
+      val back = s.read.format(fmt).schema(src.schema).load(tmp)
+      localFrame(back.agg(count(lit(1)).as("n"),
+        r4(dbl(decSum(col("l_quantity")))).as("sum_qty"),
+        max(col("l_shipdate")).as("max_ship"),
+        countDistinct(col("l_returnflag")).as("n_flags")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
   private val formatRoundTripOracle: String =
@@ -467,7 +471,12 @@ object Queries {
       // any partitioning, any engine — which is what makes it
       // oracle-checkable here
       (s, dir) => {
-        val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+        // pre-modulo bounds the product to ~2.6e15 (< int64 max), so the
+        // arithmetic never overflows: Spark would wrap silently where
+        // DuckDB errors, breaking the engine-portability claim on ids
+        // past ~3.5e9
+        val bucket = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+          lit(1000L))
         T(s, dir, "documents")
           .withColumn("split",
             when(bucket < 800, "train").when(bucket < 900, "val")
@@ -478,8 +487,8 @@ object Queries {
             countDistinct(col("lang")).as("n_langs"))
           .orderBy(col("split"))
       },
-      Some("""SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-         |            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+      Some("""SELECT CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000 < 800 THEN 'train'
+         |            WHEN ((doc_id % 1000003) * 2654435761) % 1000 < 900 THEN 'val'
          |            ELSE 'test' END AS split,
          |  count(*) AS n,
          |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
@@ -907,23 +916,19 @@ object Queries {
         // under concurrent runs); the round-trip is materialized eagerly
         // so the directory can be deleted before returning
         val tmpRoot = java.nio.file.Files.createTempDirectory("graft-csvrt")
-        val tmp = s"$tmpRoot/corpus"
-        val src = T(s, dir, "embeddings").filter(col("vec_id") < 100)
-          .select(col("vec_id").as("chunk_id"),
-            lit("fixture").as("document_id"),
-            concat(lit("chunk "), col("vec_id")).as("chunk_text"),
-            col("embedding").as("vector_embedding"))
-        graft.sources.EmbeddingCsv.write(src, tmp)
-        val agg = graft.sources.EmbeddingCsv.read(s, tmp)
-          .agg(count(lit(1)).as("n"),
-            r4(dbl(decSum(element_at(col("vector_embedding"), 1)))).as("sum_e1"),
-            max(col("chunk_id")).as("max_id"))
-        val rows = agg.collect().toSeq
-        val schema = agg.schema
-        org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
-        s.createDataFrame(
-          new java.util.ArrayList(scala.jdk.CollectionConverters
-            .SeqHasAsJava(rows).asJava), schema)
+        try {
+          val tmp = s"$tmpRoot/corpus"
+          val src = T(s, dir, "embeddings").filter(col("vec_id") < 100)
+            .select(col("vec_id").as("chunk_id"),
+              lit("fixture").as("document_id"),
+              concat(lit("chunk "), col("vec_id")).as("chunk_text"),
+              col("embedding").as("vector_embedding"))
+          graft.sources.EmbeddingCsv.write(src, tmp)
+          localFrame(graft.sources.EmbeddingCsv.read(s, tmp)
+            .agg(count(lit(1)).as("n"),
+              r4(dbl(decSum(element_at(col("vector_embedding"), 1)))).as("sum_e1"),
+              max(col("chunk_id")).as("max_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
       },
       Some("""SELECT count(*) AS n,
          |  round(CAST(sum(CAST(embedding[1] AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_e1,
@@ -1003,16 +1008,15 @@ object Queries {
         // covered by IvfIndexSpec's recall tests at iters=3
         val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
           k = 16, iters = 1)
-        val res = IvfIndex.probe(emb, "vec_id", "embedding", assign, cents,
-          QueryVectors.q1, k = 10, nprobe = 4)
-          .select(col("vec_id"), col("sim"))
         // materialize the (k-row) probe result eagerly so build()'s two
         // persisted frames can be released HERE — round 1 leaked both
-        // cache entries per bench/verify invocation
-        val out = res.collect()
-        assign.unpersist()
-        cents.unpersist()
-        s.createDataFrame(java.util.Arrays.asList(out: _*), res.schema)
+        // cache entries per bench/verify invocation (finally: also on
+        // a failed probe)
+        try localFrame(
+          IvfIndex.probe(emb, "vec_id", "embedding", assign, cents,
+            QueryVectors.q1, k = 10, nprobe = 4)
+            .select(col("vec_id"), col("sim")))
+        finally { assign.unpersist(); cents.unpersist() }
       },
       None,
       "B5/B6: IVF build (k-means as DataFrame ops) + probe (float-iterative, no oracle)"),
@@ -1045,12 +1049,15 @@ object Queries {
       // candidates + exact-cosine verify, never corpus×corpus
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
-        // apply the operator's sizing rule: nBits ≈ log2(N / target
-        // occupancy) keeps per-bucket join fan-out constant across SFs
+        // ONE fused job fetches corpus size + dimension; the sizing rule
+        // nBits ≈ log2(N / target occupancy) keeps per-bucket join
+        // fan-out constant across SFs
+        val meta = emb.agg(count(lit(1)).as("n"),
+          first(size(col("embedding"))).as("d")).head()
         val nBits = math.max(6,
-          math.ceil(math.log(emb.count() / 4.0) / math.log(2.0)).toInt)
-        val cands = NearDup.materializePairs(
-          NearDup.embeddingCandidates(emb, "vec_id", "embedding", nBits))
+          math.ceil(math.log(meta.getLong(0) / 4.0) / math.log(2.0)).toInt)
+        val cands = NearDup.embeddingCandidatesMaterialized(
+          emb, "vec_id", "embedding", nBits, dim = meta.getInt(1))
         NearDup.cosineVerify(emb, "vec_id", "embedding", cands)
           .filter(col("cos") >= 0.3)
           .orderBy(col("id_a"), col("id_b"))

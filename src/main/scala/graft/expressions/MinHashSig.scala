@@ -43,6 +43,17 @@ case class MinHashSig(child: Expression, numHashes: Int)
 }
 
 object MinHashSig {
+  // the first link of the multi-arg xxhash64 chain, hash(seed_id, 42), is
+  // ROW-invariant (it depends only on the seed index), so the table is
+  // computed once per JVM per numHashes, not per row (5k docs × 32 seeds
+  // would otherwise redo 160k hash calls + one allocation per pass)
+  private val seedBases =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def seedBaseFor(numHashes: Int): Array[Long] =
+    seedBases.computeIfAbsent(numHashes, { n =>
+      Array.tabulate(n)(s => XxHash64Function.hash(s, IntegerType, 42L))
+    })
+
   /** static entry point shared by interpreted eval and generated code */
   def compute(arr: ArrayData, numHashes: Int): Array[Long] = {
     val n = arr.numElements()
@@ -56,16 +67,7 @@ object MinHashSig {
       th(i) = if (s == null) 42L else XxHash64Function.hash(s, StringType, 42L)
       i += 1
     }
-    // the first link of the multi-arg xxhash64 chain, hash(seed_id, 42),
-    // is position-invariant — hoist it out of the per-position loop
-    // (saves a quarter of all hash calls: numHashes per row instead of
-    // numHashes per position)
-    val seedBase = new Array[Long](numHashes)
-    var s0 = 0
-    while (s0 < numHashes) {
-      seedBase(s0) = XxHash64Function.hash(s0, IntegerType, 42L)
-      s0 += 1
-    }
+    val seedBase = seedBaseFor(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var p = 0
     while (p < n) {

@@ -293,11 +293,21 @@ object NearDup {
     * a 10^9-row corpus wants ~24-28 bits (the bucket id stays one long
     * up to 63 planes). */
   def embeddingCandidates(emb: DataFrame, idCol: String, vecCol: String,
-                          nBits: Int = 8): DataFrame = {
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
-    val ps = HyperplaneLsh.planes(dim, nBits)
-    val bucketed = emb.select(col(idCol).as("_id"),
+                          nBits: Int = 8, dim: Int = -1): DataFrame =
+    embeddingBucketJoin(
+      embeddingBuckets(emb, idCol, vecCol, nBits, dim), nBits)
+
+  /** The (id, sign-bucket) relation the LSH self-join runs over. `dim`
+    * < 0 infers the dimension with a 1-row scan. */
+  def embeddingBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                       nBits: Int, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else emb.select(size(col(vecCol))).first().getInt(0)
+    val ps = HyperplaneLsh.planes(d, nBits)
+    emb.select(col(idCol).as("_id"),
       HyperplaneLsh.bucketCol(col(vecCol), ps).as("_bucket"))
+  }
+
+  private def embeddingBucketJoin(bucketed: DataFrame, nBits: Int): DataFrame = {
     val a = bucketed.toDF("id_a", "bucket")
     val b = bucketed.select(col("_id").as("id_b"),
       explode(array((col("_bucket") +:
@@ -307,6 +317,24 @@ object NearDup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** Eager variant of [[embeddingCandidates]] mirroring
+    * [[minHashCandidatesMaterialized]]: the bucket projection (full
+    * corpus scan + nBits×dim dot products per vector) is persisted
+    * across the self-join so it runs ONCE instead of once per join
+    * side, then released. */
+  def embeddingCandidatesMaterialized(emb: DataFrame, idCol: String,
+                                      vecCol: String, nBits: Int = 8,
+                                      dim: Int = -1,
+                                      maxRows: Int = 1 << 20): DataFrame = {
+    val bucketed = embeddingBuckets(emb, idCol, vecCol, nBits, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // populate the cache before the self-join (concurrent subtrees would
+    // both miss a cold cache — same reasoning as the minhash variant)
+    bucketed.count()
+    try materializePairs(embeddingBucketJoin(bucketed, nBits), maxRows)
+    finally bucketed.unpersist()
   }
 
   /** Exact-cosine verification for candidate pairs — the embedding twin

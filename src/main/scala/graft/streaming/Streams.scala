@@ -41,16 +41,23 @@ object Streams {
     * fixture. */
   def fixtureEventSource(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosSchema = StructType(eventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
-      case f => f
-    })
+    // peek at the actual parquet type (same guard as Tables.load): only
+    // a NANOS fixture needs the long-read + div-1000 conversion — forcing
+    // it on a regenerated MICROS fixture would fail the scan
+    val isNanos = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType == LongType
+    val readSchema =
+      if (isNanos) StructType(eventSchema.map {
+        case f if f.name == "ts" => f.copy(dataType = LongType)
+        case f => f
+      }) else eventSchema
     // the fixture is a single FILE; FileStreamSource force-sets
     // basePath to the source path (must be a directory) for NON-glob
     // paths, so read via a self-matching glob and pin basePath to sfDir
-    spark.readStream.schema(nanosSchema).option("basePath", sfDir)
+    val raw = spark.readStream.schema(readSchema).option("basePath", sfDir)
       .parquet(s"$sfDir/events.parquet*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (isNanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** Tumbling-window counts/sums per event type (B34). Works identically
