@@ -936,6 +936,65 @@ object Queries {
          |FROM embeddings WHERE vec_id < 100""".stripMargin),
       "A1/A2/B32: reference CSV codec round-trip vs parquet ground truth"),
 
+    "q_skew_salted" -> DeclaredQuery(
+      // the salted join is result-identical to the plain join (each big
+      // row meets each matching small row exactly once), so the oracle
+      // is simply the UNSALTED join — a green row proves the multiset
+      // equivalence through the driver gate, not just in SkewSpec
+      (s, dir) => {
+        val joined = graft.operators.Skew.saltedJoin(
+          T(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          "l_orderkey", Seq("l_orderkey", "l_linenumber"),
+          T(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          "o_orderkey", factor = 4)
+        joined.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            r4(dbl(decSum(col("l_quantity")))).as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "skew-salted join ≡ plain join (deterministic content-derived salt)"),
+
+    "q_bucketed_join" -> DeclaredQuery(
+      // co-located join through the driver gate: both sides written
+      // bucketed+sorted by the join key (in-memory catalog), joined with
+      // zero exchanges (asserted in BucketingSpec), result ≡ plain join
+      (s, dir) => {
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+        val lt = s"li_bkt_$tag"
+        val ot = s"ord_bkt_$tag"
+        graft.sources.Bucketing.writeBucketed(
+          T(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+            .select(col("l_orderkey"), col("l_extendedprice")),
+          lt, "l_orderkey", buckets = 8)
+        graft.sources.Bucketing.writeBucketed(
+          T(s, dir, "orders").filter(col("o_orderkey") < 2000)
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          ot, "o_orderkey", buckets = 8)
+        try localFrame(
+          s.table(lt).join(s.table(ot),
+            col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"),
+              r4(dbl(decSum(col("l_extendedprice")))).as("sum_price"))
+            .orderBy(col("o_orderpriority")))
+        finally {
+          s.sql(s"DROP TABLE IF EXISTS $lt")
+          s.sql(s"DROP TABLE IF EXISTS $ot")
+        }
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_orderkey < 2000 AND o_orderkey < 2000
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "bucketed co-located join (zero-exchange SMJ) ≡ plain join"),
+
     "q_orc_roundtrip" -> DeclaredQuery(
       (s, dir) => formatRoundTrip(s, dir, "orc"),
       Some(formatRoundTripOracle),

@@ -21,6 +21,28 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     val n = graft.operators.Search.knnJoinAgg(q, "vec_id", "embedding", big, "vec_id", "embedding", 5).count()
     println(s"knnJoinAgg 8q x 100k: ${(System.nanoTime()-t0)/1e9}s rows=$n")
+
+    // ---- dedup tier throughput on a 100k-doc corpus (20 replicas of the
+    // ---- fixture; exact-dup groups of 20 per base doc) ----
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val bigDocs = (0 until 20).map(i =>
+      docs.select((col("doc_id") + i * 1000000L).as("doc_id"), col("text")))
+      .reduce(_ union _).repartition(16).cache()
+    println("docs=" + bigDocs.count())
+    for (i <- 1 to 2) {
+      val t1 = System.nanoTime()
+      val sigs = graft.operators.NearDup
+        .minHashBuckets(bigDocs, "doc_id", "text").count()
+      println(f"minhash sig+banding run$i: ${(System.nanoTime() - t1) / 1e9}%.2f s ($sigs bucket rows)")
+    }
+    val t2 = System.nanoTime()
+    val kept = graft.operators.Dedup.exact(bigDocs,
+      graft.operators.Dedup.tokenFingerprint(col("text")), col("doc_id")).count()
+    println(f"exact dedup 100k→$kept: ${(System.nanoTime() - t2) / 1e9}%.2f s")
+    val t3 = System.nanoTime()
+    val buckets = graft.operators.NearDup
+      .embeddingBuckets(big, "vec_id", "embedding", nBits = 12, dim = 64).count()
+    println(f"sign-LSH bucketing 100k vecs: ${(System.nanoTime() - t3) / 1e9}%.2f s ($buckets rows)")
     spark.stop()
   }
 }
