@@ -1139,6 +1139,22 @@ object Queries {
       None,
       "B24: HLL approx distinct (sketch-impl-specific, sanity-tested vs exact)"),
 
+    "q_approx_percentile" -> DeclaredQuery(
+      // sketch family alongside HLL (q_approx_distinct): approximate
+      // percentiles are sketch-impl-specific (Spark uses a KLL-style
+      // summary, DuckDB t-digest), so no cross-engine oracle — the exact
+      // percentile runs alongside for in-row sanity, invariant-checked
+      // in QueriesSpec determinism runs
+      (s, dir) => T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          r4(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)))
+            .as("approx_median"),
+          r4(percentile(col("l_extendedprice"), lit(0.5))).as("exact_median"))
+        .orderBy(col("l_returnflag")),
+      None,
+      "B24-adjacent: approx percentile sketch (exact column alongside for sanity)"),
+
     "media_decode" -> DeclaredQuery(
       (s, dir) => {
         val decoded = Multimodal.decodeAll(Multimodal.syntheticMedia(s, 300)).toDF()
