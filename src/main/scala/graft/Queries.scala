@@ -995,6 +995,58 @@ object Queries {
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       "bucketed co-located join (zero-exchange SMJ) ≡ plain join"),
 
+    "q_zorder_roundtrip" -> DeclaredQuery(
+      // layout ops must be content-neutral: write a lineitem slice
+      // Z-ordered by (l_partkey, l_suppkey), read it back, aggregate —
+      // the oracle aggregates the unordered parquet directly, so any
+      // row lost/duplicated by the clustering write breaks the match
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-zort")
+        try {
+          val path = s"$tmpRoot/zo"
+          graft.sources.Layout.writeZOrdered(
+            T(s, dir, "lineitem").filter(col("l_orderkey") < 3000)
+              .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+                col("l_quantity")),
+            path, "l_partkey", "l_suppkey", numFiles = 4)
+          localFrame(s.read.parquet(path)
+            .agg(count(lit(1)).as("n"),
+              r4(dbl(decSum(col("l_quantity")))).as("sum_qty"),
+              countDistinct(col("l_partkey")).as("n_parts")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT count(*) AS n,
+         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+         |FROM lineitem WHERE l_orderkey < 3000""".stripMargin),
+      "Z-order clustered write is content-neutral (round-trip vs parquet truth)"),
+
+    "q_partitioned_prune" -> DeclaredQuery(
+      // hive-partitioned write + pruned read through the driver gate:
+      // only the filtered partition's files are listed/scanned (asserted
+      // plan-side in PartitionPruningSpec); the oracle filters the flat
+      // parquet
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-part")
+        try {
+          val path = s"$tmpRoot/events_by_type"
+          T(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"))
+            .write.partitionBy("event_type").parquet(path)
+          localFrame(s.read.parquet(path)
+            .filter(col("event_type") === "purchase")
+            .agg(count(lit(1)).as("n"),
+              r4(dbl(decSum(col("value")))).as("sum_value"),
+              countDistinct(col("user_id")).as("n_users")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT count(*) AS n,
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM events WHERE event_type = 'purchase'""".stripMargin),
+      "partitioned layout + partition-pruned read ≡ filtered flat scan"),
+
     "q_orc_roundtrip" -> DeclaredQuery(
       (s, dir) => formatRoundTrip(s, dir, "orc"),
       Some(formatRoundTripOracle),

@@ -79,6 +79,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  private val tokenGen: Gen[List[String]] =
+    Gen.listOfN(12, Gen.oneOf(
+      Gen.oneOf("alpha", "beta", "gamma", "x", "yy", "", "ñü", "a b"),
+      Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString)))
+      .map(_.take(11))
+      .flatMap(l => Gen.chooseNum(0, l.length).map(l.take))
+
+  test("property: native Shingles ≡ HOF shingles on random token lists (n=1,2,3)") {
+    import graft.operators.NearDup
+    forAll(tokenGen, Gen.oneOf(1, 2, 3)) { (toks, n) =>
+      // drive both through the same text column so tokenization matches
+      val text = toks.mkString(" ")
+      val df = Seq(Tuple1(text)).toDF("text")
+      val row = df.select(
+        NearDup.shingles($"text", n).as("a"),
+        NearDup.shinglesHof($"text", n).as("b")).head
+      assert(row.getSeq[String](0) === row.getSeq[String](1),
+        s"text='$text' n=$n")
+    }
+  }
+
+  test("property: native MinHashSig ≡ HOF signature on random token arrays") {
+    import graft.operators.NearDup
+    val arrGen: Gen[List[String]] = Gen.listOfN(8,
+      Gen.oneOf(Gen.const(null: String), Gen.alphaNumStr.map(_.take(6))))
+      .flatMap(l => Gen.chooseNum(0, l.length).map(l.take))
+    forAll(Gen.zip(arrGen, Gen.oneOf(8, 16, 32)), n = 20) { case (toks, h) =>
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val row = df.select(
+        NearDup.minHashSignature($"toks", h).as("a"),
+        NearDup.minHashSignatureHof($"toks", h).as("b")).head
+      assert(row.getSeq[Long](0) === row.getSeq[Long](1),
+        s"toks=$toks numHashes=$h")
+    }
+  }
+
   test("union count additivity (A6 invariant)") {
     forAll(Gen.chooseNum(0, 20), Gen.chooseNum(0, 20)) { (n, m) =>
       val a = spark.range(n.toLong).toDF("id")
