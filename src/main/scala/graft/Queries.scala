@@ -968,22 +968,25 @@ object Queries {
         val tag = java.util.UUID.randomUUID().toString.replace("-", "")
         val lt = s"li_bkt_$tag"
         val ot = s"ord_bkt_$tag"
-        graft.sources.Bucketing.writeBucketed(
-          T(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
-            .select(col("l_orderkey"), col("l_extendedprice")),
-          lt, "l_orderkey", buckets = 8)
-        graft.sources.Bucketing.writeBucketed(
-          T(s, dir, "orders").filter(col("o_orderkey") < 2000)
-            .select(col("o_orderkey"), col("o_orderpriority")),
-          ot, "o_orderkey", buckets = 8)
-        try localFrame(
-          s.table(lt).join(s.table(ot),
-            col("l_orderkey") === col("o_orderkey"))
-            .groupBy(col("o_orderpriority"))
-            .agg(count(lit(1)).as("n"),
-              r4(dbl(decSum(col("l_extendedprice")))).as("sum_price"))
-            .orderBy(col("o_orderpriority")))
-        finally {
+        // writes INSIDE the try: a failure between them must still drop
+        // the first table (catalog entry + warehouse files)
+        try {
+          graft.sources.Bucketing.writeBucketed(
+            T(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+              .select(col("l_orderkey"), col("l_extendedprice")),
+            lt, "l_orderkey", buckets = 8)
+          graft.sources.Bucketing.writeBucketed(
+            T(s, dir, "orders").filter(col("o_orderkey") < 2000)
+              .select(col("o_orderkey"), col("o_orderpriority")),
+            ot, "o_orderkey", buckets = 8)
+          localFrame(
+            s.table(lt).join(s.table(ot),
+              col("l_orderkey") === col("o_orderkey"))
+              .groupBy(col("o_orderpriority"))
+              .agg(count(lit(1)).as("n"),
+                r4(dbl(decSum(col("l_extendedprice")))).as("sum_price"))
+              .orderBy(col("o_orderpriority")))
+        } finally {
           s.sql(s"DROP TABLE IF EXISTS $lt")
           s.sql(s"DROP TABLE IF EXISTS $ot")
         }

@@ -40,9 +40,12 @@ object ScaleProbe {
       graft.operators.Dedup.tokenFingerprint(col("text")), col("doc_id")).count()
     println(f"exact dedup 100k→$kept: ${(System.nanoTime() - t2) / 1e9}%.2f s")
     val t3 = System.nanoTime()
-    val buckets = graft.operators.NearDup
-      .embeddingBuckets(big, "vec_id", "embedding", nBits = 12, dim = 64).count()
-    println(f"sign-LSH bucketing 100k vecs: ${(System.nanoTime() - t3) / 1e9}%.2f s ($buckets rows)")
+    // sum(_bucket) (not count) so the bucket projection cannot be pruned
+    // away — count(1) would time a no-op (the round-1 profiling trap)
+    val bucketSum = graft.operators.NearDup
+      .embeddingBuckets(big, "vec_id", "embedding", nBits = 12, dim = 64)
+      .agg(sum(col("_bucket"))).head.getLong(0)
+    println(f"sign-LSH bucketing 100k vecs: ${(System.nanoTime() - t3) / 1e9}%.2f s (checksum $bucketSum)")
     spark.stop()
   }
 }

@@ -80,10 +80,9 @@ class PropertySpec extends AnyFunSuite {
   }
 
   private val tokenGen: Gen[List[String]] =
-    Gen.listOfN(12, Gen.oneOf(
+    Gen.listOfN(11, Gen.oneOf(
       Gen.oneOf("alpha", "beta", "gamma", "x", "yy", "", "ñü", "a b"),
       Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString)))
-      .map(_.take(11))
       .flatMap(l => Gen.chooseNum(0, l.length).map(l.take))
 
   test("property: native Shingles ≡ HOF shingles on random token lists (n=1,2,3)") {
