@@ -146,6 +146,23 @@ class StreamsSpec extends AnyFunSuite {
     val bs = Streams.sessionAgg(events, "10 minutes")
       .orderBy("user_id", "session_start").collect.toSeq
     assert(ss === bs && bs.nonEmpty)
+    // stateful mirrors, append mode, single AvailableNow replay
+    def runAppend(name: String): org.apache.spark.sql.DataFrame = {
+      val sink = s"sink_${System.nanoTime()}"
+      val q = sq(name)(spark, dir).writeStream.format("memory")
+        .queryName(sink).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      spark.table(sink)
+    }
+    // fixture event_ids are unique, so within-watermark dedup keeps all
+    assert(runAppend("s_dedup").count() === events.count())
+    // one emitted row per user in a single batch = that user's full total
+    val rt = runAppend("s_running_totals")
+      .groupBy("user_id").agg(max("n_events").as("n")).orderBy("user_id")
+      .as[(Long, Long)].collect.toSeq
+    val bt2 = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id").as[(Long, Long)].collect.toSeq
+    assert(rt === bt2 && bt2.nonEmpty)
   }
 
   test("B33 file source: streaming read of the fixture parquet matches batch count") {
