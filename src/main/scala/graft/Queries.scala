@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, IvfIndex, LangId, Multimodal, NearDup, Search, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, Search, TextAnalysis}
 import graft.streaming.Streams
 
 /** One declared query: the Spark build plus (when SQL-expressible) the
@@ -853,6 +853,32 @@ object Queries {
          |FROM t, UNNEST(range(1, greatest(len(tk), 1) + 1, 20)) AS u(s)
          |ORDER BY doc_id, chunk_idx""".stripMargin),
       "document chunker: fixed-width token windows with stride overlap"),
+
+    "q_decontaminate" -> DeclaredQuery(
+      // benchmark decontamination: docs 0-49 play the eval set, the rest
+      // the training corpus; flag every training doc echoing one of the
+      // eval set's token 4-grams (test-set-leakage guard)
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        Decontaminate.contaminated(
+          docs.filter(col("doc_id") >= 50), "doc_id", "text",
+          docs.filter(col("doc_id") < 50), "text", n = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+         |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |        FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    CASE WHEN len(tk) < 4 THEN array_to_string(tk, ' ')
+         |         ELSE array_to_string(tk[u.s : u.s + 3], ' ') END AS sng
+         |  FROM tok, UNNEST(range(1, greatest(len(tk) - 3, 1) + 1, 1)) AS u(s)),
+         |ev AS (SELECT DISTINCT sng FROM sh WHERE doc_id < 50)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM (SELECT doc_id, sng FROM sh WHERE doc_id >= 50) t
+         |JOIN ev USING (sng)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+      "benchmark decontamination: eval n-gram echo scan over the training corpus"),
 
     "q_extract_chunks" -> DeclaredQuery(
       // the full binary-ingest path: documents re-encoded as opaque
