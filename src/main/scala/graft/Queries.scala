@@ -854,6 +854,21 @@ object Queries {
          |ORDER BY doc_id, chunk_idx""".stripMargin),
       "document chunker: fixed-width token windows with stride overlap"),
 
+    "q_logfreq_quality" -> DeclaredQuery(
+      // corpus-frequency quality filter: mean ln(word count) per doc —
+      // low scores mark rare-token/gibberish docs for dropping
+      (s, dir) => TextAnalysis.logFreqScore(
+        T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+         |  FROM documents),
+         |wf AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word)
+         |SELECT t.doc_id, round(avg(ln(CAST(wf.cnt AS DOUBLE))), 4) AS lf_score
+         |FROM tok t JOIN wf USING (word)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+      "corpus-frequency quality score (mean log word count per doc)"),
+
     "q_decontaminate" -> DeclaredQuery(
       // benchmark decontamination: docs 0-49 play the eval set, the rest
       // the training corpus; flag every training doc echoing one of the

@@ -59,6 +59,22 @@ object TextAnalysis {
     docs.select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
+  /** Corpus-frequency quality score: per document, the mean
+    * ln(corpus-frequency) of its tokens — the classic cheap filter for
+    * gibberish/rare-token junk (low score = mostly words the corpus has
+    * never seen). Two passes over the exploded relation: the word-count
+    * table (usually tiny — Zipf) broadcasts back onto the tokens, so the
+    * corpus shuffles only (doc, partial-sum) pairs, never text. Output
+    * column `lf_score` rounded to 4 decimals. */
+  def logFreqScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("word"))
+    val wf = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+    tok.join(broadcast(wf), "word")
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("cnt").cast("double"))), 4).as("lf_score"))
+  }
+
   /** tf-idf per (doc, word) (B12): tf from one agg, df from a second agg
     * over the same exploded relation, idf = ln(N/df). The doc-count N is
     * a 1-row aggregate broadcast into the join — no driver-side
