@@ -67,12 +67,13 @@ object TextAnalysis {
     * corpus shuffles only (doc, partial-sum) pairs, never text. Output
     * column `lf_score` rounded to 4 decimals. */
   def logFreqScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
+    val tok = docs.select(col(idCol).as("_lfid"),
       explode(tokens(col(textCol))).as("word"))
-    val wf = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val wf = wordFreq(docs, textCol)
     tok.join(broadcast(wf), "word")
-      .groupBy("doc_id")
+      .groupBy("_lfid")
       .agg(round(avg(log(col("cnt").cast("double"))), 4).as("lf_score"))
+      .select(col("_lfid").as(idCol), col("lf_score"))
   }
 
   /** tf-idf per (doc, word) (B12): tf from one agg, df from a second agg

@@ -85,9 +85,9 @@ class PropertySpec extends AnyFunSuite {
       Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString)))
       .flatMap(l => Gen.chooseNum(0, l.length).map(l.take))
 
-  test("property: native Shingles ≡ HOF shingles on random token lists (n=1,2,3)") {
+  test("property: native Shingles ≡ HOF shingles on random token lists (n=1..5)") {
     import graft.operators.NearDup
-    forAll(tokenGen, Gen.oneOf(1, 2, 3)) { (toks, n) =>
+    forAll(tokenGen, Gen.oneOf(1, 2, 3, 4, 5)) { (toks, n) =>
       // drive both through the same text column so tokenization matches
       val text = toks.mkString(" ")
       val df = Seq(Tuple1(text)).toDF("text")

@@ -70,12 +70,13 @@ class NearDupSpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
-  test("native shingles ≡ HOF shingles on fixture docs + edge docs, n=1 and n=3") {
+  test("native shingles ≡ HOF shingles on fixture docs + edge docs, n=1/3/4") {
     val fixture = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
       .select($"doc_id", $"text")
       .unionByName(Seq((9001L, "solo"), (9002L, ""), (9003L, "two words"),
         (9004L, "  padded   tokens  ")).toDF("doc_id", "text"))
-    for (n <- Seq(1, 3)) {
+    // 4 included because q_decontaminate shingles at n=4
+    for (n <- Seq(1, 3, 4)) {
       val mismatches = fixture.select(
         NearDup.shingles($"text", n).as("native"),
         NearDup.shinglesHof($"text", n).as("hof"))

@@ -146,7 +146,8 @@ class StreamsSpec extends AnyFunSuite {
     val bs = Streams.sessionAgg(events, "10 minutes")
       .orderBy("user_id", "session_start").collect.toSeq
     assert(ss === bs && bs.nonEmpty)
-    // stateful mirrors, append mode, single AvailableNow replay
+    // stateful mirrors, append mode, drained with processAllAvailable
+    // (assertions are cumulative-safe, so batch splitting cannot flake)
     def runAppend(name: String): org.apache.spark.sql.DataFrame = {
       val sink = s"sink_${System.nanoTime()}"
       val q = sq(name)(spark, dir).writeStream.format("memory")
