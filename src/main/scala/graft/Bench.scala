@@ -23,7 +23,8 @@ object Bench {
         if (java.nio.file.Files.isDirectory(sibling)) sibling.toString else sfDir
       }
       Seq("knn_topk", "minhash_pairs", "simhash_pairs", "tfidf_top",
-        "q1_pricing", "q_asof", "knn_join", "ivf_probe", "near_dup_embed_lsh")
+        "q1_pricing", "q_asof", "knn_join", "ivf_probe", "near_dup_embed_lsh",
+        "q_bucketed_join", "q_decontaminate", "q_zorder_roundtrip")
         .foreach(q => SparkEntry.queries(q)(spark, warmDir).count())
     } catch { case _: Throwable => () }
     // a query that throws is recorded as FAILED (negative elapsed time +
