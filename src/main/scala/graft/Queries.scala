@@ -854,6 +854,29 @@ object Queries {
          |ORDER BY doc_id, chunk_idx""".stripMargin),
       "document chunker: fixed-width token windows with stride overlap"),
 
+    "q_normalize_redact" -> DeclaredQuery(
+      // text normalization + PII redaction — the first stages of a
+      // training pipeline, checked byte-exact through the oracle. The
+      // synthetic corpus has no real emails/URLs, so a deterministic
+      // suffix is appended to exercise both redaction patterns
+      (s, dir) => T(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("norm_text"),
+          TextAnalysis.redactPii(
+            concat(col("text"),
+              lit(" contact bob@example.com via https://example.com/x")))
+            .as("redacted"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+         |  regexp_replace(
+         |    regexp_replace(text || ' contact bob@example.com via https://example.com/x',
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    'https?://[^\s]+', '<URL>', 'g') AS redacted
+         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+      "text normalization + PII redaction (email/URL placeholder tokens)"),
+
     "q_logfreq_quality" -> DeclaredQuery(
       // corpus-frequency quality filter: mean ln(word count) per doc —
       // low scores mark rare-token/gibberish docs for dropping

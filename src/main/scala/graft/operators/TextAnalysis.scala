@@ -54,6 +54,27 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Canonical text normalization — the first stage of most training
+    * pipelines: lowercase, collapse all whitespace runs to single
+    * spaces, trim. Pure codegen'd string expressions, embarrassingly
+    * parallel. (Unicode NFC normalization would slot in here via a
+    * native expression wrapping `java.text.Normalizer`; omitted because
+    * the oracle engine normalizes differently and the fixture is
+    * ASCII-dominant.) */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** PII-style redaction: replace email addresses and URLs with fixed
+    * placeholder tokens. Regex-conservative on purpose (word-ish local
+    * parts, http(s) schemes) — a production deployment swaps in its
+    * compliance patterns; the plan shape (two chained codegen'd
+    * regexp_replace projections, no shuffle) is the point. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "<EMAIL>"),
+      "https?://[^\\s]+", "<URL>")
+
   /** Corpus-wide word frequency (B11): one explode + one hash agg. */
   def wordFreq(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("word"))
