@@ -567,6 +567,31 @@ object Queries {
          |FROM customer c ORDER BY c_custkey LIMIT 200""".stripMargin),
       "correlated scalar subquery (Catalyst decorrelates to an aggregate join)"),
 
+    "q_lateral" -> DeclaredQuery(
+      // correlated LATERAL derived table (SQL surface): per-customer
+      // top-2 orders by price — Catalyst decorrelates + plans the inner
+      // top-k per group without a per-row re-execution
+      (s, dir) => s.sql(
+        s"""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+           |FROM parquet.`$dir/customer.parquet` c,
+           |LATERAL (
+           |  SELECT o_orderkey, o_totalprice
+           |  FROM parquet.`$dir/orders.parquet` o
+           |  WHERE o.o_custkey = c.c_custkey
+           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+           |WHERE c.c_custkey <= 100
+           |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin),
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         |FROM customer c,
+         |LATERAL (
+         |  SELECT o_orderkey, o_totalprice
+         |  FROM orders o
+         |  WHERE o.o_custkey = c.c_custkey
+         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         |WHERE c.c_custkey <= 100
+         |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin),
+      "correlated LATERAL derived table (per-key top-k via SQL surface)"),
+
     "q_lag_rank" -> DeclaredQuery(
       (s, dir) => {
         val w = Window.partitionBy(col("user_id"))
