@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint. Prints machine-readable JSON result lines.
+  *
+  * Output contract (stdout):
+  *   - a full line `{"metric":"total","value":…,"queries":{…},…}` with
+  *     per-query seconds (3-decimal precision), then
+  *   - a minimal `{"metric":"total","value":…,"unit":"sec","failed":…}` as
+  *     the VERY LAST stdout line. The harness that captures our output keeps
+  *     only a ~2 KB tail, and the full line (70+ queries) can overflow it —
+  *     the minimal trailer guarantees the headline number always survives
+  *     truncation.
+  * The full line is also written to `bench_out.json` (env
+  * `SPARK_GRAFT_BENCH_OUT` overrides; otherwise resolved against the
+  * process working directory, which sbt sets to the repo root).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,23 +25,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen/parquet-reader warmup so per-query times measure the
-    // queries, not first-touch compilation (measured: the first hash-join
-    // heavy query pays 5+ s of JIT in a cold JVM). A representative subset
-    // runs once at the smallest scale factor to warm the hash, join,
-    // aggregate, and higher-order-function code paths.
-    try {
-      spark.range(1000000L).selectExpr("sum(id)").collect()
-      val warmDir = {
-        val p = java.nio.file.Paths.get(sfDir)
-        val sibling = p.getParent.resolve("sf0.001")
-        if (java.nio.file.Files.isDirectory(sibling)) sibling.toString else sfDir
-      }
-      Seq("knn_topk", "minhash_pairs", "simhash_pairs", "tfidf_top",
-        "q1_pricing", "q_asof", "knn_join", "ivf_probe", "near_dup_embed_lsh",
-        "q_bucketed_join", "q_decontaminate", "q_zorder_roundtrip")
-        .foreach(q => SparkEntry.queries(q)(spark, warmDir).count())
-    } catch { case _: Throwable => () }
+    // JIT/codegen/parquet-reader/file-commit warmup so per-query times
+    // measure the queries, not first-touch compilation (measured: the first
+    // hash-join heavy query pays 5+ s of JIT in a cold JVM, and the first
+    // file sink pays the committer + output-format class loading — the
+    // round-2 driver run showed write-path queries 4-30x slower than a
+    // warmed re-run of identical code). EVERY declared query runs once at
+    // the smallest scale factor; each warm failure is isolated so one bad
+    // warmup cannot skip the rest.
+    val warmDir = {
+      val p = java.nio.file.Paths.get(sfDir)
+      val sibling = Option(p.getParent).map(_.resolve("sf0.001"))
+      sibling.filter(java.nio.file.Files.isDirectory(_)).map(_.toString)
+        .getOrElse(sfDir)
+    }
+    SparkEntry.queries.keys.foreach { q =>
+      try SparkEntry.queries(q)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
     // a query that throws is recorded as FAILED (negative elapsed time +
     // an entry in "errors"), never silently counted as a fast success
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -46,23 +62,37 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal precision keeps the full line compact (~25 bytes/query);
+    // ms resolution is far below the run-to-run noise floor anyway
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     // total sums only successful queries; "failed" carries the count
-    val total = results.values.filter(_ >= 0).sum
+    val total = r3(results.values.filter(_ >= 0).sum)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    val minimal =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""failed":${errors.size},"sf":"$sfDir"}"""
     // sbt wraps stdout lines in its [info] logger, which broke the
-    // driver's parser in round 1 — so the same JSON is ALSO written to a
-    // well-known file next to the repo root, and printed last on stdout.
+    // driver's parser in round 1 — so the full JSON is ALSO written to a
+    // well-known file (cwd = repo root under `sbt run`; env-overridable),
+    // and a failed write is reported on stderr instead of swallowed.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      java.nio.file.Paths.get(sys.props("user.dir"), "bench_out.json")
+        .toString)
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-        (line + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n" + minimal + "\n").getBytes("UTF-8"))
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"bench_out write failed ($outPath): $t")
+    }
     spark.stop()
     println(line)
+    println(minimal)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, Shingles, SimHash64}
+import graft.expressions.{DotProduct, NfcNormalize, Shingles, SimHash64}
 
 /** Engine extensions: registers the native expressions as SQL functions.
   *
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectFunction(GraftExtensions.shinglesFunction)
+    ext.injectFunction(GraftExtensions.nfcFunction)
   }
 }
 
@@ -45,13 +46,36 @@ object GraftExtensions {
     new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
     { exprs: Seq[Expression] =>
       require(exprs.length == 2,
-        "graft_shingles(tokens, n) takes an array<string> and an int literal")
-      val n = exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        "graft_shingles(tokens, n) takes an array<string> and a foldable integer")
+      // standard SQL function ergonomics: any foldable integral expression
+      // works as n — an INT literal, a BIGINT literal (3L), or a constant
+      // arithmetic expression (1+2) — not just a pre-folded IntegerType
+      // literal
+      val e = exprs(1)
+      val n = e match {
+        case _ if e.foldable => e.eval() match {
+          case v: Int => v
+          case v: Long =>
+            require(v >= 1 && v <= Int.MaxValue,
+              s"graft_shingles: n out of range: $v")
+            v.toInt
+          case v: Short => v.toInt
+          case v: Byte => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles: n must be integral, got $other")
+        }
         case other => throw new IllegalArgumentException(
-          s"graft_shingles: n must be an int literal, got $other")
+          s"graft_shingles: n must be a foldable integer expression, got $other")
       }
       Shingles(exprs.head, n)
+    })
+
+  private val nfcFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 1, "graft_nfc(s) takes one string argument")
+      NfcNormalize(exprs.head)
     })
 
   def install(spark: SparkSession): Unit = {
@@ -61,6 +85,8 @@ object GraftExtensions {
       simhashFunction._1, simhashFunction._2, simhashFunction._3)
     spark.sessionState.functionRegistry.registerFunction(
       shinglesFunction._1, shinglesFunction._2, shinglesFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      nfcFunction._1, nfcFunction._2, nfcFunction._3)
   }
 
   /** Column-API handle on the native expression. */

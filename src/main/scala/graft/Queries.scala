@@ -902,6 +902,95 @@ object Queries {
          |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
       "text normalization + PII redaction (email/URL placeholder tokens)"),
 
+    "q_nfc" -> DeclaredQuery(
+      // Unicode NFC canonical composition via the native NfcNormalize
+      // expression. The fixture is ASCII-only (where NFC is the
+      // identity — also asserted by the ASCII-fast-path spec), so a
+      // decomposed-Unicode suffix is appended to force real
+      // composition work; DuckDB's nfc_normalize is the oracle.
+      (s, dir) => T(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextAnalysis.nfc(
+            concat(col("text"),
+              // DECOMPOSED suffix (e/n + combining marks) plus one
+              // precomposed e-acute: NFC composes the first two, keeps
+              // the third
+              lit(" cafe\u0301 nin\u0303o \u00e9")))
+            .as("nfc_text"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+         |  nfc_normalize(text || ' cafe' || chr(769) || ' nin' || chr(771)
+         |    || 'o ' || chr(233)) AS nfc_text
+         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+      "Unicode NFC normalization (native expression, decomposed suffix forces composition)"),
+
+    "q_pipeline_e2e" -> DeclaredQuery(
+      // the composed training-data pipeline — every stage is
+      // oracle-green alone (q_extract_chunks, q_normalize_redact,
+      // chunk_docs, dedup_fingerprint, q_quality); this chains them the
+      // way a real user would, against ONE oracle that chains the same
+      // SQL stages, so cross-stage column-name/laziness bugs can't hide:
+      // binary ingest → extract → redact → normalize → chunk → exact
+      // dedup (token fingerprint) → stopword/length quality filter
+      (s, dir) => {
+        val media = Multimodal.asDocumentMedia(
+          T(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text")
+        val extracted = Multimodal.extractText(media).toDF()
+          .select(col("media_id").as("doc_id"), col("text"))
+        // redact BEFORE normalize: the patterns are case-sensitive on
+        // raw text; the placeholders then lowercase like any token
+        val cleaned = extracted.select(col("doc_id"),
+          TextAnalysis.normalizeText(TextAnalysis.redactPii(col("text")))
+            .as("text"))
+        val chunks = TextAnalysis.chunk(cleaned, "doc_id", "text",
+          width = 30, stride = 15)
+        val deduped = Dedup.dropDuplicatesByKey(chunks,
+          Dedup.tokenFingerprint(col("chunk_text")),
+          struct(col("doc_id"), col("chunk_idx")))
+        val toks = TextAnalysis.tokens(col("chunk_text"))
+        val stop = Seq("the", "a", "of", "to", "in")
+        deduped.select(col("doc_id"), col("chunk_idx"),
+            size(toks).cast("long").as("n_tokens"),
+            round(size(filter(toks, t => t.isin(stop: _*))).cast("double") /
+              size(toks), 4).as("stop_ratio"),
+            col("chunk_text"))
+          .where(col("n_tokens") >= 10 && col("stop_ratio") <= 0.5)
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH clean AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(lower(
+         |      regexp_replace(regexp_replace(text,
+         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      'https?://[^\s]+', '<URL>', 'g')), '\s+', ' ', 'g')) AS text
+         |  FROM documents WHERE doc_id < 300),
+         |t AS (SELECT doc_id,
+         |        list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |      FROM clean),
+         |ch AS (
+         |  SELECT doc_id, CAST((u.s - 1) // 15 AS BIGINT) AS chunk_idx,
+         |    array_to_string(tk[u.s : u.s + 29], ' ') AS chunk_text
+         |  FROM t, UNNEST(range(1, greatest(len(tk), 1) + 1, 15)) AS u(s)),
+         |dd AS (
+         |  SELECT doc_id, chunk_idx, chunk_text
+         |  FROM ch
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY array_to_string(list_sort(string_split(chunk_text, ' ')), ' ')
+         |    ORDER BY doc_id, chunk_idx) = 1),
+         |q AS (
+         |  SELECT doc_id, chunk_idx,
+         |    CAST(len(list_filter(string_split(chunk_text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+         |    round(len(list_filter(string_split(chunk_text, ' '),
+         |        x -> x IN ('the','a','of','to','in')))::DOUBLE
+         |      / len(list_filter(string_split(chunk_text, ' '), x -> x <> '')), 4) AS stop_ratio,
+         |    chunk_text
+         |  FROM dd)
+         |SELECT doc_id, chunk_idx, n_tokens, stop_ratio, chunk_text FROM q
+         |WHERE n_tokens >= 10 AND stop_ratio <= 0.5
+         |ORDER BY doc_id, chunk_idx""".stripMargin),
+      "end-to-end pipeline: extract → redact → normalize → chunk → dedup → quality filter"),
+
     "q_logfreq_quality" -> DeclaredQuery(
       // corpus-frequency quality filter: mean ln(word count) per doc —
       // low scores mark rare-token/gibberish docs for dropping
@@ -1223,6 +1312,32 @@ object Queries {
       },
       None,
       "B5/B6: IVF build (k-means as DataFrame ops) + probe (float-iterative, no oracle)"),
+
+    "ivf_probe_part" -> DeclaredQuery(
+      // the AT-SCALE IVF layout, driver-exercised end-to-end: corpus
+      // written PARTITIONED BY cluster_id, probe = `cluster_id IN (…)`
+      // partition pruning (only nprobe/k of the files are opened — the
+      // pruning itself is asserted in IvfIndexSpec). Float-iterative
+      // like ivf_probe → rows-only per the contract.
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
+          k = 16, iters = 1)
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivfpart")
+        try
+          localFrame {
+            IvfIndex.writePartitioned(emb, "vec_id", assign, s"$tmpRoot/ivf")
+            IvfIndex.probePartitioned(s, s"$tmpRoot/ivf", "vec_id",
+              "embedding", cents, QueryVectors.q1, k = 10, nprobe = 4)
+              .select(col("vec_id"), col("sim"))
+          }
+        finally {
+          assign.unpersist(); cents.unpersist()
+          org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+        }
+      },
+      None,
+      "B6 at-scale layout: IVF corpus partitioned by cluster_id, probe = partition pruning"),
 
     "ann_lsh" -> DeclaredQuery(
       (s, dir) => graft.operators.HyperplaneLsh.annSearch(

@@ -25,24 +25,62 @@ object Decontaminate {
     * Comparison is on DISTINCT shingles per side, so repeated phrases
     * inside one document count once.
     *
-    * Recall contract: an eval doc with fewer than `n` tokens yields one
-    * WHOLE-DOCUMENT shingle, which only matches a training doc equal to
-    * it verbatim — its appearance INSIDE a longer training doc is not
-    * flagged. Pick `n` no larger than the shortest meaningful eval item
-    * (QA benchmarks with terse answers want a small `n` or an extra
-    * pass at the answer length). */
+    * Short-eval-item recall: an eval doc with L < `n` tokens yields one
+    * WHOLE-DOCUMENT shingle, which only matches an n-gram-shingled
+    * training doc equal to it verbatim. With `shortEvalPass = true` (the
+    * default) a second containment pass runs AT THE ITEM'S OWN LENGTH:
+    * training docs are additionally shingled at each short length L
+    * present in the eval set, so a 2-token eval answer buried inside a
+    * longer training doc is flagged. The extra pass stays lazy and
+    * scale-safe — the distinct short lengths are a ≤ n-1-row broadcast
+    * frame cross-joined onto the training scan, so the corpus is
+    * re-shingled only for lengths that actually occur (no short eval
+    * items ⇒ the pass joins an empty set and adds no hits). */
   def contaminated(train: DataFrame, trainId: String, trainText: String,
                    eval: DataFrame, evalText: String,
-                   n: Int = 5, broadcastEval: Boolean = true): DataFrame = {
+                   n: Int = 5, broadcastEval: Boolean = true,
+                   shortEvalPass: Boolean = true): DataFrame = {
+    def maybeBcast(df: DataFrame) = if (broadcastEval) broadcast(df) else df
     val evalShingles = eval
       .select(explode(array_distinct(NearDup.shingles(col(evalText), n)))
         .as("_sh"))
       .distinct()
-    val evalSide = if (broadcastEval) broadcast(evalShingles) else evalShingles
-    train
+    val baseHits = train
       .select(col(trainId).as("_tid"),
         explode(array_distinct(NearDup.shingles(col(trainText), n))).as("_sh"))
-      .join(evalSide, "_sh")
+      .join(maybeBcast(evalShingles), "_sh")
+      .select(col("_tid"), col("_sh"))
+    val hits = if (!shortEvalPass) baseHits else {
+      val shortSet = eval
+        .select(TextAnalysis.tokens(col(evalText)).as("_tk"))
+        .where(size(col("_tk")).between(1, n - 1))
+        .select(concat_ws(" ", col("_tk")).as("_sh"),
+          size(col("_tk")).as("_len"))
+        .distinct()
+      val shortLens = shortSet.select(col("_len")).distinct()
+      // training docs with exactly _len tokens are excluded (>): their
+      // single _len-gram IS the whole document, which the base pass's
+      // whole-doc-vs-whole-doc match already covers — including them
+      // would double-count that hit after the union
+      val shortHits = train
+        .select(col(trainId).as("_tid"),
+          TextAnalysis.tokens(col(trainText)).as("_tk"))
+        .crossJoin(broadcast(shortLens))
+        .where(size(col("_tk")) > col("_len"))
+        .select(col("_tid"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("_tk")) - col("_len") + 1),
+            s => concat_ws(" ", slice(col("_tk"), s, col("_len")))))).as("_sh"))
+        .join(maybeBcast(shortSet.select(col("_sh"))), "_sh")
+        .select(col("_tid"), col("_sh"))
+      // no dedup needed across the union: short-pass shingles have < n
+      // tokens while base-pass matches are n-grams or whole short docs of
+      // a DIFFERENT length than any short-pass candidate from the same
+      // training doc (the > filter above) — token counts differ, so the
+      // shingle strings can never collide
+      baseHits.unionAll(shortHits)
+    }
+    hits
       .groupBy(col("_tid"))
       .agg(count(lit(1)).as("n_hits"))
       .select(col("_tid").as(trainId), col("n_hits"))

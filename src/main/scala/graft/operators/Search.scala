@@ -47,6 +47,43 @@ object Search {
                      score: (Column, Column) => Column = dot): DataFrame =
     scored(corpus, vecCol, q, score).filter(col("sim") >= minSim)
 
+  /** Default ceiling on how much of the query side one broadcast may
+    * carry — sized to fit comfortably in executor memory alongside the
+    * scan (the historical contract was "callers hold it"; now the
+    * engine enforces it, see [[queryChunks]]). */
+  val DefaultMaxBroadcastBytes: Long = 256L << 20
+
+  /** Broadcast guard for the k-NN joins: Catalyst's size estimate of the
+    * optimized query-side plan is compared against `maxBroadcastBytes`;
+    * an oversized query side is split into deterministic hash chunks of
+    * the query-id column, each broadcast separately and the per-chunk
+    * results unioned. Per-query top-k is independent across queries, so
+    * chunking cannot change any result row.
+    *
+    * Purely plan-driven (no count job, frames stay lazy). Each chunk
+    * re-evaluates the query-side lineage once — callers with an
+    * expensive query-side pipeline should persist it first. The chunk
+    * count is capped at 1024: a query side needing more than 1024
+    * broadcasts (≳256 GB) is not a broadcast-join workload — shuffle
+    * both sides instead. */
+  private def queryChunks(queries: DataFrame, qIdCol: String,
+                          maxBroadcastBytes: Long): Seq[DataFrame] = {
+    require(maxBroadcastBytes > 0, "maxBroadcastBytes must be positive")
+    val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nChunks = if (est <= maxBroadcastBytes) 1
+    else {
+      val want = (est + maxBroadcastBytes - 1) / maxBroadcastBytes
+      require(want <= 1024,
+        s"query side estimated at $est bytes needs $want broadcast chunks " +
+          "(cap 1024) — this is not a broadcastable query set; " +
+          "shuffle-join it instead")
+      want.toInt
+    }
+    if (nChunks == 1) Seq(queries)
+    else (0 until nChunks).map(i =>
+      queries.where(pmod(xxhash64(col(qIdCol)), lit(nChunks)) === i))
+  }
+
   /** k-NN join (B4): for each row of `queries`, the k nearest `corpus`
     * rows by `score`.
     *
@@ -56,29 +93,31 @@ object Search {
     * then a window `row_number` over rows pre-filtered per-partition, so
     * the shuffle input is already bounded.
     *
-    * `queries` must be small enough to broadcast (driver enforces nothing;
-    * callers hold the contract — for huge query sets, chunk the queries
-    * side and union the results).
+    * A query side whose plan-estimated size exceeds `maxBroadcastBytes`
+    * is automatically hash-chunked and unioned ([[queryChunks]]) — no
+    * single broadcast ever exceeds the ceiling.
     */
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, score: (Column, Column) => Column = cosine,
-              excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"))
-    val pairs = corpus.join(broadcast(q),
-      if (excludeSelf) col(cIdCol) =!= col("qid") else lit(true))
-    val scoredPairs = pairs.select(
-      col("qid"), col(cIdCol),
-      round(score(col(cVecCol), col("qvec")), 4).as("sim"))
-      // undefined similarity (zero-norm vector → null score) is not a
-      // neighbor; same rule in knnJoinAgg keeps the two shapes identical
-      .filter(col("sim").isNotNull)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(desc("sim"), asc(cIdCol))
-    scoredPairs
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
+              excludeSelf: Boolean = true,
+              maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame =
+    queryChunks(queries, qIdCol, maxBroadcastBytes).map { qchunk =>
+      val q = qchunk.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"))
+      val pairs = corpus.join(broadcast(q),
+        if (excludeSelf) col(cIdCol) =!= col("qid") else lit(true))
+      val scoredPairs = pairs.select(
+        col("qid"), col(cIdCol),
+        round(score(col(cVecCol), col("qvec")), 4).as("sim"))
+        // undefined similarity (zero-norm vector → null score) is not a
+        // neighbor; same rule in knnJoinAgg keeps the two shapes identical
+        .filter(col("sim").isNotNull)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("sim"), asc(cIdCol))
+      scoredPairs
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }.reduce(_ unionAll _)
 
   /** k-NN join via the bounded [[graft.functions.TopKAggregator]] instead
     * of a window — the 100 TB-preferred shape: partial aggregation reduces
@@ -90,33 +129,38 @@ object Search {
   def knnJoinAgg(queries: DataFrame, qIdCol: String, qVecCol: String,
                  corpus: DataFrame, cIdCol: String, cVecCol: String,
                  k: Int, metric: String = "cosine",
-                 excludeSelf: Boolean = true): DataFrame = {
+                 excludeSelf: Boolean = true,
+                 maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
+    val simOf: (Column, Column, Column, Column) => Column = metric match {
+      // nullif guards zero-norm vectors: null score instead of a
+      // divide-by-zero, filtered below (same rule as knnJoin)
+      case "cosine" => (cvec, qvec, cn, qn) =>
+        dot(cvec, qvec) / nullif(cn * qn, lit(0.0))
+      case "dot"    => (cvec, qvec, _, _) => dot(cvec, qvec)
+      case m        => throw new IllegalArgumentException(s"unknown metric $m")
+    }
     // norms are projected ONCE PER ROW on each side before the join —
     // an inline cosine would recompute both self-dots for every
     // (corpus × query) pair
-    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"),
-      l2Norm(col(qVecCol)).as("qn"))
     val c = corpus.select(col(cIdCol).as("cid"), col(cVecCol).as("cvec"),
       l2Norm(col(cVecCol)).as("cn"))
-    val pairs = c.join(broadcast(q),
-      if (excludeSelf) col("cid") =!= col("qid") else lit(true))
-    val simExpr = metric match {
-      // nullif guards zero-norm vectors: null score instead of a
-      // divide-by-zero, filtered below (same rule as knnJoin)
-      case "cosine" => dot(col("cvec"), col("qvec")) /
-        nullif(col("cn") * col("qn"), lit(0.0))
-      case "dot"    => dot(col("cvec"), col("qvec"))
-      case m        => throw new IllegalArgumentException(s"unknown metric $m")
-    }
-    val scoredPairs = pairs.select(
-      col("qid"), col("cid"), round(simExpr, 4).as("sim"))
-      .filter(col("sim").isNotNull)
-    val topk = udaf(new graft.functions.TopKAggregator(k))
-    scoredPairs
-      .groupBy(col("qid"))
-      .agg(topk(col("sim"), col("cid")).as("top"))
-      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
-      .select(col("qid"), col("hit._2").as("cid"),
-        col("hit._1").as("sim"), (col("pos") + 1).as("rank"))
+    queryChunks(queries, qIdCol, maxBroadcastBytes).map { qchunk =>
+      val q = qchunk.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"),
+        l2Norm(col(qVecCol)).as("qn"))
+      val pairs = c.join(broadcast(q),
+        if (excludeSelf) col("cid") =!= col("qid") else lit(true))
+      val scoredPairs = pairs.select(
+        col("qid"), col("cid"),
+        round(simOf(col("cvec"), col("qvec"), col("cn"), col("qn")), 4)
+          .as("sim"))
+        .filter(col("sim").isNotNull)
+      val topk = udaf(new graft.functions.TopKAggregator(k))
+      scoredPairs
+        .groupBy(col("qid"))
+        .agg(topk(col("sim"), col("cid")).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+        .select(col("qid"), col("hit._2").as("cid"),
+          col("hit._1").as("sim"), (col("pos") + 1).as("rank"))
+    }.reduce(_ unionAll _)
   }
 }

@@ -57,12 +57,20 @@ object TextAnalysis {
   /** Canonical text normalization — the first stage of most training
     * pipelines: lowercase, collapse all whitespace runs to single
     * spaces, trim. Pure codegen'd string expressions, embarrassingly
-    * parallel. (Unicode NFC normalization would slot in here via a
-    * native expression wrapping `java.text.Normalizer`; omitted because
-    * the oracle engine normalizes differently and the fixture is
-    * ASCII-dominant.) */
+    * parallel. Compose with [[nfc]] first for multilingual corpora
+    * (kept separate so the ASCII-oracle queries stay byte-exact while
+    * the Unicode stage has its own oracle). */
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Unicode NFC canonical composition
+    * ([[graft.expressions.NfcNormalize]], codegen'd with an ASCII fast
+    * path) — canonicalizes precomposed-vs-decomposed code-point
+    * sequences before any fingerprint/shingle/dedup stage. */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.expressions.NfcNormalize(Bridge.expression(text)))
+  }
 
   /** PII-style redaction: replace email addresses and URLs with fixed
     * placeholder tokens. Regex-conservative on purpose (word-ish local
@@ -86,12 +94,19 @@ object TextAnalysis {
     * never seen). Two passes over the exploded relation: the word-count
     * table (usually tiny — Zipf) broadcasts back onto the tokens, so the
     * corpus shuffles only (doc, partial-sum) pairs, never text. Output
-    * column `lf_score` rounded to 4 decimals. */
-  def logFreqScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * column `lf_score` rounded to 4 decimals.
+    *
+    * Vocabulary grows (sub-linearly, but unboundedly) with corpus size:
+    * when the distinct-word table no longer fits a broadcast — web-scale
+    * corpora with exotic-token tails — pass `broadcastWf = false` to
+    * join by shuffle on the word key instead (same shape as
+    * `Decontaminate.broadcastEval`). */
+  def logFreqScore(docs: DataFrame, idCol: String, textCol: String,
+                   broadcastWf: Boolean = true): DataFrame = {
     val tok = docs.select(col(idCol).as("_lfid"),
       explode(tokens(col(textCol))).as("word"))
     val wf = wordFreq(docs, textCol)
-    tok.join(broadcast(wf), "word")
+    tok.join(if (broadcastWf) broadcast(wf) else wf, "word")
       .groupBy("_lfid")
       .agg(round(avg(log(col("cnt").cast("double"))), 4).as("lf_score"))
       .select(col("_lfid").as(idCol), col("lf_score"))

@@ -39,13 +39,20 @@ object Streams {
     * `graft.Tables.load` — see there for why the conf stays
     * session-scoped) so the streaming queries replay the exact batch
     * fixture. */
+  // one schema peek (a parquet footer-read job) per fixture dir, not per
+  // streaming-query construction — six declared mirrors over the same
+  // sfDir share a single probe
+  private val nanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def fixtureEventSource(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // peek at the actual parquet type (same guard as Tables.load): only
     // a NANOS fixture needs the long-read + div-1000 conversion — forcing
     // it on a regenerated MICROS fixture would fail the scan
-    val isNanos = spark.read.parquet(s"$sfDir/events.parquet")
-      .schema("ts").dataType == LongType
+    val isNanos: Boolean = nanosCache.computeIfAbsent(sfDir, dir =>
+      spark.read.parquet(s"$dir/events.parquet")
+        .schema("ts").dataType == LongType)
     val readSchema =
       if (isNanos) StructType(eventSchema.map {
         case f if f.name == "ts" => f.copy(dataType = LongType)
@@ -53,9 +60,13 @@ object Streams {
       }) else eventSchema
     // the fixture is a single FILE; FileStreamSource force-sets
     // basePath to the source path (must be a directory) for NON-glob
-    // paths, so read via a self-matching glob and pin basePath to sfDir
+    // paths, so read via a glob and pin basePath to sfDir. The glob is a
+    // single-alternative `{…}` group: glob-classified by Hadoop (so the
+    // basePath override sticks) yet matching ONLY `events.parquet` — the
+    // earlier `events.parquet*` would silently fold sibling paths like
+    // `events.parquet_old` into every mirror
     val raw = spark.readStream.schema(readSchema).option("basePath", sfDir)
-      .parquet(s"$sfDir/events.parquet*")
+      .parquet(s"$sfDir/events.{parquet}")
     if (isNanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }

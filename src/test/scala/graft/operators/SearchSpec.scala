@@ -53,6 +53,52 @@ class SearchSpec extends AnyFunSuite {
     assert(got === Set((1L, 3L, 1), (1L, 5L, 2), (2L, 3L, 1), (2L, 5L, 2)))
   }
 
+  test("broadcast guard: an oversized query side is hash-chunked, results unchanged") {
+    val queries = corpus.filter($"vec_id" <= 3)
+    def rows(maxBytes: Long) = Search.knnJoin(
+      queries, "vec_id", "embedding", corpus, "vec_id", "embedding",
+      k = 2, score = VectorFunctions.cosine, maxBroadcastBytes = maxBytes)
+      .select("qid", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect.toSet
+    val unchunked = rows(Search.DefaultMaxBroadcastBytes)
+    // a ceiling of half the plan's own size estimate forces the guard
+    // to split the query side in two; per-query top-k is
+    // chunk-independent so the result set cannot change
+    val half = (queries.queryExecution.optimizedPlan.stats.sizeInBytes / 2)
+      .toLong.max(1L)
+    val chunked = rows(half)
+    assert(chunked === unchunked && unchunked.nonEmpty)
+    // the chunked plan really does carry more than one broadcast
+    val plan = Search.knnJoin(queries, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 2,
+      score = VectorFunctions.cosine, maxBroadcastBytes = half)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(plan).size > 1,
+      s"expected multiple broadcast chunks:\n$plan")
+  }
+
+  test("broadcast guard: knnJoinAgg chunks identically and a huge estimate is rejected") {
+    val queries = corpus.filter($"vec_id" <= 3)
+    def rows(maxBytes: Long) = Search.knnJoinAgg(
+      queries, "vec_id", "embedding", corpus, "vec_id", "embedding",
+      k = 2, maxBroadcastBytes = maxBytes)
+      .select("qid", "cid", "rank")
+      .as[(Long, Long, Int)].collect.toSet
+    val half = (queries.queryExecution.optimizedPlan.stats.sizeInBytes / 2)
+      .toLong.max(1L)
+    assert(rows(half) === rows(Search.DefaultMaxBroadcastBytes))
+    // beyond 1024 chunks the query side is not a broadcast workload:
+    // clear rejection instead of a silent executor OOM — a padded cross
+    // join inflates the estimate past 1024 one-byte chunks
+    val err = intercept[IllegalArgumentException] {
+      Search.knnJoin(
+        queries.crossJoin(spark.range(100000).select(lit(1).as("_pad"))),
+        "vec_id", "embedding", corpus, "vec_id", "embedding", k = 2,
+        maxBroadcastBytes = 1L)
+    }
+    assert(err.getMessage.contains("not a broadcastable query set"))
+  }
+
   test("scored does not mutate the input relation (fix of app.py:45)") {
     val before = corpus.columns.toSeq
     Search.scored(corpus, "embedding", Seq(1.0, 0.0)).collect()

@@ -146,6 +146,15 @@ class StreamsSpec extends AnyFunSuite {
     val bs = Streams.sessionAgg(events, "10 minutes")
       .orderBy("user_id", "session_start").collect.toSeq
     assert(ss === bs && bs.nonEmpty)
+    val sl = runComplete("s_sliding").orderBy("bucket", "event_type").collect.toSeq
+    val bl = Streams.slidingAgg(events, "1 hour", "30 minutes")
+      .orderBy("bucket", "event_type").collect.toSeq
+    assert(sl === bl && bl.nonEmpty)
+    // the whole fixture arrives in one micro-batch, so the watermark
+    // drops nothing and the mirror must equal the plain batch tumbling
+    val sw = runComplete("s_watermark_tumbling")
+      .orderBy("bucket", "event_type").collect.toSeq
+    assert(sw === bt && bt.nonEmpty)
     // stateful mirrors, append mode, drained with processAllAvailable
     // (assertions are cumulative-safe, so batch splitting cannot flake)
     def runAppend(name: String): org.apache.spark.sql.DataFrame = {
