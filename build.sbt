@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the console UNWRAPPED: sbt's default
+// logger prefixes every line with "[info] " and appends "[success] …",
+// which breaks harnesses that parse the last stdout line as JSON
+// (graft.Bench's output contract). StdoutOutput unwraps the forked
+// process's own lines; showSuccess drops the trailing "[success] Total
+// time…" so the bench JSON really is the last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -84,9 +84,12 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       java.nio.file.Paths.get(sys.props("user.dir"), "bench_out.json")
         .toString)
+    // the FILE gets only the full line (a single JSON document — the
+    // minimal trailer is a stdout-truncation guard and would break
+    // whole-file JSON parsers if written here too)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line + "\n" + minimal + "\n").getBytes("UTF-8"))
+        (line + "\n").getBytes("UTF-8"))
     } catch {
       case t: Throwable =>
         System.err.println(s"bench_out write failed ($outPath): $t")

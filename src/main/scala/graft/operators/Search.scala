@@ -62,26 +62,36 @@ object Search {
     *
     * Purely plan-driven (no count job, frames stay lazy). Each chunk
     * re-evaluates the query-side lineage once — callers with an
-    * expensive query-side pipeline should persist it first. The chunk
-    * count is capped at 1024: a query side needing more than 1024
-    * broadcasts (≳256 GB) is not a broadcast-join workload — shuffle
-    * both sides instead. */
+    * expensive query-side pipeline should persist it first.
+    *
+    * `sizeInBytes` is a heuristic UPPER bound, so the guard never
+    * hard-fails on it: a stat-less leaf (RDD/Dataset-backed frame)
+    * defaults to `spark.sql.defaultSizeInBytes` (Long.MaxValue) and
+    * inner-join estimates are multiplicative. An UNKNOWN estimate
+    * (>= defaultSizeInBytes) keeps the historical single-broadcast
+    * behavior — the caller holds the size contract, exactly as before the
+    * guard existed. A genuinely huge estimate that would need more than
+    * 1024 chunks (≳256 GB of query side) is not a broadcast-join
+    * workload at all: the guard returns the un-chunked frame with
+    * `broadcastable = false` and the join runs without the broadcast
+    * hint, letting Catalyst shuffle/NL-join it instead of queueing
+    * thousands of broadcasts. */
   private def queryChunks(queries: DataFrame, qIdCol: String,
-                          maxBroadcastBytes: Long): Seq[DataFrame] = {
+                          maxBroadcastBytes: Long): (Seq[DataFrame], Boolean) = {
     require(maxBroadcastBytes > 0, "maxBroadcastBytes must be positive")
     val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nChunks = if (est <= maxBroadcastBytes) 1
+    val unknown = est >= BigInt(
+      org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes)
+    if (unknown || est <= maxBroadcastBytes) (Seq(queries), true)
     else {
       val want = (est + maxBroadcastBytes - 1) / maxBroadcastBytes
-      require(want <= 1024,
-        s"query side estimated at $est bytes needs $want broadcast chunks " +
-          "(cap 1024) — this is not a broadcastable query set; " +
-          "shuffle-join it instead")
-      want.toInt
+      if (want > 1024) (Seq(queries), false)
+      else {
+        val n = want.toInt
+        ((0 until n).map(i =>
+          queries.where(pmod(xxhash64(col(qIdCol)), lit(n)) === i)), true)
+      }
     }
-    if (nChunks == 1) Seq(queries)
-    else (0 until nChunks).map(i =>
-      queries.where(pmod(xxhash64(col(qIdCol)), lit(nChunks)) === i))
   }
 
   /** k-NN join (B4): for each row of `queries`, the k nearest `corpus`
@@ -101,10 +111,12 @@ object Search {
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, score: (Column, Column) => Column = cosine,
               excludeSelf: Boolean = true,
-              maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame =
-    queryChunks(queries, qIdCol, maxBroadcastBytes).map { qchunk =>
+              maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
+    val (chunks, broadcastable) = queryChunks(queries, qIdCol, maxBroadcastBytes)
+    chunks.map { qchunk =>
       val q = qchunk.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"))
-      val pairs = corpus.join(broadcast(q),
+      val qSide = if (broadcastable) broadcast(q) else q
+      val pairs = corpus.join(qSide,
         if (excludeSelf) col(cIdCol) =!= col("qid") else lit(true))
       val scoredPairs = pairs.select(
         col("qid"), col(cIdCol),
@@ -118,6 +130,7 @@ object Search {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
     }.reduce(_ unionAll _)
+  }
 
   /** k-NN join via the bounded [[graft.functions.TopKAggregator]] instead
     * of a window — the 100 TB-preferred shape: partial aggregation reduces
@@ -144,10 +157,12 @@ object Search {
     // (corpus × query) pair
     val c = corpus.select(col(cIdCol).as("cid"), col(cVecCol).as("cvec"),
       l2Norm(col(cVecCol)).as("cn"))
-    queryChunks(queries, qIdCol, maxBroadcastBytes).map { qchunk =>
+    val (chunks, broadcastable) = queryChunks(queries, qIdCol, maxBroadcastBytes)
+    chunks.map { qchunk =>
       val q = qchunk.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"),
         l2Norm(col(qVecCol)).as("qn"))
-      val pairs = c.join(broadcast(q),
+      val qSide = if (broadcastable) broadcast(q) else q
+      val pairs = c.join(qSide,
         if (excludeSelf) col("cid") =!= col("qid") else lit(true))
       val scoredPairs = pairs.select(
         col("qid"), col("cid"),

@@ -39,19 +39,31 @@ object Streams {
     * `graft.Tables.load` — see there for why the conf stays
     * session-scoped) so the streaming queries replay the exact batch
     * fixture. */
-  // one schema peek (a parquet footer-read job) per fixture dir, not per
-  // streaming-query construction — six declared mirrors over the same
-  // sfDir share a single probe
+  // one schema peek (a parquet footer-read job) per fixture FILE STATE,
+  // not per streaming-query construction — the declared mirrors over the
+  // same sfDir share a single probe. The cache key carries the fixture's
+  // (mtime, length) fingerprint so an in-process regeneration of the same
+  // path with the other timestamp physical type re-probes instead of
+  // reusing a stale flag.
   private val nanosCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def eventsFingerprint(sfDir: String): String = {
+    val p = java.nio.file.Paths.get(sfDir, "events.parquet")
+    val (mtime, len) =
+      try (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+        java.nio.file.Files.size(p))
+      catch { case _: java.io.IOException => (-1L, -1L) }
+    s"$sfDir|$mtime|$len"
+  }
 
   def fixtureEventSource(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // peek at the actual parquet type (same guard as Tables.load): only
     // a NANOS fixture needs the long-read + div-1000 conversion — forcing
     // it on a regenerated MICROS fixture would fail the scan
-    val isNanos: Boolean = nanosCache.computeIfAbsent(sfDir, dir =>
-      spark.read.parquet(s"$dir/events.parquet")
+    val isNanos: Boolean = nanosCache.computeIfAbsent(eventsFingerprint(sfDir),
+      _ => spark.read.parquet(s"$sfDir/events.parquet")
         .schema("ts").dataType == LongType)
     val readSchema =
       if (isNanos) StructType(eventSchema.map {

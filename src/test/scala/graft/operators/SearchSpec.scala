@@ -87,16 +87,35 @@ class SearchSpec extends AnyFunSuite {
     val half = (queries.queryExecution.optimizedPlan.stats.sizeInBytes / 2)
       .toLong.max(1L)
     assert(rows(half) === rows(Search.DefaultMaxBroadcastBytes))
-    // beyond 1024 chunks the query side is not a broadcast workload:
-    // clear rejection instead of a silent executor OOM — a padded cross
-    // join inflates the estimate past 1024 one-byte chunks
-    val err = intercept[IllegalArgumentException] {
-      Search.knnJoin(
-        queries.crossJoin(spark.range(100000).select(lit(1).as("_pad"))),
-        "vec_id", "embedding", corpus, "vec_id", "embedding", k = 2,
-        maxBroadcastBytes = 1L)
-    }
-    assert(err.getMessage.contains("not a broadcastable query set"))
+    // beyond 1024 chunks the query side is not a broadcast workload: the
+    // guard falls back to a single NON-broadcast join (no hint, no
+    // thousand-way union) instead of failing — sizeInBytes is only a
+    // heuristic, so a hard throw on it would reject valid workloads. A
+    // padded cross join inflates the estimate past 1024 one-byte chunks.
+    val huge = Search.knnJoin(
+      queries.crossJoin(spark.range(100000).select(lit(1).as("_pad"))),
+      "vec_id", "embedding", corpus, "vec_id", "embedding", k = 2,
+      maxBroadcastBytes = 1L)
+    assert(huge.columns.contains("rank"))
+    assert(!huge.queryExecution.analyzed.toString.contains("UnresolvedHint"))
+  }
+
+  test("broadcast guard: unknown stats (RDD-backed frame) stay one broadcast") {
+    // an RDD-backed frame has no stats — sizeInBytes defaults to
+    // spark.sql.defaultSizeInBytes (Long.MaxValue). The guard must treat
+    // that as UNKNOWN and keep the historical caller-holds-the-contract
+    // single broadcast, not explode it into 1024 hash chunks.
+    val rdd = spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(1L, Array(1.0f, 0.0f)),
+      org.apache.spark.sql.Row(2L, Array(0.0f, 1.0f))))
+    val statless = spark.createDataFrame(rdd, corpus.schema)
+    val joined = Search.knnJoin(statless, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 2,
+      score = VectorFunctions.cosine, maxBroadcastBytes = 1L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(plan).size === 1,
+      s"unknown stats must mean exactly one broadcast chunk:\n$plan")
+    assert(joined.count === 4)
   }
 
   test("scored does not mutate the input relation (fix of app.py:45)") {
