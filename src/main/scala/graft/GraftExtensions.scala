@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, NfcNormalize, Shingles, SimHash64}
+import graft.expressions.{DotProduct, L2Distance, NfcNormalize, Shingles, SimHash64, WinnowFp}
 
 /** Engine extensions: registers the native expressions as SQL functions.
   *
@@ -18,9 +18,11 @@ import graft.expressions.{DotProduct, NfcNormalize, Shingles, SimHash64}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.l2Function)
     ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectFunction(GraftExtensions.shinglesFunction)
     ext.injectFunction(GraftExtensions.nfcFunction)
+    ext.injectFunction(GraftExtensions.winnowFunction)
   }
 }
 
@@ -31,6 +33,14 @@ object GraftExtensions {
     { exprs: Seq[Expression] =>
       require(exprs.length == 2, "graft_dot(a, b) takes two array arguments")
       DotProduct(exprs.head, exprs(1))
+    })
+
+  private val l2Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_l2"),
+    new ExpressionInfo(classOf[L2Distance].getName, "graft_l2"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "graft_l2(a, b) takes two array arguments")
+      L2Distance(exprs.head, exprs(1))
     })
 
   private val simhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -78,20 +88,53 @@ object GraftExtensions {
       NfcNormalize(exprs.head)
     })
 
+  private val winnowFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_winnow"),
+    new ExpressionInfo(classOf[WinnowFp].getName, "graft_winnow"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 2,
+        "graft_winnow(tokens, window) takes an array<string> and a foldable integer")
+      val e = exprs(1)
+      require(e.foldable,
+        s"graft_winnow: window must be a foldable integer expression, got $e")
+      val w = e.eval() match {
+        case v: Int => v
+        case v: Long =>
+          require(v >= 1 && v <= Int.MaxValue,
+            s"graft_winnow: window out of range: $v")
+          v.toInt
+        case v: Short => v.toInt
+        case v: Byte => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_winnow: window must be integral, got $other")
+      }
+      WinnowFp(exprs.head, w)
+    })
+
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotFunction._1, dotFunction._2, dotFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      l2Function._1, l2Function._2, l2Function._3)
     spark.sessionState.functionRegistry.registerFunction(
       simhashFunction._1, simhashFunction._2, simhashFunction._3)
     spark.sessionState.functionRegistry.registerFunction(
       shinglesFunction._1, shinglesFunction._2, shinglesFunction._3)
     spark.sessionState.functionRegistry.registerFunction(
       nfcFunction._1, nfcFunction._2, nfcFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      winnowFunction._1, winnowFunction._2, winnowFunction._3)
   }
 
   /** Column-API handle on the native expression. */
   def dotCol(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftshim.Bridge
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** Column-API handle on the native L2-distance expression. */
+  def l2Col(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(L2Distance(Bridge.expression(a), Bridge.expression(b)))
   }
 }

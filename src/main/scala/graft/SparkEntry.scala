@@ -41,7 +41,19 @@ object SparkEntry {
       "s_dedup" -> ((s, dir) =>
         Streams.dedupWithinWatermark(Streams.fixtureEventSource(s, dir), "1 hour")),
       "s_running_totals" -> ((s, dir) =>
-        Streams.runningUserTotals(Streams.fixtureEventSource(s, dir)).toDF())
+        Streams.runningUserTotals(Streams.fixtureEventSource(s, dir)).toDF()),
+      // stream-stream interval join (B37), q_funnel's 10-minute
+      // click→purchase window; two independent source instances, one per
+      // join side, each with its own watermark
+      "s_click_purchase" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.col
+        Streams.clickPurchaseJoin(
+          Streams.fixtureEventSource(s, dir)
+            .filter(col("event_type") === "click"),
+          Streams.fixtureEventSource(s, dir)
+            .filter(col("event_type") === "purchase"),
+          "10 MINUTES", "1 hour")
+      })
     )
   }
 }

@@ -45,8 +45,17 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Euclidean distance (B2). */
+  /** Euclidean distance (B2), backed by the native codegen'd
+    * [[graft.expressions.L2Distance]] — same sequential-fold arithmetic
+    * as [[l2DistHof]] (asserted bit-equal in VectorFunctionsSpec),
+    * compiled to a primitive loop. The hot inner expression of k-means
+    * assignment, where it runs once per (row, centroid). */
   def l2Dist(a: Column, b: Column): Column =
+    graft.GraftExtensions.l2Col(a, b)
+
+  /** Reference higher-order-function formulation of [[l2Dist]] — the
+    * arithmetic spec, kept for parity testing. */
+  def l2DistHof(a: Column, b: Column): Column =
     sqrt(dsum(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double")
       d * d

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -8,15 +8,28 @@ import graft.functions.VectorFunctions._
 /** Batch IVF (inverted-file) index build + probe as pure DataFrame ops
   * (SURVEY.md §2 B5/B6; mandated "batch index build via DataFrame ops").
   *
-  * Build = Lloyd's k-means, each iteration two shuffles:
-  *   assign: corpus ⋈ broadcast(centroids) → argmin distance, expressed as
-  *           `min(struct(dist, cluster))` — an ordinary partial-aggregatable
-  *           hash aggregate, NO window (a window over the whole corpus
-  *           would shuffle 100 TB by a handful of keys);
-  *   update: posexplode the assigned vectors → per-(cluster, dim) mean →
-  *           re-assemble per-cluster arrays. Both phases are map-side
-  *           combinable, so the shuffle carries one partial sum per
-  *           (cluster, dim) per task, never vectors.
+  * Build = Lloyd's k-means with exactly ONE exchange per iteration:
+  *   assign: a ZERO-SHUFFLE projection — the (small: k·d doubles)
+  *           centroid set is embedded as a constant array in the plan
+  *           (the Column-expression equivalent of a broadcast variable)
+  *           and each row folds over it keeping the `(dist, cluster)`
+  *           lexicographic min via the native codegen'd
+  *           [[graft.expressions.L2Distance]]. No crossJoin, no
+  *           `groupBy(_id)` re-aggregation — earlier rounds shuffled one
+  *           row per corpus id here, tens of TB per iteration at 10^12
+  *           rows;
+  *   update: posexplode the assigned vectors → per-(cluster, dim)
+  *           partial sums (map-side combinable, so the exchange carries
+  *           one partial per (cluster, dim) per task, never vectors) →
+  *           the k·d sum rows are collected and averaged DRIVER-side —
+  *           no second aggregation stage, no `vecs ⋈ assignments`
+  *           re-join (that join was the second corpus-wide shuffle per
+  *           iteration in the round-3 shape).
+  *
+  * Centroids live on the driver between iterations (k·d doubles — for
+  * IVF, k ~ √N, e.g. 10^4 × 10^3 dims = 80 MB at the extreme end, well
+  * within driver headroom; a k beyond plan-literal comfort wants a
+  * two-level/hierarchical index, not a bigger flat k-means).
   *
   * Probe = nearest `nprobe` centroids for the query (tiny, broadcast), then
   * an exact re-rank restricted to those clusters. At scale the assignment
@@ -34,17 +47,18 @@ object IvfIndex {
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, "k-means needs at least one assign/update iteration")
-    // each Lloyd iteration reads the vectors twice (assign + update);
-    // persist once instead of re-scanning the source 2·iters times.
-    // At cluster scale this is the standard iterate-over-cached-working-set
-    // pattern (MEMORY_AND_DISK spills gracefully if the corpus outgrows
-    // executor memory). Released before returning — the results are
-    // materialized first so the lineage never re-reads the cache.
+    // each Lloyd iteration re-reads the vectors once (the fused
+    // assign-projection + update-agg); persist once instead of
+    // re-scanning the source `iters` times. At cluster scale this is the
+    // standard iterate-over-cached-working-set pattern (MEMORY_AND_DISK
+    // spills gracefully if the corpus outgrows executor memory).
+    // Released before returning — the results are materialized first so
+    // the lineage never re-reads the cache.
     val vecs = corpus.select(col(idCol).as("_id"),
       transform(col(vecCol), _.cast("double")).as("_v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // deterministic init: the k smallest-id vectors, ids assigned
+    // deterministic init: the k smallest-id vectors, cluster ids assigned
     // DRIVER-SIDE over the k collected rows — a row_number() over a
     // partition-less window here would (a) warn "No Partition Defined"
     // and (b) funnel the frame through one task; k rows are driver work.
@@ -52,68 +66,80 @@ object IvfIndex {
     // working set.
     val spark = corpus.sparkSession
     val initRows = vecs.orderBy("_id").limit(k).collect()
-    val centSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("cluster_id",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("centroid",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType), nullable = false)))
-    var centroids = spark.createDataFrame(
-      java.util.Arrays.asList(initRows.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row(i, r.getSeq[Double](1)): org.apache.spark.sql.Row
-      }: _*), centSchema)
+    var cents: IndexedSeq[(Int, IndexedSeq[Double])] =
+      initRows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Double](1).toIndexedSeq)
+      }
 
-    var assignments: DataFrame = null
     for (_ <- 0 until iters) {
-      assignments = assign(vecs, centroids)
-      centroids = update(vecs, assignments, centroids)
+      // the iteration's ONE distributed job and ONE exchange: partial
+      // (cluster, dim) sums. k·d tiny rows come back to the driver,
+      // where the mean + empty-cluster retention is plain arithmetic.
+      val sums = withCluster(vecs, cents)
+        .select(col("cluster_id"), posexplode(col("_v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster_id"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      cents = cents.map { case (cid, prev) =>
+        byCluster.get(cid) match {
+          case Some(rows) =>
+            // a non-empty cluster yields one row per dimension
+            val m = new Array[Double](prev.length)
+            rows.foreach { r =>
+              val d = r.getInt(1)
+              if (d < m.length) m(d) = r.getDouble(2) / r.getLong(3)
+            }
+            (cid, m.toIndexedSeq)
+          // a cluster that received zero assignments keeps its PREVIOUS
+          // centroid so the centroid set never silently shrinks below k
+          // — probes assume `nprobe <= k` surviving clusters
+          case None => (cid, prev)
+        }
+      }
     }
-    // materialize the (small) results as ordinary persisted datasets,
-    // then release the big working set. persist (not localCheckpoint):
-    // the caller can free the returned frames with unpersist(), and the
-    // lineage stays recomputable if an executor is lost.
-    val outAssign = assignments.select(col("_id").as(idCol), col("cluster_id"))
+
+    // final assignments under the converged centroids: the same
+    // zero-shuffle projection, persisted so callers can reuse it without
+    // recomputation, materialized BEFORE the working set is released so
+    // the lineage never re-reads the dropped cache.
+    val outAssign = withCluster(vecs, cents)
+      .select(col("_id").as(idCol), col("cluster_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outCents = centroids
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE fused materialization job: the union plan contains both
-    // InMemoryRelations, so computing it populates both caches without
-    // paying two sequential job latencies (round-1 bench-tail fix)
-    outAssign.select(lit(1).as("_one"))
-      .union(outCents.select(lit(1).as("_one"))).count()
+    outAssign.count()
     vecs.unpersist()
+    // centroids are k driver-side rows — a LocalRelation, no cache to
+    // manage (callers' unpersist() remains a harmless no-op)
+    val outCents = spark.createDataFrame(
+      java.util.Arrays.asList(cents.map { case (cid, c) =>
+        Row(cid, c): Row
+      }: _*), centroidSchema)
     (outAssign, outCents)
   }
 
-  /** Nearest-centroid assignment via min(struct(dist, cluster)). */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .groupBy(col("_id"))
-      .agg(min(struct(
-        l2Dist(col("_v"), col("centroid")).as("dist"),
-        col("cluster_id"))).as("best"))
-      .select(col("_id"), col("best.cluster_id").as("cluster_id"))
+  private val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cluster_id",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("centroid",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType), nullable = false)))
 
-  /** Recompute centroids as per-dimension means. A cluster that received
-    * zero assignments produces no mean row; it keeps its PREVIOUS centroid
-    * (left join + coalesce) so the centroid set never silently shrinks
-    * below k — probes assume `nprobe <= k` surviving clusters. */
-  private def update(vecs: DataFrame, assignments: DataFrame,
-                     prev: DataFrame): DataFrame = {
-    val means = vecs.join(assignments, "_id")
-      .select(col("cluster_id"), posexplode(col("_v")).as(Seq("dim", "x")))
-      .groupBy(col("cluster_id"), col("dim"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-      .groupBy(col("cluster_id"))
-      .agg(array_sort(collect_list(struct(col("dim"), (col("sx") / col("n")).as("m"))))
-        .as("dims"))
-      .select(col("cluster_id"),
-        transform(col("dims"), d => d.getField("m")).as("centroid"))
-    prev.select(col("cluster_id"), col("centroid").as("_prev"))
-      .join(means.select(col("cluster_id"), col("centroid").as("_new")),
-        Seq("cluster_id"), "left")
-      .select(col("cluster_id"),
-        coalesce(col("_new"), col("_prev")).as("centroid"))
+  /** Zero-shuffle nearest-centroid assignment: `cluster_id` is a pure
+    * projected column — a fold over the constant centroid array keeping
+    * the lexicographic `(dist, cluster_id)` minimum, so ties break to
+    * the smallest cluster id exactly like the historical
+    * `min(struct(dist, cluster_id))` aggregate form. */
+  private[operators] def withCluster(vecs: DataFrame,
+                          cents: IndexedSeq[(Int, IndexedSeq[Double])]): DataFrame = {
+    val centArr = array(cents.map { case (cid, c) =>
+      struct(lit(cid).as("cid"), vecLit(c).as("c"))
+    }: _*)
+    val best = aggregate(centArr,
+      struct(lit(Double.PositiveInfinity).as("dist"), lit(Int.MaxValue).as("cid")),
+      (acc, e) => least(acc,
+        struct(l2Dist(col("_v"), e.getField("c")).as("dist"),
+          e.getField("cid").as("cid"))))
+    vecs.withColumn("cluster_id", best.getField("cid"))
   }
 
   /** Materialize the indexed corpus as a parquet table PARTITIONED BY

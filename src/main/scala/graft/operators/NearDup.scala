@@ -154,9 +154,19 @@ object NearDup {
     * of `window` consecutive shingle hashes, deduplicated and sorted.
     * Two documents sharing a sufficiently long run of text share
     * fingerprint hashes — the standard winnowing guarantee — so partial
-    * overlaps surface via a fingerprint-explode + self-join, bucket-shaped
-    * like the other candidate generators. */
+    * overlaps surface via [[winnowCandidates]]'s fingerprint-explode +
+    * self-join, bucket-shaped like the other candidate generators.
+    * Native codegen'd expression ([[graft.expressions.WinnowFp]]),
+    * bit-identical to [[winnowFingerprintHof]] (asserted in NearDupSpec). */
   def winnowFingerprint(text: Column, window: Int = 4): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.expressions.WinnowFp(
+      Bridge.expression(TextAnalysis.tokens(text)), window))
+  }
+
+  /** Reference higher-order-function formulation of [[winnowFingerprint]]
+    * — the arithmetic spec, kept for parity testing. */
+  def winnowFingerprintHof(text: Column, window: Int = 4): Column = {
     val toks = TextAnalysis.tokens(text)
     val th = transform(toks, t => xxhash64(t))
     val n = size(th)
@@ -173,6 +183,53 @@ object NearDup {
     when(n === 0, array().cast("array<bigint>"))
       .otherwise(array_sort(array_distinct(
         transform(sequence(lit(1), nWin), i => array_min(slice(sh, i, lit(window)))))))
+  }
+
+  /** Winnowing-fingerprint near-dup candidates — the fingerprint-explode
+    * + self-join path [[winnowFingerprint]]'s scaladoc promises:
+    * documents meet ONLY inside a shared fingerprint bucket (the
+    * fingerprint hash is the join key), never all-pairs, same shape as
+    * the minhash/simhash candidate generators. Returns (id_a, id_b,
+    * n_shared) with id_a < id_b and n_shared = number of DISTINCT shared
+    * fingerprints (fingerprint sets are distinct per doc by
+    * construction); the winnowing guarantee makes any pair sharing a
+    * long-enough run of text collide on at least one fingerprint, so
+    * `minShared` is the noise floor against single-hash accidents. */
+  def winnowCandidates(docs: DataFrame, idCol: String, textCol: String,
+                       window: Int = 4, minShared: Int = 2): DataFrame =
+    winnowBucketJoin(winnowBuckets(docs, idCol, textCol, window), minShared)
+
+  /** The exploded (doc, fingerprint) relation the self-join runs over. */
+  def winnowBuckets(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int = 4): DataFrame =
+    docs.select(col(idCol).as("_id"),
+      explode(winnowFingerprint(col(textCol), window)).as("_fp"))
+
+  private def winnowBucketJoin(fps: DataFrame, minShared: Int): DataFrame = {
+    val a = fps.toDF("id_a", "_fp")
+    val b = fps.toDF("id_b", "_fp")
+    a.join(b, "_fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Eager variant of [[winnowCandidates]] mirroring
+    * [[minHashCandidatesMaterialized]]: the exploded fingerprint relation
+    * is persisted across the self-join so the corpus-wide fingerprint
+    * pass runs ONCE, then released. */
+  def winnowCandidatesMaterialized(docs: DataFrame, idCol: String,
+                                   textCol: String, window: Int = 4,
+                                   minShared: Int = 2,
+                                   maxRows: Int = 1 << 20): DataFrame = {
+    val fps = winnowBuckets(docs, idCol, textCol, window)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // populate the cache BEFORE the self-join (concurrent subtrees would
+    // both miss a cold cache — same reasoning as the minhash variant)
+    fps.count()
+    try materializePairs(winnowBucketJoin(fps, minShared), maxRows)
+    finally fps.unpersist()
   }
 
   /** 64-bit SimHash of the token bag — native codegen'd expression
@@ -214,22 +271,51 @@ object NearDup {
     * docs sharing any 16-bit band are candidates, verified by full
     * Hamming distance ≤ maxHamming. */
   def simHashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 8): DataFrame = {
+                        maxHamming: Int = 8): DataFrame =
+    simHashBucketJoin(simHashBuckets(docs, idCol, textCol), maxHamming)
+
+  /** The (doc, simhash, band, bucket) relation the banded self-join runs
+    * over. */
+  def simHashBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sigs = docs.select(col(idCol).as("_id"), simHash(col(textCol)).as("_sh"))
-    val banded = sigs.select(col("_id"), col("_sh"),
+    sigs.select(col("_id"), col("_sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band_id"),
           shiftright(col("_sh"), b * 16).bitwiseAND(0xFFFFL).as("band_key"))
       }: _*)).as("_bk"))
       .select(col("_id"), col("_sh"), col("_bk.band_id"), col("_bk.band_key"))
+  }
+
+  private def simHashBucketJoin(banded: DataFrame, maxHamming: Int): DataFrame = {
     val a = banded.toDF("id_a", "sh_a", "band_id", "band_key")
     val b = banded.toDF("id_b", "sh_b", "band_id", "band_key")
     a.join(b, Seq("band_id", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming(col("sh_a"), col("sh_b")).as("hamming"))
-      .distinct()
+      // Hamming-filter BEFORE distinct: hamming is functionally
+      // determined by (id_a, id_b), so the result set is identical, but
+      // the distinct's exchange now carries only surviving pairs
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Eager variant of [[simHashCandidates]] mirroring
+    * [[minHashCandidatesMaterialized]]: the banded signature relation is
+    * persisted across the self-join so the corpus-wide SimHash pass runs
+    * ONCE instead of once per join side (a lazy self-join executes its
+    * identical build and probe subtrees independently), then released. */
+  def simHashCandidatesMaterialized(docs: DataFrame, idCol: String,
+                                    textCol: String, maxHamming: Int = 8,
+                                    maxRows: Int = 1 << 20): DataFrame = {
+    val banded = simHashBuckets(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // populate the cache BEFORE the self-join: its two subtrees execute
+    // concurrently, and a cold cache would be missed by both — the
+    // signature pass would still run twice
+    banded.count()
+    try materializePairs(simHashBucketJoin(banded, maxHamming), maxRows)
+    finally banded.unpersist()
   }
 
   /** Materialize a small candidate-pair set into a [[LocalRelation]]-backed
@@ -336,6 +422,18 @@ object NearDup {
     try materializePairs(embeddingBucketJoin(bucketed, nBits), maxRows)
     finally bucketed.unpersist()
   }
+
+  /** [[embeddingCandidatesMaterialized]] over a CALLER-MANAGED bucket
+    * relation — for callers that fold the bucket projection into a larger
+    * cached working set (the declared `near_dup_embed_lsh` query persists
+    * one (id, vec) base frame whose materializing job doubles as the
+    * (count, dim) metadata fetch, then derives buckets from it; a
+    * separate persist here would duplicate the vectors in cache). The
+    * caller is responsible for `bucketed` being cheap to evaluate twice
+    * (cached, or a projection over a cached base). */
+  def embeddingCandidatesFromBuckets(bucketed: DataFrame, nBits: Int,
+                                     maxRows: Int = 1 << 20): DataFrame =
+    materializePairs(embeddingBucketJoin(bucketed, nBits), maxRows)
 
   /** Exact-cosine verification for candidate pairs — the embedding twin
     * of [[jaccardVerify]]: vectors and norms are fetched only for

@@ -64,6 +64,25 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("native l2Dist ≡ higher-order-function l2Dist, bit-for-bit, on fixture data") {
+    val emb = graft.Tables.load(spark, graft.TestSpark.sf0001, "embeddings")
+    val q = vecLit(graft.QueryVectors.q1)
+    val mismatches = emb.select(
+      l2Dist(col("embedding"), q).as("native"),
+      l2DistHof(col("embedding"), q).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("graft_l2 is callable from SQL once extensions are installed") {
+    graft.GraftExtensions.install(spark)
+    val got = spark.sql(
+      "SELECT graft_l2(array(1.0f, 2.0f), array(cast(4.0 as double), cast(6.0 as double))) AS d")
+      .head.getDouble(0)
+    assert(got === 5.0)
+  }
+
   test("graft_dot is callable from SQL once extensions are installed") {
     graft.GraftExtensions.install(spark)
     val got = spark.sql(

@@ -76,6 +76,37 @@ class IvfIndexSpec extends AnyFunSuite {
     assignments.unpersist(); centroids.unpersist()
   }
 
+  test("assign is a zero-shuffle projection; one exchange per iteration") {
+    // the returned assignments' lineage is scan → projection — no
+    // crossJoin + groupBy(_id) re-aggregation, no Exchange at all
+    val (assignments, _) = built
+    val assignPlan = assignments.queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"),
+      s"assignment must not shuffle:\n$assignPlan")
+
+    // the per-iteration update job: exactly ONE exchange (the
+    // map-side-combinable (cluster, dim) partial-sum agg)
+    val tiny = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id".as("_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("_v"))
+    val cents = IndexedSeq(
+      (0, IndexedSeq(1.0, 0.0)), (1, IndexedSeq(0.0, 1.0)))
+    val assigned = IvfIndex.withCluster(tiny, cents)
+    assert(!assigned.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(assigned.select("_id", "cluster_id").as[(Long, Int)].collect.toSet
+      === Set((0L, 0), (1L, 1)))
+    val sums = assigned
+      .select(col("cluster_id"), posexplode($"_v").as(Seq("dim", "x")))
+      .groupBy("cluster_id", "dim")
+      .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+    val sumsPlan = sums.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(sumsPlan).size === 1,
+      s"iteration agg must have exactly one exchange:\n$sumsPlan")
+    assert("HashAggregate".r.findAllIn(sumsPlan).size >= 2,
+      s"iteration agg must be partial+final (map-side combine):\n$sumsPlan")
+  }
+
   test("probe with nprobe=k equals brute force exactly") {
     val (assignments, centroids) = built
     val exact = Search.topK(emb, "embedding", "vec_id", QueryVectors.q1, 10)

@@ -114,6 +114,14 @@ class NearDupSpec extends AnyFunSuite {
     assert(cands.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
   }
 
+  test("simHashCandidatesMaterialized ≡ lazy simHashCandidates") {
+    val lazySet = NearDup.simHashCandidates(docs, "doc_id", "text",
+      maxHamming = 8).as[(Long, Long, Int)].collect.toSet
+    val eagerSet = NearDup.simHashCandidatesMaterialized(docs, "doc_id",
+      "text", maxHamming = 8).as[(Long, Long, Int)].collect.toSet
+    assert(eagerSet === lazySet && eagerSet.nonEmpty)
+  }
+
   test("winnowing: identical docs share all fingerprints; partial overlap shares some") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
@@ -127,6 +135,46 @@ class NearDupSpec extends AnyFunSuite {
     assert(fp(1L) === fp(2L))
     assert((fp(1L).toSet & fp(3L).toSet).nonEmpty, "shared prefix must share fingerprints")
     assert((fp(1L).toSet & fp(4L).toSet).isEmpty, "disjoint docs must not")
+  }
+
+  test("native winnowFingerprint ≡ HOF winnowFingerprint on fixture + edge docs") {
+    val fixture = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+    val mismatches = fixture.select(
+      NearDup.winnowFingerprint($"text").as("native"),
+      NearDup.winnowFingerprintHof($"text").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(mismatches === 0L)
+    val edge = Seq((1L, ""), (2L, "one"), (3L, "one two"),
+      (4L, "a b c d e f")).toDF("doc_id", "text")
+    val edgeMismatches = edge.select(
+      NearDup.winnowFingerprint($"text", window = 2).as("native"),
+      NearDup.winnowFingerprintHof($"text", window = 2).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(edgeMismatches === 0L)
+  }
+
+  test("winnowCandidates: overlapping docs collide in fingerprint buckets, disjoint never") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (3L, "alpha beta gamma delta epsilon zeta xx yy zz qq ww ee"),
+      (4L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val cands = NearDup.winnowCandidates(d, "doc_id", "text", minShared = 1)
+      .as[(Long, Long, Long)].collect.toSet
+    val pairs = cands.map { case (a, b, _) => (a, b) }
+    assert(pairs.contains((1L, 2L)), "identical docs must collide")
+    assert(pairs.contains((1L, 3L)), "shared prefix must collide")
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L },
+      "disjoint doc must never pair")
+    // identical docs share their ENTIRE fingerprint set
+    val full = d.filter($"doc_id" === 1L)
+      .select(size(NearDup.winnowFingerprint($"text"))).as[Int].head
+    assert(cands.contains((1L, 2L, full.toLong)))
+    // eager variant is identity-preserving
+    val eager = NearDup.winnowCandidatesMaterialized(d, "doc_id", "text",
+      minShared = 1).as[(Long, Long, Long)].collect.toSet
+    assert(eager === cands)
   }
 
   test("bucketed embedding near-dup: exact dups always collide, orthogonals never; precision exact") {

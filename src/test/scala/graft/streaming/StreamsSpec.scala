@@ -126,7 +126,8 @@ class StreamsSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val sq = graft.SparkEntry.streamingQueries
     assert(sq.keySet === Set("s_tumbling", "s_sliding", "s_session",
-      "s_watermark_tumbling", "s_dedup", "s_running_totals"))
+      "s_watermark_tumbling", "s_dedup", "s_running_totals",
+      "s_click_purchase"))
     sq.foreach { case (name, fn) =>
       assert(fn(spark, dir).isStreaming, s"$name must be a streaming frame")
     }
@@ -173,6 +174,16 @@ class StreamsSpec extends AnyFunSuite {
     val bt2 = events.groupBy("user_id").agg(count(lit(1)).as("n"))
       .orderBy("user_id").as[(Long, Long)].collect.toSeq
     assert(rt === bt2 && bt2.nonEmpty)
+    // stream-stream interval join mirror: inner joins emit on match in
+    // append mode, so a single-batch fixture replay equals the batch join
+    val scp = runAppend("s_click_purchase")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect.toSet
+    val bcp = Streams.clickPurchaseJoin(
+      events.filter(col("event_type") === "click"),
+      events.filter(col("event_type") === "purchase"),
+      "10 MINUTES", "1 hour")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect.toSet
+    assert(scp === bcp && bcp.nonEmpty)
   }
 
   test("B33 file source: streaming read of the fixture parquet matches batch count") {
