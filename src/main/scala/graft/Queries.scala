@@ -828,6 +828,61 @@ object Queries {
          |ORDER BY id_a, id_b""".stripMargin),
       "B8 verify: token-set Jaccard over candidate pairs"),
 
+    "dedup_clusters" -> DeclaredQuery(
+      // near-dup clustering end-to-end: similarity edges → connected
+      // components (min-label propagation) → per-doc component id.
+      // Near-duplication is not transitive, so pair-level dedup
+      // under-deletes; the component id IS the dedup key (keep
+      // doc_id == component). Edges here are the bounded all-pairs
+      // Jaccard verification tier (SQL-expressible, same shape as
+      // jaccard_pairs — bucketed LSH candidates are the scale path for
+      // edge generation); the oracle replays the whole thing as a
+      // recursive CTE.
+      (s, dir) => {
+        val sub = T(s, dir, "documents").filter(col("doc_id") < 200)
+        // length-band prefilter (the set-similarity-join size bound):
+        // J(A,B) ≥ 0.8 ⇒ min(|A|,|B|) ≥ 0.8·max(|A|,|B|), so pairs
+        // outside the band can never verify — 0.79 leaves margin for the
+        // 4-decimal rounding at the threshold. Result-identical, so the
+        // oracle needs no mirror of it; halves the verify work here and
+        // is the standard pruning step of a distributed similarity join.
+        val sized = sub.select(col("doc_id"),
+          size(array_distinct(NearDup.shingles(col("text"), 1))).as("_ns"))
+        val pairs = sized.select(col("doc_id").as("id_a"), col("_ns").as("_na"))
+          .crossJoin(sized.select(col("doc_id").as("id_b"), col("_ns").as("_nb")))
+          .filter(col("id_a") < col("id_b") &&
+            least(col("_na"), col("_nb")).cast("double") >=
+              lit(0.79) * greatest(col("_na"), col("_nb")))
+          .select(col("id_a"), col("id_b"))
+        val edges = NearDup.materializePairs(
+          NearDup.jaccardVerify(sub, "doc_id", "text", pairs, shingleSize = 1)
+            .filter(col("jaccard") >= 0.8)
+            .select(col("id_a"), col("id_b")))
+        val cc = Dedup.connectedComponents(sub.select("doc_id"), "doc_id",
+          edges, "id_a", "id_b")
+        try localFrame(cc.orderBy("doc_id"))
+        finally cc.unpersist()
+      },
+      Some("""WITH RECURSIVE
+         |  d AS (
+         |    SELECT doc_id,
+         |      list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
+         |    FROM documents WHERE doc_id < 200
+         |      AND len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+         |  e AS (
+         |    SELECT a.doc_id AS src, b.doc_id AS dst
+         |    FROM d a JOIN d b ON a.doc_id <> b.doc_id
+         |    WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+         |        / len(list_distinct(a.s || b.s)), 4) >= 0.8),
+         |  r AS (
+         |    SELECT doc_id AS v, doc_id AS comp FROM documents WHERE doc_id < 200
+         |    UNION
+         |    SELECT e.src, r.comp FROM e JOIN r ON r.v = e.dst
+         |  )
+         |SELECT v AS doc_id, min(comp) AS component FROM r GROUP BY v
+         |ORDER BY doc_id""".stripMargin),
+      "dedup clustering: Jaccard edges → connected components (min-label propagation)"),
+
     "near_dup_embed" -> DeclaredQuery(
       (s, dir) => NearDup.embeddingNearDup(T(s, dir, "embeddings"),
         "vec_id", "embedding", minCosine = 0.35, maxId = 300)

@@ -36,4 +36,88 @@ object Dedup {
       .agg(min(packed).as("_keep"))
       .select(col("_keep._row.*"))
   }
+
+  /** Connected components over a near-dup pair graph — the CLUSTERING
+    * stage between candidate generation (MinHash/SimHash/winnow/embedding
+    * buckets) and representative selection: near-duplication is not
+    * transitive, so "keep one doc per pair" under-deletes (A~B, B~C keeps
+    * A and C even though the cluster is {A,B,C}); the standard pipeline
+    * groups pairs into components first and keeps one representative per
+    * component.
+    *
+    * Iterative min-label propagation as pure DataFrame ops: every vertex
+    * starts labeled with its own id; each round every vertex takes the
+    * min of its own and its neighbors' labels (a shuffle join edges ⋈
+    * labels + one partial-aggregatable min per vertex — 2 exchanges per
+    * round over (id, label) longs, never document bodies); converged when
+    * a round changes no label. Rounds needed = the largest component's
+    * diameter — near-dup clusters are dense and shallow (dup groups,
+    * mirror families), so this converges in a handful of rounds; a graph
+    * with genuinely deep chains at extreme scale wants the
+    * large-star/small-star variant (alternating pointer-halving keeps
+    * rounds logarithmic) — same join-agg shape, more plumbing.
+    *
+    * `vertices` rows with no incident edge keep their own id as the
+    * component (singletons). Returns (idCol, component) with component =
+    * min vertex id reachable — deterministic, SQL-expressible (recursive
+    * CTE), so the declared `dedup_clusters` query is oracle-checked.
+    *
+    * The returned frame is PERSISTED and materialized (vertex-sized —
+    * release with `unpersist()` when done, same contract as
+    * `IvfIndex.build`); the iteration releases each superseded label
+    * generation as it goes. */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+                          edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // undirected propagation: both directions of every edge
+    val e = edges
+      .select(col(srcCol).cast("long").as("_src"), col(dstCol).cast("long").as("_dst"))
+      .union(edges
+        .select(col(dstCol).cast("long").as("_src"), col(srcCol).cast("long").as("_dst")))
+      .persist(lvl)
+    var labels = vertices
+      .select(col(idCol).cast("long").as("_v"),
+        col(idCol).cast("long").as("component"))
+      .persist(lvl)
+    // exact label-mass of a generation: labels are vertex ids folded by
+    // min, so they only ever DECREASE — equal mass across a round means
+    // no label moved, i.e. convergence. Computing it in the same job
+    // that materializes the generation's cache makes each round exactly
+    // ONE job (an anti-join change-count would be a second one).
+    // DECIMAL(38,0) keeps the sum exact at any vertex count.
+    def mass(gen: DataFrame): java.math.BigDecimal = {
+      val d = gen.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    try {
+      var curMass = mass(labels)
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIters) {
+        val viaNeighbors = e.join(labels, e("_dst") === labels("_v"))
+          .select(col("_src").as("_v"), col("component"))
+        val next = labels.select(col("_v"), col("component"))
+          .union(viaNeighbors)
+          .groupBy(col("_v"))
+          .agg(min(col("component")).as("component"))
+          .persist(lvl)
+        val nextMass = mass(next)
+        converged = nextMass.compareTo(curMass) == 0
+        labels.unpersist()
+        labels = next
+        curMass = nextMass
+        it += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "deep-chain graph; raise maxIters or use a pointer-halving variant")
+      val out = labels.select(col("_v").as(idCol), col("component")).persist(lvl)
+      out.count()
+      out
+    } finally {
+      e.unpersist()
+      labels.unpersist()
+    }
+  }
 }

@@ -36,4 +36,34 @@ class DedupSpec extends AnyFunSuite {
     val got = kept.as[(Long, String)].collect.toSet
     assert(got === Set((1L, "the quick fox"), (4L, "something else")))
   }
+
+  test("connectedComponents: chains merge transitively, singletons stay") {
+    // components: {1,2,3,4} (a 4-chain — needs >1 propagation round),
+    // {10,11}, singleton {20}
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(vertices, "id", edges, "id_a", "id_b")
+    try {
+      val got = cc.as[(Long, Long)].collect.toSet
+      assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+        (10L, 10L), (11L, 10L), (20L, 20L)))
+    } finally cc.unpersist()
+  }
+
+  test("connectedComponents: a long chain exceeding maxIters fails loudly") {
+    val n = 6
+    val vertices = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(vertices, "id", edges, "id_a", "id_b",
+        maxIters = 2)
+    }
+    assert(err.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain collapses to one component
+    val cc = Dedup.connectedComponents(vertices, "id", edges, "id_a", "id_b",
+      maxIters = n)
+    try assert(cc.select("component").as[Long].collect.toSet === Set(1L))
+    finally cc.unpersist()
+  }
 }
