@@ -129,7 +129,7 @@ object IvfIndex {
     * the lexicographic `(dist, cluster_id)` minimum, so ties break to
     * the smallest cluster id exactly like the historical
     * `min(struct(dist, cluster_id))` aggregate form. */
-  private[operators] def withCluster(vecs: DataFrame,
+  private[graft] def withCluster(vecs: DataFrame,
                           cents: IndexedSeq[(Int, IndexedSeq[Double])]): DataFrame = {
     val centArr = array(cents.map { case (cid, c) =>
       struct(lit(cid).as("cid"), vecLit(c).as("c"))

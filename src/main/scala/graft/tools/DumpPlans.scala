@@ -23,16 +23,83 @@ object DumpPlans {
     "q_asof" -> "sort-merge range join on user_id, then partial+final max(struct) pick",
     "q_corr_subquery" -> ("Catalyst decorrelation: the correlated scalar count " +
       "becomes an aggregate + outer join — no per-row subquery execution"),
-    "near_dup_embed_lsh" -> ("bucketed near-dup verify stage: the candidate " +
-      "pairs are a LocalTableScan (materialized once, broadcast into both " +
-      "verify joins); vector sides are semi-join pruned to candidate ids — " +
-      "no corpus×corpus join anywhere"),
     "q_extract_chunks" -> ("binary ingest path: scan → encode → " +
       "per-partition extraction (SerializeFromObject/MapPartitions) → " +
       "explode chunker; embarrassingly parallel, no shuffle before the sort"),
     "q_decontaminate" -> ("decontamination scan: training side shingled " +
       "row-locally and joined against the BROADCAST eval shingle set — " +
       "document text never shuffles, only (doc_id, count) partials do"))
+
+  /** Plan-shape-critical OPERATOR INTERNALS whose declared queries
+    * materialize eagerly (their final plans are LocalTableScans): built
+    * directly here so the interesting intermediate plan is rendered. */
+  private def extras(spark: SparkSession, dir: String): Seq[(String, String, org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val vecs = emb.select(col("vec_id").as("_id"),
+      transform(col("embedding"), _.cast("double")).as("_v"))
+    val cents = vecs.orderBy("_id").limit(4).collect().toIndexedSeq
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toIndexedSeq) }
+    val assigned = graft.operators.IvfIndex.withCluster(vecs, cents)
+    val iterAgg = assigned
+      .select(col("cluster_id"), posexplode(col("_v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster_id"), col("dim"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val winnow = graft.operators.NearDup.winnowCandidates(docs, "doc_id", "text")
+    val vertices = docs.select(col("doc_id"))
+    val edges = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+    val e = edges.select(col("id_a").as("_src"), col("id_b").as("_dst"))
+      .union(edges.select(col("id_b").as("_src"), col("id_a").as("_dst")))
+    val labels = vertices.select(col("doc_id").as("_v"),
+      col("doc_id").as("component"))
+    val ccRound = labels.union(
+      e.join(labels, e("_dst") === labels("_v"))
+        .select(col("_src").as("_v"), col("component")))
+      .groupBy(col("_v")).agg(min(col("component")).as("component"))
+    val ps = graft.operators.HyperplaneLsh.planes(
+      emb.select(size(col("embedding"))).first().getInt(0), 6)
+    val bucketed = emb.select(col("vec_id").as("_id"),
+      graft.operators.HyperplaneLsh.bucketCol(col("embedding"), ps).as("_bucket"))
+    val lshCands = graft.operators.NearDup
+      .embeddingCandidatesFromBuckets(bucketed, 6)
+    val lshVerify = graft.operators.NearDup
+      .cosineVerify(emb, "vec_id", "embedding", lshCands)
+      .filter(col("cos") >= 0.3)
+    Seq(
+      ("near_dup_embed_lsh (verify stage)",
+        "bucketed near-dup verify stage: the candidate pairs are a " +
+          "LocalTableScan (materialized once, broadcast into both verify " +
+          "joins); vector sides are semi-join pruned to candidate ids — " +
+          "no corpus×corpus join anywhere (the declared query materializes " +
+          "this eagerly so its cache can be released)",
+        lshVerify),
+      ("ivf_assign (IvfIndex.withCluster)",
+        "k-means assignment is a ZERO-SHUFFLE projection: Scan → Project " +
+          "folding over the plan-constant centroid array (graft_l2 inner " +
+          "loop, lexicographic (dist, cluster) min); no crossJoin, no " +
+          "groupBy(_id), no Exchange",
+        assigned),
+      ("ivf_update (per-iteration agg)",
+        "the Lloyd iteration's ONE exchange: posexplode → partial " +
+          "HashAggregate above the scan (map-side combine) → Exchange on " +
+          "(cluster_id, dim) → final HashAggregate; k·d tiny rows to the " +
+          "driver, no vecs ⋈ assignments re-join",
+        iterAgg),
+      ("winnow_pairs (candidate join)",
+        "winnowing near-dup: Project(graft_winnow) → Generate(explode) → " +
+          "shuffle equi-join on the fingerprint hash → partial+final " +
+          "count per pair — docs meet only inside a fingerprint bucket, " +
+          "never all-pairs",
+        winnow),
+      ("dedup_clusters (one propagation round)",
+        "connected-components round: edges ⋈ labels (shuffle equi-join " +
+          "on vertex id) unioned with own labels → partial+final " +
+          "min(component) per vertex; the shuffle carries (id, label) " +
+          "longs only",
+        ccRound))
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -49,8 +116,7 @@ object DumpPlans {
     sb.append("Generated by `graft.tools.DumpPlans` (sf0.001 inputs; plan shapes\n")
     sb.append("are scale-independent). `PlanSpec` asserts these properties in CI\n")
     sb.append("form; this file is the human-readable rendering.\n")
-    watched.foreach { case (name, note) =>
-      val df = Queries.all(name).build(spark, dir)
+    def render(name: String, note: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         // strip JVM identity hashes (Aggregator@1a2b3c4d) so regenerating
@@ -58,8 +124,13 @@ object DumpPlans {
         .replaceAll("@[0-9a-f]{6,10}", "@...")
       sb.append(s"\n## $name\n\n$note\n\n```\n$formatted```\n")
     }
+    watched.foreach { case (name, note) =>
+      render(name, note, Queries.all(name).build(spark, dir))
+    }
+    val ex = extras(spark, dir)
+    ex.foreach { case (name, note, df) => render(name, note, df) }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"wrote PLANS.md (${watched.size} plans)")
+    println(s"wrote PLANS.md (${watched.size + ex.size} plans)")
     spark.stop()
   }
 }
