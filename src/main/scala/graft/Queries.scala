@@ -65,15 +65,45 @@ object Queries {
     * both — without sharing, the set pays k-means twice. The cache holds
     * the COLLECTED results: assignment rows are corpus-sized but tiny at
     * fixture scale, and the at-scale persistent form of exactly this
-    * data is the partitioned index table `ivf_probe_part` writes. Keyed
-    * on the fixture dir; fixtures are immutable per JVM (same rule
-    * `Streams` documents for its schema probe). */
+    * data is the partitioned index table `ivf_probe_part` writes. The
+    * cache key carries the source file's (mtime, length) fingerprint so
+    * an in-process fixture regeneration rebuilds instead of serving
+    * stale assignments (same guard as `Streams`' schema probe). */
   private val ivfBuildCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType, org.apache.spark.sql.types.StructType)]()
 
+  private def embFingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val (mtime, len) =
+      try (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+        java.nio.file.Files.size(p))
+      catch { case _: java.io.IOException => (-1L, -1L) }
+    s"$dir|$mtime|$len"
+  }
+
+  /** The lazy `near_dup_embed_lsh` pipeline over a (vec_id, embedding)
+    * frame with known (count, dim): sign-LSH bucket projection →
+    * materialized candidate pairs → exact-cosine verify. The sizing rule
+    * nBits ≈ log2(N / target occupancy) keeps per-bucket join fan-out
+    * constant across SFs. Shared by the declared query (which persists
+    * `base` and materializes around it) and `graft.tools.DumpPlans`
+    * (which renders the verify-stage plan), so the rendered plan is the
+    * executed one. */
+  private[graft] def lshNearDupVerify(base: DataFrame, n: Long, d: Int): DataFrame = {
+    val nBits = math.max(6,
+      math.ceil(math.log(n / 4.0) / math.log(2.0)).toInt)
+    val ps = graft.operators.HyperplaneLsh.planes(d, nBits)
+    val bucketed = base.select(col("vec_id").as("_id"),
+      graft.operators.HyperplaneLsh.bucketCol(col("embedding"), ps)
+        .as("_bucket"))
+    val cands = NearDup.embeddingCandidatesFromBuckets(bucketed, nBits)
+    NearDup.cosineVerify(base, "vec_id", "embedding", cands)
+      .filter(col("cos") >= 0.3)
+  }
+
   private def sharedIvfBuild(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val (aRows, cRows, aSchema, cSchema) = ivfBuildCache.computeIfAbsent(dir, _ => {
+    val (aRows, cRows, aSchema, cSchema) = ivfBuildCache.computeIfAbsent(embFingerprint(dir), _ => {
       val emb = T(s, dir, "embeddings")
       val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
         k = 16, iters = 1)
@@ -1446,23 +1476,12 @@ object Queries {
           .select(col("vec_id"), col("embedding"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          // job 1: populate the cache + fetch corpus size and dimension;
-          // the sizing rule nBits ≈ log2(N / target occupancy) keeps
-          // per-bucket join fan-out constant across SFs
+          // job 1: populate the cache + fetch corpus size and dimension
           val meta = base.agg(count(lit(1)).as("n"),
             first(size(col("embedding"))).as("d")).head()
-          val nBits = math.max(6,
-            math.ceil(math.log(meta.getLong(0) / 4.0) / math.log(2.0)).toInt)
-          val ps = graft.operators.HyperplaneLsh.planes(meta.getInt(1), nBits)
-          val bucketed = base.select(col("vec_id").as("_id"),
-            graft.operators.HyperplaneLsh.bucketCol(col("embedding"), ps)
-              .as("_bucket"))
-          // job 2: bucket self-join (both subtrees re-project from the
-          // cached base — sign dots only, no re-scan) → local pair set
-          val cands = NearDup.embeddingCandidatesFromBuckets(bucketed, nBits)
-          // job 3: exact-cosine verify, vectors fetched from the cache
-          localFrame(NearDup.cosineVerify(base, "vec_id", "embedding", cands)
-            .filter(col("cos") >= 0.3)
+          // jobs 2-3: bucket self-join → local pair set → cosine verify,
+          // everything reading from the cached base
+          localFrame(lshNearDupVerify(base, meta.getLong(0), meta.getInt(1))
             .orderBy(col("id_a"), col("id_b")))
         } finally base.unpersist()
       },

@@ -19,15 +19,21 @@ import org.apache.spark.sql.types._
   * ([[graft.operators.IvfIndex]]): per row it runs once per centroid, so
   * at corpus scale the constant factor is the build's compute bill.
   *
-  * Mismatched lengths use the common prefix (zip semantics). Element
-  * nulls are not expected (parquet float arrays / literals with
-  * containsNull=false); null INPUT arrays propagate null via
-  * BinaryExpression's null handling.
+  * Mismatched lengths yield NULL — exactly the HOF twin's behavior
+  * (`zip_with` null-pads the shorter array, the padded difference is
+  * null, and the fold propagates it), so a ragged pair can never produce
+  * a silently-truncated finite distance. Element nulls are not expected
+  * (parquet float arrays / literals with containsNull=false); null INPUT
+  * arrays propagate null via BinaryExpression's null handling.
   */
 case class L2Distance(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // can yield null on mismatched lengths even when both inputs are
+  // non-null, so codegen must keep isNull a real variable
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -46,7 +52,8 @@ case class L2Distance(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     val lf = isFloat(left)
     val rf = isFloat(right)
     var acc = 0.0
@@ -71,13 +78,17 @@ case class L2Distance(left: Expression, right: Expression)
       val getR =
         if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}Acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $getL - $getR;
-         |  ${ev.value}Acc += $d * $d;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double ${ev.value}Acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $getL - $getR;
+         |    ${ev.value}Acc += $d * $d;
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt(${ev.value}Acc);
          |}
-         |${ev.value} = java.lang.Math.sqrt(${ev.value}Acc);
        """.stripMargin
     })
 

@@ -58,9 +58,12 @@ object Dedup {
     * rounds logarithmic) — same join-agg shape, more plumbing.
     *
     * `vertices` rows with no incident edge keep their own id as the
-    * component (singletons). Returns (idCol, component) with component =
-    * min vertex id reachable — deterministic, SQL-expressible (recursive
-    * CTE), so the declared `dedup_clusters` query is oracle-checked.
+    * component (singletons); edges touching ids NOT in `vertices` are
+    * ignored (semi-join pruned up front), so a foreign id can neither
+    * appear as an output row nor leak in as a component label. Returns
+    * (idCol, component) with component = min vertex id reachable —
+    * deterministic, SQL-expressible (recursive CTE), so the declared
+    * `dedup_clusters` query is oracle-checked.
     *
     * The returned frame is PERSISTED and materialized (vertex-sized —
     * release with `unpersist()` when done, same contract as
@@ -70,11 +73,16 @@ object Dedup {
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // undirected propagation: both directions of every edge
+    // undirected propagation: both directions of every edge, pruned to
+    // the vertex set on BOTH endpoints (one-time semi-joins on the
+    // bounded edge relation)
+    val vs = vertices.select(col(idCol).cast("long").as("_vset"))
     val e = edges
       .select(col(srcCol).cast("long").as("_src"), col(dstCol).cast("long").as("_dst"))
       .union(edges
         .select(col(dstCol).cast("long").as("_src"), col(srcCol).cast("long").as("_dst")))
+      .join(vs.withColumnRenamed("_vset", "_src"), Seq("_src"), "left_semi")
+      .join(vs.withColumnRenamed("_vset", "_dst"), Seq("_dst"), "left_semi")
       .persist(lvl)
     var labels = vertices
       .select(col(idCol).cast("long").as("_v"),
@@ -95,13 +103,7 @@ object Dedup {
       var it = 0
       var converged = false
       while (!converged && it < maxIters) {
-        val viaNeighbors = e.join(labels, e("_dst") === labels("_v"))
-          .select(col("_src").as("_v"), col("component"))
-        val next = labels.select(col("_v"), col("component"))
-          .union(viaNeighbors)
-          .groupBy(col("_v"))
-          .agg(min(col("component")).as("component"))
-          .persist(lvl)
+        val next = propagateRound(e, labels).persist(lvl)
         val nextMass = mass(next)
         converged = nextMass.compareTo(curMass) == 0
         labels.unpersist()
@@ -119,5 +121,20 @@ object Dedup {
       e.unpersist()
       labels.unpersist()
     }
+  }
+
+  /** One min-label propagation round over a directed edge relation
+    * (_src, _dst) and a label generation (_v, component): every vertex
+    * takes the min of its own and its in-neighbors' labels. Shared by
+    * the [[connectedComponents]] loop and the plan dump
+    * (`graft.tools.DumpPlans`), so the rendered plan is the executed
+    * one. */
+  private[graft] def propagateRound(e: DataFrame, labels: DataFrame): DataFrame = {
+    val viaNeighbors = e.join(labels, e("_dst") === labels("_v"))
+      .select(col("_src").as("_v"), col("component"))
+    labels.select(col("_v"), col("component"))
+      .union(viaNeighbors)
+      .groupBy(col("_v"))
+      .agg(min(col("component")).as("component"))
   }
 }

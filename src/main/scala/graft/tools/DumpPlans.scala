@@ -47,26 +47,22 @@ object DumpPlans {
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
     val docs = graft.Tables.load(spark, dir, "documents")
     val winnow = graft.operators.NearDup.winnowCandidates(docs, "doc_id", "text")
-    val vertices = docs.select(col("doc_id"))
+    // one CC propagation round via the SAME builder the
+    // Dedup.connectedComponents loop executes
     val edges = docs.filter(col("doc_id") < 10)
       .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
     val e = edges.select(col("id_a").as("_src"), col("id_b").as("_dst"))
       .union(edges.select(col("id_b").as("_src"), col("id_a").as("_dst")))
-    val labels = vertices.select(col("doc_id").as("_v"),
+    val labels = docs.select(col("doc_id").as("_v"),
       col("doc_id").as("component"))
-    val ccRound = labels.union(
-      e.join(labels, e("_dst") === labels("_v"))
-        .select(col("_src").as("_v"), col("component")))
-      .groupBy(col("_v")).agg(min(col("component")).as("component"))
-    val ps = graft.operators.HyperplaneLsh.planes(
-      emb.select(size(col("embedding"))).first().getInt(0), 6)
-    val bucketed = emb.select(col("vec_id").as("_id"),
-      graft.operators.HyperplaneLsh.bucketCol(col("embedding"), ps).as("_bucket"))
-    val lshCands = graft.operators.NearDup
-      .embeddingCandidatesFromBuckets(bucketed, 6)
-    val lshVerify = graft.operators.NearDup
-      .cosineVerify(emb, "vec_id", "embedding", lshCands)
-      .filter(col("cos") >= 0.3)
+    val ccRound = graft.operators.Dedup.propagateRound(e, labels)
+    // the SAME pipeline builder the declared near_dup_embed_lsh query
+    // materializes (minus its persist/localFrame lifecycle)
+    val lshBase = emb.select(col("vec_id"), col("embedding"))
+    val lshMeta = lshBase.agg(count(lit(1)).as("n"),
+      first(size(col("embedding"))).as("d")).head()
+    val lshVerify = Queries.lshNearDupVerify(lshBase,
+      lshMeta.getLong(0), lshMeta.getInt(1))
     Seq(
       ("near_dup_embed_lsh (verify stage)",
         "bucketed near-dup verify stage: the candidate pairs are a " +

@@ -75,6 +75,16 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("mismatched-length arrays yield NULL, native and HOF alike") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      dot(col("a"), col("b")).as("d"), dotHof(col("a"), col("b")).as("dh"),
+      l2Dist(col("a"), col("b")).as("l"), l2DistHof(col("a"), col("b")).as("lh"))
+      .head
+    assert((0 until 4).forall(r.isNullAt),
+      s"ragged pair must score NULL everywhere, got $r")
+  }
+
   test("graft_l2 is callable from SQL once extensions are installed") {
     graft.GraftExtensions.install(spark)
     val got = spark.sql(

@@ -51,6 +51,16 @@ class DedupSpec extends AnyFunSuite {
     } finally cc.unpersist()
   }
 
+  test("connectedComponents: edges touching foreign ids are ignored") {
+    val vertices = Seq(5L, 6L).toDF("id")
+    // 3 and 1 are not vertices: the (5,3) and (3,1) edges must neither
+    // emit phantom rows nor leak 1/3 in as component labels
+    val edges = Seq((5L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(vertices, "id", edges, "id_a", "id_b")
+    try assert(cc.as[(Long, Long)].collect.toSet === Set((5L, 5L), (6L, 6L)))
+    finally cc.unpersist()
+  }
+
   test("connectedComponents: a long chain exceeding maxIters fails loudly") {
     val n = 6
     val vertices = (1L to n).toDF("id")

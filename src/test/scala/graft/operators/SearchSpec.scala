@@ -97,7 +97,10 @@ class SearchSpec extends AnyFunSuite {
       "vec_id", "embedding", corpus, "vec_id", "embedding", k = 2,
       maxBroadcastBytes = 1L)
     assert(huge.columns.contains("rank"))
-    assert(!huge.queryExecution.analyzed.toString.contains("UnresolvedHint"))
+    // the fallback path must NOT carry our broadcast hint (the analyzer
+    // rewrites broadcast() into a ResolvedHint node; its absence proves
+    // the guard dropped the hint rather than queueing 1024+ chunks)
+    assert(!huge.queryExecution.analyzed.toString.contains("ResolvedHint"))
   }
 
   test("broadcast guard: unknown stats (RDD-backed frame) stay one broadcast") {
