@@ -264,6 +264,36 @@ object Queries {
          |ORDER BY doc_id""".stripMargin),
       "B10 + quality scoring: per-doc token stats"),
 
+    "q_token_budget" -> DeclaredQuery(
+      // training-mix assembly under a per-group token budget: within
+      // each lang, documents are admitted in deterministic id order
+      // until the cumulative token count crosses the budget — the
+      // running-sum window form of "take ~B tokens per source". Integer
+      // token counts keep the running sum exact (no float-retraction
+      // drift). Scale note: partitionBy(lang) gives one window partition
+      // per group (same skew profile as any per-key window, cf.
+      // q_top_order_per_cust); for few-group corpora at extreme size the
+      // same semantics come from per-range partial sums + prefix offsets.
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= 2000)
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |FROM (SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |QUALIFY cum_tokens <= 2000
+         |ORDER BY lang, doc_id""".stripMargin),
+      "training-mix token budgeting: per-lang running-sum admission under a token budget"),
+
     "word_freq" -> DeclaredQuery(
       (s, dir) => TextAnalysis.wordFreq(T(s, dir, "documents"), "text")
         .orderBy(desc("cnt"), asc("word")).limit(100),
@@ -869,7 +899,7 @@ object Queries {
       // edge generation); the oracle replays the whole thing as a
       // recursive CTE.
       (s, dir) => {
-        val sub = T(s, dir, "documents").filter(col("doc_id") < 200)
+        val sub = T(s, dir, "documents").filter(col("doc_id") < 128)
         // length-band prefilter (the set-similarity-join size bound):
         // J(A,B) ≥ 0.8 ⇒ min(|A|,|B|) ≥ 0.8·max(|A|,|B|), so pairs
         // outside the band can never verify — 0.79 leaves margin for the
@@ -897,7 +927,7 @@ object Queries {
          |  d AS (
          |    SELECT doc_id,
          |      list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
-         |    FROM documents WHERE doc_id < 200
+         |    FROM documents WHERE doc_id < 128
          |      AND len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
          |  e AS (
          |    SELECT a.doc_id AS src, b.doc_id AS dst
@@ -905,7 +935,7 @@ object Queries {
          |    WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
          |        / len(list_distinct(a.s || b.s)), 4) >= 0.8),
          |  r AS (
-         |    SELECT doc_id AS v, doc_id AS comp FROM documents WHERE doc_id < 200
+         |    SELECT doc_id AS v, doc_id AS comp FROM documents WHERE doc_id < 128
          |    UNION
          |    SELECT e.src, r.comp FROM e JOIN r ON r.v = e.dst
          |  )

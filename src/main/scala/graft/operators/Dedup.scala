@@ -103,6 +103,12 @@ object Dedup {
       var it = 0
       var converged = false
       while (!converged && it < maxIters) {
+        // exactly ONE hop per materialized generation: propagateRound
+        // references its label input twice (own-label union + neighbor
+        // join), so chaining hops inside one job would re-execute the
+        // unpersisted inner hop once per reference — the shared-subtree
+        // double-execution trap; the persisted generation boundary is
+        // what keeps each hop computed once
         val next = propagateRound(e, labels).persist(lvl)
         val nextMass = mass(next)
         converged = nextMass.compareTo(curMass) == 0
