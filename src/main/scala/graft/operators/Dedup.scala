@@ -52,10 +52,13 @@ object Dedup {
     * round over (id, label) longs, never document bodies); converged when
     * a round changes no label. Rounds needed = the largest component's
     * diameter — near-dup clusters are dense and shallow (dup groups,
-    * mirror families), so this converges in a handful of rounds; a graph
-    * with genuinely deep chains at extreme scale wants the
-    * large-star/small-star variant (alternating pointer-halving keeps
-    * rounds logarithmic) — same join-agg shape, more plumbing.
+    * mirror families), so the default converges in a handful of rounds.
+    * For graphs with genuinely deep chains, `pointerJump = true` adds a
+    * pointer-jumping step per round (label := label of my label — one
+    * extra self-join shuffle), which halves remaining tree height each
+    * round and makes the round count logarithmic in the diameter; it
+    * costs one extra job + cache generation per round, so leave it off
+    * for shallow graphs.
     *
     * `vertices` rows with no incident edge keep their own id as the
     * component (singletons); edges touching ids NOT in `vertices` are
@@ -67,11 +70,20 @@ object Dedup {
     *
     * The returned frame is PERSISTED and materialized (vertex-sized —
     * release with `unpersist()` when done, same contract as
-    * `IvfIndex.build`); the iteration releases each superseded label
-    * generation as it goes. */
+    * `IvfIndex.build`).
+    *
+    * Each label generation is `localCheckpoint`ed: the round plan
+    * references its predecessor TWICE (own-label union + neighbor join),
+    * so without lineage truncation the logical plan doubles per round —
+    * 2^rounds plan nodes, a driver OOM by round ~25. localCheckpoint
+    * bounds the plan at one generation, trading executor-loss
+    * recomputability for it (the standard iterative-algorithm tradeoff;
+    * superseded generations' blocks are reclaimed by the context
+    * cleaner once unreferenced). */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25,
+                          pointerJump: Boolean = false): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // undirected propagation: both directions of every edge, pruned to
     // the vertex set on BOTH endpoints (one-time semi-joins on the
@@ -84,10 +96,12 @@ object Dedup {
       .join(vs.withColumnRenamed("_vset", "_src"), Seq("_src"), "left_semi")
       .join(vs.withColumnRenamed("_vset", "_dst"), Seq("_dst"), "left_semi")
       .persist(lvl)
+    // lazy localCheckpoint: the next mass() job materializes the blocks,
+    // so each generation still costs exactly one job
     var labels = vertices
       .select(col(idCol).cast("long").as("_v"),
         col(idCol).cast("long").as("component"))
-      .persist(lvl)
+      .localCheckpoint(false)
     // exact label-mass of a generation: labels are vertex ids folded by
     // min, so they only ever DECREASE — equal mass across a round means
     // no label moved, i.e. convergence. Computing it in the same job
@@ -109,10 +123,21 @@ object Dedup {
         // unpersisted inner hop once per reference — the shared-subtree
         // double-execution trap; the persisted generation boundary is
         // what keeps each hop computed once
-        val next = propagateRound(e, labels).persist(lvl)
+        val prop = propagateRound(e, labels).localCheckpoint(false)
+        val next = if (!pointerJump) prop else {
+          // pointer jumping: label := label(label). Every label is a
+          // vertex id (edges are vertex-pruned and min includes self),
+          // so the inner join loses no rows. `prop` is referenced twice
+          // by the self-join — materialize it first (same double-exec
+          // guard as above).
+          prop.count()
+          val parent = prop.select(col("_v").as("_pv"), col("component").as("_pc"))
+          prop.join(parent, prop("component") === parent("_pv"))
+            .select(prop("_v"), col("_pc").as("component"))
+            .localCheckpoint(false)
+        }
         val nextMass = mass(next)
         converged = nextMass.compareTo(curMass) == 0
-        labels.unpersist()
         labels = next
         curMass = nextMass
         it += 1
@@ -123,10 +148,7 @@ object Dedup {
       val out = labels.select(col("_v").as(idCol), col("component")).persist(lvl)
       out.count()
       out
-    } finally {
-      e.unpersist()
-      labels.unpersist()
-    }
+    } finally e.unpersist()
   }
 
   /** One min-label propagation round over a directed edge relation

@@ -61,6 +61,31 @@ class DedupSpec extends AnyFunSuite {
     finally cc.unpersist()
   }
 
+  test("connectedComponents: pointer jumping converges a 40-chain in log rounds") {
+    // a 40-vertex path has diameter 39: plain propagation needs ~40
+    // rounds (more than the default cap), pointer jumping O(log n)
+    val n = 40L
+    val vertices = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(vertices, "id", edges, "id_a", "id_b")
+    }
+    assert(err.getMessage.contains("did not converge"))
+    val cc = Dedup.connectedComponents(vertices, "id", edges, "id_a", "id_b",
+      maxIters = 10, pointerJump = true)
+    try assert(cc.select("component").as[Long].collect.toSet === Set(1L))
+    finally cc.unpersist()
+    // and on a branching graph both modes agree
+    val vs2 = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val es2 = Seq((1L, 3L), (3L, 5L), (2L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val plain = Dedup.connectedComponents(vs2, "id", es2, "id_a", "id_b")
+    val jumped = Dedup.connectedComponents(vs2, "id", es2, "id_a", "id_b",
+      pointerJump = true)
+    try assert(jumped.as[(Long, Long)].collect.toSet ===
+      plain.as[(Long, Long)].collect.toSet)
+    finally { plain.unpersist(); jumped.unpersist() }
+  }
+
   test("connectedComponents: a long chain exceeding maxIters fails loudly") {
     val n = 6
     val vertices = (1L to n).toDF("id")
