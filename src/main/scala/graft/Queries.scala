@@ -66,12 +66,20 @@ object Queries {
     * the COLLECTED results: assignment rows are corpus-sized but tiny at
     * fixture scale, and the at-scale persistent form of exactly this
     * data is the partitioned index table `ivf_probe_part` writes. The
-    * cache key carries the source file's (mtime, length) fingerprint so
-    * an in-process fixture regeneration rebuilds instead of serving
-    * stale assignments (same guard as `Streams`' schema probe). */
-  private val ivfBuildCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType, org.apache.spark.sql.types.StructType)]()
+    * map is keyed by dir (ONE entry per fixture dir, so regenerations
+    * can't accumulate superseded corpus-sized snapshots) and the VALUE
+    * carries the source file's (mtime, length) fingerprint: a mismatch
+    * rebuilds in place instead of serving stale assignments (same guard
+    * as `Streams`' schema probe). */
+  private final case class IvfBuilt(
+      fingerprint: String,
+      assignRows: Seq[org.apache.spark.sql.Row],
+      centRows: Seq[org.apache.spark.sql.Row],
+      assignSchema: org.apache.spark.sql.types.StructType,
+      centSchema: org.apache.spark.sql.types.StructType)
+
+  private val ivfBuildCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfBuilt]()
 
   private def embFingerprint(dir: String): String = {
     val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
@@ -103,16 +111,19 @@ object Queries {
   }
 
   private def sharedIvfBuild(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val (aRows, cRows, aSchema, cSchema) = ivfBuildCache.computeIfAbsent(embFingerprint(dir), _ => {
-      val emb = T(s, dir, "embeddings")
-      val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
-        k = 16, iters = 1)
-      try (assign.collect().toSeq, cents.collect().toSeq,
-        assign.schema, cents.schema)
-      finally { assign.unpersist(); cents.unpersist() }
-    })
-    (s.createDataFrame(java.util.Arrays.asList(aRows: _*), aSchema),
-      s.createDataFrame(java.util.Arrays.asList(cRows: _*), cSchema))
+    val fp = embFingerprint(dir)
+    val built = ivfBuildCache.compute(dir, (_, cached) =>
+      if (cached != null && cached.fingerprint == fp) cached
+      else {
+        val emb = T(s, dir, "embeddings")
+        val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
+          k = 16, iters = 1)
+        try IvfBuilt(fp, assign.collect().toSeq, cents.collect().toSeq,
+          assign.schema, cents.schema)
+        finally { assign.unpersist(); cents.unpersist() }
+      })
+    (s.createDataFrame(java.util.Arrays.asList(built.assignRows: _*), built.assignSchema),
+      s.createDataFrame(java.util.Arrays.asList(built.centRows: _*), built.centSchema))
   }
 
   /** Generic source/sink round-trip through `fmt` (B32): write a typed

@@ -72,14 +72,15 @@ object Dedup {
     * release with `unpersist()` when done, same contract as
     * `IvfIndex.build`).
     *
-    * Each label generation is `localCheckpoint`ed: the round plan
-    * references its predecessor TWICE (own-label union + neighbor join),
-    * so without lineage truncation the logical plan doubles per round —
-    * 2^rounds plan nodes, a driver OOM by round ~25. localCheckpoint
-    * bounds the plan at one generation, trading executor-loss
-    * recomputability for it (the standard iterative-algorithm tradeoff;
-    * superseded generations' blocks are reclaimed by the context
-    * cleaner once unreferenced). */
+    * Each label generation's lineage is truncated (re-framed over its
+    * own RDD, then persisted): the round plan references its predecessor
+    * TWICE (own-label union + neighbor join), so without truncation the
+    * logical plan doubles per round — 2^rounds plan nodes, a driver OOM
+    * by round ~25. The re-frame bounds the plan at one generation while
+    * keeping every generation an ordinary persisted frame that is
+    * DETERMINISTICALLY released as soon as it is superseded (including
+    * on the non-convergence failure path) — no reliance on context-
+    * cleaner GC timing. */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 25,
@@ -96,12 +97,16 @@ object Dedup {
       .join(vs.withColumnRenamed("_vset", "_src"), Seq("_src"), "left_semi")
       .join(vs.withColumnRenamed("_vset", "_dst"), Seq("_dst"), "left_semi")
       .persist(lvl)
-    // lazy localCheckpoint: the next mass() job materializes the blocks,
-    // so each generation still costs exactly one job
-    var labels = vertices
+    // lineage-truncated persisted generation: re-framing over the plan's
+    // own RDD bounds the logical plan at one generation (persist alone
+    // does NOT truncate the plan), stays lazy (the next mass() job
+    // materializes the cache), and keeps unpersist() deterministic
+    def checkpointGen(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema).persist(lvl)
+
+    var labels = checkpointGen(vertices
       .select(col(idCol).cast("long").as("_v"),
-        col(idCol).cast("long").as("component"))
-      .localCheckpoint(false)
+        col(idCol).cast("long").as("component")))
     // exact label-mass of a generation: labels are vertex ids folded by
     // min, so they only ever DECREASE — equal mass across a round means
     // no label moved, i.e. convergence. Computing it in the same job
@@ -123,21 +128,28 @@ object Dedup {
         // unpersisted inner hop once per reference — the shared-subtree
         // double-execution trap; the persisted generation boundary is
         // what keeps each hop computed once
-        val prop = propagateRound(e, labels).localCheckpoint(false)
-        val next = if (!pointerJump) prop else {
+        val prop = checkpointGen(propagateRound(e, labels))
+        val propMass = mass(prop)
+        // a propagation fixpoint IS convergence, and at a fixpoint the
+        // jump is the identity — detect it here so the final round never
+        // pays the jump self-join
+        converged = propMass.compareTo(curMass) == 0
+        val (next, nextMass) = if (!pointerJump || converged) (prop, propMass)
+        else {
           // pointer jumping: label := label(label). Every label is a
           // vertex id (edges are vertex-pruned and min includes self),
-          // so the inner join loses no rows. `prop` is referenced twice
-          // by the self-join — materialize it first (same double-exec
-          // guard as above).
-          prop.count()
+          // so the inner join loses no rows. `prop` is cached and
+          // already materialized by its mass job, so the self-join's
+          // two references compute it once.
           val parent = prop.select(col("_v").as("_pv"), col("component").as("_pc"))
-          prop.join(parent, prop("component") === parent("_pv"))
-            .select(prop("_v"), col("_pc").as("component"))
-            .localCheckpoint(false)
+          val jumped = checkpointGen(
+            prop.join(parent, prop("component") === parent("_pv"))
+              .select(prop("_v"), col("_pc").as("component")))
+          val jm = mass(jumped)
+          prop.unpersist()
+          (jumped, jm)
         }
-        val nextMass = mass(next)
-        converged = nextMass.compareTo(curMass) == 0
+        labels.unpersist()
         labels = next
         curMass = nextMass
         it += 1
@@ -148,7 +160,12 @@ object Dedup {
       val out = labels.select(col("_v").as(idCol), col("component")).persist(lvl)
       out.count()
       out
-    } finally e.unpersist()
+    } finally {
+      e.unpersist()
+      // the final generation's cache is superseded by the materialized
+      // `out`; on the failure path this releases the last generation too
+      labels.unpersist()
+    }
   }
 
   /** One min-label propagation round over a directed edge relation

@@ -90,10 +90,11 @@ object DumpPlans {
           "never all-pairs",
         winnow),
       ("dedup_clusters (one propagation round)",
-        "connected-components round: edges ⋈ labels (shuffle equi-join " +
-          "on vertex id) unioned with own labels → partial+final " +
-          "min(component) per vertex; the shuffle carries (id, label) " +
-          "longs only",
+        "connected-components round: edges ⋈ labels (equi-join on vertex " +
+          "id — broadcast at fixture scale because the post-threshold " +
+          "edge set is tiny, shuffle when it isn't) unioned with own " +
+          "labels → partial+final min(component) per vertex; the " +
+          "exchange carries (id, label) longs only",
         ccRound))
   }
 
