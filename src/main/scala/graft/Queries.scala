@@ -59,23 +59,26 @@ object Queries {
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(df.collect(): _*), df.schema)
 
-  /** One shared IVF build per fixture dir: `ivf_probe` and
+  /** One shared IVF index per fixture dir: `ivf_probe` and
     * `ivf_probe_part` need (assignments, centroids) from the SAME k-means
     * parameters, and a declared-set pass (Verify, a Bench round) runs
-    * both — without sharing, the set pays k-means twice. The cache holds
-    * the COLLECTED results: assignment rows are corpus-sized but tiny at
-    * fixture scale, and the at-scale persistent form of exactly this
-    * data is the partitioned index table `ivf_probe_part` writes. The
-    * map is keyed by dir (ONE entry per fixture dir, so regenerations
-    * can't accumulate superseded corpus-sized snapshots) and the VALUE
-    * carries the source file's (mtime, length) fingerprint: a mismatch
-    * rebuilds in place instead of serving stale assignments (same guard
-    * as `Streams`' schema probe). */
+    * both — without sharing, the set pays k-means twice. The shared form
+    * is the AT-SCALE one: the indexed corpus written as a parquet table
+    * PARTITIONED BY cluster_id (`IvfIndex.writePartitioned`) — the
+    * driver holds only the k centroid rows and a path string, never a
+    * corpus-sized collect (the earlier cache of collected assignment
+    * rows was exactly the driver-side-materialization class the 100 TB
+    * mandate forbids). Probes read the table back: `ivf_probe_part` via
+    * partition pruning, `ivf_probe` via the semi-join shape over the
+    * same distributed relation. The map is keyed by dir (ONE entry per
+    * fixture dir) and the VALUE carries the source file's (mtime,
+    * length) fingerprint: a mismatch rebuilds — and deletes the
+    * superseded index dir — instead of serving stale assignments (same
+    * guard as `Streams`' schema probe). */
   private final case class IvfBuilt(
       fingerprint: String,
-      assignRows: Seq[org.apache.spark.sql.Row],
+      indexPath: String,
       centRows: Seq[org.apache.spark.sql.Row],
-      assignSchema: org.apache.spark.sql.types.StructType,
       centSchema: org.apache.spark.sql.types.StructType)
 
   private val ivfBuildCache =
@@ -110,19 +113,30 @@ object Queries {
       .filter(col("cos") >= 0.3)
   }
 
-  private def sharedIvfBuild(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** Returns (partitioned-index path, centroids). The index write is the
+    * one corpus-sized materialization, and it goes to DISK as the
+    * partitioned table — the cluster-persistent layout — not through the
+    * driver. */
+  private def sharedIvfIndex(s: SparkSession, dir: String): (String, DataFrame) = {
     val fp = embFingerprint(dir)
     val built = ivfBuildCache.compute(dir, (_, cached) =>
       if (cached != null && cached.fingerprint == fp) cached
       else {
+        if (cached != null)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(cached.indexPath).getParentFile)
         val emb = T(s, dir, "embeddings")
         val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
           k = 16, iters = 1)
-        try IvfBuilt(fp, assign.collect().toSeq, cents.collect().toSeq,
-          assign.schema, cents.schema)
-        finally { assign.unpersist(); cents.unpersist() }
+        try {
+          val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivfidx")
+          org.apache.commons.io.FileUtils.forceDeleteOnExit(tmpRoot.toFile)
+          val path = s"$tmpRoot/ivf"
+          IvfIndex.writePartitioned(emb, "vec_id", assign, path)
+          IvfBuilt(fp, path, cents.collect().toSeq, cents.schema)
+        } finally { assign.unpersist(); cents.unpersist() }
       })
-    (s.createDataFrame(java.util.Arrays.asList(built.assignRows: _*), built.assignSchema),
+    (built.indexPath,
       s.createDataFrame(java.util.Arrays.asList(built.centRows: _*), built.centSchema))
   }
 
@@ -1448,36 +1462,36 @@ object Queries {
       (s, dir) => {
         // one Lloyd iteration from the seeded centroids: at bench scale
         // the query is stage-latency-bound, and probe quality is already
-        // covered by IvfIndexSpec's recall tests at iters=3. The build
-        // is shared with ivf_probe_part (sharedIvfBuild) — a declared-set
-        // pass runs both probes and must not pay k-means twice.
-        val (assign, cents) = sharedIvfBuild(s, dir)
+        // covered by IvfIndexSpec's recall tests at iters=3. The build +
+        // partitioned-table write is shared with ivf_probe_part
+        // (sharedIvfIndex) — a declared-set pass runs both probes and
+        // must not pay k-means twice. This probe exercises the SEMI-JOIN
+        // shape (assignments ⋈ broadcast(near clusters) → candidate-id
+        // prune of the corpus) over the distributed index relation — no
+        // corpus-sized rows ever touch the driver.
+        val (path, cents) = sharedIvfIndex(s, dir)
+        val assign = s.read.parquet(path).select(col("vec_id"), col("cluster_id"))
         localFrame(
           IvfIndex.probe(T(s, dir, "embeddings"), "vec_id", "embedding",
             assign, cents, QueryVectors.q1, k = 10, nprobe = 4)
             .select(col("vec_id"), col("sim")))
       },
       None,
-      "B5/B6: IVF build (k-means as DataFrame ops) + probe (float-iterative, no oracle)"),
+      "B5/B6: IVF build (k-means as DataFrame ops) + semi-join probe (float-iterative, no oracle)"),
 
     "ivf_probe_part" -> DeclaredQuery(
       // the AT-SCALE IVF layout, driver-exercised end-to-end: corpus
-      // written PARTITIONED BY cluster_id, probe = `cluster_id IN (…)`
-      // partition pruning (only nprobe/k of the files are opened — the
-      // pruning itself is asserted in IvfIndexSpec). Float-iterative
-      // like ivf_probe → rows-only per the contract.
+      // written PARTITIONED BY cluster_id (once per fixture dir, shared
+      // with ivf_probe), probe = `cluster_id IN (…)` partition pruning
+      // (only nprobe/k of the files are opened — the pruning itself is
+      // asserted in IvfIndexSpec). Float-iterative like ivf_probe →
+      // rows-only per the contract.
       (s, dir) => {
-        val emb = T(s, dir, "embeddings")
-        val (assign, cents) = sharedIvfBuild(s, dir)
-        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivfpart")
-        try
-          localFrame {
-            IvfIndex.writePartitioned(emb, "vec_id", assign, s"$tmpRoot/ivf")
-            IvfIndex.probePartitioned(s, s"$tmpRoot/ivf", "vec_id",
-              "embedding", cents, QueryVectors.q1, k = 10, nprobe = 4)
-              .select(col("vec_id"), col("sim"))
-          }
-        finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+        val (path, cents) = sharedIvfIndex(s, dir)
+        localFrame(
+          IvfIndex.probePartitioned(s, path, "vec_id",
+            "embedding", cents, QueryVectors.q1, k = 10, nprobe = 4)
+            .select(col("vec_id"), col("sim")))
       },
       None,
       "B6 at-scale layout: IVF corpus partitioned by cluster_id, probe = partition pruning"),

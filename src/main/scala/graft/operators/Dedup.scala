@@ -118,7 +118,21 @@ object Dedup {
       if (d == null) java.math.BigDecimal.ZERO else d
     }
     try {
-      var curMass = mass(labels)
+      // the generation-0 job doubles as the id-contract check: a null or
+      // non-numeric idCol casts to NULL, which sum() would silently skip —
+      // the mass fixpoint could then report convergence while those
+      // vertices carry null components (a silent wrong answer). One agg,
+      // same job that fills the generation-0 cache.
+      val gen0 = labels.agg(
+        sum(col("component").cast("decimal(38,0)")).as("_m"),
+        count(when(col("component").isNull, 1)).as("_nulls")).head
+      require(gen0.getLong(1) == 0L,
+        s"connectedComponents: ${gen0.getLong(1)} vertex id(s) cast to " +
+          s"NULL long — idCol '$idCol' must be numeric and non-null")
+      var curMass = {
+        val d = gen0.getDecimal(0)
+        if (d == null) java.math.BigDecimal.ZERO else d
+      }
       var it = 0
       var converged = false
       while (!converged && it < maxIters) {

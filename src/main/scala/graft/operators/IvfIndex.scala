@@ -84,11 +84,21 @@ object IvfIndex {
       cents = cents.map { case (cid, prev) =>
         byCluster.get(cid) match {
           case Some(rows) =>
-            // a non-empty cluster yields one row per dimension
+            // a non-empty cluster yields one row per dimension; a dim
+            // beyond the seed-centroid length means the corpus is RAGGED
+            // (some vector longer than the k seed vectors) — fail loudly
+            // rather than silently truncate the centroid (the companion
+            // hazard: L2Distance returns NULL on mismatched lengths, so
+            // ragged rows would otherwise be assigned via null-first
+            // ordering, not an error)
             val m = new Array[Double](prev.length)
             rows.foreach { r =>
               val d = r.getInt(1)
-              if (d < m.length) m(d) = r.getDouble(2) / r.getLong(3)
+              require(d < m.length,
+                s"ragged corpus: cluster $cid saw dimension $d but " +
+                  s"centroids have ${m.length} dims — vector lengths " +
+                  "must be uniform across the corpus")
+              m(d) = r.getDouble(2) / r.getLong(3)
             }
             (cid, m.toIndexedSeq)
           // a cluster that received zero assignments keeps its PREVIOUS

@@ -74,8 +74,16 @@ object Search {
     * 1024 chunks (≳256 GB of query side) is not a broadcast-join
     * workload at all: the guard returns the un-chunked frame with
     * `broadcastable = false` and the join runs without the broadcast
-    * hint, letting Catalyst shuffle/NL-join it instead of queueing
-    * thousands of broadcasts. */
+    * hint. CAVEAT (deliberate, documented degradation): the k-NN join
+    * condition is non-equi (`=!=` / `lit(true)`), so Catalyst cannot
+    * plan a shuffled hash/merge join here — the un-hinted fallback is a
+    * `BroadcastNestedLoopJoin` (broadcasting whichever side estimates
+    * smaller, possibly the corpus) or a cartesian product, i.e. a
+    * potential OOM/perf cliff rather than a loud failure. A >256 GB
+    * query side is a block-matrix workload — chunk BOTH sides — not a
+    * broadcast k-NN; callers in that regime must pre-chunk the query
+    * side themselves (each chunk re-enters this guard and broadcasts
+    * normally). */
   private def queryChunks(queries: DataFrame, qIdCol: String,
                           maxBroadcastBytes: Long): (Seq[DataFrame], Boolean) = {
     require(maxBroadcastBytes > 0, "maxBroadcastBytes must be positive")

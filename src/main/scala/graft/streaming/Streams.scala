@@ -41,12 +41,13 @@ object Streams {
     * fixture. */
   // one schema peek (a parquet footer-read job) per fixture FILE STATE,
   // not per streaming-query construction — the declared mirrors over the
-  // same sfDir share a single probe. The cache key carries the fixture's
-  // (mtime, length) fingerprint so an in-process regeneration of the same
-  // path with the other timestamp physical type re-probes instead of
-  // reusing a stale flag.
+  // same sfDir share a single probe. Keyed by sfDir (ONE entry per dir,
+  // so in-process fixture regenerations replace instead of accumulate —
+  // same bound as Queries.ivfBuildCache); the VALUE carries the file's
+  // (mtime, length) fingerprint so a regeneration with the other
+  // timestamp physical type re-probes instead of reusing a stale flag.
   private val nanosCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
 
   private def eventsFingerprint(sfDir: String): String = {
     val p = java.nio.file.Paths.get(sfDir, "events.parquet")
@@ -62,9 +63,11 @@ object Streams {
     // peek at the actual parquet type (same guard as Tables.load): only
     // a NANOS fixture needs the long-read + div-1000 conversion — forcing
     // it on a regenerated MICROS fixture would fail the scan
-    val isNanos: Boolean = nanosCache.computeIfAbsent(eventsFingerprint(sfDir),
-      _ => spark.read.parquet(s"$sfDir/events.parquet")
-        .schema("ts").dataType == LongType)
+    val fp = eventsFingerprint(sfDir)
+    val isNanos: Boolean = nanosCache.compute(sfDir, (_, cached) =>
+      if (cached != null && cached._1 == fp) cached
+      else (fp, spark.read.parquet(s"$sfDir/events.parquet")
+        .schema("ts").dataType == LongType))._2
     val readSchema =
       if (isNanos) StructType(eventSchema.map {
         case f if f.name == "ts" => f.copy(dataType = LongType)
