@@ -968,6 +968,28 @@ object Queries {
          |ORDER BY doc_id""".stripMargin),
       "dedup clustering: Jaccard edges → connected components (min-label propagation)"),
 
+    "dedup_pipeline_lsh" -> DeclaredQuery(
+      // the 100 TB dedup story EXECUTED end-to-end, not just proven
+      // componentwise: MinHash-LSH candidates (bucket join, never
+      // all-pairs) → exact-Jaccard verify ≥ 0.8 → connected components →
+      // min-id representative per component. Output = the deduped corpus
+      // (representatives + singletons) with component id and size.
+      // Seeded-hash candidate stage → rows-only per the contract; the
+      // fixture-slice equivalence of LSH-edge components vs all-pairs
+      // components is property-tested in DedupSpec.
+      (s, dir) => {
+        val out = Dedup.lshDedupPipeline(
+          T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+          "doc_id", "text")
+        try localFrame(out
+          .select(col("doc_id"), col("lang"), col("component"),
+            col("n_docs"))
+          .orderBy(col("doc_id")))
+        finally out.unpersist()
+      },
+      None,
+      "LLM-pipeline dedup chained end-to-end: LSH candidates → Jaccard verify → CC → representatives"),
+
     "near_dup_embed" -> DeclaredQuery(
       (s, dir) => NearDup.embeddingNearDup(T(s, dir, "embeddings"),
         "vec_id", "embedding", minCosine = 0.35, maxId = 300)

@@ -58,7 +58,11 @@ object Dedup {
     * extra self-join shuffle), which halves remaining tree height each
     * round and makes the round count logarithmic in the diameter; it
     * costs one extra job + cache generation per round, so leave it off
-    * for shallow graphs.
+    * for shallow graphs. `saltFactor > 1` spreads hub-degree keys in the
+    * per-round edges ⋈ labels join over that many tasks (see
+    * [[propagateRound]]) — for graphs with dense dup cliques or mirror
+    * hubs where one join key would otherwise carry the component's whole
+    * edge fan-in.
     *
     * `vertices` rows with no incident edge keep their own id as the
     * component (singletons); edges touching ids NOT in `vertices` are
@@ -84,7 +88,8 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 25,
-                          pointerJump: Boolean = false): DataFrame = {
+                          pointerJump: Boolean = false,
+                          saltFactor: Int = 1): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // undirected propagation: both directions of every edge, pruned to
     // the vertex set on BOTH endpoints (one-time semi-joins on the
@@ -142,7 +147,7 @@ object Dedup {
         // unpersisted inner hop once per reference — the shared-subtree
         // double-execution trap; the persisted generation boundary is
         // what keeps each hop computed once
-        val prop = checkpointGen(propagateRound(e, labels))
+        val prop = checkpointGen(propagateRound(e, labels, saltFactor))
         val propMass = mass(prop)
         // a propagation fixpoint IS convergence, and at a fixpoint the
         // jump is the identity — detect it here so the final round never
@@ -182,14 +187,89 @@ object Dedup {
     }
   }
 
+  /** The end-to-end SCALE-SHAPED near-dup dedup pipeline — the chain the
+    * individual stages exist for, executed as one operator:
+    *
+    *   1. candidate generation: MinHash-LSH bucket join
+    *      ([[NearDup.minHashCandidatesMaterialized]] — documents meet
+    *      only inside a (band, hash) bucket, never all-pairs);
+    *   2. verification: exact n-gram Jaccard ≥ `minJaccard` over the
+    *      candidates only ([[NearDup.jaccardVerify]] — semi-join-pruned
+    *      shingling, so the verify cost is candidate-sized);
+    *   3. clustering: [[connectedComponents]] over the verified edges
+    *      (near-duplication is not transitive — pair-level dedup
+    *      under-deletes);
+    *   4. representative selection: the min-id FULL row per component
+    *      ([[dropDuplicatesByKey]] keyed by component), annotated with
+    *      the component id and its size.
+    *
+    * Returns one row per surviving document (representatives of dup
+    * clusters + all singletons): `docs.columns ++ (component, n_docs)`.
+    * The result is corpus-sized, so like [[connectedComponents]] it is
+    * returned PERSISTED and materialized — release with `unpersist()`
+    * (the intermediate CC labels must stay cached until the result
+    * materializes, which is why the materialization happens inside).
+    *
+    * Shingle discipline: the MinHash signatures are over token 3-grams
+    * ([[graft.expressions.MinHashSig]] hard-codes the width), so
+    * `shingleSize` defaults to 3 to keep the verify stage measuring the
+    * same similarity the candidate stage is tuned for (b=4/r=8 S-curve
+    * midpoint ≈ 0.84 vs the 0.8 verify threshold). */
+  def lshDedupPipeline(docs: DataFrame, idCol: String, textCol: String,
+                       minJaccard: Double = 0.8, shingleSize: Int = 3,
+                       numHashes: Int = 32, bands: Int = 4,
+                       pointerJump: Boolean = false): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cands = NearDup.minHashCandidatesMaterialized(
+      docs, idCol, textCol, numHashes, bands)
+    val edges = NearDup.materializePairs(
+      NearDup.jaccardVerify(docs, idCol, textCol, cands, shingleSize)
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("id_a"), col("id_b")))
+    val cc = connectedComponents(docs.select(idCol), idCol,
+      edges, "id_a", "id_b", pointerJump = pointerJump)
+    try {
+      // component sizes: a vertex-sized (long, long) agg — tiny next to
+      // the docs join below
+      val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
+      // representative selection FIRST (docs ⋈ labels is the only
+      // corpus-sized join; the min-row agg collapses it to one row per
+      // component before the sizes join touches it)
+      val reps = dropDuplicatesByKey(docs.join(cc, idCol),
+        col("component"), col(idCol))
+      val out = reps.join(sizes, "component")
+        .select(docs.columns.map(col) :+ col("component") :+ col("n_docs"): _*)
+        .persist(lvl)
+      out.count()
+      out
+    } finally cc.unpersist()
+  }
+
   /** One min-label propagation round over a directed edge relation
     * (_src, _dst) and a label generation (_v, component): every vertex
     * takes the min of its own and its in-neighbors' labels. Shared by
     * the [[connectedComponents]] loop and the plan dump
     * (`graft.tools.DumpPlans`), so the rendered plan is the executed
-    * one. */
-  private[graft] def propagateRound(e: DataFrame, labels: DataFrame): DataFrame = {
-    val viaNeighbors = e.join(labels, e("_dst") === labels("_v"))
+    * one.
+    *
+    * Hub/clique skew: a web-scale dup family (10^5-way duplicated
+    * boilerplate) gives a few `_dst` keys enormous degree, hot-spotting
+    * the edges ⋈ labels shuffle join onto one task. `saltFactor > 1`
+    * salts that join via [[Skew.saltedJoin]]: the edge side's salt is
+    * derived from `_src` (row-distinguishing WITHIN a `_dst` key, and
+    * deterministic so shuffle-retry recomputation is stable), the
+    * label side — one (long, long) row per vertex — is replicated
+    * `saltFactor`×, and the hot key's rows spread over `saltFactor`
+    * tasks. Result-identical to the plain join by [[Skew.saltedJoin]]'s
+    * contract. The downstream `groupBy(_v).min` needs no salt: min is
+    * partial-aggregatable, so a hub's fan-in collapses map-side before
+    * the exchange. */
+  private[graft] def propagateRound(e: DataFrame, labels: DataFrame,
+                                    saltFactor: Int = 1): DataFrame = {
+    val viaNeighbors = (if (saltFactor > 1)
+      Skew.saltedJoin(e, "_dst", Seq("_src"),
+        labels.select(col("_v"), col("component")), "_v", saltFactor)
+    else e.join(labels, e("_dst") === labels("_v")))
       .select(col("_src").as("_v"), col("component"))
     labels.select(col("_v"), col("component"))
       .union(viaNeighbors)

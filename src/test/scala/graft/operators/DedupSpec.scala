@@ -86,6 +86,91 @@ class DedupSpec extends AnyFunSuite {
     finally { plain.unpersist(); jumped.unpersist() }
   }
 
+  test("lshDedupPipeline: LSH-edge components equal all-pairs components on the fixture slice") {
+    // the chained pipeline's recall claim, checked against ground truth:
+    // on the fixture slice, components built from MinHash-LSH candidate
+    // edges must equal components built from ALL pairs verified at the
+    // same 3-gram Jaccard >= 0.8 threshold (identical shingle sets always
+    // collide in every band, and the fixture's dup families are
+    // high-overlap, so no edge that matters is missed)
+    val slice = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .filter($"doc_id" < 128).select($"doc_id", $"lang", $"text")
+
+    val allPairs = slice.select($"doc_id".as("id_a"))
+      .crossJoin(slice.select($"doc_id".as("id_b")))
+      .filter($"id_a" < $"id_b")
+    val truthEdges = NearDup.materializePairs(
+      NearDup.jaccardVerify(slice, "doc_id", "text", allPairs, shingleSize = 3)
+        .filter($"jaccard" >= 0.8).select($"id_a", $"id_b"))
+    val truthCc = Dedup.connectedComponents(slice.select("doc_id"), "doc_id",
+      truthEdges, "id_a", "id_b")
+    val truth = try truthCc.as[(Long, Long)].collect.toSet
+      finally truthCc.unpersist()
+
+    val lshCands = NearDup.minHashCandidatesMaterialized(slice, "doc_id", "text")
+    val lshEdges = NearDup.materializePairs(
+      NearDup.jaccardVerify(slice, "doc_id", "text", lshCands, shingleSize = 3)
+        .filter($"jaccard" >= 0.8).select($"id_a", $"id_b"))
+    val lshCc = Dedup.connectedComponents(slice.select("doc_id"), "doc_id",
+      lshEdges, "id_a", "id_b")
+    val lsh = try lshCc.as[(Long, Long)].collect.toSet
+      finally lshCc.unpersist()
+
+    assert(truth.exists { case (v, c) => v != c }, "slice has no dup clusters — vacuous test")
+    assert(lsh === truth)
+
+    // and the full pipeline operator returns exactly the min-id row per
+    // component with the right sizes
+    val out = Dedup.lshDedupPipeline(slice, "doc_id", "text")
+    try {
+      val got = out.select($"doc_id", $"component", $"n_docs")
+        .as[(Long, Long, Long)].collect.toSet
+      val expected = truth.groupBy(_._2).map { case (comp, members) =>
+        (members.map(_._1).min, comp, members.size.toLong)
+      }.toSet
+      assert(got === expected)
+      assert(got.forall { case (id, comp, _) => id == comp },
+        "representative must BE the min label")
+    } finally out.unpersist()
+  }
+
+  test("connectedComponents: dense clique converges in 2 rounds, salted ≡ plain") {
+    // a 10^3-clique — the dense dup-family shape (10^3-way duplicated
+    // boilerplate). Diameter 1: round 1 propagates the min label to every
+    // member, round 2 is the detected fixpoint — so maxIters = 2 must
+    // suffice regardless of clique size.
+    val n = 1000
+    val vs = spark.range(1, n + 1).toDF("id")
+    val es = spark.range(1, n + 1).toDF("id_a")
+      .crossJoin(spark.range(1, n + 1).toDF("id_b"))
+      .filter($"id_a" < $"id_b")
+    val plain = Dedup.connectedComponents(vs, "id", es, "id_a", "id_b",
+      maxIters = 2)
+    try {
+      assert(plain.select("component").distinct.as[Long].collect.toSeq === Seq(1L))
+      assert(plain.count() === n.toLong)
+    } finally plain.unpersist()
+    // hub-salted rounds: identical labels (saltedJoin is result-identical)
+    val salted = Dedup.connectedComponents(vs, "id", es, "id_a", "id_b",
+      maxIters = 2, saltFactor = 8)
+    try assert(salted.as[(Long, Long)].collect.toSet ===
+      (1L to n.toLong).map((_, 1L)).toSet)
+    finally salted.unpersist()
+  }
+
+  test("connectedComponents: star hub with salting matches plain labels") {
+    // one hub (id 1) with 500 leaves plus a disjoint pair — the skewed
+    // join-key shape salting exists for; assert result equivalence
+    val leaves = (2L to 501L)
+    val vs = (Seq(1L, 900L, 901L) ++ leaves).toDF("id")
+    val es = (leaves.map(l => (1L, l)) :+ (900L, 901L)).toDF("id_a", "id_b")
+    val expected = (leaves.map((_, 1L)) ++ Seq((1L, 1L), (900L, 900L), (901L, 900L))).toSet
+    val salted = Dedup.connectedComponents(vs, "id", es, "id_a", "id_b",
+      saltFactor = 4)
+    try assert(salted.as[(Long, Long)].collect.toSet === expected)
+    finally salted.unpersist()
+  }
+
   test("connectedComponents: a long chain exceeding maxIters fails loudly") {
     val n = 6
     val vertices = (1L to n).toDF("id")
