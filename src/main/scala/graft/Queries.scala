@@ -319,6 +319,41 @@ object Queries {
          |ORDER BY lang, doc_id""".stripMargin),
       "training-mix token budgeting: per-lang running-sum admission under a token budget"),
 
+    "q_pack_sequences" -> DeclaredQuery(
+      // sequence packing (training-data assembly): documents are packed
+      // into fixed-token training sequences in deterministic id order
+      // within each lang — seq_id = floor(cum_tokens / seq_len), the
+      // running-sum bucket form (same window discipline as
+      // q_token_budget: integer running sums, no float retraction).
+      // Output is one row per packed sequence with its doc count and
+      // token mass. Scale note: the window partitions by lang (per-key
+      // skew profile documented at q_token_budget); the groupBy after it
+      // is partial-aggregatable.
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .withColumn("seq_id", floor(col("cum_tokens") / lit(512.0)))
+          .groupBy(col("lang"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("seq_tokens"))
+          .orderBy(col("lang"), col("seq_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM d)
+         |SELECT lang, CAST(floor(cum_tokens / 512.0) AS BIGINT) AS seq_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+         |FROM c GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin),
+      "sequence packing: per-lang running-sum bucket ids over fixed-token training sequences"),
+
     "word_freq" -> DeclaredQuery(
       (s, dir) => TextAnalysis.wordFreq(T(s, dir, "documents"), "text")
         .orderBy(desc("cnt"), asc("word")).limit(100),
@@ -1021,6 +1056,23 @@ object Queries {
          |FROM documents ORDER BY doc_id LIMIT 1000""".stripMargin),
       "token counting: whitespace + BPE-ish regex segmentation"),
 
+    "q_bpe_tokens" -> DeclaredQuery(
+      // REAL merge-loop BPE under the checked-in merges table (vs
+      // q_token_bpe's regex approximation, kept for its oracle): per-doc
+      // subword counts + the corpus's most frequent subword pieces.
+      // Table-seeded tokenization is not SQL-expressible → rows-only;
+      // merge-loop semantics are property-tested in BpeSpec.
+      (s, dir) => {
+        val toks = TextAnalysis.bpeTokens(col("text"))
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_bpe"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws"))
+          .orderBy(col("doc_id")).limit(1000)
+      },
+      None,
+      "token counting: real BPE merge-loop subword segmentation (checked-in merges table)"),
+
     "lang_predict" -> DeclaredQuery(
       (s, dir) => T(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
@@ -1468,11 +1520,17 @@ object Queries {
     "ref_search" -> DeclaredQuery(
       (s, dir) => {
         // the complete reference flagship path in-engine (app.py:40-48):
-        // embed corpus + query with the SAME embedder, dot-score, top-5
+        // embed corpus + query with the SAME embedder, dot-score, top-5.
+        // Corpus embedding runs the BATCHED mapPartitions path — the
+        // accelerator throughput shape (one embedAll call per 64 rows);
+        // result-identical to the row-wise UDF by the embedAll contract
+        // (EmbedderSpec). Input projected to (doc_id, text) first:
+        // mapPartitions is an opaque column-pruning boundary.
         val e = Embedder.default
         val qvec = e.embed("table scan fast query").map(_.toDouble).toSeq
-        T(s, dir, "documents")
-          .withColumn("emb", Embedder.asUdf(e)(col("text")))
+        Embedder.embedPartitions(
+          T(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "emb", e)
           .select(col("doc_id"),
             round(VectorFunctions.dot(col("emb"), vecLit(qvec)), 4).as("sim"))
           .orderBy(desc("sim"), asc("doc_id")).limit(5)

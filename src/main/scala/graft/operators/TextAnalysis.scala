@@ -16,6 +16,17 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Real BPE subword tokens of `text` under the checked-in merges table
+    * — the merge-loop algorithm, not a regex approximation
+    * ([[graft.expressions.BpeEncode]], codegen'd static call per row;
+    * table + loop semantics in [[graft.functions.BpeTokenizer]]).
+    * Token-budget / sequence-packing queries that want subword fidelity
+    * count `size(bpeTokens(...))`. */
+  def bpeTokens(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.expressions.BpeEncode(Bridge.expression(text)))
+  }
+
   /** Per-document token stats (B10 + quality scoring): token count,
     * distinct-token count, distinct ratio, chars per token. */
   def docStats(docs: DataFrame, idCol: String, textCol: String,

@@ -38,4 +38,28 @@ class EmbedderSpec extends AnyFunSuite {
     val single = e.embed("one")
     assert(single.map(x => math.abs(x)).sum === 1f)
   }
+
+  test("embedAll contract: batch equals per-row embed elementwise") {
+    val texts = Seq("alpha beta", "", null, "gamma delta epsilon", "alpha beta")
+    val batched = e.embedAll(texts)
+    assert(batched.map(_.toSeq) === texts.map(t => e.embed(t).toSeq))
+  }
+
+  test("embedPartitions: batched mapPartitions ≡ row-wise UDF on the fixture") {
+    val spark = graft.TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    // batchSize 7 deliberately misaligns with partition sizes so the last
+    // ragged batch of each partition is exercised
+    val batched = Embedder.embedPartitions(docs, "text", "emb", e, batchSize = 7)
+    assert(batched.columns.toSeq === Seq("doc_id", "text", "emb"))
+    val viaUdf = docs.withColumn("emb", Embedder.embedCol(e)(col("text")))
+    val got = batched.select("doc_id", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val want = viaUdf.select("doc_id", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(got.size === want.size)
+    assert(got === want)
+  }
 }
