@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, L2Distance, NfcNormalize, Shingles, SimHash64, WinnowFp}
+import graft.expressions.{BpeEncode, DotProduct, L2Distance, NfcNormalize, Shingles, SimHash64, WinnowFp}
 
 /** Engine extensions: registers the native expressions as SQL functions.
   *
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shinglesFunction)
     ext.injectFunction(GraftExtensions.nfcFunction)
     ext.injectFunction(GraftExtensions.winnowFunction)
+    ext.injectFunction(GraftExtensions.bpeFunction)
   }
 }
 
@@ -111,6 +112,14 @@ object GraftExtensions {
       WinnowFp(exprs.head, w)
     })
 
+  private val bpeFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bpe"),
+    new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 1, "graft_bpe(text) takes one string argument")
+      BpeEncode(exprs.head)
+    })
+
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotFunction._1, dotFunction._2, dotFunction._3)
@@ -124,6 +133,8 @@ object GraftExtensions {
       nfcFunction._1, nfcFunction._2, nfcFunction._3)
     spark.sessionState.functionRegistry.registerFunction(
       winnowFunction._1, winnowFunction._2, winnowFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      bpeFunction._1, bpeFunction._2, bpeFunction._3)
   }
 
   /** Column-API handle on the native expression. */

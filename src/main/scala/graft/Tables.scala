@@ -16,7 +16,42 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // One ANALYZED frame per (session, dir, table), fingerprint-guarded —
+  // a declared-set pass (Verify, a Bench round) loads the same ten
+  // tables hundreds of times, and every `spark.read.parquet` call pays
+  // file listing + footer schema inference + analysis again for an
+  // identical immutable lazy plan. Reusing the frame is safe (DataFrames
+  // are immutable descriptions); the fingerprint (mtime, length) guard
+  // rebuilds on fixture regeneration, and keying by session identity
+  // keeps a restarted session from resurrecting frames bound to a
+  // stopped SparkContext. Same one-entry-per-key bound + fingerprint
+  // discipline as Queries.ivfBuildCache / Streams.nanosCache.
+  private val frameCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String), (String, DataFrame)]()
+
+  private def fingerprint(dir: String, name: String): String = {
+    val p = java.nio.file.Paths.get(dir, s"$name.parquet")
+    val (mtime, len) =
+      try (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+        java.nio.file.Files.size(p))
+      catch { case _: java.io.IOException => (-1L, -1L) }
+    s"$mtime|$len"
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // the events conf must be (re)set per call, not only on build: the
+    // scan consults it at EXECUTION time, and a cached frame may be
+    // executed long after the building call returned
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fp = fingerprint(dir, name)
+    frameCache.compute((System.identityHashCode(spark), dir, name),
+      (_, cached) =>
+        if (cached != null && cached._1 == fp) cached
+        else (fp, build(spark, dir, name)))._2
+  }
+
+  private def build(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md §3), which
       // Spark 4 rejects by default. Read the raw int64 nanos and convert
@@ -33,8 +68,8 @@ object Tables {
       // fail at action time. Its only effect is on NANOS-typed columns,
       // which no other fixture table has; a caller who needs strict
       // NANOS rejection for other data can unset it after materializing
-      // every events-derived result.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // every events-derived result. (The conf is set in [[load]] so it
+      // also covers cache hits.)
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (df.schema("ts").dataType == LongType)
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

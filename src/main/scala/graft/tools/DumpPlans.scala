@@ -28,7 +28,17 @@ object DumpPlans {
       "explode chunker; embarrassingly parallel, no shuffle before the sort"),
     "q_decontaminate" -> ("decontamination scan: training side shingled " +
       "row-locally and joined against the BROADCAST eval shingle set — " +
-      "document text never shuffles, only (doc_id, count) partials do"))
+      "document text never shuffles, only (doc_id, count) partials do"),
+    "q_bpe_tokens" -> ("real BPE subword counting: Scan → Project → " +
+      "TakeOrderedAndProject; NO shuffle — tokenization is embarrassingly " +
+      "parallel. The Project is unstarred only because of the n_ws " +
+      "whitespace-count TWIN column (higher-order functions are " +
+      "CodegenFallback); the graft_bpe static call itself fuses into " +
+      "whole-stage codegen, asserted in BpeSpec on a bpe-only projection"),
+    "q_pack_sequences" -> ("sequence packing: the per-lang running-sum " +
+      "window (one exchange on lang) → floor bucket projection → " +
+      "partial+final HashAggregate on (lang, seq_id) — integer sums, " +
+      "no float retraction"))
 
   /** Plan-shape-critical OPERATOR INTERNALS whose declared queries
     * materialize eagerly (their final plans are LocalTableScans): built
@@ -95,7 +105,16 @@ object DumpPlans {
           "edge set is tiny, shuffle when it isn't) unioned with own " +
           "labels → partial+final min(component) per vertex; the " +
           "exchange carries (id, label) longs only",
-        ccRound))
+        ccRound),
+      ("dedup CC (hub-salted propagation round)",
+        "the dense-clique/mirror-hub variant (saltFactor=4): the label " +
+          "side is replicated 4× with explode, the edge side's salt is " +
+          "derived from _src (deterministic, row-distinguishing within a " +
+          "hot _dst key), the join key becomes (_dst, _salt) — one hot " +
+          "vertex's fan-in spreads over 4 tasks; downstream min-agg is " +
+          "unchanged (partial aggregation already collapses hub fan-in " +
+          "map-side)",
+        graft.operators.Dedup.propagateRound(e, labels, saltFactor = 4)))
   }
 
   def main(args: Array[String]): Unit = {

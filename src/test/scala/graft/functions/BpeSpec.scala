@@ -76,6 +76,32 @@ class BpeSpec extends AnyFunSuite {
     assert(lt.encodeWord("lower") === Seq("lower</w>"))
   }
 
+  test("null-safe and registered as SQL function graft_bpe") {
+    val spark = graft.TestSpark.spark
+    graft.GraftExtensions.install(spark)
+    val rows = spark.sql(
+      "SELECT graft_bpe(s) AS p FROM VALUES ('abc bc'), (CAST(NULL AS STRING)) AS t(s)")
+      .collect()
+    assert(rows(0).getSeq[String](0) ===
+      BpeTokenizer.default.encode("abc bc"))
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("graft_bpe projection stays inside whole-stage codegen") {
+    val spark = graft.TestSpark.spark
+    import org.apache.spark.sql.functions.{col, size}
+    val plan = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .select(col("doc_id"),
+        size(graft.operators.TextAnalysis.bpeTokens(col("text"))).as("n_bpe"))
+      .queryExecution.executedPlan.toString
+    // a starred Project = fused into WholeStageCodegen (the HOF-based
+    // n_ws twin in q_bpe_tokens is what pushes THAT query's Project out
+    // of WSCG — higher-order functions are CodegenFallback; the native
+    // expression itself must not)
+    assert(plan.contains("*(1) Project") || plan.contains("* Project"),
+      s"graft_bpe fell out of whole-stage codegen:\n$plan")
+  }
+
   test("native expression ≡ driver-side encode on the fixture") {
     val spark = graft.TestSpark.spark
     import org.apache.spark.sql.functions.col
