@@ -354,6 +354,28 @@ object Queries {
          |FROM c GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin),
       "sequence packing: per-lang running-sum bucket ids over fixed-token training sequences"),
 
+    "q_repetition" -> DeclaredQuery(
+      // Gopher-style repetition quality filter: fraction of a doc's
+      // 2-grams occupied by its single most frequent 2-gram — the
+      // standard boilerplate/spam signal a training mix drops on. Docs
+      // with < 2 tokens have no 2-gram and are excluded in both engines.
+      (s, dir) => TextAnalysis.repetitionStats(
+        T(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)),
+         |                          i -> toks[i] || ' ' || toks[i + 1])) AS gram
+         |  FROM t WHERE len(toks) >= 2),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+         |SELECT doc_id, round(max(cnt)::DOUBLE / sum(cnt), 4) AS rep_ratio,
+         |  CAST(sum(cnt) AS BIGINT) AS n_grams
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "quality scoring: max-2-gram repetition ratio (Gopher-style boilerplate filter)"),
+
     "word_freq" -> DeclaredQuery(
       (s, dir) => TextAnalysis.wordFreq(T(s, dir, "documents"), "text")
         .orderBy(desc("cnt"), asc("word")).limit(100),
@@ -641,6 +663,40 @@ object Queries {
          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
          |FROM documents GROUP BY split ORDER BY split""".stripMargin),
       "deterministic hash-based train/val/test split (retry-safe, engine-portable)"),
+
+    "q_stratified" -> DeclaredQuery(
+      // deterministic STRATIFIED sampling — training-mix construction
+      // with per-source rates (downsample the over-represented language,
+      // keep more of the rare ones). Same Knuth-hash bucket discipline
+      // as q_sample_split (retry-safe, partition-independent,
+      // engine-portable — a per-group sampleBy(rand) would be none of
+      // those); the per-lang rate is a plain CASE threshold on the
+      // bucket, so admission is a row-local projection and the only
+      // shuffle is the final per-lang rollup.
+      (s, dir) => {
+        val bucket = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+          lit(1000L))
+        val thresh = when(col("lang") === "en", 500)
+          .when(col("lang") === "fr", 250).otherwise(100)
+        T(s, dir, "documents")
+          .withColumn("_keep", bucket < thresh)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("_keep"), size(TextAnalysis.tokens(col("text")))
+              .cast("long")).otherwise(0L)).as("kept_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000 <
+         |      (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'fr' THEN 250 ELSE 100 END)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000 <
+         |      (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'fr' THEN 250 ELSE 100 END)
+         |    THEN len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |    ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      "deterministic stratified per-lang sampling (training-mix rates via hash thresholds)"),
 
     "q_unpivot" -> DeclaredQuery(
       // wide→long melt via the native unpivot operator (pure projection +
@@ -1575,6 +1631,28 @@ object Queries {
       },
       None,
       "B6 at-scale layout: IVF corpus partitioned by cluster_id, probe = partition pruning"),
+
+    "ivf_probe_many" -> DeclaredQuery(
+      // BATCHED multi-query probe: both fixed probe vectors answered in
+      // ONE job through the shared partitioned index — per-query probe
+      // sets are a zero-shuffle projection over the plan-constant
+      // centroids, the exploded (query, cluster) relation broadcasts
+      // into the partitioned scan, per-query top-k is the map-side
+      // bounded TopKAggregator. Per-query results ≡ probePartitioned
+      // (IvfIndexSpec). Float-iterative → rows-only per the contract.
+      (s, dir) => {
+        val (path, cents) = sharedIvfIndex(s, dir)
+        import s.implicits._
+        val qs = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+          .toDF("qid", "qvec")
+        localFrame(
+          IvfIndex.probeMany(s, path, "vec_id", "embedding", cents,
+            qs, "qid", "qvec", k = 10, nprobe = 4)
+            .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
+            .orderBy(col("qid"), col("rank")))
+      },
+      None,
+      "B6 batched: multi-query IVF probe in one job (broadcast probe sets + map-side top-k)"),
 
     "ann_lsh" -> DeclaredQuery(
       (s, dir) => graft.operators.HyperplaneLsh.annSearch(

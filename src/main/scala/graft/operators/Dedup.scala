@@ -65,9 +65,15 @@ object Dedup {
     * edge fan-in.
     *
     * `vertices` rows with no incident edge keep their own id as the
-    * component (singletons); edges touching ids NOT in `vertices` are
-    * ignored (semi-join pruned up front), so a foreign id can neither
-    * appear as an output row nor leak in as a component label. Returns
+    * component (singletons) — and they never enter the loop: propagation
+    * runs over the DISTINCT edge endpoints only (dup-graph-sized, not
+    * corpus-sized; at web scale the near-dup graph touches a small
+    * fraction of documents, so per-round shuffle volume is bounded by
+    * the dup families, not the corpus), with untouched vertices unioned
+    * back in the final materializing job. Edges touching ids NOT in
+    * `vertices` are ignored (semi-join pruned up front), so a foreign id
+    * can neither appear as an output row nor leak in as a component
+    * label. Returns
     * (idCol, component) with component = min vertex id reachable —
     * deterministic, SQL-expressible (recursive CTE), so the declared
     * `dedup_clusters` query is oracle-checked.
@@ -109,9 +115,16 @@ object Dedup {
     def checkpointGen(df: DataFrame): DataFrame =
       df.sparkSession.createDataFrame(df.rdd, df.schema).persist(lvl)
 
-    var labels = checkpointGen(vertices
-      .select(col(idCol).cast("long").as("_v"),
-        col(idCol).cast("long").as("component")))
+    // ONLY edge-touched vertices can ever change label — everyone else
+    // keeps its own id by definition. The propagation loop therefore runs
+    // over the DISTINCT edge endpoints (the dup-GRAPH vertex set: at
+    // 100 TB that is dup-family-sized, while the corpus is 100×-1000×
+    // larger — per-round shuffle volume shrinks by the same factor);
+    // untouched vertices are unioned back as their own component in the
+    // final materializing job, never entering a single round.
+    val touched = e.select(col("_src").as("_v")).distinct()
+    var labels = checkpointGen(touched
+      .select(col("_v"), col("_v").as("component")))
     // exact label-mass of a generation: labels are vertex ids folded by
     // min, so they only ever DECREASE — equal mass across a round means
     // no label moved, i.e. convergence. Computing it in the same job
@@ -123,21 +136,7 @@ object Dedup {
       if (d == null) java.math.BigDecimal.ZERO else d
     }
     try {
-      // the generation-0 job doubles as the id-contract check: a null or
-      // non-numeric idCol casts to NULL, which sum() would silently skip —
-      // the mass fixpoint could then report convergence while those
-      // vertices carry null components (a silent wrong answer). One agg,
-      // same job that fills the generation-0 cache.
-      val gen0 = labels.agg(
-        sum(col("component").cast("decimal(38,0)")).as("_m"),
-        count(when(col("component").isNull, 1)).as("_nulls")).head
-      require(gen0.getLong(1) == 0L,
-        s"connectedComponents: ${gen0.getLong(1)} vertex id(s) cast to " +
-          s"NULL long — idCol '$idCol' must be numeric and non-null")
-      var curMass = {
-        val d = gen0.getDecimal(0)
-        if (d == null) java.math.BigDecimal.ZERO else d
-      }
+      var curMass = mass(labels)
       var it = 0
       var converged = false
       while (!converged && it < maxIters) {
@@ -176,8 +175,24 @@ object Dedup {
       require(converged,
         s"connectedComponents did not converge in $maxIters rounds — " +
           "deep-chain graph; raise maxIters or use a pointer-halving variant")
-      val out = labels.select(col("_v").as(idCol), col("component")).persist(lvl)
-      out.count()
+      // untouched vertices re-enter here as their own singleton component
+      val untouched = vs.select(col("_vset").as("_v"))
+        .join(touched, Seq("_v"), "left_anti")
+        .select(col("_v"), col("_v").as("component"))
+      val out = labels.select(col("_v"), col("component"))
+        .union(untouched)
+        .select(col("_v").as(idCol), col("component"))
+        .persist(lvl)
+      // the materializing job doubles as the id-contract check: a null or
+      // non-numeric idCol casts to NULL, which the mass sums would have
+      // silently skipped — fail loudly instead of returning null-labeled
+      // vertices. (Nulls can only arrive via the untouched branch: edge
+      // endpoints pass equi-key semi-joins, which never match null.)
+      val fin = out.agg(count(lit(1)).as("_n"),
+        count(when(col("component").isNull, 1)).as("_nulls")).head
+      require(fin.getLong(1) == 0L,
+        s"connectedComponents: ${fin.getLong(1)} vertex id(s) cast to " +
+          s"NULL long — idCol '$idCol' must be numeric and non-null")
       out
     } finally {
       e.unpersist()

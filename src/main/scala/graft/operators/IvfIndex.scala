@@ -182,6 +182,67 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** BATCHED multi-query probe against a [[writePartitioned]] layout —
+    * the shape for "embed a stream of queries, answer them all through
+    * the index in one job" (vs one driver round-trip per query):
+    *
+    *   - each query row computes its `nprobe` nearest centroids as a
+    *     PURE PROJECTION over the plan-constant centroid array (same
+    *     zero-shuffle discipline as [[withCluster]]; `array_sort` on
+    *     (dist, cid) structs reproduces [[probePartitioned]]'s
+    *     dist-then-id ordering exactly), exploded to (query, cluster_id)
+    *     rows;
+    *   - the (small) exploded query relation is broadcast into an
+    *     equi-join with the partitioned index on `cluster_id` — the
+    *     partition column, so dynamic partition pruning restricts the
+    *     scan to the UNION of probed clusters; the corpus side never
+    *     shuffles;
+    *   - per-query top-k via the map-side bounded
+    *     [[graft.functions.TopKAggregator]] (each map task emits ≤ k
+    *     rows per query BEFORE the exchange — the same 100 TB shape as
+    *     `Search.knnJoinAgg`).
+    *
+    * Returns (qid, idCol, sim, rank). Per-query results are identical to
+    * calling [[probePartitioned]] once per query (asserted in
+    * IvfIndexSpec). */
+  def probeMany(spark: org.apache.spark.sql.SparkSession, path: String,
+                idCol: String, vecCol: String, centroids: DataFrame,
+                queries: DataFrame, qIdCol: String, qVecCol: String,
+                k: Int, nprobe: Int,
+                score: (Column, Column) => Column = dot): DataFrame = {
+    // k centroid rows — driver-resolvable by the same contract as build()
+    val cents = centroids.select(col("cluster_id"), col("centroid")).collect()
+      .toIndexedSeq.map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
+    val centArr = array(cents.map { case (cid, c) =>
+      struct(lit(cid).as("cid"), vecLit(c).as("c"))
+    }: _*)
+    // two projections, not one: the probe-set expression references the
+    // normalized "qvec" alias, and defining + referencing an alias in the
+    // same select would be a lateral-alias reference (unsupported under
+    // a Generate)
+    val base = queries.select(col(qIdCol).as("qid"),
+      transform(col(qVecCol), _.cast("double")).as("qvec"))
+    val dists = transform(centArr, e =>
+      struct(l2Dist(col("qvec"), e.getField("c")).as("dist"),
+        e.getField("cid").as("cid")))
+    val probed = base.select(col("qid"), col("qvec"),
+      explode(transform(slice(array_sort(dists), 1, nprobe),
+        _.getField("cid"))).as("cluster_id"))
+    val scored = spark.read.parquet(path)
+      .join(broadcast(probed), "cluster_id")
+      .select(col("qid"), col(idCol),
+        round(score(col(vecCol), col("qvec")), 4).as("sim"))
+      // undefined similarity (zero-norm → null) is not a neighbor — same
+      // rule as Search.knnJoin
+      .filter(col("sim").isNotNull)
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    scored.groupBy(col("qid"))
+      .agg(topk(col("sim"), col(idCol)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), col("hit._2").as(idCol),
+        col("hit._1").as("sim"), (col("pos") + 1).as("rank"))
+  }
+
   /** Index-accelerated top-k: probe `nprobe` nearest clusters, exact
     * re-rank inside them (B6). `assignments`/`centroids` come from
     * [[build]] (or are read back from a bucketed table at scale). */

@@ -65,6 +65,29 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Repetition-ratio quality signal (the Gopher-style "fraction of
+    * n-grams occupied by the most frequent n-gram" filter — highly
+    * repetitive docs are boilerplate/spam and get dropped from training
+    * mixes): per document, max n-gram count / total n-grams. Docs with
+    * fewer than `n` tokens have no n-gram and are excluded (both engines
+    * of the oracle gate agree on the edge).
+    *
+    * Shape: explode n-grams → two partial-aggregatable groupBys keyed by
+    * (doc, gram) then (doc). Both shuffles carry (doc_id, gram-count)
+    * pairs, never document bodies; keys are document-scoped so skew is
+    * bounded by the longest single document. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame =
+    docs
+      .filter(size(tokens(col(textCol))) >= n)
+      .select(col(idCol), explode(NearDup.shingles(col(textCol), n)).as("_gram"))
+      .groupBy(col(idCol), col("_gram"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("_cnt")).cast("double") / sum(col("_cnt")), 4)
+        .as("rep_ratio"),
+        sum(col("_cnt")).as("n_grams"))
+
   /** Canonical text normalization — the first stage of most training
     * pipelines: lowercase, collapse all whitespace runs to single
     * spaces, trim. Pure codegen'd string expressions, embarrassingly

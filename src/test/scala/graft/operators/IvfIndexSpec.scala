@@ -55,6 +55,40 @@ class IvfIndexSpec extends AnyFunSuite {
       s"probe must prune by partition:\n$plan")
   }
 
+  test("probeMany: batched probe ≡ one probePartitioned per query") {
+    val (assignments, centroids) = built
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfmany").toString + "/corpus"
+    IvfIndex.writePartitioned(emb, "vec_id", assignments, path)
+    // query set: two fixed probe vectors + three corpus vectors (their
+    // own top hit must be themselves at sim ≈ self-dot)
+    val corpusQs = emb.filter($"vec_id".isin(3L, 57L, 120L))
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0) + 1000L,
+        r.getSeq[Float](1).map(_.toDouble).toSeq))
+    val qs = (Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2)) ++ corpusQs)
+      .toDF("qid", "qvec")
+    val batched = IvfIndex.probeMany(spark, path, "vec_id", "embedding",
+      centroids, qs, "qid", "qvec", k = 10, nprobe = 4)
+      .select($"qid", $"vec_id", $"sim", $"rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    qs.collect().foreach { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Double](1)
+      val single = IvfIndex.probePartitioned(spark, path, "vec_id",
+        "embedding", centroids, q, k = 10, nprobe = 4)
+        .select($"vec_id", $"sim").as[(Long, Double)].collect().toSeq
+      assert(batched(qid) === single, s"query $qid diverged")
+    }
+    // the exploded query relation is broadcast (corpus side not shuffled
+    // for the join) and the top-k is partial-aggregatable
+    val plan = IvfIndex.probeMany(spark, path, "vec_id", "embedding",
+      centroids, qs, "qid", "qvec", k = 10, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected partial agg top-k:\n$plan")
+  }
+
   test("a cluster that empties retains its previous centroid (no silent shrink)") {
     // init = the k smallest-id vectors; ids 0 and 1 are identical, so
     // both rows tie to cluster 0 (min struct breaks ties by cluster_id)
