@@ -234,15 +234,28 @@ object Dedup {
                        minJaccard: Double = 0.8, shingleSize: Int = 3,
                        numHashes: Int = 32, bands: Int = 4,
                        pointerJump: Boolean = false): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cands = NearDup.minHashCandidatesMaterialized(
       docs, idCol, textCol, numHashes, bands)
     val edges = NearDup.materializePairs(
       NearDup.jaccardVerify(docs, idCol, textCol, cands, shingleSize)
         .filter(col("jaccard") >= minJaccard)
         .select(col("id_a"), col("id_b")))
+    dedupFromEdges(docs, idCol, edges, pointerJump = pointerJump)
+  }
+
+  /** Stages 3-4 of [[lshDedupPipeline]] over PRECOMPUTED similarity
+    * edges — for callers that already hold (or memoize) the verified
+    * candidate set (several declared queries over one fixture share it;
+    * at cluster scale the edge relation is typically a persisted table
+    * produced by the candidate+verify job). Same return/persist contract
+    * as [[lshDedupPipeline]]. */
+  def dedupFromEdges(docs: DataFrame, idCol: String, edges: DataFrame,
+                     pointerJump: Boolean = false,
+                     saltFactor: Int = 1): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cc = connectedComponents(docs.select(idCol), idCol,
-      edges, "id_a", "id_b", pointerJump = pointerJump)
+      edges, "id_a", "id_b", pointerJump = pointerJump,
+      saltFactor = saltFactor)
     try {
       // component sizes: a vertex-sized (long, long) agg — tiny next to
       // the docs join below
