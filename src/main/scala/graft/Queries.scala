@@ -419,6 +419,72 @@ object Queries {
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "quality scoring: max-2-gram repetition ratio (Gopher-style boilerplate filter)"),
 
+    "q_trainmix_e2e" -> DeclaredQuery(
+      // the TRAINING-MIX assembly pipeline end-to-end against ONE chained
+      // oracle: exact dedup (min-id full row per token fingerprint) →
+      // repetition-quality filter (max-2-gram ratio ≤ 0.2; <2-token docs
+      // drop with it) → stratified per-lang hash admission → per-lang
+      // token budget (running sum ≤ 4000) → packing into 512-token
+      // sequences. Every stage is the declared operator the standalone
+      // queries check individually (dedup_fingerprint, q_repetition,
+      // q_stratified, q_token_budget, q_pack_sequences); here the CHAIN
+      // is what the oracle replays, so stage composition bugs (dropped
+      // columns, filter order, window re-partitioning) can't hide.
+      (s, dir) => {
+        val bucket = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+          lit(1000L))
+        val thresh = when(col("lang") === "en", 500)
+          .when(col("lang") === "fr", 250).otherwise(100)
+        val dd = Dedup.dropDuplicatesByKey(
+          T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+          Dedup.tokenFingerprint(col("text")), col("doc_id"))
+        val rep = TextAnalysis.repetitionStats(dd, "doc_id", "text")
+          .select(col("doc_id"), col("rep_ratio"))
+        val kept = dd.join(rep, "doc_id")
+          .filter(col("rep_ratio") <= 0.2 && bucket < thresh)
+          .select(col("doc_id"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        kept.withColumn("cum", sum(col("n_tokens")).over(w))
+          .filter(col("cum") <= 4000)
+          .withColumn("seq_id", floor(col("cum") / lit(512.0)))
+          .groupBy(col("lang"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+          .orderBy(col("lang"), col("seq_id"))
+      },
+      Some("""WITH dd AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |      row_number() OVER (
+         |        PARTITION BY array_to_string(list_sort(string_split(text, ' ')), ' ')
+         |        ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |t AS (SELECT doc_id, lang,
+         |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |      FROM dd),
+         |g AS (SELECT doc_id,
+         |        unnest(list_transform(range(1, len(toks)),
+         |                              i -> toks[i] || ' ' || toks[i + 1])) AS gram
+         |      FROM t WHERE len(toks) >= 2),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+         |r AS (SELECT doc_id, round(max(cnt)::DOUBLE / sum(cnt), 4) AS rep_ratio
+         |      FROM c GROUP BY doc_id),
+         |k AS (SELECT t.doc_id, t.lang, CAST(len(t.toks) AS BIGINT) AS n_tokens
+         |      FROM t JOIN r ON t.doc_id = r.doc_id
+         |      WHERE r.rep_ratio <= 0.2
+         |        AND ((t.doc_id % 1000003) * 2654435761) % 1000 <
+         |            (CASE WHEN t.lang = 'en' THEN 500
+         |                  WHEN t.lang = 'fr' THEN 250 ELSE 100 END)),
+         |b AS (SELECT doc_id, lang, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM k QUALIFY cum <= 4000)
+         |SELECT lang, CAST(floor(cum / 512.0) AS BIGINT) AS seq_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+         |FROM b GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin),
+      "training-mix assembly e2e: dedup → repetition filter → stratified sample → budget → packing vs one chained oracle"),
+
     "word_freq" -> DeclaredQuery(
       (s, dir) => TextAnalysis.wordFreq(T(s, dir, "documents"), "text")
         .orderBy(desc("cnt"), asc("word")).limit(100),
