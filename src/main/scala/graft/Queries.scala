@@ -84,14 +84,10 @@ object Queries {
   private val ivfBuildCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfBuilt]()
 
-  private def embFingerprint(dir: String): String = {
-    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val (mtime, len) =
-      try (java.nio.file.Files.getLastModifiedTime(p).toMillis,
-        java.nio.file.Files.size(p))
-      catch { case _: java.io.IOException => (-1L, -1L) }
-    s"$dir|$mtime|$len"
-  }
+  // staleness guards share Tables.fixtureFingerprint — ONE definition of
+  // "the fixture regenerated", not one drifting copy per memo
+  private def embFingerprint(dir: String): String =
+    Tables.fixtureFingerprint(dir, "embeddings")
 
   /** The lazy `near_dup_embed_lsh` pipeline over a (vec_id, embedding)
     * frame with known (count, dim): sign-LSH bucket projection →
@@ -133,14 +129,8 @@ object Queries {
   private val minhashEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, MinhashEdges]()
 
-  private def docsFingerprint(dir: String): String = {
-    val p = java.nio.file.Paths.get(dir, "documents.parquet")
-    val (mtime, len) =
-      try (java.nio.file.Files.getLastModifiedTime(p).toMillis,
-        java.nio.file.Files.size(p))
-      catch { case _: java.io.IOException => (-1L, -1L) }
-    s"$dir|$mtime|$len"
-  }
+  private def docsFingerprint(dir: String): String =
+    Tables.fixtureFingerprint(dir, "documents")
 
   private def sharedMinhashVerified(s: SparkSession, dir: String): DataFrame = {
     val fp = docsFingerprint(dir)
@@ -165,9 +155,11 @@ object Queries {
     val built = ivfBuildCache.compute(dir, (_, cached) =>
       if (cached != null && cached.fingerprint == fp) cached
       else {
-        if (cached != null)
-          org.apache.commons.io.FileUtils.deleteQuietly(
-            new java.io.File(cached.indexPath).getParentFile)
+        // a superseded index dir is NOT deleted eagerly: compute()
+        // serializes builders, not consumers — a concurrent probe may be
+        // mid-scan on the old path, and deleting under it would kill
+        // that job. The old tmpRoot stays on disk until process exit
+        // (forceDeleteOnExit below), bounded by the regeneration count.
         val emb = T(s, dir, "embeddings")
         val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
           k = 16, iters = 1)
@@ -438,10 +430,15 @@ object Queries {
         val dd = Dedup.dropDuplicatesByKey(
           T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
           Dedup.tokenFingerprint(col("text")), col("doc_id"))
-        val rep = TextAnalysis.repetitionStats(dd, "doc_id", "text")
-          .select(col("doc_id"), col("rep_ratio"))
-        val kept = dd.join(rep, "doc_id")
-          .filter(col("rep_ratio") <= 0.2 && bucket < thresh)
+        // repetition ratio as the ROW-LOCAL expression twin — joining
+        // repetitionStats back onto dd would reference the dedup subtree
+        // twice and re-execute its corpus-wide shuffle (the
+        // shared-subtree trap); as a projection the chain stays one pass.
+        // <2-token docs get a NULL ratio, and NULL <= 0.2 is NULL → the
+        // filter drops them, same as the aggregate form's exclusion.
+        val kept = dd
+          .filter(TextAnalysis.repetitionRatioCol(col("text")) <= 0.2 &&
+            bucket < thresh)
           .select(col("doc_id"), col("lang"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
         val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))

@@ -16,26 +16,37 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // One ANALYZED frame per (session, dir, table), fingerprint-guarded —
-  // a declared-set pass (Verify, a Bench round) loads the same ten
-  // tables hundreds of times, and every `spark.read.parquet` call pays
-  // file listing + footer schema inference + analysis again for an
-  // identical immutable lazy plan. Reusing the frame is safe (DataFrames
-  // are immutable descriptions); the fingerprint (mtime, length) guard
-  // rebuilds on fixture regeneration, and keying by session identity
-  // keeps a restarted session from resurrecting frames bound to a
-  // stopped SparkContext. Same one-entry-per-key bound + fingerprint
-  // discipline as Queries.ivfBuildCache / Streams.nanosCache.
-  private val frameCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, String), (String, DataFrame)]()
+  // One ANALYZED frame per (dir, table), fingerprint-guarded — a
+  // declared-set pass (Verify, a Bench round) loads the same ten tables
+  // hundreds of times, and every `spark.read.parquet` call pays file
+  // listing + footer schema inference + analysis again for an identical
+  // immutable lazy plan. Reusing the frame is safe (DataFrames are
+  // immutable descriptions). The VALUE carries the building SESSION
+  // (compared by identity — a frame is bound to its session's state and
+  // must never be served to a different or restarted one; an
+  // identity-hash KEY would both collide across GC'd sessions and pin
+  // one entry per dead session forever) plus the (mtime, length)
+  // fingerprint that rebuilds on fixture regeneration. One entry per
+  // (dir, table): a replaced session's frames are evicted on next
+  // access, so retained dead-session frames are bounded by the table
+  // count, not the session count. Same discipline as
+  // Queries.ivfBuildCache / Streams.nanosCache.
+  private final case class CachedFrame(
+      session: SparkSession, fingerprint: String, frame: DataFrame)
 
-  private def fingerprint(dir: String, name: String): String = {
+  private val frameCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), CachedFrame]()
+
+  /** (mtime, length) fingerprint of a fixture table file — the shared
+    * staleness guard for every per-dir memo (this cache,
+    * `Queries`' IVF/MinHash memos, `Streams`' schema probe). */
+  def fixtureFingerprint(dir: String, name: String): String = {
     val p = java.nio.file.Paths.get(dir, s"$name.parquet")
     val (mtime, len) =
       try (java.nio.file.Files.getLastModifiedTime(p).toMillis,
         java.nio.file.Files.size(p))
       catch { case _: java.io.IOException => (-1L, -1L) }
-    s"$mtime|$len"
+    s"$dir|$name|$mtime|$len"
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -44,11 +55,11 @@ object Tables {
     // executed long after the building call returned
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fp = fingerprint(dir, name)
-    frameCache.compute((System.identityHashCode(spark), dir, name),
-      (_, cached) =>
-        if (cached != null && cached._1 == fp) cached
-        else (fp, build(spark, dir, name)))._2
+    val fp = fixtureFingerprint(dir, name)
+    frameCache.compute((dir, name), (_, cached) =>
+      if (cached != null && (cached.session eq spark) &&
+          cached.fingerprint == fp) cached
+      else CachedFrame(spark, fp, build(spark, dir, name))).frame
   }
 
   private def build(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -107,11 +107,17 @@ final class BpeTokenizer(merges: IndexedSeq[(String, String)])
 object BpeTokenizer {
 
   /** Parse a merges table: one merge per line, "left right", in priority
-    * order; blank lines and `#` comments skipped. */
+    * order; blank lines skipped. Only the FIRST line may be a `#` header
+    * comment (the GPT-2-merges-file convention) — treating every
+    * `#`-leading line as a comment would silently drop legitimate merges
+    * whose left symbol starts with '#' (corpora containing `#include`,
+    * `#tag`, …), reloading a DIFFERENT table than was learned. */
   def parseMerges(lines: Iterator[String]): IndexedSeq[(String, String)] =
-    lines.map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l =>
+    lines.zipWithIndex
+      .filter { case (l, i) =>
+        l.trim.nonEmpty && !(i == 0 && l.startsWith("#")) }
+      .map { case (l0, _) =>
+        val l = l0.trim
         val sp = l.indexOf(' ')
         require(sp > 0 && sp < l.length - 1, s"malformed merge line: '$l'")
         (l.substring(0, sp), l.substring(sp + 1))

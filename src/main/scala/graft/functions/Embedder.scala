@@ -156,6 +156,12 @@ object Embedder {
       it.grouped(batchSize).flatMap { batch =>
         val embs = e.embedAll(batch.map(r =>
           if (r.isNullAt(idx)) null else r.getString(idx)))
+        // a broken embedAll override that drops failed inputs would
+        // otherwise truncate the zip below — silent row loss; enforce
+        // the one-embedding-per-text contract loudly
+        require(embs.length == batch.length,
+          s"embedAll contract violation: ${batch.length} texts in, " +
+            s"${embs.length} embeddings out")
         batch.iterator.zip(embs.iterator).map { case (r, v) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.toSeq)
         }

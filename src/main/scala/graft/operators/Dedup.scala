@@ -188,11 +188,18 @@ object Dedup {
       // silently skipped — fail loudly instead of returning null-labeled
       // vertices. (Nulls can only arrive via the untouched branch: edge
       // endpoints pass equi-key semi-joins, which never match null.)
-      val fin = out.agg(count(lit(1)).as("_n"),
-        count(when(col("component").isNull, 1)).as("_nulls")).head
-      require(fin.getLong(1) == 0L,
-        s"connectedComponents: ${fin.getLong(1)} vertex id(s) cast to " +
-          s"NULL long — idCol '$idCol' must be numeric and non-null")
+      // `out` is released on EVERY failure path from here — a caller that
+      // catches the contract error and retries must not accumulate one
+      // leaked vertex-sized cache entry per attempt.
+      val badIds = try {
+        out.agg(count(when(col("component").isNull, 1))).head.getLong(0)
+      } catch { case t: Throwable => out.unpersist(); throw t }
+      if (badIds != 0L) {
+        out.unpersist()
+        throw new IllegalArgumentException(
+          s"connectedComponents: $badIds vertex id(s) cast to " +
+            s"NULL long — idCol '$idCol' must be numeric and non-null")
+      }
       out
     } finally {
       e.unpersist()

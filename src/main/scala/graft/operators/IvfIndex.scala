@@ -178,6 +178,11 @@ object IvfIndex {
     spark.read.parquet(path)
       .filter(col("cluster_id").isin(near.toIndexedSeq: _*))
       .withColumn("sim", round(score(col(vecCol), qlit), 4))
+      // undefined similarity (zero-norm → null score) is not a neighbor
+      // — the engine-wide rule (Search.knnJoin, probeMany); without it a
+      // sparse probed cluster could admit null-sim rows under k and
+      // break the probeMany ≡ probePartitioned equivalence
+      .filter(col("sim").isNotNull)
       .orderBy(desc("sim"), asc(idCol))
       .limit(k)
   }
@@ -260,6 +265,8 @@ object IvfIndex {
       .select(col(idCol))
     corpus.join(candidateIds, idCol)
       .withColumn("sim", round(score(col(vecCol), qlit), 4))
+      // same null-score rule as probePartitioned/probeMany
+      .filter(col("sim").isNotNull)
       .orderBy(desc("sim"), asc(idCol))
       .limit(k)
   }

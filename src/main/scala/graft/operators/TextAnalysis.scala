@@ -88,6 +88,35 @@ object TextAnalysis {
         .as("rep_ratio"),
         sum(col("_cnt")).as("n_grams"))
 
+  /** ROW-LOCAL twin of [[repetitionStats]]: the same max-n-gram /
+    * total-n-gram ratio as a pure projected column — sort the doc's
+    * n-gram array, fold for the longest run of equal elements (equal
+    * grams are contiguous after the sort, so max run = max count). NULL
+    * for docs with fewer than `n` tokens (no n-gram — mirrors the
+    * exclusion in the aggregate form). Equality with the groupBy form is
+    * asserted corpus-wide in TextAnalysisSpec.
+    *
+    * Use this one inside larger pipelines: it adds NO shuffle and NO
+    * second reference to the input subtree (joining [[repetitionStats]]
+    * back to its own source re-executes the source lineage twice — the
+    * shared-subtree trap). The aggregate form remains the standalone
+    * oracle-checked query shape. */
+  def repetitionRatioCol(text: Column, n: Int = 2): Column = {
+    val grams = array_sort(NearDup.shingles(text, n))
+    val folded = aggregate(grams,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(acc.getField("prev").isNotNull &&
+          g === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    when(size(tokens(text)) >= n,
+      round(folded.getField("best").cast("double") / size(grams), 4))
+  }
+
   /** Canonical text normalization — the first stage of most training
     * pipelines: lowercase, collapse all whitespace runs to single
     * spaces, trim. Pure codegen'd string expressions, embarrassingly

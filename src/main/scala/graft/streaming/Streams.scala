@@ -49,14 +49,9 @@ object Streams {
   private val nanosCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
 
-  private def eventsFingerprint(sfDir: String): String = {
-    val p = java.nio.file.Paths.get(sfDir, "events.parquet")
-    val (mtime, len) =
-      try (java.nio.file.Files.getLastModifiedTime(p).toMillis,
-        java.nio.file.Files.size(p))
-      catch { case _: java.io.IOException => (-1L, -1L) }
-    s"$sfDir|$mtime|$len"
-  }
+  // shared staleness guard — see Tables.fixtureFingerprint
+  private def eventsFingerprint(sfDir: String): String =
+    graft.Tables.fixtureFingerprint(sfDir, "events")
 
   def fixtureEventSource(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -76,6 +76,12 @@ class BpeSpec extends AnyFunSuite {
     assert(lt.encodeWord("lower") === Seq("lower</w>"))
   }
 
+  test("parseMerges: only the first line is a comment — '#'-leading symbols survive") {
+    val merges = BpeTokenizer.parseMerges(Iterator(
+      "# header written by LearnBpe", "# i", "#i n", "a b</w>"))
+    assert(merges === Vector(("#", "i"), ("#i", "n"), ("a", "b</w>")))
+  }
+
   test("null-safe and registered as SQL function graft_bpe") {
     val spark = graft.TestSpark.spark
     graft.GraftExtensions.install(spark)

@@ -55,4 +55,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select("n_tokens").as[Long].head
     assert(got === 2L)
   }
+
+  test("repetitionRatioCol ≡ repetitionStats corpus-wide; short docs NULL") {
+    val fixture = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+    val viaAgg = TextAnalysis.repetitionStats(fixture, "doc_id", "text")
+      .select($"doc_id", $"rep_ratio").as[(Long, Double)].collect.toMap
+    val viaCol = fixture.select($"doc_id",
+      TextAnalysis.repetitionRatioCol($"text").as("r"))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(viaCol.collect { case (id, Some(v)) => id -> v } === viaAgg)
+    // docs excluded by the aggregate form (<2 tokens) are exactly the
+    // NULLs of the column form
+    assert(viaCol.collect { case (id, None) => id }.toSet ===
+      (viaCol.keySet -- viaAgg.keySet))
+    // repetitive text scores high, diverse text low, 1-token text null
+    val tiny = Seq((1L, "a b a b a b"), (2L, "u v w x y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = tiny.select($"doc_id",
+      TextAnalysis.repetitionRatioCol($"text").as("r")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toMap
+    assert(got(1L) === 0.6)   // "a b" 3 of 5 grams
+    assert(got(2L) === 0.2)   // 5 distinct grams
+    assert(got(3L) === -1.0)  // no 2-gram
+  }
 }
