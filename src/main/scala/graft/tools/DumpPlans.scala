@@ -38,7 +38,12 @@ object DumpPlans {
     "q_pack_sequences" -> ("sequence packing: the per-lang running-sum " +
       "window (one exchange on lang) → floor bucket projection → " +
       "partial+final HashAggregate on (lang, seq_id) — integer sums, " +
-      "no float retraction"))
+      "no float retraction"),
+    "q_trainmix_e2e" -> ("training-mix assembly chain in ONE pass: scan → " +
+      "dedup (partial+final min-row agg, the only corpus-wide shuffle) → " +
+      "row-local repetition-ratio + hash-admission filters (pure " +
+      "projection — no repetitionStats join, no second dedup subtree) → " +
+      "per-lang window → packing aggregate"))
 
   /** Plan-shape-critical OPERATOR INTERNALS whose declared queries
     * materialize eagerly (their final plans are LocalTableScans): built
