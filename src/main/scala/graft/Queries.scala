@@ -354,6 +354,26 @@ object Queries {
          |ORDER BY lang, doc_id""".stripMargin),
       "training-mix token budgeting: per-lang running-sum admission under a token budget"),
 
+    "q_bpe_budget" -> DeclaredQuery(
+      // q_token_budget's rows-only twin with REAL subword counts: the
+      // budget window runs over size(graft_bpe(text)) — the merge-loop
+      // BPE count a training mix actually budgets on — instead of the
+      // whitespace proxy. Same window discipline (integer running sum,
+      // per-lang, id-ordered); table-seeded tokenization → rows-only per
+      // the contract, with the count semantics pinned by BpeSpec.
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TextAnalysis.bpeTokens(col("text"))).cast("long").as("n_bpe"))
+          .withColumn("cum_bpe", sum(col("n_bpe")).over(w))
+          .filter(col("cum_bpe") <= 2000)
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      None,
+      "training-mix token budgeting on real BPE subword counts (rows-only twin of q_token_budget)"),
+
     "q_pack_sequences" -> DeclaredQuery(
       // sequence packing (training-data assembly): documents are packed
       // into fixed-token training sequences in deterministic id order
