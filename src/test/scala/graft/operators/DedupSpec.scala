@@ -134,6 +134,31 @@ class DedupSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("dedupFromEdges composes with any candidate generator (winnow edges)") {
+    // the pipeline's stages are edge-source-agnostic: winnowing
+    // fingerprint candidates + Jaccard verify feed the same CC +
+    // representative tail, and identical docs must land in one component
+    val slice = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .filter($"doc_id" < 64).select($"doc_id", $"text")
+    val cands = NearDup.winnowCandidatesMaterialized(slice, "doc_id", "text")
+      .select($"id_a", $"id_b")
+    val edges = NearDup.materializePairs(
+      NearDup.jaccardVerify(slice, "doc_id", "text", cands, shingleSize = 3)
+        .filter($"jaccard" >= 0.8).select($"id_a", $"id_b"))
+    val out = Dedup.dedupFromEdges(slice, "doc_id", edges)
+    try {
+      val reps = out.select($"doc_id", $"component", $"n_docs")
+        .as[(Long, Long, Long)].collect()
+      assert(reps.map(_._3).sum === 64L, "components must partition the slice")
+      assert(reps.forall { case (id, comp, _) => id == comp })
+      // the fixture has no byte-identical docs, but its near-dup families
+      // (J ≥ 0.8) share long token runs — winnowing must surface them,
+      // so at least one component merges (non-vacuity of the whole chain)
+      assert(reps.exists(_._3 > 1),
+        "winnow edges produced no merged component — vacuous test")
+    } finally out.unpersist()
+  }
+
   test("connectedComponents: dense clique converges in 2 rounds, salted ≡ plain") {
     // a 10^3-clique — the dense dup-family shape (10^3-way duplicated
     // boilerplate). Diameter 1: round 1 propagates the min label to every
