@@ -312,6 +312,54 @@ object Queries {
          |GROUP BY fp ORDER BY rep_id""".stripMargin),
       "B7: exact dedup on sorted-token fingerprint"),
 
+    "q_incremental_dedup" -> DeclaredQuery(
+      // incremental ingestion, exact tier: the incoming batch (doc_id ≥
+      // 250) is deduped against the existing corpus (doc_id < 250) by
+      // token fingerprint — corpus contributes only its distinct-key
+      // projection to a left-anti join, incoming rows flow once, nothing
+      // over already-ingested data recomputes. Per-lang admit counts.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val kept = Dedup.incrementalExact(
+          docs.filter(col("doc_id") >= 250),
+          Dedup.tokenFingerprint(col("text")),
+          docs.filter(col("doc_id") < 250),
+          Dedup.tokenFingerprint(col("text")))
+        kept.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_admitted"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_admitted, min(doc_id) AS first_id
+         |FROM documents i
+         |WHERE doc_id >= 250 AND NOT EXISTS (
+         |  SELECT 1 FROM documents c WHERE c.doc_id < 250
+         |    AND array_to_string(list_sort(string_split(c.text, ' ')), ' ')
+         |      = array_to_string(list_sort(string_split(i.text, ' ')), ' '))
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+      "incremental ingestion dedup: batch vs existing corpus, distinct-key anti-join"),
+
+    "incr_near_dup" -> DeclaredQuery(
+      // incremental ingestion, near-dup tier: cross-set MinHash-LSH
+      // candidates (incoming meets corpus only inside shared band
+      // buckets) + exact-Jaccard verify over the union relation —
+      // corpus-internal pairs are never regenerated. Seeded-hash →
+      // rows-only per the contract; cross-set shape covered in
+      // NearDupSpec.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val incoming = docs.filter(col("doc_id") >= 250)
+        val corpus = docs.filter(col("doc_id") < 250)
+        val cands = NearDup.materializePairs(
+          NearDup.minHashCrossCandidates(incoming, corpus, "doc_id", "text")
+            .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+        NearDup.jaccardVerify(docs, "doc_id", "text", cands)
+          .filter(col("jaccard") >= 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None,
+      "incremental near-dup: cross-set LSH candidates (batch × corpus buckets) + Jaccard verify"),
+
     "doc_stats" -> DeclaredQuery(
       (s, dir) => TextAnalysis.docStats(T(s, dir, "documents"),
         "doc_id", "text", "n_chars").orderBy(asc("doc_id")),

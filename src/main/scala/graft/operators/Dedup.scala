@@ -37,6 +37,18 @@ object Dedup {
       .select(col("_keep._row.*"))
   }
 
+  /** Incremental ingestion dedup (exact tier): drop incoming rows whose
+    * `key` already exists in the corpus — the daily-batch shape: the
+    * (100 TB) corpus contributes only its DISTINCT key projection to a
+    * left-anti join, the (small) incoming batch is what flows; nothing
+    * is recomputed over already-ingested data. Pair with
+    * [[NearDup.minHashCrossCandidates]] for the near-dup tier. */
+  def incrementalExact(incoming: DataFrame, key: Column,
+                       corpus: DataFrame, corpusKey: Column): DataFrame = {
+    val existing = corpus.select(corpusKey.as("_fp")).distinct()
+    incoming.join(existing, key === col("_fp"), "left_anti")
+  }
+
   /** Connected components over a near-dup pair graph — the CLUSTERING
     * stage between candidate generation (MinHash/SimHash/winnow/embedding
     * buckets) and representative selection: near-duplication is not

@@ -117,6 +117,28 @@ object NearDup {
       .select(col("_id"), col("_bk.band_id"), col("_bk.band_hash"))
   }
 
+  /** CROSS-SET MinHash-LSH candidates — incremental ingestion's near-dup
+    * tier: incoming docs meet EXISTING corpus docs only inside a shared
+    * (band, hash) bucket, exactly like the self-join path but across two
+    * relations — no incoming×corpus cross join, no recomputation of
+    * corpus-internal pairs (those were resolved when the corpus was
+    * ingested). Returns distinct (id_new, id_old). At scale the corpus
+    * bucket relation is a persisted table maintained by the ingestion
+    * job; here both sides are built fresh and each is consumed once, so
+    * no persist is needed (there is no shared-subtree double execution
+    * in a two-relation join). */
+  def minHashCrossCandidates(incoming: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             numHashes: Int = 32, bands: Int = 4): DataFrame = {
+    val a = minHashBuckets(incoming, idCol, textCol, numHashes, bands)
+      .toDF("id_new", "band_id", "band_hash")
+    val b = minHashBuckets(corpus, idCol, textCol, numHashes, bands)
+      .toDF("id_old", "band_id", "band_hash")
+    a.join(b, Seq("band_id", "band_hash"))
+      .select(col("id_new"), col("id_old"))
+      .distinct()
+  }
+
   private def bucketSelfJoin(buckets: DataFrame): DataFrame = {
     val a = buckets.toDF("id_a", "band_id", "band_hash")
     val b = buckets.toDF("id_b", "band_id", "band_hash")

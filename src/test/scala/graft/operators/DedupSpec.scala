@@ -37,6 +37,19 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Set((1L, "the quick fox"), (4L, "something else")))
   }
 
+  test("incrementalExact: admits only fingerprints unseen in the corpus") {
+    val corpus = Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "c b a"),      // reordered dup of 1 (same token multiset)
+      (11L, "new stuff"),  // genuinely new
+      (12L, "x y")         // byte dup of 2
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(incoming,
+      Dedup.tokenFingerprint($"text"), corpus, Dedup.tokenFingerprint($"text"))
+    assert(kept.columns.toSeq === Seq("doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect.toSet === Set(11L))
+  }
+
   test("connectedComponents: chains merge transitively, singletons stay") {
     // components: {1,2,3,4} (a 4-chain — needs >1 propagation round),
     // {10,11}, singleton {20}

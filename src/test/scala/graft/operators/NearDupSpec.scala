@@ -205,6 +205,27 @@ class NearDupSpec extends AnyFunSuite {
     assert(verified.subsetOf(allPairs))
   }
 
+  test("minHashCrossCandidates: identical cross pair collides; cross-set only; disjoint never") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val incoming = Seq(
+      (100L, shared),
+      (101L, "totally unrelated vocabulary nothing here overlaps with anything")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, shared),
+      (2L, "some other corpus document about spark engines and queries today")
+    ).toDF("doc_id", "text")
+    val got = NearDup.minHashCrossCandidates(incoming, corpus, "doc_id", "text")
+      .as[(Long, Long)].collect.toSet
+    // identical shingle sets agree on every band → must collide
+    assert(got.contains((100L, 1L)))
+    // only (incoming, corpus) pairs — never corpus-internal or
+    // incoming-internal (those were resolved at their own ingestion)
+    assert(got.forall { case (n, o) => n >= 100L && o < 100L })
+    // disjoint shingle sets collide only by 64-bit hash accident
+    assert(!got.exists(_._1 == 101L))
+  }
+
   test("embeddingNearDup: self-similar pairs pass the cosine threshold") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)),
