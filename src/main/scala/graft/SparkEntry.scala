@@ -40,6 +40,11 @@ object SparkEntry {
           "1 hour", "30 minutes")),
       "s_dedup" -> ((s, dir) =>
         Streams.dedupWithinWatermark(Streams.fixtureEventSource(s, dir), "1 hour")),
+      // LLM-pipeline tier behind readStream: exact content dedup on the
+      // document stream (B7's streaming twin; batch ≡ stream in
+      // StreamsSpec)
+      "s_doc_dedup" -> ((s, dir) =>
+        Streams.contentDedup(Streams.fixtureDocumentSource(s, dir))),
       "s_running_totals" -> ((s, dir) =>
         Streams.runningUserTotals(Streams.fixtureEventSource(s, dir)).toDF()),
       // stream-stream interval join (B37), q_funnel's 10-minute

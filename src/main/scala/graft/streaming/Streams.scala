@@ -27,6 +27,37 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming source over the documents fixture — the LLM-pipeline tier
+    * behind `readStream` (an ingestion landing path in production). Same
+    * single-file glob + basePath discipline as [[fixtureEventSource]];
+    * no timestamp conversion needed (documents carry no NANOS column). */
+  def fixtureDocumentSource(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(documentSchema).option("basePath", sfDir)
+      .parquet(s"$sfDir/documents.{parquet}")
+
+  /** Streaming exact dedup on CONTENT (B7's streaming twin): incoming
+    * documents deduped on the sorted-token fingerprint — the first
+    * arrival of any token multiset wins, reordered/re-crawled copies are
+    * dropped as they stream in. State holds one fingerprint hash per
+    * distinct document seen (no watermark column on documents; a
+    * production deployment with an ingest timestamp would use
+    * `dropDuplicatesWithinWatermark` to bound state like
+    * [[dedupWithinWatermark]]). The fingerprint expression is EXACTLY
+    * the batch `Dedup.tokenFingerprint` — stream ≡ batch on a replay is
+    * asserted in StreamsSpec. */
+  def contentDedup(docs: DataFrame): DataFrame =
+    docs.withColumn("_fp",
+      graft.operators.Dedup.tokenFingerprint(col("text")))
+      .dropDuplicates("_fp")
+      .drop("_fp")
+
   /** File-based stream source over an events directory (B33). For the
     * fixture, replay the parquet dir; in production this is the landing
     * path written by the ingestion job. */

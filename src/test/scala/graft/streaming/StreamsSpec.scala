@@ -127,7 +127,7 @@ class StreamsSpec extends AnyFunSuite {
     val sq = graft.SparkEntry.streamingQueries
     assert(sq.keySet === Set("s_tumbling", "s_sliding", "s_session",
       "s_watermark_tumbling", "s_dedup", "s_running_totals",
-      "s_click_purchase"))
+      "s_click_purchase", "s_doc_dedup"))
     sq.foreach { case (name, fn) =>
       assert(fn(spark, dir).isStreaming, s"$name must be a streaming frame")
     }
@@ -167,6 +167,14 @@ class StreamsSpec extends AnyFunSuite {
     }
     // fixture event_ids are unique, so within-watermark dedup keeps all
     assert(runAppend("s_dedup").count() === events.count())
+    // the document stream mirror keeps one row per distinct content
+    // fingerprint (the fixture has no exact dups, so all pass — the
+    // dropping behavior is pinned by the dedicated MemoryStream test)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val distinctFps = docs.select(
+      graft.operators.Dedup.tokenFingerprint(col("text")).as("fp"))
+      .distinct().count()
+    assert(runAppend("s_doc_dedup").count() === distinctFps)
     // one emitted row per user in a single batch = that user's full total
     val rt = runAppend("s_running_totals")
       .groupBy("user_id").agg(max("n_events").as("n")).orderBy("user_id")
@@ -184,6 +192,27 @@ class StreamsSpec extends AnyFunSuite {
       "10 MINUTES", "1 hour")
       .select("click_id", "purchase_id").as[(Long, Long)].collect.toSet
     assert(scp === bcp && bcp.nonEmpty)
+  }
+
+  test("s_doc_dedup: content dedup drops reordered dups across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val name = s"sink_${System.nanoTime()}"
+    val q = Streams.contentDedup(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // batch 1: two distinct docs; batch 2: a reordered copy of doc 1 (same
+    // token multiset), a byte copy of doc 2, and one genuinely new doc —
+    // cross-batch state must drop both copies
+    mem.addData(Seq((1L, "the quick fox", "en", "web", 13L),
+      (2L, "other words", "en", "web", 11L)))
+    q.processAllAvailable()
+    mem.addData(Seq((3L, "fox quick the", "en", "web", 13L),
+      (4L, "other words", "en", "web", 11L),
+      (5L, "fresh content", "en", "web", 13L)))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table(name).select("doc_id").as[Long].collect.toSet
+    assert(kept === Set(1L, 2L, 5L))
   }
 
   test("B33 file source: streaming read of the fixture parquet matches batch count") {
