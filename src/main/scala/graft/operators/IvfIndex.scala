@@ -197,11 +197,15 @@ object IvfIndex {
     *     (dist, cid) structs reproduces [[probePartitioned]]'s
     *     dist-then-id ordering exactly), exploded to (query, cluster_id)
     *     rows;
-    *   - the (small) exploded query relation is broadcast into an
-    *     equi-join with the partitioned index on `cluster_id` — the
-    *     partition column, so dynamic partition pruning restricts the
-    *     scan to the UNION of probed clusters; the corpus side never
-    *     shuffles;
+    *   - the UNION of all probed clusters (≤ k distinct ints, resolved
+    *     by one query-relation-sized job) becomes a STATIC
+    *     `cluster_id IN (…)` partition filter on the index scan — only
+    *     probed clusters' files are opened (asserted in IvfIndexSpec;
+    *     Spark's dynamic partition pruning does NOT fire here because
+    *     the probe side carries no selective predicate, so the static
+    *     filter is what delivers the pruning) — and the (small)
+    *     exploded query relation is broadcast into an equi-join with
+    *     that pruned scan; the corpus side never shuffles;
     *   - per-query top-k via the map-side bounded
     *     [[graft.functions.TopKAggregator]] (each map task emits ≤ k
     *     rows per query BEFORE the exchange — the same 100 TB shape as
@@ -233,7 +237,15 @@ object IvfIndex {
     val probed = base.select(col("qid"), col("qvec"),
       explode(transform(slice(array_sort(dists), 1, nprobe),
         _.getField("cid"))).as("cluster_id"))
+    // static partition pruning: the union of probe sets is at most k
+    // distinct ids — resolving it driver-side costs one pass over the
+    // (small, broadcastable-by-contract) query relation and turns the
+    // index scan into `cluster_id IN (…)` partition filtering at
+    // planning time
+    val probedClusters = probed.select(col("cluster_id"))
+      .distinct().collect().map(_.getInt(0))
     val scored = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probedClusters.toIndexedSeq: _*))
       .join(broadcast(probed), "cluster_id")
       .select(col("qid"), col(idCol),
         round(score(col(vecCol), col("qvec")), 4).as("sim"))

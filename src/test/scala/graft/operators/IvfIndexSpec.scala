@@ -81,12 +81,16 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(batched(qid) === single, s"query $qid diverged")
     }
     // the exploded query relation is broadcast (corpus side not shuffled
-    // for the join) and the top-k is partial-aggregatable
+    // for the join), the top-k is partial-aggregatable, and the index
+    // scan is statically partition-pruned to the probed clusters
     val plan = IvfIndex.probeMany(spark, path, "vec_id", "embedding",
       centroids, qs, "qid", "qvec", k = 10, nprobe = 4)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
     assert(plan.contains("ObjectHashAggregate"), s"expected partial agg top-k:\n$plan")
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("cluster_id") && plan.contains(" IN "),
+      s"index scan must be partition-pruned to the probed clusters:\n$plan")
   }
 
   test("a cluster that empties retains its previous centroid (no silent shrink)") {
