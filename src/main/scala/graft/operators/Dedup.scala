@@ -252,14 +252,16 @@ object Dedup {
   def lshDedupPipeline(docs: DataFrame, idCol: String, textCol: String,
                        minJaccard: Double = 0.8, shingleSize: Int = 3,
                        numHashes: Int = 32, bands: Int = 4,
-                       pointerJump: Boolean = false): DataFrame = {
+                       pointerJump: Boolean = false,
+                       saltFactor: Int = 1): DataFrame = {
     val cands = NearDup.minHashCandidatesMaterialized(
       docs, idCol, textCol, numHashes, bands)
     val edges = NearDup.materializePairs(
       NearDup.jaccardVerify(docs, idCol, textCol, cands, shingleSize)
         .filter(col("jaccard") >= minJaccard)
         .select(col("id_a"), col("id_b")))
-    dedupFromEdges(docs, idCol, edges, pointerJump = pointerJump)
+    dedupFromEdges(docs, idCol, edges, pointerJump = pointerJump,
+      saltFactor = saltFactor)
   }
 
   /** Stages 3-4 of [[lshDedupPipeline]] over PRECOMPUTED similarity
