@@ -360,6 +360,36 @@ object Queries {
       None,
       "incremental near-dup: cross-set LSH candidates (batch × corpus buckets) + Jaccard verify"),
 
+    "incr_admit" -> DeclaredQuery(
+      // the incremental ingestion decision end-to-end: incoming batch →
+      // exact-fingerprint anti-join vs corpus → cross-set LSH near-dup
+      // scan vs corpus → admit what survives both tiers. Each tier's
+      // shape is the individually-checked operator (q_incremental_dedup,
+      // incr_near_dup); this chains them into the admit/reject verdict
+      // an ingestion job actually emits. Seeded-hash tier → rows-only.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val incoming = docs.filter(col("doc_id") >= 250)
+        val corpus = docs.filter(col("doc_id") < 250)
+        val exactKept = Dedup.incrementalExact(incoming,
+          Dedup.tokenFingerprint(col("text")),
+          corpus, Dedup.tokenFingerprint(col("text")))
+        val cands = NearDup.materializePairs(
+          NearDup.minHashCrossCandidates(exactKept, corpus, "doc_id", "text")
+            .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+        val nearDupNew = NearDup.jaccardVerify(docs, "doc_id", "text", cands)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_a").as("doc_id")).distinct()
+        localFrame(exactKept
+          .join(nearDupNew, Seq("doc_id"), "left_anti")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_admitted"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy(col("lang")))
+      },
+      None,
+      "incremental admission e2e: exact anti-join tier + cross-set near-dup tier → admitted per lang"),
+
     "doc_stats" -> DeclaredQuery(
       (s, dir) => TextAnalysis.docStats(T(s, dir, "documents"),
         "doc_id", "text", "n_chars").orderBy(asc("doc_id")),

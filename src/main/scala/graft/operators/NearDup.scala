@@ -415,6 +415,30 @@ object NearDup {
       HyperplaneLsh.bucketCol(col(vecCol), ps).as("_bucket"))
   }
 
+  /** CROSS-SET embedding candidates — the vector twin of
+    * [[minHashCrossCandidates]]: incoming vectors meet EXISTING corpus
+    * vectors only inside a shared sign-LSH bucket (same deterministic
+    * planes on both sides), multiprobe exploded on the INCOMING side
+    * (the small one — the corpus bucket relation stays one row per
+    * vector). Returns distinct (id_new, id_old); verify with
+    * [[cosineVerify]] over the union relation. */
+  def embeddingCrossCandidates(incoming: DataFrame, corpus: DataFrame,
+                               idCol: String, vecCol: String,
+                               nBits: Int = 8, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim
+      else corpus.select(size(col(vecCol))).first().getInt(0)
+    val a = embeddingBuckets(incoming, idCol, vecCol, nBits, d)
+      .select(col("_id").as("id_new"),
+        explode(array((col("_bucket") +:
+          (0 until nBits).map(i => col("_bucket").bitwiseXOR(lit(1L << i)))): _*))
+          .as("bucket"))
+    val b = embeddingBuckets(corpus, idCol, vecCol, nBits, d)
+      .select(col("_id").as("id_old"), col("_bucket").as("bucket"))
+    a.join(b, "bucket")
+      .select(col("id_new"), col("id_old"))
+      .distinct()
+  }
+
   private def embeddingBucketJoin(bucketed: DataFrame, nBits: Int): DataFrame = {
     val a = bucketed.toDF("id_a", "bucket")
     val b = bucketed.select(col("_id").as("id_b"),

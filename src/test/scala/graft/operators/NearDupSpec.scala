@@ -226,6 +226,23 @@ class NearDupSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 101L))
   }
 
+  test("embeddingCrossCandidates: identical cross vector collides; cross-set only") {
+    val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val w = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val incoming = Seq((100L, v), (101L, w)).toDF("vec_id", "embedding")
+    val corpus = Seq((1L, v), (2L, v.map(-_))).toDF("vec_id", "embedding")
+    val got = NearDup.embeddingCrossCandidates(incoming, corpus,
+      "vec_id", "embedding", nBits = 6)
+      .as[(Long, Long)].collect.toSet
+    // an identical vector lands in the identical sign bucket → collides
+    assert(got.contains((100L, 1L)))
+    // only (incoming, corpus) pairs ever emit
+    assert(got.forall { case (n, o) => n >= 100L && o < 100L })
+    // the antipodal vector flips EVERY sign bit — 16 > 1-bit multiprobe
+    // reach, so it can never be a candidate of v
+    assert(!got.contains((100L, 2L)))
+  }
+
   test("embeddingNearDup: self-similar pairs pass the cosine threshold") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)),
