@@ -114,17 +114,15 @@ object Queries {
     * signature pass → band self-join → exact-Jaccard verify over the
     * documents table (default 32 hashes / 4 bands / 3-gram verify), and
     * a declared-set pass runs both — without sharing, the set pays the
-    * corpus-wide signature scan twice. The cached value is the VERIFIED
-    * pair set (id_a, id_b, jaccard) — candidate-sized (bounded by LSH
-    * collision probability, not corpus size), so holding its rows
-    * locally is the documented `materializePairs` tier, not a
-    * corpus-sized collect. Fingerprint-guarded, one entry per dir (same
-    * discipline as `ivfBuildCache` / `Streams.nanosCache`); at cluster
-    * scale this memo is a persisted table written by the candidate job. */
-  private final case class MinhashEdges(
-      fingerprint: String,
-      rows: Seq[org.apache.spark.sql.Row],
-      schema: org.apache.spark.sql.types.StructType)
+    * corpus-wide signature scan twice. The verified pair set goes to
+    * DISK as a parquet edge table and the memo holds only the PATH —
+    * the `sharedIvfIndex` discipline: at web scale the verified dup-edge
+    * relation is corpus-order (30-50 % dup rates), so it must never ride
+    * through the driver; consumers re-read the table, exactly as a
+    * cluster deployment reads the edge table its candidate job
+    * persisted. Fingerprint-guarded, one entry per dir (same bound as
+    * `ivfBuildCache` / `Streams.nanosCache`). */
+  private final case class MinhashEdges(fingerprint: String, path: String)
 
   private val minhashEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, MinhashEdges]()
@@ -137,13 +135,19 @@ object Queries {
     val built = minhashEdgeCache.compute(dir, (_, cached) =>
       if (cached != null && cached.fingerprint == fp) cached
       else {
+        // superseded edge dirs are NOT deleted eagerly — same
+        // concurrent-reader reasoning as sharedIvfIndex: compute()
+        // serializes builders, not consumers mid-scan on the old path
         val docs = T(s, dir, "documents")
         val cands = NearDup.minHashCandidatesMaterialized(docs, "doc_id", "text")
-        val verified = NearDup.materializePairs(
-          NearDup.jaccardVerify(docs, "doc_id", "text", cands))
-        MinhashEdges(fp, verified.collect().toSeq, verified.schema)
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-mhedges")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(tmpRoot.toFile)
+        val path = s"$tmpRoot/edges"
+        NearDup.jaccardVerify(docs, "doc_id", "text", cands)
+          .write.mode("overwrite").parquet(path)
+        MinhashEdges(fp, path)
       })
-    s.createDataFrame(java.util.Arrays.asList(built.rows: _*), built.schema)
+    s.read.parquet(built.path)
   }
 
   /** Returns (partitioned-index path, centroids). The index write is the

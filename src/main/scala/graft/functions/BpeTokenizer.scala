@@ -9,7 +9,7 @@ package graft.functions
   * training-mix assembly want real subword counts, not whitespace or
   * regex approximations — this supplies them with a fixed, checked-in
   * merges table (`src/main/resources/graft/bpe_merges.txt`, learned once
-  * from the sf0.001 fixture by [[graft.tools.LearnBpe]]) so results are
+  * from the sf0.01 fixture by [[graft.tools.LearnBpe]]) so results are
   * deterministic across runs and engines.
   *
   * The merge LOOP (not just the table) defines the tokenization: at each
@@ -123,7 +123,7 @@ object BpeTokenizer {
         (l.substring(0, sp), l.substring(sp + 1))
       }.toIndexedSeq
 
-  /** The checked-in default table (learned from the sf0.001 fixture by
+  /** The checked-in default table (learned from the sf0.01 fixture by
     * [[graft.tools.LearnBpe]] — re-run it to regenerate). */
   lazy val default: BpeTokenizer = {
     val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")

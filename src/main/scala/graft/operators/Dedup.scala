@@ -46,7 +46,10 @@ object Dedup {
   def incrementalExact(incoming: DataFrame, key: Column,
                        corpus: DataFrame, corpusKey: Column): DataFrame = {
     val existing = corpus.select(corpusKey.as("_fp")).distinct()
-    incoming.join(existing, key === col("_fp"), "left_anti")
+    // frame-qualified reference: `existing("_fp")` resolves against the
+    // projected corpus side even if `incoming` itself carries a `_fp`
+    // column — an unqualified col("_fp") would be ambiguous there
+    incoming.join(existing, key === existing("_fp"), "left_anti")
   }
 
   /** Connected components over a near-dup pair graph — the CLUSTERING
@@ -273,6 +276,14 @@ object Dedup {
   def dedupFromEdges(docs: DataFrame, idCol: String, edges: DataFrame,
                      pointerJump: Boolean = false,
                      saltFactor: Int = 1): DataFrame = {
+    // the output annotates docs' own columns with these two — a caller
+    // column of the same name would collide in the final projection
+    // (same guard discipline as Skew.saltedJoin's _salt)
+    Seq("component", "n_docs").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"dedupFromEdges: docs already has a '$c' column — rename it; " +
+          "the result appends (component, n_docs)")
+    }
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cc = connectedComponents(docs.select(idCol), idCol,
       edges, "id_a", "id_b", pointerJump = pointerJump,

@@ -211,7 +211,11 @@ object IvfIndex {
     *     rows per query BEFORE the exchange — the same 100 TB shape as
     *     `Search.knnJoinAgg`).
     *
-    * Returns (qid, idCol, sim, rank). Per-query results are identical to
+    * Returns (qid, idCol, sim, rank) — the id comes back as LONG: the
+    * bounded top-k aggregator is monomorphic over (sim, long-id) pairs,
+    * so `idCol` must be an integral column (checked with an explicit
+    * require — a string id fails loudly here; [[probePartitioned]] is
+    * the type-agnostic alternative). Per-query results are identical to
     * calling [[probePartitioned]] once per query (asserted in
     * IvfIndexSpec). */
   def probeMany(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -244,10 +248,22 @@ object IvfIndex {
     // planning time
     val probedClusters = probed.select(col("cluster_id"))
       .distinct().collect().map(_.getInt(0))
-    val scored = spark.read.parquet(path)
+    val idx = spark.read.parquet(path)
+    val idType = idx.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"probeMany: id column '$idCol' is $idType — the bounded top-k " +
+        "aggregator carries (sim, long-id) pairs, so the id must be " +
+        "integral; use probePartitioned for non-integral ids")
+    val scored = idx
       .filter(col("cluster_id").isin(probedClusters.toIndexedSeq: _*))
       .join(broadcast(probed), "cluster_id")
-      .select(col("qid"), col(idCol),
+      // explicit widening cast: the aggregator's input encoder is
+      // (Double, Long), and relying on implicit up-casts for narrower
+      // integral ids is what produced the opaque analysis error
+      .select(col("qid"), col(idCol).cast("long").as(idCol),
         round(score(col(vecCol), col("qvec")), 4).as("sim"))
       // undefined similarity (zero-norm → null) is not a neighbor — same
       // rule as Search.knnJoin
