@@ -45,11 +45,51 @@ object Dedup {
     * [[NearDup.minHashCrossCandidates]] for the near-dup tier. */
   def incrementalExact(incoming: DataFrame, key: Column,
                        corpus: DataFrame, corpusKey: Column): DataFrame = {
-    val existing = corpus.select(corpusKey.as("_fp")).distinct()
-    // frame-qualified reference: `existing("_fp")` resolves against the
-    // projected corpus side even if `incoming` itself carries a `_fp`
-    // column — an unqualified col("_fp") would be ambiguous there
-    incoming.join(existing, key === existing("_fp"), "left_anti")
+    // collision-proof internal alias: `existing("__graft_fp")` is
+    // frame-qualified AND the name itself is reserved-prefixed, so a
+    // caller-side `_fp` (or even an unqualified `key` touching one)
+    // cannot collide with the corpus projection
+    val existing = corpus.select(corpusKey.as("__graft_fp")).distinct()
+    incoming.join(existing, key === existing("__graft_fp"), "left_anti")
+  }
+
+  /** The incremental ingestion ADMISSION decision, both tiers chained —
+    * the kernel the declared `incr_admit` query and the streaming mirror
+    * (`Streams.incrementalAdmission`) share, so batch ≡ stream is the
+    * same code path, not two implementations:
+    *
+    *   1. exact tier: [[incrementalExact]] on the token fingerprint —
+    *      the corpus contributes only its distinct-key projection to a
+    *      left-anti join;
+    *   2. near-dup tier: [[NearDup.minHashCrossCandidates]] (incoming
+    *      meets corpus only inside shared band buckets — corpus-internal
+    *      pairs are never regenerated) + exact-Jaccard verify ≥
+    *      `minJaccard` over the two sides' id/text projections;
+    *   3. admit what survives both tiers.
+    *
+    * Returns the admitted INCOMING rows with all their columns. Incoming
+    * rows are only ever compared against the corpus, never against each
+    * other — which is exactly what makes the micro-batched streaming
+    * replay equal the one-shot batch run regardless of how the incoming
+    * set is split (asserted in StreamsSpec). `incoming` and `corpus`
+    * must both carry `idCol` and `textCol`. */
+  def admitIncoming(incoming: DataFrame, corpus: DataFrame,
+                    idCol: String, textCol: String,
+                    minJaccard: Double = 0.8): DataFrame = {
+    val exactKept = incrementalExact(incoming,
+      tokenFingerprint(col(textCol)), corpus, tokenFingerprint(col(textCol)))
+    val cands = NearDup.materializePairs(
+      NearDup.minHashCrossCandidates(exactKept, corpus, idCol, textCol)
+        .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+    // the verify relation only needs the candidate-touched docs' text:
+    // both sides' (id, text) projections suffice (every pair is one
+    // incoming id × one corpus id by construction)
+    val sides = exactKept.select(col(idCol), col(textCol))
+      .union(corpus.select(col(idCol), col(textCol)))
+    val nearDupNew = NearDup.jaccardVerify(sides, idCol, textCol, cands)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a").as(idCol)).distinct()
+    exactKept.join(nearDupNew, Seq(idCol), "left_anti")
   }
 
   /** Connected components over a near-dup pair graph — the CLUSTERING

@@ -211,13 +211,16 @@ object IvfIndex {
     *     rows per query BEFORE the exchange — the same 100 TB shape as
     *     `Search.knnJoinAgg`).
     *
-    * Returns (qid, idCol, sim, rank) — the id comes back as LONG: the
-    * bounded top-k aggregator is monomorphic over (sim, long-id) pairs,
-    * so `idCol` must be an integral column (checked with an explicit
-    * require — a string id fails loudly here; [[probePartitioned]] is
-    * the type-agnostic alternative). Per-query results are identical to
-    * calling [[probePartitioned]] once per query (asserted in
-    * IvfIndexSpec). */
+    * Returns (qid, idCol, sim, rank) — the id rides through the bounded
+    * top-k aggregator as LONG (the aggregator is monomorphic over
+    * (sim, long-id) pairs, so `idCol` must be an integral column —
+    * checked with an explicit require; a string id fails loudly here and
+    * [[probePartitioned]] is the type-agnostic alternative), then the
+    * final projection casts it BACK to the index's stored type, so the
+    * output schema matches the indexed corpus exactly (a join back to an
+    * int-id corpus needs no implicit widening). Per-query results are
+    * identical to calling [[probePartitioned]] once per query (asserted
+    * in IvfIndexSpec). */
   def probeMany(spark: org.apache.spark.sql.SparkSession, path: String,
                 idCol: String, vecCol: String, centroids: DataFrame,
                 queries: DataFrame, qIdCol: String, qVecCol: String,
@@ -272,7 +275,9 @@ object IvfIndex {
     scored.groupBy(col("qid"))
       .agg(topk(col("sim"), col(idCol)).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
-      .select(col("qid"), col("hit._2").as(idCol),
+      // cast back to the index's stored id type: values originated in
+      // that column, so the narrowing is lossless by construction
+      .select(col("qid"), col("hit._2").cast(idType).as(idCol),
         col("hit._1").as("sim"), (col("pos") + 1).as("rank"))
   }
 

@@ -139,6 +139,49 @@ object NearDup {
       .distinct()
   }
 
+  /** CROSS-SET SimHash candidates — [[minHashCrossCandidates]]'s SimHash
+    * twin for incremental ingestion: incoming docs meet EXISTING corpus
+    * docs only inside a shared 16-bit band bucket, verified by full
+    * Hamming distance ≤ `maxHamming` — no incoming×corpus cross join, no
+    * regeneration of corpus-internal pairs. Returns distinct
+    * (id_new, id_old, hamming); equals [[simHashCandidates]] over the
+    * union restricted to cross pairs (property-tested in NearDupSpec). */
+  def simHashCrossCandidates(incoming: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             maxHamming: Int = 8): DataFrame = {
+    val a = simHashBuckets(incoming, idCol, textCol)
+      .toDF("id_new", "sh_new", "band_id", "band_key")
+    val b = simHashBuckets(corpus, idCol, textCol)
+      .toDF("id_old", "sh_old", "band_id", "band_key")
+    a.join(b, Seq("band_id", "band_key"))
+      .select(col("id_new"), col("id_old"),
+        hamming(col("sh_new"), col("sh_old")).as("hamming"))
+      // same discipline as the self-join: filter BEFORE distinct so the
+      // exchange carries only surviving pairs
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** CROSS-SET winnowing candidates — [[minHashCrossCandidates]]'s
+    * fingerprint twin: incoming docs meet EXISTING corpus docs only
+    * inside a shared winnowing-fingerprint bucket; `minShared` distinct
+    * shared fingerprints filter single-hash accidents exactly like
+    * [[winnowCandidates]]. Returns (id_new, id_old, n_shared); equals
+    * the full-corpus [[winnowCandidates]] restricted to cross pairs
+    * (property-tested in NearDupSpec). */
+  def winnowCrossCandidates(incoming: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String,
+                            window: Int = 4, minShared: Int = 2): DataFrame = {
+    val a = winnowBuckets(incoming, idCol, textCol, window)
+      .toDF("id_new", "_fp")
+    val b = winnowBuckets(corpus, idCol, textCol, window)
+      .toDF("id_old", "_fp")
+    a.join(b, "_fp")
+      .groupBy(col("id_new"), col("id_old"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   private def bucketSelfJoin(buckets: DataFrame): DataFrame = {
     val a = buckets.toDF("id_a", "band_id", "band_hash")
     val b = buckets.toDF("id_b", "band_id", "band_hash")

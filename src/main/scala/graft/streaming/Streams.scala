@@ -58,6 +58,39 @@ object Streams {
       .dropDuplicates("_fp")
       .drop("_fp")
 
+  /** Streaming INCREMENTAL ADMISSION — the LLM-ingestion composition
+    * behind `readStream` (the production shape of the reference's append
+    * path, `app.py:105-118`, upgraded to continuous ingestion): each
+    * micro-batch of incoming documents runs the full two-tier admission
+    * kernel [[graft.operators.Dedup.admitIncoming]] (exact-fingerprint
+    * anti-join vs the corpus + cross-set MinHash-LSH near-dup scan +
+    * Jaccard verify) and `sink` receives the ADMITTED rows of that batch.
+    *
+    * `corpus` is the static persisted corpus the stream is admitted
+    * against — at scale a parquet table maintained by the ingestion job;
+    * the per-batch work is batch-sized on the incoming side (the corpus
+    * contributes only distinct-key / bucket projections, exactly like
+    * the batch `incr_admit` query). Incoming rows are compared ONLY
+    * against the corpus, never each other, so the accumulated admissions
+    * are independent of the micro-batch split and equal the one-shot
+    * batch kernel on the same rows (asserted in StreamsSpec). A
+    * deployment where each batch's admissions should join the corpus for
+    * LATER batches would persist the admitted rows back to the corpus
+    * table inside `sink` and re-read it here — the kernel itself is
+    * unchanged.
+    *
+    * Returns the unstarted writer — attach a trigger/checkpoint and
+    * `.start()` to run. */
+  def incrementalAdmission(docStream: DataFrame, corpus: DataFrame,
+                           idCol: String, textCol: String,
+                           minJaccard: Double = 0.8)
+                          (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Dedup.admitIncoming(
+        batch, corpus, idCol, textCol, minJaccard), batchId)
+    }
+
   /** File-based stream source over an events directory (B33). For the
     * fixture, replay the parquet dir; in production this is the landing
     * path written by the ingestion job. */

@@ -12,6 +12,13 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty || !graft.SparkEntry.queries.contains(args(0))) {
+      System.err.println(
+        "usage: runMain graft.tools.TimeQuery <queryName> [sfDir] [reps]\n" +
+          "valid query names:\n  " +
+          graft.SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      sys.exit(2)
+    }
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
@@ -48,7 +55,10 @@ object TimeQuery {
         .filter(java.nio.file.Files.isDirectory(_)).map(_.toString)
         .getOrElse(sfDir)
     }
-    try fn(spark, warmDir).count() catch { case t: Throwable =>
+    // NonFatal only: a fatal JVM error (OOM, linkage) must propagate, not
+    // be absorbed into a misleading "warm failed" line
+    try fn(spark, warmDir).count()
+    catch { case scala.util.control.NonFatal(t) =>
       println(s"[timequery] warm failed: $t") }
 
     for (r <- 1 to reps) {

@@ -76,6 +76,22 @@ class BpeSpec extends AnyFunSuite {
     assert(lt.encodeWord("lower") === Seq("lower</w>"))
   }
 
+  test("learnDistributed ≡ driver-side learn on a word-frequency dictionary") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // mixed shapes: shared prefixes, a tie pair, repeated chars, 1-char
+    // words — everything the merge fold has to get right
+    val freqs = Map("low" -> 5L, "lower" -> 2L, "lowest" -> 1L,
+      "newer" -> 6L, "wider" -> 3L, "aaaa" -> 4L, "ab" -> 3L, "cd" -> 3L,
+      "a" -> 2L)
+    val expected = BpeTokenizer.learn(freqs, 25)
+    val got = graft.tools.LearnBpe.learnDistributed(spark,
+      freqs.toSeq.toDF("word", "cnt"), 25)
+    assert(got === expected)
+    // both paths exhaust the same corpus at the same merge count
+    assert(got.nonEmpty && got.size <= 25)
+  }
+
   test("parseMerges: only the first line is a comment — '#'-leading symbols survive") {
     val merges = BpeTokenizer.parseMerges(Iterator(
       "# header written by LearnBpe", "# i", "#i n", "a b</w>"))

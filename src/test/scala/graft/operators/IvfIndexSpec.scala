@@ -93,6 +93,26 @@ class IvfIndexSpec extends AnyFunSuite {
       s"index scan must be partition-pruned to the probed clusters:\n$plan")
   }
 
+  test("probeMany: an int-id index returns int ids (stored type preserved)") {
+    val tiny = (0 until 40).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d + 1)))
+    }.toDF("vec_id", "embedding") // vec_id: IntegerType
+    val (assignments, centroids) =
+      IvfIndex.build(tiny, "vec_id", "embedding", k = 4, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfint").toString + "/corpus"
+    IvfIndex.writePartitioned(tiny, "vec_id", assignments, path)
+    val qs = Seq((1L, Seq.tabulate(8)(d => math.sin(d + 1.0))))
+      .toDF("qid", "qvec")
+    val out = IvfIndex.probeMany(spark, path, "vec_id", "embedding",
+      centroids, qs, "qid", "qvec", k = 5, nprobe = 2)
+    assert(out.schema("vec_id").dataType ===
+      org.apache.spark.sql.types.IntegerType,
+      "output id schema must match the index's stored id type")
+    assert(out.count === 5)
+    assignments.unpersist()
+  }
+
   test("a cluster that empties retains its previous centroid (no silent shrink)") {
     // init = the k smallest-id vectors; ids 0 and 1 are identical, so
     // both rows tie to cluster 0 (min struct breaks ties by cluster_id)

@@ -226,6 +226,45 @@ class NearDupSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 101L))
   }
 
+  test("simHashCrossCandidates ≡ full-corpus candidates restricted to cross pairs") {
+    val fixture = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .select($"doc_id", $"text")
+    val split = 250L
+    val cross = NearDup.simHashCrossCandidates(
+      fixture.filter($"doc_id" >= split), fixture.filter($"doc_id" < split),
+      "doc_id", "text", maxHamming = 12)
+      .as[(Long, Long, Int)].collect.toSet
+    // cross-set only: never corpus-internal or incoming-internal pairs
+    assert(cross.forall { case (n, o, _) => n >= split && o < split })
+    // exactly the full-corpus candidate set restricted to pairs that
+    // straddle the split (full pairs carry id_a < id_b; normalize)
+    val full: Set[(Long, Long, Int)] = NearDup.simHashCandidates(
+      fixture, "doc_id", "text", maxHamming = 12)
+      .as[(Long, Long, Int)].collect.toSet
+    val fullCross = full.filter { case (a, b, _) => (a < split) != (b < split) }
+    assert(cross.map { case (n, o, h) =>
+      (math.min(n, o), math.max(n, o), h) } === fullCross)
+    assert(cross.nonEmpty, "fixture must produce at least one cross pair")
+  }
+
+  test("winnowCrossCandidates ≡ full-corpus candidates restricted to cross pairs") {
+    val fixture = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .select($"doc_id", $"text")
+    val split = 250L
+    val cross = NearDup.winnowCrossCandidates(
+      fixture.filter($"doc_id" >= split), fixture.filter($"doc_id" < split),
+      "doc_id", "text")
+      .as[(Long, Long, Long)].collect.toSet
+    assert(cross.forall { case (n, o, _) => n >= split && o < split })
+    val full: Set[(Long, Long, Long)] = NearDup.winnowCandidates(
+      fixture, "doc_id", "text")
+      .as[(Long, Long, Long)].collect.toSet
+    val fullCross = full.filter { case (a, b, _) => (a < split) != (b < split) }
+    assert(cross.map { case (n, o, s) =>
+      (math.min(n, o), math.max(n, o), s) } === fullCross)
+    assert(cross.nonEmpty, "fixture must produce at least one cross pair")
+  }
+
   test("embeddingCrossCandidates: identical cross vector collides; cross-set only") {
     val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val w = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)

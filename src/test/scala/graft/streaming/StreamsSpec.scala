@@ -215,6 +215,47 @@ class StreamsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 2L, 5L))
   }
 
+  test("streaming incremental admission ≡ batch incr_admit on the same rows") {
+    implicit val sql = spark.sqlContext
+    val dir = graft.TestSpark.sf0001
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+    // replay the declared incr_admit query's incoming slice as a stream,
+    // split across THREE micro-batches — admission compares incoming only
+    // against the corpus, so the accumulated admissions must equal the
+    // one-shot batch kernel regardless of the split
+    val rows = incoming
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect.toSeq.sortBy(_._1)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.incrementalAdmission(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      corpus, "doc_id", "text") { (adm, _) =>
+        val ids = adm.select("doc_id").as[Long].collect()
+        admitted.synchronized { admitted ++= ids }
+      }.start()
+    rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    // stream-accumulated admissions ≡ the batch kernel on the same rows
+    val batchIds = graft.operators.Dedup
+      .admitIncoming(incoming, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted.toSet === batchIds && batchIds.nonEmpty)
+    // and ≡ the DECLARED incr_admit row (same kernel, grouped per lang)
+    val declared = graft.SparkEntry.queries("incr_admit")(spark, dir)
+      .as[(String, Long, Long)].collect.toSeq.sortBy(_._1)
+    val streamedGrouped = docs
+      .join(admitted.toSeq.distinct.toDF("doc_id"), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_admitted"), min(col("doc_id")).as("first_id"))
+      .as[(String, Long, Long)].collect.toSeq.sortBy(_._1)
+    assert(streamedGrouped === declared)
+  }
+
   test("B33 file source: streaming read of the fixture parquet matches batch count") {
     val dir = "/root/testdata/sf0.001"
     // file sources need a landing DIRECTORY; stage the fixture file into one
