@@ -113,7 +113,12 @@ object Dedup {
     * extra self-join shuffle), which halves remaining tree height each
     * round and makes the round count logarithmic in the diameter; it
     * costs one extra job + cache generation per round, so leave it off
-    * for shallow graphs. `saltFactor > 1` spreads hub-degree keys in the
+    * for shallow graphs. `starContraction = true` swaps the whole loop
+    * for alternating large-star/small-star edge contraction
+    * ([[starContractionLabels]]) — round count polylog in component
+    * SIZE, the variant for adversarially deep chains (pointerJump and
+    * saltFactor are propagation knobs, ignored with it).
+    * `saltFactor > 1` spreads hub-degree keys in the
     * per-round edges ⋈ labels join over that many tasks (see
     * [[propagateRound]]) — for graphs with dense dup cliques or mirror
     * hubs where one join key would otherwise carry the component's whole
@@ -146,11 +151,24 @@ object Dedup {
     * DETERMINISTICALLY released as soon as it is superseded (including
     * on the non-convergence failure path) — no reliance on context-
     * cleaner GC timing. */
+  /** Lineage-truncated persisted generation for iterative loops:
+    * re-framing over the plan's own RDD bounds the LOGICAL PLAN at one
+    * generation (persist alone does NOT truncate the plan), stays lazy
+    * (the next materializing job populates the cache), and keeps
+    * unpersist() deterministic. The RDD object graph still chains one
+    * hop per generation — fine for the ≤ maxIters CC loops here; a loop
+    * with hundreds of generations wants `localCheckpoint` instead (see
+    * `graft.tools.LearnBpe`). */
+  private def checkpointGen(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 25,
                           pointerJump: Boolean = false,
-                          saltFactor: Int = 1): DataFrame = {
+                          saltFactor: Int = 1,
+                          starContraction: Boolean = false): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // undirected propagation: both directions of every edge, pruned to
     // the vertex set on BOTH endpoints (one-time semi-joins on the
@@ -163,12 +181,6 @@ object Dedup {
       .join(vs.withColumnRenamed("_vset", "_src"), Seq("_src"), "left_semi")
       .join(vs.withColumnRenamed("_vset", "_dst"), Seq("_dst"), "left_semi")
       .persist(lvl)
-    // lineage-truncated persisted generation: re-framing over the plan's
-    // own RDD bounds the logical plan at one generation (persist alone
-    // does NOT truncate the plan), stays lazy (the next mass() job
-    // materializes the cache), and keeps unpersist() deterministic
-    def checkpointGen(df: DataFrame): DataFrame =
-      df.sparkSession.createDataFrame(df.rdd, df.schema).persist(lvl)
 
     // ONLY edge-touched vertices can ever change label — everyone else
     // keeps its own id by definition. The propagation loop therefore runs
@@ -178,8 +190,9 @@ object Dedup {
     // untouched vertices are unioned back as their own component in the
     // final materializing job, never entering a single round.
     val touched = e.select(col("_src").as("_v")).distinct()
-    var labels = checkpointGen(touched
-      .select(col("_v"), col("_v").as("component")))
+    var labels: DataFrame = if (starContraction) null
+      else checkpointGen(touched
+        .select(col("_v"), col("_v").as("component")))
     // exact label-mass of a generation: labels are vertex ids folded by
     // min, so they only ever DECREASE — equal mass across a round means
     // no label moved, i.e. convergence. Computing it in the same job
@@ -191,6 +204,15 @@ object Dedup {
       if (d == null) java.math.BigDecimal.ZERO else d
     }
     try {
+      if (starContraction) {
+        // alternate large-star/small-star edge contraction instead of
+        // per-hop propagation: round count is polylog in the component
+        // DIAMETER, so adversarial deep chains converge inside budgets
+        // plain propagation (or even pointer jumping) blows through.
+        // pointerJump and saltFactor are propagation knobs — ignored
+        // here (contraction has no per-round label join to salt).
+        labels = starContractionLabels(e, maxIters)
+      } else {
       var curMass = mass(labels)
       var it = 0
       var converged = false
@@ -229,7 +251,9 @@ object Dedup {
       }
       require(converged,
         s"connectedComponents did not converge in $maxIters rounds — " +
-          "deep-chain graph; raise maxIters or use a pointer-halving variant")
+          "deep-chain graph; raise maxIters, or set pointerJump/" +
+          "starContraction for logarithmic round counts")
+      }
       // untouched vertices re-enter here as their own singleton component
       val untouched = vs.select(col("_vset").as("_v"))
         .join(touched, Seq("_v"), "left_anti")
@@ -260,8 +284,111 @@ object Dedup {
       e.unpersist()
       // the final generation's cache is superseded by the materialized
       // `out`; on the failure path this releases the last generation too
-      labels.unpersist()
+      // (null only if starContractionLabels threw before returning)
+      if (labels != null) labels.unpersist()
     }
+  }
+
+  /** Connected-component labels via ALTERNATING STAR CONTRACTION — the
+    * public large-star/small-star algorithm (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond") as pure DataFrame
+    * ops, with no per-node neighbor-list materialization (each phase is
+    * a groupBy-min + an equi-join, both map-side-combinable — a hub's
+    * fan-in collapses before the exchange, so no collect_set and no
+    * skew hot-spot):
+    *
+    *   large-star: every node u links each LARGER neighbor v > u to
+    *     m = min(N(u) ∪ {u});
+    *   small-star: every node u links each SMALLER neighbor (and
+    *     itself) to the minimum of its smaller neighborhood.
+    *
+    * The edge set monotonically contracts toward a union of stars, each
+    * centered at its component's minimum id — the round count is
+    * polylogarithmic in component size, vs one round PER HOP for label
+    * propagation. Convergence = the canonical edge set reaches a
+    * fixpoint, detected by a (count, hash-sum) fingerprint computed in
+    * the same job that materializes the generation (the `mass`
+    * discipline of the propagation loop).
+    *
+    * `e` is the bidirectional vertex-pruned edge relation the caller
+    * already built. Returns persisted, materialized (_v, component)
+    * labels for every edge-touched vertex (at the star fixpoint no
+    * vertex is both a center and a leaf, so the union below is
+    * duplicate-free). */
+  private def starContractionLabels(e: DataFrame, maxIters: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // canonical undirected edge set: (lo, hi) with lo < hi, deduped
+    // (self-loops cannot arise — the caller's bidirectional relation
+    // has both directions of every edge, and lo < hi drops u = v)
+    var edges = checkpointGen(
+      e.filter(col("_src") < col("_dst"))
+        .select(col("_src").as("lo"), col("_dst").as("hi"))
+        .distinct())
+    // set fingerprint: (row count, exact sum of per-edge hashes) —
+    // computed in the ONE job that materializes the generation's cache.
+    // Equal fingerprints across a round mean the edge set is a fixpoint
+    // (a 64-bit hash-sum collision between consecutive generations of
+    // the same contraction is astronomically unlikely).
+    def fingerprint(gen: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = gen.agg(count(lit(1)),
+        sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)"))).head
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    def sameFp(a: (Long, java.math.BigDecimal),
+               b: (Long, java.math.BigDecimal)): Boolean =
+      a._1 == b._1 && a._2.compareTo(b._2) == 0
+    try {
+      var fp = fingerprint(edges)
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIters) {
+        // LARGE-STAR: bidirectional view; per node the min of its
+        // neighborhood (∪ self); larger neighbors re-attach to it
+        val bidir = edges.select(col("lo").as("u"), col("hi").as("v"))
+          .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+        val mins = bidir.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+          .select(col("u"), least(col("_mn"), col("u")).as("m"))
+        val ls = checkpointGen(bidir.join(mins, "u")
+          .filter(col("v") > col("u"))
+          .select(col("m").as("lo"), col("v").as("hi"))
+          .distinct())
+        // populate ls BEFORE the small-star self-reference fans out
+        // (three subtrees below read it; a cold cache would be missed
+        // by the concurrent ones — same discipline as
+        // minHashCandidatesMaterialized)
+        ls.count()
+        // SMALL-STAR: the canonical (lo, hi) orientation IS the
+        // point-to-smaller direction; per hi-node the min of its
+        // smaller neighborhood becomes everyone's new attachment
+        val minsS = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+        val ss = checkpointGen(
+          ls.join(minsS, "hi")
+            .filter(col("lo") =!= col("m"))
+            .select(col("m").as("lo"), col("lo").as("hi"))
+            .union(minsS.select(col("m").as("lo"), col("hi")))
+            .distinct())
+        val newFp = fingerprint(ss) // materializes ss through ls's cache
+        ls.unpersist()
+        edges.unpersist()
+        edges = ss
+        converged = sameFp(newFp, fp)
+        fp = newFp
+        it += 1
+      }
+      require(converged,
+        s"star contraction did not converge in $maxIters rounds — " +
+          "raise maxIters (round count is polylog in component size)")
+      // fixpoint = union of stars centered at each component's min id:
+      // every leaf carries exactly one (center, leaf) edge, centers
+      // label themselves
+      val labels = edges.select(col("hi").as("_v"), col("lo").as("component"))
+        .union(edges.select(col("lo").as("_v"), col("lo").as("component"))
+          .distinct())
+        .persist(lvl)
+      labels.count()
+      labels
+    } finally edges.unpersist()
   }
 
   /** The end-to-end SCALE-SHAPED near-dup dedup pipeline — the chain the

@@ -224,4 +224,40 @@ class DedupSpec extends AnyFunSuite {
     try assert(cc.select("component").as[Long].collect.toSet === Set(1L))
     finally cc.unpersist()
   }
+
+  test("star contraction converges where propagation's round budget fails; labels identical") {
+    // a 120-deep chain: min-label propagation moves the min ONE hop per
+    // round, so 10 rounds cannot converge — star contraction's round
+    // count is polylog in component size and fits the same budget with
+    // >2x headroom
+    val n = 120L
+    val vertices = (0L until n).toDF("id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(vertices, "id", chain, "id_a", "id_b",
+        maxIters = 10)
+    }
+    val star = Dedup.connectedComponents(vertices, "id", chain, "id_a", "id_b",
+      maxIters = 10, starContraction = true)
+    try assert(star.select("component").as[Long].collect.toSet === Set(0L))
+    finally star.unpersist()
+    // and on a mixed graph both algorithms produce IDENTICAL labels:
+    // two chains, a clique, a singleton, and ids not in the vertex set
+    val vs2 = (1L to 20L).toDF("id")
+    val es2 = (Seq((1L, 2L), (2L, 3L), (3L, 4L),       // chain -> comp 1
+      (10L, 11L), (11L, 12L),                          // chain -> comp 10
+      (15L, 16L), (16L, 17L), (15L, 17L),              // clique -> comp 15
+      (19L, 99L))                                      // foreign id ignored
+      ).toDF("id_a", "id_b")
+    def labelsOf(starC: Boolean) = {
+      val cc = Dedup.connectedComponents(vs2, "id", es2, "id_a", "id_b",
+        starContraction = starC)
+      try cc.as[(Long, Long)].collect.toMap finally cc.unpersist()
+    }
+    val plain = labelsOf(false)
+    val contracted = labelsOf(true)
+    assert(contracted === plain)
+    assert(plain(4L) === 1L && plain(12L) === 10L && plain(17L) === 15L
+      && plain(18L) === 18L)
+  }
 }
