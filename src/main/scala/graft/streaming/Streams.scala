@@ -91,6 +91,58 @@ object Streams {
         batch, corpus, idCol, textCol, minJaccard), batchId)
     }
 
+  /** [[incrementalAdmission]]'s EVOLVING-CORPUS form — continuous
+    * ingestion proper: each micro-batch is admitted against the corpus
+    * AS OF that batch (initial corpus ∪ every earlier batch's
+    * admissions), so a document that duplicates something admitted two
+    * batches ago is rejected, not re-admitted. This is the production
+    * ingestion loop: `sink` persists the admitted rows (at scale, an
+    * append to the corpus table), and the in-memory corpus generation
+    * mirrors what that table would re-read.
+    *
+    * Corpus generations hold only the (idCol, textCol) projection the
+    * admission kernel consumes. Each generation is a lazy LOCAL
+    * CHECKPOINT materialized before its predecessor is released — the
+    * union chain would otherwise deepen the plan AND the RDD graph by
+    * one per batch (the LearnBpe lesson: plain re-framing overflows the
+    * task deserializer after enough generations). foreachBatch runs
+    * micro-batches strictly sequentially, so the generation swap needs
+    * no synchronization.
+    *
+    * Semantics note shared with the static form: rows WITHIN one
+    * micro-batch are admitted as a set (only compared against the
+    * corpus, not each other) — micro-batch boundaries define the
+    * comparison granularity. A deployment wanting intra-batch near-dup
+    * collapse runs `Dedup.lshDedupPipeline` on the batch before
+    * admission; the cross-batch guarantee here is unaffected.
+    *
+    * `sink` must consume `admitted` synchronously (it is unpersisted
+    * when the callback returns). */
+  def incrementalAdmissionEvolving(docStream: DataFrame,
+                                   initialCorpus: DataFrame,
+                                   idCol: String, textCol: String,
+                                   minJaccard: Double = 0.8)
+                                  (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var corpus = initialCorpus.select(col(idCol), col(textCol)).persist(lvl)
+    docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val admitted = graft.operators.Dedup.admitIncoming(
+        batch, corpus, idCol, textCol, minJaccard).persist(lvl)
+      admitted.count()
+      try {
+        sink(admitted, batchId)
+        // next generation: corpus ∪ this batch's admissions, lineage cut
+        // and materialized BEFORE the inputs it reads from are released
+        val next = corpus.union(admitted.select(col(idCol), col(textCol)))
+          .localCheckpoint(false)
+        next.count()
+        corpus.unpersist()
+        corpus = next
+      } finally admitted.unpersist()
+    }
+  }
+
   /** File-based stream source over an events directory (B33). For the
     * fixture, replay the parquet dir; in production this is the landing
     * path written by the ingestion job. */

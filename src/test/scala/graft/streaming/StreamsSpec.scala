@@ -256,6 +256,51 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamedGrouped === declared)
   }
 
+  test("evolving admission: earlier batches' admissions reject later dups; static corpus would admit them") {
+    implicit val sql = spark.sqlContext
+    // corpus doc 1; doc 21 is its reordered copy (exact-tier reject in
+    // BOTH modes). Doc 20 repeats admitted doc 10's token cycle one more
+    // time: the token MULTISET differs (different fingerprint, passes
+    // the exact tier) but the distinct 3-gram shingle set is identical
+    // (same minhash signature → every band collides; Jaccard = 1.0) —
+    // a deterministic NEAR-DUP of an earlier ADMISSION, not of the
+    // initial corpus. Doc 30 is a byte-copy of admitted doc 11.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((10L, "r s t r s t"),
+        (11L, "one two three four five six")),
+      Seq((20L, "r s t r s t r s t"),
+        (21L, "theta eta zeta epsilon delta gamma beta alpha kappa iota"),
+        (22L, "completely fresh vocabulary nothing overlaps here at all")),
+      Seq((30L, "one two three four five six"),
+        (31L, "brand new words appearing only now in this stream")))
+    def runAdmission(evolving: Boolean): Set[Long] = {
+      val mem = MemoryStream[(Long, String)]
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val docs = mem.toDF().toDF("doc_id", "text")
+      val sink = (adm: org.apache.spark.sql.DataFrame, _: Long) => {
+        val ids = adm.select("doc_id").as[Long].collect()
+        admitted.synchronized { admitted ++= ids }; ()
+      }
+      val q = (if (evolving)
+        Streams.incrementalAdmissionEvolving(docs, corpus, "doc_id", "text")(sink)
+      else
+        Streams.incrementalAdmission(docs, corpus, "doc_id", "text")(sink))
+        .start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      admitted.toSet
+    }
+    assert(runAdmission(evolving = true) === Set(10L, 11L, 22L, 31L))
+    // the static form compares only against the FROZEN initial corpus,
+    // so the cross-batch dups 20 and 30 sail through — the evolving
+    // corpus is what rejects them
+    assert(runAdmission(evolving = false) ===
+      Set(10L, 11L, 20L, 22L, 30L, 31L))
+  }
+
   test("B33 file source: streaming read of the fixture parquet matches batch count") {
     val dir = "/root/testdata/sf0.001"
     // file sources need a landing DIRECTORY; stage the fixture file into one
