@@ -53,7 +53,9 @@ object Bench {
     // builds for the TIMED dir here so the probe/dedup rows measure the
     // steady-state consumption, not the amortized build. The builds ARE
     // timed, as their own "infra" JSON entries — the asymmetry stays
-    // auditable instead of invisible.
+    // auditable instead of invisible. (When the timed dir IS the warm
+    // sibling — an sf0.001 smoke — the warmup loop already built the
+    // memos, so the infra lines show the memo-hit cost, not a build.)
     val infra = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timeInfra(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
