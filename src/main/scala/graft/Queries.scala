@@ -415,6 +415,43 @@ object Queries {
       None,
       "incremental admission e2e: exact anti-join tier + cross-set near-dup tier → admitted per lang"),
 
+    "incr_admit_seq" -> DeclaredQuery(
+      // TWO-DAY sequential ingestion replay — the batch twin of
+      // Streams.incrementalAdmissionEvolving (same kernel, chained):
+      // day 1 (doc_id 250-374) is admitted against the corpus
+      // (doc_id < 250); day 2 (doc_id ≥ 375) is admitted against
+      // corpus ∪ DAY-1 ADMISSIONS, so a day-2 document duplicating a
+      // day-1 admission is rejected even though neither is in the
+      // original corpus. Day-1 admissions are persisted before day 2
+      // references them (the kernel reads its corpus side three times —
+      // distinct-fingerprint projection, band buckets, verify side; at
+      // scale this persist is the write to the corpus table itself).
+      // Seeded-hash near-dup tier → rows-only per the contract; the
+      // evolving semantics are pinned deterministically in StreamsSpec.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 250)
+        val day1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+        val day2 = docs.filter(col("doc_id") >= 375)
+        val adm1 = Dedup.admitIncoming(day1, corpus, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          adm1.count()
+          val corpus2 = corpus.select(col("doc_id"), col("text"))
+            .union(adm1.select(col("doc_id"), col("text")))
+          val adm2 = Dedup.admitIncoming(day2, corpus2, "doc_id", "text")
+          localFrame(
+            adm1.select(col("doc_id"), col("lang"), lit(1L).as("day"))
+              .union(adm2.select(col("doc_id"), col("lang"), lit(2L).as("day")))
+              .groupBy(col("day"), col("lang"))
+              .agg(count(lit(1)).as("n_admitted"),
+                min(col("doc_id")).as("first_id"))
+              .orderBy(col("day"), col("lang")))
+        } finally adm1.unpersist()
+      },
+      None,
+      "sequential ingestion e2e: day-2 admission runs against corpus ∪ day-1 admissions (evolving-corpus batch twin)"),
+
     "doc_stats" -> DeclaredQuery(
       (s, dir) => TextAnalysis.docStats(T(s, dir, "documents"),
         "doc_id", "text", "n_chars").orderBy(asc("doc_id")),
