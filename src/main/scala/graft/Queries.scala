@@ -390,6 +390,41 @@ object Queries {
       None,
       "incremental near-dup, SimHash tier: cross-set banded candidates + Hamming verify"),
 
+    "incr_near_dup_embed" -> DeclaredQuery(
+      // the VECTOR tier of incremental ingestion, driver-visible:
+      // incoming vectors meet the existing corpus only inside shared
+      // sign-LSH buckets (1-bit multiprobe exploded on the INCOMING
+      // side — the small one), verified by exact cosine over the
+      // candidate-touched ids — no incoming×corpus cross join, no
+      // corpus-internal pairs. The split is SF-proportional
+      // (vec_id % 5: 20 % incoming at every scale factor) and the
+      // nBits sizing rule is the same occupancy-constant formula as
+      // near_dup_embed_lsh. Float cosine → rows-only per the contract;
+      // the cross-set shape is covered in NearDupSpec.
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+          val incoming = emb.filter(col("vec_id") % 5 === 0)
+          // one cache-populating job doubles as the (count, dim) fetch
+          val meta = corpus.agg(count(lit(1)).as("n"),
+            first(size(col("embedding"))).as("d")).head()
+          val nBits = math.max(6,
+            math.ceil(math.log(meta.getLong(0) / 4.0) / math.log(2.0)).toInt)
+          val cands = NearDup.materializePairs(
+            NearDup.embeddingCrossCandidates(incoming, corpus,
+              "vec_id", "embedding", nBits, meta.getInt(1))
+              .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+          localFrame(NearDup.cosineVerify(emb, "vec_id", "embedding", cands)
+            .filter(col("cos") >= 0.3)
+            .orderBy(col("id_a"), col("id_b")))
+        } finally emb.unpersist()
+      },
+      None,
+      "incremental near-dup, vector tier: cross-set sign-LSH candidates + exact-cosine verify"),
+
     "incr_admit" -> DeclaredQuery(
       // the incremental ingestion decision end-to-end: incoming batch →
       // exact-fingerprint anti-join vs corpus → cross-set LSH near-dup
