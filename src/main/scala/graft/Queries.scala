@@ -390,6 +390,26 @@ object Queries {
       None,
       "incremental near-dup, SimHash tier: cross-set banded candidates + Hamming verify"),
 
+    "incr_near_dup_winnow" -> DeclaredQuery(
+      // the winnowing-fingerprint variant of the incremental near-dup
+      // tier: incoming docs meet the corpus only inside shared
+      // fingerprint buckets (n_shared ≥ 2 filters single-hash
+      // accidents), completing the declared cross-set family —
+      // MinHash (incr_near_dup), SimHash (incr_near_dup_simhash),
+      // embedding (incr_near_dup_embed), winnowing (this row).
+      // Seeded-hash → rows-only; cross ≡ restricted-full-corpus is
+      // property-tested in NearDupSpec.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        NearDup.winnowCrossCandidates(
+            docs.filter(col("doc_id") >= 250),
+            docs.filter(col("doc_id") < 250),
+            "doc_id", "text")
+          .orderBy(col("id_new"), col("id_old"))
+      },
+      None,
+      "incremental near-dup, winnowing tier: cross-set fingerprint-bucket candidates"),
+
     "incr_near_dup_embed" -> DeclaredQuery(
       // the VECTOR tier of incremental ingestion, driver-visible:
       // incoming vectors meet the existing corpus only inside shared
