@@ -63,8 +63,10 @@ object Dedup {
     *      left-anti join;
     *   2. near-dup tier: [[NearDup.minHashCrossCandidates]] (incoming
     *      meets corpus only inside shared band buckets — corpus-internal
-    *      pairs are never regenerated) + exact-Jaccard verify ≥
-    *      `minJaccard` over the two sides' id/text projections;
+    *      pairs are never regenerated) + cross-set exact-Jaccard verify
+    *      ≥ `minJaccard` ([[NearDup.jaccardVerifyCross]] — each side's
+    *      text is fetched from its OWN relation, so an incoming id that
+    *      collides with a corpus id cannot mix texts);
     *   3. admit what survives both tiers.
     *
     * Returns the admitted INCOMING rows with all their columns. Incoming
@@ -79,17 +81,41 @@ object Dedup {
     val exactKept = incrementalExact(incoming,
       tokenFingerprint(col(textCol)), corpus, tokenFingerprint(col(textCol)))
     val cands = NearDup.materializePairs(
-      NearDup.minHashCrossCandidates(exactKept, corpus, idCol, textCol)
-        .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
-    // the verify relation only needs the candidate-touched docs' text:
-    // both sides' (id, text) projections suffice (every pair is one
-    // incoming id × one corpus id by construction)
-    val sides = exactKept.select(col(idCol), col(textCol))
-      .union(corpus.select(col(idCol), col(textCol)))
-    val nearDupNew = NearDup.jaccardVerify(sides, idCol, textCol, cands)
+      NearDup.minHashCrossCandidates(exactKept, corpus, idCol, textCol))
+    val nearDupNew = NearDup.jaccardVerifyCross(
+      exactKept, corpus, idCol, textCol, cands)
       .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a").as(idCol)).distinct()
+      .select(col("id_new").as(idCol)).distinct()
     exactKept.join(nearDupNew, Seq(idCol), "left_anti")
+  }
+
+  /** The VECTOR-TIER incremental admission decision — [[admitIncoming]]
+    * for an embedding-indexed corpus: incoming vectors meet existing
+    * corpus vectors only inside shared sign-LSH buckets
+    * ([[NearDup.embeddingCrossCandidates]] — multiprobe exploded on the
+    * small incoming side), candidates are verified by exact cosine
+    * ([[NearDup.cosineVerifyCross]]), and an incoming row whose cosine
+    * against ANY corpus vector reaches `minCosine` is rejected. No
+    * separate exact tier: a byte-identical vector has cosine 1.0 and
+    * shares its duplicate's bucket by construction, so the LSH tier
+    * subsumes it.
+    *
+    * Same cross-set contract as the text kernel: incoming rows are
+    * compared only against the corpus, never each other — micro-batch
+    * splits of the incoming set accumulate to the one-shot batch result
+    * (asserted in StreamsSpec), and the corpus contributes only its
+    * bucket projection plus candidate-touched vectors, never a
+    * corpus-sized shuffle. */
+  def admitIncomingVectors(incoming: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String,
+                           minCosine: Double = 0.9,
+                           nBits: Int = 8): DataFrame = {
+    val cands = NearDup.materializePairs(
+      NearDup.embeddingCrossCandidates(incoming, corpus, idCol, vecCol, nBits))
+    val dupNew = NearDup.cosineVerifyCross(incoming, corpus, idCol, vecCol, cands)
+      .filter(col("cos") >= minCosine)
+      .select(col("id_new").as(idCol)).distinct()
+    incoming.join(dupNew, Seq(idCol), "left_anti")
   }
 
   /** Connected components over a near-dup pair graph — the CLUSTERING
@@ -174,10 +200,18 @@ object Dedup {
     // the vertex set on BOTH endpoints (one-time semi-joins on the
     // bounded edge relation)
     val vs = vertices.select(col(idCol).cast("long").as("_vset"))
+    // self-loops are dropped up front: they carry no connectivity (a
+    // vertex is always in its own min-neighborhood), and keeping them
+    // would admit the vertex into `touched` while star contraction's
+    // lo < hi canonicalization never labels it — the two modes would
+    // disagree and the vertex would vanish from the output. Without
+    // them a self-loop-only vertex takes the `untouched` singleton
+    // branch in BOTH modes.
     val e = edges
       .select(col(srcCol).cast("long").as("_src"), col(dstCol).cast("long").as("_dst"))
       .union(edges
         .select(col(dstCol).cast("long").as("_src"), col(srcCol).cast("long").as("_dst")))
+      .filter(col("_src") =!= col("_dst"))
       .join(vs.withColumnRenamed("_vset", "_src"), Seq("_src"), "left_semi")
       .join(vs.withColumnRenamed("_vset", "_dst"), Seq("_dst"), "left_semi")
       .persist(lvl)
@@ -318,8 +352,8 @@ object Dedup {
   private def starContractionLabels(e: DataFrame, maxIters: Int): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // canonical undirected edge set: (lo, hi) with lo < hi, deduped
-    // (self-loops cannot arise — the caller's bidirectional relation
-    // has both directions of every edge, and lo < hi drops u = v)
+    // (self-loops were already filtered out of the caller's `e`, so
+    // lo < hi only fixes orientation — it never drops a vertex)
     var edges = checkpointGen(
       e.filter(col("_src") < col("_dst"))
         .select(col("_src").as("lo"), col("_dst").as("hi"))

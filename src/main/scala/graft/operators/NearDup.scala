@@ -426,6 +426,31 @@ object NearDup {
           size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
   }
 
+  /** CROSS-SET exact-Jaccard verification — [[jaccardVerify]] for
+    * (id_new, id_old) candidate pairs whose two ids live in DIFFERENT
+    * relations (incoming vs corpus). Each side is shingled separately
+    * and pruned to its own candidate-touched ids, so an incoming id that
+    * happens to collide with a corpus id can never mix texts across the
+    * sides (the hazard of unioning both sides into one relation before
+    * verifying). Returns (id_new, id_old, jaccard). */
+  def jaccardVerifyCross(incoming: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String,
+                         pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    def side(df: DataFrame, asId: String, asSh: String) =
+      df.select(col(idCol).as(asId),
+        array_distinct(shingles(col(textCol), shingleSize)).as(asSh))
+        // empty docs have no shingle set — Jaccard is undefined (0/0);
+        // drop them rather than diverge between engines on the edge
+        .filter(size(TextAnalysis.tokens(col(textCol))) > 0)
+        .join(pairs.select(col(asId)).distinct(), Seq(asId), "left_semi")
+    pairs
+      .join(side(incoming, "id_new", "sh_new"), "id_new")
+      .join(side(corpus, "id_old", "sh_old"), "id_old")
+      .select(col("id_new"), col("id_old"),
+        round(size(array_intersect(col("sh_new"), col("sh_old"))).cast("double") /
+          size(array_union(col("sh_new"), col("sh_old"))), 4).as("jaccard"))
+  }
+
   /** Embedding near-dup candidate pairs via sign-random-projection LSH —
     * the SCALE path for embedding-cosine dedup: vectors meet only inside
     * a shared hyperplane-sign bucket (see
@@ -541,6 +566,27 @@ object NearDup {
       .select(col("id_a"), col("id_b"),
         round(VectorFunctions.dot(col("va"), col("vb")) /
           (col("na") * col("nb")), 4).as("cos"))
+  }
+
+  /** CROSS-SET exact-cosine verification — [[cosineVerify]] for
+    * (id_new, id_old) pairs whose ids live in different relations
+    * (incoming vs corpus), the vector twin of [[jaccardVerifyCross]]:
+    * each side's vectors and norms are fetched only for its own
+    * candidate-touched ids, and an id collision between the sides cannot
+    * mix vectors. Returns (id_new, id_old, cos). */
+  def cosineVerifyCross(incoming: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String,
+                        pairs: DataFrame): DataFrame = {
+    def side(df: DataFrame, asId: String, asV: String, asN: String) =
+      df.select(col(idCol).as(asId), col(vecCol).as(asV),
+        VectorFunctions.l2Norm(col(vecCol)).as(asN))
+        .join(pairs.select(col(asId)).distinct(), Seq(asId), "left_semi")
+    pairs
+      .join(side(incoming, "id_new", "v_new", "n_new"), "id_new")
+      .join(side(corpus, "id_old", "v_old", "n_old"), "id_old")
+      .select(col("id_new"), col("id_old"),
+        round(VectorFunctions.dot(col("v_new"), col("v_old")) /
+          (col("n_new") * col("n_old")), 4).as("cos"))
   }
 
   /** Embedding-cosine near-dup pairs within a (bounded) id range —

@@ -260,4 +260,24 @@ class DedupSpec extends AnyFunSuite {
     assert(plain(4L) === 1L && plain(12L) === 10L && plain(17L) === 15L
       && plain(18L) === 18L)
   }
+
+  test("self-loop edges: vertex kept as singleton, identical in both modes") {
+    // vertex 5's ONLY edge is a self-loop (a near-dup pipeline can emit
+    // one when a doc matches its own alternate encoding); vertex 1 has a
+    // self-loop AND a real edge. Self-loops carry no connectivity, so 5
+    // must survive as its own singleton — in BOTH label-propagation and
+    // star-contraction modes (the latter used to drop it: the loop put 5
+    // into the touched set while lo<hi canonicalization erased its only
+    // edge, so it was neither labeled nor unioned back)
+    val vs = Seq(1L, 2L, 5L, 7L).toDF("id")
+    val es = Seq((1L, 2L), (1L, 1L), (5L, 5L)).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 7L)
+    for (starC <- Seq(false, true)) {
+      val cc = Dedup.connectedComponents(vs, "id", es, "id_a", "id_b",
+        starContraction = starC)
+      try assert(cc.as[(Long, Long)].collect.toMap === expected,
+        s"starContraction=$starC")
+      finally cc.unpersist()
+    }
+  }
 }
