@@ -91,23 +91,73 @@ object Streams {
         batch, corpus, idCol, textCol, minJaccard), batchId)
     }
 
-  /** [[incrementalAdmission]]'s EVOLVING-CORPUS form — continuous
-    * ingestion proper: each micro-batch is admitted against the corpus
-    * AS OF that batch (initial corpus ∪ every earlier batch's
-    * admissions), so a document that duplicates something admitted two
-    * batches ago is rejected, not re-admitted. This is the production
-    * ingestion loop: `sink` persists the admitted rows (at scale, an
-    * append to the corpus table), and the in-memory corpus generation
-    * mirrors what that table would re-read.
+  /** The shared EVOLVING-CORPUS foreachBatch loop behind
+    * [[incrementalAdmissionEvolving]] and its vector twin
+    * [[incrementalVectorAdmissionEvolving]]: each micro-batch is admitted
+    * (via `admit`) against the corpus AS OF that batch (initial corpus ∪
+    * every earlier batch's admissions), `sink` receives the admitted
+    * rows, and the admissions' `cols` projection joins the corpus for
+    * later batches.
     *
-    * Corpus generations hold only the (idCol, textCol) projection the
-    * admission kernel consumes. Each generation is a lazy LOCAL
-    * CHECKPOINT materialized before its predecessor is released — the
-    * union chain would otherwise deepen the plan AND the RDD graph by
-    * one per batch (the LearnBpe lesson: plain re-framing overflows the
-    * task deserializer after enough generations). foreachBatch runs
+    * Corpus generations hold only the `cols` projection the admission
+    * kernel consumes. Each generation is a lazy LOCAL CHECKPOINT
+    * materialized before its predecessor is released — the union chain
+    * would otherwise deepen the plan AND the RDD graph by one per batch
+    * (the LearnBpe lesson: plain re-framing overflows the task
+    * deserializer after enough generations). foreachBatch runs
     * micro-batches strictly sequentially, so the generation swap needs
     * no synchronization.
+    *
+    * Lifecycle contract: the corpus generation lives in THIS process's
+    * memory, not in the stream checkpoint — so the writer is
+    * SINGLE-START/NON-RECOVERABLE (a checkpoint-recovered query resuming
+    * at batchId > 0 would see the initial corpus, not the evolved one).
+    * Starting the writer (or a fresh one from the same call) again DOES
+    * reset cleanly: batchId == 0 re-initializes the corpus from
+    * `initialCorpus` and releases the previous run's last generation.
+    * The final generation stays cached until that reset or process end —
+    * a deployment needing deterministic release persists admissions to
+    * the corpus TABLE inside `sink` and re-reads it instead (the
+    * static-corpus form). */
+  private def evolvingAdmission(docStream: DataFrame,
+                                initialCorpus: DataFrame,
+                                cols: Seq[String],
+                                admit: (DataFrame, DataFrame) => DataFrame)
+                               (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val init = initialCorpus.select(cols.map(col): _*)
+    var corpus: DataFrame = null
+    docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // batch 0 of a (re)started query begins from the INITIAL corpus —
+      // without this, a second .start() of the returned writer would
+      // silently resume from the previous run's in-memory generations
+      if (batchId == 0L || corpus == null) {
+        if (corpus != null) corpus.unpersist()
+        corpus = init.persist(lvl)
+      }
+      val admitted = admit(batch, corpus).persist(lvl)
+      admitted.count()
+      try {
+        sink(admitted, batchId)
+        // next generation: corpus ∪ this batch's admissions, lineage cut
+        // and materialized BEFORE the inputs it reads from are released
+        val next = corpus.union(admitted.select(cols.map(col): _*))
+          .localCheckpoint(false)
+        next.count()
+        corpus.unpersist()
+        corpus = next
+      } finally admitted.unpersist()
+    }
+  }
+
+  /** [[incrementalAdmission]]'s EVOLVING-CORPUS form — continuous
+    * ingestion proper: each micro-batch is admitted against the corpus
+    * AS OF that batch, so a document that duplicates something admitted
+    * two batches ago is rejected, not re-admitted. This is the
+    * production ingestion loop: `sink` persists the admitted rows (at
+    * scale, an append to the corpus table), and the in-memory corpus
+    * generation mirrors what that table would re-read.
     *
     * Semantics note shared with the static form: rows WITHIN one
     * micro-batch are admitted as a set (only compared against the
@@ -117,31 +167,54 @@ object Streams {
     * admission; the cross-batch guarantee here is unaffected.
     *
     * `sink` must consume `admitted` synchronously (it is unpersisted
-    * when the callback returns). */
+    * when the callback returns). Single-start/non-recoverable — see
+    * [[evolvingAdmission]]'s lifecycle contract. */
   def incrementalAdmissionEvolving(docStream: DataFrame,
                                    initialCorpus: DataFrame,
                                    idCol: String, textCol: String,
                                    minJaccard: Double = 0.8)
                                   (sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var corpus = initialCorpus.select(col(idCol), col(textCol)).persist(lvl)
-    docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val admitted = graft.operators.Dedup.admitIncoming(
-        batch, corpus, idCol, textCol, minJaccard).persist(lvl)
-      admitted.count()
-      try {
-        sink(admitted, batchId)
-        // next generation: corpus ∪ this batch's admissions, lineage cut
-        // and materialized BEFORE the inputs it reads from are released
-        val next = corpus.union(admitted.select(col(idCol), col(textCol)))
-          .localCheckpoint(false)
-        next.count()
-        corpus.unpersist()
-        corpus = next
-      } finally admitted.unpersist()
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    evolvingAdmission(docStream, initialCorpus, Seq(idCol, textCol),
+      (batch, corpus) => graft.operators.Dedup.admitIncoming(
+        batch, corpus, idCol, textCol, minJaccard))(sink)
+
+  /** VECTOR-TIER streaming admission against a STATIC embedding-indexed
+    * corpus — [[incrementalAdmission]]'s embedding twin: each micro-batch
+    * of incoming (id, vector) rows runs the batch kernel
+    * [[graft.operators.Dedup.admitIncomingVectors]] (cross-set sign-LSH
+    * buckets + exact-cosine verify ≥ `minCosine`) and `sink` receives the
+    * admitted rows. Incoming rows are compared only against the corpus,
+    * never each other, so the accumulated admissions equal the one-shot
+    * batch kernel on the same rows regardless of the micro-batch split
+    * (asserted in StreamsSpec). */
+  def incrementalVectorAdmission(vecStream: DataFrame, corpus: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 minCosine: Double = 0.9, nBits: Int = 8)
+                                (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Dedup.admitIncomingVectors(
+        batch, corpus, idCol, vecCol, minCosine, nBits), batchId)
     }
-  }
+
+  /** [[incrementalVectorAdmission]]'s EVOLVING-CORPUS form — the
+    * continuous-ingestion loop for an embedding-indexed corpus: each
+    * batch's admitted vectors join the corpus for later batches, so a
+    * vector that near-duplicates (cosine ≥ `minCosine`) something
+    * admitted two batches ago is rejected, not re-admitted. Generations
+    * hold only the (idCol, vecCol) projection. Single-start/
+    * non-recoverable — see [[evolvingAdmission]]'s lifecycle contract. */
+  def incrementalVectorAdmissionEvolving(vecStream: DataFrame,
+                                         initialCorpus: DataFrame,
+                                         idCol: String, vecCol: String,
+                                         minCosine: Double = 0.9,
+                                         nBits: Int = 8)
+                                        (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    evolvingAdmission(vecStream, initialCorpus, Seq(idCol, vecCol),
+      (batch, corpus) => graft.operators.Dedup.admitIncomingVectors(
+        batch, corpus, idCol, vecCol, minCosine, nBits))(sink)
 
   /** File-based stream source over an events directory (B33). For the
     * fixture, replay the parquet dir; in production this is the landing

@@ -301,6 +301,112 @@ class StreamsSpec extends AnyFunSuite {
       Set(10L, 11L, 20L, 22L, 30L, 31L))
   }
 
+  test("streaming VECTOR admission ≡ batch admitIncomingVectors on the same rows") {
+    implicit val sql = spark.sqlContext
+    val dir = graft.TestSpark.sf0001
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") < 250)
+    val incoming = emb.filter(col("vec_id") >= 250)
+    // replay the incoming vectors as a stream split across THREE
+    // micro-batches — the kernel compares incoming only against the
+    // corpus, so the accumulated admissions must equal the one-shot
+    // batch kernel regardless of the split. minCosine is set low enough
+    // that the near-uniform fixture produces real rejections (a 0.9
+    // threshold would make the test vacuously "everything admitted").
+    val rows = incoming.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect.toSeq.sortBy(_._1)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.incrementalVectorAdmission(
+      mem.toDF().toDF("vec_id", "embedding"),
+      corpus, "vec_id", "embedding", minCosine = 0.3) { (adm, _) =>
+        val ids = adm.select("vec_id").as[Long].collect()
+        admitted.synchronized { admitted ++= ids }
+      }.start()
+    rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val batchIds = graft.operators.Dedup
+      .admitIncomingVectors(incoming, corpus, "vec_id", "embedding",
+        minCosine = 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted.toSet === batchIds && batchIds.nonEmpty)
+    // the threshold actually bites: some incoming vector was rejected
+    val nIncoming = rows.size
+    assert(batchIds.size < nIncoming)
+  }
+
+  test("evolving VECTOR admission: earlier batches' admissions reject later dups") {
+    implicit val sql = spark.sqlContext
+    // corpus holds one axis vector. Scaled copies have cosine exactly
+    // 1.0 AND identical hyperplane signs (the bucket id is
+    // scale-invariant), so every planted dup is guaranteed to meet its
+    // original inside a shared LSH bucket — no reliance on random
+    // near-collisions. 20 duplicates ADMITTED 10 (scaled), 30
+    // byte-copies ADMITTED 11, 21 duplicates the CORPUS vector: only
+    // the evolving corpus rejects 20 and 30.
+    val corpus = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val batches = Seq(
+      Seq((10L, Seq(0.0, 1.0, 0.0, 0.0)),
+        (11L, Seq(0.0, 0.0, 1.0, 0.0))),
+      Seq((20L, Seq(0.0, 2.0, 0.0, 0.0)),
+        (21L, Seq(3.0, 0.0, 0.0, 0.0)),
+        (22L, Seq(0.0, 0.0, 0.0, 1.0))),
+      Seq((30L, Seq(0.0, 0.0, 1.0, 0.0)),
+        (31L, Seq(-1.0, -1.0, -1.0, -1.0))))
+    def runAdmission(evolving: Boolean): Set[Long] = {
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val vecs = mem.toDF().toDF("vec_id", "embedding")
+      val sink = (adm: org.apache.spark.sql.DataFrame, _: Long) => {
+        val ids = adm.select("vec_id").as[Long].collect()
+        admitted.synchronized { admitted ++= ids }; ()
+      }
+      val q = (if (evolving)
+        Streams.incrementalVectorAdmissionEvolving(
+          vecs, corpus, "vec_id", "embedding")(sink)
+      else
+        Streams.incrementalVectorAdmission(
+          vecs, corpus, "vec_id", "embedding")(sink))
+        .start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      admitted.toSet
+    }
+    assert(runAdmission(evolving = true) === Set(10L, 11L, 22L, 31L))
+    // the static form compares only against the FROZEN initial corpus:
+    // the cross-batch dups 20 and 30 sail through
+    assert(runAdmission(evolving = false) ===
+      Set(10L, 11L, 20L, 22L, 30L, 31L))
+  }
+
+  test("evolving admission writer restarted from batch 0 resets to the initial corpus") {
+    implicit val sql = spark.sqlContext
+    // run the same single batch through the SAME writer twice: the
+    // second start()'s batch 0 must re-admit doc 10 (corpus reset), not
+    // reject it against the first run's leftover in-memory generation
+    val corpus = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val writerRuns = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val writer = {
+      val mem = MemoryStream[(Long, String)]
+      val docs = mem.toDF().toDF("doc_id", "text")
+      val w = Streams.incrementalAdmissionEvolving(
+        docs, corpus, "doc_id", "text") { (adm, _) =>
+          val ids = adm.select("doc_id").as[Long].collect().toSet
+          writerRuns.synchronized { writerRuns += ids }; ()
+        }
+      (mem, w)
+    }
+    for (_ <- 1 to 2) {
+      val q = writer._2.start()
+      writer._1.addData(Seq((10L, "one two three")))
+      q.processAllAvailable(); q.stop()
+    }
+    assert(writerRuns.forall(_ === Set(10L)) && writerRuns.size >= 2)
+  }
+
   test("B33 file source: streaming read of the fixture parquet matches batch count") {
     val dir = "/root/testdata/sf0.001"
     // file sources need a landing DIRECTORY; stage the fixture file into one
