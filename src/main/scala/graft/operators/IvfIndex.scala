@@ -161,6 +161,39 @@ object IvfIndex {
     corpus.join(assignments, idCol)
       .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
 
+  /** Assign a batch of vectors to an EXISTING centroid set — the
+    * ingestion-side maintenance step for a [[writePartitioned]] index:
+    * admitted vectors are slotted into the index's current cells with
+    * the same zero-shuffle projection-argmin as the build's assign step
+    * ([[withCluster]] — the k·d centroid constants live in the plan, no
+    * join, no exchange), so appending a day's admissions costs one scan
+    * of the BATCH, never a touch of the indexed corpus. Returns
+    * (idCol, cluster_id).
+    *
+    * Centroids drift as data accumulates; the public IVF maintenance
+    * recipe applies — append against frozen centroids, monitor the
+    * recall row, re-run [[build]] when quality decays (the rebuild is
+    * the same one-exchange-per-iteration job, amortized across every
+    * batch appended since). */
+  def assignTo(batch: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cluster_id"), col("centroid")).collect()
+      .toIndexedSeq.map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
+    withCluster(batch.select(col(idCol).as("_id"),
+      transform(col(vecCol), _.cast("double")).as("_v")), cents)
+      .select(col("_id").as(idCol), col("cluster_id"))
+  }
+
+  /** Append an assigned batch into an existing [[writePartitioned]]
+    * table: rows land in their clusters' partition directories (only the
+    * touched partitions gain files — existing files are never rewritten),
+    * so probes see the union immediately and partition pruning keeps
+    * working. Pair with [[assignTo]] for the assignments. */
+  def appendPartitioned(batch: DataFrame, idCol: String,
+                        assignments: DataFrame, path: String): Unit =
+    batch.join(assignments, idCol)
+      .write.partitionBy("cluster_id").mode("append").parquet(path)
+
   /** Probe against a [[writePartitioned]] layout: the `cluster_id IN (…)`
     * filter prunes partitions at planning time, so only the probed
     * clusters' files are ever opened. */

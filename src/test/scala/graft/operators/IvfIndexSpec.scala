@@ -55,6 +55,48 @@ class IvfIndexSpec extends AnyFunSuite {
       s"probe must prune by partition:\n$plan")
   }
 
+  test("incremental append: probe-after-append ≡ probe-after-rebuild with same centroids") {
+    val (assignments, centroids) = built
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val incoming = emb.filter($"vec_id" % 10 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfappend").toString
+    // appended table: day-1 corpus written, incoming assigned to the
+    // EXISTING centroids and appended
+    val appended = s"$root/appended"
+    IvfIndex.writePartitioned(corpus, "vec_id",
+      assignments.join(corpus.select("vec_id"), "vec_id"), appended)
+    val incAssign = IvfIndex.assignTo(incoming, "vec_id", "embedding", centroids)
+    // assignTo reproduces the build's own assignment for the same centroids
+    val rebuiltAssign = IvfIndex.assignTo(emb, "vec_id", "embedding", centroids)
+    assert(incAssign.as[(Long, Int)].collect.toMap ===
+      assignments.join(incoming.select("vec_id"), "vec_id")
+        .as[(Long, Int)].collect.toMap)
+    IvfIndex.appendPartitioned(incoming, "vec_id", incAssign, appended)
+    // rebuilt table: the WHOLE corpus written in one shot under the same
+    // centroid assignment
+    val rebuilt = s"$root/rebuilt"
+    IvfIndex.writePartitioned(emb, "vec_id", rebuiltAssign, rebuilt)
+    // identical probe results at every operating point, including the
+    // exhaustive one (nprobe = k ≡ exact over corpus ∪ incoming)
+    for (np <- Seq(2, 4, 8)) {
+      val a = IvfIndex.probePartitioned(spark, appended, "vec_id",
+        "embedding", centroids, QueryVectors.q1, k = 10, nprobe = np)
+        .select("vec_id", "sim").as[(Long, Double)].collect.toSeq
+      val b = IvfIndex.probePartitioned(spark, rebuilt, "vec_id",
+        "embedding", centroids, QueryVectors.q1, k = 10, nprobe = np)
+        .select("vec_id", "sim").as[(Long, Double)].collect.toSeq
+      assert(a === b, s"nprobe=$np")
+    }
+    val exhaustive = IvfIndex.probePartitioned(spark, appended, "vec_id",
+      "embedding", centroids, QueryVectors.q1, k = 10, nprobe = 8)
+      .select("vec_id").as[Long].collect.toSeq
+    val exact = Search.topK(emb, "embedding", "vec_id", QueryVectors.q1, 10)
+      .select("vec_id").as[Long].collect.toSeq
+    assert(exhaustive === exact)
+    // row accounting: nothing lost, nothing double-appended
+    assert(spark.read.parquet(appended).count === emb.count)
+  }
+
   test("probeMany: batched probe ≡ one probePartitioned per query") {
     val (assignments, centroids) = built
     val path = java.nio.file.Files.createTempDirectory("graft-ivfmany").toString + "/corpus"
