@@ -79,7 +79,17 @@ object Queries {
       fingerprint: String,
       indexPath: String,
       centRows: Seq[org.apache.spark.sql.Row],
-      centSchema: org.apache.spark.sql.types.StructType)
+      centSchema: org.apache.spark.sql.types.StructType,
+      k: Int,
+      nprobe: Int)
+
+  /** Shared-index handle consumed by the `ivf_*` queries: the partitioned
+    * table's path, the (tiny) centroid relation, and the CORPUS-SCALED
+    * operating point the build chose — probes must read the declared
+    * `nprobe` from here, not hardcode one, so the `ivf_recall` row always
+    * certifies the point the declared probes actually run at. */
+  private[graft] final case class SharedIvf(
+      indexPath: String, centroids: DataFrame, k: Int, nprobe: Int)
 
   private val ivfBuildCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfBuilt]()
@@ -108,6 +118,89 @@ object Queries {
     NearDup.cosineVerify(base, "vec_id", "embedding", cands)
       .filter(col("cos") >= 0.3)
   }
+
+  /** Per-dir memo of the `dedup_clusters*` edge relation — the bounded
+    * all-pairs Jaccard verification tier over the doc_id < 128 slice
+    * (SQL-expressible, same shape as `jaccard_pairs`; bucketed LSH
+    * candidates are the scale path for edge generation). Both declared
+    * clustering rows (propagation and star contraction) consume the SAME
+    * edges, and a set pass runs both — without sharing, the set would
+    * pay the verify tier twice. The verified edge set is tiny by
+    * construction (dup families inside a 128-doc slice), so the memo
+    * holds the collected LocalRelation rows — driver-bounded, the
+    * `materializePairs` class. Fingerprint-guarded like `ivfBuildCache`. */
+  private val dedupEdgesCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType)]()
+
+  private def sharedDedupEdges(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.fixtureFingerprint(dir, "documents")
+    val built = dedupEdgesCache.compute(dir, (_, cached) =>
+      if (cached != null && cached._1 == fp) cached
+      else {
+        val sub = T(s, dir, "documents").filter(col("doc_id") < 128)
+        // length-band prefilter (the set-similarity-join size bound):
+        // J(A,B) ≥ 0.8 ⇒ min(|A|,|B|) ≥ 0.8·max(|A|,|B|), so pairs
+        // outside the band can never verify — 0.79 leaves margin for the
+        // 4-decimal rounding at the threshold. Result-identical, so the
+        // oracle needs no mirror of it; halves the verify work here and
+        // is the standard pruning step of a distributed similarity join.
+        val sized = sub.select(col("doc_id"),
+          size(array_distinct(NearDup.shingles(col("text"), 1))).as("_ns"))
+        val pairs = sized.select(col("doc_id").as("id_a"), col("_ns").as("_na"))
+          .crossJoin(sized.select(col("doc_id").as("id_b"), col("_ns").as("_nb")))
+          .filter(col("id_a") < col("id_b") &&
+            least(col("_na"), col("_nb")).cast("double") >=
+              lit(0.79) * greatest(col("_na"), col("_nb")))
+          .select(col("id_a"), col("id_b"))
+        val edges = NearDup.materializePairs(
+          NearDup.jaccardVerify(sub, "doc_id", "text", pairs, shingleSize = 1)
+            .filter(col("jaccard") >= 0.8)
+            .select(col("id_a"), col("id_b")))
+        (fp, edges.collect().toSeq, edges.schema)
+      })
+    s.createDataFrame(java.util.Arrays.asList(built._2: _*), built._3)
+  }
+
+  /** Near-dup clustering end-to-end: similarity edges → connected
+    * components → per-doc component id. Near-duplication is not
+    * transitive, so pair-level dedup under-deletes; the component id IS
+    * the dedup key (keep doc_id == component). Shared by the
+    * `dedup_clusters` (min-label propagation) and `dedup_clusters_star`
+    * (large-star/small-star contraction) declared rows — same edges,
+    * same oracle, two clustering algorithms. */
+  private def dedupClustersFrame(s: SparkSession, dir: String,
+                                 starContraction: Boolean): DataFrame = {
+    val sub = T(s, dir, "documents").filter(col("doc_id") < 128)
+    val cc = Dedup.connectedComponents(sub.select("doc_id"), "doc_id",
+      sharedDedupEdges(s, dir), "id_a", "id_b",
+      starContraction = starContraction)
+    try localFrame(cc.orderBy("doc_id"))
+    finally cc.unpersist()
+  }
+
+  /** The recursive-CTE oracle replaying the whole clustering chain —
+    * shared verbatim by both declared clustering rows. */
+  private val dedupClustersOracle: String =
+    """WITH RECURSIVE
+       |  d AS (
+       |    SELECT doc_id,
+       |      list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
+       |    FROM documents WHERE doc_id < 128
+       |      AND len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+       |  e AS (
+       |    SELECT a.doc_id AS src, b.doc_id AS dst
+       |    FROM d a JOIN d b ON a.doc_id <> b.doc_id
+       |    WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+       |        / len(list_distinct(a.s || b.s)), 4) >= 0.8),
+       |  r AS (
+       |    SELECT doc_id AS v, doc_id AS comp FROM documents WHERE doc_id < 128
+       |    UNION
+       |    SELECT e.src, r.comp FROM e JOIN r ON r.v = e.dst
+       |  )
+       |SELECT v AS doc_id, min(comp) AS component FROM r GROUP BY v
+       |ORDER BY doc_id""".stripMargin
 
   /** One shared MinHash-LSH verified-candidate relation per fixture dir:
     * `minhash_pairs` and `dedup_pipeline_lsh` both need the SAME
@@ -153,11 +246,35 @@ object Queries {
     s.read.parquet(built.path)
   }
 
-  /** Returns (partitioned-index path, centroids). The index write is the
-    * one corpus-sized materialization, and it goes to DISK as the
-    * partitioned table — the cluster-persistent layout — not through the
-    * driver. */
-  private[graft] def sharedIvfIndex(s: SparkSession, dir: String): (String, DataFrame) = {
+  /** Corpus-scaled IVF sizing — the standard public recipe: k ≈ √n
+    * clusters (so cluster population ≈ √n tracks corpus growth in both
+    * factors), and a STARTING nprobe reading ≈ 15 % of the corpus — the
+    * point a well-clustered embedding space needs for high recall. The
+    * floor keeps tiny fixtures meaningfully partitioned; the k cap marks
+    * where a flat plan-literal centroid array should hand over to a
+    * hierarchical (two-level) index rather than grow unbounded (IvfIndex
+    * scaladoc). The starting nprobe is NOT the declared operating point:
+    * [[sharedIvfIndex]] calibrates upward from it against a measured
+    * recall@10 target, because the achievable recall at a given read
+    * fraction is a property of the DATA (clustered real-world embeddings
+    * concentrate neighbors in few cells; the synthetic near-uniform
+    * fixture scatters them, pushing nprobe up) — a static rule would
+    * either lie on uniform data or over-read on clustered data. */
+  private[graft] def ivfSizing(n: Long): (Int, Int) = {
+    val k = math.min(1024, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val nprobe = math.min(k, math.max(4, math.ceil(k * 0.15).toInt))
+    (k, nprobe)
+  }
+
+  /** The recall target the shared index's declared operating point must
+    * meet — certified live by the `ivf_recall` row on every pass. */
+  private[graft] val IvfRecallTarget = 0.9
+
+  /** Returns the shared-index handle (partitioned-index path, centroids,
+    * chosen (k, nprobe)). The index write is the one corpus-sized
+    * materialization, and it goes to DISK as the partitioned table — the
+    * cluster-persistent layout — not through the driver. */
+  private[graft] def sharedIvfIndex(s: SparkSession, dir: String): SharedIvf = {
     val fp = embFingerprint(dir)
     val built = ivfBuildCache.compute(dir, (_, cached) =>
       if (cached != null && cached.fingerprint == fp) cached
@@ -168,22 +285,49 @@ object Queries {
         // that job. The old tmpRoot stays on disk until process exit
         // (forceDeleteOnExit below), bounded by the regeneration count.
         val emb = T(s, dir, "embeddings")
+        // the count is one column-pruned metadata-cheap job; its result
+        // fixes the corpus-scaled k (and the calibration ladder's start)
+        val (k, npStart) = ivfSizing(emb.count())
         // iters = 3: the converged-enough centroid set the recall row
         // (`ivf_recall`) certifies — build cost is 3 jobs over the
         // (cached) vectors, paid once per fixture dir and reported as
         // the bench's `_ivf_build` infra line
         val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
-          k = 16, iters = 3)
+          k = k, iters = 3)
         try {
           val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivfidx")
           org.apache.commons.io.FileUtils.forceDeleteOnExit(tmpRoot.toFile)
           val path = s"$tmpRoot/ivf"
           IvfIndex.writePartitioned(emb, "vec_id", assign, path)
-          IvfBuilt(fp, path, cents.collect().toSeq, cents.schema)
+          // RECALL-CALIBRATED operating point (the public autotune
+          // recipe, e.g. FAISS's recall-targeted parameter sweep): walk
+          // nprobe up a geometric ladder from the sizing start until the
+          // MINIMUM recall@10 over the fixed probe vectors reaches the
+          // target, against the exact brute-force top-10. Every job here
+          // is k-bounded on the driver side (10 ids per collect) and
+          // amortized into the one-time build — it is what makes the
+          // declared probes' nprobe a measured quality statement instead
+          // of a guess. At corpus scale the calibration queries are a
+          // held-out sample; the shape is identical.
+          val calib = Seq(QueryVectors.q1, QueryVectors.q2)
+          val exact = calib.map(q =>
+            graft.operators.Search.topK(emb, "embedding", "vec_id", q, k = 10)
+              .select(col("vec_id")).collect().map(_.getLong(0)).toSet)
+          def minRecall(np: Int): Double = calib.zip(exact).map { case (q, ex) =>
+            val got = IvfIndex.probePartitioned(s, path, "vec_id",
+              "embedding", cents, q, k = 10, nprobe = np)
+              .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+            (ex & got).size.toDouble / ex.size
+          }.min
+          val ladder = Iterator.iterate(npStart)(np => math.min(k, np * 2))
+            .takeWhile(_ < k).toSeq :+ k
+          val nprobe = ladder.find(minRecall(_) >= IvfRecallTarget).getOrElse(k)
+          IvfBuilt(fp, path, cents.collect().toSeq, cents.schema, k, nprobe)
         } finally { assign.unpersist(); cents.unpersist() }
       })
-    (built.indexPath,
-      s.createDataFrame(java.util.Arrays.asList(built.centRows: _*), built.centSchema))
+    SharedIvf(built.indexPath,
+      s.createDataFrame(java.util.Arrays.asList(built.centRows: _*), built.centSchema),
+      built.k, built.nprobe)
   }
 
   /** Generic source/sink round-trip through `fmt` (B32): write a typed
@@ -444,6 +588,32 @@ object Queries {
       },
       None,
       "incremental near-dup, vector tier: cross-set sign-LSH candidates + exact-cosine verify"),
+
+    "incr_admit_vec" -> DeclaredQuery(
+      // the VECTOR-TIER admission decision end-to-end — incr_admit for
+      // an embedding-indexed corpus: incoming vectors meet the corpus
+      // only inside shared sign-LSH buckets, candidates verified by
+      // exact cosine, incoming rows at ≥ minCosine against ANY corpus
+      // vector rejected. The chain is Dedup.admitIncomingVectors — the
+      // SAME kernel the streaming mirrors run per micro-batch
+      // (Streams.incrementalVectorAdmission / ...Evolving; stream ≡
+      // batch asserted in StreamsSpec). minCosine = 0.3 so the
+      // near-uniform fixture produces real rejections (driver-visible
+      // evidence the tier bites, not an everything-admitted no-op).
+      // Float cosine + seeded LSH → rows-only per the contract.
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        localFrame(Dedup.admitIncomingVectors(
+            emb.filter(col("vec_id") % 5 === 0),
+            emb.filter(col("vec_id") % 5 =!= 0),
+            "vec_id", "embedding", minCosine = 0.3)
+          .groupBy((col("vec_id") % 100).as("id_bucket"))
+          .agg(count(lit(1)).as("n_admitted"),
+            min(col("vec_id")).as("first_id"))
+          .orderBy(col("id_bucket")))
+      },
+      None,
+      "vector-tier incremental admission e2e: cross-set sign-LSH + cosine verify → admit/reject"),
 
     "incr_admit" -> DeclaredQuery(
       // the incremental ingestion decision end-to-end: incoming batch →
@@ -1326,59 +1496,21 @@ object Queries {
       "B8 verify: token-set Jaccard over candidate pairs"),
 
     "dedup_clusters" -> DeclaredQuery(
-      // near-dup clustering end-to-end: similarity edges → connected
-      // components (min-label propagation) → per-doc component id.
-      // Near-duplication is not transitive, so pair-level dedup
-      // under-deletes; the component id IS the dedup key (keep
-      // doc_id == component). Edges here are the bounded all-pairs
-      // Jaccard verification tier (SQL-expressible, same shape as
-      // jaccard_pairs — bucketed LSH candidates are the scale path for
-      // edge generation); the oracle replays the whole thing as a
-      // recursive CTE.
-      (s, dir) => {
-        val sub = T(s, dir, "documents").filter(col("doc_id") < 128)
-        // length-band prefilter (the set-similarity-join size bound):
-        // J(A,B) ≥ 0.8 ⇒ min(|A|,|B|) ≥ 0.8·max(|A|,|B|), so pairs
-        // outside the band can never verify — 0.79 leaves margin for the
-        // 4-decimal rounding at the threshold. Result-identical, so the
-        // oracle needs no mirror of it; halves the verify work here and
-        // is the standard pruning step of a distributed similarity join.
-        val sized = sub.select(col("doc_id"),
-          size(array_distinct(NearDup.shingles(col("text"), 1))).as("_ns"))
-        val pairs = sized.select(col("doc_id").as("id_a"), col("_ns").as("_na"))
-          .crossJoin(sized.select(col("doc_id").as("id_b"), col("_ns").as("_nb")))
-          .filter(col("id_a") < col("id_b") &&
-            least(col("_na"), col("_nb")).cast("double") >=
-              lit(0.79) * greatest(col("_na"), col("_nb")))
-          .select(col("id_a"), col("id_b"))
-        val edges = NearDup.materializePairs(
-          NearDup.jaccardVerify(sub, "doc_id", "text", pairs, shingleSize = 1)
-            .filter(col("jaccard") >= 0.8)
-            .select(col("id_a"), col("id_b")))
-        val cc = Dedup.connectedComponents(sub.select("doc_id"), "doc_id",
-          edges, "id_a", "id_b")
-        try localFrame(cc.orderBy("doc_id"))
-        finally cc.unpersist()
-      },
-      Some("""WITH RECURSIVE
-         |  d AS (
-         |    SELECT doc_id,
-         |      list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
-         |    FROM documents WHERE doc_id < 128
-         |      AND len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
-         |  e AS (
-         |    SELECT a.doc_id AS src, b.doc_id AS dst
-         |    FROM d a JOIN d b ON a.doc_id <> b.doc_id
-         |    WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
-         |        / len(list_distinct(a.s || b.s)), 4) >= 0.8),
-         |  r AS (
-         |    SELECT doc_id AS v, doc_id AS comp FROM documents WHERE doc_id < 128
-         |    UNION
-         |    SELECT e.src, r.comp FROM e JOIN r ON r.v = e.dst
-         |  )
-         |SELECT v AS doc_id, min(comp) AS component FROM r GROUP BY v
-         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => dedupClustersFrame(s, dir, starContraction = false),
+      Some(dedupClustersOracle),
       "dedup clustering: Jaccard edges → connected components (min-label propagation)"),
+
+    "dedup_clusters_star" -> DeclaredQuery(
+      // the LARGE-STAR/SMALL-STAR CONTRACTION variant of dedup_clusters,
+      // through the SAME recursive-CTE oracle: identical edges (shared
+      // per-dir memo), identical expected labels — the polylog-round
+      // contraction path (Dedup.starContractionLabels, Kiveris et al.
+      // 2014) proven oracle-green, not just spec-equivalent. The
+      // propagation twin above stays the default (shallow dup graphs
+      // converge in a handful of rounds at lower per-round cost).
+      (s, dir) => dedupClustersFrame(s, dir, starContraction = true),
+      Some(dedupClustersOracle),
+      "dedup clustering via star contraction: same edges + oracle as dedup_clusters"),
 
     "dedup_pipeline_lsh" -> DeclaredQuery(
       // the 100 TB dedup story EXECUTED end-to-end, not just proven
@@ -1925,19 +2057,23 @@ object Queries {
 
     "ivf_probe" -> DeclaredQuery(
       (s, dir) => {
-        // probes the shared iters=3 index (quality certified by the
-        // declared `ivf_recall` row + IvfIndexSpec's recall tests). The
-        // build + partitioned-table write is shared with ivf_probe_part
-        // (sharedIvfIndex) — a declared-set pass runs both probes and
-        // must not pay k-means twice. This probe exercises the SEMI-JOIN
-        // shape (assignments ⋈ broadcast(near clusters) → candidate-id
-        // prune of the corpus) over the distributed index relation — no
-        // corpus-sized rows ever touch the driver.
-        val (path, cents) = sharedIvfIndex(s, dir)
-        val assign = s.read.parquet(path).select(col("vec_id"), col("cluster_id"))
+        // probes the shared corpus-scaled iters=3 index (quality
+        // certified by the declared `ivf_recall` row + IvfIndexSpec's
+        // recall tests — the build's own nprobe reads ~15 % of the
+        // corpus at recall@10 ≥ 0.9). The build + partitioned-table
+        // write is shared with ivf_probe_part (sharedIvfIndex) — a
+        // declared-set pass runs both probes and must not pay k-means
+        // twice. This probe exercises the SEMI-JOIN shape (assignments ⋈
+        // broadcast(near clusters) → candidate-id prune of the corpus)
+        // over the distributed index relation — no corpus-sized rows
+        // ever touch the driver.
+        val ivf = sharedIvfIndex(s, dir)
+        val assign = s.read.parquet(ivf.indexPath)
+          .select(col("vec_id"), col("cluster_id"))
         localFrame(
           IvfIndex.probe(T(s, dir, "embeddings"), "vec_id", "embedding",
-            assign, cents, QueryVectors.q1, k = 10, nprobe = 4)
+            assign, ivf.centroids, QueryVectors.q1, k = 10,
+            nprobe = ivf.nprobe)
             .select(col("vec_id"), col("sim")))
       },
       None,
@@ -1951,10 +2087,11 @@ object Queries {
       // asserted in IvfIndexSpec). Float-iterative like ivf_probe →
       // rows-only per the contract.
       (s, dir) => {
-        val (path, cents) = sharedIvfIndex(s, dir)
+        val ivf = sharedIvfIndex(s, dir)
         localFrame(
-          IvfIndex.probePartitioned(s, path, "vec_id",
-            "embedding", cents, QueryVectors.q1, k = 10, nprobe = 4)
+          IvfIndex.probePartitioned(s, ivf.indexPath, "vec_id",
+            "embedding", ivf.centroids, QueryVectors.q1, k = 10,
+            nprobe = ivf.nprobe)
             .select(col("vec_id"), col("sim")))
       },
       None,
@@ -1969,13 +2106,13 @@ object Queries {
       // bounded TopKAggregator. Per-query results ≡ probePartitioned
       // (IvfIndexSpec). Float-iterative → rows-only per the contract.
       (s, dir) => {
-        val (path, cents) = sharedIvfIndex(s, dir)
+        val ivf = sharedIvfIndex(s, dir)
         import s.implicits._
         val qs = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
           .toDF("qid", "qvec")
         localFrame(
-          IvfIndex.probeMany(s, path, "vec_id", "embedding", cents,
-            qs, "qid", "qvec", k = 10, nprobe = 4)
+          IvfIndex.probeMany(s, ivf.indexPath, "vec_id", "embedding",
+            ivf.centroids, qs, "qid", "qvec", k = 10, nprobe = ivf.nprobe)
             .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
             .orderBy(col("qid"), col("rank")))
       },
@@ -1989,26 +2126,30 @@ object Queries {
       // side per query — same class as localFrame's tiny-result rule);
       // at corpus scale the same number is one anti-join between two
       // k-row relations. Float-iterative k-means → rows-only per the
-      // contract; the VALUE the row carries is the point: nprobe=4 of
-      // k=16 clusters (25 % of the corpus read) should keep recall near
-      // 1.0, and a collapsed index would surface here as a driver-visible
-      // drop, not a spec-only one.
+      // contract; the VALUE the row carries is the point: the
+      // corpus-scaled operating point (ivfSizing: k ≈ √n, nprobe reading
+      // ~15 % of the corpus) must keep recall@10 ≥ 0.9, and a collapsed
+      // index would surface here as a driver-visible drop, not a
+      // spec-only one.
       (s, dir) => {
-        val (path, cents) = sharedIvfIndex(s, dir)
+        val ivf = sharedIvfIndex(s, dir)
         val emb = T(s, dir, "embeddings")
-        // the full accelerate-vs-recall dial: nprobe=4 is the declared
-        // probes' operating point (25 % of the corpus read), nprobe=8
-        // the mid point, nprobe=16 (= k) probes every cluster and MUST
-        // be exactly 1.0 — the index-completeness self-check (a vector
-        // lost by the partitioned layout would surface here)
+        // the accelerate-vs-recall dial, anchored to the build's chosen
+        // point: half the declared nprobe (the cheap end), the declared
+        // nprobe itself (what ivf_probe/_part/_many actually run — THE
+        // certified row), and nprobe = k, which probes every cluster and
+        // MUST be exactly 1.0 — the index-completeness self-check (a
+        // vector lost by the partitioned layout would surface here)
+        val dial = Seq(math.max(2, ivf.nprobe / 2), ivf.nprobe, ivf.k)
+          .distinct
         val rows = for {
           (qid, q) <- Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
           exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
             .select(col("vec_id")).collect().map(_.getLong(0)).toSet
-          nprobe <- Seq(4, 8, 16)
+          nprobe <- dial
         } yield {
-          val probed = IvfIndex.probePartitioned(s, path, "vec_id",
-            "embedding", cents, q, k = 10, nprobe = nprobe)
+          val probed = IvfIndex.probePartitioned(s, ivf.indexPath, "vec_id",
+            "embedding", ivf.centroids, q, k = 10, nprobe = nprobe)
             .select(col("vec_id")).collect().map(_.getLong(0)).toSet
           val recall = math.rint(
             (exact & probed).size.toDouble / exact.size * 10000) / 10000
@@ -2020,6 +2161,53 @@ object Queries {
       },
       None,
       "B6 quality: recall@10 of the shared IVF probe vs exact top-k across the nprobe dial"),
+
+    "incr_ivf_append" -> DeclaredQuery(
+      // INCREMENTAL IVF MAINTENANCE, driver-visible end-to-end: a day-1
+      // index (the shared partitioned table MINUS the incoming slice —
+      // reusing the shared build's rows and assignments, no second
+      // k-means) receives the incoming batch via IvfIndex.assignTo
+      // (zero-shuffle projection-argmin against the EXISTING centroids)
+      // + appendPartitioned (only touched partitions gain files). The
+      // emitted evidence is the completeness check: probing the appended
+      // table at nprobe = k is exhaustive over the index, so its top-10
+      // must EQUAL the exact brute-force top-10 over the whole corpus —
+      // a vector lost (or double-appended) by the append path would
+      // break the match column. Float-iterative centroids → rows-only
+      // per the contract; byte-level append ≡ rebuild-with-same-
+      // centroids equivalence is asserted in IvfIndexSpec.
+      (s, dir) => {
+        val ivf = sharedIvfIndex(s, dir)
+        val emb = T(s, dir, "embeddings")
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivfapp")
+        try {
+          val path = s"$tmpRoot/ivf"
+          // day-1 index: shared table rows NOT in the incoming slice
+          // (cluster_id rides along from the existing assignment)
+          val idx = s.read.parquet(ivf.indexPath)
+          idx.filter(col("vec_id") % 10 =!= 0)
+            .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+          // day-2: assign incoming against the FROZEN centroids, append
+          val incoming = emb.filter(col("vec_id") % 10 === 0)
+          IvfIndex.appendPartitioned(incoming, "vec_id",
+            IvfIndex.assignTo(incoming, "vec_id", "embedding", ivf.centroids),
+            path)
+          val probed = IvfIndex.probePartitioned(s, path, "vec_id",
+            "embedding", ivf.centroids, QueryVectors.q1, k = 10,
+            nprobe = ivf.k)
+            .select(col("vec_id"), col("sim"))
+          val exact = graft.operators.Search
+            .topK(emb, "embedding", "vec_id", QueryVectors.q1, k = 10)
+            .select(col("vec_id"), col("sim").as("sim_exact"))
+          localFrame(probed.join(exact, Seq("vec_id"), "full_outer")
+            .select(col("vec_id"), col("sim"), col("sim_exact"),
+              (col("sim") === col("sim_exact")).as("matches"))
+            .orderBy(desc("sim"), asc("vec_id")))
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(tmpRoot.toFile)
+      },
+      None,
+      "incremental IVF append: assign-to-existing-centroids + partition append; probe@k ≡ exact top-10"),
 
     "ann_lsh" -> DeclaredQuery(
       (s, dir) => graft.operators.HyperplaneLsh.annSearch(
