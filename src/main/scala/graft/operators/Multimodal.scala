@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
   * instance handles a whole batch of rows (the Spark pattern for heavy
   * native resources — same shape as a per-executor model singleton).
   *
-  * The actual byte-level decode is a clearly-marked deterministic STUB
-  * (`StubCodec`): no image/audio libraries exist in this environment. The
-  * Spark-side contracts — schema, partitioning, batched iteration, output
-  * shape — are real and tested; swapping `StubCodec` for a JNI/FFmpeg/
-  * ImageIO codec changes no plan shape.
+  * Container detection and DIMENSION decode are REAL: [[MediaHeaders]]
+  * sniffs magic bytes and parses the published header layouts of PNG,
+  * JPEG, GIF, BMP and WAV — pure-JVM byte arithmetic, no libraries.
+  * Payloads in formats that need a full codec (mp4/mkv video, compressed
+  * audio) fall back to the clearly-marked deterministic [[StubCodec]]
+  * (no FFmpeg/ImageIO in this container); pixel-level work (resize
+  * re-encode, feature extraction) stays stubbed for the same reason.
+  * The Spark-side contracts — schema, partitioning, batched iteration,
+  * output shape — are real and tested; swapping the stub remainder for a
+  * JNI/FFmpeg codec changes no plan shape.
   */
 object Multimodal {
 
@@ -33,16 +38,116 @@ object Multimodal {
                               width: Int, height: Int,
                               n_frames: Int, features: Array[Float])
 
+  /** REAL container sniffing + header decode for public formats — the
+    * published byte layouts, parsed directly:
+    *
+    *   - PNG: 8-byte signature, IHDR chunk first → width/height as
+    *     big-endian u32 at offsets 16/20 (PNG spec §5.2, §11.2.2);
+    *   - JPEG: FF D8 SOI then marker segments; the SOFn frame header
+    *     (C0-CF except DHT C4 / JPG C8 / DAC CC) carries height/width as
+    *     big-endian u16 at +5/+7 (ITU T.81 §B.2.2);
+    *   - GIF: "GIF87a"/"GIF89a", logical-screen width/height as
+    *     little-endian u16 at 6/8;
+    *   - BMP: "BM", BITMAPINFOHEADER width/height as little-endian i32
+    *     at 18/22 (height may be negative = top-down);
+    *   - WAV: "RIFF"...."WAVE", then chunk walk for "fmt " (channels,
+    *     sample rate, block align) and "data" (byte size) →
+    *     frame count = data size / block align.
+    *
+    * All offsets are bounds-checked: a truncated or lying payload yields
+    * None and the caller falls back to the stub, never throws. */
+  object MediaHeaders {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+    private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+      i + s.length <= b.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+
+    /** magic-byte container detection (None = unknown container). */
+    def sniff(b: Array[Byte]): Option[String] =
+      if (b.length >= 8 && u8(b, 0) == 0x89 && ascii(b, 1, "PNG") &&
+        u8(b, 4) == 0x0D && u8(b, 5) == 0x0A && u8(b, 6) == 0x1A && u8(b, 7) == 0x0A)
+        Some("png")
+      else if (b.length >= 3 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8 && u8(b, 2) == 0xFF)
+        Some("jpeg")
+      else if (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")) Some("gif")
+      else if (ascii(b, 0, "BM") && b.length >= 26) Some("bmp")
+      else if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) Some("wav")
+      else None
+
+    /** (width, height) for the image containers; None on truncation or
+      * an unknown/audio container. */
+    def dimensions(fmt: String, b: Array[Byte]): Option[(Int, Int)] = fmt match {
+      case "png" if b.length >= 24 && ascii(b, 12, "IHDR") =>
+        Some((be32(b, 16).toInt, be32(b, 20).toInt))
+      case "jpeg" =>
+        // marker walk: segments are FF <marker> <be16 len includes itself>
+        var i = 2
+        while (i + 3 < b.length && u8(b, i) == 0xFF) {
+          var j = i
+          while (j < b.length && u8(b, j) == 0xFF) j += 1 // fill bytes
+          if (j >= b.length) return None
+          val marker = u8(b, j)
+          if (marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+            return if (j + 8 < b.length)
+              Some((be16(b, j + 6), be16(b, j + 4))) else None
+          }
+          if (j + 2 >= b.length) return None
+          i = j + 1 + be16(b, j + 1)
+        }
+        None
+      case "gif" if b.length >= 10 => Some((le16(b, 6), le16(b, 8)))
+      case "bmp" if b.length >= 26 =>
+        Some((le32(b, 18).toInt, math.abs(le32(b, 22).toInt)))
+      case _ => None
+    }
+
+    /** (sampleRate, channels, frameCount) from the RIFF chunk walk. */
+    def wavInfo(b: Array[Byte]): Option[(Int, Int, Long)] = {
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None // (channels, rate, blockAlign)
+      var dataBytes = -1L
+      while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+        val size = le32(b, i + 4)
+        if (ascii(b, i, "fmt ") && i + 8 + 16 <= b.length)
+          fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt, le16(b, i + 20)))
+        else if (ascii(b, i, "data")) dataBytes = size
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      fmt.collect { case (ch, rate, block) if block > 0 && dataBytes >= 0 =>
+        (rate, ch, dataBytes / block)
+      }
+    }
+  }
+
   /** STUB codec — deterministic fake decode standing in for the real
-    * image/audio/video libraries (absent in this container). Derives
-    * plausible dimensions/frame counts and a feature vector purely from
-    * the payload bytes, so tests are reproducible. */
+    * full-decode libraries (absent in this container): the fallback for
+    * containers [[MediaHeaders]] cannot parse (mp4/mkv video, compressed
+    * audio) and for the feature vector, which a real pipeline computes
+    * from decoded samples. Derives plausible dimensions/frame counts and
+    * a feature vector purely from the payload bytes, so tests are
+    * reproducible. */
   object StubCodec {
-    def decode(row: MediaRow): DecodedRow = {
-      val bytes = if (row.payload == null) Array.emptyByteArray else row.payload
+    private[operators] def payloadHash(bytes: Array[Byte]): Long = {
       var h = 1125899906842597L // deterministic FNV-ish fold of the payload
       var i = 0
       while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+      h
+    }
+
+    private[operators] def features(h: Long): Array[Float] =
+      Array.tabulate(8) { d =>
+        (java.lang.Math.floorMod(h ^ (d * 1315423911L), 1000L) / 1000.0f)
+      }
+
+    def decode(row: MediaRow): DecodedRow = {
+      val bytes = if (row.payload == null) Array.emptyByteArray else row.payload
+      val h = payloadHash(bytes)
       def pick(lo: Int, hi: Int, salt: Int): Int =
         lo + java.lang.Math.floorMod(h ^ salt, (hi - lo).toLong).toInt
       val frames = row.kind match {
@@ -50,12 +155,39 @@ object Multimodal {
         case "audio" => pick(100, 10000, 11)
         case _       => 1
       }
-      val feat = Array.tabulate(8) { d =>
-        (java.lang.Math.floorMod(h ^ (d * 1315423911L), 1000L) / 1000.0f)
-      }
       DecodedRow(row.media_id, row.kind,
         width = pick(16, 4096, 3), height = pick(16, 4096, 5),
-        n_frames = frames, features = feat)
+        n_frames = frames, features = features(h))
+    }
+  }
+
+  /** The decode dispatch: REAL header parse where the container is one
+    * of the public formats [[MediaHeaders]] handles, stub fallback
+    * otherwise. Feature vectors are always the deterministic stub (a
+    * real pipeline computes them from decoded samples — no codec here to
+    * produce any). */
+  def decodeOne(row: MediaRow): DecodedRow = {
+    val bytes = if (row.payload == null) Array.emptyByteArray else row.payload
+    val feat = StubCodec.features(StubCodec.payloadHash(bytes))
+    MediaHeaders.sniff(bytes) match {
+      case Some("wav") =>
+        MediaHeaders.wavInfo(bytes) match {
+          case Some((rate, ch, frames)) =>
+            // audio carries no raster: width/height are (sampleRate,
+            // channels) by documented convention, n_frames = sample
+            // frames — every field a REAL header readout
+            DecodedRow(row.media_id, row.kind, rate, ch,
+              n_frames = frames.min(Int.MaxValue.toLong).toInt, features = feat)
+          case None => StubCodec.decode(row)
+        }
+      case Some(imgFmt) =>
+        MediaHeaders.dimensions(imgFmt, bytes) match {
+          case Some((w, h)) =>
+            DecodedRow(row.media_id, row.kind, w, h, n_frames = 1,
+              features = feat)
+          case None => StubCodec.decode(row)
+        }
+      case None => StubCodec.decode(row)
     }
   }
 
@@ -66,7 +198,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init site for a real codec goes here
-      rows.map(StubCodec.decode)
+      rows.map(decodeOne)
     }
   }
 
@@ -171,13 +303,57 @@ object Multimodal {
         sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_ids"))
 
   /** Deterministic synthetic media fixture (no binary fixture ships with
-    * the harness). */
+    * the harness). Image and audio rows carry REAL container headers —
+    * byte-valid PNG signature+IHDR and RIFF/WAVE fmt+data chunks with
+    * deterministic dimensions — so the decode path exercises the real
+    * [[MediaHeaders]] parse end-to-end; video rows carry an opaque
+    * payload (no pure-JVM-parseable container) and take the documented
+    * stub fallback. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
       val kind = Seq("image", "audio", "video")(((i % 3).toInt))
-      val payload = Array.tabulate[Byte](((i % 64) + 16).toInt)(j => ((i * 131 + j * 7) % 251).toByte)
-      MediaRow(i, kind, payload, if (kind == "image") "png" else "mkv", payload.length.toLong)
+      val filler = Array.tabulate[Byte](((i % 64) + 16).toInt)(j =>
+        ((i * 131 + j * 7) % 251).toByte)
+      val payload = kind match {
+        case "image" => syntheticPng(64 + (i % 128).toInt, 48 + (i % 96).toInt, filler)
+        case "audio" => syntheticWav(8000 + (i % 3).toInt * 4000, 1 + (i % 2).toInt,
+          256 + (i % 512).toInt)
+        case _ => filler
+      }
+      MediaRow(i, kind, payload,
+        kind match { case "image" => "png"; case "audio" => "wav"; case _ => "mkv" },
+        payload.length.toLong)
     }
+  }
+
+  /** Byte-valid PNG prefix (signature + IHDR with the given dims) plus
+    * deterministic trailing bytes standing in for the IDAT stream. */
+  private[operators] def syntheticPng(w: Int, h: Int,
+                                      trailer: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(24 + trailer.length)
+    out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    out.putInt(13).put("IHDR".getBytes("US-ASCII")) // IHDR length + tag
+    out.putInt(w).putInt(h)
+    out.put(trailer)
+    out.array()
+  }
+
+  /** Byte-valid WAV (RIFF/WAVE with 16-bit PCM fmt + data chunks) for
+    * the given sample count — fully parseable by [[MediaHeaders.wavInfo]]
+    * AND by any standard reader (the data chunk is real silence). */
+  private[operators] def syntheticWav(rate: Int, channels: Int,
+                                      frames: Int): Array[Byte] = {
+    val block = channels * 2 // 16-bit PCM
+    val dataBytes = frames * block
+    val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * block).putShort(block.toShort).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    out.array()
   }
 }

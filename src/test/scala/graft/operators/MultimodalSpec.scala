@@ -23,13 +23,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.length === 30)
     assert(a.map(_.features.toSeq).toSeq === b.map(_.features.toSeq).toSeq)
     assert(a.forall(_.features.length === 8))
-    assert(a.forall(r => r.width >= 16 && r.height >= 16))
+    assert(a.filter(_.kind == "image").forall(r => r.width >= 16 && r.height >= 16))
   }
 
   test("images decode to a single frame; videos to many") {
     val d = Multimodal.decodeAll(media).collect
     assert(d.filter(_.kind == "image").forall(_.n_frames == 1))
     assert(d.filter(_.kind == "video").forall(_.n_frames > 1))
+  }
+
+  test("image decode reads the REAL PNG header dims (not the stub's hash guess)") {
+    val d = Multimodal.decodeAll(media).collect
+    // syntheticMedia writes a byte-valid PNG IHDR with these exact dims
+    d.filter(_.kind == "image").foreach { r =>
+      assert(r.width === 64 + (r.media_id % 128).toInt, s"id ${r.media_id}")
+      assert(r.height === 48 + (r.media_id % 96).toInt, s"id ${r.media_id}")
+    }
+  }
+
+  test("audio decode reads the REAL WAV header (rate, channels, frame count)") {
+    val d = Multimodal.decodeAll(media).collect
+    d.filter(_.kind == "audio").foreach { r =>
+      assert(r.width === 8000 + (r.media_id % 3).toInt * 4000)   // sample rate
+      assert(r.height === 1 + (r.media_id % 2).toInt)            // channels
+      assert(r.n_frames === 256 + (r.media_id % 512).toInt)      // sample frames
+    }
+  }
+
+  test("MediaHeaders: sniff + dimension parse across four image formats") {
+    import Multimodal.MediaHeaders
+    val png = Multimodal.syntheticPng(640, 480, Array[Byte](1, 2, 3))
+    assert(MediaHeaders.sniff(png) === Some("png"))
+    assert(MediaHeaders.dimensions("png", png) === Some((640, 480)))
+    // minimal JPEG: SOI, one APP0 segment, then SOF0 with dims 320x200
+    val jpeg = Array[Int](0xFF, 0xD8, // SOI
+      0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00, // APP0, len 4
+      0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 200, 0x01, 0x40, 0x01, 0x00 // SOF0
+    ).map(_.toByte)
+    assert(MediaHeaders.sniff(jpeg) === Some("jpeg"))
+    assert(MediaHeaders.dimensions("jpeg", jpeg) === Some((320, 200)))
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x10, 0x01, 0x20, 0x00).map(_.toByte) // 272 x 32 LE
+    assert(MediaHeaders.sniff(gif) === Some("gif"))
+    assert(MediaHeaders.dimensions("gif", gif) === Some((272, 32)))
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 0x40; bmp(19) = 0x01 // width 320 LE
+    bmp(22) = 0xF0.toByte; bmp(23) = 0xFF.toByte // height -16 (top-down)
+    bmp(24) = 0xFF.toByte; bmp(25) = 0xFF.toByte
+    assert(MediaHeaders.sniff(bmp) === Some("bmp"))
+    assert(MediaHeaders.dimensions("bmp", bmp) === Some((320, 16)))
+    // truncated payloads answer None, never throw
+    assert(MediaHeaders.dimensions("png", png.take(20)) === None)
+    assert(MediaHeaders.dimensions("jpeg", jpeg.take(9)) === None)
+    // unknown container → stub fallback path
+    assert(MediaHeaders.sniff(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)) === None)
+  }
+
+  test("MediaHeaders: WAV chunk walk returns (rate, channels, frames)") {
+    import Multimodal.MediaHeaders
+    val wav = Multimodal.syntheticWav(44100, 2, 1000)
+    assert(MediaHeaders.sniff(wav) === Some("wav"))
+    assert(MediaHeaders.wavInfo(wav) === Some((44100, 2, 1000L)))
+    assert(MediaHeaders.wavInfo(wav.take(30)) === None) // truncated fmt
   }
 
   test("resizeImages: aspect-preserving dims capped at maxSide, images only") {
