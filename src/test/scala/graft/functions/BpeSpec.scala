@@ -92,6 +92,24 @@ class BpeSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size <= 25)
   }
 
+  test("checked-in merges table ≡ learnDistributed on its generating fixture, byte-for-byte") {
+    // the shipped table's provenance claim (header: learned from sf0.01
+    // documents) is REPRODUCED through the distributed path, not just
+    // property-tested on synthetic dictionaries: same fixture, same merge
+    // budget, and the serialized lines past the header must match the
+    // checked-in file exactly
+    val spark = graft.TestSpark.spark
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/bpe_merges.txt"), "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+    val checked = graft.functions.BpeTokenizer.parseMerges(lines.iterator)
+    val wordFreq = graft.operators.TextAnalysis.wordFreq(
+      graft.Tables.load(spark, "/root/testdata/sf0.01", "documents"), "text")
+    val relearned = graft.tools.LearnBpe.learnDistributed(spark, wordFreq, 200)
+    assert(relearned === checked)
+    assert(lines.drop(1) === relearned.map { case (a, b) => s"$a $b" })
+  }
+
   test("parseMerges: only the first line is a comment — '#'-leading symbols survive") {
     val merges = BpeTokenizer.parseMerges(Iterator(
       "# header written by LearnBpe", "# i", "#i n", "a b</w>"))
