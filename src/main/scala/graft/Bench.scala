@@ -7,8 +7,8 @@ import org.apache.spark.sql.SparkSession
   *   - a full line `{"metric":"total","value":…,"queries":{…},…}` with
   *     per-query seconds (3-decimal precision, MIN of `reps` runs each —
   *     env `SPARK_GRAFT_BENCH_REPS`, default 3) plus an `"infra"` map
-  *     timing the one-time shared builds (IVF index, MinHash edge
-  *     table), then
+  *     timing the one-time shared builds (IVF index incl. its recall
+  *     calibration, MinHash edge table, dedup-cluster edge memo), then
   *   - a minimal `{"metric":"total","value":…,"unit":"sec","failed":…}` as
   *     the VERY LAST stdout line. The harness that captures our output keeps
   *     only a ~2 KB tail, and the full line (70+ queries) can overflow it —
@@ -66,6 +66,8 @@ object Bench {
     timeInfra("_ivf_build") { Queries.sharedIvfIndex(spark, sfDir) }
     timeInfra("_minhash_build") {
       Queries.sharedMinhashVerified(spark, sfDir).count() }
+    timeInfra("_dedup_edges_build") {
+      Queries.sharedDedupEdges(spark, sfDir).count() }
     // MIN of `reps` runs per query: two consecutive driver rounds had
     // 25-60% of per-query numbers absorb VM-throttle spikes (blocks of
     // untouched queries "regressing" 2-5x, back to normal on a warm

@@ -134,7 +134,7 @@ object Queries {
       (String, Seq[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType)]()
 
-  private def sharedDedupEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def sharedDedupEdges(s: SparkSession, dir: String): DataFrame = {
     val fp = Tables.fixtureFingerprint(dir, "documents")
     val built = dedupEdgesCache.compute(dir, (_, cached) =>
       if (cached != null && cached._1 == fp) cached
@@ -300,29 +300,37 @@ object Queries {
           val path = s"$tmpRoot/ivf"
           IvfIndex.writePartitioned(emb, "vec_id", assign, path)
           // RECALL-CALIBRATED operating point (the public autotune
-          // recipe, e.g. FAISS's recall-targeted parameter sweep): walk
-          // nprobe up a geometric ladder from the sizing start until the
-          // MINIMUM recall@10 over the fixed probe vectors reaches the
-          // target, against the exact brute-force top-10. Every job here
-          // is k-bounded on the driver side (10 ids per collect) and
-          // amortized into the one-time build — it is what makes the
-          // declared probes' nprobe a measured quality statement instead
-          // of a guess. At corpus scale the calibration queries are a
-          // held-out sample; the shape is identical.
-          val calib = Seq(QueryVectors.q1, QueryVectors.q2)
-          val exact = calib.map(q =>
-            graft.operators.Search.topK(emb, "embedding", "vec_id", q, k = 10)
-              .select(col("vec_id")).collect().map(_.getLong(0)).toSet)
-          def minRecall(np: Int): Double = calib.zip(exact).map { case (q, ex) =>
-            val got = IvfIndex.probePartitioned(s, path, "vec_id",
-              "embedding", cents, q, k = 10, nprobe = np)
-              .select(col("vec_id")).collect().map(_.getLong(0)).toSet
-            (ex & got).size.toDouble / ex.size
+          // recipe, e.g. FAISS's recall-targeted parameter sweep): pick
+          // the smallest ladder nprobe whose MINIMUM recall@10 over the
+          // fixed probe vectors reaches the target, against the exact
+          // brute-force top-10. The entire measurement is ONE
+          // distributed job (`IvfIndex.calibrationTopK`): per-(query,
+          // cluster) top-10 tagged with the query's cluster rank, from
+          // which the driver evaluates every nprobe — including
+          // nprobe = k, which IS the exact answer — so calibration adds
+          // a single job to the build instead of one probe per ladder
+          // step (all amortized into the auditable `_ivf_build` infra
+          // line). It is what makes the declared probes' nprobe a
+          // measured quality statement instead of a guess; at corpus
+          // scale the calibration queries are a held-out sample, same
+          // shape.
+          val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+          val centRows = cents.collect().toSeq
+          val centsSeq = centRows.map(r =>
+            (r.getInt(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
+          val sweep = IvfIndex.calibrationTopK(s, path, "vec_id",
+            "embedding", centsSeq, calib, k = 10)
+          def topAt(qid: Long, np: Int): Set[Long] =
+            sweep.iterator.filter(t => t._1 == qid && t._2 < np).toSeq
+              .sortBy(t => (-t._4, t._3)).take(10).map(_._3).toSet
+          val exact = calib.map { case (qid, _) => qid -> topAt(qid, k) }.toMap
+          def minRecall(np: Int): Double = calib.map { case (qid, _) =>
+            (exact(qid) & topAt(qid, np)).size.toDouble / exact(qid).size
           }.min
           val ladder = Iterator.iterate(npStart)(np => math.min(k, np * 2))
             .takeWhile(_ < k).toSeq :+ k
           val nprobe = ladder.find(minRecall(_) >= IvfRecallTarget).getOrElse(k)
-          IvfBuilt(fp, path, cents.collect().toSeq, cents.schema, k, nprobe)
+          IvfBuilt(fp, path, centRows, cents.schema, k, nprobe)
         } finally { assign.unpersist(); cents.unpersist() }
       })
     SharedIvf(built.indexPath,

@@ -69,5 +69,10 @@ object VectorFunctions {
 
   /** A fixed query vector as a typed array-literal Column. Constant, so
     * Catalyst constant-folds all arithmetic against it. */
-  def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
+  /** A query/centroid vector as ONE array literal. `typedlit` packs the
+    * whole vector into a single Catalyst Literal — the earlier
+    * `array(lit, lit, …)` form carried one expression node per element,
+    * and a plan embedding many such vectors (the IVF centroid array:
+    * k·d nodes) paid seconds of analysis + codegen per build step. */
+  def vecLit(v: Seq[Double]): Column = typedlit(v)
 }

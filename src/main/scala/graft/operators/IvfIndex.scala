@@ -134,6 +134,14 @@ object IvfIndex {
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType), nullable = false)))
 
+  /** The whole (cluster_id, centroid) set as ONE Catalyst literal of
+    * array<struct<_1:int,_2:array<double>>> — `typedlit` keeps the plan
+    * at a single expression node regardless of k·d, where the earlier
+    * per-element `array(struct(lit…))` tree carried k·d literal nodes
+    * and paid seconds of analysis/codegen per build step at k ≈ √n. */
+  private def centLit(cents: IndexedSeq[(Int, IndexedSeq[Double])]): Column =
+    typedlit(cents.map { case (cid, c) => (cid, c.toSeq) }.toSeq)
+
   /** Zero-shuffle nearest-centroid assignment: `cluster_id` is a pure
     * projected column — a fold over the constant centroid array keeping
     * the lexicographic `(dist, cluster_id)` minimum, so ties break to
@@ -141,24 +149,27 @@ object IvfIndex {
     * `min(struct(dist, cluster_id))` aggregate form. */
   private[graft] def withCluster(vecs: DataFrame,
                           cents: IndexedSeq[(Int, IndexedSeq[Double])]): DataFrame = {
-    val centArr = array(cents.map { case (cid, c) =>
-      struct(lit(cid).as("cid"), vecLit(c).as("c"))
-    }: _*)
+    val centArr = centLit(cents)
     val best = aggregate(centArr,
       struct(lit(Double.PositiveInfinity).as("dist"), lit(Int.MaxValue).as("cid")),
       (acc, e) => least(acc,
-        struct(l2Dist(col("_v"), e.getField("c")).as("dist"),
-          e.getField("cid").as("cid"))))
+        struct(l2Dist(col("_v"), e.getField("_2")).as("dist"),
+          e.getField("_1").as("cid"))))
     vecs.withColumn("cluster_id", best.getField("cid"))
   }
 
   /** Materialize the indexed corpus as a parquet table PARTITIONED BY
     * cluster_id — the at-scale layout: a probe that touches `nprobe` of
     * `k` clusters reads `nprobe/k` of the data via partition pruning,
-    * no index structure beyond the directory layout. */
+    * no index structure beyond the directory layout. The pre-write
+    * `repartition(cluster_id)` co-locates each cluster in one task so
+    * the table lands as ONE file per cluster — without it every write
+    * task holding rows of c clusters opens c files (tasks × clusters
+    * files total, and the committer pays per file). */
   def writePartitioned(corpus: DataFrame, idCol: String,
                        assignments: DataFrame, path: String): Unit =
     corpus.join(assignments, idCol)
+      .repartition(col("cluster_id"))
       .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
 
   /** Assign a batch of vectors to an EXISTING centroid set — the
@@ -192,7 +203,53 @@ object IvfIndex {
   def appendPartitioned(batch: DataFrame, idCol: String,
                         assignments: DataFrame, path: String): Unit =
     batch.join(assignments, idCol)
+      .repartition(col("cluster_id"))
       .write.partitionBy("cluster_id").mode("append").parquet(path)
+
+  /** The whole-dial calibration measurement in ONE distributed job:
+    * per-(query, cluster) top-`k` over the partitioned index, tagged
+    * with each cluster's RANK in that query's centroid-distance
+    * ordering (computed driver-side — k tiny rows). Because every
+    * vector lives in exactly one cluster, the global top-k under
+    * "cluster rank < nprobe" is always contained in the per-cluster
+    * top-k rows — so the driver can evaluate recall@k for EVERY nprobe
+    * (including nprobe = k, which IS the exact brute-force answer) from
+    * this single result, instead of one probe job per ladder step.
+    * Scoring and tie-breaks ((round(sim,4)) desc, id asc) replicate
+    * [[probePartitioned]] exactly, so a calibrated promise holds for
+    * the declared probes. Returns (qid, clusterRank, id, sim) rows —
+    * ≤ queries × k × `k` of them. */
+  def calibrationTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, vecCol: String,
+                      cents: IndexedSeq[(Int, IndexedSeq[Double])],
+                      queries: Seq[(Long, Seq[Double])], k: Int,
+                      score: (Column, Column) => Column = dot)
+      : Array[(Long, Int, Long, Double)] = {
+    // per-query cluster ranking, driver-side (same (dist, cid) order as
+    // probePartitioned's centroid sort)
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ranks = queries.flatMap { case (qid, q) =>
+      cents.sortBy { case (cid, c) => (l2(c, q), cid) }
+        .zipWithIndex.map { case ((cid, _), r) => (qid, cid, r) }
+    }
+    import spark.implicits._
+    val qdf = queries.toDF("qid", "qvec")
+    val rdf = ranks.toDF("qid", "cluster_id", "crank")
+    val scored = spark.read.parquet(path)
+      .crossJoin(broadcast(qdf))
+      .select(col("qid"), col("cluster_id"),
+        col(idCol).cast("long").as("_cid_id"),
+        round(score(col(vecCol), col("qvec")), 4).as("sim"))
+      .filter(col("sim").isNotNull)
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    scored.groupBy(col("qid"), col("cluster_id"))
+      .agg(topk(col("sim"), col("_cid_id")).as("top"))
+      .join(broadcast(rdf), Seq("qid", "cluster_id"))
+      .select(col("qid"), col("crank"), explode(col("top")).as("hit"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getStruct(2).getLong(1), r.getStruct(2).getDouble(0)))
+  }
 
   /** Probe against a [[writePartitioned]] layout: the `cluster_id IN (…)`
     * filter prunes partitions at planning time, so only the probed
@@ -262,9 +319,7 @@ object IvfIndex {
     // k centroid rows — driver-resolvable by the same contract as build()
     val cents = centroids.select(col("cluster_id"), col("centroid")).collect()
       .toIndexedSeq.map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
-    val centArr = array(cents.map { case (cid, c) =>
-      struct(lit(cid).as("cid"), vecLit(c).as("c"))
-    }: _*)
+    val centArr = centLit(cents)
     // two projections, not one: the probe-set expression references the
     // normalized "qvec" alias, and defining + referencing an alias in the
     // same select would be a lateral-alias reference (unsupported under
@@ -272,8 +327,8 @@ object IvfIndex {
     val base = queries.select(col(qIdCol).as("qid"),
       transform(col(qVecCol), _.cast("double")).as("qvec"))
     val dists = transform(centArr, e =>
-      struct(l2Dist(col("qvec"), e.getField("c")).as("dist"),
-        e.getField("cid").as("cid")))
+      struct(l2Dist(col("qvec"), e.getField("_2")).as("dist"),
+        e.getField("_1").as("cid")))
     val probed = base.select(col("qid"), col("qvec"),
       explode(transform(slice(array_sort(dists), 1, nprobe),
         _.getField("cid"))).as("cluster_id"))

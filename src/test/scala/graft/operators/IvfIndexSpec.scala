@@ -97,6 +97,28 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(appended).count === emb.count)
   }
 
+  test("calibrationTopK: driver-evaluated top-10 at any nprobe ≡ probePartitioned") {
+    val (assignments, centroids) = built
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfcal").toString + "/corpus"
+    IvfIndex.writePartitioned(emb, "vec_id", assignments, path)
+    val cents = centroids.select("cluster_id", "centroid").collect().toIndexedSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
+    val queries = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+    // one job answers the whole dial: filtering the per-cluster top-10
+    // rows by cluster rank and re-sorting must reproduce each
+    // probePartitioned result exactly, at every operating point
+    val sweep = IvfIndex.calibrationTopK(spark, path, "vec_id", "embedding",
+      cents, queries, k = 10)
+    for ((qid, q) <- queries; np <- Seq(1, 2, 4, 8)) {
+      val fromSweep = sweep.filter(t => t._1 == qid && t._2 < np).toSeq
+        .sortBy(t => (-t._4, t._3)).take(10).map(_._3)
+      val direct = IvfIndex.probePartitioned(spark, path, "vec_id",
+        "embedding", centroids, q, k = 10, nprobe = np)
+        .select("vec_id").as[Long].collect.toSeq
+      assert(fromSweep === direct, s"qid=$qid np=$np")
+    }
+  }
+
   test("probeMany: batched probe ≡ one probePartitioned per query") {
     val (assignments, centroids) = built
     val path = java.nio.file.Files.createTempDirectory("graft-ivfmany").toString + "/corpus"
