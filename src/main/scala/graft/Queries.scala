@@ -2147,18 +2147,33 @@ object Queries {
         // nprobe itself (what ivf_probe/_part/_many actually run — THE
         // certified row), and nprobe = k, which probes every cluster and
         // MUST be exactly 1.0 — the index-completeness self-check (a
-        // vector lost by the partitioned layout would surface here)
+        // vector lost by the partitioned layout would surface here).
+        // The dial's INDEX side is measured by ONE distributed job
+        // (IvfIndex.calibrationTopK): per-(query, cluster) top-10 rows,
+        // from which the driver reads every nprobe's answer with
+        // probePartitioned's exact scoring and tie-breaks (equivalence
+        // asserted in IvfIndexSpec) — instead of two probe jobs per
+        // dial point. The EXACT side deliberately stays a brute-force
+        // scan of the SOURCE table, never the index: deriving "exact"
+        // from the index itself would hide exactly the lost-vector
+        // failure the nprobe = k row exists to catch.
         val dial = Seq(math.max(2, ivf.nprobe / 2), ivf.nprobe, ivf.k)
           .distinct
+        val centsSeq = ivf.centroids.collect().toIndexedSeq
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
+        val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        val sweep = IvfIndex.calibrationTopK(s, ivf.indexPath, "vec_id",
+          "embedding", centsSeq, calib, k = 10)
+        def topAt(qid: Long, np: Int): Set[Long] =
+          sweep.iterator.filter(t => t._1 == qid && t._2 < np).toSeq
+            .sortBy(t => (-t._4, t._3)).take(10).map(_._3).toSet
         val rows = for {
-          (qid, q) <- Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+          (qid, q) <- calib
           exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
             .select(col("vec_id")).collect().map(_.getLong(0)).toSet
           nprobe <- dial
         } yield {
-          val probed = IvfIndex.probePartitioned(s, ivf.indexPath, "vec_id",
-            "embedding", ivf.centroids, q, k = 10, nprobe = nprobe)
-            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          val probed = topAt(qid, nprobe)
           val recall = math.rint(
             (exact & probed).size.toDouble / exact.size * 10000) / 10000
           (qid, nprobe, (exact & probed).size.toLong, recall)
