@@ -216,6 +216,45 @@ object Streams {
       (batch, corpus) => graft.operators.Dedup.admitIncomingVectors(
         batch, corpus, idCol, vecCol, minCosine, nBits))(sink)
 
+  /** The COMPLETE vector-corpus ingestion loop — admission and INDEX
+    * MAINTENANCE composed per micro-batch, the production shape the
+    * pieces exist for: each batch is admitted against the evolving
+    * (id, vector) corpus ([[graft.operators.Dedup.admitIncomingVectors]]
+    * — cross-set sign-LSH + exact-cosine verify, earlier admissions
+    * reject later dups), and the ADMITTED rows are assigned to the
+    * index's EXISTING centroids and appended to its partitioned table
+    * ([[graft.operators.IvfIndex.assignTo]] + `appendPartitioned` —
+    * zero-shuffle argmin over the batch, only touched cluster
+    * partitions gain files). The searchable index therefore tracks the
+    * deduped corpus continuously; centroid refresh on quality decay is
+    * the batch `IvfIndex.build` rerun, per its maintenance contract.
+    *
+    * `afterBatch` (optional) observes each batch's admitted rows after
+    * the index append, synchronously. Single-start/non-recoverable —
+    * see [[evolvingAdmission]]'s lifecycle contract; the INDEX TABLE,
+    * unlike the in-memory corpus generation, is durable, so a restart
+    * that re-processes batch 0 should point at a fresh index path (or
+    * rebuild) to avoid double-appending. */
+  def incrementalVectorIngestion(vecStream: DataFrame,
+                                 initialCorpus: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 centroids: DataFrame, indexPath: String,
+                                 minCosine: Double = 0.9, nBits: Int = 8)
+                                (afterBatch: (DataFrame, Long) => Unit =
+                                   (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    evolvingAdmission(vecStream, initialCorpus, Seq(idCol, vecCol),
+      (batch, corpus) => graft.operators.Dedup.admitIncomingVectors(
+        batch, corpus, idCol, vecCol, minCosine, nBits)) { (admitted, batchId) =>
+      // admitted is persisted + materialized by the evolving loop, so
+      // the emptiness probe and the append read it from cache
+      if (!admitted.isEmpty)
+        graft.operators.IvfIndex.appendPartitioned(admitted, idCol,
+          graft.operators.IvfIndex.assignTo(admitted, idCol, vecCol, centroids),
+          indexPath)
+      afterBatch(admitted, batchId)
+    }
+
   /** File-based stream source over an events directory (B33). For the
     * fixture, replay the parquet dir; in production this is the landing
     * path written by the ingestion job. */

@@ -382,6 +382,65 @@ class StreamsSpec extends AnyFunSuite {
       Set(10L, 11L, 20L, 22L, 30L, 31L))
   }
 
+  test("incrementalVectorIngestion: the maintained index answers probes over the deduped corpus") {
+    implicit val sql = spark.sqlContext
+    // initial corpus: 3 axis-ish vectors, indexed with k=2 centroids.
+    // The stream carries two admissible vectors, one scaled dup of the
+    // corpus (rejected by admission) and one byte-dup of an EARLIER
+    // ADMISSION (rejected by the evolving corpus) — neither may reach
+    // the index table.
+    val corpusRows = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-vecingest")
+    val path = s"$root/ivf"
+    val (assign, cents) = graft.operators.IvfIndex.build(
+      corpus, "vec_id", "embedding", k = 2, iters = 2)
+    try {
+      graft.operators.IvfIndex.writePartitioned(corpus, "vec_id", assign, path)
+      val batches = Seq(
+        Seq((10L, Seq(0.0, 0.0, 0.0, 1.0)),
+          (11L, Seq(0.5, 0.5, 0.0, 0.0))),
+        Seq((20L, Seq(2.0, 0.0, 0.0, 0.0)),     // scaled dup of corpus 1
+          (21L, Seq(0.0, 0.0, 0.0, 1.0)),       // byte-dup of admitted 10
+          (22L, Seq(0.0, 0.5, 0.5, 0.0))))
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val q = Streams.incrementalVectorIngestion(
+        mem.toDF().toDF("vec_id", "embedding"), corpus,
+        "vec_id", "embedding", cents, path) { (adm, _) =>
+          val ids = adm.select("vec_id").as[Long].collect()
+          admitted.synchronized { admitted ++= ids }
+        }.start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      assert(admitted.toSet === Set(10L, 11L, 22L))
+      // the index table now holds EXACTLY corpus ∪ admissions — the
+      // dups never reached it
+      val indexed = spark.read.parquet(path)
+        .select("vec_id").as[Long].collect.toSet
+      assert(indexed === Set(1L, 2L, 3L, 10L, 11L, 22L))
+      // and an exhaustive probe over the maintained table equals brute
+      // force over the deduped corpus (the index stayed searchable
+      // through every append)
+      val want = corpusRows ++ Seq(
+        (10L, Seq(0.0, 0.0, 0.0, 1.0)),
+        (11L, Seq(0.5, 0.5, 0.0, 0.0)),
+        (22L, Seq(0.0, 0.5, 0.5, 0.0)))
+      val exact = graft.operators.Search.topK(
+        want.toDF("vec_id", "embedding"), "embedding", "vec_id",
+        Seq(0.6, 0.5, 0.1, 0.0), k = 3)
+        .select("vec_id").as[Long].collect.toSeq
+      val probed = graft.operators.IvfIndex.probePartitioned(spark, path,
+        "vec_id", "embedding", cents, Seq(0.6, 0.5, 0.1, 0.0),
+        k = 3, nprobe = 2)
+        .select("vec_id").as[Long].collect.toSeq
+      assert(probed === exact)
+    } finally { assign.unpersist(); cents.unpersist() }
+  }
+
   test("evolving admission writer restarted from batch 0 resets to the initial corpus") {
     implicit val sql = spark.sqlContext
     // run the same single batch through the SAME writer twice: the
