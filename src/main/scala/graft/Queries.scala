@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, Search, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, Search, SpanDedup, TextAnalysis}
 import graft.streaming.Streams
 
 /** One declared query: the Spark build plus (when SQL-expressible) the
@@ -684,6 +684,100 @@ object Queries {
       },
       None,
       "sequential ingestion e2e: day-2 admission runs against corpus ∪ day-1 admissions (evolving-corpus batch twin)"),
+
+    "span_dedup" -> DeclaredQuery(
+      // substring-level dedup (the ExactSubstr tier, Lee et al. 2021
+      // public recipe re-shaped for Spark): per-doc coverage by token
+      // 8-gram spans duplicated across >= 2 distinct docs — the
+      // boilerplate/license/quotation detector whole-doc MinHash never
+      // catches. posexplode grams → one hash-agg on the gram key →
+      // equi-join back → per-doc gaps-and-islands window merge. Fully
+      // SQL-expressible, so this tier gets a real DuckDB oracle.
+      (s, dir) => SpanDedup.coverageStats(T(s, dir, "documents"),
+          "doc_id", "text", k = 8, minDocs = 2)
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy(asc("doc_id")),
+      Some("""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |gp AS (
+         |  SELECT doc_id, toks, CAST(unnest(range(1, len(toks)-6)) AS INT) AS pos
+         |  FROM t WHERE len(toks) >= 8),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |         array_to_string(list_slice(toks, pos, pos+7), ' ') AS gram
+         |  FROM gp),
+         |d AS (SELECT gram FROM g GROUP BY gram
+         |      HAVING count(DISTINCT doc_id) >= 2),
+         |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM p),
+         |isl2 AS (SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+         |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos)+7 AS e
+         |       FROM isl2 GROUP BY doc_id, island),
+         |cov AS (SELECT doc_id, sum(e-s+1) AS dup_tokens, count(*) AS n_spans
+         |        FROM sp GROUP BY doc_id),
+         |nt AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens
+         |       FROM documents)
+         |SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(cov.dup_tokens,0) AS BIGINT) AS dup_tokens,
+         |       CAST(coalesce(cov.n_spans,0) AS BIGINT) AS n_spans,
+         |       round(coalesce(cov.dup_tokens,0) * 1.0 / greatest(n_tokens,1), 4)
+         |         AS dup_frac
+         |FROM nt LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin),
+      "substring-span dedup: cross-doc duplicated 8-gram span coverage per doc"),
+
+    "span_strip" -> DeclaredQuery(
+      // the span-dedup ACTION: rewrite each doc with duplicated-span
+      // tokens removed (span expansion + anti-join on position +
+      // ordered reassembly). md5 of the cleaned text keeps the oracle
+      // row narrow; kept_tokens must equal n_tokens - dup_tokens of
+      // span_dedup (asserted in SpanDedupSpec).
+      (s, dir) => SpanDedup.stripSpans(T(s, dir, "documents"),
+          "doc_id", "text", k = 8, minDocs = 2)
+        .select(col("_id").as("doc_id"), col("kept_tokens"),
+          md5(col("cleaned_text")).as("cleaned_md5"))
+        .orderBy(asc("doc_id")),
+      Some("""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |gp AS (
+         |  SELECT doc_id, toks, CAST(unnest(range(1, len(toks)-6)) AS INT) AS pos
+         |  FROM t WHERE len(toks) >= 8),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |         array_to_string(list_slice(toks, pos, pos+7), ' ') AS gram
+         |  FROM gp),
+         |d AS (SELECT gram FROM g GROUP BY gram
+         |      HAVING count(DISTINCT doc_id) >= 2),
+         |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM p),
+         |isl2 AS (SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+         |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos)+7 AS e
+         |       FROM isl2 GROUP BY doc_id, island),
+         |covpos AS (
+         |  SELECT doc_id, CAST(unnest(range(s, e+1)) AS INT) AS pos FROM sp),
+         |tokpos AS (
+         |  SELECT doc_id, toks, CAST(unnest(range(1, len(toks)+1)) AS INT) AS pos
+         |  FROM t),
+         |keep AS (
+         |  SELECT tp.doc_id, tp.pos, list_extract(tp.toks, tp.pos) AS tok
+         |  FROM tokpos tp ANTI JOIN covpos c USING (doc_id, pos)),
+         |o AS (
+         |  SELECT doc_id, count(*) AS kept_tokens,
+         |         array_to_string(list(tok ORDER BY pos), ' ') AS cleaned
+         |  FROM keep GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(o.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |       md5(coalesce(o.cleaned, '')) AS cleaned_md5
+         |FROM documents d LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin),
+      "substring-span dedup action: duplicated spans stripped, docs reassembled"),
 
     "doc_stats" -> DeclaredQuery(
       (s, dir) => TextAnalysis.docStats(T(s, dir, "documents"),

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class SpanDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // doc 1 and 2 share the 5-token run "a b c d e" (plus distinct tails);
+  // doc 3 is unrelated; doc 4 is too short for k=3 grams... (k below)
+  private lazy val docs = Seq(
+    (1L, "a b c d e x1 y1 z1"),
+    (2L, "p q a b c d e w2"),
+    (3L, "nothing shared here at all ok"),
+    (4L, "xx yy")
+  ).toDF("doc_id", "text")
+
+  test("duplicatedSpans finds exactly the shared run, merged maximally") {
+    // k=3: shared 3-grams of "a b c d e" = [a b c][b c d][c d e] →
+    // doc 1 hit positions 1,2,3 → one span [1, 5]; doc 2 positions
+    // 3,4,5 → one span [3, 7]. Nothing else repeats.
+    val got = SpanDedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .as[(Long, Int, Int)].collect.toSet
+    assert(got === Set((1L, 1, 5), (2L, 3, 7)))
+  }
+
+  test("coverageStats: every doc appears; zero rows for clean docs") {
+    val got = SpanDedup.coverageStats(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long, Double)].collect
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((8L, 5L, 1L, 0.625)))
+    assert(got(2L) === ((8L, 5L, 1L, 0.625)))
+    assert(got(3L) === ((6L, 0L, 0L, 0.0)))
+    assert(got(4L) === ((2L, 0L, 0L, 0.0)))
+  }
+
+  test("stripSpans removes exactly the duplicated-span tokens, in order") {
+    val got = SpanDedup.stripSpans(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, String)].collect
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((3L, "x1 y1 z1")))
+    assert(got(2L) === ((3L, "p q w2")))
+    assert(got(3L) === ((6L, "nothing shared here at all ok")))
+    assert(got(4L) === ((2L, "xx yy")))
+  }
+
+  test("exact-duplicate pair is fully covered and strips to empty") {
+    val dup = Seq((1L, "one two three four"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val stats = SpanDedup.coverageStats(dup, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long, Double)].collect.toSet
+    assert(stats === Set((1L, 4L, 4L, 1L, 1.0), (2L, 4L, 4L, 1L, 1.0)))
+    val stripped = SpanDedup.stripSpans(dup, "doc_id", "text", k = 3)
+      .as[(Long, Long, String)].collect.toSet
+    assert(stripped === Set((1L, 0L, ""), (2L, 0L, "")))
+  }
+
+  test("within-doc repetition alone does not trigger (cross-doc only)") {
+    val rep = Seq(
+      (1L, "r r r r r r unique1"),
+      (2L, "totally different text two")
+    ).toDF("doc_id", "text")
+    val spans = SpanDedup.duplicatedSpans(rep, "doc_id", "text", k = 3)
+    assert(spans.count() === 0L)
+  }
+
+  test("separated hits stay separate spans; adjacent hits merge") {
+    // k=3, shared runs "m m m" at both ends of doc 1 with a long unique
+    // middle → two spans in doc 1.
+    val d = Seq(
+      (1L, "m m m u1 u2 u3 u4 u5 m m m"),
+      (2L, "m m m other stuff")
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.duplicatedSpans(d, "doc_id", "text", k = 3)
+      .filter($"_id" === 1L).as[(Long, Int, Int)].collect.toSet
+    assert(got === Set((1L, 1, 3), (1L, 9, 11)))
+  }
+
+  test("hashGrams=true is row-identical to string grams on the fixture") {
+    val fx = Tables.load(spark, TestSpark.sf0001, "documents")
+    val a = SpanDedup.coverageStats(fx, "doc_id", "text", k = 8)
+      .orderBy("_id").collect.toSeq
+    val b = SpanDedup.coverageStats(fx, "doc_id", "text", k = 8,
+        hashGrams = true)
+      .orderBy("_id").collect.toSeq
+    assert(a === b)
+  }
+
+  test("strip conserves tokens: kept_tokens = n_tokens - dup_tokens") {
+    val fx = Tables.load(spark, TestSpark.sf0001, "documents")
+    val stats = SpanDedup.coverageStats(fx, "doc_id", "text", k = 8)
+      .select($"_id", ($"n_tokens" - $"dup_tokens").as("expect"))
+    val strip = SpanDedup.stripSpans(fx, "doc_id", "text", k = 8)
+      .select($"_id", $"kept_tokens")
+    val mismatches = stats.join(strip, "_id")
+      .filter($"expect" =!= $"kept_tokens").count()
+    assert(mismatches === 0L)
+  }
+
+  test("docs shorter than k produce no grams") {
+    val short = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(SpanDedup.grams(short, "doc_id", "text", k = 3).count() === 0L)
+  }
+}
