@@ -64,6 +64,7 @@ object Bench {
       infra(name) = if (ok) dt else -dt
     }
     timeInfra("_ivf_build") { Queries.sharedIvfIndex(spark, sfDir) }
+    timeInfra("_pq_build") { Queries.sharedPqIndex(spark, sfDir) }
     timeInfra("_minhash_build") {
       Queries.sharedMinhashVerified(spark, sfDir).count() }
     timeInfra("_dedup_edges_build") {

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, Search, SpanDedup, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, PqIndex, Search, SpanDedup, TextAnalysis}
 import graft.streaming.Streams
 
 /** One declared query: the Spark build plus (when SQL-expressible) the
@@ -336,6 +336,84 @@ object Queries {
     SharedIvf(built.indexPath,
       s.createDataFrame(java.util.Arrays.asList(built.centRows: _*), built.centSchema),
       built.k, built.nprobe)
+  }
+
+  /** Shared PQ handle: the encoded-codes table's path, the trained
+    * codebooks (m·ks·d driver-side doubles — tiny), and the CALIBRATED
+    * re-rank depth the declared PQ rows run at. */
+  private[graft] final case class SharedPq(
+      fingerprint: String, codesPath: String,
+      codebooks: PqIndex.Codebooks, m: Int, ks: Int, rerank: Int)
+
+  private val pqBuildCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SharedPq]()
+
+  /** Recall target the declared PQ operating point must meet — certified
+    * live by the `pq_recall` row, same contract as [[IvfRecallTarget]]. */
+  private[graft] val PqRecallTarget = 0.9
+
+  /** Ceiling on the calibration's candidate-depth ladder (and on any
+    * driver-side collect the PQ rows make): the re-rank candidate list is
+    * what a cluster broadcast-joins back to raw vectors, so it must stay
+    * k-bounded-small no matter what the recall sweep would prefer. */
+  private[graft] val PqMaxRerank = 512
+
+  /** One shared PQ build per fixture dir: train codebooks (m=8 subspaces
+    * × ks=16 cells over the 64-dim fixture — 8-byte codes, 32×
+    * compression; the classic 256-cell/8-bit variant needs unsigned
+    * bytes, PqIndex scaladoc), encode the corpus to a parquet codes
+    * table (disk, never the driver — the sharedIvfIndex discipline), and
+    * CALIBRATE the re-rank depth: the smallest ladder `r` whose minimum
+    * recall@10 over the fixture query vectors meets [[PqRecallTarget]],
+    * evaluated driver-side from ONE bounded ADC ordering per query.
+    * (Correctness of that evaluation: `searchRerank(k, r)` keeps the
+    * exact-scored top-k of the ADC top-r, and any exact-top-10 member
+    * inside the ADC top-r is beaten by < 10 rows there, so
+    * recall(r) = |exact10 ∩ adcTop(r)| / 10 — no per-ladder-step jobs.)
+    * Near-uniform random fixture embeddings are PQ's worst case (no
+    * cluster structure to compress), so the calibrated `r` lands deeper
+    * than it would on real embeddings — the honest operating point,
+    * same reasoning as the IVF nprobe calibration. */
+  private[graft] def sharedPqIndex(s: SparkSession, dir: String): SharedPq = {
+    val fp = embFingerprint(dir)
+    val built = pqBuildCache.compute(dir, (_, cached) =>
+      if (cached != null && cached.fingerprint == fp) cached
+      else {
+        val emb = T(s, dir, "embeddings")
+        val m = 8
+        val ks = 16
+        val cb = PqIndex.trainCodebooks(emb, "vec_id", "embedding",
+          m = m, ks = ks, iters = 2)
+        // superseded dirs are not deleted eagerly — compute() serializes
+        // builders, not consumers mid-scan (the sharedIvfIndex rule)
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-pqidx")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(tmpRoot.toFile)
+        val path = s"$tmpRoot/codes"
+        PqIndex.encode(emb, "vec_id", "embedding", cb)
+          .write.mode("overwrite").parquet(path)
+        val enc = s.read.parquet(path)
+        val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        val rMax = math.min(emb.count(), PqMaxRerank.toLong).toInt
+        def adcTop(q: Seq[Double]): IndexedSeq[Long] = enc
+          .select(col("vec_id"),
+            round(PqIndex.adcScore(col("codes"), q, cb), 4).as("sim"))
+          .orderBy(desc("sim"), asc("vec_id")).limit(rMax)
+          .collect().map(_.getLong(0)).toIndexedSeq
+        val measured = calib.map { case (_, q) =>
+          val exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          (adcTop(q), exact)
+        }
+        def minRecall(r: Int): Double = measured.map { case (adc, exact) =>
+          (adc.take(r).toSet & exact).size.toDouble / exact.size
+        }.min
+        val ladder = Iterator.iterate(10)(_ * 2).takeWhile(_ < rMax)
+          .toSeq :+ rMax
+        val rerank = ladder.find(minRecall(_) >= PqRecallTarget)
+          .getOrElse(rMax)
+        SharedPq(fp, path, cb, m, ks, rerank)
+      })
+    built
   }
 
   /** Generic source/sink round-trip through `fmt` (B32): write a typed
@@ -2220,6 +2298,67 @@ object Queries {
       },
       None,
       "B6 batched: multi-query IVF probe in one job (broadcast probe sets + map-side top-k)"),
+
+    "pq_topk" -> DeclaredQuery(
+      // PQ-accelerated top-k at the CALIBRATED operating point: ADC scan
+      // of the shared 8-byte-code table → top-`rerank` candidates →
+      // exact re-rank of that bounded set via broadcast join back to the
+      // raw vectors. The compressed representation is the 100 TB story
+      // (codes stay RAM-resident where raw vectors spill); float-
+      // iterative k-means codebooks → rows-only per the contract, with
+      // full-depth-rerank ≡ exact brute force asserted in PqIndexSpec
+      // and the operating point certified by `pq_recall`.
+      (s, dir) => {
+        val pq = sharedPqIndex(s, dir)
+        PqIndex.searchRerank(s.read.parquet(pq.codesPath),
+            T(s, dir, "embeddings"), "vec_id", "embedding",
+            QueryVectors.q1, pq.codebooks, k = 10, r = pq.rerank)
+          .orderBy(col("rank"))
+      },
+      None,
+      "PQ ADC top-k + exact re-rank at the calibrated depth (8-byte codes, 32x compression)"),
+
+    "pq_recall" -> DeclaredQuery(
+      // driver-visible PQ QUALITY evidence, the `ivf_recall` pattern:
+      // recall@10 of the re-ranked ADC search vs the exact brute-force
+      // top-10, across a candidate-depth dial anchored at the calibrated
+      // point (half, the declared depth — THE certified row, which must
+      // meet PqRecallTarget — and double, capped at PqMaxRerank). Each
+      // recall is |exact10 ∩ adcTop(r)| / 10 — equal to searchRerank's
+      // recall by the bounded-candidates argument in sharedPqIndex's
+      // scaladoc — so the whole dial costs ONE bounded ADC ordering per
+      // query, not a probe job per dial point. The full-depth
+      // completeness check (r = corpus ⇒ recall 1.0 exactly) lives in
+      // PqIndexSpec — it would need a corpus-order collect here.
+      (s, dir) => {
+        val pq = sharedPqIndex(s, dir)
+        val emb = T(s, dir, "embeddings")
+        val enc = s.read.parquet(pq.codesPath)
+        val rMax = math.min(emb.count(), PqMaxRerank.toLong).toInt
+        val dial = Seq(math.max(10, pq.rerank / 2), pq.rerank,
+          math.min(rMax, pq.rerank * 2)).distinct.sorted
+        val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        val rows = for {
+          (qid, q) <- calib
+          adc = enc.select(col("vec_id"),
+              round(PqIndex.adcScore(col("codes"), q, pq.codebooks), 4)
+                .as("sim"))
+            .orderBy(desc("sim"), asc("vec_id")).limit(dial.max)
+            .collect().map(_.getLong(0)).toIndexedSeq
+          exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          r <- dial
+        } yield {
+          val hit = (adc.take(r).toSet & exact).size
+          (qid, r, hit.toLong,
+            math.rint(hit.toDouble / exact.size * 10000) / 10000)
+        }
+        import s.implicits._
+        rows.toDF("qid", "rerank_depth", "n_hit", "recall_at_10")
+          .orderBy(col("qid"), col("rerank_depth"))
+      },
+      None,
+      "PQ quality: recall@10 of re-ranked ADC search vs exact top-k across the rerank-depth dial"),
 
     "ivf_recall" -> DeclaredQuery(
       // driver-visible index QUALITY evidence: recall@10 of the shared
