@@ -416,6 +416,70 @@ object Queries {
     built
   }
 
+  /** Shared residual IVF-PQ handle: the cluster-partitioned residual-
+    * codes table, the residual codebooks, and the calibrated
+    * (nprobe, rerank) operating point. */
+  private[graft] final case class SharedIvfPq(
+      fingerprint: String, codesPath: String,
+      codebooks: PqIndex.Codebooks, nprobe: Int, rerank: Int)
+
+  private val ivfPqBuildCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SharedIvfPq]()
+
+  /** One shared residual IVF-PQ build per fixture dir — the COMPOSED
+    * index (partition pruning × compressed scan): reuses the shared IVF
+    * build's cells (assignments read back from its partitioned table —
+    * no second k-means), trains the residual codebooks on vec − centroid,
+    * and writes the codes table partitioned by cluster_id. The re-rank
+    * depth is calibrated exactly like [[sharedPqIndex]], but the ADC
+    * ordering is restricted to the shared IVF nprobe's clusters — so the
+    * certified recall already prices in BOTH approximations (cells
+    * skipped by the probe AND residual quantization error). */
+  private[graft] def sharedIvfPqIndex(s: SparkSession, dir: String): SharedIvfPq = {
+    val fp = embFingerprint(dir)
+    val built = ivfPqBuildCache.compute(dir, (_, cached) =>
+      if (cached != null && cached.fingerprint == fp) cached
+      else {
+        val ivf = sharedIvfIndex(s, dir)
+        val emb = T(s, dir, "embeddings")
+        val assign = s.read.parquet(ivf.indexPath)
+          .select(col("vec_id"), col("cluster_id"))
+        val res = PqIndex.residuals(emb, "vec_id", "embedding",
+          assign, ivf.centroids).select(col("vec_id"), col("res"))
+        val cb = PqIndex.trainCodebooks(res, "vec_id", "res",
+          m = 8, ks = 16, iters = 2)
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(tmpRoot.toFile)
+        val path = s"$tmpRoot/codes"
+        PqIndex.encodeResidual(emb, "vec_id", "embedding", assign,
+            ivf.centroids, cb)
+          .repartition(col("cluster_id"))
+          .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+        // calibration: ADC ordering RESTRICTED to the probed clusters
+        // (one bounded probe per query at r = rMax evaluates every
+        // smaller r — same bounded-candidates argument as sharedPqIndex)
+        val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        val rMax = math.min(emb.count(), PqMaxRerank.toLong).toInt
+        val measured = calib.map { case (_, q) =>
+          val adc = PqIndex.probeIvfPq(s, path, "vec_id", ivf.centroids,
+              q, cb, k = rMax, nprobe = ivf.nprobe)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toIndexedSeq
+          val exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          (adc, exact)
+        }
+        def minRecall(r: Int): Double = measured.map { case (adc, exact) =>
+          (adc.take(r).toSet & exact).size.toDouble / exact.size
+        }.min
+        val ladder = Iterator.iterate(10)(_ * 2).takeWhile(_ < rMax)
+          .toSeq :+ rMax
+        val rerank = ladder.find(minRecall(_) >= PqRecallTarget)
+          .getOrElse(rMax)
+        SharedIvfPq(fp, path, cb, ivf.nprobe, rerank)
+      })
+    built
+  }
+
   /** Generic source/sink round-trip through `fmt` (B32): write a typed
     * lineitem slice (long, decimal, date, string columns), read it back
     * with the writer's schema, aggregate. The oracle computes the same
@@ -2359,6 +2423,64 @@ object Queries {
       },
       None,
       "PQ quality: recall@10 of re-ranked ADC search vs exact top-k across the rerank-depth dial"),
+
+    "ivfpq_topk" -> DeclaredQuery(
+      // the COMPOSED index at its calibrated operating point: IVF
+      // partition pruning (only the shared nprobe's cluster partitions
+      // are read) × residual-PQ compressed scan (1-byte codes, ADC
+      // lookup fold + per-cluster coarse term) → exact re-rank of the
+      // bounded candidate set. This is the canonical 100 TB ANN layout:
+      // read nprobe/k of the corpus AND read it 32× smaller. Rows-only
+      // (float-iterative, two stacked k-means); exhaustive-probe +
+      // lossless-codebook ≡ exact is asserted in PqIndexSpec, the
+      // operating point is certified by `ivfpq_recall`.
+      (s, dir) => {
+        val ix = sharedIvfPqIndex(s, dir)
+        val ivf = sharedIvfIndex(s, dir)
+        PqIndex.probeIvfPq(s, ix.codesPath, "vec_id", ivf.centroids,
+          QueryVectors.q1, ix.codebooks, k = 10, nprobe = ix.nprobe,
+          rerank = Some((T(s, dir, "embeddings"), "embedding", ix.rerank)))
+          .orderBy(col("rank"))
+      },
+      None,
+      "residual IVF-PQ probe: partition-pruned compressed scan + exact re-rank at the calibrated point"),
+
+    "ivfpq_recall" -> DeclaredQuery(
+      // quality evidence for the composed index: recall@10 vs the exact
+      // brute-force top-10 across the rerank dial at the SHARED nprobe —
+      // prices in BOTH approximations at once (skipped cells + residual
+      // quantization). One bounded partition-pruned probe per query
+      // evaluates the whole dial (bounded-candidates argument,
+      // sharedPqIndex scaladoc); the declared depth must meet
+      // PqRecallTarget by construction of the calibration.
+      (s, dir) => {
+        val ix = sharedIvfPqIndex(s, dir)
+        val ivf = sharedIvfIndex(s, dir)
+        val emb = T(s, dir, "embeddings")
+        val rMax = math.min(emb.count(), PqMaxRerank.toLong).toInt
+        val dial = Seq(math.max(10, ix.rerank / 2), ix.rerank,
+          math.min(rMax, ix.rerank * 2)).distinct.sorted
+        val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        val rows = for {
+          (qid, q) <- calib
+          adc = PqIndex.probeIvfPq(s, ix.codesPath, "vec_id",
+              ivf.centroids, q, ix.codebooks, k = dial.max,
+              nprobe = ix.nprobe)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toIndexedSeq
+          exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          r <- dial
+        } yield {
+          val hit = (adc.take(r).toSet & exact).size
+          (qid, r, hit.toLong,
+            math.rint(hit.toDouble / exact.size * 10000) / 10000)
+        }
+        import s.implicits._
+        rows.toDF("qid", "rerank_depth", "n_hit", "recall_at_10")
+          .orderBy(col("qid"), col("rerank_depth"))
+      },
+      None,
+      "residual IVF-PQ quality: recall@10 vs exact across the rerank dial at the shared nprobe"),
 
     "ivf_recall" -> DeclaredQuery(
       // driver-visible index QUALITY evidence: recall@10 of the shared

@@ -207,13 +207,107 @@ object PqIndex {
       .orderBy(desc("_adc"), asc(idCol))
       .limit(r)
       .select(col(idCol))
-    val exact = corpus.join(broadcast(cands), idCol)
+    exactRerank(cands, corpus, idCol, vecCol, q, k, score)
+  }
+
+  private def exactRerank(cands: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String, q: Seq[Double],
+                          k: Int,
+                          score: (Column, Column) => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    corpus.join(broadcast(cands), idCol)
       .select(col(idCol),
         round(score(col(vecCol), vecLit(q)), 4).as("sim"))
       .filter(col("sim").isNotNull)
       .orderBy(desc("sim"), asc(idCol))
       .limit(k)
-    exact.withColumn("rank",
-      row_number().over(Window.orderBy(desc("sim"), asc(idCol))))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("sim"), asc(idCol))))
+  }
+
+  // --------------------------------------------------------------------
+  // Residual IVF-PQ — the composed index (Jégou et al. 2011 §IV): IVF
+  // supplies PARTITION PRUNING (probe nprobe of k cluster partitions),
+  // PQ supplies the COMPRESSED SCAN inside them, and quantizing the
+  // RESIDUAL (vec − its cluster centroid) instead of the raw vector
+  // spends the code budget on the within-cell offset, which is where
+  // the remaining variance lives once IVF has already explained the
+  // coarse position. dot(q, x) = dot(q, c) + dot(q, x−c): the first
+  // term is one per-probed-cluster driver constant, the second is the
+  // standard ADC fold over the residual codebook — so probe cost is
+  // (nprobe/k of the corpus) × m lookups per row, reading 1-byte codes.
+  // --------------------------------------------------------------------
+
+  /** (idCol, cluster_id, res) — each vector's residual against its
+    * assigned cluster's centroid. The centroid set rides as one map
+    * literal (cluster_id → centroid), so this is a pure projection over
+    * `corpus ⋈ assignments` (one equi-join, no second pass). */
+  def residuals(corpus: DataFrame, idCol: String, vecCol: String,
+                assignments: DataFrame, centroids: DataFrame): DataFrame = {
+    val centMap = typedlit(centroids.select(col("cluster_id"), col("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap)
+    corpus.join(assignments, idCol)
+      .select(col(idCol), col("cluster_id"),
+        zip_with(col(vecCol), element_at(centMap, col("cluster_id")),
+          (x, c) => x.cast("double") - c).as("res"))
+  }
+
+  /** Residual-encoded corpus: (idCol, cluster_id, codes). Write it
+    * `partitionBy("cluster_id")` (after `repartition(cluster_id)` — the
+    * IvfIndex.writePartitioned rule) and probes prune to the probed
+    * cells' files. */
+  def encodeResidual(corpus: DataFrame, idCol: String, vecCol: String,
+                     assignments: DataFrame, centroids: DataFrame,
+                     cb: Codebooks): DataFrame = {
+    val res = residuals(corpus, idCol, vecCol, assignments, centroids)
+    val dsub = cb.head.head._2.length
+    res.select(col(idCol), col("cluster_id"), col("res").as("_v"))
+      .select(col(idCol), col("cluster_id"),
+        codesExpr(cb, dsub).cast("array<tinyint>").as("codes"))
+  }
+
+  /** IVF-PQ probe over a cluster-partitioned residual-codes table:
+    * `cluster_id IN (nearest nprobe)` prunes partitions at planning
+    * time; sim = dot(q, centroid) (a per-cluster map-literal lookup) +
+    * residual ADC fold; global top-k. Optional exact re-rank of the top
+    * `r` via [[exactRerank]] when `corpus` is given — rows-only
+    * approximate otherwise. */
+  def probeIvfPq(spark: org.apache.spark.sql.SparkSession, codesPath: String,
+                 idCol: String, centroids: DataFrame, q: Seq[Double],
+                 cb: Codebooks, k: Int, nprobe: Int,
+                 rerank: Option[(DataFrame, String, Int)] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qlit = vecLit(q)
+    // nearest-centroid resolution is k tiny driver rows — the
+    // probePartitioned contract (same (dist, cid) ordering)
+    val cents = centroids.select(col("cluster_id"), col("centroid")).collect()
+      .toIndexedSeq.map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val near = cents.sortBy { case (cid, c) => (l2(c, q), cid) }
+      .take(nprobe).map(_._1)
+    // dot(q, centroid) per probed cluster — the coarse term, nprobe
+    // driver-side doubles as one map literal
+    val qcMap = typedlit(near.map { cid =>
+      val c = cents.find(_._1 == cid).get._2
+      cid -> c.zip(q).map { case (ci, qi) => ci * qi }.sum
+    }.toMap)
+    val scored = spark.read.parquet(codesPath)
+      .filter(col("cluster_id").isin(near: _*))
+      .select(col(idCol),
+        round(element_at(qcMap, col("cluster_id"))
+          + adcScore(col("codes"), q, cb), 4).as("sim"))
+      .filter(col("sim").isNotNull)
+    rerank match {
+      case None =>
+        scored.orderBy(desc("sim"), asc(idCol)).limit(k)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("sim"), asc(idCol))))
+      case Some((corpus, vecCol, r)) =>
+        require(r >= k, s"rerank depth r=$r must be >= k=$k")
+        val cands = scored.orderBy(desc("sim"), asc(idCol)).limit(r)
+          .select(col(idCol))
+        exactRerank(cands, corpus, idCol, vecCol, q, k, dot)
+    }
   }
 }

@@ -118,4 +118,75 @@ class PqIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("divisible"))
   }
+
+  test("residual IVF-PQ: exhaustive probe with lossless codebooks = exact") {
+    // 8 vectors, 2 IVF cells, residual codebook with ks = 8 (every
+    // residual its own cell) → coarse term + lossless residual ADC must
+    // reproduce the exact dot, so the full-probe top-k equals brute force
+    val (assign, cents) = IvfIndex.build(tiny, "vec_id", "embedding",
+      k = 2, iters = 2)
+    try {
+      val res = PqIndex.residuals(tiny, "vec_id", "embedding", assign, cents)
+        .select($"vec_id", $"res")
+      val cb = PqIndex.trainCodebooks(res, "vec_id", "res",
+        m = 2, ks = 8, iters = 3)
+      val enc = PqIndex.encodeResidual(tiny, "vec_id", "embedding",
+        assign, cents, cb)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec")
+      try {
+        val path = s"$tmp/codes"
+        enc.repartition($"cluster_id")
+          .write.partitionBy("cluster_id").parquet(path)
+        val got = PqIndex.probeIvfPq(spark, path, "vec_id", cents, q,
+          cb, k = 4, nprobe = 2)
+          .select($"vec_id", $"sim").as[(Long, Double)].collect().toSeq
+        val want = Search.topK(tiny, "embedding", "vec_id", q, k = 4)
+          .select($"vec_id", $"sim").as[(Long, Double)].collect().toSeq
+        // ADC-only: same ids in the same order; sims agree to the
+        // 4-decimal contract modulo a possible last-ulp rounding flip
+        assert(got.map(_._1) === want.map(_._1))
+        got.zip(want).foreach { case ((_, a), (_, b)) =>
+          assert(math.abs(a - b) <= 1e-3, s"$a vs $b") }
+        // the re-ranked form at full depth agrees too (and repairs any
+        // last-ulp ADC rounding difference by construction)
+        val rr = PqIndex.probeIvfPq(spark, path, "vec_id", cents, q,
+          cb, k = 4, nprobe = 2, rerank = Some((tiny, "embedding", 8)))
+          .select($"vec_id", $"sim").as[(Long, Double)].collect().toSeq
+        assert(rr === want)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    } finally { assign.unpersist(); () }
+  }
+
+  test("residual IVF-PQ: nprobe=1 returns only the nearest cell's members") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    try {
+      val res = PqIndex.residuals(emb, "vec_id", "embedding", assign, cents)
+        .select($"vec_id", $"res")
+      val cb = PqIndex.trainCodebooks(res, "vec_id", "res",
+        m = 8, ks = 16, iters = 2)
+      val enc = PqIndex.encodeResidual(emb, "vec_id", "embedding",
+        assign, cents, cb)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-np1")
+      try {
+        val path = s"$tmp/codes"
+        enc.repartition($"cluster_id")
+          .write.partitionBy("cluster_id").parquet(path)
+        val got = PqIndex.probeIvfPq(spark, path, "vec_id", cents,
+          graft.QueryVectors.q1, cb, k = 10, nprobe = 1)
+          .select($"vec_id").as[Long].collect().toSet
+        // resolve the nearest cell exactly as the probe does
+        val cs = cents.collect().map(r =>
+          (r.getInt(0), r.getSeq[Double](1)))
+        def l2(a: Seq[Double], b: Seq[Double]) =
+          math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+        val nearest = cs.minBy { case (cid, c) =>
+          (l2(c, graft.QueryVectors.q1), cid) }._1
+        val members = assign.filter($"cluster_id" === nearest)
+          .select($"vec_id").as[Long].collect().toSet
+        assert(got.nonEmpty && got.subsetOf(members))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    } finally { assign.unpersist(); () }
+  }
 }
