@@ -43,7 +43,13 @@ object DumpPlans {
       "dedup (partial+final min-row agg, the only corpus-wide shuffle) → " +
       "row-local repetition-ratio + hash-admission filters (pure " +
       "projection — no repetitionStats join, no second dedup subtree) → " +
-      "per-lang window → packing aggregate"))
+      "per-lang window → packing aggregate"),
+    "span_dedup" -> ("substring-span dedup: Generate(posexplode grams) → " +
+      "TWO-PHASE count-distinct on the gram key (partial on (gram, doc) " +
+      "map-side, so a boilerplate gram ships once per task) → equi-join " +
+      "positions back on gram (never all-pairs — docs meet only at gram " +
+      "keys) → per-doc window gaps-and-islands → partial+final coverage " +
+      "agg; ReadSchema of the documents scan is (doc_id, text) only"))
 
   /** Plan-shape-critical OPERATOR INTERNALS whose declared queries
     * materialize eagerly (their final plans are LocalTableScans): built
@@ -119,7 +125,21 @@ object DumpPlans {
           "vertex's fan-in spreads over 4 tasks; downstream min-agg is " +
           "unchanged (partial aggregation already collapses hub fan-in " +
           "map-side)",
-        graft.operators.Dedup.propagateRound(e, labels, saltFactor = 4)))
+        graft.operators.Dedup.propagateRound(e, labels, saltFactor = 4)),
+      ("ivfpq_probe (PqIndex.probeIvfPq)", {
+        "residual IVF-PQ probe: the codes scan carries PartitionFilters " +
+          "(cluster_id IN probed set — planning-time pruning, only the " +
+          "probed cells' files open) → Project(coarse-term map lookup + " +
+          "residual ADC fold over the 1-byte codes; no raw-vector read) " +
+          "→ TakeOrderedAndProject; every post-scan exchange carries " +
+          "only the k-row result (top-k, then the rank window)"
+      }, {
+        val ix = Queries.sharedIvfPqIndex(spark, dir)
+        val ivf = Queries.sharedIvfIndex(spark, dir)
+        graft.operators.PqIndex.probeIvfPq(spark, ix.codesPath, "vec_id",
+          ivf.centroids, graft.QueryVectors.q1, ix.codebooks,
+          k = 10, nprobe = ix.nprobe)
+      }))
   }
 
   def main(args: Array[String]): Unit = {

@@ -71,4 +71,16 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("vec_norms")
     assert(!p.contains("label"))
   }
+
+  test("span_dedup: pruned scan, two-phase distinct agg, no cartesian") {
+    val p = plan("span_dedup")
+    // documents scan must not read columns beyond (doc_id, text)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned to (doc_id, text):\n$p")
+    // the duplicated-gram detection is a two-phase (partial + final)
+    // count-distinct — docs meet only at gram keys, never all-pairs
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

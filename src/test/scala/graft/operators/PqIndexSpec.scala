@@ -173,9 +173,14 @@ class PqIndexSpec extends AnyFunSuite {
         val path = s"$tmp/codes"
         enc.repartition($"cluster_id")
           .write.partitionBy("cluster_id").parquet(path)
-        val got = PqIndex.probeIvfPq(spark, path, "vec_id", cents,
+        val probe = PqIndex.probeIvfPq(spark, path, "vec_id", cents,
           graft.QueryVectors.q1, cb, k = 10, nprobe = 1)
-          .select($"vec_id").as[Long].collect().toSet
+        // the codes scan must be statically partition-pruned to the
+        // probed cell — same contract as IvfIndex.probePartitioned
+        val plan = probe.queryExecution.executedPlan.toString
+        assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+          s"IVF-PQ probe must prune by partition:\n$plan")
+        val got = probe.select($"vec_id").as[Long].collect().toSet
         // resolve the nearest cell exactly as the probe does
         val cs = cents.collect().map(r =>
           (r.getInt(0), r.getSeq[Double](1)))
