@@ -2482,6 +2482,55 @@ object Queries {
       None,
       "residual IVF-PQ quality: recall@10 vs exact across the rerank dial at the shared nprobe"),
 
+    "incr_ivfpq_append" -> DeclaredQuery(
+      // INCREMENTAL MAINTENANCE OF THE COMPRESSED INDEX, driver-visible
+      // end-to-end (the incr_ivf_append story, composed with PQ): a
+      // day-1 codes table (the shared residual-codes table MINUS the
+      // incoming slice — no re-train, no re-encode of existing rows)
+      // receives the incoming batch via assign-to-frozen-centroids +
+      // residual-encode-under-the-frozen-codebooks + partition append
+      // (only touched cells gain files). Evidence: an EXHAUSTIVE probe
+      // (nprobe = k) of the appended table, exact-re-ranked at full
+      // depth, degenerates to exact brute force over whatever the index
+      // CONTAINS — so its top-10 must equal the exact top-10 over the
+      // whole corpus; a vector lost (or double-appended) by the append
+      // path breaks the match column. Rows-only per the contract.
+      (s, dir) => {
+        val ix = sharedIvfPqIndex(s, dir)
+        val ivf = sharedIvfIndex(s, dir)
+        val emb = T(s, dir, "embeddings")
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivfpqapp")
+        try {
+          val path = s"$tmpRoot/codes"
+          s.read.parquet(ix.codesPath)
+            .filter(col("vec_id") % 10 =!= 0)
+            .repartition(col("cluster_id"))
+            .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+          val incoming = emb.filter(col("vec_id") % 10 === 0)
+          PqIndex.encodeResidual(incoming, "vec_id", "embedding",
+              IvfIndex.assignTo(incoming, "vec_id", "embedding",
+                ivf.centroids),
+              ivf.centroids, ix.codebooks)
+            .repartition(col("cluster_id"))
+            .write.partitionBy("cluster_id").mode("append").parquet(path)
+          val n = emb.count().toInt
+          val probed = PqIndex.probeIvfPq(s, path, "vec_id", ivf.centroids,
+              QueryVectors.q1, ix.codebooks, k = 10, nprobe = ivf.k,
+              rerank = Some((emb, "embedding", math.max(10, n))))
+            .select(col("vec_id"), col("sim"))
+          val exact = Search.topK(emb, "embedding", "vec_id",
+              QueryVectors.q1, k = 10)
+            .select(col("vec_id"), col("sim").as("sim_exact"))
+          localFrame(probed.join(exact, Seq("vec_id"), "full_outer")
+            .select(col("vec_id"), col("sim"), col("sim_exact"),
+              (col("sim") === col("sim_exact")).as("matches"))
+            .orderBy(desc("sim"), asc("vec_id")))
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(tmpRoot.toFile)
+      },
+      None,
+      "incremental IVF-PQ append: frozen centroids + frozen codebooks + partition append; exhaustive probe ≡ exact top-10"),
+
     "ivf_recall" -> DeclaredQuery(
       // driver-visible index QUALITY evidence: recall@10 of the shared
       // partitioned-index probe vs the exact brute-force top-10, for both

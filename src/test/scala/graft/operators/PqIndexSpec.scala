@@ -157,6 +157,41 @@ class PqIndexSpec extends AnyFunSuite {
     } finally { assign.unpersist(); () }
   }
 
+  test("residual append ≡ full re-encode under frozen centroids+codebooks") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    try {
+      val res = PqIndex.residuals(emb, "vec_id", "embedding", assign, cents)
+        .select($"vec_id", $"res")
+      val cb = PqIndex.trainCodebooks(res, "vec_id", "res",
+        m = 8, ks = 16, iters = 2)
+      val full = PqIndex.encodeResidual(emb, "vec_id", "embedding",
+        assign, cents, cb)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-app")
+      try {
+        val path = s"$tmp/codes"
+        // day-1: everything except the slice; day-2: slice assigned to
+        // the FROZEN centroids, encoded under the FROZEN codebooks
+        full.filter($"vec_id" % 7 =!= 0)
+          .repartition($"cluster_id")
+          .write.partitionBy("cluster_id").parquet(path)
+        val incoming = emb.filter($"vec_id" % 7 === 0)
+        PqIndex.encodeResidual(incoming, "vec_id", "embedding",
+            IvfIndex.assignTo(incoming, "vec_id", "embedding", cents),
+            cents, cb)
+          .repartition($"cluster_id")
+          .write.partitionBy("cluster_id").mode("append").parquet(path)
+        val back = spark.read.parquet(path)
+          .select($"vec_id", $"cluster_id", $"codes")
+          .as[(Long, Int, Seq[Byte])].collect().toSet
+        val want = full.select($"vec_id", $"cluster_id", $"codes")
+          .as[(Long, Int, Seq[Byte])].collect().toSet
+        assert(back === want)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    } finally { assign.unpersist(); () }
+  }
+
   test("residual IVF-PQ: nprobe=1 returns only the nearest cell's members") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
     val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
