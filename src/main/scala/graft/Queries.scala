@@ -921,6 +921,75 @@ object Queries {
          |FROM documents d LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin),
       "substring-span dedup action: duplicated spans stripped, docs reassembled"),
 
+    "incr_span_strip" -> DeclaredQuery(
+      // incremental ingestion, SUBSTRING tier — completing the cross-set
+      // family (exact, MinHash, SimHash, winnow, embedding, and now
+      // span): incoming docs (doc_id >= 250) are rewritten with every
+      // token run they copy from the CORPUS (doc_id < 250) removed —
+      // quotation/boilerplate contamination is stripped at admission
+      // while the incoming doc's novel text survives. The corpus
+      // contributes only its DISTINCT gram-key projection to a
+      // left-semi join (never re-processed, never all-pairs);
+      // incoming-internal duplication deliberately does not trigger.
+      // Fully SQL-expressible → oracle-green.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        SpanDedup.crossStripSpans(
+            docs.filter(col("doc_id") >= 250),
+            docs.filter(col("doc_id") < 250),
+            "doc_id", "text", k = 8)
+          .select(col("_id").as("doc_id"), col("kept_tokens"),
+            md5(col("cleaned_text")).as("cleaned_md5"))
+          .orderBy(asc("doc_id"))
+      },
+      Some("""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id >= 250),
+         |ct AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id < 250),
+         |gp AS (
+         |  SELECT doc_id, toks, CAST(unnest(range(1, len(toks)-6)) AS INT) AS pos
+         |  FROM t WHERE len(toks) >= 8),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |         array_to_string(list_slice(toks, pos, pos+7), ' ') AS gram
+         |  FROM gp),
+         |cgp AS (
+         |  SELECT toks, CAST(unnest(range(1, len(toks)-6)) AS INT) AS pos
+         |  FROM ct WHERE len(toks) >= 8),
+         |cg AS (
+         |  SELECT DISTINCT array_to_string(list_slice(toks, pos, pos+7), ' ')
+         |    AS gram
+         |  FROM cgp),
+         |p AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN cg USING (gram)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM p),
+         |isl2 AS (SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+         |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos)+7 AS e
+         |       FROM isl2 GROUP BY doc_id, island),
+         |covpos AS (
+         |  SELECT doc_id, CAST(unnest(range(s, e+1)) AS INT) AS pos FROM sp),
+         |tokpos AS (
+         |  SELECT doc_id, toks, CAST(unnest(range(1, len(toks)+1)) AS INT) AS pos
+         |  FROM t),
+         |keep AS (
+         |  SELECT tp.doc_id, tp.pos, list_extract(tp.toks, tp.pos) AS tok
+         |  FROM tokpos tp ANTI JOIN covpos c USING (doc_id, pos)),
+         |o AS (
+         |  SELECT doc_id, count(*) AS kept_tokens,
+         |         array_to_string(list(tok ORDER BY pos), ' ') AS cleaned
+         |  FROM keep GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(o.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |       md5(coalesce(o.cleaned, '')) AS cleaned_md5
+         |FROM documents d LEFT JOIN o USING (doc_id)
+         |WHERE d.doc_id >= 250 ORDER BY d.doc_id""".stripMargin),
+      "incremental span dedup: incoming docs stripped of token runs copied from the corpus"),
+
     "doc_stats" -> DeclaredQuery(
       (s, dir) => TextAnalysis.docStats(T(s, dir, "documents"),
         "doc_id", "text", "n_chars").orderBy(asc("doc_id")),

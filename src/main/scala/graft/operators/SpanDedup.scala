@@ -73,16 +73,12 @@ object SpanDedup {
     g.join(dup, "gram").select(col("_id"), col("pos"))
   }
 
-  /** Maximal duplicated spans per document: (_id, span_start, span_end),
-    * token-index inclusive bounds. Overlapping / adjacent k-gram hits
-    * merge (gaps-and-islands: a new span starts when the next duplicated
-    * position is > k past the previous one, i.e. the intervals
-    * [pos, pos+k-1] no longer touch). */
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int = 8, minDocs: Int = 2,
-                      hashGrams: Boolean = false): DataFrame = {
+  /** Gaps-and-islands merge of duplicated k-gram hit positions into
+    * maximal spans: a new span starts when the next position is > k past
+    * the previous one (the intervals [pos, pos+k-1] no longer touch). */
+  private def mergeIslands(positions: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("_id")).orderBy(col("pos"))
-    duplicatedPositions(docs, idCol, textCol, k, minDocs, hashGrams)
+    positions
       .withColumn("_brk",
         when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0).otherwise(1))
       .withColumn("_island", sum(col("_brk")).over(w))
@@ -92,16 +88,56 @@ object SpanDedup {
       .select(col("_id"), col("span_start"), col("span_end"))
   }
 
+  /** Maximal duplicated spans per document: (_id, span_start, span_end),
+    * token-index inclusive bounds. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, minDocs: Int = 2,
+                      hashGrams: Boolean = false): DataFrame =
+    mergeIslands(
+      duplicatedPositions(docs, idCol, textCol, k, minDocs, hashGrams), k)
+
+  /** CROSS-SET duplicated spans — the incremental-ingestion form (the
+    * cross-set discipline of NearDup.minHashCrossCandidates): positions
+    * in INCOMING whose k-gram occurs anywhere in CORPUS, merged into
+    * maximal spans. Incoming-internal duplication does NOT trigger —
+    * this is the "strip text copied from the existing corpus before
+    * admitting" operator (decontamination at the substring tier). The
+    * corpus contributes only its DISTINCT gram-key projection to a
+    * left-semi join; corpus rows never re-process. */
+  def crossDuplicatedSpans(incoming: DataFrame, corpus: DataFrame,
+                           idCol: String, textCol: String, k: Int = 8,
+                           hashGrams: Boolean = false): DataFrame = {
+    val inc = grams(incoming, idCol, textCol, k, hashGrams)
+    val corp = grams(corpus, idCol, textCol, k, hashGrams)
+      .select(col("gram")).distinct()
+    mergeIslands(
+      inc.join(corp, Seq("gram"), "left_semi").select(col("_id"), col("pos")),
+      k)
+  }
+
   /** Per-document duplicated-span coverage: (_id, n_tokens, dup_tokens,
     * n_spans, dup_frac). Every input doc appears (zero rows for docs
     * with no duplicated span); `dup_frac` is round(dup/total, 4) per the
     * engine's 4-decimal float contract. */
   def coverageStats(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, minDocs: Int = 2,
-                    hashGrams: Boolean = false): DataFrame = {
+                    hashGrams: Boolean = false): DataFrame =
+    coverageFrom(docs, idCol, textCol,
+      duplicatedSpans(docs, idCol, textCol, k, minDocs, hashGrams))
+
+  /** [[coverageStats]] against the CORPUS instead of within the set —
+    * per-incoming-doc coverage by spans copied from the corpus. */
+  def crossCoverageStats(incoming: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String, k: Int = 8,
+                         hashGrams: Boolean = false): DataFrame =
+    coverageFrom(incoming, idCol, textCol,
+      crossDuplicatedSpans(incoming, corpus, idCol, textCol, k, hashGrams))
+
+  private def coverageFrom(docs: DataFrame, idCol: String, textCol: String,
+                           spans: DataFrame): DataFrame = {
     val nt = docs.select(col(idCol).as("_id"),
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
-    val cov = duplicatedSpans(docs, idCol, textCol, k, minDocs, hashGrams)
+    val cov = spans
       .groupBy(col("_id"))
       .agg(sum(col("span_end") - col("span_start") + 1).as("_dup"),
         count(lit(1)).as("_nsp"))
@@ -122,11 +158,26 @@ object SpanDedup {
     * by doc length, never corpus-sized. */
   def stripSpans(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 8, minDocs: Int = 2,
-                 hashGrams: Boolean = false): DataFrame = {
+                 hashGrams: Boolean = false): DataFrame =
+    stripFrom(docs, idCol, textCol,
+      duplicatedSpans(docs, idCol, textCol, k, minDocs, hashGrams))
+
+  /** [[stripSpans]] against the CORPUS: rewrite each INCOMING doc with
+    * the tokens it copies from the corpus removed — the substring-tier
+    * admission cleaner (an incoming doc quoting a corpus doc loses the
+    * quotation, keeps its novel text). */
+  def crossStripSpans(incoming: DataFrame, corpus: DataFrame,
+                      idCol: String, textCol: String, k: Int = 8,
+                      hashGrams: Boolean = false): DataFrame =
+    stripFrom(incoming, idCol, textCol,
+      crossDuplicatedSpans(incoming, corpus, idCol, textCol, k, hashGrams))
+
+  private def stripFrom(docs: DataFrame, idCol: String, textCol: String,
+                        spans: DataFrame): DataFrame = {
     val toksOf = TextAnalysis.tokens(col(textCol))
     val tp = docs.select(col(idCol).as("_id"), posexplode(toksOf))
       .select(col("_id"), (col("pos") + 1).as("pos"), col("col").as("_tok"))
-    val covpos = duplicatedSpans(docs, idCol, textCol, k, minDocs, hashGrams)
+    val covpos = spans
       .select(col("_id"),
         explode(sequence(col("span_start"), col("span_end"))).as("pos"))
     val kept = tp.join(covpos, Seq("_id", "pos"), "left_anti")

@@ -104,4 +104,53 @@ class SpanDedupSpec extends AnyFunSuite {
     val short = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
     assert(SpanDedup.grams(short, "doc_id", "text", k = 3).count() === 0L)
   }
+
+  test("crossStripSpans: only corpus-copied runs trigger, not incoming-internal") {
+    val corpus = Seq((1L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val incoming = Seq(
+      // quotes corpus tokens 1-5 ("the quick brown fox jumps") + novel tail
+      (10L, "said that the quick brown fox jumps away now"),
+      // duplicated WITHIN incoming only (10 and 11 share "n1 n2 n3") —
+      // cross-set must NOT strip it
+      (11L, "n1 n2 n3 x y z"),
+      (12L, "n1 n2 n3 p q r")
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.crossStripSpans(incoming, corpus,
+        "doc_id", "text", k = 3)
+      .as[(Long, Long, String)].collect
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 10: grams hitting the corpus start at "the quick brown",
+    // "quick brown fox", "brown fox jumps" → positions 3,4,5 → span
+    // [3, 7] → tokens 3-7 removed
+    assert(got(10L) === ((4L, "said that away now")))
+    assert(got(11L) === ((6L, "n1 n2 n3 x y z")))
+    assert(got(12L) === ((6L, "n1 n2 n3 p q r")))
+  }
+
+  test("crossCoverageStats agrees with crossStripSpans token conservation") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val incoming = docs.filter($"doc_id" >= 25)
+    val corpus = docs.filter($"doc_id" < 25)
+    val stats = SpanDedup.crossCoverageStats(incoming, corpus,
+        "doc_id", "text", k = 8)
+      .select($"_id", ($"n_tokens" - $"dup_tokens").as("expect"))
+    val strip = SpanDedup.crossStripSpans(incoming, corpus,
+        "doc_id", "text", k = 8)
+      .select($"_id", $"kept_tokens")
+    assert(stats.join(strip, "_id")
+      .filter($"expect" =!= $"kept_tokens").count() === 0L)
+    // every incoming doc appears exactly once
+    assert(strip.count() === incoming.count())
+  }
+
+  test("an incoming exact copy of a corpus doc strips to empty") {
+    val corpus = Seq((1L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((10L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val got = SpanDedup.crossStripSpans(incoming, corpus,
+        "doc_id", "text", k = 8)
+      .as[(Long, Long, String)].collect.toSet
+    assert(got === Set((10L, 0L, "")))
+  }
 }
