@@ -990,6 +990,36 @@ object Queries {
          |WHERE d.doc_id >= 250 ORDER BY d.doc_id""".stripMargin),
       "incremental span dedup: incoming docs stripped of token runs copied from the corpus"),
 
+    "incr_clean_admit" -> DeclaredQuery(
+      // the FULL ingestion kernel, chained: strip corpus-copied token
+      // runs from the incoming batch (substring tier), drop docs with
+      // nothing novel left, then run the two-tier admission kernel
+      // (exact anti-join + cross-set MinHash + Jaccard verify) on the
+      // CLEANED text — Dedup.cleanAndAdmit, the same kernel the
+      // streaming mirror (Streams.incrementalCleanAdmission) runs per
+      // micro-batch (stream ≡ batch in StreamsSpec). Per-lang admit
+      // counts + surviving token mass. Seeded-hash admission tier →
+      // rows-only per the contract.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val admitted = Dedup.cleanAndAdmit(
+          docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250),
+          "doc_id", "text")
+        admitted
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long")
+              .as("kept_tokens"))
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_admitted"),
+            sum(col("kept_tokens")).as("kept_tokens"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy(col("lang"))
+      },
+      None,
+      "clean-then-admit e2e: span strip + two-tier admission on the cleaned text, per-lang rollup"),
+
     "doc_stats" -> DeclaredQuery(
       (s, dir) => TextAnalysis.docStats(T(s, dir, "documents"),
         "doc_id", "text", "n_chars").orderBy(asc("doc_id")),

@@ -75,6 +75,31 @@ object Dedup {
     * replay equal the one-shot batch run regardless of how the incoming
     * set is split (asserted in StreamsSpec). `incoming` and `corpus`
     * must both carry `idCol` and `textCol`. */
+  /** CLEAN-THEN-ADMIT — the full ingestion kernel a pretraining pipeline
+    * runs per batch, composing the substring tier with the admission
+    * decision: (1) every token run an incoming doc copies from the
+    * corpus is stripped ([[SpanDedup.crossStripSpans]] — quotation/
+    * boilerplate contamination removed while novel text survives);
+    * (2) docs reduced below `minKeptTokens` are dropped (nothing novel
+    * left); (3) the SURVIVING CLEANED text runs the two-tier admission
+    * kernel [[admitIncoming]] (exact anti-join + cross-set MinHash +
+    * Jaccard verify vs the corpus). Returns (idCol, textCol) with
+    * textCol holding the cleaned text. Same cross-set contract as the
+    * underlying kernels: incoming rows never meet each other, so
+    * micro-batch splits accumulate to the one-shot result
+    * (the streaming mirror is [[graft.streaming.Streams
+    * .incrementalCleanAdmission]]; stream ≡ batch in StreamsSpec). */
+  def cleanAndAdmit(incoming: DataFrame, corpus: DataFrame,
+                    idCol: String, textCol: String, k: Int = 8,
+                    minKeptTokens: Int = 1,
+                    minJaccard: Double = 0.8): DataFrame = {
+    val cleaned = SpanDedup.crossStripSpans(incoming, corpus,
+        idCol, textCol, k)
+      .filter(col("kept_tokens") >= minKeptTokens)
+      .select(col("_id").as(idCol), col("cleaned_text").as(textCol))
+    admitIncoming(cleaned, corpus, idCol, textCol, minJaccard)
+  }
+
   def admitIncoming(incoming: DataFrame, corpus: DataFrame,
                     idCol: String, textCol: String,
                     minJaccard: Double = 0.8): DataFrame = {

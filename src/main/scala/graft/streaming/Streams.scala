@@ -91,6 +91,26 @@ object Streams {
         batch, corpus, idCol, textCol, minJaccard), batchId)
     }
 
+  /** Streaming CLEAN-THEN-ADMIT — [[incrementalAdmission]] with the
+    * substring tier in front: each micro-batch is stripped of every
+    * token run it copies from the corpus, emptied docs are dropped, and
+    * the surviving CLEANED text runs the two-tier admission kernel
+    * (one shared kernel, [[graft.operators.Dedup.cleanAndAdmit]]).
+    * `sink` receives (idCol, textCol-cleaned) admitted rows. Same
+    * static-corpus/cross-set contract as [[incrementalAdmission]], so
+    * the accumulated admissions equal the one-shot batch kernel on the
+    * same rows (asserted in StreamsSpec). */
+  def incrementalCleanAdmission(docStream: DataFrame, corpus: DataFrame,
+                                idCol: String, textCol: String, k: Int = 8,
+                                minKeptTokens: Int = 1,
+                                minJaccard: Double = 0.8)
+                               (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Dedup.cleanAndAdmit(
+        batch, corpus, idCol, textCol, k, minKeptTokens, minJaccard), batchId)
+    }
+
   /** The shared EVOLVING-CORPUS foreachBatch loop behind
     * [[incrementalAdmissionEvolving]] and its vector twin
     * [[incrementalVectorAdmissionEvolving]]: each micro-batch is admitted

@@ -215,6 +215,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 2L, 5L))
   }
 
+  test("streaming clean-then-admit ≡ batch cleanAndAdmit on the same rows") {
+    implicit val sql = spark.sqlContext
+    val dir = graft.TestSpark.sf0001
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+    val rows = incoming.select("doc_id", "text")
+      .as[(Long, String)].collect.toSeq.sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = Streams.incrementalCleanAdmission(
+      mem.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text") {
+        (adm, _) =>
+          val got = adm.select("doc_id", "text").as[(Long, String)].collect()
+          admitted.synchronized { admitted ++= got }; ()
+      }.start()
+    rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    // stream-accumulated (id, cleaned-text) ≡ the one-shot batch kernel:
+    // both tiers compare incoming only against the corpus, so the
+    // micro-batch split cannot change admissions OR rewrites
+    val batchRows = graft.operators.Dedup
+      .cleanAndAdmit(incoming, corpus, "doc_id", "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(admitted.toSet === batchRows && batchRows.nonEmpty)
+    // the substring tier did real work in the chain: at least one
+    // admitted doc was REWRITTEN (cleaned text differs from original)
+    val orig = incoming.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(batchRows.exists { case (id, t) => orig(id) != t })
+  }
+
   test("streaming incremental admission ≡ batch incr_admit on the same rows") {
     implicit val sql = spark.sqlContext
     val dir = graft.TestSpark.sf0001
