@@ -644,6 +644,39 @@ object Queries {
          |GROUP BY lang ORDER BY lang""".stripMargin),
       "incremental ingestion dedup: batch vs existing corpus, distinct-key anti-join"),
 
+    "incr_dedup_bloom" -> DeclaredQuery(
+      // the SAME incremental exact-dedup decision, fronted by the
+      // Bloom-filter routing tier (Dedup.incrementalExactBloom): one
+      // distributed pass folds the corpus key set into a Bloom filter,
+      // incoming rows it definitely-excludes are admitted without
+      // touching the join, and only the might-contain sliver pays the
+      // anti-join shuffle. Routing never decides admission (a false
+      // positive just re-enters the join), so the result — and the
+      // oracle — is identical to q_incremental_dedup. fpp=0.25 here to
+      // force real false positives through the confirm path at fixture
+      // scale.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val kept = Dedup.incrementalExactBloom(
+          docs.filter(col("doc_id") >= 250),
+          Dedup.tokenFingerprint(col("text")),
+          docs.filter(col("doc_id") < 250),
+          Dedup.tokenFingerprint(col("text")),
+          fpp = 0.25)
+        kept.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_admitted"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_admitted, min(doc_id) AS first_id
+         |FROM documents i
+         |WHERE doc_id >= 250 AND NOT EXISTS (
+         |  SELECT 1 FROM documents c WHERE c.doc_id < 250
+         |    AND array_to_string(list_sort(string_split(c.text, ' ')), ' ')
+         |      = array_to_string(list_sort(string_split(i.text, ' ')), ' '))
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+      "incremental exact dedup behind a Bloom-filter routing tier (runtime-filter pattern)"),
+
     "incr_near_dup" -> DeclaredQuery(
       // incremental ingestion, near-dup tier: cross-set MinHash-LSH
       // candidates (incoming meets corpus only inside shared band

@@ -53,6 +53,65 @@ object Dedup {
     incoming.join(existing, key === existing("__graft_fp"), "left_anti")
   }
 
+  /** [[incrementalExact]] with a Bloom-filter ROUTING tier in front —
+    * the runtime-filter pattern Spark's own `InjectRuntimeFilter` rule
+    * applies to shuffle joins, lifted to the ingestion boundary where
+    * the build side (the corpus key set) is long-lived:
+    *
+    *   1. ONE distributed pass folds the distinct corpus keys into a
+    *      Bloom filter (`DataFrameStatFunctions.bloomFilter`, built by
+    *      per-partition aggregation + driver merge; `xxhash64(key)` so
+    *      arbitrary key types probe as longs);
+    *   2. the filter rides into the scan as a plan literal probed by
+    *      Spark's codegen'd `BloomFilterMightContain` — incoming rows it
+    *      rejects are admitted DIRECTLY (a Bloom "no" is definite);
+    *   3. only the might-contain sliver (true dups + the `fpp` false-
+    *      positive fraction) pays the anti-join against the corpus
+    *      projection.
+    *
+    * The result is row-identical to [[incrementalExact]]: hash
+    * collisions and Bloom false positives only route a row into the
+    * confirming anti-join, never decide admission. What changes is the
+    * 100 TB cost shape — with a mostly-novel incoming batch the
+    * anti-join's shuffle carries ~`fpp` of the incoming rows instead of
+    * all of them, and the filter itself (n·1.44·log2(1/fpp) bits — ~9
+    * bits/key at fpp=0.03) is built once per corpus version and
+    * amortizes across every subsequent batch, exactly like the
+    * `_*_build` index memos. At corpus sizes where the filter outgrows
+    * the driver, raise `fpp` (false positives only re-widen the join)
+    * or shard by key range.
+    *
+    * `expectedItems` sizes the filter; pass the known corpus cardinality
+    * to skip the sizing `count()` job. */
+  def incrementalExactBloom(incoming: DataFrame, key: Column,
+                            corpus: DataFrame, corpusKey: Column,
+                            fpp: Double = 0.03,
+                            expectedItems: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.Bridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val keyed = corpus.select(xxhash64(corpusKey).as("__graft_fp")).distinct()
+    val n = if (expectedItems > 0L) expectedItems else keyed.count()
+    // an empty corpus can't reject anything — and Spark's bloomFilter
+    // aggregate returns a null buffer over zero rows, so route around it
+    // (the isEmpty probe is a limit-1 job, only paid when the sizing
+    // count() was skipped via expectedItems)
+    if (n == 0L || (expectedItems > 0L && keyed.isEmpty)) return incoming
+    val bf = keyed.stat.bloomFilter("__graft_fp", math.max(n, 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), Bridge.expression(xxhash64(key))))
+    val definitelyNew = incoming.filter(!mightContain)
+    val confirmed = incrementalExact(
+      incoming.filter(mightContain), key, corpus, corpusKey)
+    definitelyNew.unionAll(confirmed)
+  }
+
   /** The incremental ingestion ADMISSION decision, both tiers chained —
     * the kernel the declared `incr_admit` query and the streaming mirror
     * (`Streams.incrementalAdmission`) share, so batch ≡ stream is the

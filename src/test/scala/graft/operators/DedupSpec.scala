@@ -50,6 +50,46 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.select("doc_id").as[Long].collect.toSet === Set(11L))
   }
 
+  test("incrementalExactBloom ≡ incrementalExact across fpp, incl. forced false positives") {
+    // 60 corpus docs, 40 incoming: 15 dups of corpus texts (some token-
+    // reordered), 25 novel. High fpp forces real false positives through
+    // the confirming anti-join; low fpp exercises the direct-admit path.
+    val rng = new scala.util.Random(42)
+    val corpusTexts = (0 until 60).map(i => s"corpus doc $i body ${rng.nextInt(1000)}")
+    val corpus = corpusTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val incoming = ((0 until 15).map { i =>
+      val words = corpusTexts(i * 4).split(" ")
+      (1000L + i, rng.shuffle(words.toSeq).mkString(" ")) // reordered dup
+    } ++ (0 until 25).map(i => (2000L + i, s"novel text $i ${rng.nextInt(1000)}")))
+      .toDF("doc_id", "text")
+    val exactIds = Dedup.incrementalExact(incoming,
+        Dedup.tokenFingerprint($"text"), corpus, Dedup.tokenFingerprint($"text"))
+      .select("doc_id").as[Long].collect.toSet
+    assert(exactIds.size === 25 && exactIds.forall(_ >= 2000L))
+    for (fpp <- Seq(0.5, 0.03, 0.001)) {
+      val bloomIds = Dedup.incrementalExactBloom(incoming,
+          Dedup.tokenFingerprint($"text"), corpus, Dedup.tokenFingerprint($"text"),
+          fpp = fpp)
+        .select("doc_id").as[Long].collect.toSet
+      assert(bloomIds === exactIds, s"fpp=$fpp")
+    }
+    // expectedItems short-circuits the sizing count() without changing rows
+    val sized = Dedup.incrementalExactBloom(incoming,
+        Dedup.tokenFingerprint($"text"), corpus, Dedup.tokenFingerprint($"text"),
+        fpp = 0.03, expectedItems = 60L)
+      .select("doc_id").as[Long].collect.toSet
+    assert(sized === exactIds)
+  }
+
+  test("incrementalExactBloom: empty corpus admits everything") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val incoming = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExactBloom(incoming,
+      Dedup.tokenFingerprint($"text"), corpus, Dedup.tokenFingerprint($"text"))
+    assert(kept.select("doc_id").as[Long].collect.toSet === Set(1L, 2L))
+  }
+
   test("connectedComponents: chains merge transitively, singletons stay") {
     // components: {1,2,3,4} (a 4-chain — needs >1 propagation round),
     // {10,11}, singleton {20}
