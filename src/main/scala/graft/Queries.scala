@@ -2139,6 +2139,48 @@ object Queries {
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
       "corpus-frequency quality score (mean log word count per doc)"),
 
+    "q_lm_bigram" -> DeclaredQuery(
+      // perplexity-tier quality scoring (the CCNet-style filter): a
+      // bigram LM trained as DataFrame aggregations on the trusted half
+      // of the corpus (doc_id < 250) scores the incoming half — lm_bits
+      // = mean -log2 P(w2|w1) with add-one smoothing; low bits = fluent
+      // under the reference model, high = junk/OOV. Train and score are
+      // ONE lazy plan (model lookups are equi-joins on the word/bigram
+      // key), so the whole filter is oracle-expressible.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        TextAnalysis.bigramLmScore(
+          docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250),
+          "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ct AS (SELECT doc_id,
+         |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |        FROM documents WHERE doc_id < 250),
+         |cu AS (SELECT unnest(tk) AS w1 FROM ct),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM cu GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM cu),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM (
+         |         SELECT tk[u.s] || ' ' || tk[u.s + 1] AS bg
+         |         FROM ct, UNNEST(range(1, len(tk), 1)) AS u(s)) GROUP BY bg),
+         |st AS (SELECT doc_id,
+         |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |        FROM documents WHERE doc_id >= 250),
+         |sg AS (SELECT doc_id, tk[u.s] AS w1, tk[u.s] || ' ' || tk[u.s + 1] AS bg
+         |       FROM st, UNNEST(range(1, len(tk), 1)) AS u(s)),
+         |j AS (SELECT sg.doc_id,
+         |        -log2((coalesce(c2.c2, 0) + 1.0) /
+         |              (coalesce(c1.c1, 0) + (SELECT v FROM v))) AS bits
+         |      FROM sg LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1)),
+         |o AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(bits), 4) AS lm_bits
+         |      FROM j GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(coalesce(o.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       o.lm_bits
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) s
+         |LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin),
+      "bigram-LM perplexity quality score: reference-corpus model, add-one smoothing"),
+
     "q_decontaminate" -> DeclaredQuery(
       // benchmark decontamination: docs 0-49 play the eval set, the rest
       // the training corpus; flag every training doc echoing one of the

@@ -175,6 +175,64 @@ object TextAnalysis {
       .select(col("_lfid").as(idCol), col("lf_score"))
   }
 
+  /** Bigram-LM quality scoring — the perplexity-filter stage of the
+    * public CCNet/Gopher-style pipeline (Wenzek et al. 2020 score crawl
+    * text under an LM trained on a trusted reference corpus; low
+    * likelihood = junk, extremely high = boilerplate), here with the LM
+    * itself as DataFrame aggregations instead of an external KenLM
+    * binary, so train and score are one lazy plan:
+    *
+    *   - TRAIN on `corpus`: unigram counts `c1(w)`, bigram counts
+    *     `c2(w1 w2)` (two exploded hash-aggs, map-side partial), vocab
+    *     size `V` as a 1-row aggregate — no driver-side collect;
+    *   - SCORE `score`: each doc's interior bigrams (no BOS/EOS — docs
+    *     with < 2 tokens get NULL) look up add-one-smoothed
+    *     `P(w2|w1) = (c2 + 1) / (c1 + V)`, and the doc's score is the
+    *     mean negative log2-likelihood in bits/bigram (`lm_bits`;
+    *     2^lm_bits = per-token perplexity under the bigram model).
+    *
+    * Shuffle shape at scale: model lookups are equi-joins on the word /
+    * bigram key — partial-aggregated counts shuffle, never text; with a
+    * reference-corpus-sized model AQE broadcasts the build side, and at
+    * web-scale vocabularies the join degrades gracefully to shuffle on
+    * the Zipf-distributed key (same story as [[logFreqScore]]). The
+    * 1-row vocab aggregate rides in as an explicit broadcast.
+    *
+    * Returns one row per `score` doc: (idCol, n_bigrams, lm_bits),
+    * `lm_bits` NULL when the doc has no bigram. */
+  def bigramLmScore(score: DataFrame, corpus: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val corpusToks = corpus.select(explode(toks).as("w1"))
+    val c1 = corpusToks.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = corpusToks.agg(count_distinct(col("w1")).as("v"))
+    def bigramPos(df: DataFrame, cols: Column*): DataFrame =
+      df.filter(size(toks) >= 2)
+        .select(cols :+ toks.as("_toks"): _*)
+        .select(cols :+ col("_toks") :+
+          explode(sequence(lit(1), size(col("_toks")) - 1)).as("_i"): _*)
+    val c2 = bigramPos(corpus)
+      .select(concat_ws(" ", element_at(col("_toks"), col("_i")),
+        element_at(col("_toks"), col("_i") + 1)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val sg = bigramPos(score, col(idCol))
+      .select(col(idCol),
+        element_at(col("_toks"), col("_i")).as("w1"),
+        concat_ws(" ", element_at(col("_toks"), col("_i")),
+          element_at(col("_toks"), col("_i") + 1)).as("bg"))
+    val scored = sg.join(c2, Seq("bg"), "left").join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (-log(2.0, (coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v")))).as("bits"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("bits")), 4).as("lm_bits"))
+    score.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_bits"))
+  }
+
   /** tf-idf per (doc, word) (B12): tf from one agg, df from a second agg
     * over the same exploded relation, idf = ln(N/df). The doc-count N is
     * a 1-row aggregate broadcast into the join — no driver-side

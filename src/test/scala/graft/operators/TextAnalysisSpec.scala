@@ -81,4 +81,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) === 0.2)   // 5 distinct grams
     assert(got(3L) === -1.0)  // no 2-gram
   }
+
+  test("bigramLmScore: hand-checked smoothed bigram likelihoods") {
+    // corpus: "a b", "a b c" → c1: a=2 b=2 c=1, V=3
+    //         c2: "a b"=2, "b c"=1
+    val corpus = Seq((10L, "a b"), (11L, "a b c")).toDF("doc_id", "text")
+    // doc 1 "a b x": P(b|a)=(2+1)/(2+3)=0.6, P(x|b)=(0+1)/(2+3)=0.2
+    // doc 2 "z z":   P(z|z)=(0+1)/(0+3)=1/3 (both words OOV)
+    // doc 3 "solo":  no bigram → NULL
+    val score = Seq((1L, "a b x"), (2L, "z z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(score, corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    def bits(ps: Double*): Double =
+      math.round(ps.map(p => -math.log(p) / math.log(2.0)).sum / ps.size * 10000)
+        .toDouble / 10000
+    assert(got === Seq(
+      (1L, 2L, Some(bits(0.6, 0.2))),
+      (2L, 1L, Some(bits(1.0 / 3))),
+      (3L, 0L, None)))
+    // fluency ordering: a corpus-seen doc scores fewer bits than OOV junk
+    val fluent = TextAnalysis.bigramLmScore(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), corpus, "doc_id", "text")
+      .collect()(0).getDouble(2)
+    val junk = TextAnalysis.bigramLmScore(
+      Seq((1L, "q r s")).toDF("doc_id", "text"), corpus, "doc_id", "text")
+      .collect()(0).getDouble(2)
+    assert(fluent < junk)
+  }
 }
