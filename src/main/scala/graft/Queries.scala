@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, PqIndex, Search, SpanDedup, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, PqIndex, Search, Sketch, SpanDedup, TextAnalysis}
 import graft.streaming.Streams
 
 /** One declared query: the Spark build plus (when SQL-expressible) the
@@ -2883,6 +2883,40 @@ object Queries {
           countDistinct(col("l_partkey")).as("exact_parts")),
       None,
       "B24: HLL approx distinct (sketch-impl-specific, sanity-tested vs exact)"),
+
+    "incr_vocab_sketch" -> DeclaredQuery(
+      // incremental corpus statistics by MERGEABLE SKETCH — the
+      // evolving-corpus completion of corpus_stats: each ingestion
+      // batch (pmod(doc_id, 4)) contributes one per-lang
+      // distinct-token HLL sketch, and corpus vocabulary is answered
+      // by unioning the batch sketches — no rescan of earlier batches,
+      // kilobytes of state per (lang, batch). The row carries its own
+      // audit: exact distinct count alongside the merged estimate, the
+      // relative error, and a second merge under a DIFFERENT batching
+      // (pmod 2) whose estimate must be identical — the register-wise
+      // union is associative, so how history was batched cannot matter.
+      // Sketch-impl-specific per contract → rows-only; invariants
+      // pinned in SketchSpec.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        def merged(nb: Int) = Sketch.mergeSketches(
+            Sketch.vocabSketches(docs, "lang", "text",
+              pmod(col("doc_id"), lit(nb))),
+            Seq(col("lang")))
+          .select(col("lang"), Sketch.estimate(col("sketch")).as(s"est_$nb"))
+        val exact = docs.select(col("lang"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("lang").agg(countDistinct(col("tok")).as("exact_vocab"))
+        exact.join(merged(4), "lang").join(merged(2), "lang")
+          .select(col("lang"), col("exact_vocab"),
+            col("est_4").as("merged_est"),
+            (col("est_4") === col("est_2")).as("grouping_invariant"),
+            round(abs(col("est_4") - col("exact_vocab")) / col("exact_vocab"), 4)
+              .as("rel_err"))
+          .orderBy(col("lang"))
+      },
+      None,
+      "incremental corpus stats: per-batch HLL vocab sketches union-merged; grouping-invariance audited in-row"),
 
     "q_approx_percentile" -> DeclaredQuery(
       // sketch family alongside HLL (q_approx_distinct): approximate
