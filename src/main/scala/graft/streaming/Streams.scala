@@ -275,6 +275,43 @@ object Streams {
       afterBatch(admitted, batchId)
     }
 
+  /** Streaming SKETCH MAINTENANCE — [[graft.operators.Sketch]]'s
+    * incremental corpus statistics as a continuous loop: each
+    * micro-batch folds its per-language distinct-token HLL sketches
+    * into a running per-language sketch state (register-wise union),
+    * and `sink` receives the merged (langCol, vocab_est) relation
+    * after every batch — live vocabulary tracking over the ingestion
+    * stream from kilobytes of state per language, never a corpus
+    * rescan. The union is associative and order-independent, so the
+    * state after the last batch equals the one-shot batch sketch over
+    * all streamed rows regardless of how the stream was micro-batched
+    * (asserted in StreamsSpec). Generations are localCheckpointed and
+    * the predecessor released each batch, mirroring
+    * [[evolvingAdmission]]'s lifecycle: single-start/non-recoverable,
+    * batch-0 restart resets to empty state (a durable deployment
+    * persists the (lang, sketch) rows in `sink` and re-merges on
+    * recovery — sketches are bytes columns, parquet-friendly). */
+  def runningVocabSketch(docStream: DataFrame, langCol: String,
+                         textCol: String, lgK: Int = 12)
+                        (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Sketch
+    var state: DataFrame = null // (langCol, sketch), one row per language
+    docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (batchId == 0L) { if (state != null) state.unpersist(); state = null }
+      val bs = Sketch.vocabSketches(batch, langCol, textCol, lit(0), lgK)
+        .select(col(langCol), col("sketch"))
+      val merged = Sketch.mergeSketches(
+          if (state == null) bs else state.unionAll(bs), Seq(col(langCol)))
+        .localCheckpoint(false)
+      merged.count() // materialize before releasing the previous generation
+      if (state != null) state.unpersist()
+      state = merged
+      sink(state.select(col(langCol),
+        Sketch.estimate(col("sketch")).as("vocab_est")), batchId)
+    }
+  }
+
   /** File-based stream source over an events directory (B33). For the
     * fixture, replay the parquet dir; in production this is the landing
     * path written by the ingestion job. */

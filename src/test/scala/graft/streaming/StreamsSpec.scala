@@ -500,6 +500,36 @@ class StreamsSpec extends AnyFunSuite {
     assert(writerRuns.forall(_ === Set(10L)) && writerRuns.size >= 2)
   }
 
+  test("running vocab sketch: stream-maintained state ≡ one-shot batch sketch") {
+    implicit val sql = spark.sqlContext
+    val dir = graft.TestSpark.sf0001
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val rows = docs.select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    def streamedFinal(nBatches: Int): Map[String, Double] = {
+      val mem = MemoryStream[(Long, String, String)]
+      @volatile var last: Map[String, Double] = Map.empty
+      val q = Streams.runningVocabSketch(
+        mem.toDF().toDF("doc_id", "lang", "text"), "lang", "text") { (est, _) =>
+          last = est.as[(String, Double)].collect().toMap
+        }.start()
+      rows.grouped(math.max(1, rows.size / nBatches + 1)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      q.stop()
+      last
+    }
+    val batchEst = graft.operators.Sketch.mergeSketches(
+        graft.operators.Sketch.vocabSketches(docs, "lang", "text", lit(0)),
+        Seq(col("lang")))
+      .select(col("lang"),
+        graft.operators.Sketch.estimate(col("sketch")).as("est"))
+      .as[(String, Double)].collect().toMap
+    // any micro-batching accumulates to the one-shot batch sketch
+    assert(streamedFinal(3) === batchEst && batchEst.nonEmpty)
+    assert(streamedFinal(5) === batchEst)
+  }
+
   test("B33 file source: streaming read of the fixture parquet matches batch count") {
     val dir = "/root/testdata/sf0.001"
     // file sources need a landing DIRECTORY; stage the fixture file into one
