@@ -2181,6 +2181,81 @@ object Queries {
          |LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin),
       "bigram-LM perplexity quality score: reference-corpus model, add-one smoothing"),
 
+    "q_quality_gate" -> DeclaredQuery(
+      // the quality GATE — the admission verdict a FineWeb/Gopher-style
+      // pipeline actually acts on, chaining three INDEPENDENT signal
+      // tiers over the incoming half of the corpus: max-2-gram
+      // repetition (boilerplate), bigram-LM bits under the trusted-half
+      // model (fluency/junk), and stopword ratio (gibberish). Each
+      // signal is its own declared, individually-oracled operator
+      // (q_repetition, q_lm_bigram, q_quality); this row proves the
+      // COMPOSED verdict end-to-end against one chained oracle.
+      // Thresholds are fixture-calibrated so every signal really bites
+      // (lm_bits median 4.97, rep max 0.167, stop median 0.059);
+      // comparisons run on the 4-dp-rounded values in BOTH engines, and
+      // a doc missing a signal (< 2 tokens → no bigram) fails the gate.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val incoming = docs.filter(col("doc_id") >= 250)
+        val corpus = docs.filter(col("doc_id") < 250)
+        val toks = TextAnalysis.tokens(col("text"))
+        val stop = Seq("the", "a", "of", "to", "in")
+        val base = incoming.select(col("doc_id"),
+          round(size(filter(toks, t => t.isin(stop: _*))).cast("double") /
+            size(toks), 4).as("stop_ratio"))
+        val rep = TextAnalysis.repetitionStats(incoming, "doc_id", "text", n = 2)
+          .select(col("doc_id"), col("rep_ratio"))
+        val lm = TextAnalysis.bigramLmScore(incoming, corpus, "doc_id", "text")
+          .select(col("doc_id"), col("lm_bits"))
+        base.join(rep, Seq("doc_id"), "left").join(lm, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("stop_ratio"), col("rep_ratio"),
+            col("lm_bits"),
+            when(coalesce(col("rep_ratio") <= 0.1, lit(false)) &&
+                 coalesce(col("lm_bits") <= 5.0, lit(false)) &&
+                 coalesce(col("stop_ratio") >= 0.02, lit(false)),
+              lit(1L)).otherwise(lit(0L)).as("admitted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ct AS (SELECT doc_id,
+         |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |        FROM documents WHERE doc_id < 250),
+         |cu AS (SELECT unnest(tk) AS w1 FROM ct),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM cu GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM cu),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM (
+         |         SELECT tk[u.s] || ' ' || tk[u.s + 1] AS bg
+         |         FROM ct, UNNEST(range(1, len(tk), 1)) AS u(s)) GROUP BY bg),
+         |st AS (SELECT doc_id,
+         |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |        FROM documents WHERE doc_id >= 250),
+         |sg AS (SELECT doc_id, tk[u.s] AS w1, tk[u.s] || ' ' || tk[u.s + 1] AS bg
+         |       FROM st, UNNEST(range(1, len(tk), 1)) AS u(s)),
+         |j AS (SELECT sg.doc_id,
+         |        -log2((coalesce(c2.c2, 0) + 1.0) /
+         |              (coalesce(c1.c1, 0) + (SELECT v FROM v))) AS bits
+         |      FROM sg LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1)),
+         |lm AS (SELECT doc_id, round(avg(bits), 4) AS lm_bits
+         |       FROM j GROUP BY doc_id),
+         |g AS (SELECT doc_id,
+         |        unnest(list_transform(range(1, len(tk)),
+         |                              i -> tk[i] || ' ' || tk[i + 1])) AS gram
+         |      FROM st WHERE len(tk) >= 2),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+         |rep AS (SELECT doc_id, round(max(cnt)::DOUBLE / sum(cnt), 4) AS rep_ratio
+         |        FROM c GROUP BY doc_id),
+         |base AS (SELECT doc_id,
+         |           round(len(list_filter(tk, x -> x IN ('the','a','of','to','in')))::DOUBLE
+         |             / len(tk), 4) AS stop_ratio
+         |         FROM st)
+         |SELECT b.doc_id, b.stop_ratio, rep.rep_ratio, lm.lm_bits,
+         |  CAST(CASE WHEN coalesce(rep.rep_ratio <= 0.1, false)
+         |         AND coalesce(lm.lm_bits <= 5.0, false)
+         |         AND coalesce(b.stop_ratio >= 0.02, false)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS admitted
+         |FROM base b LEFT JOIN rep USING (doc_id) LEFT JOIN lm USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+      "composed quality gate: repetition + bigram-LM bits + stopword ratio → admission verdict"),
+
     "q_decontaminate" -> DeclaredQuery(
       // benchmark decontamination: docs 0-49 play the eval set, the rest
       // the training corpus; flag every training doc echoing one of the
