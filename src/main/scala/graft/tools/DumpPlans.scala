@@ -49,7 +49,28 @@ object DumpPlans {
       "map-side, so a boilerplate gram ships once per task) → equi-join " +
       "positions back on gram (never all-pairs — docs meet only at gram " +
       "keys) → per-doc window gaps-and-islands → partial+final coverage " +
-      "agg; ReadSchema of the documents scan is (doc_id, text) only"))
+      "agg; ReadSchema of the documents scan is (doc_id, text) only"),
+    "incr_dedup_bloom" -> ("Bloom-routed incremental dedup: the corpus " +
+      "key set was folded into a Bloom filter before this plan (one " +
+      "distributed pass + driver register merge); the incoming scan is " +
+      "split by the codegen'd BloomFilterMightContain probe on the " +
+      "plan-literal filter — definite-no rows flow STRAIGHT to the " +
+      "union, and only the might-contain sliver enters the left-anti " +
+      "join against the corpus' distinct-key projection, so at scale " +
+      "the anti-join shuffle carries ~fpp of a mostly-novel batch " +
+      "instead of all of it"),
+    "q_lm_bigram" -> ("bigram-LM quality scoring: model training (two " +
+      "partial+final hash-aggs over the exploded token / bigram-index " +
+      "relations) and document scoring live in ONE lazy plan; model " +
+      "lookups are equi-joins on the bigram/word key, the 1-row vocab " +
+      "aggregate rides in as an explicit broadcast, and no join " +
+      "touches document text — only (doc, key, count) rows shuffle"),
+    "q_quality_gate" -> ("composed quality gate: three independent " +
+      "signal subtrees — row-local stop-ratio projection, " +
+      "partial+final repetition aggregate, and the LM scoring join " +
+      "chain — meet ONLY on doc_id equi-joins; the verdict is a pure " +
+      "projection over the joined signal columns, so the gate adds no " +
+      "shuffle beyond its constituent operators"))
 
   /** Plan-shape-critical OPERATOR INTERNALS whose declared queries
     * materialize eagerly (their final plans are LocalTableScans): built

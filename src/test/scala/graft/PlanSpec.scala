@@ -83,4 +83,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("incr_dedup_bloom: Bloom probe routes the scan; only the sliver anti-joins") {
+    val p = plan("incr_dedup_bloom")
+    // both routing branches probe the plan-literal filter with the
+    // codegen'd BloomFilterMightContain — once negated (direct admit),
+    // once positive (confirm tier)
+    assert("might_contain".r.findAllIn(p).size >= 2, s"no Bloom probe:\n$p")
+    // the confirm tier is still a real anti-join, never inner + dedup
+    assert(p.contains("Anti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_lm_bigram: model lookups are equi-joins; text never shuffles") {
+    val p = plan("q_lm_bigram")
+    // train + score in one plan: multiple partial+final agg pairs
+    // (unigram counts, bigram counts, vocab, per-doc score)
+    assert("HashAggregate".r.findAllIn(p).size >= 6)
+    // no all-pairs anywhere; the only nested-loop is the 1-row vocab
+    // broadcast riding into the scoring projection
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+    // no Exchange may carry the text column — only keys and counts
+    // shuffle (text is consumed row-locally by the explode projections)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
+      s"document text must not shuffle:\n${exchanges.mkString("\n")}")
+  }
 }
