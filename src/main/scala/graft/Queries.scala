@@ -10,6 +10,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
 import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, PqIndex, Search, Sketch, SpanDedup, TextAnalysis}
+import graft.sources.VersionedCorpus
 import graft.streaming.Streams
 
 /** One declared query: the Spark build plus (when SQL-expressible) the
@@ -859,6 +860,105 @@ object Queries {
       },
       None,
       "sequential ingestion e2e: day-2 admission runs against corpus ∪ day-1 admissions (evolving-corpus batch twin)"),
+
+    "incr_admit_durable" -> DeclaredQuery(
+      // the incr_admit_seq replay with the evolving corpus held in a
+      // VersionedCorpus DIRECTORY instead of a persisted in-memory
+      // frame — the batch twin of Streams.incrementalAdmissionDurable
+      // (the restart-safe ingestion loop). Day-1 admissions COMMIT as a
+      // generation before day 2 snapshots the store, which is exactly
+      // the corpus-table append incr_admit_seq's persist simulates; the
+      // day's admitted rows are then READ BACK from their committed
+      // generation (read-your-commit), so the aggregate reflects what
+      // the store durably holds, not a recomputation. Row-identical to
+      // incr_admit_seq (asserted in VersionedCorpusSpec); seeded-hash
+      // near-dup tier → rows-only per the contract.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vcadmit")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(docs.filter(col("doc_id") < 250), root)
+          def admit(day: DataFrame): DataFrame =
+            Dedup.admitIncoming(day,
+              VersionedCorpus.snapshot(s, root)
+                .select(col("doc_id"), col("text")),
+              "doc_id", "text")
+          val g1 = VersionedCorpus.append(
+            admit(docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)),
+            root)
+          val g2 = VersionedCorpus.append(
+            admit(docs.filter(col("doc_id") >= 375)), root)
+          def dayRows(g: Long, day: Long): DataFrame =
+            s.read.parquet(s"$root/gen=$g")
+              .select(col("doc_id"), col("lang"), lit(day).as("day"))
+          localFrame(dayRows(g1, 1L).union(dayRows(g2, 2L))
+            .groupBy(col("day"), col("lang"))
+            .agg(count(lit(1)).as("n_admitted"),
+              min(col("doc_id")).as("first_id"))
+            .orderBy(col("day"), col("lang")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      None,
+      "durable sequential ingestion: two-day replay with the corpus as an on-disk versioned store (restart-safe batch twin)"),
+
+    "q_corpus_timetravel" -> DeclaredQuery(
+      // the VersionedCorpus lifecycle end-to-end, content-proven by
+      // oracle: three appends build the corpus in generations, a
+      // compaction rewrites the first two as one base generation
+      // (content-neutral, history-preserving), time travel to the first
+      // commit still sees exactly that commit AFTER compaction, and a
+      // vacuum drops the superseded generation data without changing
+      // the latest snapshot. Every snapshot's (count, id-sum,
+      // char-mass, lang-arity) must hash-match DuckDB computing the
+      // same slices straight from the source table — any row lost or
+      // duplicated by append/compact/vacuum bookkeeping breaks it.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vctt")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          val g0 = VersionedCorpus.append(
+            docs.filter(col("doc_id") < 150), root)
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), root)
+          VersionedCorpus.compact(s, root)
+          VersionedCorpus.append(docs.filter(col("doc_id") >= 300), root)
+          def stats(df: DataFrame, label: String): DataFrame =
+            df.agg(count(lit(1)).as("n_docs"),
+                sum(col("doc_id")).as("sum_ids"),
+                sum(length(col("text")).cast("long")).as("text_chars"),
+                countDistinct(col("lang")).as("n_langs"))
+              .select(lit(label).as("snap"), col("n_docs"),
+                col("sum_ids"), col("text_chars"), col("n_langs"))
+          // pre-vacuum reads materialize before vacuum mutates the dir
+          val pre = localFrame(
+            stats(VersionedCorpus.snapshot(s, root, g0), "asof_first")
+              .union(stats(VersionedCorpus.snapshot(s, root), "latest")))
+          VersionedCorpus.vacuum(root)
+          val post = localFrame(
+            stats(VersionedCorpus.snapshot(s, root), "post_vacuum"))
+          localFrame(pre.union(post).orderBy(col("snap")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT * FROM (
+         |  SELECT 'asof_first' AS snap, count(*) AS n_docs,
+         |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |    CAST(sum(length(text)) AS BIGINT) AS text_chars,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |  FROM documents WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT 'latest', count(*), CAST(sum(doc_id) AS BIGINT),
+         |    CAST(sum(length(text)) AS BIGINT),
+         |    CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+         |  UNION ALL
+         |  SELECT 'post_vacuum', count(*), CAST(sum(doc_id) AS BIGINT),
+         |    CAST(sum(length(text)) AS BIGINT),
+         |    CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+         |) ORDER BY snap""".stripMargin),
+      "versioned corpus store lifecycle: append ×3 + compact + time-travel + vacuum, every snapshot content-checked vs direct SQL"),
 
     "span_dedup" -> DeclaredQuery(
       // substring-level dedup (the ExactSubstr tier, Lee et al. 2021

@@ -199,6 +199,49 @@ object Streams {
       (batch, corpus) => graft.operators.Dedup.admitIncoming(
         batch, corpus, idCol, textCol, minJaccard))(sink)
 
+  /** [[incrementalAdmissionEvolving]] with the corpus state ON DISK — the
+    * restart-safe production loop. The evolving form's corpus generation
+    * lives in this process's memory, which makes it single-start (a
+    * checkpoint-recovered query would silently see the initial corpus);
+    * here the corpus IS a [[graft.sources.VersionedCorpus]] directory:
+    * each micro-batch is admitted against the current on-disk snapshot
+    * and its admissions (all columns) are appended as the next committed
+    * generation, so a restarted — or entirely new — query over the same
+    * `root` continues from exactly the corpus the last committed batch
+    * left behind.
+    *
+    * Failure-replay is IDEMPOTENT by construction, no transaction log
+    * dance: if the engine re-runs a micro-batch whose admissions already
+    * committed, the exact-fingerprint tier now rejects every one of them
+    * (byte-identical text is in the snapshot) and previously-rejected
+    * rows stay rejected (the corpus only grew) — zero rows survive, and
+    * [[graft.sources.VersionedCorpus.append]] commits nothing on an
+    * empty frame. Replay cost is one admission pass, the same work a
+    * transactional commit would have to re-verify anyway.
+    *
+    * Seed `root` with the initial corpus
+    * (`VersionedCorpus.append(corpus, root)`) before starting; the
+    * appended admissions keep ALL incoming columns, so the store doubles
+    * as the corpus table downstream jobs read. `sink` (optional) gets
+    * the admitted rows after the commit, still materialized. */
+  def incrementalAdmissionDurable(docStream: DataFrame, root: String,
+                                  idCol: String, textCol: String,
+                                  minJaccard: Double = 0.8)
+                                 (sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val admitted = graft.operators.Dedup.admitIncoming(
+          batch,
+          graft.sources.VersionedCorpus.snapshot(batch.sparkSession, root)
+            .select(col(idCol), col(textCol)),
+          idCol, textCol, minJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        graft.sources.VersionedCorpus.append(admitted, root)
+        sink(admitted, batchId)
+      } finally admitted.unpersist()
+    }
+
   /** VECTOR-TIER streaming admission against a STATIC embedding-indexed
     * corpus — [[incrementalAdmission]]'s embedding twin: each micro-batch
     * of incoming (id, vector) rows runs the batch kernel

@@ -553,4 +553,54 @@ class StreamsSpec extends AnyFunSuite {
     val batchTotal = graft.Tables.load(spark, dir, "events").count()
     assert(streamedTotal === batchTotal)
   }
+
+  test("durable admission ≡ evolving admission, and a NEW writer resumes from the on-disk corpus") {
+    implicit val sql = spark.sqlContext
+    // the evolving-admission fixture: 21 exact-dups corpus doc 1, 20
+    // near-dups ADMITTED doc 10, 30 byte-copies ADMITTED doc 11 — so the
+    // expected admissions are Set(10, 11, 22, 31), and 30's rejection
+    // requires the corpus to have durably grown with batch 1's output
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val earlier = Seq(
+      Seq((10L, "r s t r s t"),
+        (11L, "one two three four five six")),
+      Seq((20L, "r s t r s t r s t"),
+        (21L, "theta eta zeta epsilon delta gamma beta alpha kappa iota"),
+        (22L, "completely fresh vocabulary nothing overlaps here at all")))
+    val later =
+      Seq((30L, "one two three four five six"),
+        (31L, "brand new words appearing only now in this stream"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vcstream").toString + "/corpus"
+    graft.sources.VersionedCorpus.append(corpus, root)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink = (adm: org.apache.spark.sql.DataFrame, _: Long) => {
+      val ids = adm.select("doc_id").as[Long].collect()
+      admitted.synchronized { admitted ++= ids }; ()
+    }
+    def runWriter(batches: Seq[Seq[(Long, String)]]): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = Streams.incrementalAdmissionDurable(
+        mem.toDF().toDF("doc_id", "text"), root, "doc_id", "text")(sink)
+        .start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+    }
+    runWriter(earlier)
+    assert(admitted.toSet === Set(10L, 11L, 22L))
+    // an entirely NEW writer (fresh source, fresh query) over the same
+    // root: doc 30 duplicates doc 11 — admitted by the FIRST writer —
+    // and must still be rejected, because the corpus state is the
+    // directory, not process memory (the in-memory evolving form is
+    // explicitly single-start and cannot give this)
+    runWriter(Seq(later))
+    assert(admitted.toSet === Set(10L, 11L, 22L, 31L))
+    // the store accumulated exactly the admissions (corpus seed + one
+    // committed generation per admitting batch)
+    val stored = graft.sources.VersionedCorpus.snapshot(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(stored === Set(1L, 10L, 11L, 22L, 31L))
+  }
 }
