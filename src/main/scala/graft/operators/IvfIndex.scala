@@ -206,6 +206,29 @@ object IvfIndex {
       .repartition(col("cluster_id"))
       .write.partitionBy("cluster_id").mode("append").parquet(path)
 
+  /** Repair the partitioned index against the corpus table it mirrors:
+    * corpus rows whose ids are absent from the index are assigned to the
+    * EXISTING centroids and appended. This is the recovery path for the
+    * durable ingestion loop's commit gap — a process that dies after the
+    * corpus generation commits but before the index append leaves the
+    * index behind the corpus; one reconcile pass (an id-only anti-join,
+    * the index contributes just its id column) catches it up, and
+    * running it again is a no-op. Returns the number of repaired rows. */
+  def reconcilePartitioned(corpus: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame, path: String): Long = {
+    val indexedIds =
+      corpus.sparkSession.read.parquet(path).select(col(idCol))
+    val missing = corpus.join(indexedIds, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = missing.count()
+      if (n > 0L)
+        appendPartitioned(missing, idCol,
+          assignTo(missing, idCol, vecCol, centroids), path)
+      n
+    } finally missing.unpersist()
+  }
+
   /** The whole-dial calibration measurement in ONE distributed job:
     * per-(query, cluster) top-`k` over the partitioned index, tagged
     * with each cluster's RANK in that query's centroid-distance

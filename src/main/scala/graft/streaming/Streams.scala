@@ -318,6 +318,50 @@ object Streams {
       afterBatch(admitted, batchId)
     }
 
+  /** [[incrementalVectorIngestion]] with BOTH states on disk — the
+    * restart-safe vector-corpus loop, [[incrementalAdmissionDurable]]'s
+    * embedding twin: the deduped (id, vector) corpus lives in a
+    * [[graft.sources.VersionedCorpus]] directory and the searchable IVF
+    * table at `indexPath`; each micro-batch is admitted against the
+    * on-disk snapshot, commits as the next corpus generation, and the
+    * committed admissions are assigned to the EXISTING centroids and
+    * appended to the index — so a new query over the same root resumes
+    * exactly where the last committed batch left off, index included.
+    *
+    * Ordering contract: the corpus commit is the source of truth and
+    * GATES the index append. A replayed micro-batch admits zero rows
+    * (every admission is cosine-1.0-identical to its committed copy),
+    * commits nothing, and therefore never double-appends the index. The
+    * one crash window — corpus committed, index append not yet run — is
+    * repaired by [[graft.operators.IvfIndex.reconcilePartitioned]]
+    * (id-only anti-join, idempotent); run it once on recovery before
+    * restarting the stream. */
+  def incrementalVectorIngestionDurable(vecStream: DataFrame, root: String,
+                                        idCol: String, vecCol: String,
+                                        centroids: DataFrame,
+                                        indexPath: String,
+                                        minCosine: Double = 0.9,
+                                        nBits: Int = 8)
+                                       (afterBatch: (DataFrame, Long) => Unit =
+                                          (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val admitted = graft.operators.Dedup.admitIncomingVectors(
+          batch,
+          graft.sources.VersionedCorpus.snapshot(batch.sparkSession, root)
+            .select(col(idCol), col(vecCol)),
+          idCol, vecCol, minCosine, nBits)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (graft.sources.VersionedCorpus.append(admitted, root) >= 0L)
+          graft.operators.IvfIndex.appendPartitioned(admitted, idCol,
+            graft.operators.IvfIndex.assignTo(
+              admitted, idCol, vecCol, centroids),
+            indexPath)
+        afterBatch(admitted, batchId)
+      } finally admitted.unpersist()
+    }
+
   /** Streaming SKETCH MAINTENANCE — [[graft.operators.Sketch]]'s
     * incremental corpus statistics as a continuous loop: each
     * micro-batch folds its per-language distinct-token HLL sketches

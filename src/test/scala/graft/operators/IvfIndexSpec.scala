@@ -238,4 +238,33 @@ class IvfIndexSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect.toSeq
     assert(full === exact)
   }
+
+  test("reconcile repairs the corpus-committed/index-missing crash gap, then is a no-op") {
+    val (assignments, centroids) = built
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-reconcile").toString + "/ivf"
+    // simulate the durable loop's crash window: the index was written
+    // from only PART of the corpus (the "committed but not yet
+    // appended" generation is the held-out slice)
+    val indexedSlice = emb.filter($"vec_id" % 3 =!= 0)
+    IvfIndex.writePartitioned(indexedSlice, "vec_id",
+      assignments.join(indexedSlice.select("vec_id"), "vec_id"), path)
+    val missing = emb.count() - indexedSlice.count()
+    assert(IvfIndex.reconcilePartitioned(
+      emb, "vec_id", "embedding", centroids, path) === missing)
+    // repaired index holds every corpus id exactly once...
+    val ids = spark.read.parquet(path).select("vec_id").as[Long].collect.toSeq
+    assert(ids.length === ids.distinct.length)
+    assert(ids.toSet === emb.select("vec_id").as[Long].collect.toSet)
+    // ...answers an exhaustive probe identically to brute force...
+    val exact = Search.topK(emb, "embedding", "vec_id", QueryVectors.q1, 10)
+      .select("vec_id").as[Long].collect.toSeq
+    val probed = IvfIndex.probePartitioned(spark, path, "vec_id",
+      "embedding", centroids, QueryVectors.q1, k = 10, nprobe = 8)
+      .select("vec_id").as[Long].collect.toSeq
+    assert(probed === exact)
+    // ...and a second reconcile finds nothing to repair
+    assert(IvfIndex.reconcilePartitioned(
+      emb, "vec_id", "embedding", centroids, path) === 0L)
+  }
 }

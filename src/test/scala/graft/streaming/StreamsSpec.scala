@@ -475,6 +475,70 @@ class StreamsSpec extends AnyFunSuite {
     } finally { assign.unpersist(); cents.unpersist() }
   }
 
+  test("durable vector ingestion: a NEW writer resumes corpus AND index from disk") {
+    implicit val sql = spark.sqlContext
+    // the capstone fixture split across TWO writers: batch 2 carries a
+    // scaled dup of the corpus and a byte-dup of a vector ADMITTED BY
+    // THE FIRST WRITER — its rejection proves the second writer sees
+    // the first's commits (both states on disk, nothing in memory)
+    val corpusRows = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vecdur")
+    val root = s"$tmp/corpus"
+    val path = s"$tmp/ivf"
+    val (assign, cents) = graft.operators.IvfIndex.build(
+      corpus, "vec_id", "embedding", k = 2, iters = 2)
+    try {
+      graft.sources.VersionedCorpus.append(corpus, root)
+      graft.operators.IvfIndex.writePartitioned(corpus, "vec_id", assign, path)
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def runWriter(batch: Seq[(Long, Seq[Double])]): Unit = {
+        val mem = MemoryStream[(Long, Seq[Double])]
+        val q = Streams.incrementalVectorIngestionDurable(
+          mem.toDF().toDF("vec_id", "embedding"), root,
+          "vec_id", "embedding", cents, path) { (adm, _) =>
+            val ids = adm.select("vec_id").as[Long].collect()
+            admitted.synchronized { admitted ++= ids }; ()
+          }.start()
+        mem.addData(batch); q.processAllAvailable(); q.stop()
+      }
+      runWriter(Seq((10L, Seq(0.0, 0.0, 0.0, 1.0)),
+        (11L, Seq(0.5, 0.5, 0.0, 0.0))))
+      runWriter(Seq((20L, Seq(2.0, 0.0, 0.0, 0.0)), // scaled dup of corpus 1
+        (21L, Seq(0.0, 0.0, 0.0, 1.0)),             // byte-dup of admitted 10
+        (22L, Seq(0.0, 0.5, 0.5, 0.0))))
+      assert(admitted.toSet === Set(10L, 11L, 22L))
+      // corpus store and index table both hold exactly corpus ∪ admissions
+      val stored = graft.sources.VersionedCorpus.snapshot(spark, root)
+        .select("vec_id").as[Long].collect.toSet
+      val indexed = spark.read.parquet(path)
+        .select("vec_id").as[Long].collect.toSet
+      assert(stored === Set(1L, 2L, 3L, 10L, 11L, 22L))
+      assert(indexed === stored)
+      // nothing to reconcile: the index kept up with every commit
+      assert(graft.operators.IvfIndex.reconcilePartitioned(
+        graft.sources.VersionedCorpus.snapshot(spark, root),
+        "vec_id", "embedding", cents, path) === 0L)
+      // and the maintained index still answers probes exactly
+      val want = corpusRows ++ Seq(
+        (10L, Seq(0.0, 0.0, 0.0, 1.0)),
+        (11L, Seq(0.5, 0.5, 0.0, 0.0)),
+        (22L, Seq(0.0, 0.5, 0.5, 0.0)))
+      val exact = graft.operators.Search.topK(
+        want.toDF("vec_id", "embedding"), "embedding", "vec_id",
+        Seq(0.6, 0.5, 0.1, 0.0), k = 3)
+        .select("vec_id").as[Long].collect.toSeq
+      val probed = graft.operators.IvfIndex.probePartitioned(spark, path,
+        "vec_id", "embedding", cents, Seq(0.6, 0.5, 0.1, 0.0),
+        k = 3, nprobe = 2)
+        .select("vec_id").as[Long].collect.toSeq
+      assert(probed === exact)
+    } finally { assign.unpersist(); cents.unpersist() }
+  }
+
   test("evolving admission writer restarted from batch 0 resets to the initial corpus") {
     implicit val sql = spark.sqlContext
     // run the same single batch through the SAME writer twice: the
