@@ -3093,6 +3093,45 @@ object Queries {
       None,
       "incremental corpus stats: per-batch HLL vocab sketches union-merged; grouping-invariance audited in-row"),
 
+    "incr_heavy_hitters" -> DeclaredQuery(
+      // the FREQUENCY twin of incr_vocab_sketch: per-batch count-min
+      // sketches of token occurrences, merged by counter addition —
+      // which is EXACT, so unlike the HLL row the audit here is strict
+      // equality: the per-language top-10 estimated under a pmod-3
+      // batching must carry the identical estimate under a pmod-5
+      // batching (est === est_alt), and the CMS one-sided guarantee
+      // (est >= exact, always) rides in-row as well. Candidates come
+      // from each batch's local top-30 (a sketch can answer lookups,
+      // not enumerate). Seeded-sketch-impl row per contract →
+      // rows-only; byte-exact merge + bound invariants in SketchSpec.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val hh = Sketch.heavyHitters(docs, "lang", "text",
+          pmod(col("doc_id"), lit(3)))
+        // the alternate-batching estimate is a DIRECT lookup of hh's own
+        // tokens against the pmod-5-merged sketch (not the alt run's
+        // candidate list), so every row audits the merge invariance
+        val altMerged = Sketch.mergeFreqSketches(
+          Sketch.tokenFreqSketches(docs, "lang", "text",
+            pmod(col("doc_id"), lit(5))),
+          Seq(col("lang")))
+        val exact = docs.select(col("lang"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("exact_n"))
+        hh.join(broadcast(altMerged), "lang")
+          .withColumn("est_alt",
+            Sketch.freqEstimate(col("cms"), col("tok")))
+          .drop("cms")
+          .join(exact, Seq("lang", "tok"))
+          .select(col("lang"), col("rank"), col("tok"), col("est"),
+            col("exact_n"),
+            (col("est") === col("est_alt")).as("batching_invariant"),
+            (col("est") >= col("exact_n")).as("one_sided"))
+          .orderBy(col("lang"), col("rank"))
+      },
+      None,
+      "incremental heavy hitters: candidate-tracked count-min top-10 per lang; exact-merge and one-sided-bound audits in-row"),
+
     "q_approx_percentile" -> DeclaredQuery(
       // sketch family alongside HLL (q_approx_distinct): approximate
       // percentiles are sketch-impl-specific (Spark uses a KLL-style

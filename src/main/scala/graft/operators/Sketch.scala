@@ -55,4 +55,123 @@ object Sketch {
       docs.select(col(langCol), batchCol.as("__batch"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok")),
       col("tok"), col("__batch"), Seq(col(langCol)), lgK)
+
+  // ------------- count-min FREQUENCY sketches (heavy hitters) -----------
+
+  /** Per-(group, batch) count-min sketches of `valueCol` occurrences —
+    * the FREQUENCY twin of [[distinctSketches]] (Cormode & Muthukrishnan
+    * 2005; Spark's built-in `count_min_sketch` aggregate). Same state
+    * shape: one `ceil(2/eps) × ceil(ln(1/(1-confidence)))` counter grid
+    * per (group, batch) — kilobytes — is all that persists or shuffles.
+    *
+    * Unlike HLL, CMS merging is counter-wise ADDITION, which is exact:
+    * the merged sketch is BYTE-IDENTICAL to a one-pass sketch of the
+    * union (same eps/confidence/seed), so estimates are invariant under
+    * ANY batching of history — asserted as byte equality in SketchSpec,
+    * where the HLL twin can only assert merge-grouping invariance. */
+  def freqSketches(df: DataFrame, valueCol: Column, batchCol: Column,
+                   groupCols: Seq[Column], eps: Double = 0.001,
+                   confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    df.groupBy(groupCols :+ batchCol.as("batch"): _*)
+      .agg(count_min_sketch(valueCol, lit(eps), lit(confidence), lit(seed))
+        .as("cms"))
+
+  /** Counter-wise CMS union as a typed Aggregator over the serialized
+    * sketch column — partial-aggregatable, so history merges reduce
+    * map-side and the shuffle carries one grid per (task × group). */
+  private class CmsMerge extends org.apache.spark.sql.expressions
+      .Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private def mergeBytes(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+      val s = org.apache.spark.util.sketch.CountMinSketch.readFrom(x)
+      s.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch.readFrom(y))
+      val bos = new java.io.ByteArrayOutputStream()
+      s.writeTo(bos)
+      bos.toByteArray
+    }
+    override def zero: Array[Byte] = Array.emptyByteArray
+    override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
+      if (b.isEmpty) a else if (a == null || a.isEmpty) b else mergeBytes(b, a)
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+      if (b1.isEmpty) b2 else if (b2.isEmpty) b1 else mergeBytes(b1, b2)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  private lazy val cmsUnionAgg =
+    org.apache.spark.sql.functions.udaf(new CmsMerge)
+
+  /** Collapse per-batch CMS rows to one sketch per group. Exact —
+    * counter addition, order-independent, bit-reproducible. */
+  def mergeFreqSketches(perBatch: DataFrame,
+                        groupCols: Seq[Column]): DataFrame =
+    perBatch.groupBy(groupCols: _*)
+      .agg(cmsUnionAgg(col("cms")).as("cms"))
+
+  /** Estimated occurrence count of string `item` in a CMS column.
+    * One-sided error: `est >= true` always, `est <= true + eps·N` with
+    * prob ≥ confidence. Row-local lookup (deserialize + d hashes); at
+    * heavy lookup fan-out cache the deserialized grid per partition. */
+  def freqEstimate(cms: Column, item: Column): Column = {
+    val f = udf { (bytes: Array[Byte], s: String) =>
+      if (bytes == null || bytes.isEmpty || s == null) 0L
+      else org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+        .estimateCount(s)
+    }
+    f(cms, item)
+  }
+
+  /** Per-language token-frequency sketches from document batches. */
+  def tokenFreqSketches(docs: DataFrame, langCol: String, textCol: String,
+                        batchCol: Column, eps: Double = 0.001,
+                        confidence: Double = 0.99,
+                        seed: Int = 42): DataFrame =
+    freqSketches(
+      docs.select(col(langCol), batchCol.as("__batch"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok")),
+      col("tok"), col("__batch"), Seq(col(langCol)), eps, confidence, seed)
+
+  /** CANDIDATE-TRACKED heavy hitters over an incrementally-sketched
+    * corpus — the complete pattern, because a CMS answers point lookups
+    * but cannot enumerate: frequencies come from the merged sketch,
+    * candidates from each batch's local top-`candidatesPerBatch` tokens
+    * (any corpus-wide top-`k` token is a top-N token of at least one
+    * batch for N sized generously vs. k — the standard sketch+candidate
+    * recipe). Only aggregated (group, batch, token, count) rows and
+    * kilobyte sketch rows ever shuffle; document text is consumed by
+    * the row-local explode.
+    *
+    * Returns (langCol, rank, tok, est) — per-language top-`k` by
+    * estimated count, rank pinned by (est DESC, tok ASC). */
+  def heavyHitters(docs: DataFrame, langCol: String, textCol: String,
+                   batchCol: Column, k: Int = 10,
+                   candidatesPerBatch: Int = 30, eps: Double = 0.001,
+                   confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val toks = docs.select(col(langCol), batchCol.as("__batch"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val merged = mergeFreqSketches(
+      freqSketches(toks, col("tok"), col("__batch"), Seq(col(langCol)),
+        eps, confidence, seed),
+      Seq(col(langCol)))
+    val perBatch = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol), col("__batch"))
+      .orderBy(col("c").desc, col("tok").asc)
+    val candidates = toks
+      .groupBy(col(langCol), col("__batch"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("__rn", row_number().over(perBatch))
+      .filter(col("__rn") <= candidatesPerBatch)
+      .select(col(langCol), col("tok")).distinct()
+    val perLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col("est").desc, col("tok").asc)
+    candidates
+      .join(broadcast(merged), langCol) // one kilobyte row per language
+      .withColumn("est", freqEstimate(col("cms"), col("tok")))
+      .withColumn("rank", row_number().over(perLang).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(langCol), col("rank"), col("tok"), col("est"))
+  }
 }

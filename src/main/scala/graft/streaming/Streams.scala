@@ -399,6 +399,70 @@ object Streams {
     }
   }
 
+  /** Streaming HEAVY-HITTER maintenance — [[runningVocabSketch]]'s
+    * FREQUENCY twin: each micro-batch folds one per-language count-min
+    * sketch into the running merged sketch (counter addition — exact,
+    * so the state after batch N is byte-identical to a one-shot sketch
+    * over batches 0..N) and its local top-`candidatesPerBatch` tokens
+    * into the running candidate set; `sink` receives the per-language
+    * top-`k` (lang, rank, tok, est) estimated from the current state
+    * after every batch. Because the merge is exact and the candidate
+    * set accumulates exactly the per-batch top-N lists, the state after
+    * the last batch answers IDENTICALLY to the batch
+    * [[graft.operators.Sketch.heavyHitters]] run with the same batch
+    * assignment (asserted in StreamsSpec) — stream ≡ batch to the byte,
+    * not within sketch error. Same lifecycle as [[runningVocabSketch]]:
+    * single-start, batch-0 reset; a durable deployment persists the
+    * (lang, cms) + candidate rows in `sink` (both parquet-friendly). */
+  def runningHeavyHitters(docStream: DataFrame, langCol: String,
+                          textCol: String, k: Int = 10,
+                          candidatesPerBatch: Int = 30,
+                          eps: Double = 0.001, confidence: Double = 0.99,
+                          seed: Int = 42)
+                         (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Sketch
+    var cms: DataFrame = null   // (langCol, cms) — one grid per language
+    var cands: DataFrame = null // (langCol, tok) — accumulated candidates
+    docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (batchId == 0L) {
+        if (cms != null) cms.unpersist()
+        if (cands != null) cands.unpersist()
+        cms = null; cands = null
+      }
+      val toks = batch.select(col(langCol),
+        explode(graft.operators.TextAnalysis.tokens(col(textCol))).as("tok"))
+      val bs = Sketch.freqSketches(toks, col("tok"), lit(0),
+          Seq(col(langCol)), eps, confidence, seed)
+        .select(col(langCol), col("cms"))
+      val mergedNext = Sketch.mergeFreqSketches(
+          if (cms == null) bs else cms.unionAll(bs), Seq(col(langCol)))
+        .localCheckpoint(false)
+      mergedNext.count() // materialize before releasing the predecessor
+      val perLangBatch = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(langCol)).orderBy(col("c").desc, col("tok").asc)
+      val bc = toks.groupBy(col(langCol), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(perLangBatch))
+        .filter(col("__rn") <= candidatesPerBatch)
+        .select(col(langCol), col("tok"))
+      val candsNext = (if (cands == null) bc else cands.unionAll(bc))
+        .distinct().localCheckpoint(false)
+      candsNext.count()
+      if (cms != null) cms.unpersist()
+      if (cands != null) cands.unpersist()
+      cms = mergedNext; cands = candsNext
+      val perLang = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(langCol)).orderBy(col("est").desc, col("tok").asc)
+      sink(cands.join(broadcast(cms), langCol)
+        .withColumn("est", Sketch.freqEstimate(col("cms"), col("tok")))
+        .withColumn("rank", row_number().over(perLang).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col(langCol), col("rank"), col("tok"), col("est")),
+        batchId)
+    }
+  }
+
   /** File-based stream source over an events directory (B33). For the
     * fixture, replay the parquet dir; in production this is the landing
     * path written by the ingestion job. */

@@ -70,4 +70,97 @@ class SketchSpec extends AnyFunSuite {
     assert(together === direct)
     for ((lang, e) <- together) assert(e >= oldEst(lang))
   }
+
+  // ---------------- count-min frequency sketches ----------------
+
+  private def mergedCms(batches: Int): Map[String, Array[Byte]] =
+    Sketch.mergeFreqSketches(
+        Sketch.tokenFreqSketches(docs, "lang", "text",
+          pmod(col("doc_id"), lit(batches))),
+        Seq(col("lang")))
+      .select(col("lang"), col("cms"))
+      .as[(String, Array[Byte])].collect().toMap
+
+  test("CMS merge is EXACT: any batching yields byte-identical sketches") {
+    val one = mergedCms(1)
+    for (b <- Seq(2, 4, 7); (lang, bytes) <- mergedCms(b))
+      assert(java.util.Arrays.equals(bytes, one(lang)),
+        s"batching $b diverged for $lang")
+  }
+
+  test("CMS estimates are one-sided (est >= exact), and exact when width >> keys") {
+    // default eps=0.001 (~2k slots/row) vs ~2.4k tokens per lang DOES
+    // collide (measured ~8% of tokens over-estimate, each by a little)
+    // — one-sidedness must hold there regardless; at eps=1e-4 (20k
+    // slots vs 2.4k keys) an over-estimate needs an all-rows collision
+    // at ~1e-5 probability, so estimates are plain exact
+    val exact = docs.select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+    val defaults = mergedCms(4).map { case (l, b) =>
+      l -> org.apache.spark.util.sketch.CountMinSketch.readFrom(b) }
+    for ((lang, tok, n) <- exact)
+      assert(defaults(lang).estimateCount(tok) >= n,
+        s"$lang/$tok: under-estimate at default eps")
+    val fine = Sketch.mergeFreqSketches(
+        Sketch.tokenFreqSketches(docs, "lang", "text",
+          pmod(col("doc_id"), lit(4)), eps = 1e-4),
+        Seq(col("lang")))
+      .select(col("lang"), col("cms"))
+      .as[(String, Array[Byte])].collect().toMap
+      .map { case (l, b) =>
+        l -> org.apache.spark.util.sketch.CountMinSketch.readFrom(b) }
+    var overs = 0
+    for ((lang, tok, n) <- exact) {
+      val est = fine(lang).estimateCount(tok)
+      assert(est >= n)
+      if (est > n) overs += 1
+    }
+    assert(overs <= exact.length / 100,
+      s"$overs/${exact.length} over-estimates at eps=1e-4")
+  }
+
+  test("a coarse sketch stays one-sided while really colliding") {
+    val coarse = Sketch.mergeFreqSketches(
+        Sketch.tokenFreqSketches(docs, "lang", "text",
+          pmod(col("doc_id"), lit(3)), eps = 0.2, confidence = 0.6),
+        Seq(col("lang")))
+      .select(col("lang"), col("cms"))
+      .as[(String, Array[Byte])].collect().toMap
+      .map { case (l, b) =>
+        l -> org.apache.spark.util.sketch.CountMinSketch.readFrom(b) }
+    val exact = docs.select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+    var overs = 0
+    for ((lang, tok, n) <- exact) {
+      val est = coarse(lang).estimateCount(tok)
+      assert(est >= n)
+      if (est > n) overs += 1
+    }
+    // 10 slots per row at ~2-3k tokens/lang MUST collide somewhere
+    assert(overs > 0, "coarse sketch showed no collisions — suspicious")
+  }
+
+  test("heavyHitters recovers the exact per-language top-10 at collision-free width") {
+    val hh = Sketch.heavyHitters(docs, "lang", "text",
+        pmod(col("doc_id"), lit(3)), eps = 1e-4)
+      .select(col("lang"), col("rank"), col("tok"), col("est"))
+      .as[(String, Long, String, Long)].collect()
+    assert(hh.nonEmpty)
+    val perLangW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("tok").asc)
+    val exactTop = docs.select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(perLangW).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank"), col("tok"), col("n"))
+      .as[(String, Long, String, Long)].collect()
+    // at eps=1e-4 the estimates are exact on this fixture, so the
+    // candidate-tracked sketch ranking equals the exact ranking
+    assert(hh.sortBy(r => (r._1, r._2)) === exactTop.sortBy(r => (r._1, r._2)))
+  }
 }

@@ -594,6 +594,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamedFinal(5) === batchEst)
   }
 
+  test("running heavy hitters: streamed state answers EXACTLY like the batch pipeline") {
+    implicit val sql = spark.sqlContext
+    val dir = graft.TestSpark.sf0001
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val rows = docs.select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq
+    // stream micro-batches = the batch pipeline's pmod-3 batch
+    // assignment, so the per-batch candidate sets coincide; the CMS
+    // merge is exact, so the final answers must be IDENTICAL (the HLL
+    // twin can only claim estimate-level equality)
+    val byBatch = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2)
+    val mem = MemoryStream[(Long, String, String)]
+    @volatile var last: Seq[(String, Long, String, Long)] = Seq.empty
+    val q = Streams.runningHeavyHitters(
+      mem.toDF().toDF("doc_id", "lang", "text"), "lang", "text") { (hh, _) =>
+        last = hh.as[(String, Long, String, Long)].collect().toSeq
+      }.start()
+    byBatch.foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val batch = graft.operators.Sketch.heavyHitters(docs, "lang", "text",
+        pmod(col("doc_id"), lit(3)))
+      .as[(String, Long, String, Long)].collect().toSeq
+    assert(batch.nonEmpty)
+    assert(last.sortBy(r => (r._1, r._2)) === batch.sortBy(r => (r._1, r._2)))
+  }
+
   test("B33 file source: streaming read of the fixture parquet matches batch count") {
     val dir = "/root/testdata/sf0.001"
     // file sources need a landing DIRECTORY; stage the fixture file into one
