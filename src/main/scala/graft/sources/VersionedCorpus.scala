@@ -183,6 +183,27 @@ object VersionedCorpus {
     gen
   }
 
+  /** [[compact]] when the tail of small generations has grown past
+    * `every` commits since the last base (or since the start) — the
+    * maintenance valve an unattended ingestion loop needs: without it a
+    * long-lived stream accretes one small parquet directory per batch,
+    * and at scale the snapshot read fans out over thousands of tiny
+    * files. With `vacuumAfter` the superseded tail is reclaimed too
+    * (trading pre-base time travel for space, the standard retention
+    * decision). No-op (`None`) while the tail is short. */
+  def maybeCompact(spark: SparkSession, root: String, every: Int,
+                   vacuumAfter: Boolean = false): Option[Long] = {
+    if (every <= 0) return None
+    val all = commits(root)
+    val sinceBase = all.reverse.takeWhile(!_.base).size
+    if (sinceBase < every) None
+    else {
+      val g = compact(spark, root)
+      if (vacuumAfter) vacuum(root)
+      Some(g)
+    }
+  }
+
   /** Delete generation data superseded by the NEWEST base generation
     * (everything older than it). After vacuum, [[snapshot]] with
     * `asOf` before that base fails explicitly. Manifests are kept, so

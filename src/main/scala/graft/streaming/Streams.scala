@@ -223,21 +223,35 @@ object Streams {
     * (`VersionedCorpus.append(corpus, root)`) before starting; the
     * appended admissions keep ALL incoming columns, so the store doubles
     * as the corpus table downstream jobs read. `sink` (optional) gets
-    * the admitted rows after the commit, still materialized. */
+    * the admitted rows after the commit, still materialized.
+    *
+    * `compactEvery` > 0 folds the generation tail into one base
+    * generation whenever that many commits accumulate since the last
+    * base (`VersionedCorpus.maybeCompact`, with `vacuumAfter` to
+    * reclaim the superseded tail) — the file-count valve a long-lived
+    * stream needs: without it every micro-batch leaves one small
+    * parquet directory behind and the snapshot read fans out over
+    * thousands of tiny files. Compaction is content-neutral, so the
+    * admission semantics are untouched. */
   def incrementalAdmissionDurable(docStream: DataFrame, root: String,
                                   idCol: String, textCol: String,
-                                  minJaccard: Double = 0.8)
+                                  minJaccard: Double = 0.8,
+                                  compactEvery: Int = 0,
+                                  vacuumAfter: Boolean = false)
                                  (sink: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
       val admitted = graft.operators.Dedup.admitIncoming(
           batch,
-          graft.sources.VersionedCorpus.snapshot(batch.sparkSession, root)
+          graft.sources.VersionedCorpus.snapshot(spark, root)
             .select(col(idCol), col(textCol)),
           idCol, textCol, minJaccard)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         graft.sources.VersionedCorpus.append(admitted, root)
+        graft.sources.VersionedCorpus.maybeCompact(
+          spark, root, compactEvery, vacuumAfter)
         sink(admitted, batchId)
       } finally admitted.unpersist()
     }

@@ -91,6 +91,31 @@ class VersionedCorpusSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("vacuum"))
   }
 
+  test("maybeCompact bounds the generation tail; with vacuum, live data dirs stay bounded") {
+    val root = freshRoot()
+    def liveDataDirs: Int = {
+      val f = new java.io.File(root)
+      if (!f.isDirectory) 0
+      else f.listFiles.count(_.getName.startsWith("gen="))
+    }
+    var ids = 0
+    for (_ <- 1 to 9) {
+      VersionedCorpus.append(docs(ids until ids + 3, "b"), root)
+      VersionedCorpus.maybeCompact(spark, root, every = 3, vacuumAfter = true)
+      ids += 3
+      // tail of non-base commits never exceeds the valve setting, and
+      // vacuumed data dirs never pile up (tail + one base at most)
+      val tail = VersionedCorpus.commits(root).reverse.takeWhile(!_.base).size
+      assert(tail < 3)
+      assert(liveDataDirs <= 4, s"$liveDataDirs live dirs")
+    }
+    // compaction + vacuum never lost or duplicated a row
+    val snap = VersionedCorpus.snapshot(spark, root)
+    assert(snap.count() === 27L)
+    assert(snap.select("doc_id").as[Long].collect().sorted
+      === (0L until 27L).toArray)
+  }
+
   test("durable admission replay is idempotent: re-admitting a committed batch appends nothing") {
     val root = freshRoot()
     VersionedCorpus.append(docs(0 until 20, "corpus"), root)

@@ -693,4 +693,40 @@ class StreamsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(stored === Set(1L, 10L, 11L, 22L, 31L))
   }
+
+  test("durable admission with auto-compaction: same admissions, bounded generation tail") {
+    implicit val sql = spark.sqlContext
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((10L, "r s t r s t"),
+        (11L, "one two three four five six")),
+      Seq((20L, "r s t r s t r s t"),
+        (21L, "theta eta zeta epsilon delta gamma beta alpha kappa iota"),
+        (22L, "completely fresh vocabulary nothing overlaps here at all")),
+      Seq((30L, "one two three four five six"),
+        (31L, "brand new words appearing only now in this stream")))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vccompact").toString + "/corpus"
+    graft.sources.VersionedCorpus.append(corpus, root)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.incrementalAdmissionDurable(
+      mem.toDF().toDF("doc_id", "text"), root, "doc_id", "text",
+      compactEvery = 2, vacuumAfter = true) { (adm, _) =>
+        val ids = adm.select("doc_id").as[Long].collect()
+        admitted.synchronized { admitted ++= ids }; ()
+      }.start()
+    batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    // compaction changed the layout, never the answers
+    assert(admitted.toSet === Set(10L, 11L, 22L, 31L))
+    val commits = graft.sources.VersionedCorpus.commits(root)
+    assert(commits.exists(_.base), "the valve never compacted")
+    assert(commits.reverse.takeWhile(!_.base).size < 2)
+    assert(graft.sources.VersionedCorpus.snapshot(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+      === Set(1L, 10L, 11L, 22L, 31L))
+  }
 }
