@@ -70,7 +70,15 @@ object DumpPlans {
       "partial+final repetition aggregate, and the LM scoring join " +
       "chain — meet ONLY on doc_id equi-joins; the verdict is a pure " +
       "projection over the joined signal columns, so the gate adds no " +
-      "shuffle beyond its constituent operators"))
+      "shuffle beyond its constituent operators"),
+    "incr_heavy_hitters" -> ("candidate-tracked count-min heavy " +
+      "hitters: the CMS build and the UDAF merge are partial+final " +
+      "ObjectHashAggregates (map-side grids, the shuffle carries one " +
+      "kilobyte grid per task×lang), candidates come from a " +
+      "partial+final token-count agg + per-(lang,batch) window over " +
+      "COUNTS, the merged one-row-per-lang sketch relation rides into " +
+      "the lookup join as an explicit BROADCAST, and document text " +
+      "never shuffles — it is consumed by the row-local explode"))
 
   /** Plan-shape-critical OPERATOR INTERNALS whose declared queries
     * materialize eagerly (their final plans are LocalTableScans): built

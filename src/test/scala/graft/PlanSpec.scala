@@ -110,4 +110,19 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
       s"document text must not shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("incr_heavy_hitters: sketch aggs are partial+final; lookups broadcast; text never shuffles") {
+    val p = plan("incr_heavy_hitters")
+    // the CMS build/merge run as typed aggregates — partial then final
+    // (map-side grids, so the shuffle carries kilobytes per task×lang)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, s"no typed agg:\n$p")
+    // the one-row-per-lang merged sketch joins by broadcast, never SMJ
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // document text is consumed by the row-local explode; no Exchange
+    // may carry it
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
+      s"document text must not shuffle:\n${exchanges.mkString("\n")}")
+  }
 }
