@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Time the declared oracle SQL in DuckDB over an sf dir — the judge's
+vs-baseline proxy recipe, persisted so it stops being re-derived each
+round.
+
+Usage: time_duckdb.py <sfDir> <oracle_sql.json> [reps]
+
+Registers each parquet table as a plain view (exactly as
+check_oracle.py does — oracle SQL handles the events nanos column
+itself), then times every oracle query `reps` times (default 3) and
+reports the per-query MIN and the total — the same min-of-N discipline
+graft.Bench uses. Output: one JSON line
+{"total": s, "queries": {...}, "n": k}.
+
+Compare against the SAME subset of a graft.Bench run:
+  python3 - <<'EOF'
+  import json
+  bench = json.load(open("/tmp/bench_sf01.json"))
+  duck  = json.load(open("/tmp/duck_sf01.json"))
+  spark = sum(bench["queries"][q] for q in duck["queries"])
+  print(f'spark {spark:.2f}s vs duckdb {duck["total"]:.2f}s '
+        f'= {spark/duck["total"]:.2f}x over {duck["n"]} oracle queries')
+  EOF
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main() -> None:
+    sf_dir, oracle_path = sys.argv[1], sys.argv[2]
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    oracles = json.load(open(oracle_path))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    times = {}
+    for name, sql in sorted(oracles.items()):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 4)
+    print(json.dumps({"total": round(sum(times.values()), 3),
+                      "queries": times, "n": len(times), "reps": reps,
+                      "sf": sf_dir}))
+
+
+if __name__ == "__main__":
+    main()
