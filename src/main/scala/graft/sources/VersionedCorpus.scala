@@ -64,7 +64,9 @@ object VersionedCorpus {
     try {
       stream.forEach { p =>
         val name = p.getFileName.toString
-        if (name.endsWith(".json")) {
+        // commit records are strictly <gen>.json; _schema.json and any
+        // in-flight .tmp files are not commits
+        if (name.matches("\\d+\\.json")) {
           val s = new String(
             java.nio.file.Files.readAllBytes(p),
             java.nio.charset.StandardCharsets.UTF_8)
@@ -110,6 +112,37 @@ object VersionedCorpus {
     math.max(committed, onDisk) + 1L
   }
 
+  /** The store's schema contract, pinned at the first commit: every
+    * later append must carry the same column names and types (nullability
+    * and metadata are ignored — parquet round-trips legitimately flip
+    * them). Without this, one mis-shaped append poisons every later
+    * snapshot read with a union-of-mismatched-schemas failure — better
+    * to refuse at the write, naming the divergence. */
+  private def schemaFile(root: String) =
+    manifestDir(root).resolve("_schema.json")
+
+  private def shape(s: org.apache.spark.sql.types.StructType)
+      : Seq[(String, String)] =
+    s.fields.toSeq.map(f => (f.name, f.dataType.sql))
+
+  private def checkOrPinSchema(root: String,
+                               s: org.apache.spark.sql.types.StructType): Unit = {
+    val f = schemaFile(root)
+    if (java.nio.file.Files.exists(f)) {
+      val pinned = org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(shape(pinned) == shape(s),
+        s"append schema ${shape(s).mkString(", ")} does not match the " +
+          s"store's pinned schema ${shape(pinned).mkString(", ")} under $root")
+    } else {
+      java.nio.file.Files.createDirectories(manifestDir(root))
+      java.nio.file.Files.write(f,
+        s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   private def writeManifest(root: String, c: Commit): Unit = {
     val dir = manifestDir(root)
     java.nio.file.Files.createDirectories(dir)
@@ -129,6 +162,7 @@ object VersionedCorpus {
     * scan of anything large — and the row count lands in the manifest
     * where snapshot readers get it for free. */
   def append(df: DataFrame, root: String): Long = {
+    checkOrPinSchema(root, df.schema)
     val gen = nextGen(root)
     val path = dataDir(root, gen)
     df.write.mode("overwrite").parquet(path.toString)

@@ -91,6 +91,30 @@ class VersionedCorpusSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("vacuum"))
   }
 
+  test("a mis-shaped append is refused at the write, not discovered at a later snapshot") {
+    val root = freshRoot()
+    VersionedCorpus.append(docs(0 until 3, "a"), root)
+    // wrong column name
+    val renamed = docs(3 until 5, "b").withColumnRenamed("lang", "language")
+    val ex = intercept[IllegalArgumentException] {
+      VersionedCorpus.append(renamed, root)
+    }
+    assert(ex.getMessage.contains("pinned schema"))
+    // wrong type
+    val retyped = docs(3 until 5, "b")
+      .withColumn("doc_id", col("doc_id").cast("int"))
+    intercept[IllegalArgumentException] {
+      VersionedCorpus.append(retyped, root)
+    }
+    // the refusals committed nothing and the store still reads cleanly
+    assert(VersionedCorpus.commits(root).size === 1)
+    assert(VersionedCorpus.snapshot(spark, root).count() === 3L)
+    // nullability alone is NOT a divergence (parquet round-trips flip it)
+    val g = VersionedCorpus.append(
+      docs(3 until 5, "b").withColumn("lang", lit("en")), root)
+    assert(g === 1L)
+  }
+
   test("maybeCompact bounds the generation tail; with vacuum, live data dirs stay bounded") {
     val root = freshRoot()
     def liveDataDirs: Int = {
