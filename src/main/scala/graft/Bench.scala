@@ -65,6 +65,7 @@ object Bench {
     }
     timeInfra("_ivf_build") { Queries.sharedIvfIndex(spark, sfDir) }
     timeInfra("_pq_build") { Queries.sharedPqIndex(spark, sfDir) }
+    timeInfra("_sq_build") { Queries.sharedSqIndex(spark, sfDir) }
     timeInfra("_ivfpq_build") { Queries.sharedIvfPqIndex(spark, sfDir) }
     timeInfra("_minhash_build") {
       Queries.sharedMinhashVerified(spark, sfDir).count() }

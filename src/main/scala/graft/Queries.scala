@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, PqIndex, Search, Sketch, SpanDedup, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, PqIndex, Search, Sketch, SpanDedup, SqIndex, TextAnalysis}
 import graft.sources.VersionedCorpus
 import graft.streaming.Streams
 
@@ -413,6 +413,66 @@ object Queries {
         val rerank = ladder.find(minRecall(_) >= PqRecallTarget)
           .getOrElse(rMax)
         SharedPq(fp, path, cb, m, ks, rerank)
+      })
+    built
+  }
+
+  /** Shared SQ8 handle: the scalar-quantized codes table's path, the
+    * per-dimension grid (2·d driver-side doubles), and the calibrated
+    * re-rank depth the declared SQ rows run at. */
+  private[graft] final case class SharedSq(
+      fingerprint: String, codesPath: String,
+      params: SqIndex.SqParams, rerank: Int)
+
+  private val sqBuildCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SharedSq]()
+
+  /** One shared SQ8 build per fixture dir — the LOW-LOSS end of the
+    * compression dial (4× vs PQ's 32×): train the per-dimension grid
+    * (ONE partial-aggregated exchange), encode the corpus to a parquet
+    * codes table, and calibrate the re-rank depth exactly like
+    * [[sharedPqIndex]] — the smallest ladder `r` whose minimum recall@10
+    * over the fixture query vectors meets [[PqRecallTarget]], evaluated
+    * from ONE bounded quantized ordering per query (the same
+    * bounded-candidates argument: `searchRerank(k, r)` keeps the
+    * exact-scored top-k of the quantized top-r, so
+    * recall(r) = |exact10 ∩ sqTop(r)| / 10). With 127 levels per
+    * dimension the quantized ordering is nearly exact, so the calibrated
+    * depth should land at or near the ladder floor — the measured
+    * contrast with PQ's deeper calibrated depth IS the dial evidence. */
+  private[graft] def sharedSqIndex(s: SparkSession, dir: String): SharedSq = {
+    val fp = embFingerprint(dir)
+    val built = sqBuildCache.compute(dir, (_, cached) =>
+      if (cached != null && cached.fingerprint == fp) cached
+      else {
+        val emb = T(s, dir, "embeddings")
+        val p = SqIndex.trainParams(emb, "vec_id", "embedding")
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-sqidx")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(tmpRoot.toFile)
+        val path = s"$tmpRoot/codes"
+        SqIndex.encode(emb, "vec_id", "embedding", p)
+          .write.mode("overwrite").parquet(path)
+        val enc = s.read.parquet(path)
+        val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        val rMax = math.min(emb.count(), PqMaxRerank.toLong).toInt
+        def sqTop(q: Seq[Double]): IndexedSeq[Long] = enc
+          .select(col("vec_id"),
+            round(SqIndex.sqScore(col("codes"), q, p), 4).as("sim"))
+          .orderBy(desc("sim"), asc("vec_id")).limit(rMax)
+          .collect().map(_.getLong(0)).toIndexedSeq
+        val measured = calib.map { case (_, q) =>
+          val exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          (sqTop(q), exact)
+        }
+        def minRecall(r: Int): Double = measured.map { case (sq, exact) =>
+          (sq.take(r).toSet & exact).size.toDouble / exact.size
+        }.min
+        val ladder = Iterator.iterate(10)(_ * 2).takeWhile(_ < rMax)
+          .toSeq :+ rMax
+        val rerank = ladder.find(minRecall(_) >= PqRecallTarget)
+          .getOrElse(rMax)
+        SharedSq(fp, path, p, rerank)
       })
     built
   }
@@ -1665,6 +1725,66 @@ object Queries {
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
       "deterministic stratified per-lang sampling (training-mix rates via hash thresholds)"),
 
+    "q_temperature_mix" -> DeclaredQuery(
+      // TEMPERATURE-weighted source mixing (α = 0.5) — the multinomial
+      // rebalancing the multilingual/multi-source training mixes use:
+      // source s is sampled ∝ n_s^α instead of ∝ n_s, flattening the
+      // head and upweighting rare sources. The whole chain is
+      // INTEGER-exact so it stays oracle-green across engines: the
+      // weight is floor(sqrt(n_s)) — sqrt is IEEE-correctly-rounded
+      // (unlike pow, which is why α is 0.5 and not a free parameter
+      // here) and the floor can never cross an integer for non-square
+      // n (|√n − m| ≥ 1/(2m+1) ≫ ulp) — the per-source admission
+      // threshold is pure int64 arithmetic (div, not /), and admission
+      // is the q_sample_split Knuth-hash bucket (retry-safe,
+      // partition-independent, engine-portable). Plan shape: one tiny
+      // per-source agg, a broadcast of |sources| threshold rows back
+      // onto the corpus scan, one final rollup — the corpus flows once.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val budget = 100L // target docs in the mix
+        val counts = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"))
+          .withColumn("w", floor(sqrt(col("n_total"))).cast("long"))
+        val thr = counts
+          .crossJoin(counts.agg(sum(col("w")).as("_wsum")))
+          .withColumn("_num", lit(1000000L) * lit(budget) * col("w"))
+          .withColumn("_den", col("_wsum") * col("n_total"))
+          // int64 `div`, not `/`: float division re-rounds the quotient
+          // and the oracle compare is bit-strict on the threshold
+          .withColumn("thr", least(lit(1000000L), expr("_num div _den")))
+          .select(col("source"), col("n_total"), col("w"), col("thr"))
+        val hash6 = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+          lit(1000000L))
+        docs.join(broadcast(thr), "source")
+          .withColumn("_keep", hash6 < col("thr"))
+          .groupBy(col("source"), col("n_total"), col("w"), col("thr"))
+          .agg(sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("_keep"), size(TextAnalysis.tokens(col("text")))
+              .cast("long")).otherwise(0L)).as("kept_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (
+         |  SELECT source, count(*) AS n_total,
+         |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+         |  FROM documents GROUP BY source),
+         |t AS (
+         |  SELECT c.source, c.n_total, c.w,
+         |    CAST(least(1000000,
+         |      (1000000 * 100 * c.w) // (CAST(ws.wsum AS BIGINT) * c.n_total))
+         |      AS BIGINT) AS thr
+         |  FROM c, (SELECT sum(w) AS wsum FROM c) ws)
+         |SELECT t.source, t.n_total, t.w, t.thr,
+         |  CAST(sum(CASE WHEN ((d.doc_id % 1000003) * 2654435761) % 1000000 < t.thr
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN ((d.doc_id % 1000003) * 2654435761) % 1000000 < t.thr
+         |    THEN len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+         |    ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM documents d JOIN t ON d.source = t.source
+         |GROUP BY t.source, t.n_total, t.w, t.thr
+         |ORDER BY t.source""".stripMargin),
+      "temperature-weighted (alpha=0.5) source mix: integer-exact sqrt weights + hash admission"),
+
     "q_unpivot" -> DeclaredQuery(
       // wide→long melt via the native unpivot operator (pure projection +
       // generate — no shuffle before the final sort)
@@ -1987,6 +2107,59 @@ object Queries {
       (s, dir) => dedupClustersFrame(s, dir, starContraction = true),
       Some(dedupClustersOracle),
       "dedup clustering via star contraction: same edges + oracle as dedup_clusters"),
+
+    "dedup_best_rep" -> DeclaredQuery(
+      // QUALITY-AWARE canonical selection — the refinement every
+      // production dedup applies after clustering: keep each near-dup
+      // cluster's BEST member (here: richest vocabulary = most distinct
+      // tokens; integer-exact, so the whole chain stays oracle-green),
+      // ties → smallest id, instead of an arbitrary min-id pick.
+      // Same shared edges + components as dedup_clusters; the argmax is
+      // Dedup.keepBestByKey — a partial-aggregatable (key → min-struct)
+      // agg, single shuffle, no per-group sort, so the selection costs
+      // the same as the min-id pick at any scale.
+      (s, dir) => {
+        val toks = filter(split(col("text"), " "), x => x =!= lit(""))
+        val sub = T(s, dir, "documents").filter(col("doc_id") < 128)
+          .select(col("doc_id"),
+            size(array_distinct(toks)).cast("long").as("n_types"))
+        val out = Dedup.dedupFromEdges(sub, "doc_id",
+          sharedDedupEdges(s, dir), best = Some(col("n_types")))
+        try localFrame(out
+          .select(col("component"), col("doc_id").as("rep_id"),
+            col("n_types").as("rep_n_types"), col("n_docs"))
+          .orderBy(col("component")))
+        finally { out.unpersist(); () }
+      },
+      Some("""WITH RECURSIVE
+         |  d AS (
+         |    SELECT doc_id,
+         |      list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS s
+         |    FROM documents WHERE doc_id < 128
+         |      AND len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+         |  e AS (
+         |    SELECT a.doc_id AS src, b.doc_id AS dst
+         |    FROM d a JOIN d b ON a.doc_id <> b.doc_id
+         |    WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+         |        / len(list_distinct(a.s || b.s)), 4) >= 0.8),
+         |  r AS (
+         |    SELECT doc_id AS v, doc_id AS comp FROM documents WHERE doc_id < 128
+         |    UNION
+         |    SELECT e.src, r.comp FROM e JOIN r ON r.v = e.dst
+         |  ),
+         |  comp AS (SELECT v AS doc_id, min(comp) AS component FROM r GROUP BY v),
+         |  t AS (SELECT doc_id,
+         |          len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_types
+         |        FROM documents WHERE doc_id < 128),
+         |  j AS (SELECT comp.component, comp.doc_id, t.n_types
+         |        FROM comp JOIN t ON comp.doc_id = t.doc_id)
+         |SELECT component, doc_id AS rep_id, n_types AS rep_n_types, n_docs
+         |FROM (SELECT j.*, count(*) OVER (PARTITION BY component) AS n_docs,
+         |        row_number() OVER (PARTITION BY component
+         |          ORDER BY n_types DESC, doc_id) AS rn
+         |      FROM j) WHERE rn = 1
+         |ORDER BY component""".stripMargin),
+      "quality-aware canonical selection: each dup cluster keeps its richest-vocabulary member"),
 
     "dedup_pipeline_lsh" -> DeclaredQuery(
       // the 100 TB dedup story EXECUTED end-to-end, not just proven
@@ -2772,6 +2945,65 @@ object Queries {
       },
       None,
       "PQ quality: recall@10 of re-ranked ADC search vs exact top-k across the rerank-depth dial"),
+
+    "sq_topk" -> DeclaredQuery(
+      // SQ8-accelerated top-k at the CALIBRATED operating point:
+      // quantized scan of the shared per-dimension-affine codes table
+      // (4× fewer bytes than the raw vectors) → top-`rerank` candidates
+      // → exact re-rank of that bounded set. The low-loss end of the
+      // compression dial: 127 levels/dim keep the quantized ordering
+      // nearly exact, so the calibrated depth lands near the ladder
+      // floor where PQ's 32× compression needs a much deeper sweep —
+      // measured side by side via `sq_recall` vs `pq_recall`. Grid
+      // placement is float min/max → rows-only per the contract;
+      // full-depth-rerank ≡ exact brute force asserted in SqIndexSpec.
+      (s, dir) => {
+        val sq = sharedSqIndex(s, dir)
+        SqIndex.searchRerank(s.read.parquet(sq.codesPath),
+            T(s, dir, "embeddings"), "vec_id", "embedding",
+            QueryVectors.q1, sq.params, k = 10, r = sq.rerank)
+          .orderBy(col("rank"))
+      },
+      None,
+      "SQ8 quantized top-k + exact re-rank at the calibrated depth (int8 codes, 4x compression)"),
+
+    "sq_recall" -> DeclaredQuery(
+      // driver-visible SQ QUALITY evidence, the `pq_recall` pattern:
+      // recall@10 of the re-ranked quantized search vs the exact
+      // brute-force top-10 across the candidate-depth dial anchored at
+      // the calibrated point (half / declared / double). Each recall is
+      // |exact10 ∩ sqTop(r)| / 10 — equal to searchRerank's recall by
+      // the bounded-candidates argument in sharedSqIndex's scaladoc —
+      // so the dial costs ONE bounded quantized ordering per query.
+      (s, dir) => {
+        val sq = sharedSqIndex(s, dir)
+        val emb = T(s, dir, "embeddings")
+        val enc = s.read.parquet(sq.codesPath)
+        val rMax = math.min(emb.count(), PqMaxRerank.toLong).toInt
+        val dial = Seq(math.max(10, sq.rerank / 2), sq.rerank,
+          math.min(rMax, sq.rerank * 2)).distinct.sorted
+        val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        val rows = for {
+          (qid, q) <- calib
+          top = enc.select(col("vec_id"),
+              round(SqIndex.sqScore(col("codes"), q, sq.params), 4)
+                .as("sim"))
+            .orderBy(desc("sim"), asc("vec_id")).limit(dial.max)
+            .collect().map(_.getLong(0)).toIndexedSeq
+          exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          r <- dial
+        } yield {
+          val hit = (top.take(r).toSet & exact).size
+          (qid, r, hit.toLong,
+            math.rint(hit.toDouble / exact.size * 10000) / 10000)
+        }
+        import s.implicits._
+        rows.toDF("qid", "rerank_depth", "n_hit", "recall_at_10")
+          .orderBy(col("qid"), col("rerank_depth"))
+      },
+      None,
+      "SQ8 quality: recall@10 of re-ranked quantized search vs exact top-k across the rerank-depth dial"),
 
     "ivfpq_topk" -> DeclaredQuery(
       // the COMPOSED index at its calibrated operating point: IVF

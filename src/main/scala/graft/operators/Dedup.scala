@@ -37,6 +37,24 @@ object Dedup {
       .select(col("_keep._row.*"))
   }
 
+  /** Dedup keeping one full row per group: the row with the LARGEST
+    * `score`, ties broken by smallest `id` — quality-aware canonical
+    * selection (a near-dup cluster keeps its best member, not an
+    * arbitrary one; the standard refinement of min-id representative
+    * picking in training-data pipelines). Same window-free
+    * (key → min-struct) shape as [[dropDuplicatesByKey]]:
+    * partial-aggregatable, single shuffle, no per-group sort. `score`
+    * must be non-null — a null would order before every real score in
+    * the packed struct and win the min. */
+  def keepBestByKey(df: DataFrame, key: Column, score: Column,
+                    id: Column): DataFrame = {
+    val packed = struct((-score).as("_negScore"), id.as("_id"),
+      struct(df.columns.map(col): _*).as("_row"))
+    df.groupBy(key.as("_fp"))
+      .agg(min(packed).as("_keep"))
+      .select(col("_keep._row.*"))
+  }
+
   /** Incremental ingestion dedup (exact tier): drop incoming rows whose
     * `key` already exists in the corpus — the daily-batch shape: the
     * (100 TB) corpus contributes only its DISTINCT key projection to a
@@ -560,7 +578,8 @@ object Dedup {
     * as [[lshDedupPipeline]]. */
   def dedupFromEdges(docs: DataFrame, idCol: String, edges: DataFrame,
                      pointerJump: Boolean = false,
-                     saltFactor: Int = 1): DataFrame = {
+                     saltFactor: Int = 1,
+                     best: Option[Column] = None): DataFrame = {
     // the output annotates docs' own columns with these two — a caller
     // column of the same name would collide in the final projection
     // (same guard discipline as Skew.saltedJoin's _salt)
@@ -579,9 +598,14 @@ object Dedup {
       val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
       // representative selection FIRST (docs ⋈ labels is the only
       // corpus-sized join; the min-row agg collapses it to one row per
-      // component before the sizes join touches it)
-      val reps = dropDuplicatesByKey(docs.join(cc, idCol),
-        col("component"), col(idCol))
+      // component before the sizes join touches it). `best` swaps the
+      // min-id pick for quality-aware argmax ([[keepBestByKey]]) — same
+      // single-shuffle shape either way.
+      val labeled = docs.join(cc, idCol)
+      val reps = best match {
+        case None        => dropDuplicatesByKey(labeled, col("component"), col(idCol))
+        case Some(score) => keepBestByKey(labeled, col("component"), score, col(idCol))
+      }
       val out = reps.join(sizes, "component")
         .select(docs.columns.map(col) :+ col("component") :+ col("n_docs"): _*)
         .persist(lvl)

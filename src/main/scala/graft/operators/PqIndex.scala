@@ -210,7 +210,10 @@ object PqIndex {
     exactRerank(cands, corpus, idCol, vecCol, q, k, score)
   }
 
-  private def exactRerank(cands: DataFrame, corpus: DataFrame,
+  /** Shared candidate re-rank kernel (also used by [[SqIndex]]): fetch
+    * the bounded candidate set's raw vectors via broadcast join, score
+    * exactly, keep the top k. */
+  private[operators] def exactRerank(cands: DataFrame, corpus: DataFrame,
                           idCol: String, vecCol: String, q: Seq[Double],
                           k: Int,
                           score: (Column, Column) => Column): DataFrame = {

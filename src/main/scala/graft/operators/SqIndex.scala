@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Scalar quantization (SQ8) — the LOW-LOSS vector-compression scale
+  * path, complementing [[PqIndex]] on the other end of the
+  * compression/fidelity dial (the classic FAISS `SQ8` layout, public):
+  * each dimension is quantized INDEPENDENTLY to an 8-bit code against a
+  * per-dimension affine grid `x̂ = vmin + code·Δ`, `Δ = (vmax−vmin)/127`.
+  * A 64-dim float32 vector (256 B) becomes 64 bytes — 4× compression
+  * with a per-dimension error bound of Δ/2, which on realistic ranges
+  * keeps the quantized ordering nearly exact (certified live by the
+  * `sq_recall` row), where PQ's 32× compression trades real recall.
+  * At 10^11 rows the point is scan bandwidth: the codes table reads 4×
+  * fewer bytes than the raw vectors for the same candidate sweep.
+  *
+  * Spark-first shape, same discipline as [[PqIndex]]:
+  *   - TRAIN: per-dimension (min, max) — ONE partial-aggregated exchange
+  *     (posexplode → groupBy(dim)), d tiny rows to the driver, never
+  *     vectors; the same job detects ragged corpora (a dimension seen in
+  *     fewer rows than another) and fails loudly;
+  *   - ENCODE: pure projection → (id, array<tinyint> of length d);
+  *   - SEARCH: approximate dot from codes alone —
+  *     dot(q, x̂) = Σᵢ qᵢ·vminᵢ (one driver constant) +
+  *     Σᵢ (qᵢ·Δᵢ)·codeᵢ (a lookup-fold over one d-length plan literal) —
+  *     then global top-k (`TakeOrderedAndProject`); optional exact
+  *     re-rank of the bounded top `r` via the shared broadcast-join
+  *     kernel ([[PqIndex.exactRerank]]).
+  *
+  * Codes are SIGNED bytes spanning 0..127 (128 levels) — the
+  * [[PqIndex]] rule: not worth the +128 offset arithmetic for one more
+  * bit. Quantization is float-deterministic but grid placement depends
+  * on float min/max, so SQ rows are validated by invariant/recall tests,
+  * not the byte-exact oracle (SURVEY.md §7.3).
+  */
+object SqIndex {
+
+  /** Quantization levels − 1: codes span 0..127 in a signed byte. */
+  val Levels = 127
+
+  /** Per-dimension affine grid: `x̂ᵢ = vmin(i) + code·delta(i)`;
+    * `delta(i) = 0` marks a constant dimension (code always 0,
+    * reconstruction exact). */
+  final case class SqParams(vmin: IndexedSeq[Double],
+                            delta: IndexedSeq[Double]) {
+    def dim: Int = vmin.length
+  }
+
+  /** Train the per-dimension grid with ONE map-side-combinable exchange:
+    * posexplode to (dim, x), groupBy(dim) → (min, max, count). The count
+    * doubles as the ragged-corpus detector — every dimension must appear
+    * exactly once per row, so unequal per-dim counts mean non-uniform
+    * vector lengths and the grid would silently mis-shape: fail loudly
+    * (the [[IvfIndex.build]] rule). */
+  def trainParams(corpus: DataFrame, idCol: String, vecCol: String): SqParams = {
+    val stats = corpus
+      .select(posexplode(transform(col(vecCol), _.cast("double")))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+    require(stats.nonEmpty, "cannot train SQ on an empty corpus")
+    require(stats.map(_.getLong(3)).distinct.length == 1,
+      "ragged corpus: vector lengths must be uniform (a dimension was " +
+        "seen in fewer rows than another)")
+    val d = stats.length
+    val vmin = new Array[Double](d)
+    val delta = new Array[Double](d)
+    stats.foreach { r =>
+      val i = r.getInt(0)
+      vmin(i) = r.getDouble(1)
+      delta(i) = (r.getDouble(2) - r.getDouble(1)) / Levels
+    }
+    SqParams(vmin.toIndexedSeq, delta.toIndexedSeq)
+  }
+
+  /** Per-row quantization as a pure projection:
+    * code = clip(round((x − vmin)/Δ), 0, 127); constant dimensions
+    * (Δ = 0) always code 0. The whole grid rides as two d-length
+    * typedlit arrays — one expression node each. */
+  private def codesExpr(v: Column, p: SqParams): Column = {
+    val vminL = typedlit(p.vmin)
+    val deltaL = typedlit(p.delta)
+    transform(sequence(lit(0), lit(p.dim - 1)), i => {
+      val dlt = element_at(deltaL, i + 1)
+      when(dlt === 0.0, lit(0)).otherwise(
+        least(lit(Levels), greatest(lit(0),
+          round((element_at(v, i + 1).cast("double")
+            - element_at(vminL, i + 1)) / dlt).cast("int"))))
+    })
+  }
+
+  /** Encode the corpus: (idCol, codes array<tinyint> of length d) — the
+    * compressed table a cluster persists. Pure projection,
+    * embarrassingly parallel. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             p: SqParams): DataFrame =
+    corpus.select(col(idCol), col(vecCol).as("_v"))
+      .select(col(idCol),
+        codesExpr(col("_v"), p).cast("array<tinyint>").as("codes"))
+
+  /** Approximate dot(q, row) from the codes column alone:
+    * Σᵢ qᵢ·vminᵢ folds to one driver-side constant, leaving a lookup
+    * fold over the d-length (qᵢ·Δᵢ) plan literal — no raw vector read.
+    * Error is bounded by Σᵢ |qᵢ|·Δᵢ/2 (each dimension reconstructs
+    * within half a grid step; SqIndexSpec asserts the bound row-wise). */
+  def sqScore(codes: Column, q: Seq[Double], p: SqParams): Column = {
+    require(q.length == p.dim,
+      s"query dim ${q.length} != trained dim ${p.dim}")
+    val base = q.iterator.zip(p.vmin.iterator).map { case (a, b) => a * b }.sum
+    val qd = typedlit(q.iterator.zip(p.delta.iterator)
+      .map { case (a, b) => a * b }.toIndexedSeq)
+    aggregate(sequence(lit(0), lit(p.dim - 1)), lit(base),
+      (acc, i) => acc
+        + element_at(qd, i + 1) * element_at(codes, i + 1).cast("int"))
+  }
+
+  /** Quantized top-k over the codes table: (idCol, sim, rank) where sim
+    * is the round(·,4) APPROXIMATE dot. Global top-k is
+    * `TakeOrderedAndProject` — each partition ships k rows. */
+  def search(encoded: DataFrame, idCol: String, q: Seq[Double],
+             p: SqParams, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    encoded
+      .select(col(idCol), round(sqScore(col("codes"), q, p), 4).as("sim"))
+      .filter(col("sim").isNotNull)
+      .orderBy(desc("sim"), asc(idCol))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("sim"), asc(idCol))))
+  }
+
+  /** Quantized candidates + EXACT re-rank: top `r` rows by quantized
+    * score, raw vectors fetched by an `r`-bounded broadcast join (the
+    * corpus side never shuffles), exact top-k kept. `r = corpus size`
+    * degenerates to exact brute force (SqIndexSpec asserts); the
+    * practical dial is certified by the `sq_recall` row. */
+  def searchRerank(encoded: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, q: Seq[Double], p: SqParams,
+                   k: Int, r: Int,
+                   score: (Column, Column) => Column = dot): DataFrame = {
+    require(r >= k, s"rerank depth r=$r must be >= k=$k")
+    val cands = encoded
+      .select(col(idCol), round(sqScore(col("codes"), q, p), 4).as("_sq"))
+      .filter(col("_sq").isNotNull)
+      .orderBy(desc("_sq"), asc(idCol))
+      .limit(r)
+      .select(col(idCol))
+    PqIndex.exactRerank(cands, corpus, idCol, vecCol, q, k, score)
+  }
+}

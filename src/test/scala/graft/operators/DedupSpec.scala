@@ -320,4 +320,35 @@ class DedupSpec extends AnyFunSuite {
       finally cc.unpersist()
     }
   }
+
+  test("keepBestByKey keeps the max-score row per key, ties to the smallest id") {
+    val df = Seq(
+      (1L, "g1", 5L), (2L, "g1", 9L), (3L, "g1", 9L), // tie on 9 -> id 2
+      (4L, "g2", 1L),                                 // singleton
+      (6L, "g3", 0L), (5L, "g3", 0L)                  // all-tie -> id 5
+    ).toDF("id", "grp", "score")
+    val got = Dedup.keepBestByKey(df, col("grp"), col("score"), col("id"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((2L, "g1", 9L), (4L, "g2", 1L), (5L, "g3", 0L)))
+  }
+
+  test("dedupFromEdges with best= picks the quality argmax, min-id otherwise") {
+    // docs 1-2-3 form one near-dup family (edges 1-2, 2-3); 7 is alone
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), (7L, 1L)
+    ).toDF("doc_id", "quality")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val best = Dedup.dedupFromEdges(docs, "doc_id", edges,
+      best = Some(col("quality")))
+    val gotBest =
+      try best.select($"doc_id", $"component", $"n_docs")
+        .as[(Long, Long, Long)].collect().toSet
+      finally best.unpersist()
+    assert(gotBest === Set((2L, 1L, 3L), (7L, 7L, 1L)))
+    val minId = Dedup.dedupFromEdges(docs, "doc_id", edges)
+    val gotMin =
+      try minId.select($"doc_id").as[Long].collect().toSet
+      finally minId.unpersist()
+    assert(gotMin === Set(1L, 7L))
+  }
 }
