@@ -78,7 +78,16 @@ object DumpPlans {
       "partial+final token-count agg + per-(lang,batch) window over " +
       "COUNTS, the merged one-row-per-lang sketch relation rides into " +
       "the lookup join as an explicit BROADCAST, and document text " +
-      "never shuffles — it is consumed by the row-local explode"))
+      "never shuffles — it is consumed by the row-local explode"),
+    "sq_topk" -> ("SQ8 quantized search: codes-table scan → score " +
+      "projection (lookup fold over the (qᵢ·Δᵢ) plan literal — no " +
+      "raw-vector read) → TakeOrderedAndProject for the top-r " +
+      "candidates → BroadcastHashJoin back to the raw vectors for the " +
+      "bounded exact re-rank; the corpus side never shuffles"),
+    "q_temperature_mix" -> ("temperature mix: one tiny per-source agg " +
+      "(partial+final) → |sources| integer threshold rows BROADCAST " +
+      "back onto the corpus scan → row-local hash admission → " +
+      "partial+final rollup; the corpus flows exactly once"))
 
   /** Plan-shape-critical OPERATOR INTERNALS whose declared queries
     * materialize eagerly (their final plans are LocalTableScans): built

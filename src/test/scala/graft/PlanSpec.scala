@@ -125,4 +125,36 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
       s"document text must not shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("sq_topk: quantized candidate top-k, bounded broadcast re-rank") {
+    val p = plan("sq_topk")
+    // candidate stage: codes scan → score projection → heap top-r
+    assert(p.contains("TakeOrderedAndProject"))
+    // re-rank: the r-bounded candidate list broadcasts back to the raw
+    // vectors — the corpus side must never shuffle for the join
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_temperature_mix: thresholds broadcast onto one corpus pass") {
+    val p = plan("q_temperature_mix")
+    // |sources| threshold rows ride in by broadcast; the corpus is
+    // scanned once and never sort-merge-joined
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // final rollup is two-phase
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("keepBestByKey: partial+final min-struct agg, no window, no per-group sort") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val p = graft.operators.Dedup.keepBestByKey(
+        docs, col("lang"), col("n_chars"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "argmax selection must not window-sort the corpus")
+    assert("Aggregate".r.findAllIn(p).size >= 2, s"no two-phase agg:\n$p")
+  }
 }
