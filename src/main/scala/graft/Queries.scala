@@ -3217,6 +3217,51 @@ object Queries {
       None,
       "incremental IVF append: assign-to-existing-centroids + partition append; probe@k ≡ exact top-10"),
 
+    "incr_sq_append" -> DeclaredQuery(
+      // INCREMENTAL SQ8 MAINTENANCE — the third index family's
+      // ingestion-side completion (incr_ivf_append / incr_ivfpq_append
+      // are the other two): the incoming batch is encoded under the
+      // FROZEN day-1 grid (a pure projection — no re-train, no re-encode
+      // of existing rows, no corpus touch) and appended to the codes
+      // table. SQ's drift hazard is CLIPPING, not cell assignment: an
+      // incoming value outside the day-1 [vmin, vmax] saturates at the
+      // grid edge, so the emitted evidence is the re-ranked probe at a
+      // modest fixed depth (r = 5k) vs the exact top-10 over
+      // corpus ∪ batch with a per-row match column — grid drift shows up
+      // as false rows here long before it hurts a deep sweep
+      // (rebuild-when-quality-decays, the incr_ivf_append recipe).
+      // Grid placement is float min/max → rows-only per the contract;
+      // append ≡ full re-encode byte equality is asserted in SqIndexSpec.
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val day1 = emb.filter(col("vec_id") % 10 =!= 0)
+        val incoming = emb.filter(col("vec_id") % 10 === 0)
+        // day-1 grid, trained WITHOUT the incoming slice
+        val p = SqIndex.trainParams(day1, "vec_id", "embedding")
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-sqapp")
+        try {
+          val path = s"$tmpRoot/codes"
+          SqIndex.encode(day1, "vec_id", "embedding", p)
+            .write.mode("overwrite").parquet(path)
+          // day-2: encode under the FROZEN grid, append — only new files
+          SqIndex.encode(incoming, "vec_id", "embedding", p)
+            .write.mode("append").parquet(path)
+          val probed = SqIndex.searchRerank(s.read.parquet(path), emb,
+            "vec_id", "embedding", QueryVectors.q1, p, k = 10, r = 50)
+            .select(col("vec_id"), col("sim"))
+          val exact = graft.operators.Search
+            .topK(emb, "embedding", "vec_id", QueryVectors.q1, k = 10)
+            .select(col("vec_id"), col("sim").as("sim_exact"))
+          localFrame(probed.join(exact, Seq("vec_id"), "full_outer")
+            .select(col("vec_id"), col("sim"), col("sim_exact"),
+              (col("sim") === col("sim_exact")).as("matches"))
+            .orderBy(desc("sim"), asc("vec_id")))
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(tmpRoot.toFile)
+      },
+      None,
+      "incremental SQ8 append: frozen-grid encode + file append; rerank@5k vs exact top-10"),
+
     "ann_lsh" -> DeclaredQuery(
       (s, dir) => graft.operators.HyperplaneLsh.annSearch(
         T(s, dir, "embeddings"), "vec_id", "embedding",

@@ -126,6 +126,30 @@ class SqIndexSpec extends AnyFunSuite {
     assert(recalls.last === 1.0)
   }
 
+  test("frozen-grid append equals full re-encode, byte for byte") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val day1 = emb.filter(col("vec_id") % 10 =!= 0)
+    val incoming = emb.filter(col("vec_id") % 10 === 0)
+    val p = SqIndex.trainParams(day1, "vec_id", "embedding")
+    val appended = SqIndex.encode(day1, "vec_id", "embedding", p)
+      .unionByName(SqIndex.encode(incoming, "vec_id", "embedding", p))
+      .as[(Long, Seq[Byte])].collect().toMap
+    val full = SqIndex.encode(emb, "vec_id", "embedding", p)
+      .as[(Long, Seq[Byte])].collect().toMap
+    assert(appended === full)
+  }
+
+  test("values outside the frozen grid clip to the grid edges") {
+    val day1 = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)))
+      .toDF("vec_id", "embedding")
+    val p = SqIndex.trainParams(day1, "vec_id", "embedding")
+    val wild = Seq((2L, Seq(-5.0, 25.0))).toDF("vec_id", "embedding")
+    val codes = SqIndex.encode(wild, "vec_id", "embedding", p)
+      .select($"codes").as[Seq[Byte]].head()
+    assert(codes === Seq[Byte](0, SqIndex.Levels.toByte),
+      "below-range must clip to 0, above-range to 127")
+  }
+
   test("ragged and empty corpora fail loudly at train time") {
     val ragged = Seq(
       (0L, Seq(1.0, 2.0)), (1L, Seq(1.0, 2.0, 3.0))
