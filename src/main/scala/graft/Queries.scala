@@ -2607,6 +2607,52 @@ object Queries {
          |ORDER BY doc_id LIMIT 1000""".stripMargin),
       "quality scoring: length / punctuation / stopword ratios"),
 
+    "q_gopher_rules" -> DeclaredQuery(
+      // the Gopher rule-set quality gate (Rae et al. 2021 §A1.1,
+      // public): word-count bounds, mean-word-length bounds, minimum
+      // stopword count, most-common-word frequency cap — per-doc rule
+      // booleans (0/1 BIGINT, the q_quality_gate convention) plus the
+      // conjunctive verdict. Thresholds fixture-calibrated so every
+      // rule bites. The whole gate is ONE row-local projection
+      // (TextAnalysis.gopherRules — even the top-word count folds in
+      // place over the token array): no explode, no join, no shuffle;
+      // at 100 TB it runs at scan speed inside the admission chain.
+      (s, dir) => TextAnalysis.gopherRules(
+          T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")).limit(1000),
+      Some("""WITH t AS (SELECT doc_id,
+         |        list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |      FROM documents),
+         |s AS (SELECT doc_id,
+         |        len(tk) AS n_words,
+         |        list_sum(list_transform(tk, x -> length(x)))::DOUBLE
+         |          / len(tk) AS mwl,
+         |        len(list_filter(tk, x -> x IN ('the','a','of','to','in')))
+         |          AS n_stop,
+         |        list_max(list_transform(list_distinct(tk),
+         |            w -> len(list_filter(tk, x -> x = w))))::DOUBLE
+         |          / len(tk) AS topfrac
+         |      FROM t)
+         |SELECT doc_id,
+         |  CAST(n_words AS BIGINT) AS n_words,
+         |  round(mwl, 4) AS mean_wlen,
+         |  CAST(n_stop AS BIGINT) AS n_stop,
+         |  round(topfrac, 4) AS top_frac,
+         |  CAST(CASE WHEN n_words >= 20 AND n_words <= 80
+         |    THEN 1 ELSE 0 END AS BIGINT) AS r_wordcount,
+         |  CAST(CASE WHEN mwl >= 3.9 AND mwl <= 5.0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS r_meanlen,
+         |  CAST(CASE WHEN n_stop >= 2
+         |    THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+         |  CAST(CASE WHEN topfrac <= 0.15
+         |    THEN 1 ELSE 0 END AS BIGINT) AS r_topword,
+         |  CAST(CASE WHEN n_words >= 20 AND n_words <= 80
+         |    AND mwl >= 3.9 AND mwl <= 5.0 AND n_stop >= 2
+         |    AND topfrac <= 0.15
+         |    THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+         |FROM s ORDER BY doc_id LIMIT 1000""".stripMargin),
+      "Gopher rule-set quality gate: 4 fixture-calibrated rules + verdict, one row-local projection"),
+
     "q_csv_roundtrip" -> DeclaredQuery(
       (s, dir) => {
         // A1/A2/B32 through the driver gate: encode 100 fixture vectors in
@@ -2884,6 +2930,31 @@ object Queries {
       },
       None,
       "B6 batched: multi-query IVF probe in one job (broadcast probe sets + map-side top-k)"),
+
+    "sq_topk_many" -> DeclaredQuery(
+      // BATCHED multi-query quantized search — ONE scan of the SQ8
+      // codes table answers the whole query batch (the ivf_probe_many
+      // amortization over the compressed relation): the batch rides in
+      // by broadcast with precomputed per-query ADC terms, per-query
+      // top-r is the map-side bounded TopKAggregator (the shuffle
+      // carries ≤ r rows per task×query, never the corpus), and the
+      // bounded candidates re-rank exactly through a broadcast join.
+      // Per-query results ≡ one searchRerank per query (SqIndexSpec).
+      // Grid placement is float min/max → rows-only per the contract.
+      (s, dir) => {
+        val sq = sharedSqIndex(s, dir)
+        import s.implicits._
+        val qs = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+          .toDF("qid", "qvec")
+        localFrame(
+          SqIndex.searchManyRerank(s.read.parquet(sq.codesPath),
+            T(s, dir, "embeddings"), "vec_id", "embedding",
+            qs, "qid", "qvec", sq.params, k = 10, r = sq.rerank)
+            .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
+            .orderBy(col("qid"), col("rank")))
+      },
+      None,
+      "B6h batched: multi-query SQ8 search in one codes scan (broadcast ADC terms + map-side top-k)"),
 
     "pq_topk" -> DeclaredQuery(
       // PQ-accelerated top-k at the CALIBRATED operating point: ADC scan

@@ -152,4 +152,60 @@ object SqIndex {
       .select(col(idCol))
     PqIndex.exactRerank(cands, corpus, idCol, vecCol, q, k, score)
   }
+
+  /** Batched multi-query quantized search — the production serving
+    * shape: ONE scan of the codes table answers EVERY query (the
+    * [[IvfIndex.probeMany]] amortization, here over the compressed
+    * relation). The query batch rides in by broadcast carrying its
+    * precomputed (qᵢ·Δᵢ) array and Σᵢ qᵢ·vminᵢ base term; per-row cost
+    * per query is the same lookup fold as [[sqScore]] with the table as
+    * a broadcast COLUMN instead of a plan literal. Per-query top-r is
+    * the map-side bounded [[graft.functions.TopKAggregator]] (each task
+    * ships ≤ r rows per query — the shuffle never carries the corpus),
+    * then the r-bounded candidate set re-ranks exactly through a
+    * broadcast join back to the raw vectors, per-query top-k by the
+    * same aggregator. Ids must be integral (the aggregator carries
+    * (sim, long-id) pairs — the probeMany contract). */
+  def searchManyRerank(encoded: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String,
+                       queries: DataFrame, qIdCol: String, qVecCol: String,
+                       p: SqParams, k: Int, r: Int): DataFrame = {
+    require(r >= k, s"rerank depth r=$r must be >= k=$k")
+    val vminL = typedlit(p.vmin)
+    val deltaL = typedlit(p.delta)
+    // two projections (the probeMany lateral-alias rule): normalize
+    // first, derive the ADC terms from the alias in a second select
+    val base = queries.select(col(qIdCol).as("qid"),
+      transform(col(qVecCol), _.cast("double")).as("qvec"))
+    val qs = base.select(col("qid"), col("qvec"),
+      zip_with(col("qvec"), deltaL, (a, b) => a * b).as("_qd"),
+      aggregate(zip_with(col("qvec"), vminL, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x).as("_qbase"))
+    val scored = encoded
+      .crossJoin(broadcast(qs.select(col("qid"), col("_qd"), col("_qbase"))))
+      .select(col("qid"), col(idCol).cast("long").as(idCol),
+        round(col("_qbase")
+          + aggregate(sequence(lit(0), lit(p.dim - 1)), lit(0.0),
+            (acc, i) => acc + element_at(col("_qd"), i + 1)
+              * element_at(col("codes"), i + 1).cast("int")), 4).as("_sq"))
+      .filter(col("_sq").isNotNull)
+    val topr = udaf(new graft.functions.TopKAggregator(r))
+    val cands = scored.groupBy(col("qid"))
+      .agg(topr(col("_sq"), col(idCol)).as("_top"))
+      .select(col("qid"), explode(col("_top")).as("_hit"))
+      .select(col("qid"), col("_hit._2").as(idCol))
+    val exact = corpus
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .join(broadcast(cands), idCol)
+      .join(broadcast(base), "qid")
+      .select(col("qid"), col(idCol),
+        round(dot(col(vecCol), col("qvec")), 4).as("sim"))
+      .filter(col("sim").isNotNull)
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    exact.groupBy(col("qid"))
+      .agg(topk(col("sim"), col(idCol)).as("_top"))
+      .select(col("qid"), posexplode(col("_top")).as(Seq("_pos", "_hit")))
+      .select(col("qid"), col("_hit._2").as(idCol),
+        col("_hit._1").as("sim"), (col("_pos") + 1).as("rank"))
+  }
 }

@@ -117,6 +117,51 @@ object TextAnalysis {
       round(folded.getField("best").cast("double") / size(grams), 4))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1,
+    * public): word-count bounds, mean-word-length bounds, a minimum
+    * stopword count, and a most-common-word frequency cap — each rule a
+    * per-doc boolean plus the conjunctive verdict. Defaults are
+    * calibrated to the fixture corpus so every rule measurably bites;
+    * production thresholds are the paper's.
+    *
+    * Everything is ONE row-local projection over the token array —
+    * no explode, no join, no shuffle: even the most-common-word count
+    * folds in place (`array_max` over per-distinct-token counts), so
+    * the whole gate runs at scan speed and composes with any admission
+    * chain for free. Docs with zero tokens get null ratios and fail
+    * every ratio rule (the conservative default). */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 20, maxWords: Int = 80,
+                  minMeanLen: Double = 3.9, maxMeanLen: Double = 5.0,
+                  minStopwords: Int = 2,
+                  maxTopFrac: Double = 0.15): DataFrame = {
+    val tk = tokens(col(textCol))
+    val nW = size(tk).cast("long")
+    val meanLen =
+      aggregate(tk, lit(0L), (a, x) => a + length(x)).cast("double") / nW
+    val nStop =
+      size(filter(tk, x => x.isin("the", "a", "of", "to", "in")))
+        .cast("long")
+    val topFrac = array_max(
+      transform(array_distinct(tk), w => size(filter(tk, x => x === w))))
+      .cast("double") / nW
+    val rWc = nW >= minWords && nW <= maxWords
+    val rMl = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val rSt = nStop >= minStopwords
+    val rTp = topFrac <= maxTopFrac
+    def verdict(c: Column): Column = when(c, 1L).otherwise(0L)
+    docs.select(col(idCol),
+      nW.as("n_words"),
+      round(meanLen, 4).as("mean_wlen"),
+      nStop.as("n_stop"),
+      round(topFrac, 4).as("top_frac"),
+      verdict(rWc).as("r_wordcount"),
+      verdict(rMl).as("r_meanlen"),
+      verdict(rSt).as("r_stop"),
+      verdict(rTp).as("r_topword"),
+      verdict(rWc && rMl && rSt && rTp).as("gopher_pass"))
+  }
+
   /** Canonical text normalization — the first stage of most training
     * pipelines: lowercase, collapse all whitespace runs to single
     * spaces, trim. Pure codegen'd string expressions, embarrassingly

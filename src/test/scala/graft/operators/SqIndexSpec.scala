@@ -126,6 +126,29 @@ class SqIndexSpec extends AnyFunSuite {
     assert(recalls.last === 1.0)
   }
 
+  test("searchManyRerank equals one searchRerank per query") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val p = SqIndex.trainParams(emb, "vec_id", "embedding")
+    val enc = SqIndex.encode(emb, "vec_id", "embedding", p).persist()
+    try {
+      enc.count()
+      val qs = Seq((1L, graft.QueryVectors.q1), (2L, graft.QueryVectors.q2))
+      val batched = SqIndex.searchManyRerank(enc, emb, "vec_id",
+          "embedding", qs.toDF("qid", "qvec"), "qid", "qvec",
+          p, k = 10, r = 30)
+        .select($"qid", $"vec_id", $"sim", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val single = qs.flatMap { case (qid, q) =>
+        SqIndex.searchRerank(enc, emb, "vec_id", "embedding", q, p,
+            k = 10, r = 30)
+          .select($"vec_id", $"sim", $"rank")
+          .as[(Long, Double, Int)].collect()
+          .map { case (id, sim, rank) => (qid, id, sim, rank) }
+      }.toSet
+      assert(batched === single)
+    } finally { enc.unpersist(); () }
+  }
+
   test("frozen-grid append equals full re-encode, byte for byte") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
     val day1 = emb.filter(col("vec_id") % 10 =!= 0)
