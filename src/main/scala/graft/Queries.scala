@@ -1213,6 +1213,41 @@ object Queries {
       None,
       "clean-then-admit e2e: span strip + two-tier admission on the cleaned text, per-lang rollup"),
 
+    "incr_gated_admit" -> DeclaredQuery(
+      // the QUALITY-GATED ingestion kernel: the row-local Gopher gate
+      // (TextAnalysis.gopherPass — one projection, no shuffle) rejects
+      // low-quality docs BEFORE they pay the cross-set dedup tiers,
+      // then the two-tier admission kernel runs on the survivors —
+      // Dedup.gateAndAdmit, the same kernel the streaming mirror
+      // (Streams.incrementalGatedAdmission) runs per micro-batch
+      // (stream ≡ batch in StreamsSpec). The rollup carries the gate's
+      // accounting next to the admission's: per-lang incoming vs
+      // gate-passing vs admitted. Seeded-hash admission tier →
+      // rows-only per the contract.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val incoming = docs.filter(col("doc_id") >= 250)
+        val corpus = docs.filter(col("doc_id") < 250)
+        val admitted = Dedup.gateAndAdmit(incoming, corpus,
+          "doc_id", "text")
+        val gate = incoming
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_incoming"),
+            sum(when(TextAnalysis.gopherPass(col("text")), 1L)
+              .otherwise(0L)).as("n_gate_pass"))
+        val adm = admitted
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_admitted"),
+            min(col("doc_id")).as("first_id"))
+        gate.join(adm, Seq("lang"), "left_outer")
+          .select(col("lang"), col("n_incoming"), col("n_gate_pass"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+            col("first_id"))
+          .orderBy(col("lang"))
+      },
+      None,
+      "quality-gated admission e2e: Gopher gate first (row-local), dedup tiers on survivors, per-lang accounting"),
+
     "doc_stats" -> DeclaredQuery(
       (s, dir) => TextAnalysis.docStats(T(s, dir, "documents"),
         "doc_id", "text", "n_chars").orderBy(asc("doc_id")),

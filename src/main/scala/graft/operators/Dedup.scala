@@ -177,6 +177,21 @@ object Dedup {
     admitIncoming(cleaned, corpus, idCol, textCol, minJaccard)
   }
 
+  /** QUALITY-GATED admission — the production ingestion order: the
+    * row-local Gopher gate ([[TextAnalysis.gopherPass]]) runs FIRST, as
+    * a plain filter on the incoming scan (no join, no shuffle — quality
+    * rejects cost one projection), and only the survivors pay the
+    * cross-set dedup tiers of [[admitIncoming]]. Same kernel-sharing
+    * contract as [[cleanAndAdmit]]: the streaming mirror
+    * ([[graft.streaming.Streams.incrementalGatedAdmission]]) runs THIS
+    * method per micro-batch, so stream ≡ batch by construction. */
+  def gateAndAdmit(incoming: DataFrame, corpus: DataFrame,
+                   idCol: String, textCol: String,
+                   minJaccard: Double = 0.8): DataFrame =
+    admitIncoming(
+      incoming.filter(TextAnalysis.gopherPass(col(textCol))),
+      corpus, idCol, textCol, minJaccard)
+
   def admitIncoming(incoming: DataFrame, corpus: DataFrame,
                     idCol: String, textCol: String,
                     minJaccard: Double = 0.8): DataFrame = {

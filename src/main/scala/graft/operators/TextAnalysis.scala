@@ -130,12 +130,16 @@ object TextAnalysis {
     * the whole gate runs at scan speed and composes with any admission
     * chain for free. Docs with zero tokens get null ratios and fail
     * every ratio rule (the conservative default). */
-  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
-                  minWords: Int = 20, maxWords: Int = 80,
-                  minMeanLen: Double = 3.9, maxMeanLen: Double = 5.0,
-                  minStopwords: Int = 2,
-                  maxTopFrac: Double = 0.15): DataFrame = {
-    val tk = tokens(col(textCol))
+  /** The four Gopher-rule stat/predicate columns over a text column —
+    * shared by [[gopherRules]] (the per-doc report) and [[gopherPass]]
+    * (the row-local admission filter). */
+  private def gopherCols(text: Column,
+                         minWords: Int, maxWords: Int,
+                         minMeanLen: Double, maxMeanLen: Double,
+                         minStopwords: Int, maxTopFrac: Double)
+      : (Column, Column, Column, Column,
+         Column, Column, Column, Column) = {
+    val tk = tokens(text)
     val nW = size(tk).cast("long")
     val meanLen =
       aggregate(tk, lit(0L), (a, x) => a + length(x)).cast("double") / nW
@@ -145,10 +149,36 @@ object TextAnalysis {
     val topFrac = array_max(
       transform(array_distinct(tk), w => size(filter(tk, x => x === w))))
       .cast("double") / nW
-    val rWc = nW >= minWords && nW <= maxWords
-    val rMl = meanLen >= minMeanLen && meanLen <= maxMeanLen
-    val rSt = nStop >= minStopwords
-    val rTp = topFrac <= maxTopFrac
+    (nW, meanLen, nStop, topFrac,
+      nW >= minWords && nW <= maxWords,
+      meanLen >= minMeanLen && meanLen <= maxMeanLen,
+      nStop >= minStopwords,
+      topFrac <= maxTopFrac)
+  }
+
+  /** The conjunctive Gopher verdict as a ROW-LOCAL boolean Column —
+    * usable as a plain `filter` (no join, no shuffle), which is how
+    * [[Dedup.gateAndAdmit]] runs it in front of the admission kernel:
+    * quality rejects never pay the dedup tiers. Null ratios (empty
+    * docs) fail the gate. */
+  def gopherPass(text: Column,
+                 minWords: Int = 20, maxWords: Int = 80,
+                 minMeanLen: Double = 3.9, maxMeanLen: Double = 5.0,
+                 minStopwords: Int = 2,
+                 maxTopFrac: Double = 0.15): Column = {
+    val (_, _, _, _, rWc, rMl, rSt, rTp) = gopherCols(text,
+      minWords, maxWords, minMeanLen, maxMeanLen, minStopwords, maxTopFrac)
+    coalesce(rWc && rMl && rSt && rTp, lit(false))
+  }
+
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 20, maxWords: Int = 80,
+                  minMeanLen: Double = 3.9, maxMeanLen: Double = 5.0,
+                  minStopwords: Int = 2,
+                  maxTopFrac: Double = 0.15): DataFrame = {
+    val (nW, meanLen, nStop, topFrac, rWc, rMl, rSt, rTp) =
+      gopherCols(col(textCol), minWords, maxWords, minMeanLen, maxMeanLen,
+        minStopwords, maxTopFrac)
     def verdict(c: Column): Column = when(c, 1L).otherwise(0L)
     docs.select(col(idCol),
       nW.as("n_words"),

@@ -111,6 +111,23 @@ object Streams {
         batch, corpus, idCol, textCol, k, minKeptTokens, minJaccard), batchId)
     }
 
+  /** Streaming mirror of [[graft.operators.Dedup.gateAndAdmit]] — the
+    * quality-gated ingestion loop: each micro-batch passes the row-local
+    * Gopher gate first (quality rejects never pay the dedup tiers), then
+    * the two-tier admission kernel. SAME kernel as the batch row, so
+    * stream ≡ batch under any micro-batching (asserted in StreamsSpec —
+    * the gate is row-local and admission is cross-set-only, so batch
+    * splits cannot change any decision against a static corpus). */
+  def incrementalGatedAdmission(docStream: DataFrame, corpus: DataFrame,
+                                idCol: String, textCol: String,
+                                minJaccard: Double = 0.8)
+                               (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Dedup.gateAndAdmit(
+        batch, corpus, idCol, textCol, minJaccard), batchId)
+    }
+
   /** The shared EVOLVING-CORPUS foreachBatch loop behind
     * [[incrementalAdmissionEvolving]] and its vector twin
     * [[incrementalVectorAdmissionEvolving]]: each micro-batch is admitted

@@ -146,6 +146,16 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("q_gopher_rules: the whole gate is one row-local projection") {
+    val p = plan("q_gopher_rules")
+    // scan → project(rules) → top-N; NO explode, NO join, NO shuffle —
+    // the scan-speed claim the operator's scaladoc makes
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Generate"), "no explode in the quality gate")
+    assert(!p.contains("Exchange"), "the gate must not shuffle")
+    assert(!p.contains("Join"), "the gate must not join")
+  }
+
   test("keepBestByKey: partial+final min-struct agg, no window, no per-group sort") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.load(spark, TestSpark.sf0001, "documents")

@@ -249,6 +249,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(batchRows.exists { case (id, t) => orig(id) != t })
   }
 
+  test("streaming quality-gated admission ≡ batch gateAndAdmit on the same rows") {
+    implicit val sql = spark.sqlContext
+    val dir = graft.TestSpark.sf0001
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+    val rows = incoming.select("doc_id", "text")
+      .as[(Long, String)].collect.toSeq.sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.incrementalGatedAdmission(
+      mem.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text") {
+        (adm, _) =>
+          val ids = adm.select("doc_id").as[Long].collect()
+          admitted.synchronized { admitted ++= ids }; ()
+      }.start()
+    rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    // the gate is row-local and admission is cross-set-only, so the
+    // micro-batch split cannot change any decision
+    val batchIds = graft.operators.Dedup
+      .gateAndAdmit(incoming, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted.toSet === batchIds && batchIds.nonEmpty)
+    // the gate did real work: strictly fewer admitted than the ungated
+    // kernel admits, and every admitted doc passes the gate
+    val ungated = graft.operators.Dedup
+      .admitIncoming(incoming, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchIds.subsetOf(ungated) && batchIds.size < ungated.size)
+    val passing = incoming
+      .filter(graft.operators.TextAnalysis.gopherPass(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchIds.subsetOf(passing))
+  }
+
   test("streaming incremental admission ≡ batch incr_admit on the same rows") {
     implicit val sql = spark.sqlContext
     val dir = graft.TestSpark.sf0001
