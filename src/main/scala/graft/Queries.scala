@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, PqIndex, Search, Sketch, SpanDedup, SqIndex, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, PqIndex, Sampling, Search, Sketch, SpanDedup, SqIndex, TextAnalysis}
 import graft.sources.VersionedCorpus
 import graft.streaming.Streams
 
@@ -2990,6 +2990,36 @@ object Queries {
       },
       None,
       "B6h batched: multi-query SQ8 search in one codes scan (broadcast ADC terms + map-side top-k)"),
+
+    "q_cluster_mix" -> DeclaredQuery(
+      // DIVERSITY-AWARE sampling: up to m rows from EVERY embedding
+      // cluster (the shared IVF assignment relation) — the
+      // embedding-space twin of per-source stratification: the sampled
+      // subset spans semantic regions instead of mirroring cluster-size
+      // skew (the public cluster-based data-selection recipe).
+      // Selection is the deterministic Knuth-hash rank within each
+      // cluster; per-cluster top-m is the map-side bounded
+      // TopKAggregator (≤ m rows per task×cluster shuffle — the window
+      // formulation would shuffle the corpus). Emits the per-cluster
+      // accounting next to the sample so coverage is auditable in-row.
+      // Float-iterative clusters → rows-only per the contract;
+      // hash-rank selection itself is exactly SamplingSpec's naive
+      // ground truth.
+      (s, dir) => {
+        val ivf = sharedIvfIndex(s, dir)
+        val idx = s.read.parquet(ivf.indexPath)
+          .select(col("vec_id"), col("cluster_id"))
+        val sampled = Sampling.clusterBalanced(idx, "vec_id",
+          "cluster_id", m = 5)
+        val sizes = idx.groupBy(col("cluster_id").as("cluster"))
+          .agg(count(lit(1)).as("n_members"))
+        localFrame(sampled.join(sizes, "cluster")
+          .select(col("cluster"), col("n_members"), col("vec_id"),
+            col("pos"))
+          .orderBy(col("cluster"), col("pos")))
+      },
+      None,
+      "diversity-aware sampling: deterministic per-cluster top-m over the IVF assignment relation"),
 
     "pq_topk" -> DeclaredQuery(
       // PQ-accelerated top-k at the CALIBRATED operating point: ADC scan
