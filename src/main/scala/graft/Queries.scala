@@ -1462,6 +1462,79 @@ object Queries {
          |ORDER BY tfidf DESC, tf.doc_id, tf.word LIMIT 100""".stripMargin),
       "B12: tf-idf"),
 
+    "q_bm25" -> DeclaredQuery(
+      (s, dir) => TextAnalysis.bm25(T(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "data", "join"))
+        .orderBy(desc("bm25"), asc("doc_id")).limit(50),
+      Some("""WITH d AS (SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE AS dl,
+         |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |       FROM documents),
+         |s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, w AS word, count(*)::DOUBLE AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS w FROM d)
+         |       WHERE w IN ('spark', 'data', 'join') GROUP BY doc_id, dl, w),
+         |dfc AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY word)
+         |SELECT tf.doc_id AS doc_id,
+         |  round(sum(ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         |    * tf.tf * 2.2
+         |    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS bm25
+         |FROM tf JOIN dfc USING (word) CROSS JOIN s
+         |GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin),
+      "hybrid-search keyword tier: Okapi BM25 (Robertson & Zaragoza 2009)"),
+
+    "hybrid_rrf" -> DeclaredQuery(
+      (s, dir) => {
+        // each ranker is top-k-bounded FIRST (TakeOrderedAndProject), so
+        // the partition-less rank window only ever sees k rows — the
+        // fused join is k-sized by construction
+        val kw = TextAnalysis.bm25(T(s, dir, "documents"), "doc_id", "text",
+            Seq("spark", "data", "join"))
+          .orderBy(desc("bm25"), asc("doc_id")).limit(50)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("bm25"), asc("doc_id"))))
+          .select(col("doc_id"), col("rank"))
+        val vec = Search.topK(T(s, dir, "embeddings"), "embedding", "vec_id",
+            QueryVectors.q2, k = 50, score = cosine)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("sim"), asc("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("rank"))
+        Search.rrfFuse(kw, vec, "doc_id")
+          .orderBy(desc("rrf"), asc("doc_id")).limit(20)
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE AS dl,
+         |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |       FROM documents),
+         |s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, w AS word, count(*)::DOUBLE AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS w FROM d)
+         |       WHERE w IN ('spark', 'data', 'join') GROUP BY doc_id, dl, w),
+         |dfc AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY word),
+         |bm AS (SELECT tf.doc_id AS doc_id,
+         |         round(sum(ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         |           * tf.tf * 2.2
+         |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS bm25
+         |       FROM tf JOIN dfc USING (word) CROSS JOIN s
+         |       GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |kw AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+         |       FROM bm),
+         |vtop AS (SELECT vec_id,
+         |         round(${duckDot("embedding", q2Sql)}
+         |           / (sqrt(${duckDot("embedding", "CAST(embedding AS DOUBLE[])")})
+         |              * sqrt(list_dot_product($q2Sql, $q2Sql))), 4) AS sim
+         |       FROM embeddings ORDER BY sim DESC, vec_id LIMIT 50),
+         |vs AS (SELECT vec_id AS doc_id,
+         |         row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+         |       FROM vtop)
+         |SELECT coalesce(kw.doc_id, vs.doc_id) AS doc_id,
+         |  round(coalesce(1.0::DOUBLE / (60 + kw.r), 0)
+         |      + coalesce(1.0::DOUBLE / (60 + vs.r), 0), 4) AS rrf
+         |FROM kw FULL OUTER JOIN vs ON kw.doc_id = vs.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
+      "hybrid search: reciprocal-rank fusion of BM25 keyword and cosine vector rankings (Cormack et al. 2009)"),
+
     "lang_rollup" -> DeclaredQuery(
       (s, dir) => T(s, dir, "documents")
         .rollup(col("lang"), col("source"))

@@ -47,6 +47,34 @@ object Search {
                      score: (Column, Column) => Column = dot): DataFrame =
     scored(corpus, vecCol, q, score).filter(col("sim") >= minSim)
 
+  /** Reciprocal-rank fusion of two (id, rank) relations — the standard
+    * public recipe (Cormack et al. 2009) for HYBRID search: a keyword
+    * ranking (e.g. [[TextAnalysis.bm25]]) and a vector ranking (e.g.
+    * [[topK]]) are combined by rank position alone,
+    * `rrf = Σ_lists 1/(kRrf + rank)`, so the two scores never need a
+    * common scale. Inputs carry (`idCol`, `rankCol`) with rank 1-based;
+    * ids present in only one list contribute just that list's term
+    * (full-outer semantics). Returns (idCol, rrf) — ranks are integers,
+    * so the fused score is engine-exact rational arithmetic, rounded to
+    * the 4-decimal display contract.
+    *
+    * Scale shape: both inputs are ALREADY top-k-bounded rankings (that
+    * is what a rank column means), so the fusion join is k-sized — at
+    * 100 TB the heavy lifting happened in the rankers; fusing is
+    * driver-trivial but kept distributed so it composes with
+    * k-per-query multi-query fans. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              rankCol: String = "rank", kRrf: Int = 60): DataFrame = {
+    val left = a.select(col(idCol), col(rankCol).as("_ra"))
+    val right = b.select(col(idCol), col(rankCol).as("_rb"))
+    left.join(right, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("_ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("_rb")), lit(0.0)),
+          4).as("rrf"))
+  }
+
   /** Default ceiling on how much of the query side one broadcast may
     * carry — sized to fit comfortably in executor memory alongside the
     * scan (the historical contract was "callers hold it"; now the

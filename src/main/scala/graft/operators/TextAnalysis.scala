@@ -312,6 +312,59 @@ object TextAnalysis {
     * over the same exploded relation, idf = ln(N/df). The doc-count N is
     * a 1-row aggregate broadcast into the join — no driver-side
     * `collect`. Output column `tfidf` rounded to 4 decimals. */
+  /** Okapi BM25 relevance of every document against a bag of query
+    * terms — the keyword-ranking half of hybrid (keyword + vector)
+    * search, and the standard lexical baseline a vector store is
+    * benchmarked against. Public formula (Robertson & Zaragoza 2009):
+    *
+    *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1)
+    *                         / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    *   idf(t)   = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+    *
+    * Scale shape: the per-document token array is FILTERED to the query
+    * terms BEFORE the explode, so the exchange under the (doc, word)
+    * tf-aggregation carries only query-term occurrences — |terms| is
+    * user-bounded and tiny, so the per-doc exploded volume is O(query
+    * hits), never O(corpus tokens) (contrast [[tfIdf]], which by its
+    * nature must explode everything). df and the (N, avgdl) corpus
+    * stats are term-count-sized / single-row aggregates, broadcast into
+    * the scoring join. Only documents containing at least one query
+    * term appear in the output (BM25 of the rest is 0).
+    *
+    * Determinism: the per-document score sums ≤ |terms| doubles inside
+    * one row (no partial-aggregation reordering of the outer sum beyond
+    * term order, absorbed by the 4-decimal round — same contract as
+    * [[tfIdf]]). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val termLit = array(terms.distinct.map(lit): _*)
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        size(col("_toks")).cast("double").as("_dl"))
+    val stats = base.agg(count(lit(1)).cast("double").as("_n"),
+      avg(col("_dl")).as("_avgdl"))
+    val tf = base.select(col("doc_id"), col("_dl"),
+        explode(filter(col("_toks"),
+          t => array_contains(termLit, t))).as("word"))
+      .groupBy(col("doc_id"), col("_dl"), col("word"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val dfc = tf.groupBy(col("word"))
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val idf = log(lit(1.0) +
+      (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
+    val norm = col("_tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("_dl") / col("_avgdl"))
+    tf.join(broadcast(dfc), "word")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (idf * col("_tf") * lit(k1 + 1.0) / norm).as("_s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("_s")), 4).as("bm25"))
+  }
+
   def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("word"))

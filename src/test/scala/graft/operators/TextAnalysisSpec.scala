@@ -37,6 +37,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(byKey((2L, "c")) > 0.69)  // ln(2) ≈ 0.6931
   }
 
+  test("bm25: matches a hand-computed Okapi score; non-matching docs absent") {
+    // corpus: 3 docs, query term "b" appears in docs 1 and 2
+    val corpus = Seq(
+      (1L, "a b b", 0L),     // tf(b)=2, dl=3
+      (2L, "b c", 0L),       // tf(b)=1, dl=2
+      (3L, "c d e", 0L)      // no query term → absent from output
+    ).toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysis.bm25(corpus, "doc_id", "text", Seq("b"))
+      .as[(Long, Double)].collect.toMap
+    assert(got.keySet === Set(1L, 2L))
+    // N=3, df=2, avgdl=8/3; idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
+    val idf = math.log(1.6)
+    def s(tf: Double, dl: Double): Double = {
+      val raw = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (8.0 / 3)))
+      math.rint(raw * 10000) / 10000
+    }
+    assert(got(1L) === s(2, 3))
+    assert(got(2L) === s(1, 2))
+  }
+
+  test("bm25: rarer term outscores common term at equal tf") {
+    val corpus = Seq(
+      (1L, "x common", 0L), (2L, "common", 0L), (3L, "common", 0L),
+      (4L, "common", 0L)
+    ).toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysis.bm25(corpus, "doc_id", "text",
+      Seq("x", "common")).as[(Long, Double)].collect.toMap
+    // doc 1 holds both terms; its score strictly exceeds the
+    // common-only docs, whose idf is depressed by df=4
+    assert(got(1L) > got(2L))
+  }
+
+  test("rrfFuse: shared, keyword-only and vector-only ids all fuse") {
+    val kw = Seq((10L, 1), (11L, 2)).toDF("doc_id", "rank")
+    val vec = Seq((10L, 1), (12L, 2)).toDF("doc_id", "rank")
+    val got = Search.rrfFuse(kw, vec, "doc_id")
+      .as[(Long, Double)].collect.toMap
+    def r(x: Double) = math.rint(x * 10000) / 10000
+    assert(got(10L) === r(1.0 / 61 + 1.0 / 61)) // in both lists at rank 1
+    assert(got(11L) === r(1.0 / 62))            // keyword-only
+    assert(got(12L) === r(1.0 / 62))            // vector-only
+    assert(got(10L) > got(11L))
+  }
+
   test("chunk: stride windows cover every token; overlap is width-stride") {
     val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "), 0L))
       .toDF("doc_id", "text", "n_chars")
