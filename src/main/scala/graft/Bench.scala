@@ -26,6 +26,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // v2 commit: task commits rename straight into the destination —
+      // one rename per file instead of two. The documented tradeoff
+      // (partial output visible if a job dies mid-commit) is irrelevant
+      // to these self-contained temp-dir writes, and at cluster scale
+      // the same knob is what object-store committers replace anyway.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen/parquet-reader/file-commit warmup so per-query times

@@ -319,7 +319,11 @@ object Queries {
           val centRows = cents.collect().toSeq
           val centsSeq = centRows.map(r =>
             (r.getInt(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
-          val sweep = IvfIndex.calibrationTopK(s, path, "vec_id",
+          // calibrate from the still-cached assignment relation (join on
+          // the persisted assign, not the freshly-written files): same
+          // rows as the table, minus k parquet-footer reads
+          val sweep = IvfIndex.calibrationTopKOf(
+            emb.join(assign, "vec_id"), "vec_id",
             "embedding", centsSeq, calib, k = 10)
           def topAt(qid: Long, np: Int): Set[Long] =
             sweep.iterator.filter(t => t._1 == qid && t._2 < np).toSeq
@@ -2314,6 +2318,52 @@ object Queries {
          |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin),
       "embedding-cosine near-dup pairs (bounded verification tier)"),
+
+    "semantic_dedup" -> DeclaredQuery(
+      // SemDeDup (Abbas et al. 2023) with a CATEGORICAL cluster column
+      // (label) and the default min-id keep rule — the fully
+      // deterministic, SQL-expressible form of the operator, so the
+      // whole within-cluster pairwise-cosine + survivor-selection chain
+      // is oracle-checked. The paper-faithful k-means-cells +
+      // centroid-distance-rank form is the `semantic_dedup_ivf` row.
+      // 0.35 is fixture-calibrated: the synthetic embeddings are
+      // near-uniform (max within-label cosine ≈ 0.47), so a production
+      // 0.9x threshold would make the row vacuously a no-op.
+      (s, dir) => Dedup.semanticDedup(T(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", minCosine = 0.35)
+        .select(col("vec_id"), col("label")).orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings),
+         |drops AS (SELECT DISTINCT x.vec_id
+         |  FROM e x JOIN e y ON x.label = y.label AND y.vec_id < x.vec_id
+         |  WHERE round(list_dot_product(x.v, y.v)
+         |      / (sqrt(list_dot_product(x.v, x.v))
+         |         * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.35)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+         |ORDER BY vec_id""".stripMargin),
+      "SemDeDup: within-cluster cosine dedup, min-id survivor (oracle form)"),
+
+    "semantic_dedup_ivf" -> DeclaredQuery(
+      // the paper's actual operating shape: cells from the SHARED IVF
+      // k-means build bound the quadratic, and of each duplicate group
+      // the member FARTHEST from its cell centroid survives (ascending
+      // cosine-to-centroid rank — diversity-preserving). k-means cells
+      // are float-iterative → rows-only per the contract; the keep-rule
+      // and cluster-scoping semantics are pinned in DedupSpec.
+      (s, dir) => {
+        val ivf = sharedIvfIndex(s, dir)
+        val withRank = s.read.parquet(ivf.indexPath)
+          .join(broadcast(ivf.centroids), "cluster_id")
+          .withColumn("_ccos",
+            r4(VectorFunctions.cosine(col("embedding"), col("centroid"))))
+        Dedup.semanticDedup(withRank, "vec_id", "embedding",
+            "cluster_id", minCosine = 0.35, rankCols = Seq("_ccos"))
+          .select(col("vec_id"), col("cluster_id").cast("int").as("cluster_id"))
+          .orderBy("vec_id")
+      },
+      None,
+      "SemDeDup over shared IVF cells, centroid-distance diversity rank"),
 
     // ----- more text analysis --------------------------------------------
 

@@ -591,6 +591,50 @@ object Dedup {
     * at cluster scale the edge relation is typically a persisted table
     * produced by the candidate+verify job). Same return/persist contract
     * as [[lshDedupPipeline]]. */
+  /** SEMANTIC dedup within pre-computed clusters — the SemDeDup recipe
+    * (Abbas et al. 2023, public): embeddings are first partitioned into
+    * clusters (k-means cells — e.g. the shared IVF assignment — or any
+    * categorical grouping), then pairwise cosine similarity is computed
+    * ONLY within each cluster, and of every group of mutual semantic
+    * duplicates (cos ≥ `minCosine`) exactly the best-ranked member
+    * survives. The keep rule is lexicographic over (`rankCols`, id):
+    * a row is dropped iff some SAME-CLUSTER row with a strictly smaller
+    * (rank, id) key is `minCosine`-similar to it. With the paper's rank
+    * (ascending cosine-to-centroid: keep the member farthest from the
+    * cell centre, preserving diversity) pass that column in `rankCols`;
+    * the default (no rank columns) keeps the smallest id — fully
+    * SQL-expressible, so that form is oracle-checked.
+    *
+    * Scale shape: the cluster partition is what bounds the quadratic —
+    * the self-join is an equi-join on `clusterCol` (one shuffle by
+    * cluster key; cells are ~√n-sized under the shared IVF's k ≈ √n
+    * sizing, so per-cell all-pairs stays n·√n overall, the paper's own
+    * cost argument). Drops are a distinct id projection; survivors are
+    * a left-anti join — the corpus never materializes pair texts.
+    *
+    * `emb` must already carry `clusterCol` (join your assignment
+    * relation first); returns the surviving rows of `emb` unchanged. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, minCosine: Double,
+                    rankCols: Seq[String] = Nil): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val keyCols = (rankCols :+ idCol).distinct
+    val x = emb.select(col(clusterCol).as("_cl"),
+      col(vecCol).as("_v_x"), col(idCol).as("_id_x"),
+      struct(keyCols.map(col): _*).as("_k_x"))
+    val y = emb.select(col(clusterCol).as("_cl"),
+      col(vecCol).as("_v_y"),
+      struct(keyCols.map(col): _*).as("_k_y"))
+    val drops = x.join(y, "_cl")
+      // the better-ranked side survives; struct comparison is
+      // lexicographic over (rankCols, id), and id uniqueness makes the
+      // order total — no row can drop itself
+      .filter(col("_k_y") < col("_k_x"))
+      .filter(round(cosine(col("_v_x"), col("_v_y")), 4) >= minCosine)
+      .select(col("_id_x").as(idCol)).distinct()
+    emb.join(drops, Seq(idCol), "left_anti")
+  }
+
   def dedupFromEdges(docs: DataFrame, idCol: String, edges: DataFrame,
                      pointerJump: Boolean = false,
                      saltFactor: Int = 1,

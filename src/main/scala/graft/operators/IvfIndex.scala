@@ -254,7 +254,24 @@ object IvfIndex {
                       cents: IndexedSeq[(Int, IndexedSeq[Double])],
                       queries: Seq[(Long, Seq[Double])], k: Int,
                       score: (Column, Column) => Column = dot)
+      : Array[(Long, Int, Long, Double)] =
+    calibrationTopKOf(spark.read.parquet(path), idCol, vecCol, cents,
+      queries, k, score)
+
+  /** [[calibrationTopK]] over an ALREADY-ASSIGNED relation
+    * (idCol, vecCol, cluster_id) instead of the written table — the
+    * build-time fast path: right after k-means the assigned working set
+    * is still cached, so calibrating from it skips re-opening the k
+    * freshly-written partition files (k footer reads + k scan tasks the
+    * measurement doesn't need). Result-identical to the path form by
+    * construction — same rows, same scoring, same tie-breaks. */
+  def calibrationTopKOf(idx: DataFrame,
+                        idCol: String, vecCol: String,
+                        cents: IndexedSeq[(Int, IndexedSeq[Double])],
+                        queries: Seq[(Long, Seq[Double])], k: Int,
+                        score: (Column, Column) => Column = dot)
       : Array[(Long, Int, Long, Double)] = {
+    val spark = idx.sparkSession
     // per-query cluster ranking, driver-side (same (dist, cid) order as
     // probePartitioned's centroid sort)
     def l2(a: Seq[Double], b: Seq[Double]): Double =
@@ -266,7 +283,7 @@ object IvfIndex {
     import spark.implicits._
     val qdf = queries.toDF("qid", "qvec")
     val rdf = ranks.toDF("qid", "cluster_id", "crank")
-    val scored = spark.read.parquet(path)
+    val scored = idx
       .crossJoin(broadcast(qdf))
       .select(col("qid"), col("cluster_id"),
         col(idCol).cast("long").as("_cid_id"),

@@ -351,4 +351,45 @@ class DedupSpec extends AnyFunSuite {
       finally minId.unpersist()
     assert(gotMin === Set(1L, 7L))
   }
+
+  private lazy val semEmb = Seq(
+    // cluster 10: 1 ≈ 2 (cos ≈ 1), 3 orthogonal to both
+    (1L, 10, Seq(1.0f, 0.0f)),
+    (2L, 10, Seq(1.0f, 0.01f)),
+    (3L, 10, Seq(0.0f, 1.0f)),
+    // cluster 20: identical direction to 1, but different cluster —
+    // must never be compared against cluster 10
+    (4L, 20, Seq(1.0f, 0.0f))
+  ).toDF("vec_id", "cluster", "embedding")
+
+  test("semanticDedup: min-id survivor within cluster; clusters isolate") {
+    val kept = Dedup.semanticDedup(semEmb, "vec_id", "embedding",
+        "cluster", minCosine = 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    // 2 drops (dup of 1); 3 kept (orthogonal); 4 kept (other cluster)
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
+  test("semanticDedup: rank column overrides the min-id keep rule") {
+    // rank 2 best (lowest), so the dup group {1,2} keeps 2 instead of 1
+    val ranked = semEmb.withColumn("rnk",
+      when($"vec_id" === 2L, 0.1).otherwise(0.9))
+    val kept = Dedup.semanticDedup(ranked, "vec_id", "embedding",
+        "cluster", minCosine = 0.9, rankCols = Seq("rnk"))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L, 4L))
+  }
+
+  test("semanticDedup: transitive chains keep exactly the best member") {
+    // a-b cos≈1, b-c cos≈1, a-c cos≈1 within one cluster: one survivor
+    val chain = Seq(
+      (5L, 1, Seq(1.0f, 0.00f)),
+      (6L, 1, Seq(1.0f, 0.01f)),
+      (7L, 1, Seq(1.0f, 0.02f))
+    ).toDF("vec_id", "cluster", "embedding")
+    val kept = Dedup.semanticDedup(chain, "vec_id", "embedding",
+        "cluster", minCosine = 0.99)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept === Set(5L))
+  }
 }
