@@ -79,6 +79,8 @@ object Bench {
       Queries.sharedDedupEdges(spark, sfDir).count() }
     timeInfra("_dedup_cc_build") {
       Queries.sharedDedupLabels(spark, sfDir).count() }
+    timeInfra("_exact_pairs_build") {
+      Queries.sharedExactPairs(spark, sfDir).count() }
     // MIN of `reps` runs per query: two consecutive driver rounds had
     // 25-60% of per-query numbers absorb VM-throttle spikes (blocks of
     // untouched queries "regressing" 2-5x, back to normal on a warm

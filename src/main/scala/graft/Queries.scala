@@ -609,6 +609,32 @@ object Queries {
       |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags
       |FROM lineitem WHERE l_orderkey < 100""".stripMargin
 
+  /** Per-dir memo of the EXACT ≥ 0.8 Jaccard pair set over the full
+    * documents table, computed subquadratically by
+    * [[NearDup.prefixJaccardJoin]] — the ground-truth artifact the
+    * recall instruments compare candidate tiers against. Corpus-version
+    * keyed like every memo; pair count is dup-family-sized (hundreds on
+    * the fixtures), so the rows are driver-bounded LocalRelation
+    * material. Built once per set pass as the `_exact_pairs_build`
+    * infra line; the LIVE algorithm stays benchmarked per-rep by the
+    * `exact_jaccard_join` row. */
+  private val exactPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType)]()
+
+  private[graft] def sharedExactPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.fixtureFingerprint(dir, "documents")
+    val built = exactPairsCache.compute(dir, (_, cached) =>
+      if (cached != null && cached._1 == fp) cached
+      else {
+        val pairs = NearDup.prefixJaccardJoin(T(s, dir, "documents"),
+          "doc_id", "text", minJaccard = 0.8)
+        (fp, pairs.collect().toSeq, pairs.schema)
+      })
+    s.createDataFrame(java.util.Arrays.asList(built._2: _*), built._3)
+  }
+
   /** Per-source memo of the "day-1" index slice (`vec_id % 10 =!= 0`)
     * the incremental-append rows mutate: the slice is WRITTEN once per
     * shared-index generation (keyed by the source table's path, which
@@ -2266,6 +2292,55 @@ object Queries {
          |    / len(list_distinct(a.s || b.s)), 4) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin),
       "B8 verify: token-set Jaccard over candidate pairs"),
+
+    "exact_jaccard_join" -> DeclaredQuery(
+      // EXACT similarity self-join over the WHOLE corpus without an
+      // all-pairs comparison: prefix-filtered candidates (AllPairs/
+      // PPJoin bound — rarest-first token order, per-doc prefixes,
+      // inverted-index join) + exact verify. The oracle replays the
+      // quadratic all-pairs form — identical rows proves the prefix
+      // bound lost nothing, which is the operator's whole claim.
+      (s, dir) => NearDup.prefixJaccardJoin(T(s, dir, "documents"),
+          "doc_id", "text", minJaccard = 0.8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH t AS (SELECT doc_id,
+         |         list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |       FROM documents),
+         |d AS (SELECT doc_id, list_distinct(
+         |        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |             ELSE list_transform(range(1, len(t) - 1),
+         |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |        END) AS s
+         |      FROM t WHERE len(t) > 0)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    round(len(list_intersect(a.s, b.s))::DOUBLE
+         |      / len(list_distinct(a.s || b.s)), 4) AS jaccard
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin),
+      "exact Jaccard self-join via prefix filtering (AllPairs/PPJoin) ≡ all-pairs oracle"),
+
+    "minhash_recall" -> DeclaredQuery(
+      // driver-visible LSH-tier QUALITY evidence (the ivf_recall
+      // discipline applied to text dedup): candidate recall of the
+      // shared MinHash memo against the EXACT ≥ 0.8 pair set — which
+      // the prefix-filtered exact join computes subquadratically, so
+      // the ground truth itself scales (an all-pairs exact side would
+      // be quadratic in the corpus). Seeded-hash candidates →
+      // rows-only; the VALUE is the point: banding that loses dup
+      // pairs surfaces here as a recall drop, driver-visible.
+      (s, dir) => {
+        val exact = sharedExactPairs(s, dir).select(col("id_a"), col("id_b"))
+        val got = sharedMinhashVerified(s, dir)
+          .filter(col("jaccard") >= 0.8).select(col("id_a"), col("id_b"))
+        val hit = exact.join(got, Seq("id_a", "id_b"), "left_semi")
+        localFrame(exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_exact"), col("n_hit"),
+            r4(col("n_hit").cast("double") / col("n_exact")).as("recall")))
+      },
+      None,
+      "MinHash-LSH candidate recall vs the exact prefix-join pair set"),
 
     "dedup_clusters" -> DeclaredQuery(
       // label CONSUMPTION row: reads the per-dir component-label memo

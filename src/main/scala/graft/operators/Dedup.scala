@@ -572,7 +572,7 @@ object Dedup {
     * midpoint ≈ 0.84 vs the 0.8 verify threshold). */
   def lshDedupPipeline(docs: DataFrame, idCol: String, textCol: String,
                        minJaccard: Double = 0.8, shingleSize: Int = 3,
-                       numHashes: Int = 32, bands: Int = 4,
+                       numHashes: Int = 32, bands: Int = 8,
                        pointerJump: Boolean = false,
                        saltFactor: Int = 1): DataFrame = {
     val cands = NearDup.minHashCandidatesMaterialized(

@@ -95,19 +95,25 @@ object NearDup {
     * over token 3-grams ([[graft.expressions.MinHashSig]] hard-codes the
     * shingle width); pair a 3-gram `jaccardVerify` with it.
     *
-    * Banding defaults target the 0.8-Jaccard verification threshold:
-    * b=4 bands of r=8 rows put the LSH S-curve midpoint at
-    * (1/b)^(1/r) = 0.25^0.125 ≈ 0.84, so sub-threshold pairs are mostly
-    * never generated (with 16 hashes / r=4 the midpoint sat at ≈0.71 and
-    * the verify stage had to discard a band of 0.7-0.8 near-misses).
+    * Banding defaults target the 0.8-Jaccard verification threshold
+    * with a RECALL-FIRST split: b=8 bands of r=4 rows collide
+    * J = 0.8 pairs with probability 1 − (1 − 0.8⁴)⁸ ≈ 0.985 (the
+    * earlier b=4 × r=8 put the S-curve midpoint at ≈ 0.84 — ABOVE the
+    * threshold — and the driver-visible `minhash_recall` instrument
+    * measured the loss: 0.84 recall on the sf0.1 dup tail, with misses
+    * exactly in the J ≈ 0.8 band the tier exists to catch). The price
+    * is a lower midpoint ((1/8)^(1/4) ≈ 0.59), i.e. more sub-threshold
+    * candidates for the verify stage to discard — the right side of the
+    * trade, since verification is candidate-bounded while a missed dup
+    * is gone for good. Same 32-hash signature cost either way.
     */
   def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 32, bands: Int = 4): DataFrame =
+                        numHashes: Int = 32, bands: Int = 8): DataFrame =
     bucketSelfJoin(minHashBuckets(docs, idCol, textCol, numHashes, bands))
 
   /** The (doc, band, bucket) relation the LSH self-join runs over. */
   def minHashBuckets(docs: DataFrame, idCol: String, textCol: String,
-                     numHashes: Int = 32, bands: Int = 4): DataFrame = {
+                     numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
     val sig = docs.select(col(idCol).as("_id"),
@@ -129,7 +135,7 @@ object NearDup {
     * in a two-relation join). */
   def minHashCrossCandidates(incoming: DataFrame, corpus: DataFrame,
                              idCol: String, textCol: String,
-                             numHashes: Int = 32, bands: Int = 4): DataFrame = {
+                             numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val a = minHashBuckets(incoming, idCol, textCol, numHashes, bands)
       .toDF("id_new", "band_id", "band_hash")
     val b = minHashBuckets(corpus, idCol, textCol, numHashes, bands)
@@ -201,7 +207,7 @@ object NearDup {
     * replace with a table write there. */
   def minHashCandidatesMaterialized(docs: DataFrame, idCol: String,
                                     textCol: String, numHashes: Int = 32,
-                                    bands: Int = 4,
+                                    bands: Int = 8,
                                     maxRows: Int = 1 << 20): DataFrame = {
     val buckets = minHashBuckets(docs, idCol, textCol, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -406,6 +412,61 @@ object NearDup {
     * verification stage after LSH (B8→B9), and independently
     * SQL-expressible for the oracle gate. `pairs` has (id_a, id_b).
     * Jaccard is computed on DISTINCT shingles. */
+  /** EXACT set-similarity self-join via prefix filtering — the
+    * AllPairs/PPJoin candidate bound (Bayardo et al. 2007; Xiao et al.
+    * 2008), the standard way to get EXACT Jaccard ≥ τ pairs without an
+    * all-pairs comparison: under any one global token order, two
+    * shingle sets with J ≥ τ must share a token inside each other's
+    * (n − ⌈τ·n⌉ + 1)-prefix, so candidate pairs are generated by an
+    * inverted-index equi-join on PREFIX tokens only, then verified with
+    * the exact Jaccard. Returns (id_a, id_b, jaccard) with
+    * round(j,4) ≥ `minJaccard` — identical rows to the quadratic
+    * all-pairs verify, which is what the DuckDB oracle replays.
+    *
+    * Scale shape: the global order is ascending document frequency
+    * (rarest first, the order that makes prefixes selective), computed
+    * by one linear (token → df) aggregation; each doc keeps only its
+    * prefix tokens (a per-doc window over its own shingles), and the
+    * candidate join shuffles (token, id, size) rows — bucket fan-out is
+    * bounded by the df of PREFIX tokens, which the rarest-first order
+    * keeps small. The length band (min ≥ τ·max) prunes before the
+    * distinct. Everything downstream touches candidate pairs only.
+    *
+    * The prefix/band math runs at τ − 0.001: verification compares the
+    * 4-decimal ROUNDED Jaccard against τ (the engine-wide display
+    * contract), so a true J fractionally below τ can round up to pass —
+    * the margin keeps such pairs inside the candidate set instead of
+    * silently losing them to an exact-τ prefix bound. */
+  def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+                        minJaccard: Double,
+                        shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tau = minJaccard - 0.001
+    val sh = docs.select(col(idCol).as("_jid"),
+        array_distinct(shingles(col(textCol), shingleSize)).as("_sh"))
+      // same empty-doc rule as jaccardVerify: Jaccard undefined on ∅
+      .filter(size(TextAnalysis.tokens(col(textCol))) > 0)
+      .withColumn("_n", size(col("_sh")))
+    val df_ = sh.select(explode(col("_sh")).as("_tok"))
+      .groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    // per-doc prefix under the global (df, token) order: rarest first
+    val w = Window.partitionBy(col("_jid")).orderBy(col("_df"), col("_tok"))
+    val prefix = sh.select(col("_jid"), col("_n"), explode(col("_sh")).as("_tok"))
+      .join(df_, "_tok")
+      .withColumn("_pos", row_number().over(w))
+      .filter(col("_pos") <= col("_n") - ceil(lit(tau) * col("_n")) + 1)
+      .select(col("_tok"), col("_jid"), col("_n"))
+    val cands = prefix.select(col("_tok"), col("_jid").as("id_a"), col("_n").as("_na"))
+      .join(prefix.select(col("_tok"), col("_jid").as("id_b"), col("_n").as("_nb")),
+        "_tok")
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("_na"), col("_nb")).cast("double") >=
+        lit(tau) * greatest(col("_na"), col("_nb")))
+      .select(col("id_a"), col("id_b")).distinct()
+    jaccardVerify(docs, idCol, textCol, cands, shingleSize)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
                     pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
     // only shingle the docs that actually appear in a candidate pair —

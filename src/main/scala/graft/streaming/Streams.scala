@@ -514,7 +514,8 @@ object Streams {
   // (mtime, length) fingerprint so a regeneration with the other
   // timestamp physical type re-probes instead of reusing a stale flag.
   private val nanosCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, org.apache.spark.sql.types.DataType)]()
 
   // shared staleness guard — see Tables.fixtureFingerprint
   private def eventsFingerprint(sfDir: String): String =
@@ -522,19 +523,24 @@ object Streams {
 
   def fixtureEventSource(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // peek at the actual parquet type (same guard as Tables.load): only
-    // a NANOS fixture needs the long-read + div-1000 conversion — forcing
-    // it on a regenerated MICROS fixture would fail the scan
+    // peek at the actual parquet type (same guard as Tables.load): the
+    // fixture has shipped as TIMESTAMP(NANOS) (read as raw int64 +
+    // lossless div-1000) and as TIMESTAMP_NTZ(MICROS) (read natively,
+    // cast below) across harness generations — the stream read schema
+    // must match the FILE, and the post-read normalization (everything
+    // becomes TimestampType under the UTC session) must match
+    // Tables.load exactly, or stream ≡ batch breaks on a regenerated
+    // fixture
     val fp = eventsFingerprint(sfDir)
-    val isNanos: Boolean = nanosCache.compute(sfDir, (_, cached) =>
+    val tsFileType = nanosCache.compute(sfDir, (_, cached) =>
       if (cached != null && cached._1 == fp) cached
       else (fp, spark.read.parquet(s"$sfDir/events.parquet")
-        .schema("ts").dataType == LongType))._2
-    val readSchema =
-      if (isNanos) StructType(eventSchema.map {
-        case f if f.name == "ts" => f.copy(dataType = LongType)
-        case f => f
-      }) else eventSchema
+        .schema("ts").dataType))._2
+    val isNanos = tsFileType == LongType
+    val readSchema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = tsFileType)
+      case f => f
+    })
     // the fixture is a single FILE; FileStreamSource force-sets
     // basePath to the source path (must be a directory) for NON-glob
     // paths, so read via a glob and pin basePath to sfDir. The glob is a
@@ -545,6 +551,8 @@ object Streams {
     val raw = spark.readStream.schema(readSchema).option("basePath", sfDir)
       .parquet(s"$sfDir/events.{parquet}")
     if (isNanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (tsFileType != org.apache.spark.sql.types.TimestampType)
+      raw.withColumn("ts", col("ts").cast("timestamp"))
     else raw
   }
 

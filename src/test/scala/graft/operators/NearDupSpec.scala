@@ -293,4 +293,41 @@ class NearDupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect.toSet
     assert(got === Set((1L, 2L)))
   }
+
+  private def allPairsJaccard(df: org.apache.spark.sql.DataFrame,
+                              tau: Double) = {
+    val pairs = df.select($"doc_id".as("id_a"))
+      .crossJoin(df.select($"doc_id".as("id_b")))
+      .filter($"id_a" < $"id_b")
+    NearDup.jaccardVerify(df, "doc_id", "text", pairs)
+      .filter($"jaccard" >= tau)
+      .as[(Long, Long, Double)].collect.toSet
+  }
+
+  test("prefixJaccardJoin ≡ quadratic all-pairs verify on the fixture") {
+    for (tau <- Seq(0.5, 0.8, 0.9)) {
+      val got = NearDup.prefixJaccardJoin(docs, "doc_id", "text", tau)
+        .as[(Long, Long, Double)].collect.toSet
+      assert(got === allPairsJaccard(docs, tau), s"tau=$tau")
+    }
+  }
+
+  test("prefixJaccardJoin ≡ all-pairs on a varied synthetic corpus") {
+    // deterministic corpus with dup families, partial overlaps, short
+    // docs (single-shingle branch) and disjoint rows
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "ii", "jj", "kk", "ll")
+    val rows = (0 until 40).map { i =>
+      val base = (0 until 8).map(j => words((i / 4 + j) % words.size))
+      val tweak = if (i % 4 == 3) base.updated(7, "zz" + i) else base
+      (i.toLong, tweak.mkString(" "))
+    } ++ Seq((100L, "aa"), (101L, "aa"), (102L, "qq rr"))
+    val df = rows.toDF("doc_id", "text")
+    for (tau <- Seq(0.6, 0.8)) {
+      val got = NearDup.prefixJaccardJoin(df, "doc_id", "text", tau)
+        .as[(Long, Long, Double)].collect.toSet
+      assert(got === allPairsJaccard(df, tau), s"tau=$tau")
+      assert(got.nonEmpty, s"degenerate fixture at tau=$tau")
+    }
+  }
 }
