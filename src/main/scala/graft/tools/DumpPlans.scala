@@ -87,7 +87,27 @@ object DumpPlans {
     "q_temperature_mix" -> ("temperature mix: one tiny per-source agg " +
       "(partial+final) → |sources| integer threshold rows BROADCAST " +
       "back onto the corpus scan → row-local hash admission → " +
-      "partial+final rollup; the corpus flows exactly once"))
+      "partial+final rollup; the corpus flows exactly once"),
+    "q_bm25" -> ("BM25 keyword ranking: the token array is FILTERED to " +
+      "the query terms BEFORE the explode, so the tf exchange carries " +
+      "only query-term hits (O(hits), never O(corpus tokens)); the df " +
+      "relation and the 1-row (N, avgdl) stats ride into the scoring " +
+      "join as explicit broadcasts; final per-doc partial+final agg"),
+    "hybrid_rrf" -> ("hybrid fusion: each ranker is top-k-bounded " +
+      "(TakeOrderedAndProject) BEFORE its rank window, so the " +
+      "partition-less windows see ≤ k rows; the RRF fusion is a " +
+      "full-outer join of two k-row relations — the heavy lifting " +
+      "stays in the rankers"),
+    "semantic_dedup" -> ("SemDeDup: the within-cluster pairwise cosine " +
+      "is an equi-join on the cluster key (cells bound the quadratic " +
+      "— n·√n overall under k ≈ √n sizing), drops are a distinct id " +
+      "projection, survivors a left-anti join; document vectors never " +
+      "meet outside their cell"),
+    "exact_jaccard_join" -> ("exact similarity join, subquadratic: one " +
+      "linear (token → df) agg → per-doc prefix (window over own " +
+      "shingles only) → inverted-index equi-join on PREFIX tokens + " +
+      "length-band filter → exact verify on candidates only; no " +
+      "all-pairs subtree anywhere"))
 
   /** Plan-shape-critical OPERATOR INTERNALS whose declared queries
     * materialize eagerly (their final plans are LocalTableScans): built
