@@ -953,6 +953,37 @@ object Queries {
       None,
       "vector-tier incremental admission e2e: cross-set sign-LSH + cosine verify → admit/reject"),
 
+    "incr_semantic_admit" -> DeclaredQuery(
+      // SemDeDup at the INGESTION boundary — semantic_dedup_ivf's
+      // admission twin, and incr_admit_vec's cell-partitioned
+      // alternative: the incoming slice is assigned to the SHARED IVF
+      // index's existing cells (zero-shuffle argmin vs the frozen
+      // centroids; the cells the batch touches become a static
+      // partition filter on the index scan) and compared by exact
+      // cosine only against same-cell corpus vectors. The corpus side
+      // here is the shared partitioned table MINUS the incoming slice,
+      // so the decision replays a real day-2 ingestion. Same kernel as
+      // the streaming mirror (Streams.incrementalSemanticAdmission;
+      // stream ≡ batch in StreamsSpec). minCosine = 0.3 per
+      // incr_admit_vec's fixture-calibration rationale. Float k-means
+      // cells → rows-only per the contract.
+      (s, dir) => {
+        val ivf = sharedIvfIndex(s, dir)
+        val emb = T(s, dir, "embeddings")
+        val idx = s.read.parquet(ivf.indexPath)
+          .filter(col("vec_id") % 5 =!= 0)
+          .select(col("vec_id"), col("embedding"), col("cluster_id"))
+        localFrame(Dedup.admitIncomingSemantic(
+            emb.filter(col("vec_id") % 5 === 0),
+            idx, "vec_id", "embedding", ivf.centroids, minCosine = 0.3)
+          .groupBy((col("vec_id") % 100).as("id_bucket"))
+          .agg(count(lit(1)).as("n_admitted"),
+            min(col("vec_id")).as("first_id"))
+          .orderBy(col("id_bucket")))
+      },
+      None,
+      "semantic admission over IVF cells: assign-to-cell + within-cell cosine reject (SemDeDup ingestion twin)"),
+
     "incr_admit" -> DeclaredQuery(
       // the incremental ingestion decision end-to-end: incoming batch →
       // exact-fingerprint anti-join vs corpus → cross-set LSH near-dup

@@ -223,6 +223,51 @@ object Dedup {
     * (asserted in StreamsSpec), and the corpus contributes only its
     * bucket projection plus candidate-touched vectors, never a
     * corpus-sized shuffle. */
+  /** SEMANTIC admission against an IVF-CELLED corpus — [[semanticDedup]]
+    * at the ingestion boundary, and the cell-partitioned alternative to
+    * [[admitIncomingVectors]]'s sign-LSH buckets: incoming vectors are
+    * assigned to the corpus index's EXISTING cells
+    * ([[IvfIndex.assignTo]] — zero-shuffle projection-argmin against
+    * the frozen centroids), and compared by exact cosine ONLY against
+    * corpus vectors in the same cell; an incoming row with any corpus
+    * neighbor at cos ≥ `minCosine` is rejected. Cross-set contract as
+    * every admission kernel: incoming rows never meet each other, so
+    * micro-batch splits accumulate to the one-shot batch result
+    * (streaming mirror: [[graft.streaming.Streams
+    * .incrementalSemanticAdmission]]).
+    *
+    * Scale shape: the batch's probed cells are resolved driver-side
+    * (≤ k distinct ints) and pre-filter the index relation BEFORE the
+    * equi-join — over a [[IvfIndex.writePartitioned]] table that is
+    * static partition pruning, so the corpus contributes only the
+    * touched cells' rows, never a corpus-wide shuffle. The within-cell
+    * comparison volume is batch × cell-population, the same bound
+    * [[semanticDedup]]'s cells give the batch tier.
+    *
+    * `corpusIdx` carries (`idCol`, `vecCol`, cluster_id) — read it from
+    * the partitioned index table; `centroids` are the index's frozen
+    * (cluster_id, centroid) rows. */
+  def admitIncomingSemantic(incoming: DataFrame, corpusIdx: DataFrame,
+                            idCol: String, vecCol: String,
+                            centroids: DataFrame,
+                            minCosine: Double = 0.9): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val assigned = IvfIndex.assignTo(incoming, idCol, vecCol, centroids)
+    // cells this batch touches: ≤ k ints, driver-resolvable by the same
+    // contract as IvfIndex.probeMany's static partition pruning
+    val touched = assigned.select(col("cluster_id")).distinct()
+      .collect().map(_.getInt(0))
+    val inc = incoming.join(assigned, idCol)
+    val drops = inc.select(col("cluster_id"),
+        col(idCol).as("_id_new"), col(vecCol).as("_v_new"))
+      .join(corpusIdx
+        .filter(col("cluster_id").isin(touched.toIndexedSeq: _*))
+        .select(col("cluster_id"), col(vecCol).as("_v_old")), "cluster_id")
+      .filter(round(cosine(col("_v_new"), col("_v_old")), 4) >= minCosine)
+      .select(col("_id_new").as(idCol)).distinct()
+    incoming.join(drops, Seq(idCol), "left_anti")
+  }
+
   def admitIncomingVectors(incoming: DataFrame, corpus: DataFrame,
                            idCol: String, vecCol: String,
                            minCosine: Double = 0.9,

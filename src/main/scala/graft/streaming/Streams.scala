@@ -292,6 +292,25 @@ object Streams {
         batch, corpus, idCol, vecCol, minCosine, nBits), batchId)
     }
 
+  /** CELL-PARTITIONED streaming semantic admission —
+    * [[incrementalVectorAdmission]]'s IVF-celled twin, running
+    * [[graft.operators.Dedup.admitIncomingSemantic]] per micro-batch
+    * against a static indexed corpus (the partitioned index relation +
+    * its frozen centroids): incoming vectors meet only corpus vectors
+    * in their assigned cell. Same cross-set contract, so accumulated
+    * admissions ≡ the one-shot batch kernel under any micro-batch split
+    * (asserted in StreamsSpec). */
+  def incrementalSemanticAdmission(vecStream: DataFrame, corpusIdx: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   centroids: DataFrame,
+                                   minCosine: Double = 0.9)
+                                  (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Dedup.admitIncomingSemantic(
+        batch, corpusIdx, idCol, vecCol, centroids, minCosine), batchId)
+    }
+
   /** [[incrementalVectorAdmission]]'s EVOLVING-CORPUS form — the
     * continuous-ingestion loop for an embedding-indexed corpus: each
     * batch's admitted vectors join the corpus for later batches, so a

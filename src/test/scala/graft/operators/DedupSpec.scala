@@ -380,6 +380,42 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === Set(2L, 3L, 4L))
   }
 
+  test("admitIncomingSemantic: same-cell dups rejected, cells isolate") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val centroids = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0, Seq(1.0, 0.0)), Row(1, Seq(0.0, 1.0))),
+      StructType(Seq(
+        StructField("cluster_id", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(DoubleType), nullable = false))))
+    val corpusIdx = Seq(
+      (10L, Seq(1.0f, 0.05f), 0),  // cell 0
+      (11L, Seq(0.05f, 1.0f), 1),  // cell 1
+      // PLANTED cross-cell row: lives in cell 0 but points along y —
+      // an incoming y-axis vector (assigned to cell 1) must never see it
+      (12L, Seq(0.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "cluster_id")
+    val incoming = Seq(
+      (1L, Seq(1.0f, 0.0f)),    // cell 0, cos vs 10 ≈ 1 → rejected
+      (2L, Seq(0.7f, -0.7f)),   // cell 0, cos vs both cell-0 rows < 0.9 → admitted
+      (3L, Seq(0.04f, 1.0f)),   // cell 1, cos vs 11 ≈ 1 → rejected
+      (4L, Seq(-1.0f, 0.9f))    // cell 1, cos vs 11 ≈ 0.55 → admitted
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.admitIncomingSemantic(incoming, corpusIdx,
+        "vec_id", "embedding", centroids, minCosine = 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L))
+    // cell isolation positive control: vector 3 was rejected by 11 (its
+    // own cell), not by 12 — removing 11 admits it even though 12 is
+    // nearly identical, because 12 lives in the other cell
+    val keptNo11 = Dedup.admitIncomingSemantic(incoming,
+        corpusIdx.filter($"vec_id" =!= 11L),
+        "vec_id", "embedding", centroids, minCosine = 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(keptNo11 === Set(2L, 3L, 4L))
+  }
+
   test("semanticDedup: transitive chains keep exactly the best member") {
     // a-b cos≈1, b-c cos≈1, a-c cos≈1 within one cluster: one survivor
     val chain = Seq(

@@ -409,6 +409,45 @@ class StreamsSpec extends AnyFunSuite {
     assert(batchIds.size < nIncoming)
   }
 
+  test("streaming SEMANTIC admission ≡ batch admitIncomingSemantic on the same rows") {
+    implicit val sql = spark.sqlContext
+    // a tiny celled corpus (axis cells) — the kernel is cross-set-only,
+    // so any micro-batch split must accumulate to the one-shot result
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val centroids = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0, Seq(1.0, 0.0)), Row(1, Seq(0.0, 1.0))),
+      StructType(Seq(
+        StructField("cluster_id", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(DoubleType), nullable = false))))
+    val corpusIdx = Seq(
+      (10L, Seq(1.0f, 0.05f), 0), (11L, Seq(0.05f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "cluster_id")
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.7f, -0.7f)),
+      (3L, Seq(0.04f, 1.0f)), (4L, Seq(-1.0f, 0.9f)),
+      (5L, Seq(0.99f, 0.01f)))
+    val incoming = rows.toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.incrementalSemanticAdmission(
+      mem.toDF().toDF("vec_id", "embedding"),
+      corpusIdx, "vec_id", "embedding", centroids, minCosine = 0.9) {
+        (adm, _) =>
+          val ids = adm.select("vec_id").as[Long].collect()
+          admitted.synchronized { admitted ++= ids }
+      }.start()
+    rows.grouped(2).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val batchIds = graft.operators.Dedup
+      .admitIncomingSemantic(incoming, corpusIdx, "vec_id", "embedding",
+        centroids, minCosine = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted.toSet === batchIds && batchIds.nonEmpty)
+    assert(batchIds.size < rows.size) // the threshold actually bites
+  }
+
   test("evolving VECTOR admission: earlier batches' admissions reject later dups") {
     implicit val sql = spark.sqlContext
     // corpus holds one axis vector. Scaled copies have cosine exactly
