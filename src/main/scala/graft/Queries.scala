@@ -2373,6 +2373,40 @@ object Queries {
       None,
       "MinHash-LSH candidate recall vs the exact prefix-join pair set"),
 
+    "near_dup_tier_recall" -> DeclaredQuery(
+      // the WHOLE candidate-tier dashboard in one row set — coverage of
+      // the exact ≥ 0.8 Jaccard ground truth (the prefix-join memo) by
+      // each candidate generator a pipeline might deploy alone:
+      // MinHash-LSH (the designed-for-this tier — its number is the
+      // calibrated ≥ 0.9 promise), SimHash hamming buckets and
+      // winnowing fingerprints (different dup definitions — their
+      // coverage of the Jaccard truth is exactly what a user choosing
+      // ONE tier needs to see, and WHY the admission kernel runs the
+      // MinHash tier). Seeded hashes throughout → rows-only; the
+      // values are the point.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val exact = sharedExactPairs(s, dir).select(col("id_a"), col("id_b"))
+        def coverage(tier: String, cands: DataFrame): DataFrame = {
+          val hit = exact.join(cands.select(col("id_a"), col("id_b")),
+            Seq("id_a", "id_b"), "left_semi")
+          exact.agg(count(lit(1)).as("n_exact"))
+            .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+            .select(lit(tier).as("tier"), col("n_exact"), col("n_hit"),
+              r4(col("n_hit").cast("double") / col("n_exact")).as("recall"))
+        }
+        localFrame(
+          coverage("minhash",
+            sharedMinhashVerified(s, dir).filter(col("jaccard") >= 0.8))
+          .unionAll(coverage("simhash",
+            NearDup.simHashCandidates(docs, "doc_id", "text")))
+          .unionAll(coverage("winnow",
+            NearDup.winnowCandidates(docs, "doc_id", "text")))
+          .orderBy(col("tier")))
+      },
+      None,
+      "per-tier candidate coverage of the exact Jaccard ground truth"),
+
     "dedup_clusters" -> DeclaredQuery(
       // label CONSUMPTION row: reads the per-dir component-label memo
       // (built once per corpus version — the `_dedup_cc_build` infra
