@@ -1924,6 +1924,29 @@ object Queries {
          |FROM documents GROUP BY split ORDER BY split""".stripMargin),
       "deterministic hash-based train/val/test split (retry-safe, engine-portable)"),
 
+    "q_shard_output" -> DeclaredQuery(
+      // deterministic shard routing + the balance audit a training-mix
+      // WRITER emits: every doc hash-routes to one of 16 shards
+      // (Sampling.hashShard — retry-safe and parallelism-independent,
+      // so a resumed job rewrites identical shards), and the row set
+      // reports each shard's doc count and token mass. The write-time
+      // layout is repartition(shard) + partitionBy(shard) — exercised
+      // and checked in SamplingSpec; this row oracle-checks the ROUTING
+      // and the balance accounting, which is the part with cross-engine
+      // semantics.
+      (s, dir) => Sampling.hashShard(T(s, dir, "documents"), "doc_id", 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+            .as("shard_tokens"))
+        .orderBy(col("shard")),
+      Some("""SELECT ((doc_id % 1000003) * 2654435761) % 16 AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+         |    AS BIGINT) AS shard_tokens
+         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin),
+      "deterministic hash-shard routing + per-shard balance audit (training-mix writer)"),
+
     "q_stratified" -> DeclaredQuery(
       // deterministic STRATIFIED sampling — training-mix construction
       // with per-source rates (downsample the over-represented language,

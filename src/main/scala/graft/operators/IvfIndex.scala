@@ -65,14 +65,7 @@ object IvfIndex {
     // The collect doubles as the first materialization of the cached
     // working set.
     val spark = corpus.sparkSession
-    val prof = sys.env.contains("GRAFT_PROFILE_KMEANS")
-    def ptime[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      if (prof) println(f"PROFILE-KM $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
-      r
-    }
-    val initRows = ptime("init")(vecs.orderBy("_id").limit(k).collect())
+    val initRows = vecs.orderBy("_id").limit(k).collect()
     var cents: IndexedSeq[(Int, IndexedSeq[Double])] =
       initRows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
         (i, r.getSeq[Double](1).toIndexedSeq)
@@ -82,11 +75,11 @@ object IvfIndex {
       // the iteration's ONE distributed job and ONE exchange: partial
       // (cluster, dim) sums. k·d tiny rows come back to the driver,
       // where the mean + empty-cluster retention is plain arithmetic.
-      val sums = ptime("iter")(withCluster(vecs, cents)
+      val sums = withCluster(vecs, cents)
         .select(col("cluster_id"), posexplode(col("_v")).as(Seq("dim", "x")))
         .groupBy(col("cluster_id"), col("dim"))
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-        .collect())
+        .collect()
       val byCluster = sums.groupBy(_.getInt(0))
       cents = cents.map { case (cid, prev) =>
         byCluster.get(cid) match {
@@ -123,7 +116,7 @@ object IvfIndex {
     val outAssign = withCluster(vecs, cents)
       .select(col("_id").as(idCol), col("cluster_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ptime("final_assign")(outAssign.count())
+    outAssign.count()
     vecs.unpersist()
     // centroids are k driver-side rows — a LocalRelation, no cache to
     // manage (callers' unpersist() remains a harmless no-op)

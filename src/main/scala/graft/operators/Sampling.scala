@@ -43,4 +43,24 @@ object Sampling {
       .select(col("cluster"), col("_hit._2").as(idCol),
         (col("_pos") + 1).as("pos"))
   }
+
+  /** Deterministic SHARD assignment for training-mix output — the last
+    * step of the pipeline: every example lands in exactly one of
+    * `nShards` shards via the engine-wide Knuth multiplicative hash of
+    * its id (retry-safe, partition-independent, engine-portable — the
+    * properties a resumable writer needs, which `rand()`-routing and
+    * `repartition(n)` round-robin both lack: re-running the job, or
+    * running it at different parallelism, must route every example to
+    * the SAME shard). Hash sharding balances shard sizes in
+    * expectation (law of large numbers per shard — the imbalance a
+    * shard-stats row should watch is the max/mean token ratio);
+    * at write time `df.repartition(col("shard")).write.partitionBy
+    * ("shard")` lands each shard as its own partition directory, the
+    * [[graft.operators.IvfIndex.writePartitioned]] layout discipline. */
+  def hashShard(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    df.withColumn("shard",
+      pmod(pmod(col(idCol).cast("long"), lit(1000003L)) * lit(2654435761L),
+        lit(nShards.toLong)))
+  }
 }

@@ -38,4 +38,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.map(_._2) === Set(1L, 2L, 3L))
     assert(a.count(_._1 == 0) === 2 && a.count(_._1 == 1) === 1)
   }
+
+  test("hashShard: total routing, parallelism-independence, shard-dir layout") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val sharded = Sampling.hashShard(docs, "doc_id", 8)
+    val got = sharded.select($"doc_id", $"shard").as[(Long, Long)]
+      .collect().toMap
+    // exactly one shard per doc, all shards in range
+    assert(got.size === 200 && got.values.forall(s => s >= 0 && s < 8))
+    // parallelism-independent: a 1-partition replay routes identically
+    val got1 = Sampling.hashShard(docs.coalesce(1), "doc_id", 8)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    assert(got1 === got)
+    // write-time layout: one partition directory per shard
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shard").toString
+    try {
+      sharded.repartition(col("shard"))
+        .write.partitionBy("shard").mode("overwrite").parquet(s"$tmp/out")
+      val dirs = new java.io.File(s"$tmp/out").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs === got.values.toSet.map((s: Long) => s"shard=$s"))
+      // round-trip preserves every row
+      val back = spark.read.parquet(s"$tmp/out")
+      assert(back.count() === 200L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
 }
