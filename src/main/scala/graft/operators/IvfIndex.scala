@@ -80,6 +80,12 @@ object IvfIndex {
         .groupBy(col("cluster_id"), col("dim"))
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
         .collect()
+      // a null cluster_id is the native assignment's ragged signal (a
+      // vector whose length matches no centroid) — fail loudly here,
+      // not with an opaque NPE in the grouping below
+      require(!sums.exists(_.isNullAt(0)),
+        "ragged corpus: some vector's length matches no centroid — " +
+          "vector lengths must be uniform across the corpus")
       val byCluster = sums.groupBy(_.getInt(0))
       cents = cents.map { case (cid, prev) =>
         byCluster.get(cid) match {
@@ -143,11 +149,40 @@ object IvfIndex {
     typedlit(cents.map { case (cid, c) => (cid, c.toSeq) }.toSeq)
 
   /** Zero-shuffle nearest-centroid assignment: `cluster_id` is a pure
-    * projected column — a fold over the constant centroid array keeping
-    * the lexicographic `(dist, cluster_id)` minimum, so ties break to
-    * the smallest cluster id exactly like the historical
-    * `min(struct(dist, cluster_id))` aggregate form. */
+    * projected column — the native codegen'd
+    * [[graft.expressions.NearestCentroid]] argmin over the plan-constant
+    * centroid matrix (one compiled k·d loop per row, inside whole-stage
+    * codegen), with the returned position mapped back to the cluster id
+    * through a tiny sorted-cid literal. Centroids are sorted by cid
+    * first, so equal distances resolve to the smallest cluster id —
+    * the exact tie rule of the historical `min(struct(dist, cid))`
+    * fold, which survives as [[withClusterHof]] for the parity spec.
+    * A vector matching no centroid's length gets a NULL cluster_id
+    * (callers that allow ragged input fail loudly downstream —
+    * [[build]]'s ragged-corpus error). */
   private[graft] def withCluster(vecs: DataFrame,
+                          cents: IndexedSeq[(Int, IndexedSeq[Double])]): DataFrame = {
+    import org.apache.spark.sql.graftshim.Bridge
+    val sorted = cents.sortBy(_._1)
+    val matrix = sorted.map(_._2.toArray).toArray
+    val cids = sorted.map(_._1)
+    val pos = Bridge.column(graft.expressions.NearestCentroid(
+      Bridge.expression(col("_v")), matrix))
+    // explicit null guard: element_at(lit, NULL) was observed to yield
+    // the array element type's zero value rather than NULL on this
+    // Spark build — the when() keeps the ragged-input signal a real
+    // NULL instead of a phantom cluster 0
+    vecs.withColumn("cluster_id",
+      when(pos.isNotNull, element_at(typedlit(cids), pos + 1)))
+  }
+
+  /** The historical higher-order-function formulation of [[withCluster]]
+    * — a fold over the constant centroid array keeping the lexicographic
+    * `(dist, cluster_id)` minimum. Kept as the assignment's arithmetic
+    * spec: interpreted (aggregate is CodegenFallback), so the native
+    * expression carries the hot path; equivalence asserted in
+    * IvfIndexSpec. */
+  private[graft] def withClusterHof(vecs: DataFrame,
                           cents: IndexedSeq[(Int, IndexedSeq[Double])]): DataFrame = {
     val centArr = centLit(cents)
     val best = aggregate(centArr,

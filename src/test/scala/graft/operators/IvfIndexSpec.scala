@@ -267,4 +267,35 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.reconcilePartitioned(
       emb, "vec_id", "embedding", centroids, path) === 0L)
   }
+
+  test("native NearestCentroid assignment ≡ the HOF fold, fixture + adversarial ties") {
+    val vecs = emb.select($"vec_id".as("_id"),
+      transform($"embedding", _.cast("double")).as("_v"))
+    // centroid ids deliberately OUT OF ORDER to exercise the sorted-cid
+    // position mapping; vectors are the fixture's own (float-derived)
+    val cents = built._2.collect().toIndexedSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
+      .reverse
+    val native = IvfIndex.withCluster(vecs, cents)
+      .select($"_id", $"cluster_id").as[(Long, Int)].collect().toMap
+    val hof = IvfIndex.withClusterHof(vecs, cents)
+      .select($"_id", $"cluster_id").as[(Long, Int)].collect().toMap
+    assert(native === hof && native.nonEmpty)
+    // exact-tie case: two identical centroids — the SMALLER cid must win
+    val tieCents = IndexedSeq(
+      (7, IndexedSeq(1.0, 0.0)), (2, IndexedSeq(1.0, 0.0)),
+      (5, IndexedSeq(0.0, 1.0)))
+    val tieVecs = Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.9)))
+      .toDF("_id", "_v")
+    val gotTie = IvfIndex.withCluster(tieVecs, tieCents)
+      .select($"_id", $"cluster_id").as[(Long, Int)].collect().toMap
+    assert(gotTie === Map(1L -> 2, 2L -> 5))
+    assert(gotTie === IvfIndex.withClusterHof(tieVecs, tieCents)
+      .select($"_id", $"cluster_id").as[(Long, Int)].collect().toMap)
+    // ragged vector matches no centroid → NULL cluster (native path
+    // refuses to guess; the HOF's null-first ordering guessed)
+    val ragged = Seq((9L, Seq(1.0, 0.0, 0.0))).toDF("_id", "_v")
+    assert(IvfIndex.withCluster(ragged, tieCents)
+      .filter($"cluster_id".isNull).count() === 1L)
+  }
 }
