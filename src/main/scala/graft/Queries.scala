@@ -984,6 +984,56 @@ object Queries {
       None,
       "semantic admission over IVF cells: assign-to-cell + within-cell cosine reject (SemDeDup ingestion twin)"),
 
+    "incr_admit_exact" -> DeclaredQuery(
+      // the admission decision with the GUARANTEED near-dup tier
+      // (Dedup.admitIncomingExactJaccard — cross-set prefix-filtered
+      // exact join instead of MinHash banding), which makes the WHOLE
+      // admission verdict deterministic and therefore ORACLE-CHECKED —
+      // the one admission row whose near-dup stage the DuckDB replay
+      // can follow (the LSH kernel rows are rows-only by contract).
+      // Bounded id slices keep the oracle's all-pairs cross replay
+      // cheap at any scale factor; the Spark side runs the same slice
+      // through the subquadratic prefix path.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        localFrame(Dedup.admitIncomingExactJaccard(
+            docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+            docs.filter(col("doc_id") < 150),
+            "doc_id", "text")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_admitted"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy(col("lang")))
+      },
+      Some("""WITH c AS (SELECT doc_id, text, lang FROM documents WHERE doc_id < 150),
+         |i AS (SELECT doc_id, text, lang FROM documents
+         |      WHERE doc_id >= 150 AND doc_id < 300),
+         |keptx AS (SELECT i.* FROM i WHERE NOT EXISTS (
+         |    SELECT 1 FROM c
+         |    WHERE array_to_string(list_sort(string_split(c.text, ' ')), ' ')
+         |        = array_to_string(list_sort(string_split(i.text, ' ')), ' '))),
+         |st AS (SELECT doc_id, list_distinct(
+         |        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |             ELSE list_transform(range(1, len(t) - 1),
+         |                    k -> t[k] || ' ' || t[k+1] || ' ' || t[k+2]) END) AS s
+         |       FROM (SELECT doc_id,
+         |               list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |             FROM keptx) WHERE len(t) > 0),
+         |so AS (SELECT doc_id, list_distinct(
+         |        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |             ELSE list_transform(range(1, len(t) - 1),
+         |                    k -> t[k] || ' ' || t[k+1] || ' ' || t[k+2]) END) AS s
+         |       FROM (SELECT doc_id,
+         |               list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |             FROM c) WHERE len(t) > 0),
+         |dup AS (SELECT DISTINCT st.doc_id FROM st JOIN so
+         |        ON round(len(list_intersect(st.s, so.s))::DOUBLE
+         |             / len(list_distinct(st.s || so.s)), 4) >= 0.8)
+         |SELECT lang, count(*) AS n_admitted, min(doc_id) AS first_id
+         |FROM keptx WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+      "admission with the guaranteed exact near-dup tier (prefix join) — oracle-checked end-to-end"),
+
     "incr_admit" -> DeclaredQuery(
       // the incremental ingestion decision end-to-end: incoming batch →
       // exact-fingerprint anti-join vs corpus → cross-set LSH near-dup

@@ -223,6 +223,33 @@ object Dedup {
     * (asserted in StreamsSpec), and the corpus contributes only its
     * bucket projection plus candidate-touched vectors, never a
     * corpus-sized shuffle. */
+  /** [[admitIncoming]] with a GUARANTEED-EXACT near-dup tier: the
+    * MinHash candidate stage (probabilistic — the calibrated banding
+    * still loses ~1 % of true dups, `minhash_recall`) is replaced by
+    * the cross-set prefix-filtered exact join
+    * ([[NearDup.prefixJaccardJoinCross]]), so EVERY incoming row with
+    * a corpus neighbor at J ≥ `minJaccard` is rejected, deterministically
+    * — no banding loss, no seeds — at inverted-index (not all-pairs)
+    * cost. Fully deterministic and SQL-expressible, so the declared row
+    * is oracle-checked end-to-end, unlike the LSH kernel's rows-only
+    * contract. Same cross-set semantics: incoming rows never meet each
+    * other, micro-batch splits accumulate to the one-shot result.
+    *
+    * Choose this kernel when a missed duplicate is costlier than the
+    * prefix join's wider candidate stage; choose [[admitIncoming]] when
+    * the corpus's maintained LSH bucket table makes the probabilistic
+    * tier effectively free per batch. */
+  def admitIncomingExactJaccard(incoming: DataFrame, corpus: DataFrame,
+                                idCol: String, textCol: String,
+                                minJaccard: Double = 0.8): DataFrame = {
+    val exactKept = incrementalExact(incoming,
+      tokenFingerprint(col(textCol)), corpus, tokenFingerprint(col(textCol)))
+    val nearDupNew = NearDup.prefixJaccardJoinCross(
+        exactKept, corpus, idCol, textCol, minJaccard)
+      .select(col("id_new").as(idCol)).distinct()
+    exactKept.join(nearDupNew, Seq(idCol), "left_anti")
+  }
+
   /** SEMANTIC admission against an IVF-CELLED corpus — [[semanticDedup]]
     * at the ingestion boundary, and the cell-partitioned alternative to
     * [[admitIncomingVectors]]'s sign-LSH buckets: incoming vectors are

@@ -467,6 +467,57 @@ object NearDup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** CROSS-SET [[prefixJaccardJoin]] — the EXACT candidate tier for
+    * incremental admission: every (incoming, corpus) pair with
+    * J ≥ `minJaccard` is found, guaranteed (the prefix bound is
+    * deterministic — no LSH banding loss), at inverted-index cost.
+    * Both sides' prefixes are taken under ONE global token order
+    * (document frequency over corpus ∪ incoming — any single order
+    * makes the bound sound; rarest-first makes it selective), and only
+    * cross pairs are generated: incoming never meets incoming, corpus
+    * never re-meets corpus — the same cross-set contract as
+    * [[minHashCrossCandidates]], so micro-batch splits accumulate to
+    * the one-shot result. Returns (id_new, id_old, jaccard), verified
+    * by [[jaccardVerifyCross]] (side-safe on id collisions).
+    *
+    * At scale the corpus-side (token → df) relation and prefix table
+    * are maintained artifacts updated per admission batch (the memo
+    * discipline); here both are computed in-plan. */
+  def prefixJaccardJoinCross(incoming: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             minJaccard: Double,
+                             shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tau = minJaccard - 0.001
+    def side(df: DataFrame) = df.select(col(idCol).as("_jid"),
+        array_distinct(shingles(col(textCol), shingleSize)).as("_sh"))
+      .filter(size(TextAnalysis.tokens(col(textCol))) > 0)
+      .withColumn("_n", size(col("_sh")))
+    val shNew = side(incoming)
+    val shOld = side(corpus)
+    val df_ = shNew.select(explode(col("_sh")).as("_tok"))
+      .unionAll(shOld.select(explode(col("_sh")).as("_tok")))
+      .groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    def prefix(sh: DataFrame) = {
+      val w = Window.partitionBy(col("_jid")).orderBy(col("_df"), col("_tok"))
+      sh.select(col("_jid"), col("_n"), explode(col("_sh")).as("_tok"))
+        .join(df_, "_tok")
+        .withColumn("_pos", row_number().over(w))
+        .filter(col("_pos") <= col("_n") - ceil(lit(tau) * col("_n")) + 1)
+        .select(col("_tok"), col("_jid"), col("_n"))
+    }
+    val cands = prefix(shNew)
+      .select(col("_tok"), col("_jid").as("id_new"), col("_n").as("_na"))
+      .join(prefix(shOld)
+        .select(col("_tok"), col("_jid").as("id_old"), col("_n").as("_nb")),
+        "_tok")
+      .filter(least(col("_na"), col("_nb")).cast("double") >=
+        lit(tau) * greatest(col("_na"), col("_nb")))
+      .select(col("id_new"), col("id_old")).distinct()
+    jaccardVerifyCross(incoming, corpus, idCol, textCol, cands, shingleSize)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
                     pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
     // only shingle the docs that actually appear in a candidate pair —

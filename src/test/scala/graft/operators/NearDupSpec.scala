@@ -312,6 +312,35 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixJaccardJoinCross ≡ all-pairs cross verify; no within-set pairs") {
+    // incoming 1&3 duplicate corpus rows; 4 is novel; corpus-internal
+    // dup (10 ≈ 11) must NOT appear
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "completely novel words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    for (tau <- Seq(0.5, 0.8)) {
+      val got = NearDup.prefixJaccardJoinCross(incoming, corpus,
+          "doc_id", "text", tau)
+        .as[(Long, Long, Double)].collect.toSet
+      // ground truth: every incoming × corpus pair, verified exactly
+      val allCross = incoming.select($"doc_id".as("id_new"))
+        .crossJoin(corpus.select($"doc_id".as("id_old")))
+      val want = NearDup.jaccardVerifyCross(incoming, corpus,
+          "doc_id", "text", allCross)
+        .filter($"jaccard" >= tau)
+        .as[(Long, Long, Double)].collect.toSet
+      assert(got === want && want.nonEmpty, s"tau=$tau")
+      assert(got.forall { case (n, o, _) => n < 10 && o >= 10 })
+    }
+  }
+
   test("prefixJaccardJoin ≡ all-pairs on a varied synthetic corpus") {
     // deterministic corpus with dup families, partial overlaps, short
     // docs (single-shingle branch) and disjoint rows
