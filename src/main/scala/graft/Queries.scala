@@ -1658,6 +1658,43 @@ object Queries {
          |GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin),
       "hybrid-search keyword tier: Okapi BM25 (Robertson & Zaragoza 2009)"),
 
+    "bm25_topk_many" -> DeclaredQuery(
+      // the keyword twin of ivf_probe_many / sq_topk_many: a BATCH of
+      // term-bag queries answered through one corpus pass — union-term
+      // filter before the explode, broadcast (qid, word) scoring join,
+      // per-query top-k on the map-side bounded aggregator.
+      (s, dir) => TextAnalysis.bm25Many(T(s, dir, "documents"),
+          "doc_id", "text",
+          Seq(1L -> Seq("spark", "data", "join"),
+            2L -> Seq("table", "row", "fast")), k = 10)
+        .orderBy(col("qid"), col("rank")),
+      Some("""WITH q AS (SELECT CAST(qid AS BIGINT) AS qid, word FROM (VALUES
+         |        (1, 'spark'), (1, 'data'), (1, 'join'),
+         |        (2, 'table'), (2, 'row'), (2, 'fast')) AS v(qid, word)),
+         |d AS (SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE AS dl,
+         |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |       FROM documents),
+         |s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, w AS word, count(*)::DOUBLE AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS w FROM d)
+         |       WHERE w IN (SELECT DISTINCT word FROM q)
+         |       GROUP BY doc_id, dl, w),
+         |dfc AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY word),
+         |sc AS (SELECT q.qid, tf.doc_id,
+         |         round(sum(ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         |           * tf.tf * 2.2
+         |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS bm25
+         |       FROM tf JOIN dfc USING (word) JOIN q USING (word) CROSS JOIN s
+         |       GROUP BY q.qid, tf.doc_id),
+         |r AS (SELECT qid, doc_id, bm25,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY bm25 DESC, doc_id) AS rank
+         |      FROM sc)
+         |SELECT qid, doc_id, bm25, rank FROM r WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin),
+      "batched multi-query BM25: one corpus pass, per-query bounded top-k"),
+
     "hybrid_rrf" -> DeclaredQuery(
       (s, dir) => {
         // each ranker is top-k-bounded FIRST (TakeOrderedAndProject), so

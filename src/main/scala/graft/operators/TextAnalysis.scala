@@ -365,6 +365,62 @@ object TextAnalysis {
       .agg(round(sum(col("_s")), 4).as("bm25"))
   }
 
+  /** BATCHED multi-query BM25 — the keyword twin of the vector side's
+    * `IvfIndex.probeMany` / `SqIndex.searchMany`: answer a batch of
+    * term-bag queries through ONE corpus pass instead of one job per
+    * query. The union of all query terms (driver-resolvable by the same
+    * small-query-relation contract as probeMany's probe set) filters
+    * the token arrays BEFORE the explode, so the tf exchange still
+    * carries only query-term hits; per-query scores come from one
+    * (qid, doc) aggregation over the BROADCAST (qid, word) relation;
+    * per-query top-k runs on the map-side bounded
+    * [[graft.functions.TopKAggregator]] (score DESC, id ASC — the
+    * engine tie-break), so each map task ships ≤ k rows per query.
+    * Returns (qid, `idCol`, bm25, rank), ranks 1-based. Ids must be
+    * integral (the aggregator carries (score, long-id) pairs). */
+  def bm25Many(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25Many needs at least one query, each with at least one term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val unionTerms = queries.flatMap(_._2).distinct
+    val termLit = array(unionTerms.map(lit): _*)
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        size(col("_toks")).cast("double").as("_dl"))
+    val stats = base.agg(count(lit(1)).cast("double").as("_n"),
+      avg(col("_dl")).as("_avgdl"))
+    val tf = base.select(col("doc_id"), col("_dl"),
+        explode(filter(col("_toks"),
+          t => array_contains(termLit, t))).as("word"))
+      .groupBy(col("doc_id"), col("_dl"), col("word"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val dfc = tf.groupBy(col("word"))
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val qterms = queries.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+      .toDF("qid", "word")
+    val idf = log(lit(1.0) +
+      (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
+    val norm = col("_tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("_dl") / col("_avgdl"))
+    val scored = tf.join(broadcast(dfc), "word")
+      .join(broadcast(qterms), "word")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        (idf * col("_tf") * lit(k1 + 1.0) / norm).as("_s"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("_s")), 4).as("bm25"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    scored.groupBy(col("qid"))
+      .agg(topk(col("bm25"), col("doc_id")).as("_top"))
+      .select(col("qid"), posexplode(col("_top")).as(Seq("_pos", "_hit")))
+      .select(col("qid"), col("_hit._2").as(idCol),
+        col("_hit._1").as("bm25"), (col("_pos") + 1).cast("long").as("rank"))
+  }
+
   def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("word"))

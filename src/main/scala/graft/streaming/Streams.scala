@@ -311,6 +311,53 @@ object Streams {
         batch, corpusIdx, idCol, vecCol, centroids, minCosine), batchId)
     }
 
+  /** The SEMANTIC ingestion loop — [[incrementalVectorIngestion]]'s
+    * cell-partitioned twin, and the form where the EVOLVING corpus is
+    * the durable INDEX TABLE itself rather than an in-memory
+    * generation: each micro-batch is admitted by
+    * [[graft.operators.Dedup.admitIncomingSemantic]] against the
+    * partitioned index AS CURRENTLY ON DISK (so vectors admitted by
+    * earlier batches reject later duplicates — read-your-appends), and
+    * the admitted rows are assigned to the frozen centroids and
+    * appended to the table. Because the evolving state lives in the
+    * table, a restart resumes from whatever was durably appended — no
+    * single-start caveat; re-processing an already-appended batch is
+    * the one hazard (same as any at-least-once file sink; pair with a
+    * checkpoint + idempotent batch ids in production).
+    *
+    * The admitted frame is persisted and fully materialized BEFORE the
+    * append touches the same path — the read of the current index
+    * completes while the plan still sees the pre-append file set. */
+  def incrementalSemanticIngestion(vecStream: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   centroids: DataFrame, indexPath: String,
+                                   minCosine: Double = 0.9)
+                                  (afterBatch: (DataFrame, Long) => Unit =
+                                     (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val idx = spark.read.parquet(indexPath)
+        .select(col(idCol), col(vecCol), col("cluster_id"))
+      // LOCAL CHECKPOINT, not persist: the append below writes to the
+      // very path this plan reads, and Spark's by-path cache refresh
+      // would invalidate a merely-persisted frame and RECOMPUTE it
+      // against the post-append table — where the batch's own rows now
+      // live, so every admission would vanish from the sink's view
+      // (observed). The eager checkpoint pins the admitted rows as a
+      // materialized RDD with no file lineage to refresh.
+      val admitted = graft.operators.Dedup.admitIncomingSemantic(
+          batch, idx, idCol, vecCol, centroids, minCosine)
+        .localCheckpoint(true)
+      try {
+        if (admitted.count() > 0L)
+          graft.operators.IvfIndex.appendPartitioned(admitted, idCol,
+            graft.operators.IvfIndex.assignTo(admitted, idCol, vecCol,
+              centroids), indexPath)
+        afterBatch(admitted, batchId)
+      } finally admitted.unpersist()
+    }
+
   /** [[incrementalVectorAdmission]]'s EVOLVING-CORPUS form — the
     * continuous-ingestion loop for an embedding-indexed corpus: each
     * batch's admitted vectors join the corpus for later batches, so a

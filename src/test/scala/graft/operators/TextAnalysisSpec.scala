@@ -69,6 +69,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1L) > got(2L))
   }
 
+  test("bm25Many ≡ one bm25 ranking per query") {
+    val corpus = Seq(
+      (1L, "spark data join table", 0L),
+      (2L, "data data data row", 0L),
+      (3L, "table row fast spark", 0L),
+      (4L, "nothing relevant here", 0L)
+    ).toDF("doc_id", "text", "n_chars")
+    val queries = Seq(1L -> Seq("spark", "data"), 2L -> Seq("row", "fast"))
+    val many = TextAnalysis.bm25Many(corpus, "doc_id", "text", queries, k = 3)
+      .as[(Long, Long, Double, Long)].collect.toSet
+    val single = queries.flatMap { case (qid, terms) =>
+      TextAnalysis.bm25(corpus, "doc_id", "text", terms)
+        .orderBy($"bm25".desc, $"doc_id".asc).limit(3)
+        .as[(Long, Double)].collect.zipWithIndex
+        .map { case ((id, s), i) => (qid, id, s, (i + 1).toLong) }
+    }.toSet
+    assert(many === single && many.nonEmpty)
+  }
+
   test("rrfFuse: shared, keyword-only and vector-only ids all fuse") {
     val kw = Seq((10L, 1), (11L, 2)).toDF("doc_id", "rank")
     val vec = Seq((10L, 1), (12L, 2)).toDF("doc_id", "rank")

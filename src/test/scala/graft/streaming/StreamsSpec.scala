@@ -448,6 +448,51 @@ class StreamsSpec extends AnyFunSuite {
     assert(batchIds.size < rows.size) // the threshold actually bites
   }
 
+  test("semantic ingestion: the index table is the evolving corpus; earlier appends reject later dups") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val centroids = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0, Seq(1.0, 0.0)), Row(1, Seq(0.0, 1.0))),
+      StructType(Seq(
+        StructField("cluster_id", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(DoubleType), nullable = false))))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semingest").toString
+    val path = s"$tmp/idx"
+    try {
+      // seed index: one corpus vector per cell
+      val corpus = Seq((100L, Seq(1.0f, 0.0f)), (101L, Seq(0.05f, 1.0f)))
+        .toDF("vec_id", "embedding")
+      graft.operators.IvfIndex.appendPartitioned(corpus, "vec_id",
+        graft.operators.IvfIndex.assignTo(corpus, "vec_id", "embedding",
+          centroids), path)
+      // batch 1: 1 dups corpus 100 (rejected); 2 is novel in cell 0
+      // batch 2: 3 dups the batch-1 ADMITTED vector 2 (rejected only if
+      //          the loop reads its own appends); 4 novel in cell 1
+      val batches = Seq(
+        Seq((1L, Seq(1.0f, 0.01f)), (2L, Seq(0.7f, -0.7f))),
+        Seq((3L, Seq(0.71f, -0.69f)), (4L, Seq(-0.9f, 1.0f))))
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = Streams.incrementalSemanticIngestion(
+        mem.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", centroids, path, minCosine = 0.9) {
+          (adm, _) =>
+            val ids = adm.select("vec_id").as[Long].collect()
+            admitted.synchronized { admitted ++= ids }
+        }.start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      assert(admitted.toSet === Set(2L, 4L))
+      // the table holds corpus + admitted, each exactly once
+      val ids = spark.read.parquet(path).select("vec_id")
+        .as[Long].collect().toSeq
+      assert(ids.sorted === Seq(2L, 4L, 100L, 101L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("evolving VECTOR admission: earlier batches' admissions reject later dups") {
     implicit val sql = spark.sqlContext
     // corpus holds one axis vector. Scaled copies have cosine exactly
