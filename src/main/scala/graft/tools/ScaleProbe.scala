@@ -46,6 +46,17 @@ object ScaleProbe {
       .embeddingBuckets(big, "vec_id", "embedding", nBits = 12, dim = 64)
       .agg(sum(col("_bucket"))).head.getLong(0)
     println(f"sign-LSH bucketing 100k vecs: ${(System.nanoTime() - t3) / 1e9}%.2f s (checksum $bucketSum)")
+    // ---- exact prefix join under dup amplification: every doc has 19
+    // ---- byte-identical copies, so the candidate stage must survive
+    // ---- ~doc_count × dup_factor verified pairs without an all-pairs
+    // ---- subtree (the structural claim; an O(n²) shape would not
+    // ---- finish here) ----
+    val t4 = System.nanoTime()
+    val exactPairs = graft.operators.NearDup
+      .prefixJaccardJoin(bigDocs, "doc_id", "text", minJaccard = 0.8)
+      .count()
+    println(f"prefix exact join 100k docs (20x dups): " +
+      f"${(System.nanoTime() - t4) / 1e9}%.2f s ($exactPairs pairs)")
     spark.stop()
   }
 }
