@@ -107,7 +107,18 @@ object DumpPlans {
       "linear (token → df) agg → per-doc prefix (window over own " +
       "shingles only) → inverted-index equi-join on PREFIX tokens + " +
       "length-band filter → exact verify on candidates only; no " +
-      "all-pairs subtree anywhere"))
+      "all-pairs subtree anywhere. A stats-adaptive exact-dup collapse " +
+      "(hash-keyed min-struct groups, expansion joins output-bounded) " +
+      "fronts the core on duplication-heavy corpora"),
+    "bm25_topk_many" -> ("batched keyword search: ONE corpus pass for " +
+      "all queries — union-term filter before the explode, broadcast " +
+      "(qid, word) scoring join, per-query top-k via the map-side " +
+      "bounded aggregator (≤ k rows per task per query cross the wire)"),
+    "incr_admit_exact" -> ("guaranteed-exact admission: fingerprint " +
+      "anti-join (corpus contributes its distinct-key projection) → " +
+      "cross-set prefix join (both sides' prefixes under one global " +
+      "df order; cross pairs only) → side-safe verify → anti-join; " +
+      "deterministic end to end, no seeded tier"))
 
   /** Plan-shape-critical OPERATOR INTERNALS whose declared queries
     * materialize eagerly (their final plans are LocalTableScans): built
