@@ -1747,6 +1747,73 @@ object Queries {
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
       "hybrid search: reciprocal-rank fusion of BM25 keyword and cosine vector rankings (Cormack et al. 2009)"),
 
+    "hybrid_rrf_many" -> DeclaredQuery(
+      // the BATCHED hybrid: per-query keyword ranking (bm25Many — one
+      // corpus pass for all term bags) fused with the per-query vector
+      // ranking (knnJoinAgg — broadcast queries × corpus, map-side
+      // bounded top-k) by reciprocal rank, completing the multi-query
+      // triad keyword / vector / fused. Fully SQL-expressible →
+      // oracle-checked.
+      (s, dir) => {
+        import s.implicits._
+        val kw = TextAnalysis.bm25Many(T(s, dir, "documents"),
+          "doc_id", "text",
+          Seq(1L -> Seq("spark", "data", "join"),
+            2L -> Seq("table", "row", "fast")), k = 20)
+        val qs = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+          .toDF("qid", "qvec")
+        val vec = Search.knnJoinAgg(qs, "qid", "qvec",
+            T(s, dir, "embeddings"), "vec_id", "embedding", k = 20,
+            excludeSelf = false)
+          .select(col("qid"), col("cid").as("doc_id"),
+            col("rank").cast("long").as("rank"))
+        Search.rrfFuseMany(kw.select(col("qid"), col("doc_id"), col("rank")),
+            vec, "qid", "doc_id")
+          .orderBy(col("qid"), desc("rrf"), col("doc_id"))
+      },
+      Some(s"""WITH q AS (SELECT CAST(qid AS BIGINT) AS qid, word FROM (VALUES
+         |        (1, 'spark'), (1, 'data'), (1, 'join'),
+         |        (2, 'table'), (2, 'row'), (2, 'fast')) AS v(qid, word)),
+         |d AS (SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE AS dl,
+         |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |       FROM documents),
+         |s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, w AS word, count(*)::DOUBLE AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS w FROM d)
+         |       WHERE w IN (SELECT DISTINCT word FROM q)
+         |       GROUP BY doc_id, dl, w),
+         |dfc AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY word),
+         |sc AS (SELECT q.qid, tf.doc_id,
+         |         round(sum(ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         |           * tf.tf * 2.2
+         |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS bm25
+         |       FROM tf JOIN dfc USING (word) JOIN q USING (word) CROSS JOIN s
+         |       GROUP BY q.qid, tf.doc_id),
+         |kw AS (SELECT qid, doc_id,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY bm25 DESC, doc_id) AS r
+         |       FROM sc QUALIFY r <= 20),
+         |vq AS (SELECT CAST(1 AS BIGINT) AS qid, $q1Sql AS qvec
+         |       UNION ALL SELECT CAST(2 AS BIGINT), $q2Sql),
+         |vsc AS (SELECT vq.qid, e.vec_id AS doc_id,
+         |          round(list_dot_product(CAST(e.embedding AS DOUBLE[]), vq.qvec)
+         |            / nullif(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+         |                                           CAST(e.embedding AS DOUBLE[])))
+         |               * sqrt(list_dot_product(vq.qvec, vq.qvec)), 0), 4) AS sim
+         |        FROM embeddings e CROSS JOIN vq),
+         |vs AS (SELECT qid, doc_id,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, doc_id) AS r
+         |       FROM vsc WHERE sim IS NOT NULL QUALIFY r <= 20)
+         |SELECT coalesce(kw.qid, vs.qid) AS qid,
+         |  coalesce(kw.doc_id, vs.doc_id) AS doc_id,
+         |  round(coalesce(1.0::DOUBLE / (60 + kw.r), 0)
+         |      + coalesce(1.0::DOUBLE / (60 + vs.r), 0), 4) AS rrf
+         |FROM kw FULL OUTER JOIN vs ON kw.qid = vs.qid AND kw.doc_id = vs.doc_id
+         |ORDER BY qid, rrf DESC, doc_id""".stripMargin),
+      "batched hybrid search: per-query RRF fusion of BM25 and cosine rankings"),
+
     "lang_rollup" -> DeclaredQuery(
       (s, dir) => T(s, dir, "documents")
         .rollup(col("lang"), col("source"))

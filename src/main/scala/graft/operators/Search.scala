@@ -75,6 +75,24 @@ object Search {
           4).as("rrf"))
   }
 
+  /** [[rrfFuse]] for BATCHED rankings — fuses two (qid, id, rank)
+    * relations per query id, completing the multi-query triad
+    * (`bm25_topk_many` keyword, `probeMany`/`searchMany` vector, this
+    * fusion): full-outer join on (qid, id), each side contributing its
+    * reciprocal-rank term, absentees contributing zero. Both inputs are
+    * per-query top-k-bounded, so the join is (queries × k)-sized. */
+  def rrfFuseMany(a: DataFrame, b: DataFrame, qidCol: String, idCol: String,
+                  rankCol: String = "rank", kRrf: Int = 60): DataFrame = {
+    val left = a.select(col(qidCol), col(idCol), col(rankCol).as("_ra"))
+    val right = b.select(col(qidCol), col(idCol), col(rankCol).as("_rb"))
+    left.join(right, Seq(qidCol, idCol), "full_outer")
+      .select(col(qidCol), col(idCol),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("_ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("_rb")), lit(0.0)),
+          4).as("rrf"))
+  }
+
   /** Default ceiling on how much of the query side one broadcast may
     * carry — sized to fit comfortably in executor memory alongside the
     * scan (the historical contract was "callers hold it"; now the

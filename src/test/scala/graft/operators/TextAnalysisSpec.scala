@@ -100,6 +100,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(10L) > got(11L))
   }
 
+  test("rrfFuseMany: fusion is per-query; queries never cross") {
+    val kw = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 10L, 1L))
+      .toDF("qid", "doc_id", "rank")
+    val vec = Seq((1L, 10L, 1L), (2L, 12L, 1L))
+      .toDF("qid", "doc_id", "rank")
+    val got = Search.rrfFuseMany(kw, vec, "qid", "doc_id")
+      .as[(Long, Long, Double)].collect.toSet
+    def r(x: Double) = math.rint(x * 10000) / 10000
+    assert(got === Set(
+      (1L, 10L, r(2.0 / 61)),  // both lists, query 1
+      (1L, 11L, r(1.0 / 62)),  // keyword-only, query 1
+      (2L, 10L, r(1.0 / 61)),  // query 2's keyword hit — NOT fused with
+                               // query 1's vector hit on the same doc
+      (2L, 12L, r(1.0 / 61)))) // vector-only, query 2
+  }
+
   test("chunk: stride windows cover every token; overlap is width-stride") {
     val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "), 0L))
       .toDF("doc_id", "text", "n_chars")
