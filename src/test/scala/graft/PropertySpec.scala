@@ -121,4 +121,37 @@ class PropertySpec extends AnyFunSuite {
       assert(a.unionByName(b).count() === (n + m).toLong)
     }
   }
+
+  // random corpora with planted duplication: word-soup docs over a tiny
+  // vocabulary (forces shared shingles), plus exact copies (exercises
+  // the adaptive exact-dup collapse) and near-copies (one word tweaked)
+  private val corpusGen: Gen[Seq[(Long, String)]] = {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, doc)).map { texts =>
+      val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val copies = base.take(2).map { case (id, t) => (id + 1000L, t) }
+      val tweaked = base.take(1).map { case (id, t) =>
+        (id + 2000L, t + " zz") }
+      base ++ copies ++ tweaked
+    }
+  }
+
+  test("prefixJaccardJoin ≡ quadratic all-pairs on random duplicated corpora") {
+    import graft.operators.NearDup
+    forAll(Gen.zip(corpusGen, Gen.oneOf(0.5, 0.8)), n = 12) {
+      case (rows, tau) =>
+        val df = rows.toDF("doc_id", "text")
+        val pairs = df.select($"doc_id".as("id_a"))
+          .crossJoin(df.select($"doc_id".as("id_b")))
+          .filter($"id_a" < $"id_b")
+        val want = NearDup.jaccardVerify(df, "doc_id", "text", pairs)
+          .filter($"jaccard" >= tau)
+          .as[(Long, Long, Double)].collect.toSet
+        val got = NearDup.prefixJaccardJoin(df, "doc_id", "text", tau)
+          .as[(Long, Long, Double)].collect.toSet
+        assert(got === want, s"tau=$tau rows=$rows")
+    }
+  }
 }
