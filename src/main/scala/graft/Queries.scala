@@ -174,9 +174,15 @@ object Queries {
   private def dedupClustersFrame(s: SparkSession, dir: String,
                                  starContraction: Boolean): DataFrame = {
     val sub = T(s, dir, "documents").filter(col("doc_id") < 128)
+    // localFinishEdges = 256, NOT the 2^16 default: this row exists to
+    // price the distributed contraction rounds, so the bound is set
+    // well below the fixture's ~1.7k-edge verified dup graph — the loop
+    // runs real distributed contraction rounds (measured: two) until a
+    // generation fits 256 edges, then the driver finishes the geometric
+    // tail exactly as it would at corpus scale.
     val cc = Dedup.connectedComponents(sub.select("doc_id"), "doc_id",
       sharedDedupEdges(s, dir), "id_a", "id_b",
-      starContraction = starContraction)
+      starContraction = starContraction, localFinishEdges = 256)
     try localFrame(cc.orderBy("doc_id"))
     finally cc.unpersist()
   }

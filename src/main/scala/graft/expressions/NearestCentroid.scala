@@ -39,6 +39,22 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 
   require(centroids.nonEmpty, "NearestCentroid needs at least one centroid")
 
+  // the centroid matrix is a plan PARAMETER: the case-class default
+  // would compare it by array reference identity, so two semantically
+  // identical NearestCentroid nodes would never be equal — defeating
+  // Catalyst canonicalization / subexpression elimination. Compare and
+  // hash the matrix by VALUE instead.
+  override def equals(other: Any): Boolean = other match {
+    case NearestCentroid(c, m) =>
+      c == child && java.util.Arrays.deepEquals(
+        m.asInstanceOf[Array[AnyRef]], centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
+
   override def dataType: DataType = IntegerType
 
   // null input vector, or a vector matching no centroid's length

@@ -282,8 +282,15 @@ object Dedup {
     val assigned = IvfIndex.assignTo(incoming, idCol, vecCol, centroids)
     // cells this batch touches: ≤ k ints, driver-resolvable by the same
     // contract as IvfIndex.probeMany's static partition pruning
-    val touched = assigned.select(col("cluster_id")).distinct()
-      .collect().map(_.getInt(0))
+    val touchedRows = assigned.select(col("cluster_id")).distinct().collect()
+    // a null cluster_id is the native assignment's ragged signal (the
+    // incoming vector's length matches no centroid) — same loud error
+    // as IvfIndex.build, instead of an opaque NPE from getInt below
+    require(!touchedRows.exists(_.isNullAt(0)),
+      "ragged batch: some incoming vector's length matches no centroid — " +
+        "admitIncomingSemantic requires every incoming vector to share " +
+        "the index's dimension")
+    val touched = touchedRows.map(_.getInt(0))
     val inc = incoming.join(assigned, idCol)
     val drops = inc.select(col("cluster_id"),
         col(idCol).as("_id_new"), col(vecCol).as("_v_new"))
@@ -357,6 +364,17 @@ object Dedup {
     * release with `unpersist()` when done, same contract as
     * `IvfIndex.build`).
     *
+    * TWO-PHASE execution (`localFinishEdges`): every distributed round
+    * costs the scheduler's per-job floor regardless of data volume, so
+    * a dup graph (or a contracted generation of one — see the
+    * star-contraction loop) that fits the driver bound is finished by
+    * ONE capped collect + union-find, result-identical to the
+    * distributed modes (union-to-smaller-root makes each root the
+    * component minimum; property-pinned in DedupSpec). The default
+    * bound (2^16 edges ≈ 1 MB) is the `materializePairs` driver class;
+    * 0 disables the fast path — the specs that pin the distributed
+    * loop machinery itself do that.
+    *
     * Each label generation's lineage is truncated (re-framed over its
     * own RDD, then persisted): the round plan references its predecessor
     * TWICE (own-label union + neighbor join), so without truncation the
@@ -378,12 +396,59 @@ object Dedup {
     df.sparkSession.createDataFrame(df.rdd, df.schema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Driver-side union-find over a collected edge list — the LOCAL
+    * FINISH of [[connectedComponents]]. Union always attaches the
+    * larger root under the smaller, so each set's root IS its minimum
+    * id and the emitted labels match the distributed min-label
+    * contract exactly. Returns one (vertex, component) pair per edge
+    * endpoint. O(E α(V)) time, E-bounded memory — the same driver
+    * class as [[NearDup.materializePairs]]. */
+  private[graft] def localMinLabels(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(v: Long): Long = {
+      var r = v
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var x = v // path compression
+      while (parent.getOrElse(x, x) != x) { val nxt = parent(x); parent(x) = r; x = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val seen = scala.collection.mutable.LongMap.empty[Unit]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    edges.foreach { case (a, b) =>
+      if (seen.put(a, ()).isEmpty) out += ((a, find(a)))
+      if (seen.put(b, ()).isEmpty) out += ((b, find(b)))
+    }
+    out.toArray
+  }
+
+  /** (vertex, component) pairs as a LocalRelation with
+    * [[connectedComponents]]'s internal label schema. */
+  private def localLabelFrame(s: org.apache.spark.sql.SparkSession,
+                              labels: Array[(Long, Long)]): DataFrame = {
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(labels.map { case (v, c) =>
+        org.apache.spark.sql.Row(v, c) }: _*)
+    s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_v",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 25,
                           pointerJump: Boolean = false,
                           saltFactor: Int = 1,
-                          starContraction: Boolean = false): DataFrame = {
+                          starContraction: Boolean = false,
+                          localFinishEdges: Int = 1 << 16): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // undirected propagation: both directions of every edge, pruned to
     // the vertex set on BOTH endpoints (one-time semi-joins on the
@@ -413,7 +478,31 @@ object Dedup {
     // untouched vertices are unioned back as their own component in the
     // final materializing job, never entering a single round.
     val touched = e.select(col("_src").as("_v")).distinct()
-    var labels: DataFrame = if (starContraction) null
+    // LOCAL FINISH entry probe: every distributed round below costs the
+    // scheduler's per-job floor (~tens of ms × jobs-per-round) no matter
+    // how little data moves — on a dup graph that fits the same driver
+    // bound [[NearDup.materializePairs]] already accepts, ONE capped
+    // collect plus a driver union-find replaces the whole loop. The
+    // limit is the probe: ≤ localFinishEdges rows back means we hold
+    // the complete canonical edge set (the bidirectional union carries
+    // both orientations, so lo < hi selects each undirected edge at
+    // least once); localFinishEdges + 1 rows means the graph is real
+    // distributed work and only this one probe job was spent. The same
+    // two-phase shape is what the distributed star-contraction loop
+    // cuts over to mid-flight once a generation contracts under the
+    // bound — at 100 TB the first rounds run distributed over the
+    // corpus-order dup graph and the geometric tail finishes on the
+    // driver instead of paying job-floor × O(log) more rounds.
+    val localEntry: Option[Array[(Long, Long)]] =
+      if (localFinishEdges <= 0) None
+      else {
+        val capped = e.filter(col("_src") < col("_dst"))
+          .select(col("_src"), col("_dst"))
+          .limit(localFinishEdges + 1).collect()
+        if (capped.length > localFinishEdges) None
+        else Some(capped.map(r => (r.getLong(0), r.getLong(1))))
+      }
+    var labels: DataFrame = if (starContraction || localEntry.isDefined) null
       else checkpointGen(touched
         .select(col("_v"), col("_v").as("component")))
     // exact label-mass of a generation: labels are vertex ids folded by
@@ -427,14 +516,20 @@ object Dedup {
       if (d == null) java.math.BigDecimal.ZERO else d
     }
     try {
-      if (starContraction) {
+      if (localEntry.isDefined) {
+        // the whole graph fit the probe: label it in one driver pass
+        // (union-to-smaller-root, so labels are the component minima —
+        // identical to both distributed modes; property-pinned in
+        // DedupSpec)
+        labels = localLabelFrame(e.sparkSession, localMinLabels(localEntry.get))
+      } else if (starContraction) {
         // alternate large-star/small-star edge contraction instead of
         // per-hop propagation: round count is polylog in the component
         // DIAMETER, so adversarial deep chains converge inside budgets
         // plain propagation (or even pointer jumping) blows through.
         // pointerJump and saltFactor are propagation knobs — ignored
         // here (contraction has no per-round label join to salt).
-        labels = starContractionLabels(e, maxIters)
+        labels = starContractionLabels(e, maxIters, localFinishEdges)
       } else {
       var curMass = mass(labels)
       var it = 0
@@ -538,7 +633,8 @@ object Dedup {
     * labels for every edge-touched vertex (at the star fixpoint no
     * vertex is both a center and a leaf, so the union below is
     * duplicate-free). */
-  private def starContractionLabels(e: DataFrame, maxIters: Int): DataFrame = {
+  private def starContractionLabels(e: DataFrame, maxIters: Int,
+                                    localFinishEdges: Int = 0): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // canonical undirected edge set: (lo, hi) with lo < hi, deduped
     // (self-loops were already filtered out of the caller's `e`, so
@@ -598,6 +694,30 @@ object Dedup {
         converged = sameFp(newFp, fp)
         fp = newFp
         it += 1
+        // MID-LOOP LOCAL FINISH: contraction shrinks the edge set
+        // geometrically, so the tail rounds run over ever-smaller
+        // generations where the scheduler's per-job floor dominates the
+        // data. The fingerprint job (already paid — it is the round's
+        // materializer) carries the generation's exact row count; once
+        // it fits the driver bound, ONE collect + union-find replaces
+        // the remaining O(log) rounds. Contraction preserves components
+        // AND endpoint coverage (large-star re-attaches every larger
+        // neighbor, small-star re-emits every hi — Kiveris et al. 2014,
+        // §large-star/small-star invariants), so union-find over the
+        // current generation labels exactly the original touched set;
+        // the defensive self-label union below covers any endpoint a
+        // mid-fixpoint generation could in principle drop, lazily (it
+        // rides the caller's one materializing job, expected empty).
+        if (!converged && localFinishEdges > 0 && newFp._1 <= localFinishEdges) {
+          val pairs = edges.select(col("lo"), col("hi")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val found = localMinLabels(pairs)
+          val foundDf = localLabelFrame(e.sparkSession, found)
+          val absent = e.select(col("_src").as("_v")).distinct()
+            .join(foundDf.select(col("_v")), Seq("_v"), "left_anti")
+            .select(col("_v"), col("_v").as("component"))
+          return foundDf.union(absent)
+        }
       }
       require(converged,
         s"star contraction did not converge in $maxIters rounds — " +
@@ -640,13 +760,18 @@ object Dedup {
     * Shingle discipline: the MinHash signatures are over token 3-grams
     * ([[graft.expressions.MinHashSig]] hard-codes the width), so
     * `shingleSize` defaults to 3 to keep the verify stage measuring the
-    * same similarity the candidate stage is tuned for (b=4/r=8 S-curve
-    * midpoint ≈ 0.84 vs the 0.8 verify threshold). */
+    * same similarity the candidate stage is tuned for. The banding
+    * default is the RECALL-FIRST b=8/r=4 split of
+    * [[NearDup.minHashCandidates]]: J = 0.8 pairs collide with
+    * probability ≈ 0.985 (S-curve midpoint ≈ 0.59), so the verify
+    * stage sees more sub-threshold candidates but the 0.8-Jaccard dups
+    * this pipeline exists to cluster are not silently missed. */
   def lshDedupPipeline(docs: DataFrame, idCol: String, textCol: String,
                        minJaccard: Double = 0.8, shingleSize: Int = 3,
                        numHashes: Int = 32, bands: Int = 8,
                        pointerJump: Boolean = false,
-                       saltFactor: Int = 1): DataFrame = {
+                       saltFactor: Int = 1,
+                       localFinishEdges: Int = 1 << 16): DataFrame = {
     val cands = NearDup.minHashCandidatesMaterialized(
       docs, idCol, textCol, numHashes, bands)
     val edges = NearDup.materializePairs(
@@ -654,7 +779,7 @@ object Dedup {
         .filter(col("jaccard") >= minJaccard)
         .select(col("id_a"), col("id_b")))
     dedupFromEdges(docs, idCol, edges, pointerJump = pointerJump,
-      saltFactor = saltFactor)
+      saltFactor = saltFactor, localFinishEdges = localFinishEdges)
   }
 
   /** Stages 3-4 of [[lshDedupPipeline]] over PRECOMPUTED similarity
@@ -710,7 +835,8 @@ object Dedup {
   def dedupFromEdges(docs: DataFrame, idCol: String, edges: DataFrame,
                      pointerJump: Boolean = false,
                      saltFactor: Int = 1,
-                     best: Option[Column] = None): DataFrame = {
+                     best: Option[Column] = None,
+                     localFinishEdges: Int = 1 << 16): DataFrame = {
     // the output annotates docs' own columns with these two — a caller
     // column of the same name would collide in the final projection
     // (same guard discipline as Skew.saltedJoin's _salt)
@@ -722,7 +848,7 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cc = connectedComponents(docs.select(idCol), idCol,
       edges, "id_a", "id_b", pointerJump = pointerJump,
-      saltFactor = saltFactor)
+      saltFactor = saltFactor, localFinishEdges = localFinishEdges)
     try {
       // component sizes: a vertex-sized (long, long) agg — tiny next to
       // the docs join below

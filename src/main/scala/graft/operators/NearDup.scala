@@ -204,7 +204,15 @@ object NearDup {
     * build and probe subtrees independently — two full signature scans),
     * then released. This persist-across-the-self-join is also the shape
     * you want on a cluster; the local collect at the end is what you'd
-    * replace with a table write there. */
+    * replace with a table write there.
+    *
+    * Cap interaction with banding: the recall-first b=8/r=4 default
+    * (see [[minHashCandidates]]) widens the candidate set vs the old
+    * b=4/r=8 split (S-curve midpoint 0.84 → 0.59), so a corpus that
+    * previously fit under `maxRows` can now exceed it and hit the
+    * materialization guard. That guard failing is the signal to stop
+    * materializing — switch to the lazy [[minHashCandidates]] +
+    * persist (or a table write), not to narrow the bands. */
   def minHashCandidatesMaterialized(docs: DataFrame, idCol: String,
                                     textCol: String, numHashes: Int = 32,
                                     bands: Int = 8,

@@ -116,24 +116,28 @@ class DedupSpec extends AnyFunSuite {
 
   test("connectedComponents: pointer jumping converges a 40-chain in log rounds") {
     // a 40-vertex path has diameter 39: plain propagation needs ~40
-    // rounds (more than the default cap), pointer jumping O(log n)
+    // rounds (more than the default cap), pointer jumping O(log n).
+    // localFinishEdges = 0 throughout: these graphs fit the driver
+    // fast path, and this test pins the DISTRIBUTED loop machinery.
     val n = 40L
     val vertices = (1L to n).toDF("id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val err = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(vertices, "id", edges, "id_a", "id_b")
+      Dedup.connectedComponents(vertices, "id", edges, "id_a", "id_b",
+        localFinishEdges = 0)
     }
     assert(err.getMessage.contains("did not converge"))
     val cc = Dedup.connectedComponents(vertices, "id", edges, "id_a", "id_b",
-      maxIters = 10, pointerJump = true)
+      maxIters = 10, pointerJump = true, localFinishEdges = 0)
     try assert(cc.select("component").as[Long].collect.toSet === Set(1L))
     finally cc.unpersist()
     // and on a branching graph both modes agree
     val vs2 = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
     val es2 = Seq((1L, 3L), (3L, 5L), (2L, 5L), (6L, 7L)).toDF("id_a", "id_b")
-    val plain = Dedup.connectedComponents(vs2, "id", es2, "id_a", "id_b")
+    val plain = Dedup.connectedComponents(vs2, "id", es2, "id_a", "id_b",
+      localFinishEdges = 0)
     val jumped = Dedup.connectedComponents(vs2, "id", es2, "id_a", "id_b",
-      pointerJump = true)
+      pointerJump = true, localFinishEdges = 0)
     try assert(jumped.as[(Long, Long)].collect.toSet ===
       plain.as[(Long, Long)].collect.toSet)
     finally { plain.unpersist(); jumped.unpersist() }
@@ -243,8 +247,9 @@ class DedupSpec extends AnyFunSuite {
     val vs = (Seq(1L, 900L, 901L) ++ leaves).toDF("id")
     val es = (leaves.map(l => (1L, l)) :+ (900L, 901L)).toDF("id_a", "id_b")
     val expected = (leaves.map((_, 1L)) ++ Seq((1L, 1L), (900L, 900L), (901L, 900L))).toSet
+    // localFinishEdges = 0: the salted distributed join is the subject
     val salted = Dedup.connectedComponents(vs, "id", es, "id_a", "id_b",
-      saltFactor = 4)
+      saltFactor = 4, localFinishEdges = 0)
     try assert(salted.as[(Long, Long)].collect.toSet === expected)
     finally salted.unpersist()
   }
@@ -253,14 +258,16 @@ class DedupSpec extends AnyFunSuite {
     val n = 6
     val vertices = (1L to n).toDF("id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // localFinishEdges = 0: the round-budget failure mode under test is
+    // a property of the distributed loop the driver fast path replaces
     val err = intercept[IllegalArgumentException] {
       Dedup.connectedComponents(vertices, "id", edges, "id_a", "id_b",
-        maxIters = 2)
+        maxIters = 2, localFinishEdges = 0)
     }
     assert(err.getMessage.contains("did not converge"))
     // and with enough rounds the same chain collapses to one component
     val cc = Dedup.connectedComponents(vertices, "id", edges, "id_a", "id_b",
-      maxIters = n)
+      maxIters = n, localFinishEdges = 0)
     try assert(cc.select("component").as[Long].collect.toSet === Set(1L))
     finally cc.unpersist()
   }
@@ -273,12 +280,13 @@ class DedupSpec extends AnyFunSuite {
     val n = 120L
     val vertices = (0L until n).toDF("id")
     val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // localFinishEdges = 0: pin the distributed round budgets themselves
     intercept[IllegalArgumentException] {
       Dedup.connectedComponents(vertices, "id", chain, "id_a", "id_b",
-        maxIters = 10)
+        maxIters = 10, localFinishEdges = 0)
     }
     val star = Dedup.connectedComponents(vertices, "id", chain, "id_a", "id_b",
-      maxIters = 10, starContraction = true)
+      maxIters = 10, starContraction = true, localFinishEdges = 0)
     try assert(star.select("component").as[Long].collect.toSet === Set(0L))
     finally star.unpersist()
     // and on a mixed graph both algorithms produce IDENTICAL labels:
@@ -291,7 +299,7 @@ class DedupSpec extends AnyFunSuite {
       ).toDF("id_a", "id_b")
     def labelsOf(starC: Boolean) = {
       val cc = Dedup.connectedComponents(vs2, "id", es2, "id_a", "id_b",
-        starContraction = starC)
+        starContraction = starC, localFinishEdges = 0)
       try cc.as[(Long, Long)].collect.toMap finally cc.unpersist()
     }
     val plain = labelsOf(false)
@@ -312,12 +320,55 @@ class DedupSpec extends AnyFunSuite {
     val vs = Seq(1L, 2L, 5L, 7L).toDF("id")
     val es = Seq((1L, 2L), (1L, 1L), (5L, 5L)).toDF("id_a", "id_b")
     val expected = Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 7L)
-    for (starC <- Seq(false, true)) {
+    // both modes × both execution phases (distributed loop and the
+    // driver local finish) — the self-loop filter guards all four
+    for (starC <- Seq(false, true); localEdges <- Seq(0, 1 << 16)) {
       val cc = Dedup.connectedComponents(vs, "id", es, "id_a", "id_b",
-        starContraction = starC)
+        starContraction = starC, localFinishEdges = localEdges)
       try assert(cc.as[(Long, Long)].collect.toMap === expected,
-        s"starContraction=$starC")
+        s"starContraction=$starC localFinishEdges=$localEdges")
       finally cc.unpersist()
+    }
+  }
+
+  test("local finish ≡ distributed labels on random graphs, incl. mid-contraction cutover") {
+    // the two-phase execution contract: the driver union-find (entry
+    // fast path AND the star loop's mid-contraction cutover) must label
+    // exactly like the pure distributed modes on arbitrary graphs.
+    // Truth = pointer-jumped propagation with the fast path disabled.
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      val nV = 40 + rnd.nextInt(40)
+      val chainLen = 60 // deep component: forces several contraction rounds
+      val randomEdges = (1 to nV * 2).map(_ =>
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter { case (a, b) => a != b }
+      val chainEdges = (0 until chainLen - 1)
+        .map(i => (nV + i.toLong, nV + i + 1L))
+      val vs = (0L until (nV + chainLen).toLong).toDF("id")
+      val es = (randomEdges ++ chainEdges).toDF("id_a", "id_b")
+      val nEdges = randomEdges.size + chainEdges.size
+
+      def labelsOf(star: Boolean, jump: Boolean, localEdges: Int) = {
+        val cc = Dedup.connectedComponents(vs, "id", es, "id_a", "id_b",
+          maxIters = 60, pointerJump = jump, starContraction = star,
+          localFinishEdges = localEdges)
+        try cc.as[(Long, Long)].collect.toMap finally cc.unpersist()
+      }
+      val truth = labelsOf(star = false, jump = true, localEdges = 0)
+      assert(truth.size === nV + chainLen, s"trial $trial: label coverage")
+      // entry fast path (everything fits the default bound)
+      assert(labelsOf(star = false, jump = false, localEdges = 1 << 16)
+        === truth, s"trial $trial: entry local finish")
+      // pure distributed star contraction
+      assert(labelsOf(star = true, jump = false, localEdges = 0)
+        === truth, s"trial $trial: distributed star")
+      // mid-contraction cutover: the entry probe sees > 8 edges, so the
+      // loop runs distributed rounds until a generation contracts under
+      // 8 edges and the driver finishes it
+      assert(nEdges > 8)
+      assert(labelsOf(star = true, jump = false, localEdges = 8)
+        === truth, s"trial $trial: mid-contraction cutover")
     }
   }
 
