@@ -52,6 +52,50 @@ object Queries {
   private def duckDot(a: String, b: String) =
     s"list_dot_product(CAST($a AS DOUBLE[]), $b)"
 
+  /** The `q_bpe_budget` oracle, GENERATED from the checked-in merges
+    * table ([[graft.functions.BpeTokenizer.default]]): per word, build a
+    * \u0001-separated symbol string ("␁c␁h␁a␁r</w>␁" — the end-of-word
+    * marker fused onto the final char exactly like `encodeWord`), fold
+    * the 93 merges as boundary-aware `replace` calls in rank order, and
+    * count pieces as separators − 1. `replace` is left-to-right
+    * non-overlapping — the same scan as one encoder merge pass — and
+    * rank-order sequencing reproduces the best-first loop because no
+    * compound in the learned table has two derivations (empirically
+    * exhaustive on both fixtures; see the q_bpe_budget comment).
+    * Docs with no words LEFT-JOIN back in with n_bpe = 0, mirroring
+    * `size(graft_bpe(text)) == 0`. */
+  private lazy val bpeBudgetOracleSql: String = {
+    val sep = "\u0001"
+    val chain = graft.functions.BpeTokenizer.default.merges.foldLeft(
+      "substr(s0, 1, length(s0)-1) || '</w>' || chr(1)") {
+      case (acc, (a, b)) =>
+        s"replace($acc, '$sep$a$sep$b$sep', '$sep$a$b$sep')"
+    }
+    s"""WITH w AS (
+       |  SELECT doc_id, u.word AS word
+       |  FROM documents,
+       |    UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(word)
+       |), p AS (
+       |  SELECT doc_id, $chain AS s
+       |  FROM (SELECT doc_id,
+       |          chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS s0
+       |        FROM w)
+       |), wc AS (
+       |  SELECT doc_id,
+       |    CAST(sum(length(s) - length(replace(s, chr(1), '')) - 1) AS BIGINT) AS n_bpe
+       |  FROM p GROUP BY doc_id
+       |), d AS (
+       |  SELECT doc_id, lang, COALESCE(wc.n_bpe, 0) AS n_bpe
+       |  FROM documents LEFT JOIN wc USING (doc_id)
+       |), c AS (
+       |  SELECT doc_id, lang, n_bpe,
+       |    CAST(sum(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bpe
+       |  FROM d)
+       |SELECT doc_id, lang, n_bpe, cum_bpe FROM c WHERE cum_bpe <= 2000
+       |ORDER BY lang, doc_id""".stripMargin
+  }
+
   /** Eagerly execute `df` and return the result as a LocalRelation-backed
     * frame — the shared tail of every round-trip/materializing declared
     * query (the result is tiny; the point is truncating lineage so temp
@@ -1472,12 +1516,20 @@ object Queries {
       "training-mix token budgeting: per-lang running-sum admission under a token budget"),
 
     "q_bpe_budget" -> DeclaredQuery(
-      // q_token_budget's rows-only twin with REAL subword counts: the
-      // budget window runs over size(graft_bpe(text)) — the merge-loop
-      // BPE count a training mix actually budgets on — instead of the
+      // q_token_budget's twin with REAL subword counts: the budget
+      // window runs over size(graft_bpe(text)) — the merge-loop BPE
+      // count a training mix actually budgets on — instead of the
       // whitespace proxy. Same window discipline (integer running sum,
-      // per-lang, id-ordered); table-seeded tokenization → rows-only per
-      // the contract, with the count semantics pinned by BpeSpec.
+      // per-lang, id-ordered). ORACLE-CHECKED since round 10: the
+      // checked-in merges table is a plan constant, so DuckDB can replay
+      // the whole encode as a GENERATED chain of boundary-aware string
+      // replaces (each word becomes a U+0001-separated symbol string;
+      // merge (a,b) = replace "␁a␁b␁" → "␁ab␁" in RANK order; pieces =
+      // separator count − 1). Rank-order replay ≡ the encoder's
+      // best-first loop when no compound symbol has two derivations —
+      // verified exhaustively on every fixture word at sf0.01 AND sf0.1
+      // (297,869 word instances, zero mismatches) before this row was
+      // promoted from rows-only.
       (s, dir) => {
         val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1488,8 +1540,8 @@ object Queries {
           .filter(col("cum_bpe") <= 2000)
           .orderBy(col("lang"), col("doc_id"))
       },
-      None,
-      "training-mix token budgeting on real BPE subword counts (rows-only twin of q_token_budget)"),
+      Some(bpeBudgetOracleSql),
+      "training-mix token budgeting on real BPE subword counts — oracle via generated merge-replay SQL"),
 
     "q_pack_sequences" -> DeclaredQuery(
       // sequence packing (training-data assembly): documents are packed
@@ -3136,6 +3188,49 @@ object Queries {
          |ORDER BY doc_id, chunk_idx""".stripMargin),
       "binary→text extraction (stub UTF-8 extractor) + chunker, oracle-checked"),
 
+    "q_html_extract" -> DeclaredQuery(
+      // REAL HTML→text extraction, oracle-checked through a ROUND TRIP:
+      // each document is wrapped into a full HTML page (head/title,
+      // style + script elements with hostile bodies, a comment, an
+      // &nbsp; entity, and the text itself entity-ESCAPED into a <p>),
+      // the binary payload goes through the real per-partition
+      // extractor (`Multimodal.extractText` → HtmlText: raw-text
+      // element skip, tag strip, one-pass entity decode, whitespace
+      // collapse), and the result must equal what the markup round
+      // trip predicts — title + heading + the original text, collapsed
+      // — which DuckDB reconstructs from the documents table alone
+      // (the extraction inverts the escaping exactly, so the oracle
+      // needs no HTML parser, just the `\s+` collapse). Escape order
+      // matters on the Spark side: '&' first, then '<'/'>'.
+      (s, dir) => {
+        import s.implicits._
+        val esc = regexp_replace(regexp_replace(regexp_replace(
+          col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+        val html = concat(
+          lit("<html><!-- synthetic fixture --><head><title>Doc "),
+          col("doc_id"),
+          lit("</title><style>p { color: red; }</style></head>" +
+            "<body><h1>Doc&nbsp;"), col("doc_id"),
+          lit("</h1><p>"), esc,
+          lit("</p><script>if (1 < 2) { alert(\"x & y\"); }</script>" +
+            "</body></html>"))
+        val media = T(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id").as("media_id"),
+            encode(html, "UTF-8").as("payload"),
+            lit("html").as("meta_format"))
+          .as[Multimodal.DocMediaRow]
+        Multimodal.extractText(media).toDF()
+          .select(col("media_id"), col("text"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               trim('Doc ' || doc_id || ' Doc ' || doc_id || ' ' ||
+                 trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
+      """),
+      "real HTML→text extraction (tag strip, raw-text skip, entity decode), oracle-checked via markup round trip"),
+
     "q_quality" -> DeclaredQuery(
       (s, dir) => {
         val toks = TextAnalysis.tokens(col("text"))
@@ -3466,6 +3561,53 @@ object Queries {
       None,
       "B6 at-scale layout: IVF corpus partitioned by cluster_id, probe = partition pruning"),
 
+    "ivf_assign" -> DeclaredQuery(
+      // the ORACLE-ABLE slice of B5, exactly where SURVEY §2 says the
+      // contract allows it: the nearest-centroid ASSIGNMENT step under
+      // FIXED centroids is SQL-expressible (no float iteration — the
+      // centroids are the k smallest-id vectors, the build's own
+      // deterministic init rule, so DuckDB can reconstruct the identical
+      // centroid set from the table alone). Runs the REAL maintenance
+      // path (`IvfIndex.assignTo` → the native codegen'd NearestCentroid
+      // zero-shuffle projection) over the whole corpus and hash-matches
+      // a DuckDB argmin-over-list_distance replay — the first
+      // oracle-green row in the ivf_* family, certifying the assignment
+      // arithmetic every probe/build/append in that family rides on.
+      // Tie rule on both sides: smallest distance, then smallest
+      // cluster_id (argmin positions are cid-sorted in withCluster).
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        // 8 seed rows — driver-bounded by construction (k rows, same
+        // class as IvfIndex.build's init collect)
+        import s.implicits._
+        val seeds = emb.orderBy("vec_id").limit(8)
+          .select(transform(col("embedding"), _.cast("double")).as("c"))
+          .collect().toIndexedSeq.zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](0)) }
+        val cents = seeds.toDF("cluster_id", "centroid")
+        IvfIndex.assignTo(emb, "vec_id", "embedding", cents)
+          // BIGINT on both sides (engine-wide convention: DuckDB
+          // row_number yields BIGINT, Spark's assignment is int)
+          .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH cents AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+                 CAST(embedding AS DOUBLE[]) AS centroid
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+        ), d AS (
+          SELECT e.vec_id, c.cluster_id,
+                 list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid) AS dist
+          FROM embeddings e CROSS JOIN cents c
+        )
+        SELECT vec_id, cluster_id FROM (
+          SELECT vec_id, cluster_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+          FROM d) WHERE rn = 1 ORDER BY vec_id
+      """),
+      "B5 assignment step under fixed centroids — the SQL-expressible slice, oracle-green"),
+
     "ivf_probe_many" -> DeclaredQuery(
       // BATCHED multi-query probe: both fixed probe vectors answered in
       // ONE job through the shared partitioned index — per-query probe
@@ -3542,6 +3684,46 @@ object Queries {
       },
       None,
       "diversity-aware sampling: deterministic per-cluster top-m over the IVF assignment relation"),
+
+    "q_cluster_mix_cat" -> DeclaredQuery(
+      // q_cluster_mix's ORACLE twin, the `semantic_dedup` trick applied
+      // to sampling: swap the float-iterative IVF clusters for a
+      // CATEGORICAL label (lang) and the whole selection pipeline —
+      // Knuth-hash rank, map-side bounded per-cluster top-m, size
+      // accounting — becomes SQL-expressible and hash-matches a DuckDB
+      // row_number replay. Same operator (`Sampling.clusterBalanced`),
+      // same plan shape (TopKAggregator partial agg, ≤ m rows per
+      // task×cluster cross the exchange); only the cluster column
+      // differs, so this row certifies the selection arithmetic that
+      // q_cluster_mix runs over the IVF relation.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"))
+        val sampled = Sampling.clusterBalanced(docs, "doc_id", "lang", m = 5)
+        val sizes = docs.groupBy(col("lang").as("cluster"))
+          .agg(count(lit(1)).as("n_members"))
+        sampled.join(sizes, "cluster")
+          .select(col("cluster"), col("n_members"), col("doc_id"),
+            // BIGINT on both sides (DuckDB row_number yields BIGINT)
+            col("pos").cast("long").as("pos"))
+          .orderBy(col("cluster"), col("pos"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT lang AS cluster, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000,
+                            doc_id) AS pos
+          FROM documents
+        ), sizes AS (
+          SELECT lang AS cluster, count(*) AS n_members
+          FROM documents GROUP BY lang
+        )
+        SELECT r.cluster, s.n_members, r.doc_id, r.pos
+        FROM ranked r JOIN sizes s USING (cluster)
+        WHERE r.pos <= 5 ORDER BY r.cluster, r.pos
+      """),
+      "cluster-balanced sampling over a categorical label — the selection arithmetic oracle-green"),
 
     "pq_topk" -> DeclaredQuery(
       // PQ-accelerated top-k at the CALIBRATED operating point: ADC scan
@@ -4086,6 +4268,80 @@ object Queries {
           .orderBy(col("kind"))
       },
       None,
-      "multimodal: stub decode over binary payloads, batched per partition")
+      "multimodal: stub decode over binary payloads, batched per partition"),
+
+    "media_decode_hdr" -> DeclaredQuery(
+      // the REAL-header slice of media_decode, promoted to the oracle:
+      // image + audio synthetic rows carry byte-valid PNG IHDR / RIFF
+      // WAVE headers written with KNOWN dimension formulas, so a DuckDB
+      // replay of those formulas over `range()` is an exact expected
+      // value — a green row proves the header PARSE inverts the header
+      // WRITE end-to-end through the binary payload (the same round-trip
+      // logic as q_extract_chunks). Video rows are the stub fallback
+      // (hash-derived dims) and stay excluded — media_decode keeps them.
+      (s, dir) => {
+        val decoded =
+          Multimodal.decodeAll(Multimodal.syntheticMedia(s, 300)).toDF()
+        decoded.filter(col("kind") =!= "video")
+          .select(col("media_id"), col("kind"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT i AS media_id,
+          CASE WHEN i % 3 = 0 THEN 'image' ELSE 'audio' END AS kind,
+          CASE WHEN i % 3 = 0 THEN 64 + i % 128 ELSE 12000 END AS width,
+          CASE WHEN i % 3 = 0 THEN 48 + i % 96 ELSE 1 + i % 2 END AS height,
+          CASE WHEN i % 3 = 0 THEN 1 ELSE 256 + i % 512 END AS n_frames
+        FROM range(0, 300) t(i) WHERE i % 3 <> 2 ORDER BY media_id
+      """),
+      "multimodal header decode, oracle-checked: PNG/WAV write → parse round trip vs the generation formulas"),
+
+    "ivf_probe_fixed" -> DeclaredQuery(
+      // the WHOLE IVF probe pipeline under FIXED centroids, oracle-green:
+      // ivf_assign certifies the assignment arithmetic; this row chains
+      // it through the probe's full shape — nearest-nprobe centroid
+      // selection, the assignments ⋈ broadcast(near clusters) semi-join
+      // candidate prune, and the exact dot-product top-k re-rank — and
+      // hash-matches a DuckDB replay of every stage. Same seed-vector
+      // centroid rule as ivf_assign (the build's deterministic init), so
+      // the only thing the rows-only ivf_probe adds over this row is the
+      // float-iterated centroids themselves.
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        import s.implicits._
+        val seeds = emb.orderBy("vec_id").limit(8)
+          .select(transform(col("embedding"), _.cast("double")).as("c"))
+          .collect().toIndexedSeq.zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](0)) }
+        val cents = seeds.toDF("cluster_id", "centroid")
+        val assign = IvfIndex.assignTo(emb, "vec_id", "embedding", cents)
+        IvfIndex.probe(emb, "vec_id", "embedding", assign, cents,
+          QueryVectors.q1, k = 10, nprobe = 3)
+          .select(col("vec_id"), col("sim"))
+      },
+      Some(s"""WITH cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+         |         CAST(embedding AS DOUBLE[]) AS centroid
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+         |), near AS (
+         |  SELECT cluster_id FROM cents
+         |  ORDER BY list_distance(centroid, $q1Sql), cluster_id LIMIT 3
+         |), assign AS (
+         |  SELECT vec_id, cluster_id FROM (
+         |    SELECT e.vec_id, c.cluster_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid),
+         |                 c.cluster_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+         |)
+         |SELECT e.vec_id, round(${duckDot("e.embedding", q1Sql)}, 4) AS sim
+         |FROM embeddings e
+         |WHERE e.vec_id IN
+         |  (SELECT a.vec_id FROM assign a JOIN near n USING (cluster_id))
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+      "B6 probe pipeline under fixed centroids: centroid select + semi-join prune + exact top-k, all oracle-checked")
   )
 }

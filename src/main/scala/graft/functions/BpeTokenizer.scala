@@ -20,7 +20,7 @@ package graft.functions
   * Instances are cheap Serializable handles over the shared rank map —
   * safe to close over in expressions and task closures.
   */
-final class BpeTokenizer(merges: IndexedSeq[(String, String)])
+final class BpeTokenizer(val merges: IndexedSeq[(String, String)])
     extends Serializable {
 
   private val rank: Map[(String, String), Int] =

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions.udf
   * The engine keeps the *capability* behind this trait: any
   * `String => Array[Float]` of fixed dim. The default implementation is a
   * deterministic feature-hashing bag-of-words (no torch on the JVM — see
-  * SURVEY.md §7.3 "Embedder parity"). A heavy-model variant would be a
+  * SURVEY.md §7.3 "Embedder parity"). The heavy-model lifecycle — a
   * per-executor lazy singleton (the standard Spark pattern mirroring the
-  * reference's `@st.cache_resource` at `app.py:13-14`), documented but not
-  * shipped here.
+  * reference's `@st.cache_resource` at `app.py:13-14`) — is REAL here:
+  * [[LinearModelEmbedder]] loads a binary weight artifact once per
+  * executor JVM and batches forward passes through
+  * [[Embedder.embedPartitions]].
   *
   * Instances must be Serializable: they are closed over by executor-side
   * UDFs and shipped with the task closure — cheap, stateless objects, not
@@ -74,13 +76,108 @@ final class HashingEmbedder(val dim: Int = 64, val maxTokens: Int = 512)
   }
 }
 
+/** REAL model-artifact-backed embedder — the heavy-model seam EXERCISED:
+  * a linear projection head over the hash featurizer, with the weights
+  * loaded from a binary artifact file exactly the way an ONNX session
+  * would be (no inference runtime ships in this container, so the model
+  * format is this engine's own — the LIFECYCLE is the part the scaladoc
+  * sketch below promises, and it is real here):
+  *
+  *   - the instance is a cheap Serializable HANDLE (a path string +
+  *     dims); what ships in the task closure is never the weights;
+  *   - the loaded matrix lives in a companion-object cache keyed by
+  *     path — ONE load per (executor JVM, model), concurrent first-call
+  *     races collapse via computeIfAbsent (asserted via the
+  *     spec-visible load counter in EmbedderSpec);
+  *   - `embedAll` is the one-forward-pass-per-batch override the
+  *     [[Embedder.embedPartitions]] seam exists for: the whole batch is
+  *     featurized then multiplied through the matrix in one tight loop
+  *     (a GEMM call in an accelerator-backed session).
+  *
+  * `modelPath` must be visible where tasks run (local FS in local mode;
+  * `SparkContext.addFile`/shared store on a cluster). Artifact layout
+  * (little-endian): magic "GLPJ", int32 dimIn, int32 dimOut, then
+  * dimOut×dimIn float32 row-major weights. */
+final class LinearModelEmbedder(val modelPath: String, val dim: Int,
+                                featDim: Int = 64) extends Embedder {
+  private val feats = new HashingEmbedder(featDim)
+
+  override def embed(text: String): Array[Float] =
+    embedAll(Seq(text)).head
+
+  override def embedAll(texts: Seq[String]): Seq[Array[Float]] = {
+    val sess = LinearModelEmbedder.sessionFor(modelPath)
+    require(sess.dimIn == featDim && sess.dimOut == dim,
+      s"model at $modelPath is ${sess.dimOut}x${sess.dimIn}, " +
+        s"embedder declared ${dim}x$featDim")
+    // one "forward pass" for the whole batch: featurize then multiply
+    // through the session's weights in a single tight loop
+    val fs = texts.map(feats.embed)
+    fs.map { f =>
+      val out = new Array[Float](dim)
+      var o = 0
+      while (o < dim) {
+        var acc = 0.0f
+        val base = o * featDim
+        var i = 0
+        while (i < featDim) { acc += sess.w(base + i) * f(i); i += 1 }
+        out(o) = acc
+        o += 1
+      }
+      out
+    }
+  }
+}
+
+object LinearModelEmbedder {
+  final case class Session(dimIn: Int, dimOut: Int, w: Array[Float])
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Session]()
+
+  /** spec-visible evidence of the once-per-JVM lifecycle */
+  private[graft] val loadCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def sessionFor(path: String): Session =
+    cache.computeIfAbsent(path, p => {
+      loadCount.incrementAndGet()
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](4)
+      bb.get(magic)
+      require(new String(magic, "US-ASCII") == "GLPJ",
+        s"$p is not a GLPJ linear-model artifact")
+      val dimIn = bb.getInt; val dimOut = bb.getInt
+      require(dimIn > 0 && dimOut > 0 &&
+        bb.remaining() == dimIn * dimOut * 4,
+        s"$p: header ${dimOut}x$dimIn does not match payload size")
+      val w = new Array[Float](dimIn * dimOut)
+      bb.asFloatBuffer().get(w)
+      Session(dimIn, dimOut, w)
+    })
+
+  /** Artifact writer (tooling/spec side — the "export" step a real
+    * pipeline does once, off-cluster). Row-major [dimOut][dimIn]. */
+  def write(path: String, dimIn: Int, dimOut: Int, w: Array[Float]): Unit = {
+    require(w.length == dimIn * dimOut,
+      s"weights length ${w.length} != $dimOut x $dimIn")
+    val bb = java.nio.ByteBuffer.allocate(12 + w.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GLPJ".getBytes("US-ASCII")).putInt(dimIn).putInt(dimOut)
+    bb.asFloatBuffer().put(w)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bb.array())
+  }
+}
+
 object Embedder {
   /** Default engine embedder: 64-dim to match the `embeddings.parquet`
     * fixture dimension (FIXTURES.md §2). */
   val default: Embedder = new HashingEmbedder(64)
 
-  /** ==Heavy-model variant (design sketch — not shipped: no inference
-    * runtime in this environment)==
+  /** ==Heavy-model variant (ONNX design sketch; the session LIFECYCLE it
+    * describes is implemented and tested by [[LinearModelEmbedder]] —
+    * only the ONNX runtime itself is absent from this environment)==
     *
     * The reference embeds with DistilBERT (`app.py:16-37`). On Spark the
     * equivalent is an ONNX-exported encoder behind this same trait, with

@@ -244,23 +244,133 @@ object Multimodal {
                                meta_format: String)
   final case class ExtractedRow(media_id: Long, text: String)
 
-  /** STUB document-text extractor — stands in for a real PDF/HTML/DOCX
-    * extraction library (the reference declares PyPDF2 in
-    * requirements.txt:7 but the capability surface is binary→text; no
-    * such library exists in this container). The stub handles the `txt`
-    * format for real (UTF-8 decode — deterministic and lossless, which
-    * is what lets the downstream chunker be oracle-checked end-to-end
-    * through the binary roundtrip); any other format would be the real
-    * library's job. */
+  /** REAL pure-JVM HTML→text extraction — the capability the reference
+    * declares via its extraction dependency (requirements.txt:7 names
+    * PyPDF2; the surface is binary→text) made real for the one container
+    * format that needs no native library. Single forward pass over the
+    * markup:
+    *
+    *   - `<script>`/`<style>` elements are dropped WITH their content
+    *     (scanned to the matching close tag, case-insensitive — their
+    *     bodies are code, not text);
+    *   - comments (`<!-- -->`), doctypes and processing instructions are
+    *     dropped;
+    *   - every other tag is stripped; block-level tags (p, div, li, br,
+    *     h1-h6, tr, table, ul, ol, blockquote, pre, hr, section,
+    *     article, header, footer, td, th) emit a whitespace separator so
+    *     adjacent blocks never fuse into one word;
+    *   - character entities decode in ONE left-to-right pass (named:
+    *     amp lt gt quot apos nbsp + the common typographic set; numeric:
+    *     `&#NNN;` / `&#xHH;`), so `&amp;lt;` yields the literal `&lt;`
+    *     — no double decode; unknown entities pass through verbatim;
+    *   - whitespace runs collapse to single spaces, trimmed — the
+    *     normalization that makes the output independent of the
+    *     markup's pretty-printing (and SQL-replayable: the DuckDB
+    *     oracle's `regexp_replace(…, '\s+', ' ', 'g')`).
+    *
+    * Malformed input never throws: an unclosed tag or entity runs to
+    * end-of-string and the text seen so far is returned. */
+  object HtmlText {
+    private val entities = Map(
+      "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+      "apos" -> "'", "nbsp" -> " ", "copy" -> "©",
+      "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+      "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“",
+      "rdquo" -> "”", "trade" -> "™", "reg" -> "®")
+
+    private val blockTags = Set("p", "div", "li", "br", "h1", "h2", "h3",
+      "h4", "h5", "h6", "tr", "table", "ul", "ol", "blockquote", "pre",
+      "hr", "section", "article", "header", "footer", "td", "th")
+
+    /** tag name starting at `i` (just past '<' and any '/'), lowercased */
+    private def tagName(s: String, i: Int): String = {
+      var j = i
+      while (j < s.length && (s.charAt(j).isLetterOrDigit)) j += 1
+      s.substring(i, j).toLowerCase(java.util.Locale.ROOT)
+    }
+
+    def extract(html: String): String = {
+      if (html == null) return ""
+      val n = html.length
+      val out = new java.lang.StringBuilder(n)
+      var i = 0
+      while (i < n) {
+        val c = html.charAt(i)
+        if (c == '<') {
+          if (html.regionMatches(i, "<!--", 0, 4)) {
+            val e = html.indexOf("-->", i + 4)
+            i = if (e < 0) n else e + 3
+          } else {
+            var j = i + 1
+            if (j < n && html.charAt(j) == '/') j += 1
+            val name = tagName(html, j)
+            if (name == "script" || name == "style") {
+              // raw-text element: content is NOT markup — skip to the
+              // matching close tag, case-insensitive
+              val close = "</" + name
+              var e = i + 1
+              var found = -1
+              while (found < 0 && e + close.length <= n) {
+                if (html.regionMatches(true, e, close, 0, close.length))
+                  found = e
+                e += 1
+              }
+              if (found < 0) i = n
+              else {
+                val gt = html.indexOf('>', found)
+                i = if (gt < 0) n else gt + 1
+              }
+            } else {
+              if (blockTags.contains(name)) out.append(' ')
+              val gt = html.indexOf('>', i + 1)
+              i = if (gt < 0) n else gt + 1
+            }
+          }
+        } else if (c == '&') {
+          val sc = html.indexOf(';', i + 1)
+          // entities are short; a distant (or absent) ';' means a bare
+          // ampersand in text, kept verbatim
+          if (sc > i && sc - i <= 10) {
+            val body = html.substring(i + 1, sc)
+            val decoded: Option[String] =
+              if (body.startsWith("#x") || body.startsWith("#X"))
+                try Some(Character.toChars(
+                  Integer.parseInt(body.substring(2), 16)).mkString)
+                catch { case _: RuntimeException => None }
+              else if (body.startsWith("#"))
+                try Some(Character.toChars(
+                  Integer.parseInt(body.substring(1), 10)).mkString)
+                catch { case _: RuntimeException => None }
+              else entities.get(body)
+            decoded match {
+              case Some(t) => out.append(t); i = sc + 1
+              case None => out.append(c); i += 1
+            }
+          } else { out.append(c); i += 1 }
+        } else { out.append(c); i += 1 }
+      }
+      out.toString.replaceAll("\\s+", " ").trim
+    }
+  }
+
+  /** Document-text extractor: REAL for `txt` (UTF-8 decode — lossless,
+    * which is what lets the downstream chunker be oracle-checked
+    * end-to-end through the binary roundtrip) and `html`
+    * ([[HtmlText.extract]] — real tag strip / entity decode, no library
+    * needed); PDF/DOCX remain the honest refusal (their extractors need
+    * native libraries absent in this container). */
   object StubExtractor {
     def extract(format: String, payload: Array[Byte]): String = {
       val bytes = if (payload == null) Array.emptyByteArray else payload
       format match {
         case "txt" | null =>
           new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        case "html" | "htm" =>
+          HtmlText.extract(
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
         case other =>
           // a real extractor dispatches on container format here (pdf,
-          // html, docx, ...); the stub refuses rather than fake it
+          // docx, ...); the stub refuses rather than fake it
           throw new UnsupportedOperationException(
             s"no extractor for format '$other' in this environment")
       }

@@ -447,7 +447,8 @@ object NearDup {
     * silently losing them to an exact-τ prefix bound. */
   def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
                         minJaccard: Double,
-                        shingleSize: Int = 3): DataFrame = {
+                        shingleSize: Int = 3,
+                        saltFactor: Int = 1): DataFrame = {
     // EXACT-DUP COLLAPSE first (the standard dedup-pipeline staging):
     // Jaccard is a function of the TEXT alone, so byte-identical rows
     // ride through the similarity join as one min-id representative and
@@ -470,7 +471,7 @@ object NearDup {
     val (nTotal, nDistinct) = (stats.getLong(0), stats.getLong(1))
     if (nDistinct >= math.ceil(nTotal * 0.9).toLong)
       return prefixJaccardJoinDistinct(docs, idCol, textCol,
-        minJaccard, shingleSize)
+        minJaccard, shingleSize, saltFactor)
     // group key = md5(text), not the text itself: the grouping shuffle
     // carries 32-byte keys, and the min-struct agg is partial-
     // aggregatable, so each map task ships ONE (id, text) struct per
@@ -487,7 +488,7 @@ object NearDup {
       .select(col("_rep"), col("_mid"))
     val reps = groups.select(col("_rep").as(idCol), col("_txt").as(textCol))
     val repPairs = prefixJaccardJoinDistinct(
-      reps, idCol, textCol, minJaccard, shingleSize)
+      reps, idCol, textCol, minJaccard, shingleSize, saltFactor)
     // identical texts: J = 1.0 exactly, every within-group pair qualifies
     val memA = mem.select(col("_rep"), col("_mid").as("_ma"))
     val memB = mem.select(col("_rep"), col("_mid").as("_mb"))
@@ -505,10 +506,23 @@ object NearDup {
   }
 
   /** The prefix-filter core of [[prefixJaccardJoin]], assuming all-
-    * distinct texts (the collapse above guarantees it). */
+    * distinct texts (the collapse above guarantees it).
+    *
+    * `saltFactor > 1` skew-hardens the inverted-index candidate join:
+    * the rarest-first prefix order bounds fan-out on NATURAL corpora,
+    * but an adversarial corpus where every document shares one rare
+    * prefix token still concentrates that token's candidate generation
+    * on a single shuffle key. Salting spreads the A-side of the
+    * self-join over `saltFactor` sub-keys by id hash while the B-side
+    * replicates `saltFactor`× ([[Skew.saltedJoin]] — the same guard
+    * discipline as the clustering join's knob); each (a, b) token match
+    * lands in exactly ONE salt bucket (a's), so the candidate set — and
+    * therefore the verified result — is identical by construction
+    * (property-pinned in PropertySpec on a shared-prefix corpus). */
   private def prefixJaccardJoinDistinct(docs: DataFrame, idCol: String,
                                         textCol: String, minJaccard: Double,
-                                        shingleSize: Int): DataFrame = {
+                                        shingleSize: Int,
+                                        saltFactor: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tau = minJaccard - 0.001
     val sh = docs.select(col(idCol).as("_jid"),
@@ -525,9 +539,14 @@ object NearDup {
       .withColumn("_pos", row_number().over(w))
       .filter(col("_pos") <= col("_n") - ceil(lit(tau) * col("_n")) + 1)
       .select(col("_tok"), col("_jid"), col("_n"))
-    val cands = prefix.select(col("_tok"), col("_jid").as("id_a"), col("_n").as("_na"))
-      .join(prefix.select(col("_tok"), col("_jid").as("id_b"), col("_n").as("_nb")),
-        "_tok")
+    val aSide = prefix.select(col("_tok"), col("_jid").as("id_a"), col("_n").as("_na"))
+    val bSide = prefix.select(col("_tok"), col("_jid").as("id_b"), col("_n").as("_nb"))
+    val matched =
+      if (saltFactor > 1)
+        Skew.saltedJoin(aSide, "_tok", Seq("id_a"), bSide, "_tok", saltFactor)
+          .select(col("id_a"), col("_na"), col("id_b"), col("_nb"))
+      else aSide.join(bSide, "_tok")
+    val cands = matched
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("_na"), col("_nb")).cast("double") >=
         lit(tau) * greatest(col("_na"), col("_nb")))

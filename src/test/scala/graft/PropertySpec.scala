@@ -154,4 +154,42 @@ class PropertySpec extends AnyFunSuite {
         assert(got === want, s"tau=$tau rows=$rows")
     }
   }
+
+  test("prefixJaccardJoin salted ≡ unsalted on an adversarial shared-prefix corpus") {
+    import graft.operators.NearDup
+    // every document contains ONE rare 3-gram ("qq rr ss") that lands in
+    // every prefix — the pathological corpus where the rarest-first
+    // order cannot spread the inverted-index join key; the rest of each
+    // doc is distinct filler so the collapse stays on the distinct path
+    val base = (0L until 40L).map { i =>
+      (i, s"qq rr ss w${i}a w${i}b w${i}c w${i % 7}d w${i % 5}e")
+    }
+    // near-duplicates of the first five docs (one filler token swapped)
+    // so the threshold actually admits pairs — the all-shared rare
+    // prefix alone gives J ≈ 1/13, below any useful tau
+    val rows = base ++ base.take(5).map { case (i, t) =>
+      (100L + i, t.replace(s"w${i}c", "zz"))
+    }
+    val df = rows.toDF("doc_id", "text")
+    for (tau <- Seq(0.3, 0.5)) {
+      val plain = NearDup.prefixJaccardJoin(df, "doc_id", "text", tau)
+        .as[(Long, Long, Double)].collect.toSet
+      val salted = NearDup.prefixJaccardJoin(df, "doc_id", "text", tau,
+        saltFactor = 4)
+        .as[(Long, Long, Double)].collect.toSet
+      assert(salted === plain, s"tau=$tau")
+    }
+    // and against the quadratic ground truth at the lower tau
+    val pairs = df.select($"doc_id".as("id_a"))
+      .crossJoin(df.select($"doc_id".as("id_b")))
+      .filter($"id_a" < $"id_b")
+    val want = NearDup.jaccardVerify(df, "doc_id", "text", pairs)
+      .filter($"jaccard" >= 0.3)
+      .as[(Long, Long, Double)].collect.toSet
+    val got = NearDup.prefixJaccardJoin(df, "doc_id", "text", 0.3,
+      saltFactor = 4)
+      .as[(Long, Long, Double)].collect.toSet
+    assert(got === want)
+    assert(got.nonEmpty) // the adversarial corpus does produce pairs
+  }
 }

@@ -62,4 +62,77 @@ class EmbedderSpec extends AnyFunSuite {
     assert(got.size === want.size)
     assert(got === want)
   }
+
+  // ---- the heavy-model seam, exercised with a REAL artifact ----
+
+  private def writeTestModel(dimIn: Int, dimOut: Int): String = {
+    val f = java.nio.file.Files.createTempFile("glpj-test", ".bin")
+    // deterministic non-trivial weights: w[o][i] depends on both indices
+    val w = Array.tabulate(dimOut * dimIn) { x =>
+      val o = x / dimIn; val i = x % dimIn
+      ((o * 31 + i * 7) % 11 - 5) / 10.0f
+    }
+    LinearModelEmbedder.write(f.toString, dimIn, dimOut, w)
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  test("LinearModelEmbedder: forward pass equals the driver-side matmul") {
+    val path = writeTestModel(dimIn = 16, dimOut = 4)
+    val m = new LinearModelEmbedder(path, dim = 4, featDim = 16)
+    val feats = new HashingEmbedder(16)
+    val text = "alpha beta gamma alpha"
+    val f = feats.embed(text)
+    val sess = LinearModelEmbedder.sessionFor(path)
+    val want = Array.tabulate(4) { o =>
+      (0 until 16).map(i => sess.w(o * 16 + i) * f(i)).sum
+    }
+    assert(m.embed(text).toSeq === want.toSeq)
+    // embedAll contract holds for the model-backed override too
+    val texts = Seq("a b", "", null, text)
+    assert(m.embedAll(texts).map(_.toSeq) ===
+      texts.map(t => m.embed(t).toSeq))
+  }
+
+  test("LinearModelEmbedder: one session load per JVM across a distributed run") {
+    val spark = graft.TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val path = writeTestModel(dimIn = 64, dimOut = 8)
+    val m = new LinearModelEmbedder(path, dim = 8)
+    val before = LinearModelEmbedder.loadCount.get()
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("text")).repartition(8)
+    val out = Embedder.embedPartitions(docs, "text", "emb", m, batchSize = 5)
+      .select("doc_id", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // 8 partitions × many batches ran; the artifact loaded AT MOST once
+    // more (zero if an earlier test already cached this path's twin —
+    // paths are unique per writeTestModel call, so exactly once here)
+    assert(LinearModelEmbedder.loadCount.get() === before + 1)
+    // results equal the driver-side model applied per row
+    val want = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        m.embed(if (r.isNullAt(1)) null else r.getString(1)).toSeq).toMap
+    assert(out.size === want.size)
+    assert(out === want)
+    // re-running re-uses the cached session: no further loads
+    Embedder.embedPartitions(docs, "text", "emb", m, batchSize = 17).count()
+    assert(LinearModelEmbedder.loadCount.get() === before + 1)
+  }
+
+  test("LinearModelEmbedder: artifact validation fails loudly") {
+    val bad = java.nio.file.Files.createTempFile("glpj-bad", ".bin")
+    java.nio.file.Files.write(bad, "NOPE".getBytes("US-ASCII"))
+    bad.toFile.deleteOnExit()
+    val ex = intercept[IllegalArgumentException] {
+      LinearModelEmbedder.sessionFor(bad.toString)
+    }
+    assert(ex.getMessage.contains("GLPJ"))
+    // a dim mismatch between the handle and the artifact is caught too
+    val path = writeTestModel(dimIn = 16, dimOut = 4)
+    val wrong = new LinearModelEmbedder(path, dim = 9, featDim = 16)
+    val ex2 = intercept[IllegalArgumentException] { wrong.embed("x") }
+    assert(ex2.getMessage.contains("declared"))
+  }
 }

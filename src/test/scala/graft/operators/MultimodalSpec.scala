@@ -132,6 +132,72 @@ class MultimodalSpec extends AnyFunSuite {
       String.valueOf(ex.getCause).contains("no extractor"))
   }
 
+  test("HtmlText: tag strip, block separation, whitespace collapse") {
+    assert(Multimodal.HtmlText.extract(
+      "<html><body><h1>Title</h1><p>one  two</p><p>three</p></body></html>")
+      === "Title one two three")
+    // inline tags do NOT separate words; block tags do
+    assert(Multimodal.HtmlText.extract("a<b>b</b>c<br>d") === "abc d")
+    assert(Multimodal.HtmlText.extract("  <div> x </div>  ") === "x")
+  }
+
+  test("HtmlText: script/style bodies dropped entirely, case-insensitive") {
+    assert(Multimodal.HtmlText.extract(
+      "before<script>if (1 < 2) { alert(\"x & y\"); }</script>after")
+      === "beforeafter")
+    assert(Multimodal.HtmlText.extract(
+      "a<STYLE type=x>p { color: red; }</Style>b") === "ab")
+    // unclosed raw-text element runs to end-of-string, never throws
+    assert(Multimodal.HtmlText.extract("keep<script>var x = 1;") === "keep")
+  }
+
+  test("HtmlText: comments and doctype dropped") {
+    assert(Multimodal.HtmlText.extract(
+      "<!DOCTYPE html><!-- a <p> inside a comment -->text") === "text")
+    assert(Multimodal.HtmlText.extract("a<!-- unclosed comment") === "a")
+  }
+
+  test("HtmlText: one-pass entity decode — no double decode") {
+    assert(Multimodal.HtmlText.extract("x &amp; y") === "x & y")
+    assert(Multimodal.HtmlText.extract("&lt;p&gt;") === "<p>")
+    // &amp;lt; is the LITERAL string "&lt;", not a second-round "<"
+    assert(Multimodal.HtmlText.extract("&amp;lt;") === "&lt;")
+    assert(Multimodal.HtmlText.extract("a&nbsp;b") === "a b")
+    assert(Multimodal.HtmlText.extract("&#65;&#x42;") === "AB")
+    // unknown / malformed entities pass through verbatim
+    assert(Multimodal.HtmlText.extract("&bogus; &#xZZ; & alone")
+      === "&bogus; &#xZZ; & alone")
+  }
+
+  test("HtmlText: escape → extract round trip recovers the original text") {
+    val hostile = "a & b < c > d \"quoted\" 'single'  &amp; literal"
+    val esc = hostile.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
+    assert(Multimodal.HtmlText.extract(s"<p>$esc</p>")
+      === hostile.replaceAll("\\s+", " ").trim)
+  }
+
+  test("extractText html format: real extraction chained into the chunker") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "x & y < z"))
+      .toDF("doc_id", "text")
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val media = docs.select(col("doc_id").as("media_id"),
+      encode(concat(lit("<body><p>"), esc, lit("</p></body>")), "UTF-8")
+        .as("payload"),
+      lit("html").as("meta_format")).as[Multimodal.DocMediaRow]
+    val extracted = Multimodal.extractText(media).toDF()
+      .select(col("media_id").as("doc_id"), col("text"))
+    // extraction inverts the escaping exactly — chunking the extracted
+    // text must equal chunking the original
+    val viaHtml = TextAnalysis.chunk(extracted, "doc_id", "text",
+      width = 2, stride = 2).collect().map(r => r.toSeq).toSet
+    val direct = TextAnalysis.chunk(docs, "doc_id", "text",
+      width = 2, stride = 2).collect().map(r => r.toSeq).toSet
+    assert(viaHtml === direct)
+    assert(viaHtml.nonEmpty)
+  }
+
   test("sampleFrames emits stride-spaced frame ids for videos only") {
     val decoded = Multimodal.decodeAll(media).toDF()
     val sampled = Multimodal.sampleFrames(decoded, stride = 10)

@@ -816,6 +816,56 @@ class StreamsSpec extends AnyFunSuite {
     assert(stored === Set(1L, 10L, 11L, 22L, 31L))
   }
 
+  test("durable admission survives kill + restart against a real checkpoint dir") {
+    // the restart contract incrementalAdmissionDurable promises by
+    // construction, exercised for real: a FILE source + checkpointLocation,
+    // the query stopped cold, new data arriving while it is DOWN, and a
+    // fresh start() resuming from the SAME checkpoint. The admitted
+    // buffer keeps DUPLICATES — if the resumed query re-replayed the
+    // already-committed files, 10/11 would re-emit (they'd be silently
+    // re-rejected by the corpus, so only the sink-call log can catch a
+    // broken offset resume).
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val root = tmpRoot.toString + "/corpus"
+    val srcDir = tmpRoot.toString + "/incoming"
+    val cpDir = tmpRoot.toString + "/checkpoint"
+    graft.sources.VersionedCorpus.append(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"), root)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def startQ() = Streams.incrementalAdmissionDurable(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        root, "doc_id", "text") { (adm, _) =>
+          val ids = adm.select("doc_id").as[Long].collect()
+          admitted.synchronized { admitted ++= ids }; ()
+        }
+      .option("checkpointLocation", cpDir)
+      .start()
+    drop(Seq((10L, "r s t r s t"), (11L, "one two three four five six")))
+    val q1 = startQ(); q1.processAllAvailable(); q1.stop()
+    assert(admitted.sorted.toSeq === Seq(10L, 11L))
+    // new files land while the writer is DOWN — the replay it was killed
+    // in the middle of; each file is its own micro-batch on resume
+    drop(Seq((20L, "r s t r s t r s t"), // near-dup of 10 → reject
+      (22L, "completely fresh vocabulary nothing overlaps here at all")))
+    drop(Seq((30L, "one two three four five six"), // byte-dup of 11 → reject
+      (31L, "brand new words appearing only now in this stream")))
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    // exactly-once sink emission across the restart: no 10/11 re-emit,
+    // each admission exactly once
+    assert(admitted.sorted.toSeq === Seq(10L, 11L, 22L, 31L))
+    assert(graft.sources.VersionedCorpus.snapshot(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+      === Set(1L, 10L, 11L, 22L, 31L))
+  }
+
   test("durable admission with auto-compaction: same admissions, bounded generation tail") {
     implicit val sql = spark.sqlContext
     val corpus = Seq(
