@@ -1245,6 +1245,123 @@ object Queries {
          |) ORDER BY snap""".stripMargin),
       "versioned corpus store lifecycle: append ×3 + compact + time-travel + vacuum, every snapshot content-checked vs direct SQL"),
 
+    "q_corpus_merge" -> DeclaredQuery(
+      // merge-on-read UPSERT + DELETE on the versioned store,
+      // content-proven by oracle: an upsert generation revises a key
+      // range (text + " rev2") without rewriting anything, a tombstone
+      // generation deletes a range, a later append RESURRECTS part of
+      // the deleted range (generation order decides — the
+      // Delta/Iceberg merge-on-read rule), and a compact + vacuum
+      // applies the whole merge physically. Three snapshots
+      // (asof-upsert / latest / post-compact) must each hash-match
+      // DuckDB computing the same revised-and-filtered slices straight
+      // from the source table — a row lost, duplicated, revived too
+      // early, or left unrevised by the tombstone bookkeeping breaks
+      // it. The " rev2" suffix shifts char mass so an unapplied upsert
+      // is visible in the hash, not just the row count.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vcmg")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(docs.filter(col("doc_id") < 300), root)
+          val gU = VersionedCorpus.upsert(
+            docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+              .withColumn("text", concat(col("text"), lit(" rev2"))),
+            root, "doc_id")
+          VersionedCorpus.delete(
+            docs.filter(col("doc_id") < 50).select("doc_id"), root, "doc_id")
+          VersionedCorpus.append(docs.filter(col("doc_id") < 25), root)
+          def stats(df: DataFrame, label: String): DataFrame =
+            df.agg(count(lit(1)).as("n_docs"),
+                sum(col("doc_id")).as("sum_ids"),
+                sum(length(col("text")).cast("long")).as("text_chars"),
+                countDistinct(col("lang")).as("n_langs"))
+              .select(lit(label).as("snap"), col("n_docs"),
+                col("sum_ids"), col("text_chars"), col("n_langs"))
+          // pre-compact reads materialize before vacuum mutates the dir
+          val pre = localFrame(
+            stats(VersionedCorpus.snapshot(s, root, gU), "asof_upsert")
+              .union(stats(VersionedCorpus.snapshot(s, root), "latest")))
+          VersionedCorpus.compact(s, root)
+          VersionedCorpus.vacuum(root)
+          val post = localFrame(
+            stats(VersionedCorpus.snapshot(s, root), "post_compact"))
+          localFrame(pre.union(post).orderBy(col("snap")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT * FROM (
+         |  SELECT 'asof_upsert' AS snap, count(*) AS n_docs,
+         |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |    CAST(sum(length(text) + CASE WHEN doc_id >= 100 AND doc_id < 200
+         |      THEN 5 ELSE 0 END) AS BIGINT) AS text_chars,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |  FROM documents WHERE doc_id < 300
+         |  UNION ALL
+         |  SELECT 'latest', count(*), CAST(sum(doc_id) AS BIGINT),
+         |    CAST(sum(length(text) + CASE WHEN doc_id >= 100 AND doc_id < 200
+         |      THEN 5 ELSE 0 END) AS BIGINT),
+         |    CAST(count(DISTINCT lang) AS BIGINT)
+         |  FROM documents
+         |  WHERE doc_id < 300 AND (doc_id < 25 OR doc_id >= 50)
+         |  UNION ALL
+         |  SELECT 'post_compact', count(*), CAST(sum(doc_id) AS BIGINT),
+         |    CAST(sum(length(text) + CASE WHEN doc_id >= 100 AND doc_id < 200
+         |      THEN 5 ELSE 0 END) AS BIGINT),
+         |    CAST(count(DISTINCT lang) AS BIGINT)
+         |  FROM documents
+         |  WHERE doc_id < 300 AND (doc_id < 25 OR doc_id >= 50)
+         |) ORDER BY snap""".stripMargin),
+      "merge-on-read upsert + tombstone delete + resurrection + physical apply at compaction, every snapshot content-checked vs direct SQL"),
+
+    "q_cdc_apply" -> DeclaredQuery(
+      // CDC APPLY content-proven by oracle: a change batch mixing three
+      // overlapping waves — U(seq 1) over [100,300), D(seq 2) over
+      // [150,250), U(seq 3) over [180,220) — folds into the base table
+      // [0,300) through `VersionedCorpus.applyChanges` (last-writer-
+      // wins per key by seq, then one upsert generation + one tombstone
+      // generation). Every key class is exercised: untouched, updated,
+      // deleted, delete-then-re-upserted (the seq-3 wave beats the
+      // delete), inserted-new, and deleted-while-absent (a no-op). The
+      // oracle states the expected FINAL TABLE row-for-row — full text
+      // equality, not aggregate counts — so a wrong winner, a leaked
+      // tombstone, or a lost insert shows up as a hash mismatch.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-cdc")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(docs.filter(col("doc_id") < 300), root)
+          def wave(lo: Int, hi: Int, op: String, seq: Int, tag: String) =
+            docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+              .withColumn("text",
+                if (op == "D") col("text") else concat(col("text"), lit(tag)))
+              .withColumn("op", lit(op)).withColumn("seq", lit(seq))
+          val changes = wave(100, 300, "U", 1, " u1")
+            .unionByName(wave(150, 250, "D", 2, ""))
+            .unionByName(wave(180, 220, "U", 3, " u3"))
+          VersionedCorpus.applyChanges(changes, root, "doc_id", "op", "seq")
+          localFrame(VersionedCorpus.snapshot(s, root)
+            .select(col("doc_id"), col("text"), col("lang"))
+            .orderBy(col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id, text, lang FROM (
+         |  SELECT doc_id, text, lang FROM documents WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u1', lang FROM documents
+         |  WHERE doc_id >= 100 AND doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u3', lang FROM documents
+         |  WHERE doc_id >= 180 AND doc_id < 220
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u1', lang FROM documents
+         |  WHERE doc_id >= 250 AND doc_id < 300
+         |) ORDER BY doc_id""".stripMargin),
+      "CDC apply: last-writer-wins change fold into the versioned store, final table content-checked row-for-row vs direct SQL"),
+
     "span_dedup" -> DeclaredQuery(
       // substring-level dedup (the ExactSubstr tier, Lee et al. 2021
       // public recipe re-shaped for Spark): per-doc coverage by token
@@ -3844,6 +3961,56 @@ object Queries {
       },
       None,
       "SQ8 quality: recall@10 of re-ranked quantized search vs exact top-k across the rerank-depth dial"),
+
+    "sq_topk_fixed" -> DeclaredQuery(
+      // the SQ8 pipeline under the BYTE-EXACT ORACLE — the ivf_assign
+      // pattern applied to the quantization family: unlike the
+      // float-iterative k-means codebooks, the SQ grid is pure
+      // per-dimension min/max (no accumulation, no iteration), so the
+      // ENTIRE pipeline — train → encode → quantized scan → top-50
+      // candidate cut → exact re-rank — is SQL-expressible and DuckDB
+      // replays it from the raw table (grid CTE → code arithmetic →
+      // same candidate cut → same re-rank). The rerank depth is pinned
+      // at 50 instead of the shared handle's runtime-calibrated value
+      // (a static SQL string cannot read the calibration); `sq_topk`
+      // stays the calibrated operating point. Codes and grid come from
+      // the SAME shared build the calibrated row uses, so this row
+      // certifies the deployed artifact, not a parallel re-derivation.
+      (s, dir) => {
+        val sq = sharedSqIndex(s, dir)
+        SqIndex.searchRerank(s.read.parquet(sq.codesPath),
+            T(s, dir, "embeddings"), "vec_id", "embedding",
+            QueryVectors.q1, sq.params, k = 10, r = 50)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH grid AS (
+         |  SELECT i, min(embedding[i]::DOUBLE) AS lo,
+         |    (max(embedding[i]::DOUBLE) - min(embedding[i]::DOUBLE)) / 127
+         |      AS dlt
+         |  FROM embeddings, (SELECT unnest(range(1,65)) AS i) d
+         |  GROUP BY i),
+         |g AS (SELECT list(lo ORDER BY i) AS vmin,
+         |             list(dlt ORDER BY i) AS dlt FROM grid),
+         |scored AS (
+         |  SELECT e.vec_id,
+         |    round(list_dot_product($q1Sql, vmin)
+         |      + list_sum(list_transform(range(1,65), i ->
+         |          ($q1Sql)[i] * dlt[i] * (CASE WHEN dlt[i] = 0 THEN 0
+         |            ELSE least(127, greatest(0,
+         |              CAST(round((e.embedding[i]::DOUBLE - vmin[i])
+         |                / dlt[i]) AS INT))) END))), 4) AS sq
+         |  FROM embeddings e CROSS JOIN g),
+         |cand AS (SELECT vec_id FROM scored ORDER BY sq DESC, vec_id
+         |         LIMIT 50)
+         |SELECT vec_id, sim,
+         |  row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+         |FROM (
+         |  SELECT e.vec_id,
+         |    round(${duckDot("e.embedding", q1Sql)}, 4) AS sim
+         |  FROM embeddings e JOIN cand USING (vec_id))
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+      "SQ8 train+encode+scan+rerank under the byte-exact oracle at a pinned depth (the grid is min/max — no float iteration to hide)"),
 
     "ivfpq_topk" -> DeclaredQuery(
       // the COMPOSED index at its calibrated operating point: IVF

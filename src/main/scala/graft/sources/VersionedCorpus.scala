@@ -32,9 +32,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * History semantics (log-structured, Delta-like):
   *   - [[append]] adds a generation; [[snapshot]] with `asOf` unions
   *     committed generations `<= asOf` — time travel to any commit;
+  *   - [[upsert]] adds a generation whose keys SUPERSEDE every earlier
+  *     generation's rows with the same key (merge-on-read: nothing is
+  *     rewritten at commit time — the snapshot read applies the
+  *     replacement). One commit = atomic: a crash leaves either the
+  *     old table or the fully-upserted one, never deletes-without-rows;
+  *   - [[delete]] adds a key-only TOMBSTONE generation: rows of earlier
+  *     generations with those keys drop out of later snapshots. Time
+  *     travel to before the tombstone still sees them. A later append
+  *     of a deleted key resurrects it (generation order decides, the
+  *     Delta/Iceberg merge-on-read rule);
   *   - [[compact]] rewrites the current snapshot as ONE new `base`
-  *     generation. Compaction is content-neutral and does NOT drop
-  *     history: earlier generations stay readable until [[vacuum]];
+  *     generation — this is where tombstones and superseded upsert
+  *     victims are PHYSICALLY applied (merge-on-read becomes
+  *     copy-on-write, the standard maintenance trade). Content-neutral
+  *     w.r.t. the merged view and history-preserving — earlier
+  *     generations stay readable until [[vacuum]];
   *   - [[vacuum]] deletes data superseded by the newest base
   *     generation. Only after vacuum does `asOf` before that base
   *     fail (with an explicit error, never a silent partial read).
@@ -46,8 +59,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedCorpus {
 
-  /** One committed generation, as recorded in its manifest. */
-  final case class Commit(gen: Long, rows: Long, base: Boolean)
+  /** One committed generation, as recorded in its manifest.
+    * `kind` ∈ append | base | upsert | delete; `base` is kept as the
+    * boolean view of `kind == "base"` (pre-merge manifests carry only
+    * the boolean and parse to append/base). `rows` is data rows for
+    * append/base/upsert and tombstoned-key count for delete. */
+  final case class Commit(gen: Long, rows: Long, base: Boolean,
+                          kind: String = "append") {
+    /** Generations whose keys kill earlier rows with the same key. */
+    def tombstones: Boolean = kind == "upsert" || kind == "delete"
+  }
 
   private def manifestDir(root: String) =
     java.nio.file.Paths.get(root, "_manifest")
@@ -71,14 +92,15 @@ object VersionedCorpus {
             java.nio.file.Files.readAllBytes(p),
             java.nio.charset.StandardCharsets.UTF_8)
           // fixed single-line shape written by us; no JSON lib needed
-          def field(k: String): String = {
-            val m = (s""""$k":""" + """\s*([^,}\s]+)""").r
-              .findFirstMatchIn(s)
-            m.map(_.group(1)).getOrElse(
-              sys.error(s"malformed manifest $p: missing $k"))
-          }
-          out += Commit(field("gen").toLong, field("rows").toLong,
-            field("base").toBoolean)
+          def fieldOpt(k: String): Option[String] =
+            (s""""$k":""" + """\s*([^,}\s]+)""").r
+              .findFirstMatchIn(s).map(_.group(1).stripPrefix("\"")
+                .stripSuffix("\""))
+          def field(k: String): String = fieldOpt(k).getOrElse(
+            sys.error(s"malformed manifest $p: missing $k"))
+          val base = field("base").toBoolean
+          out += Commit(field("gen").toLong, field("rows").toLong, base,
+            fieldOpt("kind").getOrElse(if (base) "base" else "append"))
         }
       }
     } finally stream.close()
@@ -143,10 +165,49 @@ object VersionedCorpus {
     }
   }
 
+  /** The store's merge key, pinned at the first [[upsert]]/[[delete]]:
+    * every later keyed commit must use the same column, and snapshot
+    * reads resolve tombstones against it. One key per store — the same
+    * single-merge-key discipline Delta's `MERGE ON` condition enforces
+    * in practice for merge-on-read deletes. */
+  private def keyFile(root: String) = manifestDir(root).resolve("_key.txt")
+
+  private def pinnedKey(root: String): Option[String] = {
+    val f = keyFile(root)
+    if (!java.nio.file.Files.exists(f)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim)
+  }
+
+  private def checkOrPinKey(root: String, keyCol: String): Unit = {
+    pinnedKey(root) match {
+      case Some(k) =>
+        require(k == keyCol,
+          s"store under $root merges on pinned key '$k'; got '$keyCol'")
+      case None =>
+        // the key must be a column of the pinned data schema
+        val sf = schemaFile(root)
+        require(java.nio.file.Files.exists(sf),
+          s"cannot pin merge key '$keyCol' before the first data commit " +
+            s"under $root (no schema pinned yet)")
+        val pinned = org.apache.spark.sql.types.DataType.fromJson(
+          new String(java.nio.file.Files.readAllBytes(sf),
+            java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        require(pinned.fieldNames.contains(keyCol),
+          s"merge key '$keyCol' is not a column of the store's schema " +
+            s"(${pinned.fieldNames.mkString(", ")}) under $root")
+        java.nio.file.Files.createDirectories(manifestDir(root))
+        java.nio.file.Files.write(keyFile(root),
+          keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   private def writeManifest(root: String, c: Commit): Unit = {
     val dir = manifestDir(root)
     java.nio.file.Files.createDirectories(dir)
-    val body = s"""{"gen":${c.gen},"rows":${c.rows},"base":${c.base}}"""
+    val body =
+      s"""{"gen":${c.gen},"rows":${c.rows},"base":${c.base},"kind":"${c.kind}"}"""
     val tmp = dir.resolve(s".${c.gen}.json.tmp")
     java.nio.file.Files.write(tmp,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -175,6 +236,96 @@ object VersionedCorpus {
     gen
   }
 
+  /** Merge-on-read UPSERT: commit `df` as one generation whose keys
+    * supersede every EARLIER generation's rows with the same `keyCol`
+    * value (the generation order is the merge order — [[snapshot]]
+    * applies it at read time; [[compact]] applies it physically).
+    * Nothing existing is rewritten, so the commit cost is the incoming
+    * batch alone — at 100 TB the alternative (rewrite every file a key
+    * touches) is the copy-on-write trade this store defers to
+    * compaction. Atomic: one data write + one manifest rename carries
+    * both the "delete old" and "insert new" halves. Returns the
+    * generation id, -1 for an empty batch. */
+  def upsert(df: DataFrame, root: String, keyCol: String): Long = {
+    checkOrPinSchema(root, df.schema)
+    checkOrPinKey(root, keyCol)
+    val gen = nextGen(root)
+    val path = dataDir(root, gen)
+    df.write.mode("overwrite").parquet(path.toString)
+    val rows = df.sparkSession.read.parquet(path.toString).count()
+    if (rows == 0L) {
+      org.apache.commons.io.FileUtils.deleteDirectory(path.toFile)
+      return -1L
+    }
+    writeManifest(root, Commit(gen, rows, base = false, kind = "upsert"))
+    gen
+  }
+
+  /** Merge-on-read DELETE: commit the distinct `keyCol` values of
+    * `keys` as a key-only tombstone generation. Rows of earlier
+    * generations with those keys vanish from later snapshots; time
+    * travel to before the tombstone still sees them, and a LATER
+    * append of the same key resurrects it. Deleting keys the store
+    * never held is a harmless no-op at read time (the anti-join just
+    * never matches). Returns the generation id, -1 for an empty key
+    * set. */
+  def delete(keys: DataFrame, root: String, keyCol: String): Long = {
+    checkOrPinKey(root, keyCol)
+    val gen = nextGen(root)
+    val path = dataDir(root, gen)
+    keys.select(keys.col(keyCol)).distinct()
+      .write.mode("overwrite").parquet(path.toString)
+    val n = keys.sparkSession.read.parquet(path.toString).count()
+    if (n == 0L) {
+      org.apache.commons.io.FileUtils.deleteDirectory(path.toFile)
+      return -1L
+    }
+    writeManifest(root, Commit(gen, n, base = false, kind = "delete"))
+    gen
+  }
+
+  /** CDC APPLY — one batch of keyed CHANGE rows folded into the store
+    * (the Delta `foreachBatch`-MERGE recipe, merge-on-read flavor):
+    * reduce the batch to the NEWEST change per key by `seqCol`
+    * (last-writer-wins; ties break toward delete — the conservative
+    * side for a dedup pipeline), then commit the surviving non-delete
+    * rows as ONE [[upsert]] generation and the surviving delete keys
+    * as ONE [[delete]] tombstone generation. `opCol` = "D" marks a
+    * delete; any other value is an insert/update (they are the same
+    * operation under upsert semantics). Change-log columns (`opCol`,
+    * `seqCol`) are stripped before the commit, so the store schema
+    * stays the data schema.
+    *
+    * Cost: one window pass over the BATCH (never the store) + the two
+    * commits. Replaying a batch after a crash is harmless: the upsert
+    * half re-replaces rows with identical content and the delete half
+    * re-tombstones already-dead keys — the same at-least-once +
+    * idempotent-apply contract the durable admission loop carries.
+    * Across separate calls, arrival order wins (each call commits
+    * later generations); `seqCol` only orders WITHIN a batch — the
+    * standard foreachBatch CDC caveat.
+    *
+    * Returns (upsertGen, deleteGen), -1 for an empty half. */
+  def applyChanges(batch: DataFrame, root: String, keyCol: String,
+                   opCol: String, seqCol: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, desc, row_number, when, lit}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(desc(seqCol),
+        when(col(opCol) === "D", lit(1)).otherwise(lit(0)).desc)
+    val latest = batch
+      .withColumn("_vc_rn", row_number().over(w))
+      .filter(col("_vc_rn") === 1).drop("_vc_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gU = upsert(latest.filter(col(opCol) =!= "D")
+        .drop(opCol, seqCol), root, keyCol)
+      val gD = delete(latest.filter(col(opCol) === "D")
+        .select(col(keyCol)), root, keyCol)
+      (gU, gD)
+    } finally latest.unpersist()
+  }
+
   /** The table as of generation `asOf` (default: newest commit).
     *
     * Resolution from manifests only: take the newest BASE generation
@@ -194,13 +345,53 @@ object VersionedCorpus {
       case Some(b) => visible.filter(c => c.gen == b || (!c.base && c.gen > b))
       case None    => visible.filterNot(_.base)
     }
+    val dataGens = wanted.filter(_.kind != "delete")
+    val tombGens = wanted.filter(_.tombstones)
     val paths = wanted.map(c => dataDir(root, c.gen).toString)
     val missing = paths.filterNot(p =>
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
     require(missing.isEmpty,
       s"asOf=$asOf needs vacuumed generations: ${missing.mkString(", ")} " +
         "(history before the newest base generation was dropped by vacuum)")
-    spark.read.parquet(paths: _*)
+    require(dataGens.nonEmpty,
+      s"asOf=$asOf resolves to tombstone-only generations under $root")
+    if (tombGens.isEmpty)
+      // fast path, unchanged from the append-only store: ONE multi-path
+      // parquet relation, no merge plan at all
+      spark.read.parquet(dataGens.map(c => dataDir(root, c.gen).toString): _*)
+    else {
+      // merge-on-read: a row of generation g survives iff no
+      // upsert/delete of its key committed AFTER g inside the snapshot
+      // window — i.e. g >= max(tombstone gen for that key). One
+      // key-projected scan of the tombstone generations (column
+      // pruning makes the upsert-gen key read cheap), one max-agg, one
+      // join against the data. The tombstone side is delete-sized, not
+      // corpus-sized; its exact row total is already in the manifests,
+      // so small tombstone sets take the broadcast join explicitly and
+      // big ones fall back to the shuffle join AQE would plan anyway.
+      import org.apache.spark.sql.functions.{broadcast, col, lit, max}
+      val key = pinnedKey(root).getOrElse(sys.error(
+        s"tombstone generations exist under $root but no merge key is " +
+          "pinned — the manifest directory is corrupt"))
+      val data = dataGens.map { c =>
+        spark.read.parquet(dataDir(root, c.gen).toString)
+          .withColumn("_vc_gen", lit(c.gen))
+      }.reduce(_ unionByName _)
+      require(!data.columns.take(data.columns.length - 1)
+          .exists(n => n == "_vc_gen" || n == "_vc_tmax"),
+        "store schema uses the reserved column names _vc_gen/_vc_tmax")
+      val tombs = tombGens.map { c =>
+        spark.read.parquet(dataDir(root, c.gen).toString)
+          .select(col(key)).withColumn("_vc_tgen", lit(c.gen))
+      }.reduce(_ unionByName _)
+      val tmax = tombs.groupBy(col(key)).agg(max(col("_vc_tgen")).as("_vc_tmax"))
+      val tmaxSized =
+        if (tombGens.map(_.rows).sum <= 4000000L) broadcast(tmax) else tmax
+      val outCols = data.columns.filter(_ != "_vc_gen").map(col).toSeq
+      data.join(tmaxSized, Seq(key), "left")
+        .filter(col("_vc_tmax").isNull || col("_vc_gen") >= col("_vc_tmax"))
+        .select(outCols: _*)
+    }
   }
 
   /** Rewrite the CURRENT snapshot as one new base generation.
@@ -213,7 +404,7 @@ object VersionedCorpus {
     val snap = snapshot(spark, root)
     snap.write.mode("overwrite").parquet(path.toString)
     val rows = spark.read.parquet(path.toString).count()
-    writeManifest(root, Commit(gen, rows, base = true))
+    writeManifest(root, Commit(gen, rows, base = true, kind = "base"))
     gen
   }
 

@@ -273,6 +273,35 @@ object Streams {
       } finally admitted.unpersist()
     }
 
+  /** CDC-APPLY ingestion loop — the change-data-capture twin of
+    * [[incrementalAdmissionDurable]]: each micro-batch of keyed change
+    * rows (insert/update/delete + a within-batch sequence column) folds
+    * into the on-disk versioned store as one merge-on-read upsert
+    * generation + one tombstone generation
+    * ([[graft.sources.VersionedCorpus.applyChanges]] — last-writer-wins
+    * per key by `seqCol` inside the batch, arrival order across
+    * batches). Restart-safe the same way the admission loop is: at
+    * least once + idempotent apply (re-upserting committed rows
+    * replaces them with identical content, re-tombstoning dead keys is
+    * a no-op). `compactEvery` is the same file-count valve — here it
+    * additionally applies accumulated tombstones physically, so a
+    * long-lived CDC stream doesn't accrete an ever-growing tombstone
+    * chain into every snapshot read. `sink` sees the committed
+    * (upsertGen, deleteGen) per batch. */
+  def incrementalCdcDurable(changeStream: DataFrame, root: String,
+                            keyCol: String, opCol: String, seqCol: String,
+                            compactEvery: Int = 0,
+                            vacuumAfter: Boolean = false)
+                           (sink: (Long, Long, Long) => Unit = (_, _, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changeStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val (gU, gD) = graft.sources.VersionedCorpus.applyChanges(
+        batch, root, keyCol, opCol, seqCol)
+      graft.sources.VersionedCorpus.maybeCompact(
+        batch.sparkSession, root, compactEvery, vacuumAfter)
+      sink(batchId, gU, gD)
+    }
+
   /** VECTOR-TIER streaming admission against a STATIC embedding-indexed
     * corpus — [[incrementalAdmission]]'s embedding twin: each micro-batch
     * of incoming (id, vector) rows runs the batch kernel

@@ -140,6 +140,151 @@ class VersionedCorpusSpec extends AnyFunSuite {
       === (0L until 27L).toArray)
   }
 
+  test("upsert supersedes earlier rows by key at read time; time travel still sees the old rows") {
+    val root = freshRoot()
+    val g0 = VersionedCorpus.append(docs(0 until 10, "v1"), root)
+    val gU = VersionedCorpus.upsert(docs(3 until 6, "v2"), root, "doc_id")
+    assert(gU === 1L)
+    val latest = VersionedCorpus.snapshot(spark, root)
+    assert(latest.count() === 10L) // replacement, not duplication
+    val byId = latest.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert((3L until 6L).forall(i => byId(i).startsWith("v2")))
+    assert((0L until 3L).forall(i => byId(i).startsWith("v1")))
+    // pre-upsert time travel is untouched
+    assert(VersionedCorpus.snapshot(spark, root, g0)
+      .filter(col("text").startsWith("v2")).count() === 0L)
+    // upserting new keys inserts them (the "insert" half of merge)
+    VersionedCorpus.upsert(docs(10 until 12, "v2"), root, "doc_id")
+    assert(VersionedCorpus.snapshot(spark, root).count() === 12L)
+  }
+
+  test("delete tombstones keys; later appends resurrect them (generation order decides)") {
+    val root = freshRoot()
+    VersionedCorpus.append(docs(0 until 10, "a"), root)
+    val gD = VersionedCorpus.delete(
+      docs(0 until 4, "x").select("doc_id"), root, "doc_id")
+    assert(gD === 1L)
+    assert(VersionedCorpus.commits(root).last.kind === "delete")
+    assert(VersionedCorpus.commits(root).last.rows === 4L)
+    val afterDelete = VersionedCorpus.snapshot(spark, root)
+    assert(afterDelete.count() === 6L)
+    assert(afterDelete.select("doc_id").as[Long].collect().sorted
+      === (4L until 10L).toArray)
+    // time travel to before the tombstone sees the full table
+    assert(VersionedCorpus.snapshot(spark, root, gD - 1).count() === 10L)
+    // a LATER append of a deleted key resurrects it
+    VersionedCorpus.append(docs(0 until 2, "back"), root)
+    val resurrected = VersionedCorpus.snapshot(spark, root)
+    assert(resurrected.count() === 8L)
+    assert(resurrected.filter(col("doc_id") === 0L)
+      .select("text").as[String].head.startsWith("back"))
+    // deleting keys the store never held is a harmless no-op
+    VersionedCorpus.delete(docs(500 until 503, "x").select("doc_id"),
+      root, "doc_id")
+    assert(VersionedCorpus.snapshot(spark, root).count() === 8L)
+    // an empty key set commits nothing
+    assert(VersionedCorpus.delete(
+      docs(0 until 3, "x").filter(col("doc_id") < 0).select("doc_id"),
+      root, "doc_id") === -1L)
+  }
+
+  test("compact applies tombstones physically; vacuum then drops the merge machinery") {
+    val root = freshRoot()
+    VersionedCorpus.append(docs(0 until 10, "v1"), root)
+    VersionedCorpus.upsert(docs(2 until 5, "v2"), root, "doc_id")
+    VersionedCorpus.delete(docs(8 until 10, "x").select("doc_id"),
+      root, "doc_id")
+    val expect = VersionedCorpus.snapshot(spark, root)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val base = VersionedCorpus.compact(spark, root)
+    // the base generation's FILES alone hold the merged view — no
+    // tombstone resolution left to pay
+    val baseRows = spark.read.parquet(s"$root/gen=$base")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(baseRows === expect)
+    assert(baseRows.map(_._1) === (0L until 8L).toArray)
+    VersionedCorpus.vacuum(root)
+    assert(VersionedCorpus.snapshot(spark, root)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      === expect)
+    // post-base appends + deletes still merge against the base
+    VersionedCorpus.append(docs(20 until 23, "c"), root)
+    VersionedCorpus.delete(docs(0 until 1, "x").select("doc_id"),
+      root, "doc_id")
+    assert(VersionedCorpus.snapshot(spark, root).count() === 10L)
+  }
+
+  test("the merge key is pinned at first keyed commit; later keyed commits must match it") {
+    val root = freshRoot()
+    VersionedCorpus.append(docs(0 until 5, "a"), root)
+    VersionedCorpus.upsert(docs(0 until 2, "b"), root, "doc_id")
+    val ex = intercept[IllegalArgumentException] {
+      VersionedCorpus.delete(docs(0 until 1, "x"), root, "text")
+    }
+    assert(ex.getMessage.contains("pinned key"))
+    // a key that is not a schema column is refused up front
+    val root2 = freshRoot()
+    VersionedCorpus.append(docs(0 until 5, "a"), root2)
+    val ex2 = intercept[IllegalArgumentException] {
+      VersionedCorpus.upsert(docs(0 until 1, "b"), root2, "nope")
+    }
+    assert(ex2.getMessage.contains("not a column"))
+    // a keyed commit before any data commit has no schema to validate
+    val root3 = freshRoot()
+    intercept[IllegalArgumentException] {
+      VersionedCorpus.delete(docs(0 until 1, "x").select("doc_id"),
+        root3, "doc_id")
+    }
+  }
+
+  test("merge-on-read plan: small tombstone sets resolve via broadcast join; append-only stays a bare scan") {
+    val root = freshRoot()
+    VersionedCorpus.append(docs(0 until 20, "a"), root)
+    // append-only fast path: no join operator in the plan at all
+    val plain = VersionedCorpus.snapshot(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(!plain.contains("Join"))
+    VersionedCorpus.delete(docs(0 until 2, "x").select("doc_id"),
+      root, "doc_id")
+    // the manifests say the tombstone set is 2 rows -> the data side
+    // must NOT shuffle: tombstone resolution is a broadcast hash join
+    val merged = VersionedCorpus.snapshot(spark, root)
+    assert(merged.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(merged.count() === 18L)
+  }
+
+  test("applyChanges: last-writer-wins per key by seq, ties break toward delete, replay idempotent") {
+    val root = freshRoot()
+    VersionedCorpus.append(docs(0 until 6, "v1"), root)
+    def change(id: Long, op: String, seq: Int, tag: String) =
+      Seq((id, s"$tag text number $id", "en", op, seq))
+        .toDF("doc_id", "text", "lang", "op", "seq")
+    val batch = Seq(
+      change(0L, "U", 1, "u1"), // plain update
+      change(1L, "U", 1, "u1"), change(1L, "D", 2, ""),  // delete wins by seq
+      change(2L, "D", 1, ""), change(2L, "U", 2, "u2"),  // update wins by seq
+      change(3L, "U", 1, "u1"), change(3L, "D", 1, ""),  // TIE -> delete wins
+      change(9L, "U", 1, "new"),                          // insert
+      change(7L, "D", 1, "")                              // delete absent key: no-op
+    ).reduce(_ unionByName _)
+    val (gU, gD) = VersionedCorpus.applyChanges(batch, root, "doc_id", "op", "seq")
+    assert(gU > 0L && gD > gU)
+    def state(): Map[Long, String] = VersionedCorpus.snapshot(spark, root)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val s1 = state()
+    assert(s1.keySet === Set(0L, 2L, 4L, 5L, 9L))
+    assert(s1(0L).startsWith("u1") && s1(2L).startsWith("u2")
+      && s1(9L).startsWith("new") && s1(4L).startsWith("v1"))
+    // crash-replay of the SAME batch: state unchanged (idempotent apply)
+    VersionedCorpus.applyChanges(batch, root, "doc_id", "op", "seq")
+    assert(state() === s1)
+    // change-log columns never leak into the store schema
+    assert(VersionedCorpus.snapshot(spark, root).columns.toSeq
+      === Seq("doc_id", "text", "lang"))
+  }
+
   test("durable admission replay is idempotent: re-admitting a committed batch appends nothing") {
     val root = freshRoot()
     VersionedCorpus.append(docs(0 until 20, "corpus"), root)

@@ -215,6 +215,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 2L, 5L))
   }
 
+  test("streaming CDC apply folds ordered change batches into the durable store") {
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdcstream").toString + "/corpus"
+    graft.sources.VersionedCorpus.append(
+      (0L until 10L).map(i => (i, s"v1 text $i", "en"))
+        .toDF("doc_id", "text", "lang"), root)
+    val mem = MemoryStream[(Long, String, String, String, Int)]
+    val commits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = Streams.incrementalCdcDurable(
+      mem.toDF().toDF("doc_id", "text", "lang", "op", "seq"),
+      root, "doc_id", "op", "seq", compactEvery = 4, vacuumAfter = true) {
+        (bid, gU, gD) => commits.synchronized { commits += ((bid, gU, gD)) }; ()
+      }.start()
+    // batch 1: update 0-2 (two seq waves on key 2), delete 8
+    mem.addData(Seq((0L, "u1 text 0", "en", "U", 1),
+      (1L, "u1 text 1", "en", "U", 1),
+      (2L, "u1 text 2", "en", "U", 1), (2L, "u2 text 2", "en", "U", 2),
+      (8L, "", "en", "D", 1)))
+    q.processAllAvailable()
+    // batch 2: re-insert deleted 8, delete 0 (batch order beats batch 1)
+    mem.addData(Seq((8L, "back text 8", "en", "U", 1),
+      (0L, "", "en", "D", 1)))
+    q.processAllAvailable(); q.stop()
+    val state = graft.sources.VersionedCorpus.snapshot(spark, root)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(state.keySet === (1L until 10L).toSet)        // 0 deleted, 8 back
+    assert(state(1L) === "u1 text 1")
+    assert(state(2L) === "u2 text 2")                    // seq 2 won in-batch
+    assert(state(8L) === "back text 8")                  // resurrected
+    assert(state(3L) === "v1 text 3")                    // untouched
+    assert(commits.size === 2 && commits.forall { case (_, u, d) => u > 0 && d > 0 })
+    // the compaction valve fired (batch 2 crossed every=4) and vacuumed:
+    // the merged view survived the physical apply
+    assert(graft.sources.VersionedCorpus.commits(root).exists(_.base))
+  }
+
   test("streaming clean-then-admit ≡ batch cleanAndAdmit on the same rows") {
     implicit val sql = spark.sqlContext
     val dir = graft.TestSpark.sf0001
