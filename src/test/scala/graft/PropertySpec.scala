@@ -192,4 +192,51 @@ class PropertySpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty) // the adversarial corpus does produce pairs
   }
+
+  test("CDC applyChanges ≡ driver-side change fold on random change logs, any batch split") {
+    import graft.sources.VersionedCorpus
+    // random change log over a small key space (forcing key collisions,
+    // multi-wave updates, delete/re-insert churn), applied through the
+    // store in 1..3 ordered batches vs a reference last-writer-wins
+    // fold executed entirely driver-side
+    val changeGen = Gen.listOfN(25, Gen.zip(
+      Gen.chooseNum(0L, 9L),                  // key (dense -> collisions)
+      Gen.oneOf("U", "U", "U", "D"),          // op, update-heavy
+      Gen.chooseNum(1, 5),                    // within-batch seq
+      Gen.alphaLowerStr.map(_.take(6))))      // payload
+    forAll(Gen.zip(changeGen, Gen.chooseNum(1, 3)), n = 8) {
+      case (rawChanges, nBatches) =>
+        // a real change log sequences each key strictly — equal
+        // (key, seq) with different payloads is unordered by contract
+        // (the tie-to-delete rule is pinned deterministically in
+        // VersionedCorpusSpec), so keep one change per (key, seq)
+        val changes = rawChanges.distinctBy(c => (c._1, c._3))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-cdcprop").toString + "/corpus"
+        VersionedCorpus.append(
+          (0L until 5L).map(i => (i, s"base$i")).toDF("k", "payload"), root)
+        // reference: fold batches in order; within a batch the max-seq
+        // change per key wins
+        var ref: Map[Long, String] = (0L until 5L).map(i => i -> s"base$i").toMap
+        val batches = changes.grouped(
+          math.max(1, changes.size / nBatches + 1)).toSeq
+        batches.foreach { b =>
+          b.groupBy(_._1).foreach { case (k, cs) =>
+            val (_, op, _, payload) = cs.maxBy(_._3)
+            ref = if (op == "D") ref - k else ref.updated(k, payload)
+          }
+        }
+        batches.foreach { b =>
+          VersionedCorpus.applyChanges(
+            b.toDF("k", "op", "seq", "payload")
+              .select($"k", $"payload", $"op", $"seq"),
+            root, "k", "op", "seq")
+        }
+        val got = VersionedCorpus.snapshot(spark, root)
+          .as[(Long, String)].collect().toMap
+        assert(got === ref, s"changes=$changes nBatches=$nBatches")
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(root).getParentFile)
+    }
+  }
 }
