@@ -1362,6 +1362,49 @@ object Queries {
          |) ORDER BY doc_id""".stripMargin),
       "CDC apply: last-writer-wins change fold into the versioned store, final table content-checked row-for-row vs direct SQL"),
 
+    "q_store_lookup" -> DeclaredQuery(
+      // POINT LOOKUPS through the manifest-stats pruned read path
+      // (`VersionedCorpus.lookupKey`): every keyed commit records its
+      // key min/max in the manifest, so a lookup reads only the
+      // generations whose range can hold the key — decided driver-side
+      // from O(generations) manifest records, no parquet footer
+      // touched for pruned dirs (pruning itself is asserted via
+      // inputFiles in VersionedCorpusSpec; THIS row certifies the
+      // answers). Six lookups cover every key class — untouched,
+      // resurrected-after-delete, deleted, upserted, tail, absent —
+      // and must reproduce exactly the rows direct SQL derives.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vclk")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(docs.filter(col("doc_id") < 200), root)
+          VersionedCorpus.upsert(
+            docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+              .withColumn("text", concat(col("text"), lit(" u1"))),
+            root, "doc_id")
+          VersionedCorpus.delete(
+            docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+              .select("doc_id"), root, "doc_id")
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") >= 55 && col("doc_id") < 60), root)
+          val out = Seq(10L, 57L, 75L, 120L, 180L, 4000L)
+            .map(k => VersionedCorpus.lookupKey(s, root, k))
+            .reduce(_ unionByName _)
+          localFrame(out.select(col("doc_id"), col("text"), col("lang"))
+            .orderBy(col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id, text, lang FROM (
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE doc_id IN (10, 57, 180)
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u1', lang FROM documents
+         |  WHERE doc_id = 120
+         |) ORDER BY doc_id""".stripMargin),
+      "manifest-stats pruned point lookups over the mutated store: every key class answered identically to direct SQL"),
+
     "span_dedup" -> DeclaredQuery(
       // substring-level dedup (the ExactSubstr tier, Lee et al. 2021
       // public recipe re-shaped for Spark): per-doc coverage by token
@@ -3771,6 +3814,65 @@ object Queries {
       },
       None,
       "B6h batched: multi-query SQ8 search in one codes scan (broadcast ADC terms + map-side top-k)"),
+
+    "sq_topk_many_fixed" -> DeclaredQuery(
+      // the BATCHED SQ8 path under the byte-exact oracle — the
+      // sq_topk_fixed trick applied to searchManyRerank, which puts the
+      // map-side bounded TopKAggregator arithmetic itself behind the
+      // hash gate (its tie discipline — score DESC, id ASC — must
+      // reproduce DuckDB's row_number ordering exactly, per query, at
+      // BOTH the candidate cut and the final top-k). Same shared codes
+      // table and grid as the calibrated row; depth pinned at 50 so
+      // the replay is a static SQL string.
+      (s, dir) => {
+        val sq = sharedSqIndex(s, dir)
+        import s.implicits._
+        val qs = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+          .toDF("qid", "qvec")
+        localFrame(
+          SqIndex.searchManyRerank(s.read.parquet(sq.codesPath),
+            T(s, dir, "embeddings"), "vec_id", "embedding",
+            qs, "qid", "qvec", sq.params, k = 10, r = 50)
+            .select(col("qid"), col("vec_id"), col("sim"),
+              col("rank").cast("long").as("rank"))
+            .orderBy(col("qid"), col("rank")))
+      },
+      Some(s"""WITH grid AS (
+         |  SELECT i, min(embedding[i]::DOUBLE) AS lo,
+         |    (max(embedding[i]::DOUBLE) - min(embedding[i]::DOUBLE)) / 127
+         |      AS dlt
+         |  FROM embeddings, (SELECT unnest(range(1,65)) AS i) d
+         |  GROUP BY i),
+         |g AS (SELECT list(lo ORDER BY i) AS vmin,
+         |             list(dlt ORDER BY i) AS dlt FROM grid),
+         |q AS (SELECT 1 AS qid, $q1Sql AS qv
+         |      UNION ALL SELECT 2, $q2Sql),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |    round(list_dot_product(qv, vmin)
+         |      + list_sum(list_transform(range(1,65), i ->
+         |          qv[i] * dlt[i] * (CASE WHEN dlt[i] = 0 THEN 0
+         |            ELSE least(127, greatest(0,
+         |              CAST(round((e.embedding[i]::DOUBLE - vmin[i])
+         |                / dlt[i]) AS INT))) END))), 4) AS sq
+         |  FROM embeddings e CROSS JOIN g CROSS JOIN q),
+         |cand AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sq DESC, vec_id) AS rn FROM scored)
+         |  WHERE rn <= 50),
+         |rer AS (
+         |  SELECT c.qid, c.vec_id,
+         |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 4)
+         |      AS sim
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN q ON q.qid = c.qid)
+         |SELECT CAST(qid AS BIGINT) AS qid, vec_id, sim, rank FROM (
+         |  SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vec_id) AS rank FROM rer)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
+      "batched SQ8 search under the byte-exact oracle: per-query aggregator tie discipline ≡ row_number replay at a pinned depth"),
 
     "q_cluster_mix" -> DeclaredQuery(
       // DIVERSITY-AWARE sampling: up to m rows from EVERY embedding

@@ -65,9 +65,19 @@ object VersionedCorpus {
     * the boolean and parse to append/base). `rows` is data rows for
     * append/base/upsert and tombstoned-key count for delete. */
   final case class Commit(gen: Long, rows: Long, base: Boolean,
-                          kind: String = "append") {
+                          kind: String = "append",
+                          klo: Option[Long] = None,
+                          khi: Option[Long] = None) {
     /** Generations whose keys kill earlier rows with the same key. */
     def tombstones: Boolean = kind == "upsert" || kind == "delete"
+    /** Manifest-stats pruning: can this generation hold `value` in the
+      * pinned key column? Generations committed before the key was
+      * pinned (or with a non-integral key) carry no bounds and must be
+      * read — pruning is only ever an elision of provably-empty work. */
+    def mayContainKey(value: Long): Boolean = (klo, khi) match {
+      case (Some(lo), Some(hi)) => value >= lo && value <= hi
+      case _                    => true
+    }
   }
 
   private def manifestDir(root: String) =
@@ -100,7 +110,8 @@ object VersionedCorpus {
             sys.error(s"malformed manifest $p: missing $k"))
           val base = field("base").toBoolean
           out += Commit(field("gen").toLong, field("rows").toLong, base,
-            fieldOpt("kind").getOrElse(if (base) "base" else "append"))
+            fieldOpt("kind").getOrElse(if (base) "base" else "append"),
+            fieldOpt("klo").map(_.toLong), fieldOpt("khi").map(_.toLong))
         }
       }
     } finally stream.close()
@@ -206,13 +217,44 @@ object VersionedCorpus {
   private def writeManifest(root: String, c: Commit): Unit = {
     val dir = manifestDir(root)
     java.nio.file.Files.createDirectories(dir)
+    val stats = (c.klo, c.khi) match {
+      case (Some(lo), Some(hi)) => s""","klo":$lo,"khi":$hi"""
+      case _                    => ""
+    }
     val body =
-      s"""{"gen":${c.gen},"rows":${c.rows},"base":${c.base},"kind":"${c.kind}"}"""
+      s"""{"gen":${c.gen},"rows":${c.rows},"base":${c.base},"kind":"${c.kind}"$stats}"""
     val tmp = dir.resolve(s".${c.gen}.json.tmp")
     java.nio.file.Files.write(tmp,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, dir.resolve(s"${c.gen}.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read a just-written generation back ONCE, returning (rows, key
+    * bounds): the row count that gates the commit plus — when a merge
+    * key is pinned and its type is integral — the min/max key value
+    * the manifest records for lookup-time generation pruning
+    * ([[lookupKey]]). Folding the bounds into the count's aggregate
+    * keeps this at the one read-back job the commit already pays. */
+  private def writtenStats(spark: SparkSession, path: String,
+                           root: String): (Long, Option[Long], Option[Long]) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val df = spark.read.parquet(path)
+    val statKey = pinnedKey(root).filter(k =>
+      df.schema.fieldNames.contains(k) && (df.schema(k).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _                                             => false
+      }))
+    statKey match {
+      case Some(k) =>
+        val r = df.agg(count(lit(1)), min(col(k).cast("long")),
+          max(col(k).cast("long"))).head()
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      case None => (df.count(), None, None)
+    }
   }
 
   /** Append `df` as the next generation. Data is written before the
@@ -227,12 +269,12 @@ object VersionedCorpus {
     val gen = nextGen(root)
     val path = dataDir(root, gen)
     df.write.mode("overwrite").parquet(path.toString)
-    val rows = df.sparkSession.read.parquet(path.toString).count()
+    val (rows, klo, khi) = writtenStats(df.sparkSession, path.toString, root)
     if (rows == 0L) {
       org.apache.commons.io.FileUtils.deleteDirectory(path.toFile)
       return -1L
     }
-    writeManifest(root, Commit(gen, rows, base = false))
+    writeManifest(root, Commit(gen, rows, base = false, klo = klo, khi = khi))
     gen
   }
 
@@ -252,12 +294,13 @@ object VersionedCorpus {
     val gen = nextGen(root)
     val path = dataDir(root, gen)
     df.write.mode("overwrite").parquet(path.toString)
-    val rows = df.sparkSession.read.parquet(path.toString).count()
+    val (rows, klo, khi) = writtenStats(df.sparkSession, path.toString, root)
     if (rows == 0L) {
       org.apache.commons.io.FileUtils.deleteDirectory(path.toFile)
       return -1L
     }
-    writeManifest(root, Commit(gen, rows, base = false, kind = "upsert"))
+    writeManifest(root,
+      Commit(gen, rows, base = false, kind = "upsert", klo = klo, khi = khi))
     gen
   }
 
@@ -275,12 +318,13 @@ object VersionedCorpus {
     val path = dataDir(root, gen)
     keys.select(keys.col(keyCol)).distinct()
       .write.mode("overwrite").parquet(path.toString)
-    val n = keys.sparkSession.read.parquet(path.toString).count()
+    val (n, klo, khi) = writtenStats(keys.sparkSession, path.toString, root)
     if (n == 0L) {
       org.apache.commons.io.FileUtils.deleteDirectory(path.toFile)
       return -1L
     }
-    writeManifest(root, Commit(gen, n, base = false, kind = "delete"))
+    writeManifest(root,
+      Commit(gen, n, base = false, kind = "delete", klo = klo, khi = khi))
     gen
   }
 
@@ -326,25 +370,30 @@ object VersionedCorpus {
     } finally latest.unpersist()
   }
 
-  /** The table as of generation `asOf` (default: newest commit).
-    *
-    * Resolution from manifests only: take the newest BASE generation
-    * `b <= asOf` (if any) plus every non-base generation in
-    * `(b, asOf]`; with no base, every non-base `<= asOf`. Spark gets
-    * the explicit path list — generation dirs outside the snapshot are
-    * never listed, let alone read. */
-  def snapshot(spark: SparkSession, root: String,
-               asOf: Long = Long.MaxValue): DataFrame = {
+  /** Snapshot window resolution from manifests only: the newest BASE
+    * generation `b <= asOf` (if any) plus every non-base generation in
+    * `(b, asOf]`; with no base, every non-base `<= asOf`. */
+  private def resolveWindow(root: String, asOf: Long): Seq[Commit] = {
     val all = commits(root)
     require(all.nonEmpty, s"no committed generations under $root")
     val visible = all.filter(_.gen <= asOf)
     require(visible.nonEmpty,
       s"asOf=$asOf predates the first commit (gen ${all.head.gen}) under $root")
     val baseGen = visible.filter(_.base).lastOption.map(_.gen)
-    val wanted = baseGen match {
+    baseGen match {
       case Some(b) => visible.filter(c => c.gen == b || (!c.base && c.gen > b))
       case None    => visible.filterNot(_.base)
     }
+  }
+
+  /** The table as of generation `asOf` (default: newest commit).
+    *
+    * Resolution from manifests only ([[resolveWindow]]): Spark gets
+    * the explicit path list — generation dirs outside the snapshot are
+    * never listed, let alone read. */
+  def snapshot(spark: SparkSession, root: String,
+               asOf: Long = Long.MaxValue): DataFrame = {
+    val wanted = resolveWindow(root, asOf)
     val dataGens = wanted.filter(_.kind != "delete")
     val tombGens = wanted.filter(_.tombstones)
     val paths = wanted.map(c => dataDir(root, c.gen).toString)
@@ -362,33 +411,162 @@ object VersionedCorpus {
     else {
       // merge-on-read: a row of generation g survives iff no
       // upsert/delete of its key committed AFTER g inside the snapshot
-      // window — i.e. g >= max(tombstone gen for that key). One
-      // key-projected scan of the tombstone generations (column
-      // pruning makes the upsert-gen key read cheap), one max-agg, one
-      // join against the data. The tombstone side is delete-sized, not
-      // corpus-sized; its exact row total is already in the manifests,
-      // so small tombstone sets take the broadcast join explicitly and
-      // big ones fall back to the shuffle join AQE would plan anyway.
+      // window — i.e. g >= max(tombstone gen for that key). Two
+      // scale decisions, both driver-side from the manifests alone:
+      //   1. GEN-LEVEL SKIP — a data generation needs tombstone
+      //      resolution only if some LATER tombstone generation's key
+      //      range can overlap its own (manifest min/max; missing
+      //      bounds → conservative). The common log shape — a stream
+      //      of appends with occasional old-range mutations — sends
+      //      most generations down the join-free fast scan.
+      //   2. ONE PARTITIONED SCAN for the rest: the gen=N layout IS a
+      //      hive partition scheme, so the merging generations read as
+      //      a single basePath relation with the generation as a
+      //      partition column — not a union of per-directory plans.
+      // The tombstone side is delete-sized, not corpus-sized; its
+      // exact row total is already in the manifests, so small sets
+      // take the broadcast join explicitly and big ones fall back to
+      // the shuffle join AQE would plan anyway.
       import org.apache.spark.sql.functions.{broadcast, col, lit, max}
       val key = pinnedKey(root).getOrElse(sys.error(
         s"tombstone generations exist under $root but no merge key is " +
           "pinned — the manifest directory is corrupt"))
-      val data = dataGens.map { c =>
-        spark.read.parquet(dataDir(root, c.gen).toString)
-          .withColumn("_vc_gen", lit(c.gen))
-      }.reduce(_ unionByName _)
-      require(!data.columns.take(data.columns.length - 1)
-          .exists(n => n == "_vc_gen" || n == "_vc_tmax"),
+      val pinnedFields = org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(schemaFile(root)),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      require(!pinnedFields.exists(n => n == "_vc_gen" || n == "_vc_tmax"),
         "store schema uses the reserved column names _vc_gen/_vc_tmax")
-      val tombs = tombGens.map { c =>
+      def overlaps(a: Commit, b: Commit): Boolean =
+        (a.klo, a.khi, b.klo, b.khi) match {
+          case (Some(alo), Some(ahi), Some(blo), Some(bhi)) =>
+            alo <= bhi && blo <= ahi
+          case _ => true
+        }
+      val (mergeGens, cleanGens) = dataGens.partition(c =>
+        tombGens.exists(t => t.gen > c.gen && overlaps(c, t)))
+      val clean =
+        if (cleanGens.isEmpty) None
+        else Some(spark.read.parquet(
+          cleanGens.map(c => dataDir(root, c.gen).toString): _*))
+      val merged = if (mergeGens.isEmpty) None else {
+        val data =
+          if (pinnedFields.contains("gen"))
+            // partition-column name collision with a data column: fall
+            // back to the explicit per-generation union
+            mergeGens.map { c =>
+              spark.read.parquet(dataDir(root, c.gen).toString)
+                .withColumn("_vc_gen", lit(c.gen))
+            }.reduce(_ unionByName _)
+          else spark.read.option("basePath", root)
+            .parquet(mergeGens.map(c => dataDir(root, c.gen).toString): _*)
+            .withColumn("_vc_gen", col("gen").cast("long")).drop("gen")
+        // one schema-pruned partitioned scan over ALL tombstone
+        // generations (upsert gens contribute just their key column —
+        // parquet column pruning — and delete gens are key-only
+        // already); the gen partition column is the tombstone's
+        // generation, appended automatically since it is not in the
+        // user schema
+        val keyType = org.apache.spark.sql.types.DataType.fromJson(
+          new String(java.nio.file.Files.readAllBytes(schemaFile(root)),
+            java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[org.apache.spark.sql.types.StructType](key).dataType
+        val tombs =
+          if (pinnedFields.contains("gen"))
+            tombGens.map { c =>
+              spark.read.parquet(dataDir(root, c.gen).toString)
+                .select(col(key)).withColumn("_vc_tgen", lit(c.gen))
+            }.reduce(_ unionByName _)
+          else spark.read
+            .schema(new org.apache.spark.sql.types.StructType()
+              .add(key, keyType))
+            .option("basePath", root)
+            .parquet(tombGens.map(c => dataDir(root, c.gen).toString): _*)
+            .withColumn("_vc_tgen", col("gen").cast("long")).drop("gen")
+        val tmax = tombs.groupBy(col(key))
+          .agg(max(col("_vc_tgen")).as("_vc_tmax"))
+        val tmaxSized =
+          if (tombGens.map(_.rows).sum <= 4000000L) broadcast(tmax) else tmax
+        Some(data.join(tmaxSized, Seq(key), "left")
+          .filter(col("_vc_tmax").isNull || col("_vc_gen") >= col("_vc_tmax"))
+          .select(pinnedFields.map(col): _*))
+      }
+      (clean, merged) match {
+        case (Some(c), Some(m)) => c.select(pinnedFields.map(col): _*)
+          .unionByName(m)
+        case (Some(c), None)    => c
+        case (None, Some(m))    => m
+        case (None, None)       => sys.error("unreachable: dataGens nonEmpty")
+      }
+    }
+  }
+
+  /** Pin the merge/lookup key up front (normally it is pinned by the
+    * first [[upsert]]/[[delete]]) so that every append from now on
+    * records key bounds in its manifest — the earlier the pin, the
+    * more generations [[lookupKey]] can prune. Requires a first data
+    * commit (the key must be a column of the pinned schema). */
+  def pinKey(root: String, keyCol: String): Unit =
+    checkOrPinKey(root, keyCol)
+
+  /** POINT LOOKUP with manifest-stats generation pruning — the
+    * data-skipping read path the log-structured layout makes nearly
+    * free: every keyed commit records its key min/max in its manifest
+    * (one extra aggregate folded into the read-back the commit already
+    * pays), so a lookup consults O(generations) driver-side records
+    * and READS only the generations whose range can hold the key —
+    * at 100 TB with time-ordered keys that is typically one or two
+    * directories out of thousands, decided without touching a single
+    * parquet footer (the Delta/Iceberg file-stats idea, applied at
+    * generation granularity). Pruning is conservative: pre-pin or
+    * non-integral-key generations carry no bounds and are always read.
+    * Tombstone generations prune the same way — a delete whose range
+    * excludes the key cannot affect it.
+    *
+    * Result ≡ `snapshot(spark, root, asOf).filter(key === value)`
+    * (property-pinned in VersionedCorpusSpec), including merge-on-read
+    * semantics across upserts/deletes/resurrections. */
+  def lookupKey(spark: SparkSession, root: String, value: Long,
+                asOf: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, max}
+    val key = pinnedKey(root).getOrElse(sys.error(
+      s"no merge/lookup key pinned under $root — call pinKey(...) or " +
+        "make a keyed commit first"))
+    val window = resolveWindow(root, asOf)
+    val dataC = window.filter(c => c.kind != "delete" && c.mayContainKey(value))
+    val tombC = window.filter(c => c.tombstones && c.mayContainKey(value))
+    val missing = (dataC ++ tombC).map(c => dataDir(root, c.gen).toString)
+      .distinct.filterNot(p =>
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+    require(missing.isEmpty,
+      s"asOf=$asOf needs vacuumed generations: ${missing.mkString(", ")} " +
+        "(history before the newest base generation was dropped by vacuum)")
+    if (dataC.isEmpty) {
+      // every generation's bounds exclude the key: provably absent,
+      // answered from the manifests alone (zero files read)
+      val pinned = org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(schemaFile(root)),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned)
+    }
+    val data = dataC.map { c =>
+      spark.read.parquet(dataDir(root, c.gen).toString)
+        .filter(col(key) === lit(value))
+        .withColumn("_vc_gen", lit(c.gen))
+    }.reduce(_ unionByName _)
+    if (tombC.isEmpty) data.drop("_vc_gen")
+    else {
+      val tombs = tombC.map { c =>
         spark.read.parquet(dataDir(root, c.gen).toString)
-          .select(col(key)).withColumn("_vc_tgen", lit(c.gen))
+          .select(col(key)).filter(col(key) === lit(value))
+          .withColumn("_vc_tgen", lit(c.gen))
       }.reduce(_ unionByName _)
-      val tmax = tombs.groupBy(col(key)).agg(max(col("_vc_tgen")).as("_vc_tmax"))
-      val tmaxSized =
-        if (tombGens.map(_.rows).sum <= 4000000L) broadcast(tmax) else tmax
+      val tmax = tombs.groupBy(col(key))
+        .agg(max(col("_vc_tgen")).as("_vc_tmax"))
       val outCols = data.columns.filter(_ != "_vc_gen").map(col).toSeq
-      data.join(tmaxSized, Seq(key), "left")
+      data.join(broadcast(tmax), Seq(key), "left")
         .filter(col("_vc_tmax").isNull || col("_vc_gen") >= col("_vc_tmax"))
         .select(outCols: _*)
     }
@@ -403,8 +581,9 @@ object VersionedCorpus {
     val path = dataDir(root, gen)
     val snap = snapshot(spark, root)
     snap.write.mode("overwrite").parquet(path.toString)
-    val rows = spark.read.parquet(path.toString).count()
-    writeManifest(root, Commit(gen, rows, base = true, kind = "base"))
+    val (rows, klo, khi) = writtenStats(spark, path.toString, root)
+    writeManifest(root,
+      Commit(gen, rows, base = true, kind = "base", klo = klo, khi = khi))
     gen
   }
 

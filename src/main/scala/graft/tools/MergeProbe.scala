@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedCorpus
+
+/** Scale probe for the versioned store's merge-on-read paths: a 1M-row
+  * store built from 10 appends, mutated by 20 keyed commits (10 upsert
+  * + 10 delete generations), then read through every path a cluster
+  * would use — the tombstone-chained snapshot, manifest-pruned point
+  * lookups vs the filter-the-snapshot equivalent, and the post-compact
+  * versions of both. Prints one timing line per step plus the row-count
+  * checks that prove no path lost or duplicated rows. Results land in
+  * BASELINE.md (round 10). */
+object MergeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mergeprobe")
+    val root = s"$tmp/corpus"
+    def slice(lo: Long, hi: Long, tag: String) =
+      spark.range(lo, hi).select(col("id").as("k"),
+        concat(lit(tag), col("id")).as("payload"))
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    time("build: 10 x 100k appends") {
+      VersionedCorpus.append(slice(0L, 100000L, "v1 "), root)
+      VersionedCorpus.pinKey(root, "k") // gens 1..9 carry key bounds
+      for (i <- 1 until 10)
+        VersionedCorpus.append(slice(i * 100000L, (i + 1) * 100000L, "v1 "), root)
+    }
+    time("mutate: 10 x 5k upserts + 10 x 5k deletes (20 tombstone gens)") {
+      for (i <- 0 until 10) {
+        val base = i * 100000L
+        VersionedCorpus.upsert(
+          slice(base + 10000L, base + 15000L, "v2 "), root, "k")
+        VersionedCorpus.delete(
+          spark.range(base + 20000L, base + 25000L).select(col("id").as("k")),
+          root, "k")
+      }
+    }
+    val n1 = time("merge-on-read snapshot count (20-tombstone chain)") {
+      VersionedCorpus.snapshot(spark, root).count()
+    }
+    assert(n1 == 950000L, s"expected 950000 live rows, got $n1")
+    val probeKey = 512345L // inside one append gen's bounds, no mutation
+    time("point lookup, manifest-pruned") {
+      VersionedCorpus.lookupKey(spark, root, probeKey).collect()
+    }
+    time("point lookup via snapshot filter (the unpruned equivalent)") {
+      VersionedCorpus.snapshot(spark, root)
+        .filter(col("k") === probeKey).collect()
+    }
+    val upsertedKey = 313000L // hit by the v2 wave of gen block 3
+    val v = VersionedCorpus.lookupKey(spark, root, upsertedKey)
+      .select("payload").collect().map(_.getString(0)).toSeq
+    assert(v == Seq(s"v2 $upsertedKey"), s"upsert lost: $v")
+    time("compact (applies all 20 tombstone gens physically)") {
+      VersionedCorpus.compact(spark, root)
+    }
+    VersionedCorpus.vacuum(root)
+    val n2 = time("post-compact snapshot count") {
+      VersionedCorpus.snapshot(spark, root).count()
+    }
+    assert(n2 == 950000L, s"compaction changed content: $n2")
+    time("post-compact point lookup") {
+      VersionedCorpus.lookupKey(spark, root, probeKey).collect()
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    spark.stop()
+  }
+}

@@ -285,6 +285,49 @@ class VersionedCorpusSpec extends AnyFunSuite {
       === Seq("doc_id", "text", "lang"))
   }
 
+  test("lookupKey ≡ filtered snapshot across the merge lifecycle; manifest stats prune generations") {
+    val root = freshRoot()
+    VersionedCorpus.append(docs(0 until 50, "a"), root)   // pre-pin: no bounds
+    VersionedCorpus.pinKey(root, "doc_id")
+    VersionedCorpus.append(docs(50 until 100, "b"), root) // bounds [50,100)
+    VersionedCorpus.upsert(docs(60 until 70, "v2"), root, "doc_id")
+    VersionedCorpus.delete(docs(80 until 90, "x").select("doc_id"),
+      root, "doc_id")
+    VersionedCorpus.append(docs(80 until 82, "back"), root)
+    val cs = VersionedCorpus.commits(root)
+    assert(cs.head.klo.isEmpty)                            // pre-pin commit
+    assert(cs(1).klo === Some(50L) && cs(1).khi === Some(99L))
+    assert(cs.filter(_.kind == "delete").head.klo === Some(80L))
+    // equivalence on every key class: untouched / pre-pin / upserted /
+    // deleted / resurrected / never-present
+    for (k <- Seq(5L, 55L, 65L, 85L, 80L, 500L)) {
+      val want = VersionedCorpus.snapshot(spark, root)
+        .filter(col("doc_id") === k)
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      val got = VersionedCorpus.lookupKey(spark, root, k)
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      assert(got === want, s"key $k")
+    }
+    // pruning: a key only the pre-pin generation can hold must read the
+    // pre-pin gen (no bounds -> conservative) but NONE of the bounded
+    // later generations
+    val files5 = VersionedCorpus.lookupKey(spark, root, 5L).inputFiles
+    assert(files5.nonEmpty && files5.forall(_.contains("gen=0")))
+    // a key inside only the [50,100) append + the delete range reads
+    // those and skips the [60,70) upsert and [80,82) re-append
+    val files85 = VersionedCorpus.lookupKey(spark, root, 85L).inputFiles
+    assert(!files85.exists(_.contains("gen=2")), "upsert gen not pruned")
+    // a key beyond every bound reads ONLY the boundless pre-pin gen
+    val files500 = VersionedCorpus.lookupKey(spark, root, 500L).inputFiles
+    assert(files500.forall(_.contains("gen=0")))
+    // after compaction the base carries bounds and lookups stay correct
+    VersionedCorpus.compact(spark, root)
+    assert(VersionedCorpus.commits(root).last.klo === Some(0L))
+    assert(VersionedCorpus.lookupKey(spark, root, 65L)
+      .select("text").as[String].head.startsWith("v2"))
+    assert(VersionedCorpus.lookupKey(spark, root, 85L).count() === 0L)
+  }
+
   test("durable admission replay is idempotent: re-admitting a committed batch appends nothing") {
     val root = freshRoot()
     VersionedCorpus.append(docs(0 until 20, "corpus"), root)

@@ -903,6 +903,48 @@ class StreamsSpec extends AnyFunSuite {
       === Set(1L, 10L, 11L, 22L, 31L))
   }
 
+  test("CDC apply survives kill + restart against a real checkpoint dir") {
+    // same restart harness as the admission loop, for the CDC writer: a
+    // FILE source of change files + checkpointLocation, stopped cold,
+    // changes arriving while DOWN, a fresh start() resuming from the
+    // SAME checkpoint. The commit log catches a broken offset resume:
+    // a re-replayed change file would commit extra generations.
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-cdcckpt")
+    val root = tmpRoot.toString + "/corpus"
+    val srcDir = tmpRoot.toString + "/changes"
+    val cpDir = tmpRoot.toString + "/checkpoint"
+    graft.sources.VersionedCorpus.append(
+      (0L until 5L).map(i => (i, s"v1 $i")).toDF("k", "payload"), root)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("payload", org.apache.spark.sql.types.StringType)
+      .add("op", org.apache.spark.sql.types.StringType)
+      .add("seq", org.apache.spark.sql.types.IntegerType)
+    def drop(rows: Seq[(Long, String, String, Int)]): Unit =
+      rows.toDF("k", "payload", "op", "seq").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def startQ() = Streams.incrementalCdcDurable(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        root, "k", "op", "seq")()
+      .option("checkpointLocation", cpDir)
+      .start()
+    drop(Seq((1L, "u1 1", "U", 1), (4L, "", "D", 1)))
+    val q1 = startQ(); q1.processAllAvailable(); q1.stop()
+    val commitsAfterFirst = graft.sources.VersionedCorpus.commits(root).size
+    // changes land while the writer is DOWN
+    drop(Seq((4L, "back 4", "U", 1), (2L, "", "D", 1)))
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    val state = graft.sources.VersionedCorpus.snapshot(spark, root)
+      .as[(Long, String)].collect().toMap
+    assert(state === Map(0L -> "v1 0", 1L -> "u1 1", 3L -> "v1 3",
+      4L -> "back 4"))
+    // the resumed query applied exactly the one pending file: one
+    // upsert + one delete generation beyond the first run's commits
+    assert(graft.sources.VersionedCorpus.commits(root).size
+      === commitsAfterFirst + 2)
+  }
+
   test("durable admission with auto-compaction: same admissions, bounded generation tail") {
     implicit val sql = spark.sqlContext
     val corpus = Seq(
