@@ -52,6 +52,200 @@ object Queries {
   private def duckDot(a: String, b: String) =
     s"list_dot_product(CAST($a AS DOUBLE[]), $b)"
 
+  /** The `ann_lsh` oracle, GENERATED from the same deterministic
+    * exact-decimal hyperplanes the operator uses
+    * ([[graft.operators.HyperplaneLsh.planes]]): per-row bucket =
+    * Σ 2^b over planes with dot(v, p_b) > 0, restricted to the
+    * driver-computed multi-probe set, exact dot re-rank. The 6-decimal
+    * plane components parse to bit-identical doubles in both engines
+    * (the QueryVectors discipline). */
+  private lazy val annLshOracleSql: String = {
+    val nBits = 6
+    val ps = graft.operators.HyperplaneLsh.planes(QueryVectors.dim, nBits)
+    def planeSql(p: IndexedSeq[Double]): String =
+      p.map(d => "%.6f".formatLocal(java.util.Locale.ROOT, d))
+        .mkString("[", ",", "]") + "::DOUBLE[]"
+    val bucket = ps.zipWithIndex.map { case (p, b) =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), " +
+        s"${planeSql(p)}) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val probes = graft.operators.HyperplaneLsh
+      .probeSet(QueryVectors.q1, ps).mkString(", ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+       |SELECT vec_id,
+       |  round(${duckDot("embedding", q1Sql)}, 4) AS sim
+       |FROM b WHERE bucket IN ($probes)
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** The `near_dup_embed_lsh` oracle — the whole SCALE-path LSH chain
+    * replayed by DuckDB, including the occupancy-constant banding
+    * formula: nbits = max(6, ⌈log2(n/4)⌉) computed FROM THE TABLE (so
+    * the oracle tracks the corpus size exactly as the operator does),
+    * 16 statically-generated exact-decimal plane literals of which the
+    * first nbits are active (plane components depend only on (dim,
+    * plane) — never on nbits), and the 1-bit multiprobe candidate rule
+    * expressed as hamming(bucket_a, bucket_b) ≤ 1 (equivalent to the
+    * probe-set formulation since buckets only set active bits). The
+    * replay join is deliberately quadratic in candidate GENERATION
+    * (n² bucket comparisons — fine at fixture scale); the operator's
+    * claim is that its bucket join yields the SAME pairs without ever
+    * forming n². */
+  /** The sign-LSH bucket fold as SQL: 16 statically-generated
+    * exact-decimal plane literals, of which the first `nbits` (a column
+    * from a CROSS JOINed meta CTE) are active. Plane components depend
+    * only on (dim, plane) — never on nbits — so one literal set serves
+    * every corpus size. */
+  private lazy val lshBucketCaseSql: String = {
+    val ps = graft.operators.HyperplaneLsh.planes(QueryVectors.dim, 16)
+    def planeSql(p: IndexedSeq[Double]): String =
+      p.map(d => "%.6f".formatLocal(java.util.Locale.ROOT, d))
+        .mkString("[", ",", "]") + "::DOUBLE[]"
+    ps.zipWithIndex.map { case (p, b) =>
+      s"(CASE WHEN $b < nbits AND list_dot_product(" +
+        s"CAST(embedding AS DOUBLE[]), ${planeSql(p)}) > 0 " +
+        s"THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n      + ")
+  }
+
+  private lazy val nearDupEmbedLshOracleSql: String = {
+    val bucket = lshBucketCaseSql
+    s"""WITH meta AS (
+       |  SELECT greatest(6, CAST(ceil(log2(count(*) / 4.0)) AS INT))
+       |    AS nbits
+       |  FROM embeddings),
+       |bkt AS (
+       |  SELECT vec_id, embedding,
+       |    $bucket AS bucket
+       |  FROM embeddings CROSS JOIN meta),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         a.embedding AS va, b.embedding AS vb
+       |  FROM bkt a JOIN bkt b
+       |    ON a.vec_id < b.vec_id
+       |   AND bit_count(xor(a.bucket, b.bucket)) <= 1)
+       |SELECT id_a, id_b, cos FROM (
+       |  SELECT id_a, id_b,
+       |    round(list_dot_product(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[]))
+       |      / (sqrt(list_dot_product(CAST(va AS DOUBLE[]),
+       |                               CAST(va AS DOUBLE[])))
+       |         * sqrt(list_dot_product(CAST(vb AS DOUBLE[]),
+       |                                 CAST(vb AS DOUBLE[])))), 4) AS cos
+       |  FROM pairs)
+       |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The `incr_near_dup_embed` oracle — the CROSS-SET twin of
+    * [[nearDupEmbedLshOracleSql]]: nbits sized from the CORPUS side
+    * only (the operator's occupancy rule), candidate pairs restricted
+    * to incoming×corpus, same hamming ≤ 1 multiprobe equivalence. */
+  private lazy val incrNearDupEmbedOracleSql: String = {
+    val bucket = lshBucketCaseSql
+    s"""WITH meta AS (
+       |  SELECT greatest(6, CAST(ceil(log2(count(*) / 4.0)) AS INT))
+       |    AS nbits
+       |  FROM embeddings WHERE vec_id % 5 <> 0),
+       |bkt AS (
+       |  SELECT vec_id, embedding,
+       |    $bucket AS bucket
+       |  FROM embeddings CROSS JOIN meta),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         a.embedding AS va, b.embedding AS vb
+       |  FROM bkt a JOIN bkt b
+       |    ON a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+       |   AND bit_count(xor(a.bucket, b.bucket)) <= 1)
+       |SELECT id_a, id_b, cos FROM (
+       |  SELECT id_a, id_b,
+       |    round(list_dot_product(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[]))
+       |      / (sqrt(list_dot_product(CAST(va AS DOUBLE[]),
+       |                               CAST(va AS DOUBLE[])))
+       |         * sqrt(list_dot_product(CAST(vb AS DOUBLE[]),
+       |                                 CAST(vb AS DOUBLE[])))), 4) AS cos
+       |  FROM pairs)
+       |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The `incr_admit_vec` oracle — the full vector-tier ADMISSION
+    * decision replayed: an incoming vector is rejected iff some corpus
+    * vector shares a bucket within hamming 1 (fixed nbits = 8, the
+    * `admitIncomingVectors` default) AND verifies at rounded cosine
+    * ≥ 0.3; admissions aggregate per id-bucket. */
+  private lazy val incrAdmitVecOracleSql: String = {
+    val bucket = lshBucketCaseSql
+    s"""WITH meta AS (SELECT 8 AS nbits),
+       |bkt AS (
+       |  SELECT vec_id, embedding,
+       |    $bucket AS bucket
+       |  FROM embeddings CROSS JOIN meta),
+       |dup_new AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM bkt a JOIN bkt b
+       |    ON a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+       |   AND bit_count(xor(a.bucket, b.bucket)) <= 1
+       |  WHERE round(
+       |      list_dot_product(CAST(a.embedding AS DOUBLE[]),
+       |                       CAST(b.embedding AS DOUBLE[]))
+       |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+       |                               CAST(a.embedding AS DOUBLE[])))
+       |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+       |                                 CAST(b.embedding AS DOUBLE[])))),
+       |      4) >= 0.3)
+       |SELECT vec_id % 100 AS id_bucket, count(*) AS n_admitted,
+       |       min(vec_id) AS first_id
+       |FROM embeddings
+       |WHERE vec_id % 5 = 0
+       |  AND vec_id NOT IN (SELECT vec_id FROM dup_new)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** The `incr_sq_append` oracle — frozen-grid incremental SQ8
+    * maintenance replayed end to end: the day-1 grid (min/max over the
+    * `vec_id % 10 <> 0` slice only), every row of corpus ∪ batch
+    * encoded under it (out-of-grid day-2 values CLIP at the edges —
+    * the operator's documented drift hazard, reproduced by the
+    * least/greatest clamp), quantized top-50 cut, exact re-rank top-10,
+    * full-outer joined against the exact brute-force top-10 with the
+    * per-row match column. */
+  private lazy val incrSqAppendOracleSql: String =
+    s"""WITH grid AS (
+       |  SELECT i, min(embedding[i]::DOUBLE) AS lo,
+       |    (max(embedding[i]::DOUBLE) - min(embedding[i]::DOUBLE)) / 127
+       |      AS dlt
+       |  FROM embeddings, (SELECT unnest(range(1,65)) AS i) d
+       |  WHERE vec_id % 10 <> 0
+       |  GROUP BY i),
+       |g AS (SELECT list(lo ORDER BY i) AS vmin,
+       |             list(dlt ORDER BY i) AS dlt FROM grid),
+       |scored AS (
+       |  SELECT e.vec_id,
+       |    round(list_dot_product($q1Sql, vmin)
+       |      + list_sum(list_transform(range(1,65), i ->
+       |          ($q1Sql)[i] * dlt[i] * (CASE WHEN dlt[i] = 0 THEN 0
+       |            ELSE least(127, greatest(0,
+       |              CAST(round((e.embedding[i]::DOUBLE - vmin[i])
+       |                / dlt[i]) AS INT))) END))), 4) AS sq
+       |  FROM embeddings e CROSS JOIN g),
+       |cand AS (SELECT vec_id FROM scored ORDER BY sq DESC, vec_id
+       |         LIMIT 50),
+       |probed AS (
+       |  SELECT vec_id, sim FROM (
+       |    SELECT e.vec_id,
+       |      round(${duckDot("e.embedding", q1Sql)}, 4) AS sim,
+       |      row_number() OVER (ORDER BY
+       |        round(${duckDot("e.embedding", q1Sql)}, 4) DESC,
+       |        e.vec_id) AS rn
+       |    FROM embeddings e JOIN cand USING (vec_id))
+       |  WHERE rn <= 10),
+       |exact AS (
+       |  SELECT vec_id,
+       |    round(${duckDot("embedding", q1Sql)}, 4) AS sim_exact
+       |  FROM embeddings ORDER BY sim_exact DESC, vec_id LIMIT 10)
+       |SELECT vec_id, p.sim, x.sim_exact, (p.sim = x.sim_exact) AS matches
+       |FROM probed p FULL OUTER JOIN exact x USING (vec_id)
+       |ORDER BY p.sim DESC, vec_id""".stripMargin
+
   /** The `q_bpe_budget` oracle, GENERATED from the checked-in merges
     * table ([[graft.functions.BpeTokenizer.default]]): per word, build a
     * \u0001-separated symbol string ("␁c␁h␁a␁r</w>␁" — the end-of-word
@@ -64,14 +258,17 @@ object Queries {
     * exhaustive on both fixtures; see the q_bpe_budget comment).
     * Docs with no words LEFT-JOIN back in with n_bpe = 0, mirroring
     * `size(graft_bpe(text)) == 0`. */
-  private lazy val bpeBudgetOracleSql: String = {
+  /** Shared per-doc BPE-count CTE block (w → p → wc): whitespace words,
+    * the merges-table replace chain per word, summed piece counts per
+    * doc. Consumed by BOTH bpe oracle replays. */
+  private lazy val bpePerDocCtes: String = {
     val sep = "\u0001"
     val chain = graft.functions.BpeTokenizer.default.merges.foldLeft(
       "substr(s0, 1, length(s0)-1) || '</w>' || chr(1)") {
       case (acc, (a, b)) =>
         s"replace($acc, '$sep$a$sep$b$sep', '$sep$a$b$sep')"
     }
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT doc_id, u.word AS word
        |  FROM documents,
        |    UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(word)
@@ -84,7 +281,11 @@ object Queries {
        |  SELECT doc_id,
        |    CAST(sum(length(s) - length(replace(s, chr(1), '')) - 1) AS BIGINT) AS n_bpe
        |  FROM p GROUP BY doc_id
-       |), d AS (
+       |)""".stripMargin
+  }
+
+  private lazy val bpeBudgetOracleSql: String =
+    s"""WITH $bpePerDocCtes, d AS (
        |  SELECT doc_id, lang, COALESCE(wc.n_bpe, 0) AS n_bpe
        |  FROM documents LEFT JOIN wc USING (doc_id)
        |), c AS (
@@ -94,7 +295,19 @@ object Queries {
        |  FROM d)
        |SELECT doc_id, lang, n_bpe, cum_bpe FROM c WHERE cum_bpe <= 2000
        |ORDER BY lang, doc_id""".stripMargin
-  }
+
+  /** The `q_bpe_tokens` oracle: per-doc REAL-BPE subword count (the
+    * same merges-chain replay as `q_bpe_budget`, proven equivalent to
+    * the best-first merge loop on every fixture word) next to the
+    * whitespace-token count. */
+  private lazy val bpeTokensOracleSql: String =
+    s"""WITH $bpePerDocCtes
+       |SELECT doc_id,
+       |  CAST(COALESCE(wc.n_bpe, 0) AS BIGINT) AS n_bpe,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |    AS BIGINT) AS n_ws
+       |FROM documents LEFT JOIN wc USING (doc_id)
+       |ORDER BY doc_id LIMIT 1000""".stripMargin
 
   /** Eagerly execute `df` and return the result as a LocalRelation-backed
     * frame — the shared tail of every round-trip/materializing declared
@@ -974,8 +1187,11 @@ object Queries {
             .orderBy(col("id_a"), col("id_b")))
         } finally emb.unpersist()
       },
-      None,
-      "incremental near-dup, vector tier: cross-set sign-LSH candidates + exact-cosine verify"),
+      // PROMOTED (round 10): same deterministic-planes replay as
+      // near_dup_embed_lsh, cross-set form — nbits sized from the
+      // corpus side only, pairs restricted to incoming×corpus
+      Some(incrNearDupEmbedOracleSql),
+      "incremental near-dup, vector tier: cross-set sign-LSH candidates + exact-cosine verify (full DuckDB replay)"),
 
     "incr_admit_vec" -> DeclaredQuery(
       // the VECTOR-TIER admission decision end-to-end — incr_admit for
@@ -1000,8 +1216,10 @@ object Queries {
             min(col("vec_id")).as("first_id"))
           .orderBy(col("id_bucket")))
       },
-      None,
-      "vector-tier incremental admission e2e: cross-set sign-LSH + cosine verify → admit/reject"),
+      // PROMOTED (round 10): deterministic planes at the fixed default
+      // nbits=8 make the whole admit/reject decision a static replay
+      Some(incrAdmitVecOracleSql),
+      "vector-tier incremental admission e2e: cross-set sign-LSH + cosine verify → admit/reject (full DuckDB replay)"),
 
     "incr_semantic_admit" -> DeclaredQuery(
       // SemDeDup at the INGESTION boundary — semantic_dedup_ivf's
@@ -3005,8 +3223,10 @@ object Queries {
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws"))
           .orderBy(col("doc_id")).limit(1000)
       },
-      None,
-      "token counting: real BPE merge-loop subword segmentation (checked-in merges table)"),
+      // PROMOTED (round 10): the q_bpe_budget merges-chain replay
+      // yields the per-doc count directly — see bpeTokensOracleSql
+      Some(bpeTokensOracleSql),
+      "token counting: real BPE merge-loop subword segmentation (checked-in merges table; merges-chain DuckDB replay)"),
 
     "lang_predict" -> DeclaredQuery(
       (s, dir) => T(s, dir, "documents")
@@ -4361,16 +4581,27 @@ object Queries {
         } finally org.apache.commons.io.FileUtils
           .deleteDirectory(tmpRoot.toFile)
       },
-      None,
-      "incremental SQ8 append: frozen-grid encode + file append; rerank@5k vs exact top-10"),
+      // PROMOTED (round 10): the grid is pure min/max over the day-1
+      // slice, so the whole frozen-grid maintenance cycle — including
+      // the clipping drift hazard — replays as static SQL
+      Some(incrSqAppendOracleSql),
+      "incremental SQ8 append: frozen-grid encode + file append; rerank vs exact top-10 (full DuckDB replay incl. edge clipping)"),
 
     "ann_lsh" -> DeclaredQuery(
+      // PROMOTED to the byte-exact oracle: the hyperplanes are
+      // deterministic exact-6-decimal values (HyperplaneLsh.planes —
+      // chosen that way so driver and executors agree bit-for-bit),
+      // which means the same decimal literals parse to identical
+      // doubles in DuckDB and the whole bucket fold — sign(dot) bit
+      // per plane, multi-probe IN-set, exact re-rank — replays as
+      // static SQL. One engine hiding a flipped sign bit or a wrong
+      // probe bucket breaks the hash.
       (s, dir) => graft.operators.HyperplaneLsh.annSearch(
         T(s, dir, "embeddings"), "vec_id", "embedding",
         QueryVectors.q1, k = 10, nBits = 6)
         .select(col("vec_id"), col("sim")),
-      None,
-      "LSH-bucketed ANN: sign-random-projection buckets + multi-probe + exact rerank"),
+      Some(annLshOracleSql),
+      "LSH-bucketed ANN: sign-random-projection buckets + multi-probe + exact rerank (deterministic planes -> full DuckDB replay)"),
 
     "minhash_pairs" -> DeclaredQuery(
       // the signature pass → band self-join → Jaccard verify chain,
@@ -4406,8 +4637,12 @@ object Queries {
             .orderBy(col("id_a"), col("id_b")))
         } finally base.unpersist()
       },
-      None,
-      "embedding near-dup, bucketed: sign-LSH candidates + exact cosine verify"),
+      // PROMOTED (round 10): deterministic exact-decimal planes + a
+      // table-derived nbits make the whole chain — banding formula,
+      // bucket fold, multiprobe rule, cosine verify — a static SQL
+      // replay; see nearDupEmbedLshOracleSql
+      Some(nearDupEmbedLshOracleSql),
+      "embedding near-dup, bucketed: sign-LSH candidates + exact cosine verify (full DuckDB replay incl. the banding formula)"),
 
     "simhash_pairs" -> DeclaredQuery(
       // materialized variant: the banded signature relation is persisted
