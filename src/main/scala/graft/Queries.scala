@@ -1623,6 +1623,203 @@ object Queries {
          |) ORDER BY doc_id""".stripMargin),
       "manifest-stats pruned point lookups over the mutated store: every key class answered identically to direct SQL"),
 
+    "q_store_evolve" -> DeclaredQuery(
+      // ADDITIVE SCHEMA EVOLUTION content-proven by oracle: the store
+      // starts as (doc_id, text), an explicitly-opted-in evolved append
+      // adds the lang column, a strict append then uses the evolved
+      // schema, and a tombstone delete spans the evolution boundary.
+      // The snapshot must read pre-evolution rows with lang = NULL
+      // (parquet missing-column semantics under the pinned table
+      // schema) and post-evolution rows with their real lang — counted
+      // and distinct-counted against DuckDB deriving the same
+      // null-pattern from the source table. A reader that dropped the
+      // new column (first-file schema), invented non-null values, or
+      // lost evolved rows through the tombstone join breaks the hash.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vcev")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") < 150).drop("lang"), root)
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+            root, evolveSchema = true)
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") >= 300 && col("doc_id") < 350), root)
+          VersionedCorpus.delete(
+            docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+              .select("doc_id"), root, "doc_id")
+          localFrame(VersionedCorpus.snapshot(s, root)
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("doc_id")).as("sum_ids"),
+              count(col("lang")).as("n_with_lang"),
+              countDistinct(col("lang")).as("n_langs")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(count(CASE WHEN doc_id >= 150 THEN lang END) AS BIGINT)
+         |    AS n_with_lang,
+         |  CAST(count(DISTINCT CASE WHEN doc_id >= 150 THEN lang END)
+         |    AS BIGINT) AS n_langs
+         |FROM documents
+         |WHERE doc_id < 350 AND (doc_id < 100 OR doc_id >= 200)""".stripMargin),
+      "additive schema evolution: pre-evolution rows null-filled, evolved rows intact, across a tombstone spanning the boundary"),
+
+    "q_store_optimize" -> DeclaredQuery(
+      // BIN-PACKING SMALL-FILE COMPACTION (`VersionedCorpus.optimize`,
+      // Delta OPTIMIZE semantics) content-proven by oracle: three
+      // small appends + an upsert + two more small appends leave two
+      // packable runs; optimize rewrites EACH run as one packed
+      // generation at the run-top's effective merge position, a delete
+      // then lands ACROSS packed and unpacked rows, and vacuumPacked
+      // reclaims the replaced originals — so the final snapshot is
+      // answered from packed files only and must still hash-match
+      // direct SQL row-for-row. A packed row surviving its delete,
+      // an upsert losing to a packed run committed before it, or a
+      // row lost/duplicated in the rewrite breaks the hash.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-opt")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          def slice(lo: Int, hi: Int) =
+            docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          VersionedCorpus.append(slice(0, 60), root)
+          VersionedCorpus.append(slice(60, 120), root)
+          VersionedCorpus.append(slice(120, 180), root)
+          VersionedCorpus.upsert(
+            slice(30, 90).withColumn("text", concat(col("text"), lit(" u1"))),
+            root, "doc_id")
+          VersionedCorpus.append(slice(180, 200), root)
+          VersionedCorpus.append(slice(200, 220), root)
+          val packed = VersionedCorpus.optimize(s, root, smallRows = 1000L)
+          require(packed.size == 2, s"expected 2 packed runs, got $packed")
+          VersionedCorpus.delete(slice(100, 190).select("doc_id"),
+            root, "doc_id")
+          VersionedCorpus.vacuumPacked(root)
+          localFrame(VersionedCorpus.snapshot(s, root)
+            .select(col("doc_id"), col("text"), col("lang"))
+            .orderBy(col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id,
+         |  CASE WHEN doc_id >= 30 AND doc_id < 90 THEN text || ' u1'
+         |       ELSE text END AS text, lang
+         |FROM documents
+         |WHERE doc_id < 100 OR (doc_id >= 190 AND doc_id < 220)
+         |ORDER BY doc_id""".stripMargin),
+      "bin-packing optimize: packed runs + cross-boundary delete + reclaimed originals, final snapshot ≡ direct SQL row-for-row"),
+
+    "q_corpus_cdf" -> DeclaredQuery(
+      // CHANGE DATA FEED read side, content-proven by oracle: the
+      // store's log IS the feed (`VersionedCorpus.changesBetween` —
+      // a bare union of the window's own committed files with two
+      // literal columns, no join, no read outside the window). The
+      // lifecycle commits append / upsert / delete / COMPACT / append;
+      // the full feed must carry every insert row, the upserted rows
+      // with their revised text, the delete KEYS with null payloads
+      // (coalesced to a sentinel so the null-ness itself is hashed),
+      // correct per-commit generation ids — and NOTHING for the
+      // compaction (a content-neutral rewrite emits no change rows,
+      // Delta's OPTIMIZE rule). Checked row-for-row: a leaked base
+      // row, wrong label, lost delete key, or mis-numbered commit
+      // breaks the hash.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-cdf")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(docs.filter(col("doc_id") < 200), root)
+          VersionedCorpus.upsert(
+            docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+              .withColumn("text", concat(col("text"), lit(" u1"))),
+            root, "doc_id")
+          VersionedCorpus.delete(
+            docs.filter(col("doc_id") >= 150 && col("doc_id") < 180)
+              .select("doc_id"), root, "doc_id")
+          VersionedCorpus.compact(s, root) // gen 3: must emit NO rows
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") >= 200 && col("doc_id") < 230), root)
+          localFrame(VersionedCorpus.changesBetween(s, root, -1L)
+            .select(col("doc_id"),
+              coalesce(col("text"), lit("<null>")).as("text"),
+              coalesce(col("lang"), lit("<null>")).as("lang"),
+              col("_change_type").as("change_type"),
+              col("_commit_gen").as("commit_gen"))
+            .orderBy(col("commit_gen"), col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id, text, lang, change_type, commit_gen FROM (
+         |  SELECT doc_id, text, lang, 'insert' AS change_type,
+         |    CAST(0 AS BIGINT) AS commit_gen
+         |  FROM documents WHERE doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u1', lang, 'upsert', CAST(1 AS BIGINT)
+         |  FROM documents WHERE doc_id >= 50 AND doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id, '<null>', '<null>', 'delete', CAST(2 AS BIGINT)
+         |  FROM documents WHERE doc_id >= 150 AND doc_id < 180
+         |  UNION ALL
+         |  SELECT doc_id, text, lang, 'insert', CAST(4 AS BIGINT)
+         |  FROM documents WHERE doc_id >= 200 AND doc_id < 230
+         |) ORDER BY commit_gen, doc_id""".stripMargin),
+      "change data feed: every commit's change rows labeled and generation-stamped, compaction emits nothing, checked row-for-row"),
+
+    "q_corpus_replica" -> DeclaredQuery(
+      // INCREMENTAL PULL REPLICATION content-proven by oracle: a
+      // replica store is built purely from the source's change feed
+      // (`VersionedCorpus.replicate` — changesSince + applyChanges +
+      // durable cursor), pulled in TWO waves with upsert / delete /
+      // resurrection landing between them. The final replica snapshot
+      // must equal, row for row, what direct SQL derives from the
+      // source table — each pull moves only the NEW generations (the
+      // O(changes) property that makes downstream consumers viable at
+      // 100 TB), and the second pull folds a delete-then-resurrect
+      // sequence whose order only the generation stamps can resolve.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-rep")
+        try {
+          val src = s"$tmpRoot/src"; val dst = s"$tmpRoot/dst"
+          val cursor = s"$tmpRoot/cursor.txt"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(docs.filter(col("doc_id") < 300), src)
+          VersionedCorpus.pinKey(src, "doc_id")
+          VersionedCorpus.replicate(s, src, dst, "doc_id", cursor) // pull 1
+          VersionedCorpus.upsert(
+            docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+              .withColumn("text", concat(col("text"), lit(" u1"))),
+            src, "doc_id")
+          VersionedCorpus.delete(
+            docs.filter(col("doc_id") >= 50 && col("doc_id") < 150)
+              .select("doc_id"), src, "doc_id")
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") >= 60 && col("doc_id") < 80), src)
+          VersionedCorpus.replicate(s, src, dst, "doc_id", cursor) // pull 2
+          localFrame(VersionedCorpus.snapshot(s, dst)
+            .select(col("doc_id"), col("text"), col("lang"))
+            .orderBy(col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id, text, lang FROM (
+         |  SELECT doc_id, text, lang FROM documents WHERE doc_id < 50
+         |  UNION ALL
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE doc_id >= 60 AND doc_id < 80
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u1', lang FROM documents
+         |  WHERE doc_id >= 150 AND doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE doc_id >= 200 AND doc_id < 300
+         |) ORDER BY doc_id""".stripMargin),
+      "incremental pull replication off the change feed: replica snapshot ≡ direct SQL after two pulls spanning upsert/delete/resurrection"),
+
     "span_dedup" -> DeclaredQuery(
       // substring-level dedup (the ExactSubstr tier, Lee et al. 2021
       // public recipe re-shaped for Spark): per-doc coverage by token

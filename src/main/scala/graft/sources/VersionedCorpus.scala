@@ -67,9 +67,18 @@ object VersionedCorpus {
   final case class Commit(gen: Long, rows: Long, base: Boolean,
                           kind: String = "append",
                           klo: Option[Long] = None,
-                          khi: Option[Long] = None) {
+                          khi: Option[Long] = None,
+                          rlo: Option[Long] = None,
+                          rhi: Option[Long] = None) {
     /** Generations whose keys kill earlier rows with the same key. */
     def tombstones: Boolean = kind == "upsert" || kind == "delete"
+    /** EFFECTIVE MERGE POSITION: where this generation's rows sit in
+      * the tombstone-resolution order. For an [[optimize]] output it is
+      * the TOP of the replaced run (`rhi`) — legal because the run is
+      * contiguous appends, so every row in it has the same
+      * tombstone-visibility; for everything else it is the generation
+      * id itself. */
+    def pos: Long = if (kind == "optimize") rhi.getOrElse(gen) else gen
     /** Manifest-stats pruning: can this generation hold `value` in the
       * pinned key column? Generations committed before the key was
       * pinned (or with a non-integral key) carry no bounds and must be
@@ -111,7 +120,8 @@ object VersionedCorpus {
           val base = field("base").toBoolean
           out += Commit(field("gen").toLong, field("rows").toLong, base,
             fieldOpt("kind").getOrElse(if (base) "base" else "append"),
-            fieldOpt("klo").map(_.toLong), fieldOpt("khi").map(_.toLong))
+            fieldOpt("klo").map(_.toLong), fieldOpt("khi").map(_.toLong),
+            fieldOpt("rlo").map(_.toLong), fieldOpt("rhi").map(_.toLong))
         }
       }
     } finally stream.close()
@@ -158,22 +168,47 @@ object VersionedCorpus {
       : Seq[(String, String)] =
     s.fields.toSeq.map(f => (f.name, f.dataType.sql))
 
+  /** The pinned table schema — the SOURCE OF TRUTH every snapshot read
+    * uses (older generations missing later-added columns read as null,
+    * exactly parquet's missing-column semantics). */
+  private def pinnedSchema(root: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(schemaFile(root)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private def writeSchemaPin(root: String,
+                             s: org.apache.spark.sql.types.StructType): Unit = {
+    java.nio.file.Files.createDirectories(manifestDir(root))
+    java.nio.file.Files.write(schemaFile(root),
+      s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   private def checkOrPinSchema(root: String,
-                               s: org.apache.spark.sql.types.StructType): Unit = {
+                               s: org.apache.spark.sql.types.StructType,
+                               evolve: Boolean = false): Unit = {
     val f = schemaFile(root)
     if (java.nio.file.Files.exists(f)) {
-      val pinned = org.apache.spark.sql.types.DataType.fromJson(
-        new String(java.nio.file.Files.readAllBytes(f),
-          java.nio.charset.StandardCharsets.UTF_8))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      require(shape(pinned) == shape(s),
-        s"append schema ${shape(s).mkString(", ")} does not match the " +
-          s"store's pinned schema ${shape(pinned).mkString(", ")} under $root")
-    } else {
-      java.nio.file.Files.createDirectories(manifestDir(root))
-      java.nio.file.Files.write(f,
-        s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+      val pinned = pinnedSchema(root)
+      if (shape(pinned) == shape(s)) ()
+      else if (evolve) {
+        // ADDITIVE-ONLY evolution (the Delta mergeSchema discipline,
+        // append-at-the-end form): the incoming schema must carry every
+        // pinned column unchanged, in order, with new columns appended.
+        // Renames, drops, type changes, and reorders are refused — they
+        // would silently re-interpret committed data.
+        require(shape(s).take(pinned.length) == shape(pinned) &&
+            s.length > pinned.length,
+          s"additive-only schema evolution: ${shape(s).mkString(", ")} " +
+            s"must extend the pinned schema ${shape(pinned).mkString(", ")} " +
+            s"by appending new columns (under $root)")
+        writeSchemaPin(root, s)
+      } else
+        require(false,
+          s"append schema ${shape(s).mkString(", ")} does not match the " +
+            s"store's pinned schema ${shape(pinned).mkString(", ")} under " +
+            s"$root (pass evolveSchema = true for additive evolution)")
+    } else writeSchemaPin(root, s)
   }
 
   /** The store's merge key, pinned at the first [[upsert]]/[[delete]]:
@@ -201,10 +236,7 @@ object VersionedCorpus {
         require(java.nio.file.Files.exists(sf),
           s"cannot pin merge key '$keyCol' before the first data commit " +
             s"under $root (no schema pinned yet)")
-        val pinned = org.apache.spark.sql.types.DataType.fromJson(
-          new String(java.nio.file.Files.readAllBytes(sf),
-            java.nio.charset.StandardCharsets.UTF_8))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val pinned = pinnedSchema(root)
         require(pinned.fieldNames.contains(keyCol),
           s"merge key '$keyCol' is not a column of the store's schema " +
             s"(${pinned.fieldNames.mkString(", ")}) under $root")
@@ -221,8 +253,12 @@ object VersionedCorpus {
       case (Some(lo), Some(hi)) => s""","klo":$lo,"khi":$hi"""
       case _                    => ""
     }
+    val run = (c.rlo, c.rhi) match {
+      case (Some(lo), Some(hi)) => s""","rlo":$lo,"rhi":$hi"""
+      case _                    => ""
+    }
     val body =
-      s"""{"gen":${c.gen},"rows":${c.rows},"base":${c.base},"kind":"${c.kind}"$stats}"""
+      s"""{"gen":${c.gen},"rows":${c.rows},"base":${c.base},"kind":"${c.kind}"$stats$run}"""
     val tmp = dir.resolve(s".${c.gen}.json.tmp")
     java.nio.file.Files.write(tmp,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -264,8 +300,9 @@ object VersionedCorpus {
     * parquet write it gates is the real work, so this is not an extra
     * scan of anything large — and the row count lands in the manifest
     * where snapshot readers get it for free. */
-  def append(df: DataFrame, root: String): Long = {
-    checkOrPinSchema(root, df.schema)
+  def append(df: DataFrame, root: String,
+             evolveSchema: Boolean = false): Long = {
+    checkOrPinSchema(root, df.schema, evolveSchema)
     val gen = nextGen(root)
     val path = dataDir(root, gen)
     df.write.mode("overwrite").parquet(path.toString)
@@ -288,8 +325,9 @@ object VersionedCorpus {
     * compaction. Atomic: one data write + one manifest rename carries
     * both the "delete old" and "insert new" halves. Returns the
     * generation id, -1 for an empty batch. */
-  def upsert(df: DataFrame, root: String, keyCol: String): Long = {
-    checkOrPinSchema(root, df.schema)
+  def upsert(df: DataFrame, root: String, keyCol: String,
+             evolveSchema: Boolean = false): Long = {
+    checkOrPinSchema(root, df.schema, evolveSchema)
     checkOrPinKey(root, keyCol)
     val gen = nextGen(root)
     val path = dataDir(root, gen)
@@ -372,7 +410,11 @@ object VersionedCorpus {
 
   /** Snapshot window resolution from manifests only: the newest BASE
     * generation `b <= asOf` (if any) plus every non-base generation in
-    * `(b, asOf]`; with no base, every non-base `<= asOf`. */
+    * `(b, asOf]`; with no base, every non-base `<= asOf`. A visible
+    * [[optimize]] output then SUPERSEDES its replaced run — the
+    * originals drop out of the window (current readers touch the
+    * packed files only); time travel to before the optimize commit
+    * still resolves the originals. */
   private def resolveWindow(root: String, asOf: Long): Seq[Commit] = {
     val all = commits(root)
     require(all.nonEmpty, s"no committed generations under $root")
@@ -380,10 +422,14 @@ object VersionedCorpus {
     require(visible.nonEmpty,
       s"asOf=$asOf predates the first commit (gen ${all.head.gen}) under $root")
     val baseGen = visible.filter(_.base).lastOption.map(_.gen)
-    baseGen match {
+    val window = baseGen match {
       case Some(b) => visible.filter(c => c.gen == b || (!c.base && c.gen > b))
       case None    => visible.filterNot(_.base)
     }
+    val packed = window.filter(_.kind == "optimize")
+    if (packed.isEmpty) window
+    else window.filterNot(c => c.kind != "optimize" && packed.exists(o =>
+      o.rlo.exists(_ <= c.gen) && o.rhi.exists(_ >= c.gen)))
   }
 
   /** The table as of generation `asOf` (default: newest commit).
@@ -404,10 +450,17 @@ object VersionedCorpus {
         "(history before the newest base generation was dropped by vacuum)")
     require(dataGens.nonEmpty,
       s"asOf=$asOf resolves to tombstone-only generations under $root")
+    // every read uses the PINNED schema explicitly: it is the table's
+    // source of truth under additive evolution (generations written
+    // before a column existed read it as null — parquet's
+    // missing-column semantics — instead of the first-listed file's
+    // schema deciding which columns exist)
+    val pinned = pinnedSchema(root)
     if (tombGens.isEmpty)
       // fast path, unchanged from the append-only store: ONE multi-path
       // parquet relation, no merge plan at all
-      spark.read.parquet(dataGens.map(c => dataDir(root, c.gen).toString): _*)
+      spark.read.schema(pinned)
+        .parquet(dataGens.map(c => dataDir(root, c.gen).toString): _*)
     else {
       // merge-on-read: a row of generation g survives iff no
       // upsert/delete of its key committed AFTER g inside the snapshot
@@ -431,10 +484,7 @@ object VersionedCorpus {
       val key = pinnedKey(root).getOrElse(sys.error(
         s"tombstone generations exist under $root but no merge key is " +
           "pinned — the manifest directory is corrupt"))
-      val pinnedFields = org.apache.spark.sql.types.DataType.fromJson(
-        new String(java.nio.file.Files.readAllBytes(schemaFile(root)),
-          java.nio.charset.StandardCharsets.UTF_8))
-        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      val pinnedFields = pinned.fieldNames.toSeq
       require(!pinnedFields.exists(n => n == "_vc_gen" || n == "_vc_tmax"),
         "store schema uses the reserved column names _vc_gen/_vc_tmax")
       def overlaps(a: Commit, b: Commit): Boolean =
@@ -443,34 +493,48 @@ object VersionedCorpus {
             alo <= bhi && blo <= ahi
           case _ => true
         }
+      // NOTE: tombstone visibility compares against the EFFECTIVE
+      // position (`pos`) — for optimize outputs that is the top of the
+      // replaced run, so a delete committed after the run but before
+      // the optimize still kills the packed rows
       val (mergeGens, cleanGens) = dataGens.partition(c =>
-        tombGens.exists(t => t.gen > c.gen && overlaps(c, t)))
+        tombGens.exists(t => t.gen > c.pos && overlaps(c, t)))
       val clean =
         if (cleanGens.isEmpty) None
-        else Some(spark.read.parquet(
+        else Some(spark.read.schema(pinned).parquet(
           cleanGens.map(c => dataDir(root, c.gen).toString): _*))
       val merged = if (mergeGens.isEmpty) None else {
-        val data =
+        // optimize outputs live in dir gen=N but merge at pos=rhi:
+        // remap the partition-derived generation through the (tiny,
+        // driver-known) gen→pos map
+        val posRemap = mergeGens.filter(c => c.pos != c.gen)
+          .map(c => (c.gen, c.pos)).toMap
+        def reposition(df: DataFrame): DataFrame =
+          if (posRemap.isEmpty) df
+          else df.withColumn("_vc_gen",
+            posRemap.foldLeft(col("_vc_gen")) { case (e, (g, p)) =>
+              org.apache.spark.sql.functions
+                .when(col("_vc_gen") === lit(g), lit(p)).otherwise(e)
+            })
+        val data = reposition(
           if (pinnedFields.contains("gen"))
             // partition-column name collision with a data column: fall
             // back to the explicit per-generation union
             mergeGens.map { c =>
-              spark.read.parquet(dataDir(root, c.gen).toString)
+              spark.read.schema(pinned)
+                .parquet(dataDir(root, c.gen).toString)
                 .withColumn("_vc_gen", lit(c.gen))
             }.reduce(_ unionByName _)
-          else spark.read.option("basePath", root)
+          else spark.read.schema(pinned).option("basePath", root)
             .parquet(mergeGens.map(c => dataDir(root, c.gen).toString): _*)
-            .withColumn("_vc_gen", col("gen").cast("long")).drop("gen")
+            .withColumn("_vc_gen", col("gen").cast("long")).drop("gen"))
         // one schema-pruned partitioned scan over ALL tombstone
         // generations (upsert gens contribute just their key column —
         // parquet column pruning — and delete gens are key-only
         // already); the gen partition column is the tombstone's
         // generation, appended automatically since it is not in the
         // user schema
-        val keyType = org.apache.spark.sql.types.DataType.fromJson(
-          new String(java.nio.file.Files.readAllBytes(schemaFile(root)),
-            java.nio.charset.StandardCharsets.UTF_8))
-          .asInstanceOf[org.apache.spark.sql.types.StructType](key).dataType
+        val keyType = pinned(key).dataType
         val tombs =
           if (pinnedFields.contains("gen"))
             tombGens.map { c =>
@@ -499,6 +563,173 @@ object VersionedCorpus {
         case (None, None)       => sys.error("unreachable: dataGens nonEmpty")
       }
     }
+  }
+
+  /** CHANGE DATA FEED, read side — the log IS the feed: every commit
+    * already records exactly which rows entered (append/upsert data
+    * files) or which keys died (delete tombstones), so the change rows
+    * for the generation window `(fromGen, toGen]` are a bare union of
+    * the window's own files with two literal columns stapled on —
+    * no join, no shuffle, no read of anything outside the window. This
+    * is the read twin of [[applyChanges]] (Delta CDF's shape, built
+    * from the log structure instead of extra change files):
+    *
+    *   - append generation  → its rows as `_change_type = "insert"`
+    *   - upsert generation  → its rows as `_change_type = "upsert"`
+    *     (insert-vs-update is not distinguished: the log does not
+    *     record whether the key existed, and the downstream apply
+    *     treats them identically — documented simplification)
+    *   - delete generation  → its KEYS as `_change_type = "delete"`,
+    *     data columns null (the tombstone is key-only by design; a
+    *     preimage would cost a read of the pre-delete snapshot, which
+    *     the feed deliberately never does)
+    *   - base generation    → NO change rows (compaction is a
+    *     content-neutral rewrite, exactly Delta's OPTIMIZE-emits-no-CDF
+    *     rule) — but a base inside the window still proves the earlier
+    *     history wasn't vacuumed away (checked below).
+    *
+    * `_commit_gen` carries the generation id — the feed's total order
+    * and the replay cursor. Feeding the change rows back through
+    * [[applyChanges]] (op = `_change_type`, seq = `_commit_gen`,
+    * "delete" → D) reconstructs the source snapshot — the replication
+    * loop [[replicate]] does precisely that, and the spec pins
+    * replica ≡ source across the full mutation lifecycle.
+    *
+    * Scale: cost is proportional to the CHANGE window, never the
+    * corpus — the property that makes downstream incremental consumers
+    * (index maintenance, replicas, feature refresh) O(new data) at
+    * 100 TB. Vacuumed windows fail loudly, never silently truncate. */
+  def changesBetween(spark: SparkSession, root: String,
+                     fromGen: Long, toGen: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val all = commits(root)
+    require(all.nonEmpty, s"no committed generations under $root")
+    val window = all.filter(c => c.gen > fromGen && c.gen <= toGen)
+    val pinned = pinnedSchema(root)
+    require(!pinned.fieldNames.exists(n =>
+        n == "_change_type" || n == "_commit_gen"),
+      "store schema uses the reserved column names _change_type/_commit_gen")
+    // base AND optimize generations are content-neutral rewrites —
+    // no change rows (their inputs already emitted theirs when they
+    // committed)
+    val changeGens = window.filterNot(c => c.base || c.kind == "optimize")
+    val missing = changeGens.map(c => dataDir(root, c.gen))
+      .filterNot(java.nio.file.Files.isDirectory(_))
+    require(missing.isEmpty,
+      s"change window ($fromGen, $toGen] needs vacuumed generations: " +
+        s"${missing.mkString(", ")} — the feed cannot silently skip " +
+        "history (advance the cursor past the vacuumed range explicitly)")
+    val empty = {
+      val s = new org.apache.spark.sql.types.StructType(
+        (pinned.fields.map(_.copy(nullable = true)) :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("_commit_gen",
+            org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[
+        org.apache.spark.sql.Row], s)
+    }
+    if (changeGens.isEmpty) return empty
+    val key = pinnedKey(root)
+    val parts = changeGens.map { c =>
+      if (c.kind == "delete") {
+        val k = key.getOrElse(sys.error(
+          s"delete generation ${c.gen} under $root but no merge key " +
+            "pinned — the manifest directory is corrupt"))
+        spark.read
+          .schema(new org.apache.spark.sql.types.StructType().add(pinned(k)))
+          .parquet(dataDir(root, c.gen).toString)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_gen", lit(c.gen))
+      } else {
+        val tpe = if (c.kind == "upsert") "upsert" else "insert"
+        spark.read.schema(pinned).parquet(dataDir(root, c.gen).toString)
+          .withColumn("_change_type", lit(tpe))
+          .withColumn("_commit_gen", lit(c.gen))
+      }
+    }
+    // delete parts carry only (key, _change_type, _commit_gen);
+    // allowMissingColumns null-fills their data columns, and the final
+    // select pins the declared column order
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      .select((pinned.fieldNames.toSeq :+ "_change_type" :+ "_commit_gen")
+        .map(col): _*)
+  }
+
+  /** [[changesBetween]] from a cursor to the newest commit, returning
+    * the feed plus the cursor value that consuming it advances to.
+    * `(feed, newCursor)` with `newCursor == sinceGen` means no new
+    * commits (the feed is empty). */
+  def changesSince(spark: SparkSession, root: String,
+                   sinceGen: Long): (DataFrame, Long) = {
+    val to = latest(root).getOrElse(
+      sys.error(s"no committed generations under $root"))
+    if (to <= sinceGen) (changesBetween(spark, root, to), sinceGen)
+    else (changesBetween(spark, root, sinceGen, to), to)
+  }
+
+  /** Durable cursor for an incremental feed consumer: the last
+    * generation id fully processed, stored as one small file whose
+    * atomic rename is the consumer's commit point. Missing file =
+    * consume from the beginning. */
+  def readCursor(cursorFile: String): Long = {
+    val p = java.nio.file.Paths.get(cursorFile)
+    if (!java.nio.file.Files.exists(p)) -1L
+    else new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  }
+
+  def writeCursor(cursorFile: String, gen: Long): Unit = {
+    val p = java.nio.file.Paths.get(cursorFile)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val tmp = p.resolveSibling("." + p.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** INCREMENTAL PULL REPLICATION — the end-to-end consumer the feed
+    * exists for: fold every source change since the cursor into the
+    * replica store via [[applyChanges]] (op = `_change_type`, seq =
+    * `_commit_gen`), then advance the cursor. Each pull costs O(new
+    * generations), never O(source corpus).
+    *
+    * Crash contract (at-least-once + idempotent apply, the same pair
+    * the durable admission loop carries): a death AFTER the apply but
+    * BEFORE the cursor write replays the window on restart — harmless,
+    * because [[applyChanges]] re-upserts identical content and
+    * re-tombstones already-dead keys. Within one pulled window the
+    * feed collapses to the newest change per key (seq = generation
+    * order), which is exactly the source's own merge-on-read
+    * resolution, so replica snapshot ≡ source snapshot at every
+    * cursor point — property-pinned in VersionedCorpusSpec across
+    * upserts, deletes, resurrections, and a mid-feed compaction.
+    *
+    * Contract: the source must follow keyed discipline — at most one
+    * row per key per commit (what [[applyChanges]]-fed and upsert-fed
+    * stores have by construction). A commit carrying duplicate keys
+    * keeps all of them in the SOURCE snapshot but collapses to the
+    * feed's newest-per-key on the replica; refusing that shape is the
+    * apply side's last-writer-wins semantics, not data loss.
+    *
+    * Returns the new cursor (unchanged when the source has nothing
+    * new; no empty commits land on the replica). */
+  def replicate(spark: SparkSession, srcRoot: String, dstRoot: String,
+                keyCol: String, cursorFile: String): Long = {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val from = readCursor(cursorFile)
+    if (latest(srcRoot).forall(_ <= from)) return from
+    val (feed, to) = changesSince(spark, srcRoot, from)
+    if (to == from) return from
+    applyChanges(
+      feed.withColumn("_change_type",
+        when(col("_change_type") === "delete", lit("D"))
+          .otherwise(col("_change_type"))),
+      dstRoot, keyCol, "_change_type", "_commit_gen")
+    writeCursor(cursorFile, to)
+    to
   }
 
   /** Pin the merge/lookup key up front (normally it is pinned by the
@@ -541,26 +772,25 @@ object VersionedCorpus {
     require(missing.isEmpty,
       s"asOf=$asOf needs vacuumed generations: ${missing.mkString(", ")} " +
         "(history before the newest base generation was dropped by vacuum)")
+    val pinned = pinnedSchema(root)
     if (dataC.isEmpty) {
       // every generation's bounds exclude the key: provably absent,
       // answered from the manifests alone (zero files read)
-      val pinned = org.apache.spark.sql.types.DataType.fromJson(
-        new String(java.nio.file.Files.readAllBytes(schemaFile(root)),
-          java.nio.charset.StandardCharsets.UTF_8))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned)
     }
     val data = dataC.map { c =>
-      spark.read.parquet(dataDir(root, c.gen).toString)
+      spark.read.schema(pinned).parquet(dataDir(root, c.gen).toString)
         .filter(col(key) === lit(value))
-        .withColumn("_vc_gen", lit(c.gen))
+        .withColumn("_vc_gen", lit(c.pos))
     }.reduce(_ unionByName _)
     if (tombC.isEmpty) data.drop("_vc_gen")
     else {
+      val keyOnly = new org.apache.spark.sql.types.StructType()
+        .add(pinned(key))
       val tombs = tombC.map { c =>
-        spark.read.parquet(dataDir(root, c.gen).toString)
-          .select(col(key)).filter(col(key) === lit(value))
+        spark.read.schema(keyOnly).parquet(dataDir(root, c.gen).toString)
+          .filter(col(key) === lit(value))
           .withColumn("_vc_tgen", lit(c.gen))
       }.reduce(_ unionByName _)
       val tmax = tombs.groupBy(col(key))
@@ -575,11 +805,30 @@ object VersionedCorpus {
   /** Rewrite the CURRENT snapshot as one new base generation.
     * Content-neutral (asserted by the oracle-checked round trip) and
     * history-preserving — earlier generations remain readable for time
-    * travel until [[vacuum]]. Returns the base generation id. */
-  def compact(spark: SparkSession, root: String): Long = {
+    * travel until [[vacuum]]. Returns the base generation id.
+    *
+    * `sortByKey = true` (requires a pinned key) range-partitions and
+    * sorts the base by the key — the data-layout half of the lookup
+    * story: base files get DISJOINT key ranges and sorted row groups,
+    * so parquet's own min/max stats prune point lookups inside the
+    * base generation the same way the manifest bounds prune across
+    * generations. The standard compaction-time clustering trade
+    * (Delta OPTIMIZE ZORDER, single-key form): pay one extra shuffle
+    * at maintenance time, every later keyed read gets cheaper. */
+  def compact(spark: SparkSession, root: String,
+              sortByKey: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.col
     val gen = nextGen(root)
     val path = dataDir(root, gen)
-    val snap = snapshot(spark, root)
+    val snap0 = snapshot(spark, root)
+    val snap =
+      if (!sortByKey) snap0
+      else {
+        val key = pinnedKey(root).getOrElse(sys.error(
+          s"sortByKey compaction needs a pinned merge/lookup key under " +
+            s"$root — call pinKey(...) or make a keyed commit first"))
+        snap0.repartitionByRange(col(key)).sortWithinPartitions(col(key))
+      }
     snap.write.mode("overwrite").parquet(path.toString)
     val (rows, klo, khi) = writtenStats(spark, path.toString, root)
     writeManifest(root,
@@ -605,6 +854,90 @@ object VersionedCorpus {
       val g = compact(spark, root)
       if (vacuumAfter) vacuum(root)
       Some(g)
+    }
+  }
+
+  /** BIN-PACKING SMALL-FILE COMPACTION (Delta OPTIMIZE semantics,
+    * without ZORDER): rewrite each maximal run of ≥2 consecutive SMALL
+    * plain-append generations (≤ `smallRows` rows each) as ONE packed
+    * generation, and leave everything else — the base, big appends,
+    * and every keyed mutation — untouched. This is the maintenance
+    * valve [[compact]] is too blunt for at scale: a streaming ingestion
+    * loop accretes thousands of tiny generations against a 100 TB
+    * base, and a full compact pays a corpus-sized rewrite to fix a
+    * file-count problem the tail created. `optimize` pays only for the
+    * small tail it rewrites.
+    *
+    * Correctness under merge-on-read: the packed generation records
+    * its replaced run (`rlo..rhi`) and takes the run's TOP as its
+    * EFFECTIVE merge position ([[Commit.pos]]) — legal because run
+    * contiguity (adjacency in the resolved window) guarantees no
+    * tombstone committed inside the run, so every packed row has
+    * identical tombstone-visibility; a delete committed after the run
+    * but before the optimize still kills packed rows (spec-pinned).
+    * Snapshot resolution drops the originals whenever the packed
+    * generation is visible; time travel to before the optimize commit
+    * still reads the originals, and [[changesBetween]] emits nothing
+    * for the rewrite (content-neutral, like base compaction). Replaced
+    * data dirs are reclaimed by [[vacuumPacked]] (or a later
+    * base-compact + [[vacuum]]), trading time-travel-into-the-run for
+    * space — the standard retention decision, made explicitly.
+    *
+    * Output file count is sized by `targetFileRows` (⌈rows/target⌉
+    * coalesced files), so packing N tiny generations yields a few
+    * right-sized files instead of N footers every snapshot read must
+    * touch. Atomic per run: data first, one manifest rename commits.
+    * Returns the packed generation ids (empty when no run qualifies —
+    * calling it on a healthy store is free). */
+  def optimize(spark: SparkSession, root: String,
+               smallRows: Long = 100000L,
+               targetFileRows: Long = 5000000L): Seq[Long] = {
+    val window = resolveWindow(root, Long.MaxValue)
+    val runs = scala.collection.mutable.ArrayBuffer[Vector[Commit]]()
+    var cur = Vector.empty[Commit]
+    window.foreach { c =>
+      if (c.kind == "append" && !c.base && c.rows <= smallRows)
+        cur = cur :+ c
+      else { if (cur.size >= 2) runs += cur; cur = Vector.empty }
+    }
+    if (cur.size >= 2) runs += cur
+    val pinned = if (runs.isEmpty) null else pinnedSchema(root)
+    runs.toSeq.map { run =>
+      val gen = nextGen(root)
+      val path = dataDir(root, gen)
+      val total = run.map(_.rows).sum
+      val nFiles =
+        math.max(1L, (total + targetFileRows - 1) / targetFileRows).toInt
+      spark.read.schema(pinned)
+        .parquet(run.map(c => dataDir(root, c.gen).toString): _*)
+        .coalesce(nFiles)
+        .write.mode("overwrite").parquet(path.toString)
+      val (rows, klo, khi) = writtenStats(spark, path.toString, root)
+      require(rows == total,
+        s"optimize rewrite under $root lost rows: run ${run.head.gen}.." +
+          s"${run.last.gen} holds $total, packed file holds $rows")
+      writeManifest(root, Commit(gen, rows, base = false, kind = "optimize",
+        klo = klo, khi = khi,
+        rlo = Some(run.head.gen), rhi = Some(run.last.gen)))
+      gen
+    }
+  }
+
+  /** Reclaim the data of generations replaced by a committed
+    * [[optimize]] output. After this, time travel INTO a replaced run
+    * (and a change-feed window touching it) fails loudly; snapshots at
+    * or after the optimize commit are unaffected. Manifests are kept,
+    * as with [[vacuum]]. */
+  def vacuumPacked(root: String): Unit = {
+    val all = commits(root)
+    val packedRanges = all.filter(_.kind == "optimize")
+      .flatMap(o => o.rlo.zip(o.rhi))
+    all.filter(c => c.kind != "optimize" && packedRanges.exists {
+      case (lo, hi) => c.gen >= lo && c.gen <= hi
+    }).foreach { c =>
+      val p = dataDir(root, c.gen)
+      if (java.nio.file.Files.isDirectory(p))
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
     }
   }
 

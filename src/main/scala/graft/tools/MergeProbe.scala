@@ -73,6 +73,38 @@ object MergeProbe {
     time("post-compact point lookup") {
       VersionedCorpus.lookupKey(spark, root, probeKey).collect()
     }
+    // phase 2: the streaming-ingestion shape — a long tail of tiny
+    // appends against the big base, then bin-packing optimize. The
+    // point is the file-count collapse: the snapshot read's fan-out is
+    // footer-bound at thousands of tiny files, and optimize fixes it
+    // WITHOUT touching the base (compare: the full compact above paid
+    // a 950k-row rewrite).
+    val cursor = VersionedCorpus.latest(root).get
+    time("tail: 120 x 500-row appends") {
+      for (i <- 0 until 120)
+        VersionedCorpus.append(
+          slice(2000000L + i * 500L, 2000000L + (i + 1) * 500L, "t "), root)
+    }
+    val filesBefore = VersionedCorpus.snapshot(spark, root).inputFiles.length
+    val n3 = time(s"snapshot count, 120-gen tail ($filesBefore files)") {
+      VersionedCorpus.snapshot(spark, root).count()
+    }
+    assert(n3 == 1010000L, s"expected 1010000 rows, got $n3")
+    time("change feed: changesSince(pre-tail cursor) count") {
+      val (feed, _) = VersionedCorpus.changesSince(spark, root, cursor)
+      assert(feed.count() == 60000L)
+    }
+    val packed = time("optimize (packs the tail, base untouched)") {
+      VersionedCorpus.optimize(spark, root, smallRows = 1000L)
+    }
+    assert(packed.size == 1, s"expected one packed run, got $packed")
+    VersionedCorpus.vacuumPacked(root)
+    val filesAfter = VersionedCorpus.snapshot(spark, root).inputFiles.length
+    val n4 = time(s"snapshot count, packed tail ($filesAfter files)") {
+      VersionedCorpus.snapshot(spark, root).count()
+    }
+    assert(n4 == 1010000L, s"optimize changed content: $n4")
+    println(s"tail files: $filesBefore -> $filesAfter")
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     spark.stop()
   }

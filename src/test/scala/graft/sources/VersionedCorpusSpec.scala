@@ -328,6 +328,233 @@ class VersionedCorpusSpec extends AnyFunSuite {
     assert(VersionedCorpus.lookupKey(spark, root, 85L).count() === 0L)
   }
 
+  test("additive schema evolution: new columns appended; pre-evolution rows read as null; non-additive refused") {
+    val root = freshRoot()
+    VersionedCorpus.append(docs(0 until 10, "a").drop("lang"), root)
+    // evolution must be opted into explicitly
+    intercept[IllegalArgumentException] {
+      VersionedCorpus.append(docs(10 until 12, "b"), root)
+    }
+    val g = VersionedCorpus.append(docs(10 until 12, "b"), root,
+      evolveSchema = true)
+    assert(g === 1L)
+    val snap = VersionedCorpus.snapshot(spark, root)
+    assert(snap.columns.toSeq === Seq("doc_id", "text", "lang"))
+    assert(snap.count() === 12L)
+    // pre-evolution rows read the new column as null
+    assert(snap.filter(col("lang").isNull).count() === 10L)
+    assert(snap.filter(col("lang") === "en").count() === 2L)
+    // time travel to before the evolution ALSO sees the table schema
+    // (schema is table-level, the simplification documented on append)
+    assert(VersionedCorpus.snapshot(spark, root, 0L).columns.length === 3)
+    // post-evolution strict appends use the evolved schema
+    VersionedCorpus.append(docs(12 until 14, "c"), root)
+    assert(VersionedCorpus.snapshot(spark, root).count() === 14L)
+    // non-additive shapes are refused even with the flag: a type change,
+    // a drop, and a reorder
+    intercept[IllegalArgumentException] {
+      VersionedCorpus.append(docs(14 until 15, "d")
+        .withColumn("doc_id", col("doc_id").cast("int")), root,
+        evolveSchema = true)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedCorpus.append(docs(14 until 15, "d").drop("text"), root,
+        evolveSchema = true)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedCorpus.append(
+        docs(14 until 15, "d").select("lang", "text", "doc_id"), root,
+        evolveSchema = true)
+    }
+    // evolution composes with the merge machinery: delete a pre-evolution
+    // key, look up an evolved row and a null-column row
+    VersionedCorpus.delete(docs(0 until 1, "x").select("doc_id"),
+      root, "doc_id")
+    val merged = VersionedCorpus.snapshot(spark, root)
+    assert(merged.count() === 13L)
+    assert(merged.filter(col("lang").isNull).count() === 9L)
+    assert(VersionedCorpus.lookupKey(spark, root, 10L)
+      .select("lang").as[String].head === "en")
+    assert(VersionedCorpus.lookupKey(spark, root, 5L)
+      .select("lang").head().isNullAt(0))
+  }
+
+  test("sortByKey compaction: content-neutral, disjoint per-file key ranges in the base") {
+    val root = freshRoot()
+    // write unsorted, interleaved appends so the base has real sorting work
+    VersionedCorpus.append(
+      docs(0 until 200, "a").orderBy(rand(7)).repartition(4), root)
+    VersionedCorpus.pinKey(root, "doc_id")
+    VersionedCorpus.upsert(docs(50 until 80, "v2"), root, "doc_id")
+    val expect = VersionedCorpus.snapshot(spark, root)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val base = VersionedCorpus.compact(spark, root, sortByKey = true)
+    val baseDir = new java.io.File(s"$root/gen=$base")
+    val parts = baseDir.listFiles.filter(_.getName.endsWith(".parquet"))
+    // content-neutral
+    assert(spark.read.parquet(baseDir.toString)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      === expect)
+    // each base file covers a DISJOINT key range (range partitioning),
+    // sorted within — the precondition for parquet row-group pruning
+    val ranges = parts.map { f =>
+      val ids = spark.read.parquet(f.toString)
+        .select("doc_id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"unsorted file ${f.getName}")
+      (ids.min, ids.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, "overlapping ranges")
+      case _                        => ()
+    }
+    // unsorted compaction still works when no key is pinned
+    val root2 = freshRoot()
+    VersionedCorpus.append(docs(0 until 10, "a"), root2)
+    intercept[RuntimeException] {
+      VersionedCorpus.compact(spark, root2, sortByKey = true)
+    }
+    VersionedCorpus.compact(spark, root2)
+    assert(VersionedCorpus.snapshot(spark, root2).count() === 10L)
+  }
+
+  test("change feed: inserts/upserts/deletes labeled per commit; compaction emits no change rows; vacuumed windows refuse") {
+    val root = freshRoot()
+    val g0 = VersionedCorpus.append(docs(0 until 10, "a"), root)
+    val g1 = VersionedCorpus.upsert(docs(3 until 6, "v2"), root, "doc_id")
+    val g2 = VersionedCorpus.delete(docs(0 until 2, "x").select("doc_id"),
+      root, "doc_id")
+    val gBase = VersionedCorpus.compact(spark, root)
+    val g3 = VersionedCorpus.append(docs(20 until 23, "c"), root)
+
+    // full feed: columns pinned, base emits nothing
+    val feed = VersionedCorpus.changesBetween(spark, root, -1L)
+    assert(feed.columns.toSeq ===
+      Seq("doc_id", "text", "lang", "_change_type", "_commit_gen"))
+    val byGen = feed.groupBy("_commit_gen", "_change_type")
+      .count().as[(Long, String, Long)].collect().toSet
+    assert(byGen === Set((g0, "insert", 10L), (g1, "upsert", 3L),
+      (g2, "delete", 2L), (g3, "insert", 3L)))
+    assert(!byGen.exists(_._1 == gBase))
+    // delete rows are key-only: data columns null, key populated
+    val dels = feed.filter(col("_change_type") === "delete")
+    assert(dels.filter(col("text").isNull && col("lang").isNull)
+      .count() === 2L)
+    assert(dels.select("doc_id").as[Long].collect().sorted === Array(0L, 1L))
+
+    // windowing: (g1, g3] sees exactly the delete + final append
+    val win = VersionedCorpus.changesBetween(spark, root, g1, g3)
+    assert(win.groupBy("_change_type").count().as[(String, Long)]
+      .collect().toSet === Set(("delete", 2L), ("insert", 3L)))
+
+    // changesSince tracks the newest commit and is empty at the head
+    val (f1, c1) = VersionedCorpus.changesSince(spark, root, g2)
+    assert(c1 === g3 && f1.count() === 3L)
+    val (f2, c2) = VersionedCorpus.changesSince(spark, root, c1)
+    assert(c2 === c1 && f2.count() === 0L)
+
+    // vacuum drops pre-base history: a window touching it refuses
+    VersionedCorpus.vacuum(root)
+    intercept[IllegalArgumentException] {
+      VersionedCorpus.changesBetween(spark, root, -1L)
+    }
+    // ...but the post-base window still reads fine
+    assert(VersionedCorpus.changesBetween(spark, root, gBase).count() === 3L)
+  }
+
+  test("incremental pull replication: replica ≡ source at every cursor point; crashed-pull replay is idempotent") {
+    val tmp = Files.createTempDirectory("graft-vcrep")
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"
+    val cursor = s"$tmp/cursor.txt"
+    def sortedSnap(root: String) =
+      VersionedCorpus.snapshot(spark, root)
+        .select("doc_id", "text", "lang").as[(Long, String, String)]
+        .collect().sortBy(_._1).toSeq
+    // wave 1: plain appends
+    VersionedCorpus.append(docs(0 until 30, "a"), src)
+    VersionedCorpus.append(docs(30 until 50, "b"), src)
+    VersionedCorpus.pinKey(src, "doc_id")
+    val c1 = VersionedCorpus.replicate(spark, src, dst, "doc_id", cursor)
+    assert(sortedSnap(dst) === sortedSnap(src))
+    // wave 2: upsert + delete + resurrection, then a source compaction
+    VersionedCorpus.upsert(docs(10 until 15, "v2"), src, "doc_id")
+    VersionedCorpus.delete(docs(40 until 45, "x").select("doc_id"),
+      src, "doc_id")
+    VersionedCorpus.append(docs(42 until 43, "back"), src)
+    VersionedCorpus.compact(spark, src)
+    val c2 = VersionedCorpus.replicate(spark, src, dst, "doc_id", cursor)
+    assert(c2 > c1)
+    assert(sortedSnap(dst) === sortedSnap(src))
+    assert(sortedSnap(dst).size === 46) // 50 - 5 deleted + 1 resurrected
+    // crashed pull: wave 3 applied but the cursor write lost — replay
+    // must converge, not duplicate
+    VersionedCorpus.upsert(docs(0 until 3, "v3"), src, "doc_id")
+    VersionedCorpus.replicate(spark, src, dst, "doc_id", cursor)
+    VersionedCorpus.writeCursor(cursor, c2) // simulate the crash
+    val c3 = VersionedCorpus.replicate(spark, src, dst, "doc_id", cursor)
+    assert(c3 > c2)
+    assert(sortedSnap(dst) === sortedSnap(src))
+    // no-new-data pull: cursor unchanged, no commits land on the replica
+    val nDst = VersionedCorpus.commits(dst).size
+    assert(VersionedCorpus.replicate(spark, src, dst, "doc_id", cursor) === c3)
+    assert(VersionedCorpus.commits(dst).size === nDst)
+  }
+
+  test("optimize: packs small append runs only, content-neutral, preserves time travel and merge order") {
+    val root = freshRoot()
+    // g0..g2: small appends; g3: upsert (run breaker); g4..g5: small
+    // appends; g6: big append (not packable)
+    VersionedCorpus.append(docs(0 until 5, "a"), root)
+    VersionedCorpus.append(docs(5 until 10, "b"), root)
+    VersionedCorpus.append(docs(10 until 15, "c"), root)
+    VersionedCorpus.upsert(docs(0 until 2, "v2"), root, "doc_id")
+    VersionedCorpus.append(docs(20 until 25, "d"), root)
+    VersionedCorpus.append(docs(25 until 30, "e"), root)
+    VersionedCorpus.append(docs(100 until 300, "big"), root)
+    val before = VersionedCorpus.snapshot(spark, root)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val packed = VersionedCorpus.optimize(spark, root, smallRows = 50L)
+    assert(packed.size === 2) // [g0,g1,g2] and [g4,g5]
+    val cs = VersionedCorpus.commits(root)
+    assert(cs.filter(_.kind == "optimize").map(c => (c.rlo.get, c.rhi.get))
+      === Seq((0L, 2L), (4L, 5L)))
+    // content-neutral
+    val after = VersionedCorpus.snapshot(spark, root)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(after === before)
+    // current snapshot reads packed dirs, never the originals
+    val files = VersionedCorpus.snapshot(spark, root).inputFiles
+    Seq(0L, 1L, 2L, 4L, 5L).foreach(g =>
+      assert(!files.exists(_.contains(s"gen=$g/")), s"gen=$g still read"))
+    // time travel to before the optimize still reads the originals
+    assert(VersionedCorpus.snapshot(spark, root, 2L).count() === 15L)
+    // a delete committed after the pack kills packed rows (pos = run top)
+    VersionedCorpus.delete(docs(5 until 8, "x").select("doc_id"),
+      root, "doc_id")
+    assert(VersionedCorpus.snapshot(spark, root)
+      .filter(col("doc_id") >= 5 && col("doc_id") < 8).count() === 0L)
+    // the upsert committed BETWEEN the runs still beats run-1 rows:
+    // doc 0/1 must read "v2", not "a"
+    assert(VersionedCorpus.snapshot(spark, root)
+      .filter(col("doc_id") === 0).select("text").as[String].head
+      .startsWith("v2"))
+    // the feed emits nothing for the optimize commits
+    val feed = VersionedCorpus.changesBetween(spark, root, -1L)
+    assert(feed.filter(col("_commit_gen").isin(packed: _*)).count() === 0L)
+    // idempotent: nothing left to pack (the delete breaks no data run)
+    assert(VersionedCorpus.optimize(spark, root, smallRows = 50L).isEmpty)
+    // vacuumPacked reclaims originals; packed-era reads still fine,
+    // time travel into the run now refuses loudly
+    VersionedCorpus.vacuumPacked(root)
+    assert(VersionedCorpus.snapshot(spark, root).count() === before.length - 3)
+    intercept[IllegalArgumentException] {
+      VersionedCorpus.snapshot(spark, root, 2L).count()
+    }
+    // lookupKey agrees with the snapshot across packed generations
+    assert(VersionedCorpus.lookupKey(spark, root, 6L).count() === 0L)
+    assert(VersionedCorpus.lookupKey(spark, root, 22L)
+      .select("text").as[String].head.startsWith("d"))
+  }
+
   test("durable admission replay is idempotent: re-admitting a committed batch appends nothing") {
     val root = freshRoot()
     VersionedCorpus.append(docs(0 until 20, "corpus"), root)
