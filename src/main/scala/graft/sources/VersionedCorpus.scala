@@ -631,27 +631,49 @@ object VersionedCorpus {
     }
     if (changeGens.isEmpty) return empty
     val key = pinnedKey(root)
-    val parts = changeGens.map { c =>
-      if (c.kind == "delete") {
-        val k = key.getOrElse(sys.error(
-          s"delete generation ${c.gen} under $root but no merge key " +
-            "pinned — the manifest directory is corrupt"))
-        spark.read
-          .schema(new org.apache.spark.sql.types.StructType().add(pinned(k)))
-          .parquet(dataDir(root, c.gen).toString)
-          .withColumn("_change_type", lit("delete"))
-          .withColumn("_commit_gen", lit(c.gen))
-      } else {
-        val tpe = if (c.kind == "upsert") "upsert" else "insert"
-        spark.read.schema(pinned).parquet(dataDir(root, c.gen).toString)
-          .withColumn("_change_type", lit(tpe))
-          .withColumn("_commit_gen", lit(c.gen))
+    val (delGens, dataGens) = changeGens.partition(_.kind == "delete")
+    // at most TWO scans regardless of window length (a 10k-generation
+    // backlog must not become a 10k-relation union plan): the gen=N
+    // layout is a hive partition scheme, so each side reads as ONE
+    // basePath relation and the per-row commit generation comes from
+    // the partition column; the generation→label map rides in as a
+    // single typedlit literal. The per-generation union survives only
+    // for the "gen" column-name collision, as in [[snapshot]].
+    import org.apache.spark.sql.functions.{element_at, typedlit}
+    def labeled(gens: Seq[Commit], schema: org.apache.spark.sql.types.StructType,
+                label: Commit => String): DataFrame =
+      if (pinned.fieldNames.contains("gen"))
+        gens.map { c =>
+          spark.read.schema(schema).parquet(dataDir(root, c.gen).toString)
+            .withColumn("_change_type", lit(label(c)))
+            .withColumn("_commit_gen", lit(c.gen))
+        }.reduce(_ unionByName _)
+      else {
+        val labels = typedlit(gens.map(c => c.gen -> label(c)).toMap)
+        spark.read.schema(schema).option("basePath", root)
+          .parquet(gens.map(c => dataDir(root, c.gen).toString): _*)
+          .withColumn("_commit_gen", col("gen").cast("long")).drop("gen")
+          .withColumn("_change_type", element_at(labels, col("_commit_gen")))
       }
-    }
-    // delete parts carry only (key, _change_type, _commit_gen);
-    // allowMissingColumns null-fills their data columns, and the final
+    val dataPart =
+      if (dataGens.isEmpty) None
+      else Some(labeled(dataGens, pinned,
+        c => if (c.kind == "upsert") "upsert" else "insert"))
+    val delPart =
+      if (delGens.isEmpty) None
+      else {
+        val k = key.getOrElse(sys.error(
+          s"delete generations under $root but no merge key pinned — " +
+            "the manifest directory is corrupt"))
+        Some(labeled(delGens,
+          new org.apache.spark.sql.types.StructType().add(pinned(k)),
+          _ => "delete"))
+      }
+    // the delete side carries only (key, _change_type, _commit_gen);
+    // allowMissingColumns null-fills its data columns, and the final
     // select pins the declared column order
-    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    (dataPart.toSeq ++ delPart.toSeq)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
       .select((pinned.fieldNames.toSeq :+ "_change_type" :+ "_commit_gen")
         .map(col): _*)
   }
