@@ -79,6 +79,25 @@ object Queries {
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** The JL query family's shared literals: the 16×64 Rademacher ±0.25
+    * projection matrix ([[VectorFunctions.jlMatrix]] — entries are
+    * exact binary fractions) and the pre-projected query vector, used
+    * by BOTH the Spark plans and the GENERATED DuckDB SQL so the two
+    * engines compute from bit-identical doubles (the QueryVectors
+    * discipline applied to a whole matrix). */
+  private lazy val jlM: Seq[IndexedSeq[Double]] =
+    VectorFunctions.jlMatrix(16, QueryVectors.dim)
+  private lazy val jlQ1: IndexedSeq[Double] = jlM
+    .map(r => r.zip(QueryVectors.q1).map { case (a, b) => a * b }.sum)
+    .toIndexedSeq
+  private def jlListSql(v: Seq[Double]): String =
+    v.map(_.toString).mkString("[", ",", "]") + "::DOUBLE[]"
+  /** `[dot(e,row_0), …, dot(e,row_15)]` — the projected vector in SQL. */
+  private lazy val jlProjSql: String =
+    jlM.map(r => duckDot("embedding", jlListSql(r))).mkString("[", ", ", "]")
+  private lazy val jlPsimSql: String =
+    s"round(list_dot_product(${jlListSql(jlQ1)}, $jlProjSql), 4)"
+
   /** The `near_dup_embed_lsh` oracle — the whole SCALE-path LSH chain
     * replayed by DuckDB, including the occupancy-constant banding
     * formula: nbits = max(6, ⌈log2(n/4)⌉) computed FROM THE TABLE (so
@@ -4799,6 +4818,58 @@ object Queries {
         .select(col("vec_id"), col("sim")),
       Some(annLshOracleSql),
       "LSH-bucketed ANN: sign-random-projection buckets + multi-probe + exact rerank (deterministic planes -> full DuckDB replay)"),
+
+    "jl_topk" -> DeclaredQuery(
+      // JOHNSON–LINDENSTRAUSS dimensionality reduction (Achlioptas 2003
+      // ±1 form), byte-exact oracle: project 64-dim embeddings to 16
+      // dims through the deterministic ±0.25 Rademacher matrix (every
+      // entry an exact binary fraction — both engines parse identical
+      // doubles) and rank by the PROJECTED dot against the projected
+      // query. dot(Px, Pq) ≈ dot(x, q) is the JL contract; this row
+      // certifies the projection arithmetic itself, the spec certifies
+      // the distortion bound. One row-local projection per row — 16
+      // native dots over plan literals, no UDF, no shuffle; at scale
+      // the projected corpus is materialized once and every downstream
+      // pass reads k/d of the bytes.
+      (s, dir) => T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          r4(dot(VectorFunctions.project(col("embedding"), jlM),
+            vecLit(jlQ1))).as("psim"))
+        .orderBy(desc("psim"), asc("vec_id")).limit(10),
+      Some(s"""SELECT vec_id, $jlPsimSql AS psim
+         |FROM embeddings ORDER BY psim DESC, vec_id LIMIT 10""".stripMargin),
+      "JL random projection 64→16: top-k by projected dot, matrix + projected query replayed as SQL literals"),
+
+    "jl_search_rerank" -> DeclaredQuery(
+      // the JL PREFILTER ANN tier, end-to-end under the oracle: rank
+      // by projected dot in 16-dim space (4× fewer bytes than the raw
+      // scan), keep the top-50 candidates, then re-rank the survivors
+      // by the EXACT 64-dim dot — the classic reduce-then-refine shape
+      // (same as PQ's ADC + exact re-rank, but with a closed-form
+      // transform the oracle can replay: both the candidate cut —
+      // rounded psim with vec_id tiebreak — and the final exact
+      // ordering must reproduce DuckDB's row_number replay exactly).
+      (s, dir) => {
+        val scored = T(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            r4(dot(VectorFunctions.project(col("embedding"), jlM),
+              vecLit(jlQ1))).as("psim"))
+        scored.orderBy(desc("psim"), asc("vec_id")).limit(50)
+          .select(col("vec_id"),
+            r4(dot(col("embedding"), vecLit(QueryVectors.q1))).as("sim"))
+          .orderBy(desc("sim"), asc("vec_id")).limit(10)
+      },
+      Some(s"""WITH scored AS (
+         |  SELECT vec_id, $jlPsimSql AS psim,
+         |    round(${duckDot("embedding", q1Sql)}, 4) AS sim
+         |  FROM embeddings),
+         |cand AS (SELECT vec_id, sim FROM (
+         |  SELECT vec_id, sim,
+         |    row_number() OVER (ORDER BY psim DESC, vec_id) AS rn
+         |  FROM scored) WHERE rn <= 50)
+         |SELECT vec_id, sim FROM cand
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+      "JL-prefiltered ANN: projected-space candidate cut + exact full-dim re-rank, the whole reduce-then-refine pipeline hash-matched"),
 
     "minhash_pairs" -> DeclaredQuery(
       // the signature pass → band self-join → Jaccard verify chain,

@@ -75,4 +75,38 @@ object VectorFunctions {
     * and a plan embedding many such vectors (the IVF centroid array:
     * k·d nodes) paid seconds of analysis + codegen per build step. */
   def vecLit(v: Seq[Double]): Column = typedlit(v)
+
+  /** Deterministic Rademacher JOHNSON–LINDENSTRAUSS projection matrix:
+    * `k` rows × `d` cols of ±1/√k (Achlioptas 2003 — the
+    * database-friendly ±1 form; no Gaussian sampling needed for the JL
+    * guarantee). With `k` a power of FOUR every entry is an exact
+    * binary fraction (k=16 → ±0.25), so the decimal literals parse to
+    * bit-identical doubles in any engine — the QueryVectors discipline
+    * applied to a whole matrix, which is what lets a JL query family
+    * meet the byte-exact oracle gate. Signs come from a splitmix-style
+    * integer mix of (i, j, seed): stateless, reproducible anywhere,
+    * no RNG object. */
+  def jlMatrix(k: Int, d: Int,
+               seed: Long = 0x9E3779B97F4A7C15L): Seq[IndexedSeq[Double]] = {
+    val inv = 1.0 / math.sqrt(k.toDouble)
+    IndexedSeq.tabulate(k) { i =>
+      IndexedSeq.tabulate(d) { j =>
+        var z = seed + i.toLong * 0x9E3779B97F4A7C15L +
+          j.toLong * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        if ((z & 1L) == 0L) inv else -inv
+      }
+    }
+  }
+
+  /** Project a vector column through a literal matrix: out[i] =
+    * dot(m(i), v). One native codegen'd dot per output dimension over
+    * typedlit rows — a pure row-local projection (no UDF, no shuffle),
+    * the map step of JL dimensionality reduction: project the corpus
+    * ONCE, then search/cluster/dedup in k dims at d/k of the scan
+    * bytes, and re-rank survivors in full dimension. */
+  def project(vec: Column, m: Seq[Seq[Double]]): Column =
+    array(m.map(row => dot(vec, vecLit(row))): _*)
 }
