@@ -1687,6 +1687,48 @@ object Queries {
          |WHERE doc_id < 350 AND (doc_id < 100 OR doc_id >= 200)""".stripMargin),
       "additive schema evolution: pre-evolution rows null-filled, evolved rows intact, across a tombstone spanning the boundary"),
 
+    "q_store_range" -> DeclaredQuery(
+      // RANGE SCAN through the manifest-pruned keyed read path
+      // (`VersionedCorpus.lookupKeyRange` — generations whose key
+      // bounds cannot intersect [lo, hi] are never read, decided
+      // driver-side; the dominant read shape for time-ordered keys:
+      // "this week's slice" touches this week's generations). The
+      // range spans a deleted window, a resurrection inside it, an
+      // upserted run, and plain tails — the result must equal direct
+      // SQL row-for-row (pruning is asserted in VersionedCorpusSpec;
+      // THIS row certifies the answers).
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vcrg")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(docs.filter(col("doc_id") < 200), root)
+          VersionedCorpus.upsert(
+            docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+              .withColumn("text", concat(col("text"), lit(" u1"))),
+            root, "doc_id")
+          VersionedCorpus.delete(
+            docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+              .select("doc_id"), root, "doc_id")
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") >= 55 && col("doc_id") < 60), root)
+          localFrame(VersionedCorpus.lookupKeyRange(s, root, 40L, 160L)
+            .select(col("doc_id"), col("text"), col("lang"))
+            .orderBy(col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id, text, lang FROM (
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE (doc_id >= 40 AND doc_id < 50)
+         |     OR (doc_id >= 55 AND doc_id < 60)
+         |     OR (doc_id >= 150 AND doc_id <= 160)
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u1', lang FROM documents
+         |  WHERE doc_id >= 100 AND doc_id < 150
+         |) ORDER BY doc_id""".stripMargin),
+      "manifest-pruned range scan over the mutated store: deletes, a resurrection, and an upserted run inside the range, ≡ direct SQL"),
+
     "q_store_optimize" -> DeclaredQuery(
       // BIN-PACKING SMALL-FILE COMPACTION (`VersionedCorpus.optimize`,
       // Delta OPTIMIZE semantics) content-proven by oracle: three

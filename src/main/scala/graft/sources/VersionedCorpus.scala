@@ -83,9 +83,12 @@ object VersionedCorpus {
       * pinned key column? Generations committed before the key was
       * pinned (or with a non-integral key) carry no bounds and must be
       * read — pruning is only ever an elision of provably-empty work. */
-    def mayContainKey(value: Long): Boolean = (klo, khi) match {
-      case (Some(lo), Some(hi)) => value >= lo && value <= hi
-      case _                    => true
+    def mayContainKey(value: Long): Boolean = mayOverlapRange(value, value)
+    /** Range form of the same pruning rule: can this generation hold
+      * any key in `[lo, hi]`? */
+    def mayOverlapRange(lo: Long, hi: Long): Boolean = (klo, khi) match {
+      case (Some(klo), Some(khi)) => klo <= hi && lo <= khi
+      case _                      => true
     }
   }
 
@@ -780,14 +783,34 @@ object VersionedCorpus {
     * (property-pinned in VersionedCorpusSpec), including merge-on-read
     * semantics across upserts/deletes/resurrections. */
   def lookupKey(spark: SparkSession, root: String, value: Long,
-                asOf: Long = Long.MaxValue): DataFrame = {
+                asOf: Long = Long.MaxValue): DataFrame =
+    keyedRead(spark, root, asOf, _.mayContainKey(value),
+      k => k === org.apache.spark.sql.functions.lit(value))
+
+  /** RANGE SCAN with the same manifest-stats generation pruning as
+    * [[lookupKey]]: read only the generations whose key bounds can
+    * intersect `[lo, hi]`. The time-ordered-key ingestion shape makes
+    * this the dominant read at scale — "last week's documents" touches
+    * the handful of generations whose bounds overlap the week, decided
+    * driver-side from O(generations) manifest records. Result ≡
+    * `snapshot(...).filter(key BETWEEN lo AND hi)` (property-pinned in
+    * VersionedCorpusSpec), including merge-on-read resolution. */
+  def lookupKeyRange(spark: SparkSession, root: String, lo: Long, hi: Long,
+                     asOf: Long = Long.MaxValue): DataFrame =
+    keyedRead(spark, root, asOf, _.mayOverlapRange(lo, hi),
+      k => k.between(lo, hi))
+
+  private def keyedRead(spark: SparkSession, root: String, asOf: Long,
+                        touch: Commit => Boolean,
+                        pred: org.apache.spark.sql.Column
+                          => org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, max}
     val key = pinnedKey(root).getOrElse(sys.error(
       s"no merge/lookup key pinned under $root — call pinKey(...) or " +
         "make a keyed commit first"))
     val window = resolveWindow(root, asOf)
-    val dataC = window.filter(c => c.kind != "delete" && c.mayContainKey(value))
-    val tombC = window.filter(c => c.tombstones && c.mayContainKey(value))
+    val dataC = window.filter(c => c.kind != "delete" && touch(c))
+    val tombC = window.filter(c => c.tombstones && touch(c))
     val missing = (dataC ++ tombC).map(c => dataDir(root, c.gen).toString)
       .distinct.filterNot(p =>
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
@@ -796,14 +819,14 @@ object VersionedCorpus {
         "(history before the newest base generation was dropped by vacuum)")
     val pinned = pinnedSchema(root)
     if (dataC.isEmpty) {
-      // every generation's bounds exclude the key: provably absent,
+      // every generation's bounds exclude the predicate: provably absent,
       // answered from the manifests alone (zero files read)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned)
     }
     val data = dataC.map { c =>
       spark.read.schema(pinned).parquet(dataDir(root, c.gen).toString)
-        .filter(col(key) === lit(value))
+        .filter(pred(col(key)))
         .withColumn("_vc_gen", lit(c.pos))
     }.reduce(_ unionByName _)
     if (tombC.isEmpty) data.drop("_vc_gen")
@@ -812,7 +835,7 @@ object VersionedCorpus {
         .add(pinned(key))
       val tombs = tombC.map { c =>
         spark.read.schema(keyOnly).parquet(dataDir(root, c.gen).toString)
-          .filter(col(key) === lit(value))
+          .filter(pred(col(key)))
           .withColumn("_vc_tgen", lit(c.gen))
       }.reduce(_ unionByName _)
       val tmax = tombs.groupBy(col(key))

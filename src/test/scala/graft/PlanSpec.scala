@@ -22,6 +22,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "top-k must not shuffle the corpus")
   }
 
+  test("jl_search_rerank: projection is row-local, both cuts are heap top-k, no corpus shuffle") {
+    val p = plan("jl_search_rerank")
+    // reduce-then-refine = two TakeOrderedAndProject stages (projected
+    // cut, exact re-rank) with the 16-dot projection inlined in the
+    // scan's projection — no Exchange, no Window, no join back
+    assert("TakeOrderedAndProject".r.findAllIn(p).size === 2)
+    assert(!p.contains("Exchange"), "JL prefilter must not shuffle the corpus")
+    assert(!p.contains("Window"))
+    assert(p.contains("dotproduct"), "native dot must carry the projection")
+  }
+
   test("q_filter_pushdown: predicates reach the parquet scan, columns pruned") {
     val p = plan("q_filter_pushdown")
     assert(p.contains("PushedFilters:"))

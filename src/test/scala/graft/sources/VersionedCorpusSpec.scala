@@ -555,6 +555,42 @@ class VersionedCorpusSpec extends AnyFunSuite {
       .select("text").as[String].head.startsWith("d"))
   }
 
+  test("lookupKeyRange ≡ filtered snapshot; manifest bounds prune disjoint generations") {
+    val root = freshRoot()
+    VersionedCorpus.append(docs(0 until 100, "a"), root)
+    VersionedCorpus.pinKey(root, "doc_id")
+    VersionedCorpus.append(docs(100 until 200, "b"), root)
+    VersionedCorpus.append(docs(200 until 300, "c"), root)
+    VersionedCorpus.upsert(docs(150 until 160, "v2"), root, "doc_id")
+    VersionedCorpus.delete(docs(120 until 130, "x").select("doc_id"),
+      root, "doc_id")
+    def viaSnap(lo: Long, hi: Long) =
+      VersionedCorpus.snapshot(spark, root)
+        .filter(col("doc_id").between(lo, hi))
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    def viaRange(lo: Long, hi: Long) =
+      VersionedCorpus.lookupKeyRange(spark, root, lo, hi)
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    // spans the upsert, the delete window, and a generation boundary
+    for ((lo, hi) <- Seq((110L, 170L), (0L, 299L), (95L, 105L),
+        (500L, 600L)))
+      assert(viaRange(lo, hi) === viaSnap(lo, hi), s"[$lo,$hi]")
+    // pruning: a range entirely inside gen 2's bounds never reads
+    // gens 0/1 (gen 0 predates the pin and would be read if touched —
+    // the range [250,260] excludes it only via gens 1/2's recorded
+    // bounds... gen 0 carries no bounds, so it IS read conservatively;
+    // assert instead that gen 1 (bounds 100..199) is pruned)
+    val files = VersionedCorpus.lookupKeyRange(spark, root, 250L, 260L)
+      .inputFiles
+    assert(!files.exists(_.contains("gen=1/")), "gen 1 not pruned")
+    assert(files.exists(_.contains("gen=2/")))
+    // provably-empty range above every bound: only the unbounded gen 0
+    // can be touched; with bounds on gens 1-4 none of them are read
+    val files2 = VersionedCorpus.lookupKeyRange(spark, root, 5000L, 6000L)
+      .inputFiles
+    assert(files2.forall(_.contains("gen=0/")), files2.mkString(", "))
+  }
+
   test("durable admission replay is idempotent: re-admitting a committed batch appends nothing") {
     val root = freshRoot()
     VersionedCorpus.append(docs(0 until 20, "corpus"), root)
