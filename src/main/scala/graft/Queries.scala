@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
 import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, PqIndex, Sampling, Search, Sketch, SpanDedup, SqIndex, TextAnalysis}
-import graft.sources.VersionedCorpus
+import graft.sources.{IncrementalView, VersionedCorpus}
 import graft.streaming.Streams
 
 /** One declared query: the Spark build plus (when SQL-expressible) the
@@ -1686,6 +1686,72 @@ object Queries {
          |FROM documents
          |WHERE doc_id < 350 AND (doc_id < 100 OR doc_id >= 200)""".stripMargin),
       "additive schema evolution: pre-evolution rows null-filled, evolved rows intact, across a tombstone spanning the boundary"),
+
+    "q_store_mv" -> DeclaredQuery(
+      // INCREMENTAL MATERIALIZED-VIEW MAINTENANCE off the change feed
+      // (`IncrementalView.refresh` — dirty-group recompute: direct
+      // groups from the feed, PREIMAGE groups of mutated keys from the
+      // pre-window snapshot via the pruned range path, one upsert +
+      // one delete on the view store per refresh). Three waves: a full
+      // build, then group MOVES (upserted rows change bucket) + a
+      // deleted range + appends, then revisions + another delete. The
+      // final view must hash-match DuckDB aggregating the final table
+      // directly — a stale untouched group, a lost preimage group, or
+      // a surviving emptied group breaks it.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-mv")
+        try {
+          val src = s"$tmpRoot/src"; val view = s"$tmpRoot/view"
+          val cursor = s"$tmpRoot/cursor.txt"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          def slice(lo: Int, hi: Int) =
+            docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+              .withColumn("bucket", pmod(col("doc_id"), lit(7)))
+              .select("doc_id", "bucket", "text")
+          val aggs = Seq(count(lit(1)).as("n"),
+            sum(length(col("text")).cast("long")).as("chars"))
+          def refresh() = IncrementalView.refresh(s, src, view, cursor,
+            "doc_id", "bucket", aggs)
+          VersionedCorpus.append(slice(0, 300), src)
+          VersionedCorpus.pinKey(src, "doc_id")
+          refresh()
+          VersionedCorpus.upsert(
+            slice(50, 80)
+              .withColumn("bucket", pmod(col("doc_id") + 1, lit(7)))
+              .withColumn("text", concat(col("text"), lit(" u1"))),
+            src, "doc_id")
+          VersionedCorpus.delete(slice(200, 250).select("doc_id"),
+            src, "doc_id")
+          VersionedCorpus.append(slice(300, 330), src)
+          refresh()
+          VersionedCorpus.upsert(
+            slice(0, 10).withColumn("text", concat(col("text"), lit(" u3"))),
+            src, "doc_id")
+          VersionedCorpus.delete(slice(100, 110).select("doc_id"),
+            src, "doc_id")
+          VersionedCorpus.delete(slice(150, 160).select("doc_id"),
+            src, "doc_id")
+          refresh()
+          localFrame(IncrementalView.read(s, view).orderBy(col("bucket")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""WITH final AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id BETWEEN 50 AND 79 THEN (doc_id + 1) % 7
+         |         ELSE doc_id % 7 END AS bucket,
+         |    CASE WHEN doc_id BETWEEN 50 AND 79 THEN text || ' u1'
+         |         WHEN doc_id < 10 THEN text || ' u3'
+         |         ELSE text END AS text
+         |  FROM documents
+         |  WHERE doc_id < 330
+         |    AND NOT (doc_id BETWEEN 200 AND 249)
+         |    AND NOT (doc_id BETWEEN 100 AND 109)
+         |    AND NOT (doc_id BETWEEN 150 AND 159))
+         |SELECT bucket, count(*) AS n,
+         |  CAST(sum(length(text)) AS BIGINT) AS chars
+         |FROM final GROUP BY bucket ORDER BY bucket""".stripMargin),
+      "incremental MV maintenance: dirty-group recompute across moves/deletes/revisions, final view ≡ DuckDB aggregating the final table"),
 
     "q_store_range" -> DeclaredQuery(
       // RANGE SCAN through the manifest-pruned keyed read path

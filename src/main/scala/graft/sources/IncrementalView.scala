@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, max, min}
+
+/** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE over a versioned corpus —
+  * the change feed's second consumer (after [[VersionedCorpus.replicate]]):
+  * keep a grouped-aggregate view of the store current by recomputing
+  * ONLY the groups a change window touched, never the whole aggregate.
+  * This is the Delta "incremental aggregate via CDF" recipe adapted to
+  * a merge-on-read log that stores no preimages:
+  *
+  *   1. DIRECT dirty groups — the group keys of every inserted/upserted
+  *      change row (they're in the feed).
+  *   2. PREIMAGE dirty groups — an upserted row may have MOVED between
+  *      groups and a delete row carries only its merge key, so the
+  *      OLD group of every mutated key is fetched from the PRE-WINDOW
+  *      snapshot, read through the manifest-pruned range path
+  *      ([[VersionedCorpus.lookupKeyRange]] over the mutated keys'
+  *      min..max, then a semi-join) — cost bounded by the generations
+  *      whose key bounds overlap the mutation, not the corpus.
+  *   3. Recompute the dirty groups from the current snapshot and fold
+  *      them into the view with one [[VersionedCorpus.upsert]] (refreshed
+  *      groups) + one [[VersionedCorpus.delete]] (groups whose last row
+  *      died), then advance the cursor.
+  *
+  * The view IS a versioned store keyed by the group column — it has its
+  * own time travel, its own change feed, and the same crash contract as
+  * every feed consumer: a death between the apply and the cursor write
+  * replays the window idempotently (re-upsert identical aggregates,
+  * re-delete dead groups).
+  *
+  * Scale note, stated honestly: the dirty-group RECOMPUTE is a scan of
+  * the current snapshot semi-joined to the dirty keys — cheap when the
+  * store is clustered by the group column ([[VersionedCorpus.compact]]
+  * `sortByKey` when the group IS the key; partitioned layouts
+  * otherwise), a full scan worst-case when it is not. What the
+  * incremental path always avoids is re-AGGREGATING every group and
+  * re-WRITING the whole view — on a 100 TB corpus with thousands of
+  * groups, a window that touches three groups costs three groups of
+  * state, and an untouched view costs nothing.
+  */
+object IncrementalView {
+
+  /** One maintenance step: fold every source change since the cursor
+    * into the grouped view. `aggs` must be deterministic aggregate
+    * columns (the refresh recomputes groups from scratch, so any
+    * Spark aggregate works — no invertibility requirement, which is
+    * what lets count-distinct/max/min live in an incremental view).
+    * First call (no cursor) builds the view with one full aggregate.
+    * Returns the new cursor. */
+  def refresh(spark: SparkSession, srcRoot: String, viewRoot: String,
+              cursorFile: String, keyCol: String, groupCol: String,
+              aggs: Seq[Column]): Long = {
+    val from = readFrom(cursorFile)
+    val latest = VersionedCorpus.latest(srcRoot).getOrElse(
+      sys.error(s"no committed generations under $srcRoot"))
+    if (latest <= from) return from
+    if (from < 0L) {
+      // first build: one full aggregate, committed as the view's base
+      val full = VersionedCorpus.snapshot(spark, srcRoot)
+        .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      VersionedCorpus.upsert(full, viewRoot, groupCol)
+      VersionedCorpus.writeCursor(cursorFile, latest)
+      return latest
+    }
+    val (feed, to) = VersionedCorpus.changesSince(spark, srcRoot, from)
+    if (to == from) return from
+    val feedP = feed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // 1. direct dirty groups (insert/upsert rows carry the group)
+      val direct = feedP.filter(col("_change_type") =!= "delete")
+        .select(col(groupCol)).distinct()
+      // 2. preimage dirty groups: old groups of every mutated key,
+      //    from the pre-window snapshot via the pruned range path
+      val mutatedKeys = feedP
+        .filter(col("_change_type") =!= "insert")
+        .select(col(keyCol)).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bounds = mutatedKeys
+        .agg(org.apache.spark.sql.functions.count(col(keyCol)),
+          min(col(keyCol).cast("long")), max(col(keyCol).cast("long")))
+        .head()
+      val preimage =
+        if (bounds.getLong(0) == 0L) None // nothing mutated: inserts only
+        else {
+          // integral keys ride the manifest-pruned range path; a
+          // non-integral key (cast → null) falls back to the plain
+          // pre-window snapshot — correct, just unpruned
+          val preRows =
+            if (bounds.isNullAt(1))
+              VersionedCorpus.snapshot(spark, srcRoot, from)
+            else VersionedCorpus.lookupKeyRange(spark, srcRoot,
+              bounds.getLong(1), bounds.getLong(2), asOf = from)
+          Some(preRows
+            .join(broadcast(mutatedKeys), Seq(keyCol), "left_semi")
+            .select(col(groupCol)).distinct())
+        }
+      val dirty = preimage.fold(direct)(direct.unionByName(_).distinct())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // 3. recompute exactly the dirty groups from the current
+        //    snapshot; refreshed groups upsert, emptied groups delete
+        val refreshed = VersionedCorpus.snapshot(spark, srcRoot, to)
+          .join(broadcast(dirty), Seq(groupCol), "left_semi")
+          .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val vanished = dirty
+            .join(refreshed.select(col(groupCol)), Seq(groupCol), "left_anti")
+          VersionedCorpus.upsert(refreshed, viewRoot, groupCol)
+          VersionedCorpus.delete(vanished, viewRoot, groupCol)
+          VersionedCorpus.writeCursor(cursorFile, to)
+          to
+        } finally refreshed.unpersist()
+      } finally { dirty.unpersist(); mutatedKeys.unpersist() }
+    } finally feedP.unpersist()
+  }
+
+  /** The maintained view, read like any versioned store. */
+  def read(spark: SparkSession, viewRoot: String): DataFrame =
+    VersionedCorpus.snapshot(spark, viewRoot)
+
+  private def readFrom(cursorFile: String): Long =
+    VersionedCorpus.readCursor(cursorFile)
+}
