@@ -1753,6 +1753,49 @@ object Queries {
          |FROM final GROUP BY bucket ORDER BY bucket""".stripMargin),
       "incremental MV maintenance: dirty-group recompute across moves/deletes/revisions, final view ≡ DuckDB aggregating the final table"),
 
+    "q_store_where" -> DeclaredQuery(
+      // PREDICATE-PRUNED SNAPSHOT over a pinned NON-KEY stats column
+      // (`VersionedCorpus.pinStats` + `snapshotWhere` — the
+      // Iceberg/Delta column-stats idea at generation granularity):
+      // four day-partitioned appends, an upsert and a delete landing
+      // inside the band, then a day-band read that skips the
+      // out-of-band generations from the manifests alone (pruning
+      // asserted in VersionedCorpusSpec; THIS row certifies the
+      // answers under merge-on-read resolution).
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vcw")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+            .withColumn("day", (col("doc_id") / 100).cast("long"))
+          def slice(lo: Int, hi: Int) =
+            docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          VersionedCorpus.append(slice(0, 100), root)
+          VersionedCorpus.pinStats(root, Seq("day"))
+          VersionedCorpus.append(slice(100, 200), root)
+          VersionedCorpus.append(slice(200, 300), root)
+          VersionedCorpus.append(slice(300, 400), root)
+          VersionedCorpus.upsert(
+            slice(210, 220).withColumn("text", concat(col("text"), lit(" u1"))),
+            root, "doc_id")
+          VersionedCorpus.delete(slice(110, 130).select("doc_id"),
+            root, "doc_id")
+          localFrame(VersionedCorpus.snapshotWhere(s, root, "day", 1L, 2L)
+            .select(col("doc_id"), col("text"), col("lang"), col("day"))
+            .orderBy(col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id,
+         |  CASE WHEN doc_id >= 210 AND doc_id < 220 THEN text || ' u1'
+         |       ELSE text END AS text,
+         |  lang, CAST(doc_id // 100 AS BIGINT) AS day
+         |FROM documents
+         |WHERE doc_id >= 100 AND doc_id < 300
+         |  AND NOT (doc_id >= 110 AND doc_id < 130)
+         |ORDER BY doc_id""".stripMargin),
+      "generation skipping on a pinned non-key stats column: day-band snapshot ≡ direct SQL across an upsert and a delete"),
+
     "q_store_range" -> DeclaredQuery(
       // RANGE SCAN through the manifest-pruned keyed read path
       // (`VersionedCorpus.lookupKeyRange` — generations whose key

@@ -52,10 +52,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     generation. Only after vacuum does `asOf` before that base
   *     fail (with an explicit error, never a silent partial read).
   *
-  * Single-writer contract: appends are not coordinated; the ingestion
-  * loop that owns the directory is the one writer (the micro-batch
-  * sequencing Structured Streaming already guarantees). Readers are
-  * unrestricted.
+  * Writer contract: APPENDS are multi-writer safe — every data commit
+  * stages to a writer-unique directory and claims its generation id by
+  * an atomic rename ([[claimGen]]; two claimants → one rename wins,
+  * the loser retries at the next free id), and appends commute, so any
+  * interleaving is a correct serialization (spec-pinned with racing
+  * writer threads). KEYED mutations (upsert/delete/CDC) and
+  * maintenance (compact/optimize/vacuum) use the same claim protocol —
+  * so they can never share a directory with a racing append — but
+  * their SEMANTIC order is the merge order, so run them from one
+  * coordinator (the micro-batch sequencing Structured Streaming
+  * already guarantees). Readers are unrestricted.
   */
 object VersionedCorpus {
 
@@ -69,7 +76,8 @@ object VersionedCorpus {
                           klo: Option[Long] = None,
                           khi: Option[Long] = None,
                           rlo: Option[Long] = None,
-                          rhi: Option[Long] = None) {
+                          rhi: Option[Long] = None,
+                          stats: Map[String, (Long, Long)] = Map.empty) {
     /** Generations whose keys kill earlier rows with the same key. */
     def tombstones: Boolean = kind == "upsert" || kind == "delete"
     /** EFFECTIVE MERGE POSITION: where this generation's rows sit in
@@ -90,6 +98,14 @@ object VersionedCorpus {
       case (Some(klo), Some(khi)) => klo <= hi && lo <= khi
       case _                      => true
     }
+    /** Same rule over a PINNED STATS COLUMN ([[pinStats]]): commits
+      * made before the pin (or whose data lacks the column) carry no
+      * bounds for it and are read conservatively. */
+    def mayOverlapCol(c: String, lo: Long, hi: Long): Boolean =
+      stats.get(c) match {
+        case Some((slo, shi)) => slo <= hi && lo <= shi
+        case None             => true
+      }
   }
 
   private def manifestDir(root: String) =
@@ -121,10 +137,16 @@ object VersionedCorpus {
           def field(k: String): String = fieldOpt(k).getOrElse(
             sys.error(s"malformed manifest $p: missing $k"))
           val base = field("base").toBoolean
+          val colStats = """"slo_([A-Za-z0-9_]+)":\s*(-?\d+)""".r
+            .findAllMatchIn(s).flatMap { m =>
+              fieldOpt("shi_" + m.group(1))
+                .map(hi => m.group(1) -> (m.group(2).toLong, hi.toLong))
+            }.toMap
           out += Commit(field("gen").toLong, field("rows").toLong, base,
             fieldOpt("kind").getOrElse(if (base) "base" else "append"),
             fieldOpt("klo").map(_.toLong), fieldOpt("khi").map(_.toLong),
-            fieldOpt("rlo").map(_.toLong), fieldOpt("rhi").map(_.toLong))
+            fieldOpt("rlo").map(_.toLong), fieldOpt("rhi").map(_.toLong),
+            colStats)
         }
       }
     } finally stream.close()
@@ -249,6 +271,40 @@ object VersionedCorpus {
     }
   }
 
+  /** Pin the EXTRA STATS COLUMNS: from now on every data commit
+    * records min/max for each listed integral column in its manifest —
+    * the Iceberg/Delta file-stats idea at generation granularity,
+    * generalized beyond the merge key. [[snapshotWhere]] uses them to
+    * skip generations whose range cannot intersect a predicate.
+    * Idempotent re-pin with the same set; changing the set re-pins for
+    * FUTURE commits (older manifests keep whatever they recorded —
+    * pruning stays conservative). */
+  def pinStats(root: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "pinStats needs at least one column")
+    val sf = schemaFile(root)
+    require(java.nio.file.Files.exists(sf),
+      s"cannot pin stats columns before the first data commit under $root")
+    val pinned = pinnedSchema(root)
+    val bad = cols.filterNot(pinned.fieldNames.contains)
+    require(bad.isEmpty,
+      s"stats columns ${bad.mkString(", ")} are not columns of the " +
+        s"store's schema under $root")
+    java.nio.file.Files.createDirectories(manifestDir(root))
+    java.nio.file.Files.write(statsColsFile(root),
+      cols.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def statsColsFile(root: String) =
+    manifestDir(root).resolve("_stats_cols.txt")
+
+  private def statsCols(root: String): Seq[String] = {
+    val f = statsColsFile(root)
+    if (!java.nio.file.Files.exists(f)) Seq.empty
+    else new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   private def writeManifest(root: String, c: Commit): Unit = {
     val dir = manifestDir(root)
     java.nio.file.Files.createDirectories(dir)
@@ -260,8 +316,11 @@ object VersionedCorpus {
       case (Some(lo), Some(hi)) => s""","rlo":$lo,"rhi":$hi"""
       case _                    => ""
     }
+    val colStats = c.stats.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
+      s""","slo_$n":$lo,"shi_$n":$hi"""
+    }.mkString
     val body =
-      s"""{"gen":${c.gen},"rows":${c.rows},"base":${c.base},"kind":"${c.kind}"$stats$run}"""
+      s"""{"gen":${c.gen},"rows":${c.rows},"base":${c.base},"kind":"${c.kind}"$stats$run$colStats}"""
     val tmp = dir.resolve(s".${c.gen}.json.tmp")
     java.nio.file.Files.write(tmp,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -275,25 +334,45 @@ object VersionedCorpus {
     * the manifest records for lookup-time generation pruning
     * ([[lookupKey]]). Folding the bounds into the count's aggregate
     * keeps this at the one read-back job the commit already pays. */
-  private def writtenStats(spark: SparkSession, path: String,
-                           root: String): (Long, Option[Long], Option[Long]) = {
+  private def writtenStats(spark: SparkSession, path: String, root: String)
+      : (Long, Option[Long], Option[Long], Map[String, (Long, Long)]) = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val df = spark.read.parquet(path)
-    val statKey = pinnedKey(root).filter(k =>
-      df.schema.fieldNames.contains(k) && (df.schema(k).dataType match {
+    def integral(c: String) = df.schema.fieldNames.contains(c) &&
+      (df.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
         case _                                             => false
-      }))
-    statKey match {
-      case Some(k) =>
-        val r = df.agg(count(lit(1)), min(col(k).cast("long")),
-          max(col(k).cast("long"))).head()
-        (r.getLong(0),
-          if (r.isNullAt(1)) None else Some(r.getLong(1)),
-          if (r.isNullAt(2)) None else Some(r.getLong(2)))
-      case None => (df.count(), None, None)
-    }
+      })
+    val statKey = pinnedKey(root).filter(integral)
+    // key bounds + every pinned stats column, ONE aggregate — still the
+    // single read-back job the commit already pays
+    val extras = statsCols(root).filter(c =>
+      integral(c) && !statKey.contains(c))
+    val aggCols = Seq(count(lit(1))) ++
+      statKey.toSeq.flatMap(k => Seq(min(col(k).cast("long")),
+        max(col(k).cast("long")))) ++
+      extras.flatMap(c => Seq(min(col(c).cast("long")),
+        max(col(c).cast("long"))))
+    val r = df.agg(aggCols.head, aggCols.tail: _*).head()
+    def optAt(i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val (klo, khi) =
+      if (statKey.isEmpty) (None, None) else (optAt(1), optAt(2))
+    val base = 1 + (if (statKey.isEmpty) 0 else 2)
+    val colStats = extras.zipWithIndex.flatMap { case (c, i) =>
+      (optAt(base + 2 * i), optAt(base + 2 * i + 1)) match {
+        case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
+        case _                    => None
+      }
+    }.toMap ++
+      // the merge key is also a legal stats column: reuse its bounds
+      statKey.filter(statsCols(root).contains).flatMap(k =>
+        (klo, khi) match {
+          case (Some(lo), Some(hi)) => Some(k -> (lo, hi))
+          case _                    => None
+        })
+    (r.getLong(0), klo, khi, colStats)
   }
 
   /** Append `df` as the next generation. Data is written before the
@@ -306,16 +385,90 @@ object VersionedCorpus {
   def append(df: DataFrame, root: String,
              evolveSchema: Boolean = false): Long = {
     checkOrPinSchema(root, df.schema, evolveSchema)
-    val gen = nextGen(root)
-    val path = dataDir(root, gen)
-    df.write.mode("overwrite").parquet(path.toString)
-    val (rows, klo, khi) = writtenStats(df.sparkSession, path.toString, root)
+    // OPTIMISTIC CONCURRENCY (appends only — they commute, so any
+    // interleaving of concurrent appends is a correct serialization;
+    // keyed mutations stay single-writer because THEIR order is the
+    // merge order): data is staged to a writer-unique directory, the
+    // generation id is claimed by an atomic directory rename (two
+    // claimants: exactly one rename succeeds, the loser retries at the
+    // next free id), and the manifest rename — also no-replace atomic —
+    // publishes the commit. A crash at any point leaves either staging
+    // garbage ([[cleanStaging]]) or an unpublished gen= orphan; never a
+    // torn commit.
+    val staging = newStaging(root)
+    df.write.mode("overwrite").parquet(staging.toString)
+    val (rows, klo, khi, cs) =
+      writtenStats(df.sparkSession, staging.toString, root)
     if (rows == 0L) {
-      org.apache.commons.io.FileUtils.deleteDirectory(path.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       return -1L
     }
-    writeManifest(root, Commit(gen, rows, base = false, klo = klo, khi = khi))
+    val gen = claimGen(root, staging)
+    writeManifest(root,
+      Commit(gen, rows, base = false, klo = klo, khi = khi, stats = cs))
     gen
+  }
+
+  /** A writer-unique staging directory under the store root (same
+    * filesystem, so the claim rename is a true atomic rename). */
+  private def newStaging(root: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(root, "_staging",
+      java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.createDirectories(p.getParent)
+    p
+  }
+
+  /** Claim a generation id by atomically renaming the staged data dir
+    * into place. Two claimants of the same id: exactly one rename
+    * succeeds; the loser retries at the next free id. EVERY data
+    * commit goes through this (keyed mutations and maintenance too —
+    * their semantic single-writer contract is about ordering, but the
+    * claim keeps a concurrent append from ever sharing a directory
+    * with them). */
+  private def claimGen(root: String, staging: java.nio.file.Path): Long = {
+    var gen = nextGen(root)
+    var attempts = 0
+    while (true) {
+      try {
+        java.nio.file.Files.move(staging, dataDir(root, gen),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        return gen
+      } catch {
+        // the JDK surfaces a lost rename race as EEXIST/ENOTEMPTY under
+        // the generic FileSystemException (subclasses are fs-dependent):
+        // if our staging directory is intact the rename simply lost —
+        // take the next free id; if staging is GONE something real broke
+        case e: java.nio.file.FileSystemException =>
+          if (!java.nio.file.Files.isDirectory(staging)) throw e
+          attempts += 1
+          require(attempts < 1000,
+            s"could not claim a generation id under $root after " +
+              s"$attempts attempts: ${e.getMessage}")
+          gen = math.max(gen + 1, nextGen(root))
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Remove staging directories left by crashed concurrent appends.
+    * Run it when no appender is active (a live writer's staging dir is
+    * indistinguishable from a dead one's — the standard retention
+    * caveat, made explicit instead of a timer heuristic). */
+  def cleanStaging(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root, "_staging")
+    if (java.nio.file.Files.isDirectory(p))
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+  }
+
+  /** The commit log as a DataFrame — generation, kind, row count, key
+    * bounds, replaced run (Delta's DESCRIBE HISTORY shape). Built from
+    * the O(generations) driver-side manifest records. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    commits(root)
+      .map(c => (c.gen, c.kind, c.rows, c.klo, c.khi, c.rlo, c.rhi))
+      .toDF("gen", "kind", "rows", "key_min", "key_max",
+        "packed_from", "packed_to")
   }
 
   /** Merge-on-read UPSERT: commit `df` as one generation whose keys
@@ -332,16 +485,17 @@ object VersionedCorpus {
              evolveSchema: Boolean = false): Long = {
     checkOrPinSchema(root, df.schema, evolveSchema)
     checkOrPinKey(root, keyCol)
-    val gen = nextGen(root)
-    val path = dataDir(root, gen)
-    df.write.mode("overwrite").parquet(path.toString)
-    val (rows, klo, khi) = writtenStats(df.sparkSession, path.toString, root)
+    val staging = newStaging(root)
+    df.write.mode("overwrite").parquet(staging.toString)
+    val (rows, klo, khi, cs) =
+      writtenStats(df.sparkSession, staging.toString, root)
     if (rows == 0L) {
-      org.apache.commons.io.FileUtils.deleteDirectory(path.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       return -1L
     }
-    writeManifest(root,
-      Commit(gen, rows, base = false, kind = "upsert", klo = klo, khi = khi))
+    val gen = claimGen(root, staging)
+    writeManifest(root, Commit(gen, rows, base = false, kind = "upsert",
+      klo = klo, khi = khi, stats = cs))
     gen
   }
 
@@ -355,15 +509,16 @@ object VersionedCorpus {
     * set. */
   def delete(keys: DataFrame, root: String, keyCol: String): Long = {
     checkOrPinKey(root, keyCol)
-    val gen = nextGen(root)
-    val path = dataDir(root, gen)
+    val staging = newStaging(root)
     keys.select(keys.col(keyCol)).distinct()
-      .write.mode("overwrite").parquet(path.toString)
-    val (n, klo, khi) = writtenStats(keys.sparkSession, path.toString, root)
+      .write.mode("overwrite").parquet(staging.toString)
+    val (n, klo, khi, _) =
+      writtenStats(keys.sparkSession, staging.toString, root)
     if (n == 0L) {
-      org.apache.commons.io.FileUtils.deleteDirectory(path.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       return -1L
     }
+    val gen = claimGen(root, staging)
     writeManifest(root,
       Commit(gen, n, base = false, kind = "delete", klo = klo, khi = khi))
     gen
@@ -441,16 +596,47 @@ object VersionedCorpus {
     * the explicit path list — generation dirs outside the snapshot are
     * never listed, let alone read. */
   def snapshot(spark: SparkSession, root: String,
-               asOf: Long = Long.MaxValue): DataFrame = {
+               asOf: Long = Long.MaxValue): DataFrame =
+    snapshotImpl(spark, root, asOf, _ => true, None)
+
+  /** PREDICATE-PRUNED SNAPSHOT over a pinned stats column
+    * ([[pinStats]]): data generations whose recorded `[min, max]` for
+    * `statCol` cannot intersect `[lo, hi]` are skipped entirely —
+    * decided driver-side from the manifests, no footer touched — and
+    * the row predicate is applied on the survivors (Catalyst pushes it
+    * into the parquet scan, where row-group stats prune further).
+    * Tombstone generations are always consulted (they constrain which
+    * surviving rows are alive regardless of their own stats). Result ≡
+    * `snapshot(...).filter(statCol BETWEEN lo AND hi)`, spec-pinned.
+    * A predicate outside every generation's bounds is answered from
+    * the manifests alone (empty frame, zero files read). */
+  def snapshotWhere(spark: SparkSession, root: String, statCol: String,
+                    lo: Long, hi: Long,
+                    asOf: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    snapshotImpl(spark, root, asOf, _.mayOverlapCol(statCol, lo, hi),
+      Some(col(statCol).between(lo, hi)))
+  }
+
+  private def snapshotImpl(spark: SparkSession, root: String, asOf: Long,
+                           keep: Commit => Boolean,
+                           rowPred: Option[org.apache.spark.sql.Column])
+      : DataFrame = {
     val wanted = resolveWindow(root, asOf)
-    val dataGens = wanted.filter(_.kind != "delete")
+    val dataGens = wanted.filter(c => c.kind != "delete" && keep(c))
     val tombGens = wanted.filter(_.tombstones)
-    val paths = wanted.map(c => dataDir(root, c.gen).toString)
+    val paths = (dataGens ++ tombGens).map(c => dataDir(root, c.gen).toString)
     val missing = paths.filterNot(p =>
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
     require(missing.isEmpty,
       s"asOf=$asOf needs vacuumed generations: ${missing.mkString(", ")} " +
         "(history before the newest base generation was dropped by vacuum)")
+    if (dataGens.isEmpty && rowPred.isDefined)
+      // every data generation's bounds exclude the predicate: provably
+      // empty, answered from the manifests alone
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        pinnedSchema(root))
     require(dataGens.nonEmpty,
       s"asOf=$asOf resolves to tombstone-only generations under $root")
     // every read uses the PINNED schema explicitly: it is the table's
@@ -459,7 +645,7 @@ object VersionedCorpus {
     // missing-column semantics — instead of the first-listed file's
     // schema deciding which columns exist)
     val pinned = pinnedSchema(root)
-    if (tombGens.isEmpty)
+    val out = if (tombGens.isEmpty)
       // fast path, unchanged from the append-only store: ONE multi-path
       // parquet relation, no merge plan at all
       spark.read.schema(pinned)
@@ -566,6 +752,11 @@ object VersionedCorpus {
         case (None, None)       => sys.error("unreachable: dataGens nonEmpty")
       }
     }
+    // the row predicate of snapshotWhere: applied once at the top —
+    // Catalyst pushes it through the union / merge join down to the
+    // parquet scans (PushedFilters), where row-group stats prune inside
+    // the generations the manifest stats could not skip
+    rowPred.fold(out)(out.filter)
   }
 
   /** CHANGE DATA FEED, read side — the log IS the feed: every commit
@@ -863,8 +1054,6 @@ object VersionedCorpus {
   def compact(spark: SparkSession, root: String,
               sortByKey: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
-    val gen = nextGen(root)
-    val path = dataDir(root, gen)
     val snap0 = snapshot(spark, root)
     val snap =
       if (!sortByKey) snap0
@@ -874,10 +1063,12 @@ object VersionedCorpus {
             s"$root — call pinKey(...) or make a keyed commit first"))
         snap0.repartitionByRange(col(key)).sortWithinPartitions(col(key))
       }
-    snap.write.mode("overwrite").parquet(path.toString)
-    val (rows, klo, khi) = writtenStats(spark, path.toString, root)
-    writeManifest(root,
-      Commit(gen, rows, base = true, kind = "base", klo = klo, khi = khi))
+    val staging = newStaging(root)
+    snap.write.mode("overwrite").parquet(staging.toString)
+    val (rows, klo, khi, cs) = writtenStats(spark, staging.toString, root)
+    val gen = claimGen(root, staging)
+    writeManifest(root, Commit(gen, rows, base = true, kind = "base",
+      klo = klo, khi = khi, stats = cs))
     gen
   }
 
@@ -948,21 +1139,21 @@ object VersionedCorpus {
     if (cur.size >= 2) runs += cur
     val pinned = if (runs.isEmpty) null else pinnedSchema(root)
     runs.toSeq.map { run =>
-      val gen = nextGen(root)
-      val path = dataDir(root, gen)
       val total = run.map(_.rows).sum
       val nFiles =
         math.max(1L, (total + targetFileRows - 1) / targetFileRows).toInt
+      val staging = newStaging(root)
       spark.read.schema(pinned)
         .parquet(run.map(c => dataDir(root, c.gen).toString): _*)
         .coalesce(nFiles)
-        .write.mode("overwrite").parquet(path.toString)
-      val (rows, klo, khi) = writtenStats(spark, path.toString, root)
+        .write.mode("overwrite").parquet(staging.toString)
+      val (rows, klo, khi, cs) = writtenStats(spark, staging.toString, root)
       require(rows == total,
         s"optimize rewrite under $root lost rows: run ${run.head.gen}.." +
           s"${run.last.gen} holds $total, packed file holds $rows")
+      val gen = claimGen(root, staging)
       writeManifest(root, Commit(gen, rows, base = false, kind = "optimize",
-        klo = klo, khi = khi,
+        klo = klo, khi = khi, stats = cs,
         rlo = Some(run.head.gen), rhi = Some(run.last.gen)))
       gen
     }
