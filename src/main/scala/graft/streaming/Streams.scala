@@ -302,6 +302,36 @@ object Streams {
       sink(batchId, gU, gD)
     }
 
+  /** CDC ingestion + INCREMENTAL VIEW MAINTENANCE in one loop — the
+    * "table and its aggregate stay current together" production pair:
+    * each micro-batch folds into the versioned store
+    * ([[graft.sources.VersionedCorpus.applyChanges]]) and the grouped
+    * view then refreshes off the store's OWN change feed
+    * ([[graft.sources.IncrementalView.refresh]] — dirty-group
+    * recompute, cursor-driven). Because the view cursor tracks the
+    * store's log rather than the stream, a crash between the store
+    * commit and the view refresh is healed by the next batch's refresh
+    * (the cursor lags, never skips), and a replayed micro-batch is
+    * idempotent on both sides. `compactEvery` is the same maintenance
+    * valve as the plain CDC loop. `sink` sees (batchId, viewCursor)
+    * after each refresh. */
+  def incrementalCdcWithView(changeStream: DataFrame, root: String,
+                             viewRoot: String, viewCursor: String,
+                             keyCol: String, opCol: String, seqCol: String,
+                             groupCol: String, aggs: Seq[Column],
+                             compactEvery: Int = 0)
+                            (sink: (Long, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changeStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.sources.VersionedCorpus.applyChanges(
+        batch, root, keyCol, opCol, seqCol)
+      val cur = graft.sources.IncrementalView.refresh(
+        spark, root, viewRoot, viewCursor, keyCol, groupCol, aggs)
+      graft.sources.VersionedCorpus.maybeCompact(spark, root, compactEvery)
+      sink(batchId, cur)
+    }
+
   /** VECTOR-TIER streaming admission against a STATIC embedding-indexed
     * corpus — [[incrementalAdmission]]'s embedding twin: each micro-batch
     * of incoming (id, vector) rows runs the batch kernel

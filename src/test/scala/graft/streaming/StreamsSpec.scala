@@ -903,6 +903,51 @@ class StreamsSpec extends AnyFunSuite {
       === Set(1L, 10L, 11L, 22L, 31L))
   }
 
+  test("CDC + view maintenance loop: view ≡ full aggregate after every batch, across a restart") {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-cdcview")
+    val root = tmpRoot.toString + "/corpus"
+    val view = tmpRoot.toString + "/view"
+    val cursor = tmpRoot.toString + "/viewcursor.txt"
+    val srcDir = tmpRoot.toString + "/changes"
+    val cpDir = tmpRoot.toString + "/checkpoint"
+    graft.sources.VersionedCorpus.append(
+      (0L until 20L).map(i => (i, i % 4, s"v1 $i"))
+        .toDF("k", "bucket", "payload"), root)
+    graft.sources.VersionedCorpus.pinKey(root, "k")
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(length(col("payload")).cast("long")).as("chars"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("bucket", org.apache.spark.sql.types.LongType)
+      .add("payload", org.apache.spark.sql.types.StringType)
+      .add("op", org.apache.spark.sql.types.StringType)
+      .add("seq", org.apache.spark.sql.types.IntegerType)
+    def drop(rows: Seq[(Long, Long, String, String, Int)]): Unit =
+      rows.toDF("k", "bucket", "payload", "op", "seq").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def startQ() = Streams.incrementalCdcWithView(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        root, view, cursor, "k", "op", "seq", "bucket", aggs)()
+      .option("checkpointLocation", cpDir)
+      .start()
+    def viewNow = graft.sources.IncrementalView.read(spark, view)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def fullAgg = graft.sources.VersionedCorpus.snapshot(spark, root)
+      .groupBy(col("bucket")).agg(aggs.head, aggs.tail: _*)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // batch 1: an update that MOVES a row between buckets + a delete
+    drop(Seq((3L, 9L, "moved 3", "U", 1), (8L, 0L, "", "D", 1)))
+    val q1 = startQ(); q1.processAllAvailable(); q1.stop()
+    assert(viewNow === fullAgg)
+    assert(viewNow.exists(_._1 == 9L))
+    // changes land while the writer is DOWN; resume from the checkpoint
+    drop(Seq((3L, 9L, "", "D", 1), (40L, 2L, "new 40", "U", 1)))
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    assert(viewNow === fullAgg)
+    assert(!viewNow.exists(_._1 == 9L), "emptied bucket must vanish")
+  }
+
   test("CDC apply survives kill + restart against a real checkpoint dir") {
     // same restart harness as the admission loop, for the CDC writer: a
     // FILE source of change files + checkpointLocation, stopped cold,
