@@ -97,23 +97,77 @@ object IncrementalView {
             .select(col(groupCol)).distinct())
         }
       val dirty = preimage.fold(direct)(direct.unionByName(_).distinct())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // 3. recompute exactly the dirty groups from the current
-        //    snapshot; refreshed groups upsert, emptied groups delete
-        val refreshed = VersionedCorpus.snapshot(spark, srcRoot, to)
-          .join(broadcast(dirty), Seq(groupCol), "left_semi")
+      // 3. recompute exactly the dirty groups from the current
+      //    snapshot; refreshed groups upsert, emptied groups delete.
+      //    THE design case is a small dirty set (a window touches a
+      //    handful of groups): collect it to the driver and push it as
+      //    an IN-list predicate straight into the parquet scans
+      //    (PushedFilters — no broadcast join, no second pass for the
+      //    vanished set, and an empty delete never pays a commit job).
+      //    A pathological window that dirties >10k groups falls back
+      //    to the join formulation rather than a 10k-literal plan.
+      val dirtyKeys = dirty.limit(10001).collect().map(_.get(0))
+      if (dirtyKeys.isEmpty) {
+        // a window of content-neutral commits (optimize/base only):
+        // nothing to recompute, just advance the cursor
+        VersionedCorpus.writeCursor(cursorFile, to)
+        mutatedKeys.unpersist()
+        return to
+      }
+      if (dirtyKeys.length <= 10000) {
+        // integral dirty groups additionally ride the generation-stats
+        // pruned read over their min..max ([[VersionedCorpus.pinStats]]
+        // on the group column — the day-partitioned ingestion shape
+        // skips every out-of-band generation; stores without the pin
+        // read conservatively, identical result)
+        val nums = dirtyKeys.collect {
+          case n: java.lang.Number => n.longValue()
+        }
+        val base =
+          if (nums.nonEmpty && nums.length == dirtyKeys.length)
+            VersionedCorpus.snapshotWhere(spark, srcRoot, groupCol,
+              nums.min, nums.max, asOf = to)
+          else VersionedCorpus.snapshot(spark, srcRoot, to)
+        val refreshed = base
+          .filter(col(groupCol).isin(dirtyKeys: _*))
           .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val vanished = dirty
-            .join(refreshed.select(col(groupCol)), Seq(groupCol), "left_anti")
+          val alive = refreshed.select(col(groupCol)).collect()
+            .map(_.get(0)).toSet
+          val vanished = dirtyKeys.filterNot(alive)
           VersionedCorpus.upsert(refreshed, viewRoot, groupCol)
-          VersionedCorpus.delete(vanished, viewRoot, groupCol)
-          VersionedCorpus.writeCursor(cursorFile, to)
-          to
+          if (vanished.nonEmpty) {
+            // rebuild the key frame with the SOURCE's group column type
+            // (the view store pinned it at first commit)
+            val gType = feedP.schema(groupCol).dataType
+            val vdf = spark.createDataFrame(
+              spark.sparkContext.parallelize(
+                vanished.toSeq.map(org.apache.spark.sql.Row(_))),
+              new org.apache.spark.sql.types.StructType()
+                .add(groupCol, gType))
+            VersionedCorpus.delete(vdf, viewRoot, groupCol)
+          }
         } finally refreshed.unpersist()
-      } finally { dirty.unpersist(); mutatedKeys.unpersist() }
+      } else {
+        val dirtyP = dirty
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val refreshed = VersionedCorpus.snapshot(spark, srcRoot, to)
+            .join(broadcast(dirtyP), Seq(groupCol), "left_semi")
+            .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val vanished = dirtyP.join(
+              refreshed.select(col(groupCol)), Seq(groupCol), "left_anti")
+            VersionedCorpus.upsert(refreshed, viewRoot, groupCol)
+            VersionedCorpus.delete(vanished, viewRoot, groupCol)
+          } finally refreshed.unpersist()
+        } finally dirtyP.unpersist()
+      }
+      VersionedCorpus.writeCursor(cursorFile, to)
+      mutatedKeys.unpersist()
+      to
     } finally feedP.unpersist()
   }
 
