@@ -50,7 +50,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     generations stay readable until [[vacuum]];
   *   - [[vacuum]] deletes data superseded by the newest base
   *     generation. Only after vacuum does `asOf` before that base
-  *     fail (with an explicit error, never a silent partial read).
+  *     fail (with an explicit error, never a silent partial read);
+  *   - [[optimize]] bin-packs runs of small append generations without
+  *     touching the base (Delta OPTIMIZE semantics; [[vacuumPacked]]
+  *     reclaims the replaced originals);
+  *   - [[changesBetween]]/[[changesSince]] read the log AS a change
+  *     feed (insert/upsert/delete rows per commit, content-neutral
+  *     rewrites emit nothing) — consumed by [[replicate]] (incremental
+  *     pull replication) and [[IncrementalView]] (dirty-group
+  *     materialized-view maintenance);
+  *   - [[lookupKey]]/[[lookupKeyRange]]/[[snapshotWhere]] are the
+  *     manifest-stats data-skipping reads (key bounds recorded per
+  *     commit; [[pinStats]] generalizes the bounds to further integral
+  *     columns); [[history]] is the log as a DataFrame.
   *
   * Writer contract: APPENDS are multi-writer safe — every data commit
   * stages to a writer-unique directory and claims its generation id by

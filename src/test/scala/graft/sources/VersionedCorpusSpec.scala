@@ -685,6 +685,88 @@ class VersionedCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("model-based fuzz: random append/upsert/delete/compact/optimize interleavings ≡ a driver-side merge model") {
+    // the table-format fuzz: replay a random op log against BOTH the
+    // store and a driver-side model of the merge-on-read rule (a row
+    // of generation g survives iff no tombstone of its key committed
+    // strictly after g; compact rewrites the survivors as one base;
+    // optimize is content-neutral), then compare the full snapshot,
+    // point lookups, and a range scan. Seeds are fixed by scenario
+    // index → deterministic failures.
+    final case class MRow(gen: Long, id: Long, text: String)
+    for (scenario <- 0 until 6) {
+      val rnd = new scala.util.Random(9000 + scenario)
+      val root = freshRoot()
+      var rows = Vector.empty[MRow]
+      var tombs = Vector.empty[(Long, Set[Long])]
+      def expected: Vector[MRow] = rows.filter(r =>
+        !tombs.exists { case (tg, ks) => tg > r.gen && ks(r.id) })
+      def mkBatch(lo: Int, len: Int, tag: String) =
+        (lo until (lo + len)).map(i => (i.toLong, s"$tag-$i", "en"))
+          .toDF("doc_id", "text", "lang")
+      // op 0: an append pins the schema; pin the key right after
+      val g0 = VersionedCorpus.append(mkBatch(0, 8, s"s$scenario-init"), root)
+      VersionedCorpus.pinKey(root, "doc_id")
+      rows ++= (0 until 8).map(i => MRow(g0, i.toLong, s"s$scenario-init-$i"))
+      for (op <- 1 to 12) {
+        val lo = rnd.nextInt(50)
+        val len = 1 + rnd.nextInt(10)
+        val tag = s"s$scenario-o$op"
+        rnd.nextInt(100) match {
+          case p if p < 40 =>
+            val g = VersionedCorpus.append(mkBatch(lo, len, tag), root)
+            if (g >= 0)
+              rows ++= (lo until (lo + len)).map(i =>
+                MRow(g, i.toLong, s"$tag-$i"))
+          case p if p < 65 =>
+            val g = VersionedCorpus.upsert(mkBatch(lo, len, tag),
+              root, "doc_id")
+            if (g >= 0) {
+              tombs :+= ((g, (lo until (lo + len)).map(_.toLong).toSet))
+              rows ++= (lo until (lo + len)).map(i =>
+                MRow(g, i.toLong, s"$tag-$i"))
+            }
+          case p if p < 85 =>
+            val g = VersionedCorpus.delete(
+              mkBatch(lo, len, tag).select("doc_id"), root, "doc_id")
+            if (g >= 0)
+              tombs :+= ((g, (lo until (lo + len)).map(_.toLong).toSet))
+          case p if p < 93 =>
+            val live = expected
+            if (live.nonEmpty) {
+              val c = VersionedCorpus.compact(spark, root)
+              rows = live.map(_.copy(gen = c))
+              tombs = Vector.empty
+              if (rnd.nextBoolean()) VersionedCorpus.vacuum(root)
+            }
+          case _ =>
+            VersionedCorpus.optimize(spark, root, smallRows = 1000L)
+          // content-neutral: model unchanged (effective positions are
+          // the impl's job — that equivalence is exactly under test)
+        }
+      }
+      val got = VersionedCorpus.snapshot(spark, root)
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .sorted.toVector
+      val want = expected.map(r => (r.id, r.text)).sorted
+      assert(got === want, s"scenario $scenario snapshot diverged")
+      // point lookups across present/absent/mutated keys
+      for (k <- Seq(0L, rnd.nextInt(50).toLong, 55L)) {
+        val lk = VersionedCorpus.lookupKey(spark, root, k)
+          .select("doc_id", "text").as[(Long, String)].collect()
+          .sorted.toVector
+        assert(lk === want.filter(_._1 == k), s"scenario $scenario key $k")
+      }
+      // a range scan
+      val (rlo, rhi) = (10L, 30L)
+      val rg = VersionedCorpus.lookupKeyRange(spark, root, rlo, rhi)
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .sorted.toVector
+      assert(rg === want.filter(t => t._1 >= rlo && t._1 <= rhi),
+        s"scenario $scenario range")
+    }
+  }
+
   test("durable admission replay is idempotent: re-admitting a committed batch appends nothing") {
     val root = freshRoot()
     VersionedCorpus.append(docs(0 until 20, "corpus"), root)
