@@ -16,6 +16,10 @@ object DumpPlans {
       "TakeOrderedAndProject; NO Exchange, NO global Sort"),
     "q_filter_pushdown" -> ("PushedFilters carries both predicates into the " +
       "parquet scan; ReadSchema has only the 3 projected columns + filter column"),
+    "jl_search_rerank" -> ("JL reduce-then-refine: the 16-dot projection is " +
+      "inlined in the scan's Project, both the projected candidate cut and " +
+      "the exact re-rank are TakeOrderedAndProject — NO Exchange, no Window, " +
+      "no join back (the 50-row candidate set carries its embedding through)"),
     "q_region_acct" -> "two BroadcastHashJoins; the fact side is never shuffled for the join",
     "knn_join" -> ("BroadcastNestedLoopJoin (tiny query side broadcast) → " +
       "partial ObjectHashAggregate (map-side top-k) → final aggregate; no Window"),
