@@ -48,10 +48,33 @@ object IncrementalView {
     * Spark aggregate works — no invertibility requirement, which is
     * what lets count-distinct/max/min live in an incremental view).
     * First call (no cursor) builds the view with one full aggregate.
-    * Returns the new cursor. */
+    * Returns the new cursor.
+    *
+    * Job economy: the refresh is job-floor-bound at small windows (its
+    * cost is #Spark-jobs × scheduler floor, not data volume), so a
+    * window of ≤ `fuseLimit` change rows — THE design case; a steady
+    * maintenance loop sees one batch per refresh — collects one bounded
+    * projection of the feed and derives the direct dirty groups, the
+    * mutated keys, and their bounds driver-side: one job where the
+    * join formulation pays three (feed materialization, bounds agg,
+    * dirty-distinct collect). Windows above the limit keep the join
+    * formulation — a backlog replay after downtime shouldn't ship a
+    * 100k-row feed through the driver.
+    *
+    * `groupFromKey` — set it iff the group column is a PURE FUNCTION of
+    * the merge key for every row ever committed (the day-partition /
+    * hash-shard ingestion shapes: `day = ts div 86400`, `shard =
+    * pmod(hash(k), n)`). Then a mutated key's old group is computable
+    * without reading its old row, and the preimage read — the only
+    * corpus-touching step besides the recompute — disappears into a
+    * local projection over the driver-held keys. The contract is the
+    * caller's to uphold: a row whose stored group ever disagreed with
+    * `groupFromKey(key)` leaves its old group stale (unverifiable
+    * without the read the flag exists to skip). */
   def refresh(spark: SparkSession, srcRoot: String, viewRoot: String,
               cursorFile: String, keyCol: String, groupCol: String,
-              aggs: Seq[Column]): Long = {
+              aggs: Seq[Column], fuseLimit: Int = 50000,
+              groupFromKey: Option[Column] = None): Long = {
     val from = readFrom(cursorFile)
     val latest = VersionedCorpus.latest(srcRoot).getOrElse(
       sys.error(s"no committed generations under $srcRoot"))
@@ -66,6 +89,66 @@ object IncrementalView {
     }
     val (feed, to) = VersionedCorpus.changesSince(spark, srcRoot, from)
     if (to == from) return from
+    val slice = feed
+      .select(col(groupCol), col(keyCol), col("_change_type"))
+      .limit(fuseLimit + 1).collect()
+    if (slice.length <= fuseLimit) {
+      // FUSED small-window path: everything up to the recompute is
+      // driver arithmetic over the one collected slice.
+      val direct = slice.iterator
+        .filter(_.getString(2) != "delete").map(_.get(0)).toArray.distinct
+      val mutated = slice.iterator
+        .filter(_.getString(2) != "insert").map(_.get(1)).toArray.distinct
+      val preGroups: Array[Any] =
+        if (mutated.isEmpty) Array.empty // inserts only: no preimages
+        else groupFromKey match {
+          case Some(expr) =>
+            // the caller declared group ≡ expr(key): every mutated
+            // key's OLD group is computable from the key alone, so the
+            // preimage needs NO corpus read — one local projection
+            // over the driver-held keys. At 100 TB this deletes the
+            // only corpus-sized I/O the small-window refresh had left.
+            val kType = feed.schema(keyCol).dataType
+            val kdf = spark.createDataFrame(
+              spark.sparkContext.parallelize(
+                mutated.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+              new org.apache.spark.sql.types.StructType().add(keyCol, kType))
+            kdf.select(expr.as(groupCol)).distinct().collect().map(_.get(0))
+          case None =>
+            // integral keys ride the manifest-pruned range path; a
+            // non-integral key falls back to the plain pre-window
+            // snapshot — correct, just unpruned. Each mutated key had
+            // at most one old row, so preGroups is bounded by the
+            // slice, like `direct`. A small key set pushes as an
+            // IN-list into the scan; a large one goes through the
+            // broadcast semi-join (a many-thousand-literal In costs
+            // more in planning than the join saves in jobs).
+            val nums = mutated.collect { case n: java.lang.Number => n.longValue() }
+            val preRows =
+              if (nums.nonEmpty && nums.length == mutated.length)
+                VersionedCorpus.lookupKeyRange(spark, srcRoot,
+                  nums.min, nums.max, asOf = from)
+              else VersionedCorpus.snapshot(spark, srcRoot, from)
+            val filtered =
+              if (mutated.length <= 1000)
+                preRows.filter(col(keyCol).isin(mutated.toSeq: _*))
+              else {
+                val kType = feed.schema(keyCol).dataType
+                val kdf = spark.createDataFrame(
+                  spark.sparkContext.parallelize(
+                    mutated.toSeq.map(org.apache.spark.sql.Row(_))),
+                  new org.apache.spark.sql.types.StructType()
+                    .add(keyCol, kType))
+                preRows.join(broadcast(kdf), Seq(keyCol), "left_semi")
+              }
+            filtered.select(col(groupCol)).distinct().collect().map(_.get(0))
+        }
+      val dirtyKeys = (direct ++ preGroups).distinct
+      applyDirty(spark, srcRoot, viewRoot, groupCol, aggs, dirtyKeys,
+        feed.schema(groupCol).dataType, to)
+      VersionedCorpus.writeCursor(cursorFile, to)
+      return to
+    }
     val feedP = feed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // 1. direct dirty groups (insert/upsert rows carry the group)
@@ -99,76 +182,94 @@ object IncrementalView {
       val dirty = preimage.fold(direct)(direct.unionByName(_).distinct())
       // 3. recompute exactly the dirty groups from the current
       //    snapshot; refreshed groups upsert, emptied groups delete.
-      //    THE design case is a small dirty set (a window touches a
-      //    handful of groups): collect it to the driver and push it as
-      //    an IN-list predicate straight into the parquet scans
-      //    (PushedFilters — no broadcast join, no second pass for the
-      //    vanished set, and an empty delete never pays a commit job).
-      //    A pathological window that dirties >10k groups falls back
-      //    to the join formulation rather than a 10k-literal plan.
+      //    A small dirty set collects to the driver and pushes as an
+      //    IN-list; a window that dirties >10k groups keeps the join
+      //    formulation rather than a 10k-literal plan.
       val dirtyKeys = dirty.limit(10001).collect().map(_.get(0))
-      if (dirtyKeys.isEmpty) {
-        // a window of content-neutral commits (optimize/base only):
-        // nothing to recompute, just advance the cursor
-        VersionedCorpus.writeCursor(cursorFile, to)
-        mutatedKeys.unpersist()
-        return to
-      }
-      if (dirtyKeys.length <= 10000) {
-        // integral dirty groups additionally ride the generation-stats
-        // pruned read over their min..max ([[VersionedCorpus.pinStats]]
-        // on the group column — the day-partitioned ingestion shape
-        // skips every out-of-band generation; stores without the pin
-        // read conservatively, identical result)
-        val nums = dirtyKeys.collect {
-          case n: java.lang.Number => n.longValue()
-        }
-        val base =
-          if (nums.nonEmpty && nums.length == dirtyKeys.length)
-            VersionedCorpus.snapshotWhere(spark, srcRoot, groupCol,
-              nums.min, nums.max, asOf = to)
-          else VersionedCorpus.snapshot(spark, srcRoot, to)
-        val refreshed = base
-          .filter(col(groupCol).isin(dirtyKeys: _*))
-          .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val alive = refreshed.select(col(groupCol)).collect()
-            .map(_.get(0)).toSet
-          val vanished = dirtyKeys.filterNot(alive)
-          VersionedCorpus.upsert(refreshed, viewRoot, groupCol)
-          if (vanished.nonEmpty) {
-            // rebuild the key frame with the SOURCE's group column type
-            // (the view store pinned it at first commit)
-            val gType = feedP.schema(groupCol).dataType
-            val vdf = spark.createDataFrame(
-              spark.sparkContext.parallelize(
-                vanished.toSeq.map(org.apache.spark.sql.Row(_))),
-              new org.apache.spark.sql.types.StructType()
-                .add(groupCol, gType))
-            VersionedCorpus.delete(vdf, viewRoot, groupCol)
-          }
-        } finally refreshed.unpersist()
-      } else {
-        val dirtyP = dirty
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val refreshed = VersionedCorpus.snapshot(spark, srcRoot, to)
-            .join(broadcast(dirtyP), Seq(groupCol), "left_semi")
-            .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val vanished = dirtyP.join(
-              refreshed.select(col(groupCol)), Seq(groupCol), "left_anti")
-            VersionedCorpus.upsert(refreshed, viewRoot, groupCol)
-            VersionedCorpus.delete(vanished, viewRoot, groupCol)
-          } finally refreshed.unpersist()
-        } finally dirtyP.unpersist()
-      }
+      if (dirtyKeys.length <= 10000)
+        applyDirty(spark, srcRoot, viewRoot, groupCol, aggs, dirtyKeys,
+          feedP.schema(groupCol).dataType, to)
+      else applyDirtyJoin(spark, srcRoot, viewRoot, groupCol, aggs, dirty, to)
       VersionedCorpus.writeCursor(cursorFile, to)
       mutatedKeys.unpersist()
       to
     } finally feedP.unpersist()
+  }
+
+  /** Recompute + fold a driver-held dirty-group set: the IN-list pushes
+    * straight into the parquet scans (PushedFilters — no broadcast
+    * join, no second pass for the vanished set, and an empty delete
+    * never pays a commit job). Integral dirty groups additionally ride
+    * the generation-stats pruned read over their min..max
+    * ([[VersionedCorpus.pinStats]] on the group column — the
+    * day-partitioned ingestion shape skips every out-of-band
+    * generation; stores without the pin read conservatively, identical
+    * result). A set that outgrew the literal budget (possible in the
+    * fused path: direct ∪ preimage) re-enters the join formulation. */
+  private def applyDirty(spark: SparkSession, srcRoot: String,
+                         viewRoot: String, groupCol: String,
+                         aggs: Seq[Column], dirtyKeys: Array[Any],
+                         gType: org.apache.spark.sql.types.DataType,
+                         to: Long): Unit = {
+    // a window of content-neutral commits (optimize/base only):
+    // nothing to recompute, the caller just advances the cursor
+    if (dirtyKeys.isEmpty) return
+    if (dirtyKeys.length > 10000) {
+      val ddf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          dirtyKeys.toSeq.map(org.apache.spark.sql.Row(_))),
+        new org.apache.spark.sql.types.StructType().add(groupCol, gType))
+      return applyDirtyJoin(spark, srcRoot, viewRoot, groupCol, aggs, ddf, to)
+    }
+    val nums = dirtyKeys.collect {
+      case n: java.lang.Number => n.longValue()
+    }
+    val base =
+      if (nums.nonEmpty && nums.length == dirtyKeys.length)
+        VersionedCorpus.snapshotWhere(spark, srcRoot, groupCol,
+          nums.min, nums.max, asOf = to)
+      else VersionedCorpus.snapshot(spark, srcRoot, to)
+    val refreshed = base
+      .filter(col(groupCol).isin(dirtyKeys.toSeq: _*))
+      .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val alive = refreshed.select(col(groupCol)).collect()
+        .map(_.get(0)).toSet
+      val vanished = dirtyKeys.filterNot(alive)
+      VersionedCorpus.upsert(refreshed, viewRoot, groupCol)
+      if (vanished.nonEmpty) {
+        // rebuild the key frame with the SOURCE's group column type
+        // (the view store pinned it at first commit)
+        val vdf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            vanished.toSeq.map(org.apache.spark.sql.Row(_))),
+          new org.apache.spark.sql.types.StructType()
+            .add(groupCol, gType))
+        VersionedCorpus.delete(vdf, viewRoot, groupCol)
+      }
+    } finally refreshed.unpersist()
+  }
+
+  /** The join formulation for dirty sets too large for an IN-list. */
+  private def applyDirtyJoin(spark: SparkSession, srcRoot: String,
+                             viewRoot: String, groupCol: String,
+                             aggs: Seq[Column], dirty: DataFrame,
+                             to: Long): Unit = {
+    val dirtyP = dirty
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val refreshed = VersionedCorpus.snapshot(spark, srcRoot, to)
+        .join(broadcast(dirtyP), Seq(groupCol), "left_semi")
+        .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val vanished = dirtyP.join(
+          refreshed.select(col(groupCol)), Seq(groupCol), "left_anti")
+        VersionedCorpus.upsert(refreshed, viewRoot, groupCol)
+        VersionedCorpus.delete(vanished, viewRoot, groupCol)
+      } finally refreshed.unpersist()
+    } finally dirtyP.unpersist()
   }
 
   /** The maintained view, read like any versioned store. */

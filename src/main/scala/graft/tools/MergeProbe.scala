@@ -140,6 +140,17 @@ object MergeProbe {
     graft.sources.IncrementalView.refresh(
       spark, mvRoot, viewRoot, viewCursor, "k", "grp", aggs)
     println(f"mv incremental refresh (3 dirty groups of 200): ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    // same wave shape again, with the group declared key-derived
+    // (grp = k % 200): the preimage read vanishes into a local
+    // projection — zero corpus I/O before the recompute
+    VersionedCorpus.upsert(
+      gslice(0L, 1000000L, "v3 ").filter(col("grp").isin(11L, 90L, 177L))
+        .limit(15000), mvRoot, "k")
+    val t1b = System.nanoTime()
+    graft.sources.IncrementalView.refresh(
+      spark, mvRoot, viewRoot, viewCursor, "k", "grp", aggs,
+      groupFromKey = Some(col("k") % 200))
+    println(f"mv incremental refresh, groupFromKey (3 dirty groups): ${(System.nanoTime() - t1b) / 1e9}%.2f s")
     val t2 = System.nanoTime()
     val full = VersionedCorpus.snapshot(spark, mvRoot)
       .groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
@@ -179,6 +190,13 @@ object MergeProbe {
     graft.sources.IncrementalView.refresh(
       spark, dayRoot, dayView, dayCursor, "k", "grp", aggs)
     println(f"mv refresh, day-shaped (3 contiguous dirty groups, pruned reads): ${(System.nanoTime() - t3) / 1e9}%.2f s")
+    VersionedCorpus.upsert(
+      dslice(600000L, 615000L, "v3 "), dayRoot, "k") // groups 120-122
+    val t4 = System.nanoTime()
+    graft.sources.IncrementalView.refresh(
+      spark, dayRoot, dayView, dayCursor, "k", "grp", aggs,
+      groupFromKey = Some((col("k") / 5000).cast("long")))
+    println(f"mv refresh, day-shaped + groupFromKey (no preimage read): ${(System.nanoTime() - t4) / 1e9}%.2f s")
     val dayOk = graft.sources.IncrementalView.read(spark, dayRoot + "/../dayview")
     assert(dayOk.count() == 200L)
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)

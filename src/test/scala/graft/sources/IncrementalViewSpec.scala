@@ -97,6 +97,71 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(VersionedCorpus.commits(view).size === nView)
   }
 
+  test("join formulation (fuseLimit = 0) ≡ fused driver path on the same waves") {
+    // the same move/empty/resurrect lifecycle as the main test, forced
+    // through the large-window join formulation — proving the two
+    // refresh paths compute the identical view
+    val tmp = Files.createTempDirectory("graft-ivspec3")
+    val src = s"$tmp/src"; val view = s"$tmp/view"
+    val cursor = s"$tmp/cursor.txt"
+    def refresh() = IncrementalView.refresh(spark, src, view, cursor,
+      "doc_id", "bucket", aggs, fuseLimit = 0)
+    VersionedCorpus.append(rows(0 until 50, "a"), src)
+    VersionedCorpus.pinKey(src, "doc_id")
+    refresh()
+    assert(viewRows(view) === fullRecompute(src))
+    VersionedCorpus.upsert(
+      Seq((3L, 7L, "moved text 3")).toDF("doc_id", "bucket", "text"),
+      src, "doc_id")
+    VersionedCorpus.delete(
+      rows((0 until 50).filter(_ % 5 == 2), "x").select("doc_id"),
+      src, "doc_id")
+    VersionedCorpus.append(rows(Seq(100, 110), "b"), src)
+    refresh()
+    assert(viewRows(view) === fullRecompute(src))
+    assert(!viewRows(view).exists(_._1 == 2L), "emptied group must vanish")
+    VersionedCorpus.delete(Seq(3L).toDF("doc_id"), src, "doc_id")
+    VersionedCorpus.append(rows(Seq(7), "back"), src)
+    refresh()
+    assert(viewRows(view) === fullRecompute(src))
+    assert(viewRows(view).exists(_._1 == 2L))
+  }
+
+  test("groupFromKey (key-derived groups) ≡ full recompute across revisions, deletes, inserts — with zero preimage read") {
+    // bucket = doc_id % 5 is a pure function of the key, so the refresh
+    // may derive every mutated key's old group locally; upserts revise
+    // payloads in place (never move groups — the contract), deletes
+    // empty a group, appends resurrect it
+    val tmp = Files.createTempDirectory("graft-ivspec4")
+    val src = s"$tmp/src"; val view = s"$tmp/view"
+    val cursor = s"$tmp/cursor.txt"
+    def refresh() = IncrementalView.refresh(spark, src, view, cursor,
+      "doc_id", "bucket", aggs,
+      groupFromKey = Some(col("doc_id") % 5))
+    VersionedCorpus.append(rows(0 until 50, "a"), src)
+    VersionedCorpus.pinKey(src, "doc_id")
+    refresh()
+    assert(viewRows(view) === fullRecompute(src))
+    // revise two docs in place; empty bucket 2; append into bucket 0
+    VersionedCorpus.upsert(
+      Seq((8L, 3L, "revised text 8 longer"),
+          (14L, 4L, "rev 14")).toDF("doc_id", "bucket", "text"),
+      src, "doc_id")
+    VersionedCorpus.delete(
+      rows((0 until 50).filter(_ % 5 == 2), "x").select("doc_id"),
+      src, "doc_id")
+    VersionedCorpus.append(rows(Seq(100, 110), "b"), src)
+    refresh()
+    assert(viewRows(view) === fullRecompute(src))
+    assert(!viewRows(view).exists(_._1 == 2L), "emptied group must vanish")
+    // resurrect bucket 2, delete one more doc from bucket 4
+    VersionedCorpus.append(rows(Seq(7), "back"), src)
+    VersionedCorpus.delete(Seq(14L).toDF("doc_id"), src, "doc_id")
+    refresh()
+    assert(viewRows(view) === fullRecompute(src))
+    assert(viewRows(view).exists(_._1 == 2L))
+  }
+
   test("source compaction between refreshes is invisible to the view") {
     val tmp = Files.createTempDirectory("graft-ivspec2")
     val src = s"$tmp/src"; val view = s"$tmp/view"
