@@ -1642,6 +1642,54 @@ object Queries {
          |) ORDER BY doc_id""".stripMargin),
       "manifest-stats pruned point lookups over the mutated store: every key class answered identically to direct SQL"),
 
+    "q_store_bloom" -> DeclaredQuery(
+      // BLOOM-PRUNED POINT LOOKUPS (`VersionedCorpus.pinBloom`): the
+      // store's generations hold keys STRIPED by doc_id % 3, so every
+      // generation's key [min,max] spans the whole domain and bounds
+      // pruning keeps everything — the per-generation Bloom filter
+      // (folded into the commit's one read-back aggregate, published
+      // as _manifest/<gen>.bloom) is the only thing that can skip
+      // reads, and lookups must still answer exactly what direct SQL
+      // derives across untouched / upserted / deleted / absent keys.
+      // The filter-level pruning itself is asserted via inputFiles in
+      // VersionedCorpusSpec; THIS row certifies the answers ride it
+      // safely (a probe hashing differently from the build would
+      // falsely prune present keys and break the hash here).
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vcbl")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+            .filter(col("doc_id") < 300)
+          VersionedCorpus.append(docs.filter(pmod(col("doc_id"), lit(3)) === 0), root)
+          VersionedCorpus.pinKey(root, "doc_id")
+          VersionedCorpus.pinBloom(root, expectedItems = 256, fpp = 0.01)
+          VersionedCorpus.append(docs.filter(pmod(col("doc_id"), lit(3)) === 1), root)
+          VersionedCorpus.append(docs.filter(pmod(col("doc_id"), lit(3)) === 2), root)
+          VersionedCorpus.upsert(
+            docs.filter(col("doc_id") >= 90 && col("doc_id") < 120)
+              .withColumn("text", concat(col("text"), lit(" u1"))),
+            root, "doc_id")
+          VersionedCorpus.delete(
+            docs.filter(col("doc_id") >= 150 && col("doc_id") < 180)
+              .select("doc_id"), root, "doc_id")
+          val out = Seq(10L, 99L, 155L, 200L, 271L, 4000L)
+            .map(k => VersionedCorpus.lookupKey(s, root, k))
+            .reduce(_ unionByName _)
+          localFrame(out.select(col("doc_id"), col("text"), col("lang"))
+            .orderBy(col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id, text, lang FROM (
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE doc_id IN (10, 200, 271)
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u1', lang FROM documents
+         |  WHERE doc_id = 99
+         |) ORDER BY doc_id""".stripMargin),
+      "Bloom-pruned point lookups where key bounds cannot prune (striped keys): every key class answered identically to direct SQL"),
+
     "q_store_evolve" -> DeclaredQuery(
       // ADDITIVE SCHEMA EVOLUTION content-proven by oracle: the store
       // starts as (doc_id, text), an explicitly-opted-in evolved append

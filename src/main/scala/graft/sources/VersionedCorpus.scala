@@ -62,7 +62,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - [[lookupKey]]/[[lookupKeyRange]]/[[snapshotWhere]] are the
   *     manifest-stats data-skipping reads (key bounds recorded per
   *     commit; [[pinStats]] generalizes the bounds to further integral
-  *     columns); [[history]] is the log as a DataFrame.
+  *     columns; [[pinBloom]] adds a per-generation Bloom filter on the
+  *     key for the hash-distributed-key shape bounds can't prune);
+  *     [[history]] is the log as a DataFrame.
   *
   * Writer contract: APPENDS are multi-writer safe — every data commit
   * stages to a writer-unique directory and claims its generation id by
@@ -306,6 +308,89 @@ object VersionedCorpus {
       cols.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Pin a PER-GENERATION BLOOM FILTER on the merge/lookup key: from
+    * now on every data and tombstone commit folds a Bloom filter over
+    * `xxhash64(key)` into the one read-back aggregate it already pays
+    * and publishes it as `_manifest/<gen>.bloom` before the manifest
+    * rename. [[lookupKey]] then prunes generations whose filter says
+    * the key is DEFINITELY absent — the pruning min/max bounds cannot
+    * give when keys are hash-distributed (content fingerprints, uuid
+    * longs: every generation spans the whole key domain, so range
+    * pruning keeps everything; a Bloom "no" still skips the read).
+    * This is Delta's bloom-filter-index idea at generation granularity.
+    *
+    * `expectedItems` sizes the filter — set it to the typical COMMIT
+    * batch size, not the corpus (each generation gets its own filter).
+    * Undersizing only raises the false-positive rate, i.e. weakens
+    * pruning; a Bloom filter has no false negatives, so pruning on a
+    * "no" is sound at any sizing. Pre-pin generations have no filter
+    * and are always read (same conservatism as the min/max bounds). */
+  def pinBloom(root: String, expectedItems: Long = 1000000L,
+               fpp: Double = 0.01): Unit = {
+    require(expectedItems > 0L && fpp > 0.0 && fpp < 1.0,
+      s"pinBloom needs expectedItems > 0 and 0 < fpp < 1")
+    require(pinnedKey(root).isDefined,
+      s"pinBloom needs a pinned merge/lookup key under $root — call " +
+        "pinKey(...) or make a keyed commit first")
+    java.nio.file.Files.createDirectories(manifestDir(root))
+    java.nio.file.Files.write(bloomPinFile(root),
+      s"$expectedItems,$fpp".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def bloomPinFile(root: String) =
+    manifestDir(root).resolve("_bloom.txt")
+
+  private def bloomParams(root: String): Option[(Long, Double)] = {
+    val f = bloomPinFile(root)
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val parts = new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).split(",")
+      Some((parts(0).trim.toLong, parts(1).trim.toDouble))
+    }
+  }
+
+  private def bloomFile(root: String, gen: Long) =
+    manifestDir(root).resolve(s"$gen.bloom")
+
+  /** Publish a just-built filter for `gen`. Runs BEFORE the manifest
+    * rename (the commit point), so a published commit either has its
+    * filter or — crash window — none; readers treat a missing filter
+    * as "may contain" and stay correct. */
+  private def writeBloom(root: String, gen: Long, bytes: Array[Byte]): Unit = {
+    val tmp = manifestDir(root).resolve(s".$gen.bloom.tmp")
+    java.nio.file.Files.write(tmp, bytes)
+    java.nio.file.Files.move(tmp, bloomFile(root, gen),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Published filters are immutable, so a loaded one is cached for
+    * the driver's lifetime (a filter is ~1 MB at the default sizing;
+    * the cap just bounds a pathological many-store driver). */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.util.sketch.BloomFilter]()
+
+  /** Driver-side probe: can generation `gen` contain `value` in the
+    * pinned key? Missing filter (pre-pin commit, crash window, or the
+    * store never pinned one) → conservative true. The probe hashes the
+    * way the build did: Spark's `xxhash64` with its default seed, via
+    * the same [[org.apache.spark.sql.catalyst.expressions.XxHash64Function]]
+    * the codegen path uses (bit-parity spec-pinned). */
+  private def bloomMayContain(root: String, gen: Long, value: Long): Boolean = {
+    val f = bloomFile(root, gen)
+    if (!java.nio.file.Files.exists(f)) return true
+    if (bloomCache.size > 4096) bloomCache.clear()
+    val bf = bloomCache.computeIfAbsent(f.toString, _ =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        java.nio.file.Files.readAllBytes(f)))
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(value)), 42L)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+    bf.mightContainLong(h)
+  }
+
   private def statsColsFile(root: String) =
     manifestDir(root).resolve("_stats_cols.txt")
 
@@ -347,8 +432,9 @@ object VersionedCorpus {
     * ([[lookupKey]]). Folding the bounds into the count's aggregate
     * keeps this at the one read-back job the commit already pays. */
   private def writtenStats(spark: SparkSession, path: String, root: String)
-      : (Long, Option[Long], Option[Long], Map[String, (Long, Long)]) = {
-    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+      : (Long, Option[Long], Option[Long], Map[String, (Long, Long)],
+         Option[Array[Byte]]) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, xxhash64}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val df = spark.read.parquet(path)
     def integral(c: String) = df.schema.fieldNames.contains(c) &&
@@ -357,15 +443,31 @@ object VersionedCorpus {
         case _                                             => false
       })
     val statKey = pinnedKey(root).filter(integral)
-    // key bounds + every pinned stats column, ONE aggregate — still the
-    // single read-back job the commit already pays
+    // key bounds + every pinned stats column + the pinned Bloom filter,
+    // ONE aggregate — still the single read-back job the commit already
+    // pays
     val extras = statsCols(root).filter(c =>
       integral(c) && !statKey.contains(c))
+    val bloomSpec = bloomParams(root).flatMap { case (items, fpp) =>
+      pinnedKey(root).filter(integral).map { k =>
+        val bits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(items, fpp)
+        org.apache.spark.sql.graftshim.Bridge.column(
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(
+              org.apache.spark.sql.graftshim.Bridge
+                .expression(xxhash64(col(k))),
+              org.apache.spark.sql.catalyst.expressions.Literal(items),
+              org.apache.spark.sql.catalyst.expressions.Literal(bits))
+            .toAggregateExpression())
+      }
+    }
     val aggCols = Seq(count(lit(1))) ++
       statKey.toSeq.flatMap(k => Seq(min(col(k).cast("long")),
         max(col(k).cast("long")))) ++
       extras.flatMap(c => Seq(min(col(c).cast("long")),
-        max(col(c).cast("long"))))
+        max(col(c).cast("long")))) ++
+      bloomSpec.toSeq
     val r = df.agg(aggCols.head, aggCols.tail: _*).head()
     def optAt(i: Int): Option[Long] =
       if (r.isNullAt(i)) None else Some(r.getLong(i))
@@ -384,7 +486,11 @@ object VersionedCorpus {
           case (Some(lo), Some(hi)) => Some(k -> (lo, hi))
           case _                    => None
         })
-    (r.getLong(0), klo, khi, colStats)
+    val bloomAt = base + 2 * extras.length
+    val bloom = bloomSpec.flatMap(_ =>
+      if (r.isNullAt(bloomAt)) None // zero-row write: no filter
+      else Some(r.getAs[Array[Byte]](bloomAt)))
+    (r.getLong(0), klo, khi, colStats, bloom)
   }
 
   /** Append `df` as the next generation. Data is written before the
@@ -409,13 +515,14 @@ object VersionedCorpus {
     // torn commit.
     val staging = newStaging(root)
     df.write.mode("overwrite").parquet(staging.toString)
-    val (rows, klo, khi, cs) =
+    val (rows, klo, khi, cs, bloom) =
       writtenStats(df.sparkSession, staging.toString, root)
     if (rows == 0L) {
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       return -1L
     }
     val gen = claimGen(root, staging)
+    bloom.foreach(writeBloom(root, gen, _))
     writeManifest(root,
       Commit(gen, rows, base = false, klo = klo, khi = khi, stats = cs))
     gen
@@ -499,13 +606,14 @@ object VersionedCorpus {
     checkOrPinKey(root, keyCol)
     val staging = newStaging(root)
     df.write.mode("overwrite").parquet(staging.toString)
-    val (rows, klo, khi, cs) =
+    val (rows, klo, khi, cs, bloom) =
       writtenStats(df.sparkSession, staging.toString, root)
     if (rows == 0L) {
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       return -1L
     }
     val gen = claimGen(root, staging)
+    bloom.foreach(writeBloom(root, gen, _))
     writeManifest(root, Commit(gen, rows, base = false, kind = "upsert",
       klo = klo, khi = khi, stats = cs))
     gen
@@ -524,13 +632,14 @@ object VersionedCorpus {
     val staging = newStaging(root)
     keys.select(keys.col(keyCol)).distinct()
       .write.mode("overwrite").parquet(staging.toString)
-    val (n, klo, khi, _) =
+    val (n, klo, khi, _, bloom) =
       writtenStats(keys.sparkSession, staging.toString, root)
     if (n == 0L) {
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       return -1L
     }
     val gen = claimGen(root, staging)
+    bloom.foreach(writeBloom(root, gen, _))
     writeManifest(root,
       Commit(gen, n, base = false, kind = "delete", klo = klo, khi = khi))
     gen
@@ -982,12 +1091,19 @@ object VersionedCorpus {
     * Tombstone generations prune the same way — a delete whose range
     * excludes the key cannot affect it.
     *
+    * With [[pinBloom]], range-surviving generations are additionally
+    * probed against their per-generation Bloom filter — the pruning
+    * tier that still works when keys are hash-distributed and every
+    * generation's min/max spans the whole domain. A Bloom "no" is
+    * definite, so the elision is as sound as the bounds check.
+    *
     * Result ≡ `snapshot(spark, root, asOf).filter(key === value)`
     * (property-pinned in VersionedCorpusSpec), including merge-on-read
     * semantics across upserts/deletes/resurrections. */
   def lookupKey(spark: SparkSession, root: String, value: Long,
                 asOf: Long = Long.MaxValue): DataFrame =
-    keyedRead(spark, root, asOf, _.mayContainKey(value),
+    keyedRead(spark, root, asOf,
+      c => c.mayContainKey(value) && bloomMayContain(root, c.gen, value),
       k => k === org.apache.spark.sql.functions.lit(value))
 
   /** RANGE SCAN with the same manifest-stats generation pruning as
@@ -1077,8 +1193,10 @@ object VersionedCorpus {
       }
     val staging = newStaging(root)
     snap.write.mode("overwrite").parquet(staging.toString)
-    val (rows, klo, khi, cs) = writtenStats(spark, staging.toString, root)
+    val (rows, klo, khi, cs, bloom) =
+      writtenStats(spark, staging.toString, root)
     val gen = claimGen(root, staging)
+    bloom.foreach(writeBloom(root, gen, _))
     writeManifest(root, Commit(gen, rows, base = true, kind = "base",
       klo = klo, khi = khi, stats = cs))
     gen
@@ -1159,11 +1277,13 @@ object VersionedCorpus {
         .parquet(run.map(c => dataDir(root, c.gen).toString): _*)
         .coalesce(nFiles)
         .write.mode("overwrite").parquet(staging.toString)
-      val (rows, klo, khi, cs) = writtenStats(spark, staging.toString, root)
+      val (rows, klo, khi, cs, bloom) =
+        writtenStats(spark, staging.toString, root)
       require(rows == total,
         s"optimize rewrite under $root lost rows: run ${run.head.gen}.." +
           s"${run.last.gen} holds $total, packed file holds $rows")
       val gen = claimGen(root, staging)
+      bloom.foreach(writeBloom(root, gen, _))
       writeManifest(root, Commit(gen, rows, base = false, kind = "optimize",
         klo = klo, khi = khi, stats = cs,
         rlo = Some(run.head.gen), rhi = Some(run.last.gen)))

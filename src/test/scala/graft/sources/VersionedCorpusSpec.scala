@@ -328,6 +328,73 @@ class VersionedCorpusSpec extends AnyFunSuite {
     assert(VersionedCorpus.lookupKey(spark, root, 85L).count() === 0L)
   }
 
+  test("pinBloom: Bloom pruning works where key bounds cannot (hash-distributed keys); lookups stay ≡ filtered snapshot") {
+    val root = freshRoot()
+    // each generation's keys stripe the WHOLE key domain (j*1000 + i):
+    // every post-pin [min,max] contains every probed key, so bounds
+    // pruning keeps everything — only the per-generation Bloom filter
+    // can elide reads. This is the content-fingerprint / uuid-key shape.
+    def slab(i: Int) = (0 until 10)
+      .map(j => (j * 1000L + i, s"g$i row $j", "en"))
+      .toDF("doc_id", "text", "lang")
+    VersionedCorpus.append(slab(0), root) // pre-pin+pre-bloom: no filter
+    VersionedCorpus.pinKey(root, "doc_id")
+    VersionedCorpus.pinBloom(root, expectedItems = 64, fpp = 0.01)
+    VersionedCorpus.append(slab(1), root)
+    VersionedCorpus.append(slab(2), root)
+    VersionedCorpus.append(slab(3), root)
+    val cs = VersionedCorpus.commits(root)
+    assert(cs.drop(1).forall(c =>
+      c.mayContainKey(5001L) && c.mayContainKey(5002L)),
+      "fixture broken: bounds were supposed to be useless here")
+    // equivalence on every key class — present in exactly one slab,
+    // pre-pin slab, absent. If the driver-side probe hashed any way
+    // other than the build's xxhash64, present keys would be falsely
+    // pruned and these checks would catch it.
+    for (k <- Seq(5000L, 5001L, 5002L, 5003L, 123456L)) {
+      val want = VersionedCorpus.snapshot(spark, root)
+        .filter(col("doc_id") === k)
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      val got = VersionedCorpus.lookupKey(spark, root, k)
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      assert(got === want, s"key $k")
+    }
+    // pruning: key 5002 lives in slab 2 only; slabs 1 and 3 survive the
+    // bounds check but their filters say no (deterministic: the filters
+    // are a pure function of the committed data)
+    val files = VersionedCorpus.lookupKey(spark, root, 5002L).inputFiles
+    assert(files.exists(_.contains("gen=2")))
+    assert(!files.exists(_.contains("gen=1")), "bloom should prune gen 1")
+    assert(!files.exists(_.contains("gen=3")), "bloom should prune gen 3")
+    assert(files.exists(_.contains("gen=0")), "pre-bloom gen is always read")
+    // an absent key reads ONLY the conservative pre-bloom generation
+    val filesAbsent = VersionedCorpus.lookupKey(spark, root, 123456L).inputFiles
+    assert(filesAbsent.nonEmpty && filesAbsent.forall(_.contains("gen=0")))
+    // keyed mutations carry filters too: an upsert and a delete of two
+    // keys prune away from lookups of a third
+    VersionedCorpus.upsert(
+      Seq((5001L, "v2 row", "en")).toDF("doc_id", "text", "lang"),
+      root, "doc_id")
+    VersionedCorpus.delete(Seq(5002L).toDF("doc_id"), root, "doc_id")
+    val files3 = VersionedCorpus.lookupKey(spark, root, 5003L).inputFiles
+    assert(!files3.exists(_.contains("gen=4")), "upsert gen should bloom-prune")
+    assert(!files3.exists(_.contains("gen=5")), "delete gen should bloom-prune")
+    assert(VersionedCorpus.lookupKey(spark, root, 5001L)
+      .select("text").as[String].collect() === Array("v2 row"))
+    assert(VersionedCorpus.lookupKey(spark, root, 5002L).count() === 0L)
+    // compaction: the base generation gets its own filter (undersized
+    // sizing only weakens pruning, never correctness)
+    VersionedCorpus.compact(spark, root)
+    assert(VersionedCorpus.lookupKey(spark, root, 5003L)
+      .select("text").as[String].head === "g3 row 5")
+    // the pin needs a key
+    val bare = freshRoot()
+    VersionedCorpus.append(slab(0), bare)
+    intercept[IllegalArgumentException] {
+      VersionedCorpus.pinBloom(bare)
+    }
+  }
+
   test("additive schema evolution: new columns appended; pre-evolution rows read as null; non-additive refused") {
     val root = freshRoot()
     VersionedCorpus.append(docs(0 until 10, "a").drop("lang"), root)
