@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, PqIndex, Sampling, Search, Sketch, SpanDedup, SqIndex, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, PqIndex, Sampling, Search, Sketch, SpanDedup, SqIndex, TextAnalysis, TextIndex}
 import graft.sources.{IncrementalView, VersionedCorpus}
 import graft.streaming.Streams
 
@@ -2545,6 +2545,45 @@ object Queries {
          |SELECT qid, doc_id, bm25, rank FROM r WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin),
       "batched multi-query BM25: one corpus pass, per-query bounded top-k"),
+
+    "q_store_textindex" -> DeclaredQuery(
+      // PERSISTED INVERTED INDEX lifecycle (`operators.TextIndex`):
+      // build the token-sharded postings index from half the corpus,
+      // APPEND the other half (N/avgdl/df must merge across batches),
+      // then answer BM25 from the index — reading only the shards the
+      // query terms hash to — and hash-match the same scan-based
+      // DuckDB oracle q_bm25 uses. STORE-LIFECYCLE row: Spark pays the
+      // index build + append it certifies; the oracle replays only the
+      // expected scores (exclude from any engine-vs-engine proxy).
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-tix")
+        try {
+          val idx = s"$tmpRoot/index"
+          val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+          TextIndex.build(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", idx, shards = 32)
+          TextIndex.append(docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", idx)
+          localFrame(TextIndex.bm25(s, idx, Seq("vector", "table", "fast"))
+            .orderBy(desc("bm25"), asc("doc_id")).limit(50))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE AS dl,
+         |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |       FROM documents),
+         |s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, w AS word, count(*)::DOUBLE AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS w FROM d)
+         |       WHERE w IN ('vector', 'table', 'fast') GROUP BY doc_id, dl, w),
+         |dfc AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY word)
+         |SELECT tf.doc_id AS doc_id,
+         |  round(sum(ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         |    * tf.tf * 2.2
+         |    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS bm25
+         |FROM tf JOIN dfc USING (word) CROSS JOIN s
+         |GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin),
+      "persisted inverted index: build + append + shard-pruned BM25 read, scores ≡ the scan-based oracle"),
 
     "hybrid_rrf" -> DeclaredQuery(
       (s, dir) => {

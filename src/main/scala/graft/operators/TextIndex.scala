@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED INVERTED TEXT INDEX — the build-once/query-many form of
+  * the keyword-retrieval tier. [[TextAnalysis.bm25]] pays one corpus
+  * pass (tokenize + filtered explode) PER QUERY; at 100 TB that is the
+  * difference between an index and a table scan. This operator pays the
+  * tokenize/explode ONCE, persists the postings as token-sharded
+  * parquet, and answers every later query from the handful of shards
+  * its terms hash to:
+  *
+  *   indexDir/batch=B/postings/shard=S/   (token, doc_id, tf, dl)
+  *   indexDir/batch=B/stats/              (n_docs, total_tokens, n_with_dl)
+  *
+  * Layout rationale, 100 TB first:
+  *   - postings are hive-partitioned by `shard = pmod(xxhash64(token),
+  *     shards)`, so a query's terms resolve (one tiny LOCAL job, no
+  *     driver-side hash-parity games) to a shard IN-list that prunes
+  *     the scan to |query terms| directories out of `shards`, and the
+  *     `token IN (...)` predicate pushes into the parquet row groups
+  *     of the surviving shards. Nothing corpus-sized is ever read at
+  *     query time.
+  *   - document length `dl` is DENORMALIZED into every posting, so
+  *     scoring needs no join against a doc-length table; `df(t)` is a
+  *     count over the already-pruned postings of t ((doc, token) is
+  *     unique per batch by construction). The only corpus-global
+  *     inputs, N and avgdl, come from per-batch one-row stats files —
+  *     kilobytes, summed at query time.
+  *   - each [[append]] stages its postings + stats under `_staging/`
+  *     and publishes them with ONE atomic directory rename
+  *     (`batch=B`), the [[graft.sources.VersionedCorpus]] claim
+  *     discipline: a crashed append leaves staging garbage, never a
+  *     torn index; concurrent appenders race renames and both commit.
+  *
+  * Score parity: [[bm25]]/[[bm25Many]] reproduce TextAnalysis's Okapi
+  * formula term for term (spec-pinned equal on every doc), so the
+  * index is a pure access-path change. Ingesting the same doc_id twice
+  * double-counts it exactly as the scan-based form would if the corpus
+  * held the row twice — the index has no merge semantics; dedup/replace
+  * belongs to the corpus store upstream.
+  */
+object TextIndex {
+
+  /** Tokenize + posting-ify one batch: (token, doc_id, tf, dl, shard). */
+  private def postings(docs: DataFrame, idCol: String, textCol: String,
+                       shards: Int): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        size(col("_toks")).cast("double").as("dl"))
+    base.select(col("doc_id"), col("dl"), explode(col("_toks")).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("shard", pmod(xxhash64(col("token")), lit(shards)))
+  }
+
+  private def batchDirs(indexDir: String): Seq[java.nio.file.Path] = {
+    val p = java.nio.file.Paths.get(indexDir)
+    if (!java.nio.file.Files.isDirectory(p)) return Seq.empty
+    val stream = java.nio.file.Files.list(p)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      stream.forEach { d =>
+        if (d.getFileName.toString.matches("batch=\\d+")) out += d
+      }
+      out.sortBy(_.getFileName.toString.stripPrefix("batch=").toLong).toSeq
+    } finally stream.close()
+  }
+
+  private def shardsFile(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "_shards.txt")
+
+  private def pinnedShards(indexDir: String): Int =
+    new String(java.nio.file.Files.readAllBytes(shardsFile(indexDir)),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+
+  /** Append one batch of documents to the index (creates it on first
+    * call, pinning `shards`). One staged write + one atomic rename —
+    * the commit point; a crash before it leaves only `_staging/`
+    * garbage. Empty batches commit nothing. */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+             indexDir: String, shards: Int = 64): Unit =
+    appendOnce(docs, idCol, textCol, indexDir, token = null, shards)
+
+  /** [[append]] with an IDEMPOTENCY TOKEN — the at-least-once +
+    * exactly-once-commit contract a streaming ingestion loop needs: the
+    * token is written INSIDE the staged batch dir, so the atomic rename
+    * commits data and marker together, and a replayed batch (crash
+    * after the rename, before the stream checkpoint) finds its token
+    * already committed and appends nothing. Returns true iff this call
+    * committed. `token = null` skips the guard (plain append). */
+  def appendOnce(docs: DataFrame, idCol: String, textCol: String,
+                 indexDir: String, token: String,
+                 shards: Int = 64): Boolean = {
+    val spark = docs.sparkSession
+    val root = java.nio.file.Paths.get(indexDir)
+    java.nio.file.Files.createDirectories(root)
+    if (token != null && batchDirs(indexDir).exists { b =>
+      val t = b.resolve("_token.txt")
+      java.nio.file.Files.exists(t) && new String(
+        java.nio.file.Files.readAllBytes(t),
+        java.nio.charset.StandardCharsets.UTF_8) == token
+    }) return false
+    val sf = shardsFile(indexDir)
+    // the shard count is PINNED at creation (a later change would split
+    // a token's postings across incompatible layouts); `shards` is
+    // ignored on an existing index
+    if (!java.nio.file.Files.exists(sf)) {
+      require(shards > 0, "shards must be positive")
+      java.nio.file.Files.write(sf,
+        shards.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val nShards = pinnedShards(indexDir)
+    val staging = root.resolve("_staging")
+      .resolve(java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.createDirectories(staging)
+    val post = postings(docs, idCol, textCol, nShards)
+    post.write.partitionBy("shard").mode("overwrite")
+      .parquet(staging.resolve("postings").toString)
+    // batch stats over the SOURCE batch, mirroring the scan-based
+    // form's accounting exactly: N counts every doc (null texts too),
+    // avgdl averages dl over docs whose text tokenized (null text →
+    // null dl, excluded; empty text → dl 0, included)
+    val st = docs.select(
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("_dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_dl")).as("total_tokens"),
+        count(col("_dl")).as("n_with_dl"))
+    if (st.head().getLong(0) == 0L) {
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      return false
+    }
+    st.write.mode("overwrite").parquet(staging.resolve("stats").toString)
+    if (token != null)
+      java.nio.file.Files.write(staging.resolve("_token.txt"),
+        token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // claim the next batch id by atomic rename; racing appenders retry
+    var b = batchDirs(indexDir).lastOption
+      .map(_.getFileName.toString.stripPrefix("batch=").toLong + 1)
+      .getOrElse(0L)
+    var done = false
+    var attempts = 0
+    while (!done) {
+      try {
+        java.nio.file.Files.move(staging, root.resolve(s"batch=$b"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        done = true
+      } catch {
+        case e: java.nio.file.FileSystemException =>
+          if (!java.nio.file.Files.isDirectory(staging)) throw e
+          attempts += 1
+          require(attempts < 1000,
+            s"could not claim a batch id under $indexDir: ${e.getMessage}")
+          b += 1
+      }
+    }
+    true
+  }
+
+  /** Build (or rebuild) the index from scratch. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            indexDir: String, shards: Int = 64): Unit = {
+    val p = java.nio.file.Paths.get(indexDir)
+    if (java.nio.file.Files.isDirectory(p))
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    append(docs, idCol, textCol, indexDir, shards)
+  }
+
+  /** The postings relevant to `terms`: the query's shard directories
+    * are selected EXPLICITLY (structural pruning — the plan never even
+    * lists the other shards, no reliance on catalyst partition-filter
+    * elimination) and the token IN-list pushes into the surviving
+    * parquet row groups. The shard values come from one local job over
+    * the terms themselves — the same `xxhash64` the build ran, so
+    * there is no driver-side reimplementation to drift. */
+  private def prunedPostings(spark: SparkSession, indexDir: String,
+                             terms: Seq[String]): DataFrame = {
+    val batches = batchDirs(indexDir)
+    require(batches.nonEmpty, s"no committed batches under $indexDir")
+    val nShards = pinnedShards(indexDir)
+    import spark.implicits._
+    val shardIds = terms.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(nShards))).distinct()
+      .collect().map(_.getLong(0))
+    val shardDirs = for {
+      b <- batches; s <- shardIds
+      d = b.resolve("postings").resolve(s"shard=$s")
+      if java.nio.file.Files.isDirectory(d)
+    } yield d.toString
+    if (shardDirs.isEmpty) {
+      // none of the query's tokens ever hashed into an existing shard:
+      // provably no postings, answered without reading anything
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("dl", "double")
+          .add("token", "string").add("tf", "double"))
+    }
+    spark.read.parquet(shardDirs: _*)
+      .filter(col("token").isin(terms: _*))
+  }
+
+  private def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
+    val batches = batchDirs(indexDir)
+    require(batches.nonEmpty, s"no committed batches under $indexDir")
+    batches.map(b => spark.read.parquet(b.resolve("stats").toString))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).cast("double").as("_n"),
+        (sum(col("total_tokens")).cast("double") /
+          sum(col("n_with_dl"))).as("_avgdl"))
+  }
+
+  /** Okapi BM25 of every indexed document against a bag of query
+    * terms, answered FROM THE INDEX — same formula, same rounding,
+    * same output shape as [[TextAnalysis.bm25]] (spec-pinned equal),
+    * but the scan is |terms| shards of postings instead of the corpus. */
+  def bm25(spark: SparkSession, indexDir: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val post = prunedPostings(spark, indexDir, terms.distinct)
+    val stats = indexStats(spark, indexDir)
+    val dfc = post.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val idf = log(lit(1.0) +
+      (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl"))
+    post.join(broadcast(dfc), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (idf * col("tf") * lit(k1 + 1.0) / norm).as("_s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("_s")), 4).as("bm25"))
+  }
+
+  /** Batched multi-query BM25 from the index — one pruned postings
+    * read for the union of all query terms; per-query top-k through
+    * the map-side bounded [[graft.functions.TopKAggregator]]. Output
+    * shape ≡ [[TextAnalysis.bm25Many]] (qid, doc_id, bm25, rank). */
+  def bm25Many(spark: SparkSession, indexDir: String,
+               queries: Seq[(Long, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25Many needs at least one query, each with at least one term")
+    import spark.implicits._
+    val unionTerms = queries.flatMap(_._2).distinct
+    val post = prunedPostings(spark, indexDir, unionTerms)
+    val stats = indexStats(spark, indexDir)
+    val dfc = post.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val qterms = queries.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+      .toDF("qid", "token")
+    val idf = log(lit(1.0) +
+      (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl"))
+    val scored = post.join(broadcast(dfc), "token")
+      .join(broadcast(qterms), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        (idf * col("tf") * lit(k1 + 1.0) / norm).as("_s"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("_s")), 4).as("bm25"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    scored.groupBy(col("qid"))
+      .agg(topk(col("bm25"), col("doc_id")).as("_top"))
+      .select(col("qid"), posexplode(col("_top")).as(Seq("_pos", "_hit")))
+      .select(col("qid"), col("_hit._2").as("doc_id"),
+        col("_hit._1").as("bm25"), (col("_pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Remove staging garbage left by crashed appends (same retention
+    * caveat as [[graft.sources.VersionedCorpus.cleanStaging]]: only
+    * run when no appender is active). */
+  def cleanStaging(indexDir: String): Unit = {
+    val p = java.nio.file.Paths.get(indexDir, "_staging")
+    if (java.nio.file.Files.isDirectory(p))
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+  }
+}

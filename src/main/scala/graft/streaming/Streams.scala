@@ -273,6 +273,28 @@ object Streams {
       } finally admitted.unpersist()
     }
 
+  /** INVERTED-INDEX ingestion loop — keep a persisted
+    * [[graft.operators.TextIndex]] current as documents stream in:
+    * each micro-batch tokenizes ONCE and commits one token-sharded
+    * postings batch (N/avgdl/df merge at query time, so the index is
+    * queryable between batches with the stats it has). Restart-safe
+    * and EXACTLY-ONCE on the index side: the commit carries the
+    * micro-batch id as an idempotency token inside the atomically
+    * renamed batch dir ([[graft.operators.TextIndex.appendOnce]]), so
+    * a replayed batch after a crash-before-checkpoint finds its token
+    * committed and appends nothing — BM25 never double-counts a
+    * document. `sink` sees (batchId, committed?) after each batch. */
+  def incrementalTextIndexIngestion(docStream: DataFrame, indexDir: String,
+                                    idCol: String, textCol: String,
+                                    shards: Int = 64)
+                                   (sink: (Long, Boolean) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val committed = graft.operators.TextIndex.appendOnce(
+        batch, idCol, textCol, indexDir, token = s"stream-$batchId", shards)
+      sink(batchId, committed)
+    }
+
   /** CDC-APPLY ingestion loop — the change-data-capture twin of
     * [[incrementalAdmissionDurable]]: each micro-batch of keyed change
     * rows (insert/update/delete + a within-batch sequence column) folds

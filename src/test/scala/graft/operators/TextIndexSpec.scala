@@ -1,0 +1,110 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Persisted inverted index: BM25 answered from the index must equal
+  * the scan-based TextAnalysis form on every document, across appends;
+  * the query-time read must touch only the shards the query terms hash
+  * to; crashed appends must be invisible. */
+class TextIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables
+    .load(spark, TestSpark.sf0001, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-tix").toString + "/index"
+
+  private def scores(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id").cast("long"), col("bm25"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+
+  test("bm25 from the index ≡ scan-based bm25, including across appended batches") {
+    val dir = freshDir()
+    val batch1 = docs.filter(col("doc_id") % 2 === 0)
+    val batch2 = docs.filter(col("doc_id") % 2 === 1)
+    TextIndex.build(batch1, "doc_id", "text", dir, shards = 16)
+    val terms = Seq("data", "query", "spark")
+    assert(scores(TextIndex.bm25(spark, dir, terms)) ===
+      scores(TextAnalysis.bm25(batch1, "doc_id", "text", terms)))
+    // second batch changes N, avgdl, df — the index must track all three
+    TextIndex.append(batch2, "doc_id", "text", dir)
+    for (t <- Seq(Seq("data"), Seq("vector", "merge"), terms))
+      assert(scores(TextIndex.bm25(spark, dir, t)) ===
+        scores(TextAnalysis.bm25(docs, "doc_id", "text", t)), s"terms $t")
+  }
+
+  test("query reads only the shards its terms hash to; token predicate pushed") {
+    val dir = freshDir()
+    TextIndex.build(docs, "doc_id", "text", dir, shards = 16)
+    val terms = Seq("data", "query")
+    val shardIds = terms.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(16))).as[Long].collect().toSet
+    val read = TextIndex.bm25(spark, dir, terms)
+    val shardsTouched = read.inputFiles
+      .flatMap(f => "shard=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong))
+      .toSet
+    assert(shardsTouched.nonEmpty && shardsTouched.subsetOf(shardIds),
+      s"read shards $shardsTouched, terms hash to $shardIds of 16")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("token"),
+      "token IN-list should push into the parquet scan")
+  }
+
+  test("bm25Many from the index ≡ per-query scan-based bm25 top-k") {
+    val dir = freshDir()
+    TextIndex.build(docs, "doc_id", "text", dir, shards = 16)
+    val queries = Seq(1L -> Seq("data", "spark"), 2L -> Seq("vector"),
+      3L -> Seq("merge", "query", "table"))
+    val got = TextIndex.bm25Many(spark, dir, queries, k = 5)
+      .select(col("qid"), col("doc_id"), col("bm25"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val want = TextAnalysis
+      .bm25Many(docs, "doc_id", "text", queries, k = 5)
+      .select(col("qid"), col("doc_id"), col("bm25"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(got === want)
+  }
+
+  test("appendOnce: a replayed idempotency token commits nothing; a fresh token commits") {
+    val dir = freshDir()
+    TextIndex.build(docs.limit(200), "doc_id", "text", dir, shards = 8)
+    val extra = docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+    assert(TextIndex.appendOnce(extra, "doc_id", "text", dir, "b-1"))
+    val after = scores(TextIndex.bm25(spark, dir, Seq("data")))
+    // the replay: same token, nothing may change
+    assert(!TextIndex.appendOnce(extra, "doc_id", "text", dir, "b-1"))
+    assert(scores(TextIndex.bm25(spark, dir, Seq("data"))) === after)
+    // a fresh token is a real (double-counting) append — proof the
+    // guard was the token, not some content hash
+    assert(TextIndex.appendOnce(extra, "doc_id", "text", dir, "b-2"))
+    assert(scores(TextIndex.bm25(spark, dir, Seq("data"))) !== after)
+  }
+
+  test("a crashed append (staging garbage) is invisible; empty batches commit nothing") {
+    val dir = freshDir()
+    TextIndex.build(docs.limit(100), "doc_id", "text", dir, shards = 8)
+    val before = scores(TextIndex.bm25(spark, dir, Seq("data")))
+    // fake a crash: staging dir with a half-written postings payload
+    val staging = java.nio.file.Paths.get(dir, "_staging", "dead-writer")
+    Files.createDirectories(staging.resolve("postings"))
+    Files.write(staging.resolve("postings").resolve("junk.bin"),
+      Array[Byte](1, 2, 3))
+    assert(scores(TextIndex.bm25(spark, dir, Seq("data"))) === before)
+    TextIndex.cleanStaging(dir)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "_staging")))
+    // empty batch: no new batch dir
+    val nBatches = new java.io.File(dir).list().count(_.startsWith("batch="))
+    TextIndex.append(docs.filter(lit(false)), "doc_id", "text", dir)
+    assert(new java.io.File(dir).list()
+      .count(_.startsWith("batch=")) === nBatches)
+    assert(scores(TextIndex.bm25(spark, dir, Seq("data"))) === before)
+  }
+}

@@ -948,6 +948,45 @@ class StreamsSpec extends AnyFunSuite {
     assert(!viewNow.exists(_._1 == 9L), "emptied bucket must vanish")
   }
 
+  test("text-index ingestion: indexed BM25 ≡ scan-based over the streamed corpus, across a kill + restart") {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-tixstream")
+    val idx = tmpRoot.toString + "/index"
+    val srcDir = tmpRoot.toString + "/incoming"
+    val cpDir = tmpRoot.toString + "/checkpoint"
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    val commits = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    def startQ() = Streams.incrementalTextIndexIngestion(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        idx, "doc_id", "text", shards = 8) { (bid, ok) =>
+          commits.synchronized { commits += ((bid, ok)) }; ()
+        }
+      .option("checkpointLocation", cpDir)
+      .start()
+    val wave1 = Seq(1L -> "data table fast row", 2L -> "data data query")
+    val wave2 = Seq(3L -> "table scan merge data", 4L -> "vector fast fast table")
+    drop(wave1.take(1)); drop(wave1.drop(1))
+    val q1 = startQ(); q1.processAllAvailable(); q1.stop()
+    drop(wave2.take(1)); drop(wave2.drop(1))
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    assert(commits.forall(_._2), s"a replay double-committed: $commits")
+    val corpus = (wave1 ++ wave2).toDF("doc_id", "text")
+    for (terms <- Seq(Seq("data"), Seq("table", "fast"))) {
+      val got = graft.operators.TextIndex.bm25(spark, idx, terms)
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      val want = graft.operators.TextAnalysis
+        .bm25(corpus, "doc_id", "text", terms)
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got === want, s"terms $terms")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   test("CDC apply survives kill + restart against a real checkpoint dir") {
     // same restart harness as the admission loop, for the CDC writer: a
     // FILE source of change files + checkpointLocation, stopped cold,
