@@ -56,7 +56,19 @@ object TextIndex {
       .withColumn("shard", pmod(xxhash64(col("token")), lit(shards)))
   }
 
+  /** Committed, LIVE batch dirs: a batch replaced by a committed
+    * [[optimize]] pack (its id appears in some pack's `_replaces.txt`,
+    * written inside the pack's dir BEFORE its atomic rename — so the
+    * rename retires the originals and publishes the pack in one move)
+    * is excluded; its data stays on disk as reclaimable garbage until
+    * [[vacuumPacked]]. */
   private def batchDirs(indexDir: String): Seq[java.nio.file.Path] = {
+    val all = allBatchDirs(indexDir)
+    val replaced = all.flatMap(replacesOf).toSet
+    all.filterNot(d => replaced(batchId(d)))
+  }
+
+  private def allBatchDirs(indexDir: String): Seq[java.nio.file.Path] = {
     val p = java.nio.file.Paths.get(indexDir)
     if (!java.nio.file.Files.isDirectory(p)) return Seq.empty
     val stream = java.nio.file.Files.list(p)
@@ -67,6 +79,27 @@ object TextIndex {
       }
       out.sortBy(_.getFileName.toString.stripPrefix("batch=").toLong).toSeq
     } finally stream.close()
+  }
+
+  private def batchId(d: java.nio.file.Path): Long =
+    d.getFileName.toString.stripPrefix("batch=").toLong
+
+  private def replacesOf(d: java.nio.file.Path): Seq[Long] = {
+    val f = d.resolve("_replaces.txt")
+    if (!java.nio.file.Files.exists(f)) Seq.empty
+    else new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+  }
+
+  /** Idempotency tokens a batch dir carries (one per line; a pack
+    * carries every token of the batches it replaced). */
+  private def tokensOf(d: java.nio.file.Path): Set[String] = {
+    val f = d.resolve("_token.txt")
+    if (!java.nio.file.Files.exists(f)) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSet
   }
 
   private def shardsFile(indexDir: String) =
@@ -97,12 +130,11 @@ object TextIndex {
     val spark = docs.sparkSession
     val root = java.nio.file.Paths.get(indexDir)
     java.nio.file.Files.createDirectories(root)
-    if (token != null && batchDirs(indexDir).exists { b =>
-      val t = b.resolve("_token.txt")
-      java.nio.file.Files.exists(t) && new String(
-        java.nio.file.Files.readAllBytes(t),
-        java.nio.charset.StandardCharsets.UTF_8) == token
-    }) return false
+    // the replay guard scans ALL batch dirs (a pack inherits the tokens
+    // of the batches it replaced — see optimize — so retired-but-not-
+    // vacuumed dirs and their packs both testify)
+    if (token != null && allBatchDirs(indexDir)
+      .exists(b => tokensOf(b).contains(token))) return false
     val sf = shardsFile(indexDir)
     // the shard count is PINNED at creation (a later change would split
     // a token's postings across incompatible layouts); `shards` is
@@ -135,9 +167,10 @@ object TextIndex {
     if (token != null)
       java.nio.file.Files.write(staging.resolve("_token.txt"),
         token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // claim the next batch id by atomic rename; racing appenders retry
-    var b = batchDirs(indexDir).lastOption
-      .map(_.getFileName.toString.stripPrefix("batch=").toLong + 1)
+    // claim the next batch id by atomic rename; racing appenders retry.
+    // Ids count past RETIRED dirs too — an id is never reused even
+    // after its batch was packed away
+    var b = allBatchDirs(indexDir).lastOption.map(batchId(_) + 1)
       .getOrElse(0L)
     var done = false
     var attempts = 0
@@ -269,6 +302,99 @@ object TextIndex {
       .select(col("qid"), col("_hit._2").as("doc_id"),
         col("_hit._1").as("bm25"), (col("_pos") + 1).cast("long").as("rank"))
   }
+
+  /** BIN-PACK the live batches into one (the maintenance valve a
+    * streamed index needs: every micro-batch leaves up to `shards`
+    * tiny parquet files, so a T-term query over B batches opens
+    * O(T·B) files — packing collapses that to O(T)). Content-neutral:
+    * postings are unioned and rewritten one file per shard, stats rows
+    * are carried over, and the pack inherits the replaced batches'
+    * idempotency tokens (streaming replays stay guarded after their
+    * original dirs are vacuumed). Atomic: the pack stages with a
+    * `_replaces.txt` naming the batches it retires, so its one rename
+    * publishes the pack AND retires the originals together; a crash
+    * before it leaves staging garbage only. Originals stay on disk —
+    * reclaimable garbage — until [[vacuumPacked]]. Returns the pack's
+    * batch id, or None when fewer than two live batches exist. */
+  def optimize(spark: SparkSession, indexDir: String): Option[Long] = {
+    val live = batchDirs(indexDir)
+    if (live.size < 2) return None
+    val root = java.nio.file.Paths.get(indexDir)
+    val staging = root.resolve("_staging")
+      .resolve(java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.createDirectories(staging)
+    val post = live
+      .map(b => spark.read.parquet(b.resolve("postings").toString))
+      .reduce(_ unionByName _)
+    // one task per shard → one packed file per shard (a deployment
+    // whose single-shard postings outgrow one file would raise the
+    // shard count at build time — the knob is the same)
+    post.repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite")
+      .parquet(staging.resolve("postings").toString)
+    live.map(b => spark.read.parquet(b.resolve("stats").toString))
+      .reduce(_ unionByName _)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staging.resolve("stats").toString)
+    val tokens = live.flatMap(tokensOf)
+    if (tokens.nonEmpty)
+      java.nio.file.Files.write(staging.resolve("_token.txt"),
+        tokens.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(staging.resolve("_replaces.txt"),
+      live.map(batchId).mkString(",")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var b = allBatchDirs(indexDir).lastOption.map(batchId(_) + 1)
+      .getOrElse(0L)
+    var attempts = 0
+    while (true) {
+      try {
+        java.nio.file.Files.move(staging, root.resolve(s"batch=$b"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        return Some(b)
+      } catch {
+        case e: java.nio.file.FileSystemException =>
+          if (!java.nio.file.Files.isDirectory(staging)) throw e
+          attempts += 1
+          require(attempts < 1000,
+            s"could not claim a pack id under $indexDir: ${e.getMessage}")
+          b += 1
+      }
+    }
+    None // unreachable
+  }
+
+  /** Reclaim the data of batches retired by committed [[optimize]]
+    * packs. Deletion order matters for crash safety: a pack's
+    * `_replaces.txt` is what keeps its retired batches invisible, so
+    * plain batches are deleted BEFORE any pack that names them — a
+    * crash mid-vacuum can leave garbage, never resurrect a retired
+    * batch into the read set. */
+  def vacuumPacked(indexDir: String): Unit = {
+    val all = allBatchDirs(indexDir)
+    val retired = all.flatMap(replacesOf).toSet
+    val (dead, deadPacks) = all.filter(d => retired(batchId(d)))
+      .partition(d => replacesOf(d).isEmpty)
+    dead.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
+    // a retired pack may only go once everything IT retired is gone
+    var remaining = deadPacks
+    var progressed = true
+    while (progressed && remaining.nonEmpty) {
+      progressed = false
+      val onDisk = allBatchDirs(indexDir).map(batchId).toSet
+      val (ready, blocked) =
+        remaining.partition(p => replacesOf(p).forall(!onDisk(_)))
+      ready.foreach { p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+        progressed = true
+      }
+      remaining = blocked
+    }
+  }
+
+  /** Live (unretired) batch count — the maintenance trigger a
+    * long-running ingestion loop polls. Driver-side directory listing. */
+  def liveBatches(indexDir: String): Int = batchDirs(indexDir).size
 
   /** Remove staging garbage left by crashed appends (same retention
     * caveat as [[graft.sources.VersionedCorpus.cleanStaging]]: only

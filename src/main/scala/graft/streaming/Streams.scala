@@ -283,15 +283,26 @@ object Streams {
     * renamed batch dir ([[graft.operators.TextIndex.appendOnce]]), so
     * a replayed batch after a crash-before-checkpoint finds its token
     * committed and appends nothing — BM25 never double-counts a
-    * document. `sink` sees (batchId, committed?) after each batch. */
+    * document. `optimizeEvery` > 0 bin-packs the live batch tail
+    * whenever that many batches accumulate
+    * ([[graft.operators.TextIndex.optimize]] + vacuum) — the same
+    * file-count valve as the corpus loop's compactEvery; packing is
+    * content-neutral and keeps the replay tokens, so the guarantees
+    * are untouched. `sink` sees (batchId, committed?) after each
+    * batch. */
   def incrementalTextIndexIngestion(docStream: DataFrame, indexDir: String,
                                     idCol: String, textCol: String,
-                                    shards: Int = 64)
+                                    shards: Int = 64, optimizeEvery: Int = 0)
                                    (sink: (Long, Boolean) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val committed = graft.operators.TextIndex.appendOnce(
         batch, idCol, textCol, indexDir, token = s"stream-$batchId", shards)
+      if (optimizeEvery > 0 &&
+        graft.operators.TextIndex.liveBatches(indexDir) >= optimizeEvery) {
+        graft.operators.TextIndex.optimize(batch.sparkSession, indexDir)
+        graft.operators.TextIndex.vacuumPacked(indexDir)
+      }
       sink(batchId, committed)
     }
 

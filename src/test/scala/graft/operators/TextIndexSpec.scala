@@ -88,6 +88,45 @@ class TextIndexSpec extends AnyFunSuite {
     assert(scores(TextIndex.bm25(spark, dir, Seq("data"))) !== after)
   }
 
+  test("optimize: packs live batches content-neutrally, collapses file fan-out, keeps replay tokens; vacuumPacked reclaims") {
+    val dir = freshDir()
+    // five tiny streamed batches, each token-guarded
+    val slices = (0 until 5).map(i =>
+      docs.filter(col("doc_id") % 5 === i).limit(40))
+    TextIndex.build(slices.head, "doc_id", "text", dir, shards = 8)
+    slices.tail.zipWithIndex.foreach { case (s, i) =>
+      TextIndex.appendOnce(s, "doc_id", "text", dir, s"b-$i") }
+    val terms = Seq("data", "query")
+    val before = scores(TextIndex.bm25(spark, dir, terms))
+    val filesBefore = TextIndex.bm25(spark, dir, terms).inputFiles.length
+    val packed = TextIndex.optimize(spark, dir)
+    assert(packed.nonEmpty)
+    // content-neutral, and the query now opens ≤ |term shards| files
+    assert(scores(TextIndex.bm25(spark, dir, terms)) === before)
+    val filesAfter = TextIndex.bm25(spark, dir, terms).inputFiles.length
+    // ≤ 2 term-shard postings files + the packed 1-file stats
+    assert(filesAfter < filesBefore && filesAfter <= 3,
+      s"$filesBefore -> $filesAfter files")
+    // replay guard survives the pack: a retired batch's token still refuses
+    assert(!TextIndex.appendOnce(slices(1), "doc_id", "text", dir, "b-0"))
+    // vacuum reclaims the originals; content unchanged; second optimize no-ops
+    TextIndex.vacuumPacked(dir)
+    val live = new java.io.File(dir).list().filter(_.startsWith("batch="))
+    assert(live.length === 1, live.toSeq)
+    assert(scores(TextIndex.bm25(spark, dir, terms)) === before)
+    assert(!TextIndex.appendOnce(slices(1), "doc_id", "text", dir, "b-0"))
+    assert(TextIndex.optimize(spark, dir).isEmpty)
+    // a later append + second pack-and-vacuum round (pack-of-pack);
+    // double-counting the rows is fine — this tests the lifecycle
+    assert(TextIndex.appendOnce(docs.limit(40), "doc_id", "text", dir, "b-9"))
+    val before2 = scores(TextIndex.bm25(spark, dir, terms))
+    assert(TextIndex.optimize(spark, dir).nonEmpty)
+    TextIndex.vacuumPacked(dir)
+    assert(scores(TextIndex.bm25(spark, dir, terms)) === before2)
+    assert(!TextIndex.appendOnce(slices(1), "doc_id", "text", dir, "b-0"))
+    assert(!TextIndex.appendOnce(slices(1), "doc_id", "text", dir, "b-9"))
+  }
+
   test("a crashed append (staging garbage) is invisible; empty batches commit nothing") {
     val dir = freshDir()
     TextIndex.build(docs.limit(100), "doc_id", "text", dir, shards = 8)

@@ -960,10 +960,12 @@ class StreamsSpec extends AnyFunSuite {
       rows.toDF("doc_id", "text").coalesce(1)
         .write.mode("append").parquet(srcDir)
     val commits = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    // optimizeEvery = 3: the pack-and-vacuum valve fires mid-stream,
+    // and the final scores must not notice
     def startQ() = Streams.incrementalTextIndexIngestion(
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir),
-        idx, "doc_id", "text", shards = 8) { (bid, ok) =>
+        idx, "doc_id", "text", shards = 8, optimizeEvery = 3) { (bid, ok) =>
           commits.synchronized { commits += ((bid, ok)) }; ()
         }
       .option("checkpointLocation", cpDir)
