@@ -974,6 +974,37 @@ object Queries {
          |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
       "B1: cosine top-k"),
 
+    "filtered_knn" -> DeclaredQuery(
+      // FILTERED VECTOR SEARCH — the metadata-predicate + top-k
+      // composition every vector store ships (pre-filtering form:
+      // the predicate restricts the candidate set BEFORE scoring, so
+      // k survivors are guaranteed — contrast post-filtering, which
+      // can come up short). Spark-first shape: the metadata predicate
+      // is a left-semi join of the vector table against the filtered
+      // doc table (AQE broadcasts the small filtered side here; at
+      // colocated-metadata scale the predicate pushes into the vector
+      // scan itself and the join disappears), then the same
+      // TakeOrderedAndProject top-k as the unfiltered row.
+      (s, dir) => {
+        val meta = T(s, dir, "documents")
+          .filter(col("lang") === "en" && length(col("text")) > 200)
+          .select(col("doc_id").as("vec_id"))
+        val cand = T(s, dir, "embeddings").join(meta, Seq("vec_id"), "left_semi")
+        Search.topK(cand, "embedding", "vec_id", QueryVectors.q2,
+            k = 5, score = cosine)
+          .select(col("vec_id"), col("sim"))
+      },
+      Some(s"""SELECT vec_id,
+         |  round(${duckDot("embedding", q2Sql)}
+         |    / (sqrt(${duckDot("embedding", "CAST(embedding AS DOUBLE[])")})
+         |       * sqrt(list_dot_product($q2Sql, $q2Sql))), 4) AS sim
+         |FROM embeddings e
+         |WHERE EXISTS (SELECT 1 FROM documents d
+         |  WHERE d.doc_id = e.vec_id AND d.lang = 'en'
+         |    AND len(d.text) > 200)
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
+      "filtered vector search: metadata pre-filter (semi-join) + cosine top-k"),
+
     "l2_nn" -> DeclaredQuery(
       (s, dir) => T(s, dir, "embeddings")
         .select(col("vec_id"),
