@@ -377,17 +377,33 @@ object VersionedCorpus {
     * way the build did: Spark's `xxhash64` with its default seed, via
     * the same [[org.apache.spark.sql.catalyst.expressions.XxHash64Function]]
     * the codegen path uses (bit-parity spec-pinned). */
-  private def bloomMayContain(root: String, gen: Long, value: Long): Boolean = {
+  private def bloomMayContain(root: String, gen: Long, value: Long): Boolean =
+    bloomMayContainHash(root, gen,
+      org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(value)), 42L)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Long])
+
+  /** String-key form of the probe: hash exactly as the build's
+    * `xxhash64(stringCol)` did (UTF8 bytes through the same catalyst
+    * expression — bit-parity is what the lookupKeyStr ≡ filtered
+    * snapshot spec pins). */
+  private def bloomMayContainStr(root: String, gen: Long,
+                                 value: String): Boolean =
+    bloomMayContainHash(root, gen,
+      org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(value,
+          org.apache.spark.sql.types.StringType)), 42L)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Long])
+
+  private def bloomMayContainHash(root: String, gen: Long, h: Long): Boolean = {
     val f = bloomFile(root, gen)
     if (!java.nio.file.Files.exists(f)) return true
     if (bloomCache.size > 4096) bloomCache.clear()
     val bf = bloomCache.computeIfAbsent(f.toString, _ =>
       org.apache.spark.util.sketch.BloomFilter.readFrom(
         java.nio.file.Files.readAllBytes(f)))
-    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
-      org.apache.spark.sql.catalyst.expressions.Literal(value)), 42L)
-      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-      .asInstanceOf[Long]
     bf.mightContainLong(h)
   }
 
@@ -448,8 +464,14 @@ object VersionedCorpus {
     // pays
     val extras = statsCols(root).filter(c =>
       integral(c) && !statKey.contains(c))
+    // blooms cover integral AND string keys (xxhash64 of either); the
+    // min/max bounds stay integral-only — for a string key the bloom is
+    // the ONLY pruning tier, which is exactly its design case
+    def bloomable(c: String) = integral(c) ||
+      (df.schema.fieldNames.contains(c) &&
+        df.schema(c).dataType == org.apache.spark.sql.types.StringType)
     val bloomSpec = bloomParams(root).flatMap { case (items, fpp) =>
-      pinnedKey(root).filter(integral).map { k =>
+      pinnedKey(root).filter(bloomable).map { k =>
         val bits = org.apache.spark.util.sketch.BloomFilter
           .optimalNumOfBits(items, fpp)
         org.apache.spark.sql.graftshim.Bridge.column(
@@ -1104,6 +1126,20 @@ object VersionedCorpus {
                 asOf: Long = Long.MaxValue): DataFrame =
     keyedRead(spark, root, asOf,
       c => c.mayContainKey(value) && bloomMayContain(root, c.gen, value),
+      k => k === org.apache.spark.sql.functions.lit(value))
+
+  /** [[lookupKey]] for a STRING merge key (content fingerprints, url
+    * hashes, uuids — the key shapes that are never range-clustered).
+    * String keys carry no min/max bounds, so without [[pinBloom]] this
+    * reads every generation; with it, the per-generation Bloom filter
+    * is the pruning tier — typically one or two "maybe" generations
+    * out of thousands, decided driver-side. Result ≡
+    * `snapshot(...).filter(key === value)` (spec-pinned), including
+    * merge-on-read resolution. */
+  def lookupKeyStr(spark: SparkSession, root: String, value: String,
+                   asOf: Long = Long.MaxValue): DataFrame =
+    keyedRead(spark, root, asOf,
+      c => bloomMayContainStr(root, c.gen, value),
       k => k === org.apache.spark.sql.functions.lit(value))
 
   /** RANGE SCAN with the same manifest-stats generation pruning as

@@ -122,7 +122,13 @@ object DumpPlans {
       "anti-join (corpus contributes its distinct-key projection) → " +
       "cross-set prefix join (both sides' prefixes under one global " +
       "df order; cross pairs only) → side-safe verify → anti-join; " +
-      "deterministic end to end, no seeded tier"))
+      "deterministic end to end, no seeded tier"),
+    "filtered_knn" -> ("filtered vector search, pre-filter form: the " +
+      "metadata predicate is pushed into the documents scan " +
+      "(PushedFilters), the semi-join against the vector table is a " +
+      "BroadcastHashJoin (small filtered side), and the top-k is the " +
+      "same TakeOrderedAndProject as unfiltered search — no global " +
+      "sort, no shuffle of the vector table"))
 
   /** Plan-shape-critical OPERATOR INTERNALS whose declared queries
     * materialize eagerly (their final plans are LocalTableScans): built
@@ -199,6 +205,21 @@ object DumpPlans {
           "unchanged (partial aggregation already collapses hub fan-in " +
           "map-side)",
         graft.operators.Dedup.propagateRound(e, labels, saltFactor = 4)),
+      ("textindex_bm25 (TextIndex.bm25)", {
+        val tix = java.nio.file.Files
+          .createTempDirectory("graft-plans-tix").toString + "/index"
+        graft.operators.TextIndex.build(
+          docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", tix, shards = 16)
+        graft.operators.TextIndex.bm25(spark, tix,
+          Seq("data", "query", "spark"))
+      }) match { case (n, df) => (n,
+        "indexed BM25: the scan reads ONLY the query terms' shard " +
+          "directories (selected driver-side — structural pruning, the " +
+          "other shards are never listed) with the token IN-list in " +
+          "PushedFilters; df is a broadcast agg over the pruned " +
+          "postings, stats a 1-row broadcast; no tokenize, no corpus " +
+          "scan anywhere in the plan", df) },
       ("ivfpq_probe (PqIndex.probeIvfPq)", {
         "residual IVF-PQ probe: the codes scan carries PartitionFilters " +
           "(cluster_id IN probed set — planning-time pruning, only the " +

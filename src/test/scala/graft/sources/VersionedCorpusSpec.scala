@@ -395,6 +395,52 @@ class VersionedCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("lookupKeyStr: string merge keys prune by Bloom alone (no bounds exist); lookups ≡ filtered snapshot across the merge lifecycle") {
+    val root = freshRoot()
+    // fingerprint-shaped string keys: never range-clustered, so the
+    // Bloom filter is the only pruning tier a string key can have
+    def fps(ids: Range, tag: String) =
+      ids.map(i => (s"fp-${i * 7919 % 1000}-$i", s"$tag text $i", "en"))
+        .toDF("fp", "text", "lang")
+    VersionedCorpus.append(fps(0 until 20, "a"), root)
+    VersionedCorpus.pinKey(root, "fp")
+    VersionedCorpus.pinBloom(root, expectedItems = 64, fpp = 0.01)
+    VersionedCorpus.append(fps(20 until 40, "b"), root)
+    VersionedCorpus.append(fps(40 until 60, "c"), root)
+    // string keys record no bounds
+    assert(VersionedCorpus.commits(root).forall(_.klo.isEmpty))
+    // mutate: revise one key, delete another (both in gen 2's slab)
+    val k45 = s"fp-${45 * 7919 % 1000}-45"
+    val k50 = s"fp-${50 * 7919 % 1000}-50"
+    VersionedCorpus.upsert(
+      Seq((k45, "v2 revised", "en")).toDF("fp", "text", "lang"), root, "fp")
+    VersionedCorpus.delete(Seq(k50).toDF("fp"), root, "fp")
+    // ≡ filtered snapshot on every key class: pre-bloom, bloomed,
+    // upserted, deleted, absent
+    for (k <- Seq(s"fp-${5 * 7919 % 1000}-5", s"fp-${25 * 7919 % 1000}-25",
+                  k45, k50, "fp-nope-999")) {
+      val want = VersionedCorpus.snapshot(spark, root)
+        .filter(col("fp") === k)
+        .select("fp", "text").as[(String, String)].collect().sortBy(_._1)
+      val got = VersionedCorpus.lookupKeyStr(spark, root, k)
+        .select("fp", "text").as[(String, String)].collect().sortBy(_._1)
+      assert(got === want, s"key $k")
+    }
+    assert(VersionedCorpus.lookupKeyStr(spark, root, k45)
+      .select("text").as[String].collect() === Array("v2 revised"))
+    // pruning: a key in slab b reads gen 0 (pre-bloom, conservative)
+    // and gen 1 only — gens 2-4 bloom-pruned
+    val files25 = VersionedCorpus
+      .lookupKeyStr(spark, root, s"fp-${25 * 7919 % 1000}-25").inputFiles
+    assert(files25.exists(_.contains("gen=1")))
+    for (g <- Seq("gen=2", "gen=3", "gen=4"))
+      assert(!files25.exists(_.contains(g)), s"$g should bloom-prune")
+    // an absent key reads only the conservative pre-bloom generation
+    val filesNope = VersionedCorpus
+      .lookupKeyStr(spark, root, "fp-nope-999").inputFiles
+    assert(filesNope.nonEmpty && filesNope.forall(_.contains("gen=0")))
+  }
+
   test("additive schema evolution: new columns appended; pre-evolution rows read as null; non-additive refused") {
     val root = freshRoot()
     VersionedCorpus.append(docs(0 until 10, "a").drop("lang"), root)
