@@ -36,10 +36,13 @@ import org.apache.spark.sql.functions._
   *
   * Score parity: [[bm25]]/[[bm25Many]] reproduce TextAnalysis's Okapi
   * formula term for term (spec-pinned equal on every doc), so the
-  * index is a pure access-path change. Ingesting the same doc_id twice
-  * double-counts it exactly as the scan-based form would if the corpus
-  * held the row twice — the index has no merge semantics; dedup/replace
-  * belongs to the corpus store upstream.
+  * index is a pure access-path change — PROVIDED each doc_id is
+  * ingested once. The index has no merge semantics: re-ingesting a
+  * doc_id counts it again in N/df and leaves its tf split across
+  * batch-local postings rows (not the scan-form's merged tf), so
+  * dedup/replace belongs to the corpus store upstream and the
+  * ingestion loop's replay guard ([[appendOnce]]) is what keeps
+  * at-least-once delivery from violating the once-per-doc contract.
   */
 object TextIndex {
 

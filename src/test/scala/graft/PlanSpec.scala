@@ -33,6 +33,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dotproduct"), "native dot must carry the projection")
   }
 
+  test("filtered_knn: metadata pre-filter is a broadcast semi-join; top-k stays a heap, vector table unshuffled") {
+    val p = plan("filtered_knn")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(lang)") ||
+      p.contains("EqualTo(lang,en)"),
+      "metadata predicate must push into the documents scan")
+    // the only exchange is the broadcast of the small filtered side
+    assert(!p.contains("Exchange hashpartitioning"),
+      "vector table must not shuffle for the filter")
+  }
+
   test("q_filter_pushdown: predicates reach the parquet scan, columns pruned") {
     val p = plan("q_filter_pushdown")
     assert(p.contains("PushedFilters:"))

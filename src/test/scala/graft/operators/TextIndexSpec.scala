@@ -127,6 +127,51 @@ class TextIndexSpec extends AnyFunSuite {
     assert(!TextIndex.appendOnce(slices(1), "doc_id", "text", dir, "b-9"))
   }
 
+  test("model-based fuzz: random append/replay/optimize/vacuum interleavings ≡ scan-based bm25 over the committed corpus") {
+    val pool = docs.limit(400).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val terms = Seq("data", "query")
+    for (scenario <- 0 until 4) {
+      val rnd = new scala.util.Random(1000 + scenario)
+      val dir = freshDir()
+      var committed = Vector.empty[(Long, String)]
+      var usedTokens = Vector.empty[String]
+      def check(tag: String): Unit = {
+        val got = scores(TextIndex.bm25(spark, dir, terms))
+        val want = scores(TextAnalysis.bm25(
+          committed.toDF("doc_id", "text"), "doc_id", "text", terms))
+        assert(got === want, s"scenario $scenario $tag")
+      }
+      for (op <- 0 until 10) {
+        val roll = if (op == 0) 0 else rnd.nextInt(10)
+        roll match {
+          case r if r <= 4 => // append fresh docs (unique re-ids)
+            val k = 20 + rnd.nextInt(30)
+            val rows = Vector.fill(k) {
+              val (_, text) = pool(rnd.nextInt(pool.length))
+              (scenario * 1000000L + op * 1000L + rnd.nextInt(1000), text)
+            }.distinctBy(_._1)
+            val token = s"s$scenario-op$op"
+            assert(TextIndex.appendOnce(rows.toDF("doc_id", "text"),
+              "doc_id", "text", dir, token, shards = 8))
+            committed ++= rows
+            usedTokens :+= token
+          case r if r <= 6 && usedTokens.nonEmpty => // replay: must no-op
+            val token = usedTokens(rnd.nextInt(usedTokens.length))
+            assert(!TextIndex.appendOnce(
+              Vector((999999999L, "replayed junk text")).toDF("doc_id", "text"),
+              "doc_id", "text", dir, token, shards = 8))
+          case r if r <= 8 => TextIndex.optimize(spark, dir)
+          case _           => TextIndex.vacuumPacked(dir)
+        }
+        if (op % 3 == 2) check(s"op$op")
+      }
+      TextIndex.optimize(spark, dir)
+      TextIndex.vacuumPacked(dir)
+      check("final")
+    }
+  }
+
   test("a crashed append (staging garbage) is invisible; empty batches commit nothing") {
     val dir = freshDir()
     TextIndex.build(docs.limit(100), "doc_id", "text", dir, shards = 8)
