@@ -154,6 +154,14 @@ object TextIndex {
     val post = postings(docs, idCol, textCol, nShards)
     post.write.partitionBy("shard").mode("overwrite")
       .parquet(staging.resolve("postings").toString)
+    // per-batch (doc_id, dl) sidecar — what [[delete]] consults for its
+    // stats correction without touching the postings. One row per
+    // ingested doc INCLUDING zero-token and null-text docs (they carry
+    // no postings but do count in N / n_with_dl, so their deletion
+    // must correct the stats exactly)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("double").as("dl"))
+      .write.mode("overwrite").parquet(staging.resolve("doclens").toString)
     // batch stats over the SOURCE batch, mirroring the scan-based
     // form's accounting exactly: N counts every doc (null texts too),
     // avgdl averages dl over docs whose text tokenized (null text →
@@ -173,24 +181,7 @@ object TextIndex {
     // claim the next batch id by atomic rename; racing appenders retry.
     // Ids count past RETIRED dirs too — an id is never reused even
     // after its batch was packed away
-    var b = allBatchDirs(indexDir).lastOption.map(batchId(_) + 1)
-      .getOrElse(0L)
-    var done = false
-    var attempts = 0
-    while (!done) {
-      try {
-        java.nio.file.Files.move(staging, root.resolve(s"batch=$b"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        done = true
-      } catch {
-        case e: java.nio.file.FileSystemException =>
-          if (!java.nio.file.Files.isDirectory(staging)) throw e
-          attempts += 1
-          require(attempts < 1000,
-            s"could not claim a batch id under $indexDir: ${e.getMessage}")
-          b += 1
-      }
-    }
+    claimBatch(indexDir, staging)
     true
   }
 
@@ -233,8 +224,27 @@ object TextIndex {
           .add("doc_id", "long").add("dl", "double")
           .add("token", "string").add("tf", "double"))
     }
-    spark.read.parquet(shardDirs: _*)
-      .filter(col("token").isin(terms: _*))
+    val hasTombs = batches.exists(b =>
+      java.nio.file.Files.isDirectory(b.resolve("deletes")))
+    if (!hasTombs)
+      // no tombstones: one multi-path read, plan unchanged
+      spark.read.parquet(shardDirs: _*)
+        .filter(col("token").isin(terms: _*))
+    else {
+      // merge-on-read: per-batch reads carry the batch id so a
+      // tombstone kills only EARLIER postings (re-ingest resurrects)
+      val perBatch = for {
+        b <- batches
+        dirs = shardIds.map(s =>
+            b.resolve("postings").resolve(s"shard=$s"))
+          .filter(java.nio.file.Files.isDirectory(_)).map(_.toString)
+        if dirs.nonEmpty
+      } yield spark.read.parquet(dirs: _*)
+        .filter(col("token").isin(terms: _*))
+        .withColumn("_b", lit(batchId(b)))
+      applyTombstones(spark, batches,
+        perBatch.reduce(_ unionByName _)).drop("_b")
+    }
   }
 
   private def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
@@ -306,6 +316,113 @@ object TextIndex {
         col("_hit._1").as("bm25"), (col("_pos") + 1).cast("long").as("rank"))
   }
 
+  /** DELETE documents from the index (the GDPR/right-to-forget
+    * maintenance a durable search index must support) — merge-on-read,
+    * like the corpus store: one committed tombstone batch, nothing
+    * rewritten. A tombstone kills postings of EARLIER batches only
+    * (batch order is the merge order), so a later re-ingest of the
+    * same doc_id resurrects it. The commit carries a NEGATIVE stats
+    * row for exactly the docs it actually removed (their live doclens
+    * rows, resolved through existing tombstones — so deleting an
+    * absent or already-deleted id is a no-op and a double delete
+    * cannot double-correct). Query-time cost: pruned postings
+    * anti-join the broadcast tombstone set; [[optimize]] applies
+    * tombstones physically and retires them. Returns the number of
+    * docs actually removed (0 = nothing committed). */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame): Long = {
+    val live = batchDirs(indexDir)
+    require(live.nonEmpty, s"no committed batches under $indexDir")
+    val root = java.nio.file.Paths.get(indexDir)
+    val idsDf = ids.select(ids.columns.head)
+      .select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+    // live doclens rows of the requested ids: latest per doc, then
+    // resolved through the current tombstones — bounded by the id set
+    val dls = liveDoclens(spark, live)
+      .join(broadcast(idsDf), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = dls.agg(count(lit(1)).as("n"),
+        sum(col("dl")).as("toks"), count(col("dl")).as("nd")).head()
+      val removed = st.getLong(0)
+      if (removed == 0L) return 0L
+      val staging = root.resolve("_staging")
+        .resolve(java.util.UUID.randomUUID().toString)
+      java.nio.file.Files.createDirectories(staging)
+      dls.select(col("doc_id"))
+        .write.mode("overwrite").parquet(staging.resolve("deletes").toString)
+      import spark.implicits._
+      Seq((-removed,
+          -(if (st.isNullAt(1)) 0L else st.getDouble(1).toLong),
+          -st.getLong(2)))
+        .toDF("n_docs", "total_tokens", "n_with_dl")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(staging.resolve("stats").toString)
+      claimBatch(indexDir, staging)
+      removed
+    } finally dls.unpersist()
+  }
+
+  /** The CURRENT (doc_id, dl) relation: latest doclens row per doc,
+    * killed by any later tombstone. The merge-on-read rule in one
+    * plan. */
+  private def liveDoclens(spark: SparkSession,
+                          live: Seq[java.nio.file.Path]): DataFrame = {
+    val dataB = live.filter(b =>
+      java.nio.file.Files.isDirectory(b.resolve("doclens")))
+    require(dataB.nonEmpty, "index has no doclens sidecars (built by a " +
+      "pre-delete version?) — rebuild to enable deletes")
+    val all = dataB.map(b =>
+      spark.read.parquet(b.resolve("doclens").toString)
+        .withColumn("_b", lit(batchId(b))))
+      .reduce(_ unionByName _)
+    val latest = all
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("_b"), col("dl"))).as("_top"))
+      .select(col("doc_id"), col("_top._b").as("_b"), col("_top.dl").as("dl"))
+    applyTombstones(spark, live, latest)
+  }
+
+  /** Kill rows whose doc has a tombstone in a LATER batch than the
+    * row's own `_b` column. No tombstones → the input plan unchanged. */
+  private def applyTombstones(spark: SparkSession,
+                              live: Seq[java.nio.file.Path],
+                              rows: DataFrame): DataFrame = {
+    val tombB = live.filter(b =>
+      java.nio.file.Files.isDirectory(b.resolve("deletes")))
+    if (tombB.isEmpty) return rows
+    val tombs = tombB.map(b =>
+      spark.read.parquet(b.resolve("deletes").toString)
+        .withColumn("_del_b", lit(batchId(b))))
+      .reduce(_ unionByName _)
+      .groupBy(col("doc_id")).agg(max(col("_del_b")).as("_del_b"))
+    rows.join(broadcast(tombs.withColumnRenamed("doc_id", "_del_id")),
+        rows("doc_id") === col("_del_id") && col("_del_b") > rows("_b"),
+        "left_anti")
+  }
+
+  private def claimBatch(indexDir: String,
+                         staging: java.nio.file.Path): Long = {
+    val root = java.nio.file.Paths.get(indexDir)
+    var b = allBatchDirs(indexDir).lastOption.map(batchId(_) + 1)
+      .getOrElse(0L)
+    var attempts = 0
+    while (true) {
+      try {
+        java.nio.file.Files.move(staging, root.resolve(s"batch=$b"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        return b
+      } catch {
+        case e: java.nio.file.FileSystemException =>
+          if (!java.nio.file.Files.isDirectory(staging)) throw e
+          attempts += 1
+          require(attempts < 1000,
+            s"could not claim a batch id under $indexDir: ${e.getMessage}")
+          b += 1
+      }
+    }
+    -1L // unreachable
+  }
+
   /** BIN-PACK the live batches into one (the maintenance valve a
     * streamed index needs: every micro-batch leaves up to `shards`
     * tiny parquet files, so a T-term query over B batches opens
@@ -326,17 +443,31 @@ object TextIndex {
     val staging = root.resolve("_staging")
       .resolve(java.util.UUID.randomUUID().toString)
     java.nio.file.Files.createDirectories(staging)
-    val post = live
-      .map(b => spark.read.parquet(b.resolve("postings").toString))
-      .reduce(_ unionByName _)
+    // surviving postings: tombstones applied PHYSICALLY (the pack is
+    // where merge-on-read becomes copy-on-write, same trade as the
+    // corpus store's compact)
+    val dataB = live.filter(b =>
+      java.nio.file.Files.isDirectory(b.resolve("postings")))
+    val post = applyTombstones(spark, live,
+      dataB.map(b => spark.read.parquet(b.resolve("postings").toString)
+          .withColumn("_b", lit(batchId(b))))
+        .reduce(_ unionByName _)).drop("_b")
     // one task per shard → one packed file per shard (a deployment
     // whose single-shard postings outgrow one file would raise the
     // shard count at build time — the knob is the same)
     post.repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite")
       .parquet(staging.resolve("postings").toString)
+    liveDoclens(spark, live).drop("_b")
+      .write.mode("overwrite").parquet(staging.resolve("doclens").toString)
+    // stats collapse to ONE corrected row (delete batches contributed
+    // negatives; their tombstones are now applied, so the pack's row
+    // IS the surviving corpus's accounting)
     live.map(b => spark.read.parquet(b.resolve("stats").toString))
       .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"),
+        sum(col("n_with_dl")).as("n_with_dl"))
       .coalesce(1)
       .write.mode("overwrite").parquet(staging.resolve("stats").toString)
     val tokens = live.flatMap(tokensOf)
@@ -346,24 +477,7 @@ object TextIndex {
     java.nio.file.Files.write(staging.resolve("_replaces.txt"),
       live.map(batchId).mkString(",")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var b = allBatchDirs(indexDir).lastOption.map(batchId(_) + 1)
-      .getOrElse(0L)
-    var attempts = 0
-    while (true) {
-      try {
-        java.nio.file.Files.move(staging, root.resolve(s"batch=$b"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        return Some(b)
-      } catch {
-        case e: java.nio.file.FileSystemException =>
-          if (!java.nio.file.Files.isDirectory(staging)) throw e
-          attempts += 1
-          require(attempts < 1000,
-            s"could not claim a pack id under $indexDir: ${e.getMessage}")
-          b += 1
-      }
-    }
-    None // unreachable
+    Some(claimBatch(indexDir, staging))
   }
 
   /** Reclaim the data of batches retired by committed [[optimize]]

@@ -127,6 +127,51 @@ class TextIndexSpec extends AnyFunSuite {
     assert(!TextIndex.appendOnce(slices(1), "doc_id", "text", dir, "b-9"))
   }
 
+  test("delete: merge-on-read tombstones ≡ scan over survivors; re-ingest resurrects; double delete no-op; optimize applies physically") {
+    val dir = freshDir()
+    val terms = Seq("data", "query")
+    def check(corpus: org.apache.spark.sql.DataFrame, tag: String): Unit =
+      assert(scores(TextIndex.bm25(spark, dir, terms)) ===
+        scores(TextAnalysis.bm25(corpus, "doc_id", "text", terms)), tag)
+    TextIndex.build(docs.filter(col("doc_id") < 200), "doc_id", "text",
+      dir, shards = 8)
+    TextIndex.append(docs.filter(col("doc_id") >= 200 && col("doc_id") < 400),
+      "doc_id", "text", dir)
+    // delete a slab: N, avgdl, df, tf must all re-derive from survivors
+    val removed = TextIndex.delete(spark, dir,
+      spark.range(50L, 120L).select(col("id").as("doc_id")))
+    assert(removed === 70L)
+    val surv1 = docs.filter(col("doc_id") < 400 &&
+      !(col("doc_id") >= 50 && col("doc_id") < 120))
+    check(surv1, "after delete")
+    // double delete and absent-id delete are no-ops (no commit, no
+    // double stats correction)
+    assert(TextIndex.delete(spark, dir,
+      spark.range(50L, 120L).select(col("id").as("doc_id"))) === 0L)
+    assert(TextIndex.delete(spark, dir,
+      spark.range(90000L, 90010L).select(col("id").as("doc_id"))) === 0L)
+    check(surv1, "after no-op deletes")
+    // re-ingest a deleted slice: the LATER batch resurrects it
+    TextIndex.append(docs.filter(col("doc_id") >= 50 && col("doc_id") < 60),
+      "doc_id", "text", dir)
+    val surv2 = docs.filter(col("doc_id") < 400 &&
+      !(col("doc_id") >= 60 && col("doc_id") < 120))
+    check(surv2, "after resurrect")
+    // optimize applies tombstones physically and retires them
+    assert(TextIndex.optimize(spark, dir).nonEmpty)
+    TextIndex.vacuumPacked(dir)
+    val live = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("batch="))
+    assert(live.length === 1)
+    assert(!new java.io.File(live.head, "deletes").exists(),
+      "pack must not carry tombstones forward")
+    check(surv2, "after physical apply")
+    // and deleting from the packed index still works
+    assert(TextIndex.delete(spark, dir,
+      spark.range(0L, 10L).select(col("id").as("doc_id"))) === 10L)
+    check(surv2.filter(col("doc_id") >= 10), "post-pack delete")
+  }
+
   test("model-based fuzz: random append/replay/optimize/vacuum interleavings ≡ scan-based bm25 over the committed corpus") {
     val pool = docs.limit(400).collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -156,11 +201,17 @@ class TextIndexSpec extends AnyFunSuite {
               "doc_id", "text", dir, token, shards = 8))
             committed ++= rows
             usedTokens :+= token
-          case r if r <= 6 && usedTokens.nonEmpty => // replay: must no-op
+          case r if r <= 5 && usedTokens.nonEmpty => // replay: must no-op
             val token = usedTokens(rnd.nextInt(usedTokens.length))
             assert(!TextIndex.appendOnce(
               Vector((999999999L, "replayed junk text")).toDF("doc_id", "text"),
               "doc_id", "text", dir, token, shards = 8))
+          case 6 if committed.nonEmpty => // delete a random live subset
+            val k = 1 + rnd.nextInt(math.min(15, committed.length))
+            val victims = rnd.shuffle(committed.map(_._1)).take(k).toSet
+            assert(TextIndex.delete(spark, dir,
+              victims.toSeq.toDF("doc_id")) === victims.size.toLong)
+            committed = committed.filterNot(r => victims(r._1))
           case r if r <= 8 => TextIndex.optimize(spark, dir)
           case _           => TextIndex.vacuumPacked(dir)
         }
