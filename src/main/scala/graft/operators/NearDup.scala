@@ -444,11 +444,19 @@ object NearDup {
     * 4-decimal ROUNDED Jaccard against τ (the engine-wide display
     * contract), so a true J fractionally below τ can round up to pass —
     * the margin keeps such pairs inside the candidate set instead of
-    * silently losing them to an exact-τ prefix bound. */
+    * silently losing them to an exact-τ prefix bound.
+    *
+    * `dupHint` pre-answers the statistics probe for callers that know
+    * their corpus: `Some(true)` = "effectively distinct, skip the
+    * collapse", `Some(false)` = "duplication-heavy, collapse without
+    * measuring". `None` (default) measures — right for one-shot calls;
+    * a caller invoking this in a loop over slices of the same corpus
+    * passes the hint once and saves the per-invocation probe job. */
   def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
                         minJaccard: Double,
                         shingleSize: Int = 3,
-                        saltFactor: Int = 1): DataFrame = {
+                        saltFactor: Int = 1,
+                        dupHint: Option[Boolean] = None): DataFrame = {
     // EXACT-DUP COLLAPSE first (the standard dedup-pipeline staging):
     // Jaccard is a function of the TEXT alone, so byte-identical rows
     // ride through the similarity join as one min-id representative and
@@ -465,11 +473,14 @@ object NearDup {
     // bound holds for identical sets), so pay its extra stages only
     // when duplication is actually present. One cheap (count,
     // count-distinct-key) agg decides — the AQE philosophy applied at
-    // the operator level: plan by measured stats, not hope.
-    val stats = base.agg(count(lit(1)).as("n"),
-      countDistinct(md5(col("_txt"))).as("nd")).head()
-    val (nTotal, nDistinct) = (stats.getLong(0), stats.getLong(1))
-    if (nDistinct >= math.ceil(nTotal * 0.9).toLong)
+    // the operator level: plan by measured stats, not hope — unless
+    // the caller pre-answered it via `dupHint`.
+    val effectivelyDistinct = dupHint.getOrElse {
+      val stats = base.agg(count(lit(1)).as("n"),
+        countDistinct(md5(col("_txt"))).as("nd")).head()
+      stats.getLong(1) >= math.ceil(stats.getLong(0) * 0.9).toLong
+    }
+    if (effectivelyDistinct)
       return prefixJaccardJoinDistinct(docs, idCol, textCol,
         minJaccard, shingleSize, saltFactor)
     // group key = md5(text), not the text itself: the grouping shuffle

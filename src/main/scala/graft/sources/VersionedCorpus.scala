@@ -733,6 +733,46 @@ object VersionedCorpus {
       o.rlo.exists(_ <= c.gen) && o.rhi.exists(_ >= c.gen)))
   }
 
+  /** Snapshot row count answered from the MANIFESTS ALONE when the
+    * window is tombstone-free (append/base/optimize only): Σ recorded
+    * rows, zero parquet files read, O(generations) driver-side — at
+    * 100 TB a `count(*)` should not scan 100 TB, and the log already
+    * knows the answer. A window containing upserts/deletes needs merge
+    * resolution (an upsert's rows REPLACE an unknown number of earlier
+    * rows), so it falls back to the one-pass snapshot count — honest,
+    * not an estimate; run [[compact]] to restore the manifest-only
+    * path. */
+  def fastCount(spark: SparkSession, root: String,
+                asOf: Long = Long.MaxValue): Long = {
+    val window = resolveWindow(root, asOf)
+    if (window.exists(_.tombstones)) snapshot(spark, root, asOf).count()
+    else window.map(_.rows).sum
+  }
+
+  /** Min/max of a pinned stats column (or the merge key) answered from
+    * the manifests: `Some((lo, hi, exact))` where `exact` is true for
+    * tombstone-free windows (every committed row is live, so the fold
+    * over per-generation bounds IS the true range) and false otherwise
+    * (a tombstone may have removed the extreme row — the range is then
+    * a conservative BOUND, still valid for pruning decisions). None
+    * when any window generation lacks recorded bounds for the column
+    * (pre-pin commits, non-integral types). Zero files read. */
+  def statsRange(root: String, statCol: String,
+                 asOf: Long = Long.MaxValue): Option[(Long, Long, Boolean)] = {
+    val window = resolveWindow(root, asOf)
+    val data = window.filter(_.kind != "delete")
+    val bounds = data.map { c =>
+      if (pinnedKey(root).contains(statCol)) c.klo.zip(c.khi)
+      else c.stats.get(statCol)
+    }
+    if (bounds.isEmpty || bounds.exists(_.isEmpty)) None
+    else {
+      val bs = bounds.flatten
+      Some((bs.map(_._1).min, bs.map(_._2).max,
+        !window.exists(_.tombstones)))
+    }
+  }
+
   /** The table as of generation `asOf` (default: newest commit).
     *
     * Resolution from manifests only ([[resolveWindow]]): Spark gets

@@ -359,4 +359,22 @@ class NearDupSpec extends AnyFunSuite {
       assert(got.nonEmpty, s"degenerate fixture at tau=$tau")
     }
   }
+
+  test("prefixJaccardJoin dupHint: both hint values produce the probed result (the hint only skips the probe job)") {
+    // a corpus with real dup families, so the two hint values take
+    // genuinely different code paths (collapse vs distinct core)
+    val rows = (0 until 30).map { i =>
+      (i.toLong, s"aa bb cc dd ee ff gg copy${i / 10}") // 3 families of 10
+    } ++ (100 until 110).map(i => (i.toLong, s"unique row $i xx yy zz"))
+    val df = rows.toDF("doc_id", "text")
+    val probed = NearDup.prefixJaccardJoin(df, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect.toSet
+    for (hint <- Seq(true, false)) {
+      val hinted = NearDup.prefixJaccardJoin(df, "doc_id", "text", 0.8,
+          dupHint = Some(hint))
+        .as[(Long, Long, Double)].collect.toSet
+      assert(hinted === probed, s"dupHint=$hint")
+    }
+    assert(probed.nonEmpty)
+  }
 }

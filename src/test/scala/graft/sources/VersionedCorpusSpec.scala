@@ -441,6 +441,41 @@ class VersionedCorpusSpec extends AnyFunSuite {
     assert(filesNope.nonEmpty && filesNope.forall(_.contains("gen=0")))
   }
 
+  test("fastCount / statsRange: manifest-only answers on tombstone-free windows; honest fallback/bound flags otherwise") {
+    val root = freshRoot()
+    VersionedCorpus.append(docs(0 until 30, "a"), root)
+    VersionedCorpus.pinKey(root, "doc_id")
+    VersionedCorpus.pinStats(root, Seq("doc_id"))
+    VersionedCorpus.append(docs(30 until 80, "b"), root)
+    // append-only: count comes from the manifests, exact; the range is
+    // None while the pre-pin generation (no recorded bounds) is in the
+    // window — conservative refusal, never a guess
+    assert(VersionedCorpus.fastCount(spark, root) === 80L)
+    assert(VersionedCorpus.fastCount(spark, root) ===
+      VersionedCorpus.snapshot(spark, root).count())
+    assert(VersionedCorpus.statsRange(root, "doc_id").isEmpty,
+      "pre-pin generation in window: range must refuse")
+    // time travel: the as-of window answers too
+    assert(VersionedCorpus.fastCount(spark, root, asOf = 0L) === 30L)
+    // compaction folds everything into a base WITH bounds → exact range
+    VersionedCorpus.compact(spark, root)
+    assert(VersionedCorpus.statsRange(root, "doc_id") === Some((0L, 79L, true)))
+    // tombstones: count falls back (still exact), range degrades to a
+    // BOUND (exact = false) — the deleted rows held the max
+    VersionedCorpus.delete(docs(70 until 80, "x").select("doc_id"),
+      root, "doc_id")
+    assert(VersionedCorpus.fastCount(spark, root) === 70L)
+    val r = VersionedCorpus.statsRange(root, "doc_id").get
+    assert(r._1 === 0L && r._2 === 79L && !r._3,
+      "post-delete range is a conservative bound, flagged inexact")
+    // a second compaction restores both manifest-only paths
+    VersionedCorpus.compact(spark, root)
+    assert(VersionedCorpus.fastCount(spark, root) === 70L)
+    assert(VersionedCorpus.statsRange(root, "doc_id") === Some((0L, 69L, true)))
+    // unpinned / non-integral columns answer None
+    assert(VersionedCorpus.statsRange(root, "text").isEmpty)
+  }
+
   test("additive schema evolution: new columns appended; pre-evolution rows read as null; non-additive refused") {
     val root = freshRoot()
     VersionedCorpus.append(docs(0 until 10, "a").drop("lang"), root)
