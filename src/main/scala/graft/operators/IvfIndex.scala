@@ -241,6 +241,103 @@ object IvfIndex {
       .repartition(col("cluster_id"))
       .write.partitionBy("cluster_id").mode("append").parquet(path)
 
+  /** DELETE vectors from a [[writePartitioned]] index (the GDPR
+    * maintenance leg of the vector tier, mirroring the corpus store's
+    * and text index's tombstone discipline): one atomic tombstone
+    * commit (staged id-only parquet, renamed into `_tombstones/` —
+    * underscore-prefixed, so partition discovery never sees it),
+    * nothing rewritten. Probes anti-join the broadcast tombstone set;
+    * [[applyTombstonesPartitioned]] removes the rows physically,
+    * rewriting ONLY the partitions that actually hold tombstoned ids.
+    * A tombstoned id stays dead until physically applied — the index
+    * has no batch ordering; re-ingestion of a deleted id is the corpus
+    * store's resurrection story, repaired into the index by
+    * apply-then-[[reconcilePartitioned]]. */
+  def deletePartitioned(spark: org.apache.spark.sql.SparkSession,
+                        path: String, idCol: String,
+                        ids: DataFrame): Unit = {
+    val staging = java.nio.file.Paths.get(path, "_tomb_staging",
+      java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.createDirectories(staging.getParent)
+    ids.select(ids.columns.head)
+      .select(col(ids.columns.head).cast("long").as(idCol)).distinct()
+      .write.mode("overwrite").parquet(staging.toString)
+    val dir = java.nio.file.Paths.get(path, "_tombstones")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.move(staging,
+      dir.resolve(java.util.UUID.randomUUID().toString),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The live tombstone set, or None when the index has none (keeps
+    * the no-delete probe plan byte-identical). */
+  private[graft] def tombstones(spark: org.apache.spark.sql.SparkSession,
+                                path: String,
+                                idCol: String): Option[DataFrame] = {
+    val dir = java.nio.file.Paths.get(path, "_tombstones")
+    if (!java.nio.file.Files.isDirectory(dir)) return None
+    val subs = {
+      val s = java.nio.file.Files.list(dir)
+      try {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        s.forEach(p => out += p.toString)
+        out.toSeq
+      } finally s.close()
+    }
+    if (subs.isEmpty) None
+    else Some(spark.read.parquet(subs: _*).select(col(idCol)).distinct())
+  }
+
+  /** Drop tombstoned rows where the kept plan would have them. */
+  private def minusTombstones(idx: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                              path: String, idCol: String): DataFrame =
+    tombstones(spark, path, idCol) match {
+      case None    => idx
+      case Some(t) => idx.join(broadcast(t), Seq(idCol), "left_anti")
+    }
+
+  /** Apply the tombstones physically: ONE id+cluster projection scan
+    * finds the touched partitions, and only those are rewritten
+    * (dynamic partition overwrite — untouched clusters' files are
+    * never opened for the rewrite). Clears the tombstone set. */
+  def applyTombstonesPartitioned(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, idCol: String): Long = {
+    val tomb = tombstones(spark, path, idCol).getOrElse(return 0L)
+    val idx = spark.read.parquet(path)
+    val touched = idx.select(col(idCol), col("cluster_id"))
+      .join(broadcast(tomb), Seq(idCol), "left_semi")
+      .select(col("cluster_id")).distinct()
+      .collect().map(_.getInt(0))
+    if (touched.nonEmpty) {
+      val survivors = idx
+        .filter(col("cluster_id").isin(touched.map(Integer.valueOf): _*))
+        .join(broadcast(tomb), Seq(idCol), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val kept = survivors.select(col("cluster_id")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try survivors.repartition(col("cluster_id"))
+          .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        // a cluster whose every row was tombstoned writes no survivors,
+        // so dynamic overwrite never visits its directory — drop it
+        touched.filterNot(kept).foreach { c =>
+          val d = java.nio.file.Paths.get(path, s"cluster_id=$c")
+          if (java.nio.file.Files.isDirectory(d))
+            org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+        }
+      } finally survivors.unpersist()
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(path, "_tombstones").toFile)
+    touched.length.toLong
+  }
+
   /** Repair the partitioned index against the corpus table it mirrors:
     * corpus rows whose ids are absent from the index are assigned to the
     * EXISTING centroids and appended. This is the recovery path for the
@@ -283,8 +380,9 @@ object IvfIndex {
                       queries: Seq[(Long, Seq[Double])], k: Int,
                       score: (Column, Column) => Column = dot)
       : Array[(Long, Int, Long, Double)] =
-    calibrationTopKOf(spark.read.parquet(path), idCol, vecCol, cents,
-      queries, k, score)
+    calibrationTopKOf(
+      minusTombstones(spark.read.parquet(path), spark, path, idCol),
+      idCol, vecCol, cents, queries, k, score)
 
   /** [[calibrationTopK]] over an ALREADY-ASSIGNED relation
     * (idCol, vecCol, cluster_id) instead of the written table — the
@@ -340,8 +438,9 @@ object IvfIndex {
       .orderBy(l2Dist(col("centroid"), qlit).asc, col("cluster_id").asc)
       .limit(nprobe).select("cluster_id")
       .collect().map(_.getInt(0))
-    spark.read.parquet(path)
-      .filter(col("cluster_id").isin(near.toIndexedSeq: _*))
+    minusTombstones(spark.read.parquet(path)
+        .filter(col("cluster_id").isin(near.toIndexedSeq: _*)),
+        spark, path, idCol)
       .withColumn("sim", round(score(col(vecCol), qlit), 4))
       // undefined similarity (zero-norm → null score) is not a neighbor
       // — the engine-wide rule (Search.knnJoin, probeMany); without it a
@@ -423,8 +522,9 @@ object IvfIndex {
       s"probeMany: id column '$idCol' is $idType — the bounded top-k " +
         "aggregator carries (sim, long-id) pairs, so the id must be " +
         "integral; use probePartitioned for non-integral ids")
-    val scored = idx
-      .filter(col("cluster_id").isin(probedClusters.toIndexedSeq: _*))
+    val scored = minusTombstones(idx
+        .filter(col("cluster_id").isin(probedClusters.toIndexedSeq: _*)),
+        spark, path, idCol)
       .join(broadcast(probed), "cluster_id")
       // explicit widening cast: the aggregator's input encoder is
       // (Double, Long), and relying on implicit up-casts for narrower

@@ -97,6 +97,63 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(appended).count === emb.count)
   }
 
+  test("deletePartitioned: tombstoned probes ≡ rebuilt-from-survivors index; physical apply rewrites only touched partitions") {
+    val (assignments, centroids) = built
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfdel").toString
+    val table = s"$root/table"
+    IvfIndex.writePartitioned(emb, "vec_id", assignments, table)
+    // victims: a slab certain to include top-ranked ids for q1
+    val victims = Search.topK(emb, "embedding", "vec_id", QueryVectors.q1, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    IvfIndex.deletePartitioned(spark, table, "vec_id",
+      victims.toDF("vec_id"))
+    // rebuilt table over the survivors under the SAME centroids
+    val survivors = emb.filter(!$"vec_id".isin(victims: _*))
+    val rebuilt = s"$root/rebuilt"
+    IvfIndex.writePartitioned(survivors, "vec_id",
+      assignments.join(survivors.select("vec_id"), "vec_id"), rebuilt)
+    def probe(path: String, np: Int) =
+      IvfIndex.probePartitioned(spark, path, "vec_id", "embedding",
+        centroids, QueryVectors.q1, k = 10, nprobe = np)
+        .select("vec_id", "sim").as[(Long, Double)].collect.toSeq
+    for (np <- Seq(2, 4, 8))
+      assert(probe(table, np) === probe(rebuilt, np), s"nprobe=$np")
+    // probeMany respects tombstones too
+    val queries = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+      .toDF("qid", "qvec")
+    val many = IvfIndex.probeMany(spark, table, "vec_id", "embedding",
+        centroids, queries, "qid", "qvec", k = 10, nprobe = 8)
+        .select("vec_id").as[Long].collect().toSet
+    assert(victims.forall(v => !many(v)), "tombstoned ids leaked into probeMany")
+    // physical apply: only the victims' partitions are rewritten
+    val victimClusters = assignments
+      .join(victims.toDF("vec_id"), "vec_id")
+      .select("cluster_id").as[Int].collect().toSet
+    val untouched = (0 until 8).filterNot(victimClusters).head
+    def filesOf(c: Int) = new java.io.File(s"$table/cluster_id=$c")
+      .listFiles().map(f => (f.getName, f.lastModified)).toSet
+    val before = filesOf(untouched)
+    assert(IvfIndex.applyTombstonesPartitioned(spark, table, "vec_id")
+      === victimClusters.size.toLong)
+    assert(filesOf(untouched) === before,
+      "untouched partition was rewritten by the physical apply")
+    assert(!new java.io.File(s"$table/_tombstones").exists())
+    for (np <- Seq(2, 4, 8))
+      assert(probe(table, np) === probe(rebuilt, np), s"post-apply nprobe=$np")
+    assert(spark.read.parquet(table).count === survivors.count)
+    // second apply is a no-op; reconcile re-indexes a resurrected id
+    assert(IvfIndex.applyTombstonesPartitioned(spark, table, "vec_id") === 0L)
+    assert(IvfIndex.reconcilePartitioned(emb, "vec_id", "embedding",
+      centroids, table) === victims.length.toLong)
+    for (np <- Seq(4, 8)) {
+      val full = s"$root/full"
+      // compare against a one-shot write of the whole corpus
+      if (!new java.io.File(full).exists())
+        IvfIndex.writePartitioned(emb, "vec_id", assignments, full)
+      assert(probe(table, np) === probe(full, np), s"post-reconcile nprobe=$np")
+    }
+  }
+
   test("calibrationTopK: driver-evaluated top-10 at any nprobe ≡ probePartitioned") {
     val (assignments, centroids) = built
     val path = java.nio.file.Files.createTempDirectory("graft-ivfcal").toString + "/corpus"
