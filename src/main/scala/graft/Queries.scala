@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{Decontaminate, Dedup, IvfIndex, LangId, Multimodal, NearDup, PqIndex, Sampling, Search, Sketch, SpanDedup, SqIndex, TextAnalysis, TextIndex}
+import graft.operators.{Decontaminate, Dedup, Forget, IvfIndex, LangId, Multimodal, NearDup, PqIndex, Sampling, Search, Sketch, SpanDedup, SqIndex, TextAnalysis, TextIndex}
 import graft.sources.{IncrementalView, VersionedCorpus}
 import graft.streaming.Streams
 
@@ -2615,6 +2615,79 @@ object Queries {
          |FROM tf JOIN dfc USING (word) CROSS JOIN s
          |GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin),
       "persisted inverted index: build + append + shard-pruned BM25 read, scores ≡ the scan-based oracle"),
+
+    "q_forget_e2e" -> DeclaredQuery(
+      // RIGHT-TO-BE-FORGOTTEN end-to-end (`operators.Forget`): the
+      // corpus store, the inverted text index, and the partitioned
+      // vector index are all built from the fixtures, one id slab is
+      // forgotten through the single composed call, and BOTH search
+      // surfaces are then queried — indexed BM25 top-20 and an
+      // exhaustive (nprobe = every cell, so centroid float-iteration
+      // cannot matter) vector probe top-10 — and must hash-match
+      // DuckDB replaying the same searches over the SURVIVING rows.
+      // A tombstone leak in either index, a stats row not corrected,
+      // or a probe reading a dead vector breaks the hash. LIFECYCLE
+      // row: Spark builds + mutates three stores; exclude from
+      // engine-vs-engine proxies.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-forget")
+        try {
+          val corpusRoot = s"$tmpRoot/corpus"; val tix = s"$tmpRoot/tix"
+          val vix = s"$tmpRoot/vix"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          val emb = T(s, dir, "embeddings")
+          VersionedCorpus.append(docs, corpusRoot)
+          VersionedCorpus.pinKey(corpusRoot, "doc_id")
+          TextIndex.build(docs, "doc_id", "text", tix, shards = 16)
+          val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
+            k = 8, iters = 2)
+          IvfIndex.writePartitioned(emb, "vec_id", assign, vix)
+          val removed = Forget.forget(s,
+            s.range(100L, 150L).select(col("id").as("doc_id")),
+            corpusRoot = Some(corpusRoot), textIndexDir = Some(tix),
+            vectorIndexPath = Some(vix))
+          require(removed("corpus") == 50L && removed("text_index") == 50L,
+            s"forget accounting: $removed")
+          val kw = TextIndex.bm25(s, tix, Seq("data", "query", "spark"))
+            .orderBy(desc("bm25"), asc("doc_id")).limit(20)
+            .select(lit("bm25").as("src"), col("doc_id"),
+              col("bm25").as("score"))
+          val vec = IvfIndex.probePartitioned(s, vix, "vec_id", "embedding",
+              cents, QueryVectors.q2, k = 10, nprobe = 8, score = cosine)
+            .select(lit("cosine").as("src"), col("vec_id").as("doc_id"),
+              col("sim").as("score"))
+          localFrame(kw.unionByName(vec)
+            .orderBy(col("src"), desc("score"), asc("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some(s"""WITH surv AS (SELECT * FROM documents
+         |  WHERE NOT (doc_id >= 100 AND doc_id < 150)),
+         |d AS (SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE AS dl,
+         |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |       FROM surv),
+         |st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, w AS word, count(*)::DOUBLE AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS w FROM d)
+         |       WHERE w IN ('data', 'query', 'spark') GROUP BY doc_id, dl, w),
+         |dfc AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY word),
+         |kw AS (SELECT 'bm25' AS src, tf.doc_id AS doc_id,
+         |    round(sum(ln(1 + (st.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         |      * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score
+         |  FROM tf JOIN dfc USING (word) CROSS JOIN st
+         |  GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20),
+         |vec AS (SELECT 'cosine' AS src, vec_id AS doc_id,
+         |    round(${duckDot("embedding", q2Sql)}
+         |      / (sqrt(${duckDot("embedding", "CAST(embedding AS DOUBLE[])")})
+         |         * sqrt(list_dot_product($q2Sql, $q2Sql))), 4) AS score
+         |  FROM embeddings WHERE NOT (vec_id >= 100 AND vec_id < 150)
+         |  ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT src, doc_id, score FROM (
+         |  SELECT * FROM kw UNION ALL SELECT * FROM vec
+         |) ORDER BY src, score DESC, doc_id""".stripMargin),
+      "right-to-be-forgotten across corpus store + text index + vector index, both search surfaces ≡ DuckDB over the survivors"),
 
     "hybrid_rrf" -> DeclaredQuery(
       (s, dir) => {

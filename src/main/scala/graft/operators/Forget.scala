@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedCorpus
+
+/** RIGHT-TO-BE-FORGOTTEN across the engine's durable artifacts — the
+  * one-call composition a GDPR erasure request needs: the same id set
+  * tombstoned in the versioned corpus store, the inverted text index,
+  * and the partitioned vector index, each through its own
+  * merge-on-read delete (one atomic commit per artifact, nothing
+  * rewritten at request time; the physical removals happen at each
+  * store's maintenance valve — compact / optimize /
+  * applyTombstonesPartitioned — which [[forgetAndApply]] runs
+  * eagerly for callers who need the bytes gone now, not just
+  * unreachable).
+  *
+  * Legs are optional: pass only the artifacts this deployment keeps.
+  * Each leg is itself idempotent (double-forget is a no-op in all
+  * three stores), so replaying a crashed forget converges. Returns
+  * per-artifact removed counts ("corpus" counts tombstoned keys;
+  * "text_index" counts removed docs; "vector_index" counts tombstoned
+  * ids requested — the vector tombstone is id-set-shaped, absent ids
+  * are harmless).
+  */
+object Forget {
+
+  def forget(spark: SparkSession, ids: DataFrame,
+             corpusRoot: Option[String] = None,
+             corpusKeyCol: String = "doc_id",
+             textIndexDir: Option[String] = None,
+             vectorIndexPath: Option[String] = None,
+             vectorIdCol: String = "vec_id"): Map[String, Long] = {
+    val idsOne = ids.select(ids.columns.head).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val corpus = corpusRoot.map { root =>
+        val gen = VersionedCorpus.delete(
+          idsOne.withColumnRenamed(idsOne.columns.head, corpusKeyCol),
+          root, corpusKeyCol)
+        if (gen < 0L) 0L
+        else VersionedCorpus.commits(root).find(_.gen == gen)
+          .map(_.rows).getOrElse(0L)
+      }
+      val text = textIndexDir.map(dir =>
+        TextIndex.delete(spark, dir, idsOne))
+      val vec = vectorIndexPath.map { path =>
+        IvfIndex.deletePartitioned(spark, path, vectorIdCol, idsOne)
+        idsOne.count()
+      }
+      (corpus.map("corpus" -> _) ++ text.map("text_index" -> _) ++
+        vec.map("vector_index" -> _)).toMap
+    } finally idsOne.unpersist()
+  }
+
+  /** [[forget]] + the three physical applies, for the erasure requests
+    * where unreachability is not enough and the bytes must go: corpus
+    * compact (+ vacuum of the superseded tail), text-index optimize +
+    * vacuum, vector-index tombstone apply. */
+  def forgetAndApply(spark: SparkSession, ids: DataFrame,
+                     corpusRoot: Option[String] = None,
+                     corpusKeyCol: String = "doc_id",
+                     textIndexDir: Option[String] = None,
+                     vectorIndexPath: Option[String] = None,
+                     vectorIdCol: String = "vec_id"): Map[String, Long] = {
+    val counts = forget(spark, ids, corpusRoot, corpusKeyCol,
+      textIndexDir, vectorIndexPath, vectorIdCol)
+    corpusRoot.foreach { root =>
+      VersionedCorpus.compact(spark, root)
+      VersionedCorpus.vacuum(root)
+    }
+    textIndexDir.foreach { dir =>
+      TextIndex.optimize(spark, dir)
+      TextIndex.vacuumPacked(dir)
+    }
+    vectorIndexPath.foreach(path =>
+      IvfIndex.applyTombstonesPartitioned(spark, path, vectorIdCol))
+    counts
+  }
+}
