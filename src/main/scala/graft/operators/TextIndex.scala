@@ -336,7 +336,11 @@ object TextIndex {
     val idsDf = ids.select(ids.columns.head)
       .select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
     // live doclens rows of the requested ids: latest per doc, then
-    // resolved through the current tombstones — bounded by the id set
+    // resolved through the current tombstones. The RESULT is id-set
+    // bounded; the scan behind it is doclens-sized (2 columns, one row
+    // per ingested doc — the small sidecar, never the postings), with
+    // parquet min/max pruning when ids cluster. A maintenance op pays
+    // it once; queries never do
     val dls = liveDoclens(spark, live)
       .join(broadcast(idsDf), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
