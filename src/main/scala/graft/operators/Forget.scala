@@ -35,6 +35,12 @@ object Forget {
     val idsOne = ids.select(ids.columns.head).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      if (idsOne.isEmpty) {
+        // an empty request forgets nothing and commits nothing anywhere
+        return (corpusRoot.map(_ => "corpus" -> 0L) ++
+          textIndexDir.map(_ => "text_index" -> 0L) ++
+          vectorIndexPath.map(_ => "vector_index" -> 0L)).toMap
+      }
       val corpus = corpusRoot.map { root =>
         val gen = VersionedCorpus.delete(
           idsOne.withColumnRenamed(idsOne.columns.head, corpusKeyCol),

@@ -306,6 +306,30 @@ object Streams {
       sink(batchId, committed)
     }
 
+  /** STREAMING ERASURE loop — right-to-be-forgotten requests arriving
+    * as a stream (the deletion-request queue of a production corpus):
+    * each micro-batch of ids goes through ONE composed
+    * [[graft.operators.Forget.forget]] call, tombstoning the corpus
+    * store, the text index, and the vector index together. Restart
+    * safety is the legs' own idempotence (double-forget converges in
+    * all three stores), so at-least-once delivery needs no token here.
+    * Pass only the artifacts this deployment keeps. `sink` sees
+    * (batchId, per-artifact removed counts). */
+  def incrementalForget(idStream: DataFrame,
+                        corpusRoot: Option[String] = None,
+                        corpusKeyCol: String = "doc_id",
+                        textIndexDir: Option[String] = None,
+                        vectorIndexPath: Option[String] = None,
+                        vectorIdCol: String = "vec_id")
+                       (sink: (Long, Map[String, Long]) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    idStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val removed = graft.operators.Forget.forget(batch.sparkSession,
+        batch, corpusRoot, corpusKeyCol, textIndexDir,
+        vectorIndexPath, vectorIdCol)
+      sink(batchId, removed)
+    }
+
   /** CDC-APPLY ingestion loop — the change-data-capture twin of
     * [[incrementalAdmissionDurable]]: each micro-batch of keyed change
     * rows (insert/update/delete + a within-batch sequence column) folds

@@ -989,6 +989,53 @@ class StreamsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  test("streaming erasure loop: forget requests applied across all three artifacts, convergent under replay") {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-forgetstream")
+    val corpus = s"$tmpRoot/corpus"; val tix = s"$tmpRoot/tix"
+    val vix = s"$tmpRoot/vix"; val srcDir = s"$tmpRoot/requests"
+    val cpDir = s"$tmpRoot/checkpoint"
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val emb = graft.Tables.load(spark, graft.TestSpark.sf0001, "embeddings")
+    graft.sources.VersionedCorpus.append(docs, corpus)
+    graft.sources.VersionedCorpus.pinKey(corpus, "doc_id")
+    graft.operators.TextIndex.build(docs, "doc_id", "text", tix, shards = 8)
+    val (assign, cents) = graft.operators.IvfIndex.build(
+      emb, "vec_id", "embedding", k = 4, iters = 2)
+    graft.operators.IvfIndex.writePartitioned(emb, "vec_id", assign, vix)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+    def drop(ids: Seq[Long]): Unit =
+      ids.toDF("doc_id").coalesce(1).write.mode("append").parquet(srcDir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Map[String, Long]]
+    def startQ() = Streams.incrementalForget(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        corpusRoot = Some(corpus), textIndexDir = Some(tix),
+        vectorIndexPath = Some(vix)) { (_, removed) =>
+          seen.synchronized { seen += removed }; ()
+        }
+      .option("checkpointLocation", cpDir)
+      .start()
+    drop(Seq(10L, 11L, 12L)); drop(Seq(20L, 21L))
+    val q1 = startQ(); q1.processAllAvailable(); q1.stop()
+    assert(seen.map(_("text_index")).sum === 5L)
+    // requests landing while the loop is down, incl. a REPLAYED id —
+    // the second forget of 12 must be a no-op leg-by-leg
+    drop(Seq(12L, 30L))
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    assert(seen.last("text_index") === 1L, s"replayed id re-forgotten: $seen")
+    val gone = Set(10L, 11L, 12L, 20L, 21L, 30L)
+    assert(graft.sources.VersionedCorpus.snapshot(spark, corpus)
+      .filter(col("doc_id").isin(gone.toSeq: _*)).count() === 0L)
+    assert(graft.operators.TextIndex.bm25(spark, tix, Seq("data"))
+      .filter(col("doc_id").isin(gone.toSeq: _*)).count() === 0L)
+    assert(graft.operators.IvfIndex.probePartitioned(spark, vix, "vec_id",
+        "embedding", cents, graft.QueryVectors.q1, k = 500, nprobe = 4)
+      .filter(col("vec_id").isin(gone.toSeq: _*)).count() === 0L)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   test("CDC apply survives kill + restart against a real checkpoint dir") {
     // same restart harness as the admission loop, for the CDC writer: a
     // FILE source of change files + checkpointLocation, stopped cold,
