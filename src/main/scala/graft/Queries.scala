@@ -5413,6 +5413,166 @@ object Queries {
       """),
       "multimodal header decode, oracle-checked: PNG/WAV write → parse round trip vs the generation formulas"),
 
+    "media_pixels" -> DeclaredQuery(
+      // REAL pixel decode, oracle-checked: the fixture's image rows are
+      // genuine PNG encodings (zlib-deflated rasters) of solid colors
+      // with closed-form dims/RGB, so JvmCodec's full decode — inflate,
+      // raster walk, integer-sum features — must reproduce the color
+      // formulas EXACTLY. Feature sums are integer-exact and each
+      // feature is one double expression mirrored verbatim in the SQL
+      // (then FLOAT-cast on both sides), so the hash match is bit-exact,
+      // not tolerance-based.
+      (s, dir) => {
+        val dec = Multimodal.decodeAll(Multimodal.syntheticMediaReal(s, 240)).toDF()
+        dec.filter(col("kind") === "image")
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            round(element_at(col("features"), 1).cast("double"), 4).as("f_r"),
+            round(element_at(col("features"), 2).cast("double"), 4).as("f_g"),
+            round(element_at(col("features"), 3).cast("double"), 4).as("f_b"),
+            round(element_at(col("features"), 4).cast("double"), 4).as("f_luma"),
+            round(element_at(col("features"), 5).cast("double"), 4).as("f_std"),
+            round(element_at(col("features"), 6).cast("double"), 4).as("f_grad"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH px AS (
+          SELECT i, 32 + i % 32 AS w, 24 + i % 24 AS h,
+                 (i * 17) % 256 AS r, (i * 29) % 256 AS g, (i * 43) % 256 AS b
+          FROM range(0, 240) t(i) WHERE i % 3 = 0)
+        SELECT i AS media_id, w::BIGINT AS width, h::BIGINT AS height,
+          round(cast((w * h * r) / (w * h * 255.0) AS FLOAT)::DOUBLE, 4) AS f_r,
+          round(cast((w * h * g) / (w * h * 255.0) AS FLOAT)::DOUBLE, 4) AS f_g,
+          round(cast((w * h * b) / (w * h * 255.0) AS FLOAT)::DOUBLE, 4) AS f_b,
+          round(cast((w * h * (299 * r + 587 * g + 114 * b)) / (w * h * 255000.0)
+                AS FLOAT)::DOUBLE, 4) AS f_luma,
+          0.0::DOUBLE AS f_std,
+          0.0::DOUBLE AS f_grad
+        FROM px ORDER BY media_id
+      """),
+      "multimodal REAL pixel decode: PNG encode → full JDK decode → exact integer-sum features vs the color formulas"),
+
+    "media_wave" -> DeclaredQuery(
+      // REAL PCM sample decode, oracle-checked: audio rows carry genuine
+      // 16-bit PCM WAV of a constant (DC) signal, so RMS = peak = amp
+      // and crossings = 0 are EXACT (perfect-square sqrt, power-of-two
+      // divides — no rounding anywhere), replayable from the amp
+      // formula.
+      (s, dir) => {
+        val dec = Multimodal.decodeAll(Multimodal.syntheticMediaReal(s, 240)).toDF()
+        dec.filter(col("kind") === "audio")
+          .select(col("media_id"),
+            col("width").cast("long").as("sample_rate"),
+            col("height").cast("long").as("channels"),
+            col("n_frames").cast("long").as("n_frames"),
+            round(element_at(col("features"), 1).cast("double"), 4).as("rms"),
+            round(element_at(col("features"), 2).cast("double"), 4).as("zcr"),
+            round(element_at(col("features"), 3).cast("double"), 4).as("peak"),
+            round(element_at(col("features"), 5).cast("double"), 4).as("dur_s"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH au AS (
+          SELECT i, 8000 + (i % 5) * 2000 AS rate, 1 + i % 2 AS ch,
+                 400 + i % 256 AS frames, (i * 37) % 20000 AS amp
+          FROM range(0, 240) t(i) WHERE i % 3 = 1)
+        SELECT i AS media_id, rate::BIGINT AS sample_rate, ch::BIGINT AS channels,
+          frames::BIGINT AS n_frames,
+          round(cast(amp / 32768.0 AS FLOAT)::DOUBLE, 4) AS rms,
+          0.0::DOUBLE AS zcr,
+          round(cast(amp / 32768.0 AS FLOAT)::DOUBLE, 4) AS peak,
+          round(cast(frames::DOUBLE / rate::DOUBLE AS FLOAT)::DOUBLE, 4) AS dur_s
+        FROM au ORDER BY media_id
+      """),
+      "multimodal REAL PCM decode: WAV write → sample pass → exact RMS/peak/zcr vs the DC-amp formula"),
+
+    "media_phash" -> DeclaredQuery(
+      // REAL perceptual hash, oracle-checked BIT-FOR-BIT: 9×8 genuine
+      // PNGs make the dHash area-average grid the identity map, so each
+      // of the 64 comparison bits is a pure integer formula the SQL
+      // replays (bit 63 via the min-BIGINT literal — DuckDB's << checks
+      // overflow). Proves decode → luma → grid → hash end-to-end.
+      (s, dir) => {
+        val dec = Multimodal.decodeAll(
+          Multimodal.syntheticGridMedia(s, nGroups = 24, perGroup = 5)).toDF()
+        dec.select(col("media_id"), col("phash")).orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT i AS media_id,
+          bit_or(CASE WHEN ((i // 5) * 31 + (x + 1) * (7 + (i // 5) % 5) + y * 13) % 17
+                        > ((i // 5) * 31 + x * (7 + (i // 5) % 5) + y * 13) % 17
+                 THEN CASE WHEN y * 8 + x = 63 THEN (-9223372036854775807 - 1)
+                      ELSE (1::BIGINT << (y * 8 + x)) END
+                 ELSE 0 END) AS phash
+        FROM range(0, 120) t(i), range(0, 8) u(x), range(0, 8) v(y)
+        GROUP BY i ORDER BY media_id
+      """),
+      "multimodal perceptual dHash, bit-exact oracle: 9×8 PNG decode → grid compare vs the pixel formula"),
+
+    "media_phash_dedup" -> DeclaredQuery(
+      // Perceptual near-dup by dHash, oracle-checked through the
+      // categorical trick: groups differ by pattern, members within a
+      // group only by a uniform brightness shift (the canonical
+      // re-exported-image near-dup) — dHash's strict adjacent compare is
+      // shift-invariant, so grouping by hash must recover EXACTLY the
+      // construction groups (distinct-hash guarantee across ≤85 groups
+      // per the fixture's coefficient argument).
+      (s, dir) => {
+        val dec = Multimodal.decodeAll(
+          Multimodal.syntheticGridMedia(s, nGroups = 24, perGroup = 5)).toDF()
+        dec.groupBy(col("phash"))
+          .agg(min(col("media_id")).as("rep"), count(lit(1)).as("n"))
+          .select(col("rep"), col("n"))
+          .orderBy(col("rep"))
+      },
+      Some("""
+        SELECT (g * 5)::BIGINT AS rep, 5::BIGINT AS n
+        FROM range(0, 24) t(g) ORDER BY rep
+      """),
+      "perceptual near-dup: brightness-shifted image groups collapse to one dHash each, grouping oracle-checked"),
+
+    "media_resize_pixels" -> DeclaredQuery(
+      // REAL resize end-to-end, oracle-checked: decode genuine PNGs,
+      // area-average downscale to maxSide 16, PNG re-encode, then DECODE
+      // THE RESIZED PAYLOAD AGAIN — target dims replay the
+      // floor(side·scale + ½) formula and the solid color survives the
+      // round trip exactly (area-average of a constant is the constant).
+      // Certifies decode → resample → encode → decode as one loop.
+      (s, dir) => {
+        import s.implicits._
+        val real = Multimodal.syntheticMediaReal(s, 120)
+        val rz = Multimodal.resizeImages(Multimodal.decodeAll(real), real, maxSide = 16)
+        val asMedia = rz.map(r => Multimodal.MediaRow(
+          r.media_id, "image", r.payload, "png", r.payload.length.toLong))
+        Multimodal.decodeAll(asMedia).toDF()
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            round(element_at(col("features"), 1).cast("double"), 4).as("f_r"),
+            round(element_at(col("features"), 4).cast("double"), 4).as("f_luma"),
+            round(element_at(col("features"), 5).cast("double"), 4).as("f_std"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH src AS (
+          SELECT i, 32 + i % 32 AS w, 24 + i % 24 AS h,
+                 (i * 17) % 256 AS r, (i * 29) % 256 AS g, (i * 43) % 256 AS b
+          FROM range(0, 120) t(i) WHERE i % 3 = 0),
+        dims AS (
+          SELECT i, r, g, b,
+            greatest(cast(floor(w * (16.0 / greatest(w, h)) + 0.5) AS BIGINT), 1) AS nw,
+            greatest(cast(floor(h * (16.0 / greatest(w, h)) + 0.5) AS BIGINT), 1) AS nh
+          FROM src)
+        SELECT i AS media_id, nw AS width, nh AS height,
+          round(cast((nw * nh * r) / (nw * nh * 255.0) AS FLOAT)::DOUBLE, 4) AS f_r,
+          round(cast((nw * nh * (299 * r + 587 * g + 114 * b)) / (nw * nh * 255000.0)
+                AS FLOAT)::DOUBLE, 4) AS f_luma,
+          0.0::DOUBLE AS f_std
+        FROM dims ORDER BY media_id
+      """),
+      "multimodal REAL resize: decode → area-average → PNG re-encode → re-decode, dims and colors oracle-exact"),
+
     "ivf_probe_fixed" -> DeclaredQuery(
       // the WHOLE IVF probe pipeline under FIXED centroids, oracle-green:
       // ivf_assign certifies the assignment arithmetic; this row chains

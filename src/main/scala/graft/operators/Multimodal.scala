@@ -9,16 +9,22 @@ import org.apache.spark.sql.types._
   * instance handles a whole batch of rows (the Spark pattern for heavy
   * native resources — same shape as a per-executor model singleton).
   *
-  * Container detection and DIMENSION decode are REAL: [[MediaHeaders]]
-  * sniffs magic bytes and parses the published header layouts of PNG,
-  * JPEG, GIF, BMP and WAV — pure-JVM byte arithmetic, no libraries.
-  * Payloads in formats that need a full codec (mp4/mkv video, compressed
-  * audio) fall back to the clearly-marked deterministic [[StubCodec]]
-  * (no FFmpeg/ImageIO in this container); pixel-level work (resize
-  * re-encode, feature extraction) stays stubbed for the same reason.
-  * The Spark-side contracts — schema, partitioning, batched iteration,
-  * output shape — are real and tested; swapping the stub remainder for a
-  * JNI/FFmpeg codec changes no plan shape.
+  * Decode is tiered, cheapest-capable first at READ time but
+  * fullest-capable first at DECODE time:
+  *
+  *   1. [[graft.operators.JvmCodec]] — REAL full decode via the JDK's own
+  *      `javax.imageio` (PNG/JPEG/GIF/BMP/TIFF readers ship in
+  *      java.desktop, headless-safe) and a direct PCM parse for WAV:
+  *      true dims, animated-GIF frame counts, pixel features, 64-bit
+  *      perceptual dHash, sample statistics, real area-average resize
+  *      with PNG re-encode.
+  *   2. [[MediaHeaders]] — REAL header-only parse (published byte
+  *      layouts, pure byte arithmetic): the cheap metadata sweep
+  *      ([[scanMetadata]]) and the fallback when a payload's stream is
+  *      corrupt but its header still speaks.
+  *   3. [[StubCodec]] — the deterministic stand-in, now reached ONLY by
+  *      containers the JDK genuinely has no codec for (mp4/mkv video,
+  *      compressed audio); clearly marked, never silently wrong.
   */
 object Multimodal {
 
@@ -36,7 +42,8 @@ object Multimodal {
 
   final case class DecodedRow(media_id: Long, kind: String,
                               width: Int, height: Int,
-                              n_frames: Int, features: Array[Float])
+                              n_frames: Int, features: Array[Float],
+                              phash: Long)
 
   /** REAL container sniffing + header decode for public formats — the
     * published byte layouts, parsed directly:
@@ -125,12 +132,11 @@ object Multimodal {
     }
   }
 
-  /** STUB codec — deterministic fake decode standing in for the real
-    * full-decode libraries (absent in this container): the fallback for
-    * containers [[MediaHeaders]] cannot parse (mp4/mkv video, compressed
-    * audio) and for the feature vector, which a real pipeline computes
-    * from decoded samples. Derives plausible dimensions/frame counts and
-    * a feature vector purely from the payload bytes, so tests are
+  /** STUB codec — deterministic fake decode standing in for codecs even
+    * the JDK lacks (mp4/mkv video, compressed audio): reached only when
+    * neither [[graft.operators.JvmCodec]] nor [[MediaHeaders]] can parse
+    * the payload. Derives plausible dimensions/frame counts and a
+    * feature vector purely from the payload bytes, so tests are
     * reproducible. */
   object StubCodec {
     private[operators] def payloadHash(bytes: Array[Byte]): Long = {
@@ -157,37 +163,79 @@ object Multimodal {
       }
       DecodedRow(row.media_id, row.kind,
         width = pick(16, 4096, 3), height = pick(16, 4096, 5),
-        n_frames = frames, features = features(h))
+        n_frames = frames, features = features(h), phash = 0L)
     }
   }
 
-  /** The decode dispatch: REAL header parse where the container is one
-    * of the public formats [[MediaHeaders]] handles, stub fallback
-    * otherwise. Feature vectors are always the deterministic stub (a
-    * real pipeline computes them from decoded samples — no codec here to
-    * produce any). */
+  /** The decode dispatch, fullest-capable first: REAL pixel/sample decode
+    * via [[graft.operators.JvmCodec]] where the JDK has a codec for the
+    * container, REAL header-only parse where only the stream is broken
+    * but the header speaks, stub for codec-less containers. Audio rows
+    * keep the documented convention width = sampleRate, height =
+    * channels, n_frames = sample frames. */
   def decodeOne(row: MediaRow): DecodedRow = {
     val bytes = if (row.payload == null) Array.emptyByteArray else row.payload
-    val feat = StubCodec.features(StubCodec.payloadHash(bytes))
+    lazy val stubFeat = StubCodec.features(StubCodec.payloadHash(bytes))
     MediaHeaders.sniff(bytes) match {
       case Some("wav") =>
-        MediaHeaders.wavInfo(bytes) match {
-          case Some((rate, ch, frames)) =>
-            // audio carries no raster: width/height are (sampleRate,
-            // channels) by documented convention, n_frames = sample
-            // frames — every field a REAL header readout
-            DecodedRow(row.media_id, row.kind, rate, ch,
-              n_frames = frames.min(Int.MaxValue.toLong).toInt, features = feat)
-          case None => StubCodec.decode(row)
+        JvmCodec.decodeWav(bytes) match {
+          case Some(a) =>
+            DecodedRow(row.media_id, row.kind, a.rate, a.channels,
+              n_frames = a.frames, features = a.features, phash = 0L)
+          case None => MediaHeaders.wavInfo(bytes) match {
+            case Some((rate, ch, frames)) =>
+              // non-16-bit-PCM audio: header facts are real, samples
+              // need a codec the JDK lacks — features stay stub
+              DecodedRow(row.media_id, row.kind, rate, ch,
+                n_frames = frames.min(Int.MaxValue.toLong).toInt,
+                features = stubFeat, phash = 0L)
+            case None => StubCodec.decode(row)
+          }
         }
       case Some(imgFmt) =>
-        MediaHeaders.dimensions(imgFmt, bytes) match {
-          case Some((w, h)) =>
-            DecodedRow(row.media_id, row.kind, w, h, n_frames = 1,
-              features = feat)
-          case None => StubCodec.decode(row)
+        JvmCodec.decodeImage(bytes) match {
+          case Some(p) =>
+            DecodedRow(row.media_id, row.kind, p.width, p.height,
+              n_frames = p.nFrames, features = p.features, phash = p.phash)
+          case None => MediaHeaders.dimensions(imgFmt, bytes) match {
+            case Some((w, h)) =>
+              // corrupt stream, intact header: dims are real, pixels
+              // unreachable — features stay stub
+              DecodedRow(row.media_id, row.kind, w, h, n_frames = 1,
+                features = stubFeat, phash = 0L)
+            case None => StubCodec.decode(row)
+          }
         }
       case None => StubCodec.decode(row)
+    }
+  }
+
+  /** Header-only metadata sweep — the 100 TB triage pass: reads a few
+    * dozen bytes per asset ([[MediaHeaders]] only, no pixel decode ever)
+    * to classify container/dims/duration before any expensive full
+    * decode is scheduled. Same output schema as [[decodeAll]] minus
+    * pixel-derived fields (stub features, phash 0). */
+  def scanMetadata(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = if (row.payload == null) Array.emptyByteArray else row.payload
+        val feat = StubCodec.features(StubCodec.payloadHash(bytes))
+        MediaHeaders.sniff(bytes) match {
+          case Some("wav") => MediaHeaders.wavInfo(bytes) match {
+            case Some((rate, ch, frames)) =>
+              DecodedRow(row.media_id, row.kind, rate, ch,
+                frames.min(Int.MaxValue.toLong).toInt, feat, 0L)
+            case None => StubCodec.decode(row)
+          }
+          case Some(fmt) => MediaHeaders.dimensions(fmt, bytes) match {
+            case Some((w, h)) =>
+              DecodedRow(row.media_id, row.kind, w, h, 1, feat, 0L)
+            case None => StubCodec.decode(row)
+          }
+          case None => StubCodec.decode(row)
+        }
+      }
     }
   }
 
@@ -205,11 +253,12 @@ object Multimodal {
   final case class ResizedRow(media_id: Long, width: Int, height: Int,
                               payload: Array[Byte])
 
-  /** Resize for image rows — STUB pixel path (no imaging libs in this
-    * container): target dims are computed aspect-preserving for real
-    * (`fit`), the payload transform is the deterministic fake. Batched
-    * per partition like [[decodeAll]]; swapping in a real scaler changes
-    * no plan shape. */
+  /** Resize for image rows — REAL pixel path first
+    * ([[graft.operators.JvmCodec.resizeImage]]: decode, deterministic
+    * area-average downscale, lossless PNG re-encode), stub payload-prefix
+    * fallback only when the payload has no JDK codec (so a corrupt
+    * stream still yields a row with correct target dims rather than
+    * failing the batch). Batched per partition like [[decodeAll]]. */
   def resizeImages(decoded: Dataset[DecodedRow],
                    media: Dataset[MediaRow],
                    maxSide: Int): Dataset[ResizedRow] = {
@@ -227,15 +276,19 @@ object Multimodal {
         rows.map { case (id, w, h, payloadOrNull) =>
           val payload =
             if (payloadOrNull == null) Array.emptyByteArray else payloadOrNull
-          val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
-          val nw = math.max(1, math.round(w * scale).toInt)
-          val nh = math.max(1, math.round(h * scale).toInt)
-          // STUB: a real implementation re-encodes pixels; the fake keeps
-          // a deterministic payload prefix proportional to the area ratio
-          val keep = math.max(1,
-            (payload.length * (nw.toLong * nh) /
-              math.max(1L, w.toLong * h)).toInt)
-          ResizedRow(id, nw, nh, payload.take(keep))
+          JvmCodec.resizeImage(payload, maxSide) match {
+            case Some((nw, nh, png)) => ResizedRow(id, nw, nh, png)
+            case None =>
+              val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+              val nw = math.max(1, math.round(w * scale).toInt)
+              val nh = math.max(1, math.round(h * scale).toInt)
+              // STUB fallback: keeps a deterministic payload prefix
+              // proportional to the area ratio
+              val keep = math.max(1,
+                (payload.length * (nw.toLong * nh) /
+                  math.max(1L, w.toLong * h)).toInt)
+              ResizedRow(id, nw, nh, payload.take(keep))
+          }
         }
       }
   }
@@ -435,6 +488,79 @@ object Multimodal {
         kind match { case "image" => "png"; case "audio" => "wav"; case _ => "mkv" },
         payload.length.toLong)
     }
+  }
+
+  /** Deterministic REAL-payload media fixture: image rows are genuine
+    * PNG encodings of solid-color rasters (dims and RGB from closed-form
+    * formulas in `i`), audio rows genuine 16-bit PCM WAV of a constant
+    * (DC) signal — so the FULL [[graft.operators.JvmCodec]] decode path
+    * (zlib inflate, raster walk, sample pass) runs end-to-end and every
+    * derived feature is an exact SQL-replayable formula. Video rows stay
+    * the opaque stub payload (no JDK codec exists — the honest tier). */
+  def syntheticMediaReal(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val kind = Seq("image", "audio", "video")((i % 3).toInt)
+      val payload = kind match {
+        case "image" =>
+          JvmCodec.encodePng(JvmCodec.solidImage(
+            (32 + i % 32).toInt, (24 + i % 24).toInt,
+            ((i * 17) % 256).toInt, ((i * 29) % 256).toInt, ((i * 43) % 256).toInt))
+        case "audio" =>
+          syntheticWavDc((8000 + (i % 5) * 2000).toInt, (1 + i % 2).toInt,
+            (400 + i % 256).toInt, ((i * 37) % 20000).toInt)
+        case _ =>
+          Array.tabulate[Byte](((i % 64) + 16).toInt)(j =>
+            ((i * 131 + j * 7) % 251).toByte)
+      }
+      MediaRow(i, kind, payload,
+        kind match { case "image" => "png"; case "audio" => "wav"; case _ => "mkv" },
+        payload.length.toLong)
+    }
+  }
+
+  /** Perceptual-hash fixture: 9×8 genuine PNGs in groups of `perGroup`,
+    * pattern keyed by the GROUP (`g = i / perGroup`), plus a per-image
+    * uniform brightness shift — the classic near-duplicate. dHash's
+    * strict adjacent-compare is invariant under the shift, so every
+    * group collapses to one hash; the group-dependent x-coefficient
+    * keeps distinct groups at distinct hashes for up to 85 groups
+    * (pattern period 17 × coefficient period 5). On a 9×8 input the
+    * area-average grid is the identity, making the hash bits an exact
+    * SQL formula. */
+  def syntheticGridMedia(spark: SparkSession, nGroups: Int,
+                         perGroup: Int): Dataset[MediaRow] = {
+    require(nGroups <= 85, s"distinct-hash guarantee holds to 85 groups, got $nGroups")
+    import spark.implicits._
+    spark.range((nGroups * perGroup).toLong).map { i =>
+      val g = i / perGroup
+      val shift = ((i % perGroup) * 2).toInt
+      val payload = JvmCodec.encodePng(JvmCodec.grayImage(9, 8) { (x, y) =>
+        (((g * 31 + x * (7 + g % 5) + y * 13) % 17) * 15).toInt + shift
+      })
+      MediaRow(i, "image", payload, "png", payload.length.toLong)
+    }
+  }
+
+  /** Byte-valid 16-bit PCM WAV carrying a constant `amp` in every
+    * channel of every frame — the closed-form signal (RMS = peak =
+    * mean|s| = amp, zero crossings = 0) the audio-feature oracle
+    * replays. */
+  private[operators] def syntheticWavDc(rate: Int, channels: Int,
+                                        frames: Int, amp: Int): Array[Byte] = {
+    val block = channels * 2
+    val dataBytes = frames * block
+    val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * block).putShort(block.toShort).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var f = 0
+    while (f < frames * channels) { out.putShort(amp.toShort); f += 1 }
+    out.array()
   }
 
   /** Byte-valid PNG prefix (signature + IHDR with the given dims) plus

@@ -208,4 +208,172 @@ class MultimodalSpec extends AnyFunSuite {
     val kinds = decoded.filter(col("kind") === "video").count
     assert(rows.length.toLong === kinds)
   }
+
+  // ---- real pixel/sample decode (JvmCodec) ----
+
+  test("JvmCodec: solid PNG decodes to exact mean features, zero variance") {
+    val png = JvmCodec.encodePng(JvmCodec.solidImage(10, 6, 120, 60, 200))
+    val p = JvmCodec.decodeImage(png).get
+    assert(p.width === 10 && p.height === 6 && p.nFrames === 1)
+    assert(p.features(0) === (120 / 255.0).toFloat)
+    assert(p.features(1) === (60 / 255.0).toFloat)
+    assert(p.features(2) === (200 / 255.0).toFloat)
+    val luma = (299L * 120 + 587L * 60 + 114L * 200) / 255000.0
+    assert(p.features(3) === luma.toFloat)
+    assert(p.features(4) === 0.0f)  // std of a constant
+    assert(p.features(5) === 0.0f)  // gradient of a constant
+    assert(p.features(6) === (10.0 / 16.0).toFloat)
+    assert(p.features(7) === (if (luma > 0.5) 1.0f else 0.0f))
+  }
+
+  test("JvmCodec: BMP (lossless) exact; JPEG (lossy) close; GIF decodes") {
+    val img = JvmCodec.solidImage(20, 20, 30, 180, 90)
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val bmp = JvmCodec.decodeImage(enc("bmp")).get
+    assert(bmp.width === 20 && bmp.features(0) === (30 / 255.0).toFloat)
+    val jpg = JvmCodec.decodeImage(enc("jpg")).get
+    assert(jpg.width === 20)
+    assert(math.abs(jpg.features(1) - 180 / 255.0) < 0.02, "jpeg mean G drifted")
+    val gif = JvmCodec.decodeImage(enc("gif")).get
+    assert(gif.width === 20 && gif.height === 20 && gif.nFrames === 1)
+  }
+
+  test("JvmCodec: animated GIF reports its real frame count") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 4).foreach { f =>
+      val frame = JvmCodec.solidImage(12, 8, f * 40, 0, 0)
+      writer.writeToSequence(new javax.imageio.IIOImage(frame, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val p = JvmCodec.decodeImage(bos.toByteArray).get
+    assert(p.width === 12 && p.height === 8)
+    assert(p.nFrames === 4)
+  }
+
+  test("JvmCodec dHash: invariant under uniform brightness shift, distinct patterns differ") {
+    def pat(seed: Int, shift: Int): Long = JvmCodec.dHash(
+      JvmCodec.grayImage(90, 80)((x, y) =>
+        ((seed * 31 + x * 7 + y * 13) % 17) * 14 + shift))
+    assert(pat(1, 0) === pat(1, 10), "brightness shift changed the hash")
+    assert(pat(1, 0) !== pat(2, 0), "distinct patterns collided")
+  }
+
+  test("JvmCodec dHash on a 9x8 raster matches the bit formula (the SQL oracle's shape)") {
+    val grid = Multimodal.syntheticGridMedia(spark, nGroups = 6, perGroup = 5)
+      .collect().sortBy(_.media_id)
+    grid.foreach { row =>
+      val i = row.media_id; val g = i / 5
+      var expect = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val l = (g * 31 + x * (7 + g % 5) + y * 13) % 17
+        val r = (g * 31 + (x + 1) * (7 + g % 5) + y * 13) % 17
+        if (r > l) expect |= 1L << (y * 8 + x)
+      }
+      val p = JvmCodec.decodeImage(row.payload).get
+      assert(p.phash === expect, s"media_id $i")
+      assert(p.phash !== 0L)
+    }
+    // within a group (pure brightness shifts) all hashes agree
+    assert(grid.groupBy(_.media_id / 5).values
+      .forall(g => g.map(r => JvmCodec.decodeImage(r.payload).get.phash).distinct.length == 1))
+  }
+
+  test("JvmCodec WAV: DC signal closed-form; sine RMS amp/sqrt2 and zcr 2f/rate") {
+    val dc = Multimodal.syntheticWavDc(12000, 2, 500, 9000)
+    val a = JvmCodec.decodeWav(dc).get
+    assert(a.rate === 12000 && a.channels === 2 && a.frames === 500)
+    assert(a.features(0) === (9000 / 32768.0).toFloat) // RMS of a constant
+    assert(a.features(1) === 0.0f)                     // no crossings
+    assert(a.features(2) === (9000 / 32768.0).toFloat) // peak
+    assert(a.features(4) === (500.0 / 12000).toFloat)  // duration
+    // 440 Hz sine, 1 s at 8 kHz mono
+    val rate = 8000; val n = 8000; val amp = 12000.0
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    (0 until n).foreach(t => bb.putShort(
+      math.round(amp * math.sin(2 * math.Pi * 440 * t / rate)).toShort))
+    val s = JvmCodec.decodeWav(bb.array()).get
+    assert(math.abs(s.features(0) - amp / math.sqrt(2) / 32768.0) < 0.002, "sine RMS")
+    assert(math.abs(s.features(1) - 2 * 440.0 / rate) < 0.005, "sine zero-crossing rate")
+  }
+
+  test("JvmCodec: compressed-audio and 8-bit WAV are an honest None, not a guess") {
+    // 8-bit PCM header (bits=16 is the supported contract)
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+    bb.put("data".getBytes("US-ASCII")).putInt(0)
+    assert(JvmCodec.decodeWav(bb.array()).isEmpty)
+    assert(JvmCodec.decodeImage(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("decodeAll real path: solid fixture pixels, exact means, phash populated only for decodable images") {
+    val real = Multimodal.syntheticMediaReal(spark, 60)
+    val d = Multimodal.decodeAll(real).collect().sortBy(_.media_id)
+    d.filter(_.kind == "image").foreach { r =>
+      val i = r.media_id
+      assert(r.width === (32 + i % 32).toInt && r.height === (24 + i % 24).toInt)
+      assert(r.features(0) === (((i * 17) % 256) / 255.0).toFloat, s"id $i mean R")
+      assert(r.features(4) === 0.0f)
+    }
+    d.filter(_.kind == "audio").foreach { r =>
+      val i = r.media_id
+      assert(r.width === (8000 + (i % 5) * 2000).toInt)  // rate
+      assert(r.n_frames === (400 + i % 256).toInt)
+      assert(r.features(0) === (((i * 37) % 20000) / 32768.0).toFloat, s"id $i RMS")
+    }
+    // the header-only fixture's corrupt-stream PNGs fall back: phash 0
+    val hdrOnly = Multimodal.decodeAll(media).collect()
+    assert(hdrOnly.filter(_.kind == "image").forall(_.phash === 0L))
+  }
+
+  test("resizeImages real path: output is a decodable PNG at target dims with the source color") {
+    val real = Multimodal.syntheticMediaReal(spark, 30)
+    val decoded = Multimodal.decodeAll(real)
+    val rz = Multimodal.resizeImages(decoded, real, maxSide = 16)
+      .collect().sortBy(_.media_id)
+    assert(rz.nonEmpty)
+    rz.foreach { r =>
+      val i = r.media_id
+      val w = (32 + i % 32).toInt; val h = (24 + i % 24).toInt
+      val scale = math.min(1.0, 16.0 / math.max(w, h))
+      assert(r.width === math.max(1, math.round(w * scale).toInt))
+      assert(r.height === math.max(1, math.round(h * scale).toInt))
+      val back = JvmCodec.decodeImage(r.payload).get
+      assert(back.width === r.width && back.height === r.height)
+      // area-average of a solid is the same solid — decode recovers it
+      assert(back.features(0) === (((i * 17) % 256) / 255.0).toFloat, s"id $i")
+      assert(back.features(4) === 0.0f)
+    }
+  }
+
+  test("scanMetadata: header-only sweep agrees with full decode on dims, never touches pixels") {
+    val real = Multimodal.syntheticMediaReal(spark, 30)
+    val scan = Multimodal.scanMetadata(real).collect().sortBy(_.media_id)
+    val full = Multimodal.decodeAll(real).collect().sortBy(_.media_id)
+    scan.zip(full).foreach { case (s, f) =>
+      assert(s.media_id === f.media_id)
+      if (s.kind != "video") {
+        assert(s.width === f.width && s.height === f.height, s"id ${s.media_id}")
+        assert(s.n_frames === f.n_frames)
+      }
+      assert(s.phash === 0L) // pixels were never decoded
+    }
+  }
 }
