@@ -5573,6 +5573,42 @@ object Queries {
       """),
       "multimodal REAL resize: decode → area-average → PNG re-encode → re-decode, dims and colors oracle-exact"),
 
+    "media_phash_near" -> DeclaredQuery(
+      // Banded Hamming near-dup over REAL perceptual hashes,
+      // oracle-checked against the deliberately quadratic DuckDB ground
+      // truth: Spark runs the scale shape (4×16-bit band bucket join,
+      // never all-pairs) while DuckDB recomputes every phash from the
+      // bit formula and compares ALL pairs. Equality holds because
+      // recall at Hamming ≤ 3 is total by pigeonhole — 3 flipped bits
+      // cannot touch all 4 bands — so the banded join must find exactly
+      // the exhaustive answer.
+      (s, dir) => {
+        val dec = Multimodal.decodeAll(
+          Multimodal.syntheticGridMedia(s, nGroups = 24, perGroup = 5)).toDF()
+        NearDup.signatureCandidates(dec, "media_id", "phash", maxHamming = 3)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast("long").as("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT i AS media_id,
+            bit_or(CASE WHEN ((i // 5) * 31 + (x + 1) * (7 + (i // 5) % 5) + y * 13) % 17
+                          > ((i // 5) * 31 + x * (7 + (i // 5) % 5) + y * 13) % 17
+                   THEN CASE WHEN y * 8 + x = 63 THEN (-9223372036854775807 - 1)
+                        ELSE (1::BIGINT << (y * 8 + x)) END
+                   ELSE 0 END) AS phash
+          FROM range(0, 120) t(i), range(0, 8) u(x), range(0, 8) v(y)
+          GROUP BY i)
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+          bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+        FROM h a, h b
+        WHERE a.media_id < b.media_id
+          AND bit_count(xor(a.phash, b.phash)) <= 3
+        ORDER BY id_a, id_b
+      """),
+      "image near-dup at the scale shape: banded phash bucket join ≡ exhaustive Hamming pairs (pigeonhole recall)"),
+
     "ivf_probe_fixed" -> DeclaredQuery(
       // the WHOLE IVF probe pipeline under FIXED centroids, oracle-green:
       // ivf_assign certifies the assignment arithmetic; this row chains

@@ -84,6 +84,12 @@ object Multimodal {
       else if (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")) Some("gif")
       else if (ascii(b, 0, "BM") && b.length >= 26) Some("bmp")
       else if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) Some("wav")
+      else if (b.length >= 4 &&
+        ((u8(b, 0) == 'I' && u8(b, 1) == 'I' && u8(b, 2) == 0x2A && u8(b, 3) == 0) ||
+         (u8(b, 0) == 'M' && u8(b, 1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 0x2A)))
+        // TIFF, both byte orders; dims live in the IFD walk, which the
+        // JDK's TIFF reader performs — header tier reports format only
+        Some("tiff")
       else None
 
     /** (width, height) for the image containers; None on truncation or

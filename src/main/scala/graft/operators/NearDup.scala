@@ -355,15 +355,37 @@ object NearDup {
 
   /** The (doc, simhash, band, bucket) relation the banded self-join runs
     * over. */
-  def simHashBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sigs = docs.select(col(idCol).as("_id"), simHash(col(textCol)).as("_sh"))
+  def simHashBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bandSignature64(docs.select(col(idCol).as("_id"),
+      simHash(col(textCol)).as("_sh")))
+
+  /** Band ANY 64-bit signature relation (`_id`, `_sh`) into 4×16-bit
+    * bucket keys — the shared banding under SimHash text near-dup and
+    * perceptual-dHash image near-dup. */
+  private def bandSignature64(sigs: DataFrame): DataFrame =
     sigs.select(col("_id"), col("_sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band_id"),
           shiftright(col("_sh"), b * 16).bitwiseAND(0xFFFFL).as("band_key"))
       }: _*)).as("_bk"))
       .select(col("_id"), col("_sh"), col("_bk.band_id"), col("_bk.band_key"))
-  }
+
+  /** Banded Hamming near-dup over any PRECOMPUTED 64-bit signature
+    * column — SimHash of text, perceptual dHash of decoded images, any
+    * other 64-bit sketch: 4×16-bit band bucket join (never an all-pairs
+    * cross), full-Hamming verify ≤ `maxHamming`. Recall is TOTAL for
+    * `maxHamming ≤ 3` by pigeonhole (3 flipped bits cannot touch all 4
+    * bands), probabilistic beyond. Output (id_a, id_b, hamming),
+    * id_a < id_b.
+    *
+    * Caveat for dHash inputs: a featureless raster (solid color) hashes
+    * to 0, as does every row whose payload could not be pixel-decoded —
+    * filter undecodable rows out upstream or they all land in one
+    * bucket. */
+  def signatureCandidates(df: DataFrame, idCol: String, sigCol: String,
+                          maxHamming: Int = 3): DataFrame =
+    simHashBucketJoin(bandSignature64(
+      df.select(col(idCol).as("_id"), col(sigCol).as("_sh"))), maxHamming)
 
   private def simHashBucketJoin(banded: DataFrame, maxHamming: Int): DataFrame = {
     val a = banded.toDF("id_a", "sh_a", "band_id", "band_key")

@@ -363,6 +363,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF: sniffed by magic (both byte orders) and fully decoded by the JDK reader") {
+    import Multimodal.MediaHeaders
+    val img = JvmCodec.solidImage(14, 9, 200, 40, 10)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "tiff", bos), "no tiff writer")
+    val tiff = bos.toByteArray
+    assert(MediaHeaders.sniff(tiff) === Some("tiff"))
+    assert(MediaHeaders.sniff("MM *rest".getBytes("ISO-8859-1")) === Some("tiff"))
+    val p = JvmCodec.decodeImage(tiff).get
+    assert(p.width === 14 && p.height === 9)
+    assert(p.features(0) === (200 / 255.0).toFloat) // lossless
+    val row = Multimodal.MediaRow(7L, "image", tiff, "tiff", tiff.length.toLong)
+    val d = Multimodal.decodeOne(row)
+    assert(d.width === 14 && d.height === 9 && d.phash === p.phash)
+  }
+
+  test("signatureCandidates on decoded dHashes equals brute-force Hamming pairs") {
+    val dec = Multimodal.decodeAll(
+      Multimodal.syntheticGridMedia(spark, nGroups = 8, perGroup = 4)).toDF()
+    val banded = NearDup.signatureCandidates(dec, "media_id", "phash", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hashes = dec.select(col("media_id"), col("phash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(banded === brute)
+    // the within-group (brightness-shift) pairs are all there at distance 0
+    assert(brute.count(_._3 == 0) >= 8 * (4 * 3 / 2))
+  }
+
   test("scanMetadata: header-only sweep agrees with full decode on dims, never touches pixels") {
     val real = Multimodal.syntheticMediaReal(spark, 30)
     val scan = Multimodal.scanMetadata(real).collect().sortBy(_.media_id)
