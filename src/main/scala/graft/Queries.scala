@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{Decontaminate, Dedup, Forget, IvfIndex, LangId, Multimodal, NearDup, PqIndex, Sampling, Search, Sketch, SpanDedup, SqIndex, TextAnalysis, TextIndex}
+import graft.operators.{Decontaminate, Dedup, Forget, IvfIndex, LangId, Multimodal, NearDup, PdfText, PqIndex, Sampling, Search, Sketch, SpanDedup, SqIndex, TextAnalysis, TextIndex}
 import graft.sources.{IncrementalView, VersionedCorpus}
 import graft.streaming.Streams
 
@@ -4168,6 +4168,34 @@ object Queries {
         FROM documents WHERE doc_id < 200 ORDER BY doc_id
       """),
       "real HTML→text extraction (tag strip, raw-text skip, entity decode), oracle-checked via markup round trip"),
+
+    "q_pdf_extract" -> DeclaredQuery(
+      // REAL PDF→text extraction, oracle-checked through an EXACT round
+      // trip: each document's text is written into a genuine
+      // Flate-compressed PDF (PdfText.write — byte-accurate xref,
+      // octal-escaped UTF-8 literal strings), the binary payload goes
+      // through the real per-partition extractor (content-stream scan,
+      // java.util.zip inflate, the ISO 32000-1 §9.4 text-operator
+      // grammar), and the result must equal the original text verbatim
+      // — no whitespace-collapse forgiveness needed because, unlike
+      // HTML, PDF strings are byte-exact. The only normalization is the
+      // extractor's outer trim, mirrored in SQL.
+      (s, dir) => {
+        import s.implicits._
+        val media = T(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"))
+          .map { r => Multimodal.DocMediaRow(r.getLong(0),
+            PdfText.write(Seq(r.getString(1)), compress = true), "pdf") }
+        Multimodal.extractText(media).toDF()
+          .select(col("media_id"), col("text"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               regexp_replace(text, '^\s+|\s+$', '', 'g') AS text
+        FROM documents WHERE doc_id < 200 ORDER BY media_id
+      """),
+      "real PDF→text extraction (FlateDecode + content-stream walk), oracle-checked via exact round trip"),
 
     "q_quality" -> DeclaredQuery(
       (s, dir) => {

@@ -414,10 +414,12 @@ object Multimodal {
 
   /** Document-text extractor: REAL for `txt` (UTF-8 decode — lossless,
     * which is what lets the downstream chunker be oracle-checked
-    * end-to-end through the binary roundtrip) and `html`
-    * ([[HtmlText.extract]] — real tag strip / entity decode, no library
-    * needed); PDF/DOCX remain the honest refusal (their extractors need
-    * native libraries absent in this container). */
+    * end-to-end through the binary roundtrip), `html`
+    * ([[HtmlText.extract]] — real tag strip / entity decode) and `pdf`
+    * ([[graft.operators.PdfText.extract]] — real content-stream walk,
+    * FlateDecode via java.util.zip; the reference's declared PyPDF2
+    * capability made real). DOCX and friends remain the honest refusal
+    * (their extractors need libraries absent in this container). */
   object StubExtractor {
     def extract(format: String, payload: Array[Byte]): String = {
       val bytes = if (payload == null) Array.emptyByteArray else payload
@@ -427,9 +429,11 @@ object Multimodal {
         case "html" | "htm" =>
           HtmlText.extract(
             new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        case "pdf" =>
+          PdfText.extract(bytes)
         case other =>
-          // a real extractor dispatches on container format here (pdf,
-          // docx, ...); the stub refuses rather than fake it
+          // a real extractor dispatches on container format here
+          // (docx, ...); the stub refuses rather than fake it
           throw new UnsupportedOperationException(
             s"no extractor for format '$other' in this environment")
       }

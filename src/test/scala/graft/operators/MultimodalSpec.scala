@@ -123,13 +123,80 @@ class MultimodalSpec extends AnyFunSuite {
       3L -> "", 4L -> "  spaced   out  "))
   }
 
-  test("extractText refuses formats the stub has no extractor for") {
-    val media = Seq(Multimodal.DocMediaRow(1L, Array[Byte](1, 2), "pdf")).toDS()
+  test("extractText refuses formats the stub has no extractor for, and non-PDF pdf payloads") {
+    val media = Seq(Multimodal.DocMediaRow(1L, Array[Byte](1, 2), "docx")).toDS()
     val ex = intercept[org.apache.spark.SparkException] {
       Multimodal.extractText(media).collect()
     }
     assert(ex.getMessage.contains("no extractor") ||
       String.valueOf(ex.getCause).contains("no extractor"))
+    // pdf is dispatched for real now — garbage without %PDF- still refuses
+    val bad = Seq(Multimodal.DocMediaRow(1L, Array[Byte](1, 2), "pdf")).toDS()
+    val ex2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractText(bad).collect()
+    }
+    assert(ex2.getMessage.contains("no extractor") ||
+      String.valueOf(ex2.getCause).contains("no extractor"))
+  }
+
+  // ---- real PDF extraction (PdfText) ----
+
+  test("PdfText: write → extract round-trips exact text, compressed and raw") {
+    val lines = Seq("First line of the page.",
+      "unicode: ñ ü 中文 🚀 — em-dash", "parens (nested (deep)) and \\backslash")
+    for (compress <- Seq(true, false)) {
+      val pdf = PdfText.write(lines, compress = compress)
+      assert(new String(pdf.take(5), "ISO-8859-1") === "%PDF-")
+      assert(PdfText.extract(pdf) === lines.mkString("\n"), s"compress=$compress")
+    }
+  }
+
+  test("PdfText: TJ arrays, hex strings, quote ops, comments, dicts and BI..EI are handled") {
+    // hand-written content stream exercising the grammar beyond what
+    // our writer emits (the shapes real-world generators produce)
+    val content = """BT /F1 12 Tf 72 720 Td
+      |% a comment ( with parens ) to ignore
+      |[(kerned ) -120 (pair)] TJ
+      |0 -14 Td
+      |<48 65 78> Tj
+      |(next via quote) '
+      |BI /W 2 /H 2 ID ???? EI
+      |(after image) Tj
+      |ET""".stripMargin
+    val body = ("1 0 obj\n<< /Length " + content.length + " >>\nstream\n" +
+      content + "\nendstream\nendobj\n")
+    val pdf = ("%PDF-1.4\n" + body + "%%EOF\n").getBytes("ISO-8859-1")
+    val txt = PdfText.extract(pdf)
+    assert(txt.contains("kerned pair"))
+    assert(txt.contains("Hex"))
+    assert(txt.contains("next via quote"))
+    assert(txt.contains("after image"))
+  }
+
+  test("PdfText: unsupported per-stream filters are skipped, readable streams still extract") {
+    val good = "BT (still here) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Length 4 /Filter /DCTDecode >>\nstream\nÿØÿà\nendstream\nendobj\n" +
+      s"2 0 obj\n<< /Length ${good.length} >>\nstream\n$good\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    assert(PdfText.extract(pdf) === "still here")
+  }
+
+  test("extractText pdf format: real extraction chained into the chunker") {
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+    val media = docs.map { r =>
+      Multimodal.DocMediaRow(r.getLong(0),
+        PdfText.write(Seq(r.getString(1)), compress = true), "pdf")
+    }
+    val extracted = Multimodal.extractText(media).toDF()
+      .select(col("media_id").as("doc_id"), col("text"))
+    val viaPdf = TextAnalysis.chunk(extracted, "doc_id", "text",
+      width = 5, stride = 5).collect().map(_.toSeq).toSet
+    val direct = TextAnalysis.chunk(docs, "doc_id", "text",
+      width = 5, stride = 5).collect().map(_.toSeq).toSet
+    assert(viaPdf === direct)
+    assert(viaPdf.nonEmpty)
   }
 
   test("HtmlText: tag strip, block separation, whitespace collapse") {
