@@ -43,7 +43,7 @@ object Multimodal {
   final case class DecodedRow(media_id: Long, kind: String,
                               width: Int, height: Int,
                               n_frames: Int, features: Array[Float],
-                              phash: Long)
+                              phash: Option[Long])
 
   /** REAL container sniffing + header decode for public formats — the
     * published byte layouts, parsed directly:
@@ -169,7 +169,7 @@ object Multimodal {
       }
       DecodedRow(row.media_id, row.kind,
         width = pick(16, 4096, 3), height = pick(16, 4096, 5),
-        n_frames = frames, features = features(h), phash = 0L)
+        n_frames = frames, features = features(h), phash = None)
     }
   }
 
@@ -187,14 +187,14 @@ object Multimodal {
         JvmCodec.decodeWav(bytes) match {
           case Some(a) =>
             DecodedRow(row.media_id, row.kind, a.rate, a.channels,
-              n_frames = a.frames, features = a.features, phash = 0L)
+              n_frames = a.frames, features = a.features, phash = None)
           case None => MediaHeaders.wavInfo(bytes) match {
             case Some((rate, ch, frames)) =>
               // non-16-bit-PCM audio: header facts are real, samples
               // need a codec the JDK lacks — features stay stub
               DecodedRow(row.media_id, row.kind, rate, ch,
                 n_frames = frames.min(Int.MaxValue.toLong).toInt,
-                features = stubFeat, phash = 0L)
+                features = stubFeat, phash = None)
             case None => StubCodec.decode(row)
           }
         }
@@ -202,13 +202,13 @@ object Multimodal {
         JvmCodec.decodeImage(bytes) match {
           case Some(p) =>
             DecodedRow(row.media_id, row.kind, p.width, p.height,
-              n_frames = p.nFrames, features = p.features, phash = p.phash)
+              n_frames = p.nFrames, features = p.features, phash = Some(p.phash))
           case None => MediaHeaders.dimensions(imgFmt, bytes) match {
             case Some((w, h)) =>
               // corrupt stream, intact header: dims are real, pixels
               // unreachable — features stay stub
               DecodedRow(row.media_id, row.kind, w, h, n_frames = 1,
-                features = stubFeat, phash = 0L)
+                features = stubFeat, phash = None)
             case None => StubCodec.decode(row)
           }
         }
@@ -231,12 +231,12 @@ object Multimodal {
           case Some("wav") => MediaHeaders.wavInfo(bytes) match {
             case Some((rate, ch, frames)) =>
               DecodedRow(row.media_id, row.kind, rate, ch,
-                frames.min(Int.MaxValue.toLong).toInt, feat, 0L)
+                frames.min(Int.MaxValue.toLong).toInt, feat, None)
             case None => StubCodec.decode(row)
           }
           case Some(fmt) => MediaHeaders.dimensions(fmt, bytes) match {
             case Some((w, h)) =>
-              DecodedRow(row.media_id, row.kind, w, h, 1, feat, 0L)
+              DecodedRow(row.media_id, row.kind, w, h, 1, feat, None)
             case None => StubCodec.decode(row)
           }
           case None => StubCodec.decode(row)
@@ -465,6 +465,86 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       lit("txt").as("meta_format"))
       .as[DocMediaRow]
+  }
+
+  /** PERCEPTUAL incremental admission — the image twin of
+    * `Dedup.admitIncoming`: decode the incoming batch ONCE (real codec),
+    * reject any asset that is (a) a byte-exact duplicate of a corpus
+    * payload (xxhash64 of the bytes — catches undecodable containers
+    * too, and makes replays idempotent) or (b) perceptually within
+    * `maxHamming` of a corpus dHash (banded cross-join, never
+    * all-pairs). Same cross-set contract as the text/vector admission
+    * kernels: incoming rows never meet each other (micro-batch splits
+    * accumulate to the one-shot result), and the corpus contributes
+    * only its (id, payload_hash, phash) INDEX — payloads are never
+    * shuffled or re-decoded. Undecodable-but-novel payloads are
+    * admitted: decodability is a triage question, not a dup question.
+    *
+    * Returns (admitted media rows, admitted decoded rows with their
+    * `payload_hash` column — exactly the rows the caller appends to the
+    * corpus store and the hash index respectively). Both returns share
+    * the decode subtree; persist `decoded` across consumption if the
+    * batch is expensive. */
+  def admitMediaPerceptual(incoming: Dataset[MediaRow], corpusIndex: DataFrame,
+                           maxHamming: Int = 3): (DataFrame, DataFrame) = {
+    // payload_hash hashes the BYTES, which DecodedRow does not carry:
+    // compute it on the incoming side and join it in by id (id-join,
+    // never a payload shuffle)
+    val payloadHashes = incoming.toDF()
+      .select(col("media_id"), xxhash64(col("payload")).as("payload_hash"))
+    val decoded = decodeAll(incoming).toDF()
+      .join(payloadHashes, "media_id")
+    val exactRejected = payloadHashes
+      .join(corpusIndex.select(col("payload_hash")).distinct(), Seq("payload_hash"))
+      .select(col("media_id"))
+    val nearRejected = graft.operators.NearDup.signatureCrossCandidates(
+        decoded.filter(col("phash").isNotNull), corpusIndex, "media_id", "phash",
+        maxHamming)
+      .select(col("id_new").as("media_id"))
+    val rejected = exactRejected.union(nearRejected).distinct()
+    val admitted = incoming.toDF().join(rejected, Seq("media_id"), "left_anti")
+    val admittedDecoded = decoded.join(rejected, Seq("media_id"), "left_anti")
+    (admitted, admittedDecoded)
+  }
+
+  /** The hash-index projection of an admitted decoded batch — the rows
+    * [[graft.streaming.Streams.incrementalMediaIngestion]] appends to
+    * the index store: ids, both dedup hashes, and the cheap metadata a
+    * triage query wants, NEVER payloads or feature vectors. */
+  def mediaIndexProjection(decodedWithHash: DataFrame): DataFrame =
+    decodedWithHash.select(col("media_id"), col("payload_hash"),
+      col("phash"), col("kind"), col("width"), col("height"),
+      col("n_frames"))
+
+  /** Close the corpus→index crash window of the media ingestion loop:
+    * any corpus asset missing from the hash index (a crash landed
+    * between the two appends) is re-decoded and appended. Idempotent;
+    * the no-drift check is an ids-only anti-join (payloads stay
+    * unread — column pruning), so calling it every batch is cheap.
+    * Returns the number of reconciled assets. */
+  def reconcileMediaIndex(spark: SparkSession, corpusRoot: String,
+                          indexRoot: String): Long = {
+    import graft.sources.VersionedCorpus
+    if (VersionedCorpus.latest(corpusRoot).isEmpty) return 0L
+    val corpusIds = VersionedCorpus.snapshot(spark, corpusRoot)
+      .select(col("media_id"))
+    val haveIds =
+      if (VersionedCorpus.latest(indexRoot).isEmpty)
+        spark.range(0).select(col("id").as("media_id"))
+      else VersionedCorpus.snapshot(spark, indexRoot).select(col("media_id"))
+    val missingIds = corpusIds.join(haveIds, Seq("media_id"), "left_anti")
+    val n = missingIds.count()
+    if (n > 0) {
+      import spark.implicits._
+      val rows = VersionedCorpus.snapshot(spark, corpusRoot)
+        .join(missingIds, "media_id").as[MediaRow]
+      val hashes = rows.toDF()
+        .select(col("media_id"), xxhash64(col("payload")).as("payload_hash"))
+      VersionedCorpus.append(
+        mediaIndexProjection(decodeAll(rows).toDF().join(hashes, "media_id")),
+        indexRoot)
+    }
+    n
   }
 
   /** Frame sampling for video rows: every `stride`-th frame index up to

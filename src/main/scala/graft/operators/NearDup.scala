@@ -387,6 +387,27 @@ object NearDup {
     simHashBucketJoin(bandSignature64(
       df.select(col(idCol).as("_id"), col(sigCol).as("_sh"))), maxHamming)
 
+  /** CROSS-SET [[signatureCandidates]] — the ingestion form: incoming
+    * signatures meet EXISTING corpus signatures only inside a shared
+    * 16-bit band bucket, full-Hamming verified; incoming rows never
+    * meet each other and corpus-internal pairs never regenerate (the
+    * same cross-set contract as [[minHashCrossCandidates]]). NULL
+    * signatures fall out of the band join naturally (a null key joins
+    * nothing). Returns distinct (id_new, id_old, hamming). */
+  def signatureCrossCandidates(incoming: DataFrame, corpus: DataFrame,
+                               idCol: String, sigCol: String,
+                               maxHamming: Int = 3): DataFrame = {
+    val a = bandSignature64(incoming.select(col(idCol).as("_id"),
+      col(sigCol).as("_sh"))).toDF("id_new", "sh_new", "band_id", "band_key")
+    val b = bandSignature64(corpus.select(col(idCol).as("_id"),
+      col(sigCol).as("_sh"))).toDF("id_old", "sh_old", "band_id", "band_key")
+    a.join(b, Seq("band_id", "band_key"))
+      .select(col("id_new"), col("id_old"),
+        hamming(col("sh_new"), col("sh_old")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   private def simHashBucketJoin(banded: DataFrame, maxHamming: Int): DataFrame = {
     val a = banded.toDF("id_a", "sh_a", "band_id", "band_key")
     val b = banded.toDF("id_b", "sh_b", "band_id", "band_key")

@@ -306,6 +306,53 @@ object Streams {
       sink(batchId, committed)
     }
 
+  /** MULTIMODAL ingestion loop — perceptual dedup on ingest: each
+    * micro-batch of raw media rows goes through
+    * [[graft.operators.Multimodal.admitMediaPerceptual]] against the
+    * durable hash INDEX (a versioned store holding (media_id,
+    * payload_hash, phash, dims) — never payloads), then the admitted
+    * slice commits payloads to the corpus store followed by hashes to
+    * the index. The corpus commit GATES the index commit; the crash
+    * window between them is closed by the idempotent
+    * [[graft.operators.Multimodal.reconcileMediaIndex]] run at the top
+    * of every batch (ids-only anti-join when there is no drift — the
+    * same contract as the IVF ingestion loop's reconcile). Replay
+    * safety needs no delivery token: a replayed payload is
+    * byte-identical, so its xxhash64 is already indexed and the exact
+    * tier rejects it — at-least-once delivery converges, including for
+    * undecodable containers the perceptual tier cannot see. `sink`
+    * sees (batchId, admittedCount). */
+  def incrementalMediaIngestion(mediaStream: DataFrame, corpusRoot: String,
+                                indexRoot: String, maxHamming: Int = 3)
+                               (sink: (Long, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    mediaStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      graft.operators.Multimodal.reconcileMediaIndex(spark, corpusRoot, indexRoot)
+      val index =
+        if (graft.sources.VersionedCorpus.latest(indexRoot).isDefined)
+          graft.sources.VersionedCorpus.snapshot(spark, indexRoot)
+        else spark.range(0).select(col("id").as("media_id"),
+          col("id").as("payload_hash"), col("id").as("phash"))
+      val (admitted, admittedDec) = graft.operators.Multimodal
+        .admitMediaPerceptual(
+          batch.as[graft.operators.Multimodal.MediaRow], index, maxHamming)
+      // both returns share the decode subtree; persist so decode and
+      // the payload pass run once across count + two appends
+      val adm = admitted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dec = admittedDec.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = adm.count()
+        if (n > 0) {
+          graft.sources.VersionedCorpus.append(adm, corpusRoot)
+          graft.sources.VersionedCorpus.append(
+            graft.operators.Multimodal.mediaIndexProjection(dec), indexRoot)
+        }
+        sink(batchId, n)
+      } finally { adm.unpersist(); dec.unpersist() }
+    }
+
   /** STREAMING ERASURE loop — right-to-be-forgotten requests arriving
     * as a stream (the deletion-request queue of a production corpus):
     * each micro-batch of ids goes through ONE composed

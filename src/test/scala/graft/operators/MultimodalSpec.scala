@@ -405,9 +405,11 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.n_frames === (400 + i % 256).toInt)
       assert(r.features(0) === (((i * 37) % 20000) / 32768.0).toFloat, s"id $i RMS")
     }
-    // the header-only fixture's corrupt-stream PNGs fall back: phash 0
+    // the header-only fixture's corrupt-stream PNGs fall back: phash
+    // absent (None) — honest, so a REAL all-zero hash (solid image)
+    // can never collide with "pixels unreachable"
     val hdrOnly = Multimodal.decodeAll(media).collect()
-    assert(hdrOnly.filter(_.kind == "image").forall(_.phash === 0L))
+    assert(hdrOnly.filter(_.kind == "image").forall(_.phash.isEmpty))
   }
 
   test("resizeImages real path: output is a decodable PNG at target dims with the source color") {
@@ -443,7 +445,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(p.features(0) === (200 / 255.0).toFloat) // lossless
     val row = Multimodal.MediaRow(7L, "image", tiff, "tiff", tiff.length.toLong)
     val d = Multimodal.decodeOne(row)
-    assert(d.width === 14 && d.height === 9 && d.phash === p.phash)
+    assert(d.width === 14 && d.height === 9 && d.phash === Some(p.phash))
   }
 
   test("signatureCandidates on decoded dHashes equals brute-force Hamming pairs") {
@@ -463,6 +465,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(brute.count(_._3 == 0) >= 8 * (4 * 3 / 2))
   }
 
+  test("admitMediaPerceptual: exact tier catches byte dupes (any container), perceptual tier catches brightness shifts, cross-set contract holds") {
+    val grid = Multimodal.syntheticGridMedia(spark, nGroups = 8, perGroup = 5).collect()
+    val reps = grid.filter(r => r.media_id / 5 < 6 && r.media_id % 5 == 0)
+    val videoPayload = Array.tabulate[Byte](64)(j => (j * 7).toByte)
+    val corpusMedia = spark.createDataset(
+      reps.toSeq :+ Multimodal.MediaRow(1000L, "video", videoPayload, "mkv", 64L))
+    val corpusDec = Multimodal.decodeAll(corpusMedia).toDF()
+      .join(corpusMedia.toDF().select(col("media_id"),
+        xxhash64(col("payload")).as("payload_hash")), "media_id")
+    val index = Multimodal.mediaIndexProjection(corpusDec)
+    // incoming: brightness-shifted members of indexed groups 0-1 (new
+    // ids), novel patterns (groups 6-7), a byte-exact video replay
+    // under a new id, and a novel video
+    val dupShift = grid.filter(r => r.media_id / 5 < 2 && r.media_id % 5 == 3)
+      .map(r => r.copy(media_id = r.media_id + 2000))
+    val novel = grid.filter(r => r.media_id / 5 >= 6 && r.media_id % 5 == 0)
+      .map(r => r.copy(media_id = r.media_id + 3000))
+    val videoReplay = Multimodal.MediaRow(4000L, "video", videoPayload, "mkv", 64L)
+    val novelVideo = Multimodal.MediaRow(4001L, "video",
+      Array.tabulate[Byte](64)(j => (j * 13 + 1).toByte), "mkv", 64L)
+    val incoming = spark.createDataset(
+      (dupShift ++ novel).toSeq :+ videoReplay :+ novelVideo)
+    val (admitted, admittedDec) = Multimodal.admitMediaPerceptual(incoming, index)
+    val ids = admitted.select(col("media_id")).collect().map(_.getLong(0)).toSet
+    assert(ids === (novel.map(_.media_id).toSet + 4001L))
+    assert(admittedDec.columns.contains("payload_hash"))
+    assert(admittedDec.select(col("media_id")).collect()
+      .map(_.getLong(0)).toSet === ids)
+    // cross-set contract: splitting the incoming batch cannot change
+    // the outcome (incoming rows never meet each other)
+    val (a1, _) = Multimodal.admitMediaPerceptual(
+      spark.createDataset(dupShift.toSeq :+ videoReplay), index)
+    val (a2, _) = Multimodal.admitMediaPerceptual(
+      spark.createDataset(novel.toSeq :+ novelVideo), index)
+    val splitIds = (a1.select(col("media_id")).collect() ++
+      a2.select(col("media_id")).collect()).map(_.getLong(0)).toSet
+    assert(splitIds === ids)
+  }
+
+  test("reconcileMediaIndex: closes the corpus-without-index crash window idempotently") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mediarec")
+    val corpus = s"$tmp/corpus"; val index = s"$tmp/index"
+    val grid = Multimodal.syntheticGridMedia(spark, nGroups = 3, perGroup = 5).collect()
+    val reps = spark.createDataset(grid.filter(_.media_id % 5 == 0).toSeq)
+    // simulate the crash: payloads committed, index append never ran
+    graft.sources.VersionedCorpus.append(reps.toDF(), corpus)
+    assert(Multimodal.reconcileMediaIndex(spark, corpus, index) === 3L)
+    val idx = graft.sources.VersionedCorpus.snapshot(spark, index)
+    assert(idx.count() === 3L)
+    assert(idx.columns.toSet ===
+      Set("media_id", "payload_hash", "phash", "kind", "width", "height", "n_frames"))
+    // second run finds no drift and appends nothing
+    assert(Multimodal.reconcileMediaIndex(spark, corpus, index) === 0L)
+    assert(graft.sources.VersionedCorpus.snapshot(spark, index).count() === 3L)
+    // the reconciled index immediately rejects a shifted dupe
+    val dupe = spark.createDataset(Seq(
+      grid.find(_.media_id === 1L).get.copy(media_id = 500L)))
+    val (admitted, _) = Multimodal.admitMediaPerceptual(dupe, idx)
+    assert(admitted.count() === 0L)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("scanMetadata: header-only sweep agrees with full decode on dims, never touches pixels") {
     val real = Multimodal.syntheticMediaReal(spark, 30)
     val scan = Multimodal.scanMetadata(real).collect().sortBy(_.media_id)
@@ -473,7 +537,7 @@ class MultimodalSpec extends AnyFunSuite {
         assert(s.width === f.width && s.height === f.height, s"id ${s.media_id}")
         assert(s.n_frames === f.n_frames)
       }
-      assert(s.phash === 0L) // pixels were never decoded
+      assert(s.phash.isEmpty) // pixels were never decoded
     }
   }
 }

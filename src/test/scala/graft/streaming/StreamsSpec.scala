@@ -989,6 +989,59 @@ class StreamsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  test("media ingestion loop: exact + perceptual dedup on ingest, durable index, convergent under replay and restart") {
+    import graft.operators.Multimodal
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-mediastream")
+    val corpus = s"$tmpRoot/corpus"; val index = s"$tmpRoot/index"
+    val srcDir = s"$tmpRoot/media"; val cpDir = s"$tmpRoot/checkpoint"
+    val grid = Multimodal.syntheticGridMedia(spark, nGroups = 6, perGroup = 5)
+      .collect()
+    val videoA = Multimodal.MediaRow(900L, "video",
+      Array.tabulate[Byte](64)(j => (j * 7).toByte), "mkv", 64L)
+    def drop(rows: Seq[Multimodal.MediaRow]): Unit =
+      spark.createDataset(rows).toDF().coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def startQ() = Streams.incrementalMediaIngestion(
+        spark.readStream.schema(Multimodal.mediaSchema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        corpus, index) { (_, n) => seen.synchronized { seen += n }; () }
+      .option("checkpointLocation", cpDir)
+      .start()
+    // batch 1: one rep per group 0-3, plus a video
+    drop(grid.filter(r => r.media_id / 5 < 4 && r.media_id % 5 == 0).toSeq :+ videoA)
+    // batch 2: brightness-shifted dupes of groups 0-1 (new ids), a
+    // NOVEL group-4 rep, a byte-exact video replay under a new id, a
+    // novel video
+    drop(grid.filter(r => r.media_id / 5 < 2 && r.media_id % 5 == 2)
+      .map(r => r.copy(media_id = r.media_id + 100)).toSeq ++ Seq(
+      grid.find(_.media_id === 20L).get,
+      videoA.copy(media_id = 901L),
+      Multimodal.MediaRow(902L, "video",
+        Array.tabulate[Byte](64)(j => (j * 13 + 1).toByte), "mkv", 64L)))
+    val q1 = startQ(); q1.processAllAvailable(); q1.stop()
+    assert(seen.toSeq === Seq(5L, 2L), s"admission counts: $seen")
+    // while the loop is down: a batch that is ALL dupes (replayed
+    // payloads under fresh ids) plus one novel group-5 rep
+    drop(Seq(
+      grid.find(_.media_id === 0L).get.copy(media_id = 200L),
+      videoA.copy(media_id = 903L),
+      grid.find(_.media_id === 25L).get))
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    assert(seen.last === 1L, s"only the group-5 rep is novel: $seen")
+    val stored = graft.sources.VersionedCorpus.snapshot(spark, corpus)
+    assert(stored.select(col("media_id")).collect().map(_.getLong(0)).toSet ===
+      Set(0L, 5L, 10L, 15L, 900L, 20L, 902L, 25L))
+    // the index mirrors the corpus exactly (crash window closed) and
+    // holds both hash tiers
+    val idx = graft.sources.VersionedCorpus.snapshot(spark, index)
+    assert(idx.select(col("media_id")).collect().map(_.getLong(0)).toSet ===
+      stored.select(col("media_id")).collect().map(_.getLong(0)).toSet)
+    assert(idx.filter(col("phash").isNotNull).count() === 6L) // images
+    assert(idx.filter(col("payload_hash").isNull).count() === 0L)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   test("streaming erasure loop: forget requests applied across all three artifacts, convergent under replay") {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft-forgetstream")
     val corpus = s"$tmpRoot/corpus"; val tix = s"$tmpRoot/tix"
