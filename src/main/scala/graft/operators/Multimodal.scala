@@ -501,7 +501,10 @@ object Multimodal {
         decoded.filter(col("phash").isNotNull), corpusIndex, "media_id", "phash",
         maxHamming)
       .select(col("id_new").as("media_id"))
-    val rejected = exactRejected.union(nearRejected).distinct()
+    // the rejected set is ids-only and bounded by the micro-batch size:
+    // broadcast it so the anti-joins are structurally payload-local —
+    // payload bytes NEVER enter an exchange (PlanSpec-pinned)
+    val rejected = broadcast(exactRejected.union(nearRejected).distinct())
     val admitted = incoming.toDF().join(rejected, Seq("media_id"), "left_anti")
     val admittedDecoded = decoded.join(rejected, Seq("media_id"), "left_anti")
     (admitted, admittedDecoded)

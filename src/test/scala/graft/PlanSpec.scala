@@ -191,4 +191,24 @@ class PlanSpec extends AnyFunSuite {
       "argmax selection must not window-sort the corpus")
     assert("Aggregate".r.findAllIn(p).size >= 2, s"no two-phase agg:\n$p")
   }
+
+  test("admitMediaPerceptual: payload bytes never enter an exchange") {
+    import org.apache.spark.sql.functions.col
+    val media = graft.operators.Multimodal.syntheticGridMedia(spark, 4, 3)
+    val idx = spark.range(0).select(col("id").as("media_id"),
+      col("id").as("payload_hash"), col("id").as("phash"))
+    val (admitted, dec) =
+      graft.operators.Multimodal.admitMediaPerceptual(media, idx)
+    // the rejected-id set is broadcast, so the anti-joins are
+    // payload-local: every Exchange in either plan carries only ids,
+    // hashes and small metadata — the multi-MB binary column stays in
+    // place (the property that makes the ingestion loop viable when a
+    // micro-batch is tens of GB of images)
+    for ((df, label) <- Seq((admitted, "admitted"), (dec, "decoded"))) {
+      val p = df.queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(!exchanges.exists(_.contains("payload#")),
+        s"$label: payload must not shuffle:\n${exchanges.mkString("\n")}")
+    }
+  }
 }

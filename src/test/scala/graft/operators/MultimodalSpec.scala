@@ -182,6 +182,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(PdfText.extract(pdf) === "still here")
   }
 
+  test("PdfText fuzz: seeded hostile unicode round-trips write → extract exactly") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 40).foreach { trial =>
+      val lines = Seq.fill(1 + rnd.nextInt(4)) {
+        val len = 1 + rnd.nextInt(119)
+        val sb = new StringBuilder
+        while (sb.length < len) rnd.nextInt(6) match {
+          case 0 => sb.append(('a' + rnd.nextInt(26)).toChar)
+          case 1 => sb.append("()\\/<>[]{}%#&".charAt(rnd.nextInt(13)))
+          case 2 => sb.append(if (rnd.nextBoolean()) ' ' else '\t')
+          case 3 => sb.append((0xA1 + rnd.nextInt(400)).toChar)
+          case 4 => sb.append(new String(Character.toChars(0x1F300 + rnd.nextInt(256))))
+          case _ => sb.append(('0' + rnd.nextInt(10)).toChar)
+        }
+        sb.toString
+      }
+      val expected = lines.mkString("\n").trim
+      val got = PdfText.extract(PdfText.write(lines, compress = trial % 2 == 0))
+      assert(got === expected, s"trial $trial lines=$lines")
+    }
+  }
+
   test("extractText pdf format: real extraction chained into the chunker") {
     val docs = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
       .filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
