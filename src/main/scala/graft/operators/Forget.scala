@@ -17,12 +17,18 @@ import graft.sources.VersionedCorpus
   * unreachable).
   *
   * Legs are optional: pass only the artifacts this deployment keeps.
-  * Each leg is itself idempotent (double-forget is a no-op in all
-  * three stores), so replaying a crashed forget converges. Returns
-  * per-artifact removed counts ("corpus" counts tombstoned keys;
-  * "text_index" counts removed docs; "vector_index" counts tombstoned
-  * ids requested — the vector tombstone is id-set-shaped, absent ids
-  * are harmless).
+  * `extraStores` adds merge-on-read delete legs for ANY further
+  * versioned stores keyed by the same ids — e.g. the media pipeline's
+  * (payload store, hash index) pair, where erasing the hash row
+  * matters as much as the payload: a retained phash would keep
+  * REJECTING re-ingestion of content the subject re-consented to, a
+  * memory of the erased bytes. Each leg is itself idempotent
+  * (double-forget is a no-op in every store), so replaying a crashed
+  * forget converges. Returns per-artifact removed counts ("corpus"
+  * counts tombstoned keys; "text_index" counts removed docs;
+  * "vector_index" counts tombstoned ids requested — the vector
+  * tombstone is id-set-shaped, absent ids are harmless; extra stores
+  * count tombstoned keys under their root path).
   */
 object Forget {
 
@@ -31,7 +37,8 @@ object Forget {
              corpusKeyCol: String = "doc_id",
              textIndexDir: Option[String] = None,
              vectorIndexPath: Option[String] = None,
-             vectorIdCol: String = "vec_id"): Map[String, Long] = {
+             vectorIdCol: String = "vec_id",
+             extraStores: Seq[(String, String)] = Nil): Map[String, Long] = {
     val idsOne = ids.select(ids.columns.head).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -39,24 +46,33 @@ object Forget {
         // an empty request forgets nothing and commits nothing anywhere
         return (corpusRoot.map(_ => "corpus" -> 0L) ++
           textIndexDir.map(_ => "text_index" -> 0L) ++
-          vectorIndexPath.map(_ => "vector_index" -> 0L)).toMap
+          vectorIndexPath.map(_ => "vector_index" -> 0L) ++
+          extraStores.map { case (root, _) => root -> 0L }).toMap
       }
-      val corpus = corpusRoot.map { root =>
+      def storeDelete(root: String, keyCol: String): Long = {
         val gen = VersionedCorpus.delete(
-          idsOne.withColumnRenamed(idsOne.columns.head, corpusKeyCol),
-          root, corpusKeyCol)
+          idsOne.withColumnRenamed(idsOne.columns.head, keyCol),
+          root, keyCol)
         if (gen < 0L) 0L
         else VersionedCorpus.commits(root).find(_.gen == gen)
           .map(_.rows).getOrElse(0L)
       }
+      val corpus = corpusRoot.map(storeDelete(_, corpusKeyCol))
       val text = textIndexDir.map(dir =>
         TextIndex.delete(spark, dir, idsOne))
       val vec = vectorIndexPath.map { path =>
         IvfIndex.deletePartitioned(spark, path, vectorIdCol, idsOne)
         idsOne.count()
       }
+      // extra versioned stores keyed by the same ids — e.g. the media
+      // pipeline's (payload store, hash index) pair, or any derived
+      // store a deployment keeps alongside the primary three; keyed by
+      // store root in the returned counts
+      val extras = extraStores.map { case (root, keyCol) =>
+        root -> storeDelete(root, keyCol)
+      }
       (corpus.map("corpus" -> _) ++ text.map("text_index" -> _) ++
-        vec.map("vector_index" -> _)).toMap
+        vec.map("vector_index" -> _) ++ extras).toMap
     } finally idsOne.unpersist()
   }
 

@@ -367,13 +367,14 @@ object Streams {
                         corpusKeyCol: String = "doc_id",
                         textIndexDir: Option[String] = None,
                         vectorIndexPath: Option[String] = None,
-                        vectorIdCol: String = "vec_id")
+                        vectorIdCol: String = "vec_id",
+                        extraStores: Seq[(String, String)] = Nil)
                        (sink: (Long, Map[String, Long]) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     idStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val removed = graft.operators.Forget.forget(batch.sparkSession,
         batch, corpusRoot, corpusKeyCol, textIndexDir,
-        vectorIndexPath, vectorIdCol)
+        vectorIndexPath, vectorIdCol, extraStores)
       sink(batchId, removed)
     }
 

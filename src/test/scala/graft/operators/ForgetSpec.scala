@@ -64,4 +64,40 @@ class ForgetSpec extends AnyFunSuite {
     assert(spark.read.parquet(vix).filter(col("vec_id") < 10).count() === 0L)
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
+
+  test("extraStores legs: media-pair erasure forgets the hash too, so re-consented content re-admits") {
+    val tmp = Files.createTempDirectory("graft-forgetmedia")
+    val payloads = s"$tmp/payloads"; val index = s"$tmp/index"
+    val grid = Multimodal.syntheticGridMedia(spark, nGroups = 4, perGroup = 5)
+      .collect()
+    val reps = spark.createDataset(grid.filter(_.media_id % 5 == 0).toSeq)
+    VersionedCorpus.append(reps.toDF(), payloads)
+    assert(Multimodal.reconcileMediaIndex(spark, payloads, index) === 4L)
+    // erase group 0's rep (id 0) from BOTH stores in one composed call
+    val removed = Forget.forget(spark, Seq(0L).toDF("media_id"),
+      extraStores = Seq(payloads -> "media_id", index -> "media_id"))
+    assert(removed === Map(payloads -> 1L, index -> 1L))
+    assert(VersionedCorpus.snapshot(spark, payloads)
+      .filter(col("media_id") === 0L).count() === 0L)
+    val idx = VersionedCorpus.snapshot(spark, index)
+    assert(idx.filter(col("media_id") === 0L).count() === 0L)
+    // the dedup memory is gone with the hash: a brightness-shifted
+    // re-submission of the erased content is ADMITTED again, while a
+    // shift of a RETAINED group is still rejected
+    val resubmit = spark.createDataset(Seq(
+      grid.find(_.media_id === 1L).get.copy(media_id = 700L),  // group 0 (erased)
+      grid.find(_.media_id === 6L).get.copy(media_id = 701L))) // group 1 (retained)
+    val (admitted, _) = Multimodal.admitMediaPerceptual(resubmit, idx)
+    assert(admitted.select(col("media_id")).collect()
+      .map(_.getLong(0)).toSet === Set(700L))
+    // double-forget re-tombstones the requested keys (the store-leg
+    // count contract: keys requested, not live rows) and stays a
+    // read-time no-op — the snapshots are unchanged
+    val again = Forget.forget(spark, Seq(0L).toDF("media_id"),
+      extraStores = Seq(payloads -> "media_id", index -> "media_id"))
+    assert(again === Map(payloads -> 1L, index -> 1L))
+    assert(VersionedCorpus.snapshot(spark, payloads).count() === 3L)
+    assert(VersionedCorpus.snapshot(spark, index).count() === 3L)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
 }
