@@ -5637,6 +5637,64 @@ object Queries {
       """),
       "image near-dup at the scale shape: banded phash bucket join ≡ exhaustive Hamming pairs (pigeonhole recall)"),
 
+    "media_admit" -> DeclaredQuery(
+      // The perceptual ADMISSION DECISION oracle-checked end-to-end via
+      // the categorical trick: the corpus hash index holds one rep per
+      // pattern group 0-11; the incoming batch carries a
+      // brightness-shifted member of EVERY group 0-15 under new ids.
+      // admitMediaPerceptual must reject exactly the 12 indexed groups
+      // (dHash is shift-invariant, the banded cross-join has total
+      // recall at Hamming ≤ 3) and admit exactly the 4 novel ones — a
+      // closed-form id set DuckDB replays from the group arithmetic
+      // alone. Certifies decode → hash → banded cross-join → anti-join
+      // as one decision.
+      (s, dir) => {
+        import s.implicits._
+        val grid = Multimodal.syntheticGridMedia(s, nGroups = 16, perGroup = 5)
+          .collect()
+        val corpusMedia = s.createDataset(
+          grid.filter(r => r.media_id % 5 == 0 && r.media_id < 60).toSeq)
+        val index = Multimodal.mediaIndexProjection(
+          Multimodal.decodeAll(corpusMedia).toDF()
+            .join(corpusMedia.toDF().select(col("media_id"),
+              xxhash64(col("payload")).as("payload_hash")), "media_id"))
+        val incoming = s.createDataset(
+          grid.filter(_.media_id % 5 == 2)
+            .map(r => r.copy(media_id = r.media_id + 1000)).toSeq)
+        val (admitted, _) = Multimodal.admitMediaPerceptual(incoming, index)
+        admitted.select(col("media_id")).orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT (1000 + g * 5 + 2)::BIGINT AS media_id
+        FROM range(12, 16) t(g) ORDER BY media_id
+      """),
+      "perceptual admission decision: indexed groups rejected, novel groups admitted — closed-form oracle"),
+
+    "media_scan_meta" -> DeclaredQuery(
+      // The header-only TRIAGE sweep (scanMetadata — the 100 TB
+      // classify-before-decode pass), oracle-checked: real-payload
+      // fixture, dims/frame counts must replay the generation formulas
+      // without any pixel decode having run.
+      (s, dir) => {
+        val scanned =
+          Multimodal.scanMetadata(Multimodal.syntheticMediaReal(s, 240)).toDF()
+        scanned.filter(col("kind") =!= "video")
+          .select(col("media_id"), col("kind"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT i AS media_id,
+          CASE WHEN i % 3 = 0 THEN 'image' ELSE 'audio' END AS kind,
+          CASE WHEN i % 3 = 0 THEN 32 + i % 32 ELSE 8000 + (i % 5) * 2000 END AS width,
+          CASE WHEN i % 3 = 0 THEN 24 + i % 24 ELSE 1 + i % 2 END AS height,
+          CASE WHEN i % 3 = 0 THEN 1 ELSE 400 + i % 256 END AS n_frames
+        FROM range(0, 240) t(i) WHERE i % 3 <> 2 ORDER BY media_id
+      """),
+      "header-only triage sweep over real payloads, oracle-checked vs the generation formulas"),
+
     "ivf_probe_fixed" -> DeclaredQuery(
       // the WHOLE IVF probe pipeline under FIXED centroids, oracle-green:
       // ivf_assign certifies the assignment arithmetic; this row chains
