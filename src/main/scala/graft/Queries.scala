@@ -5695,6 +5695,45 @@ object Queries {
       """),
       "header-only triage sweep over real payloads, oracle-checked vs the generation formulas"),
 
+    "media_frames" -> DeclaredQuery(
+      // REAL frame-sampled video-style decode, oracle-checked: genuine
+      // multi-frame GIFs (6 full-frame solid rasters each, per-frame
+      // colors from closed-form formulas), every 2nd stored frame
+      // decoded to its own feature row — GIF palettes carry the exact
+      // colors, so the per-frame means replay the (i, f) formulas with
+      // the same integer-sum/FLOAT-cast discipline as media_pixels.
+      // Certifies the multi-frame reader path (getNumImages + read(f))
+      // frame by frame, not just the frame COUNT.
+      (s, dir) => {
+        val frames = Multimodal.extractFrames(
+          Multimodal.syntheticAnimatedMedia(s, n = 60, framesPer = 6),
+          stride = 2).toDF()
+        frames.select(col("media_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            round(element_at(col("features"), 1).cast("double"), 4).as("f_r"),
+            round(element_at(col("features"), 4).cast("double"), 4).as("f_luma"),
+            round(element_at(col("features"), 5).cast("double"), 4).as("f_std"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""
+        WITH fr AS (
+          SELECT i, f, 16 + i % 8 AS w, 12 + i % 6 AS h,
+                 (i * 17 + f * 31) % 256 AS r,
+                 (i * 29 + f * 37) % 256 AS g,
+                 (i * 43 + f * 41) % 256 AS b
+          FROM range(0, 60) t(i), (VALUES (0), (2), (4)) u(f))
+        SELECT i AS media_id, f::BIGINT AS frame_idx,
+          w::BIGINT AS width, h::BIGINT AS height,
+          round(cast((w * h * r) / (w * h * 255.0) AS FLOAT)::DOUBLE, 4) AS f_r,
+          round(cast((w * h * (299 * r + 587 * g + 114 * b)) / (w * h * 255000.0)
+                AS FLOAT)::DOUBLE, 4) AS f_luma,
+          0.0::DOUBLE AS f_std
+        FROM fr ORDER BY media_id, frame_idx
+      """),
+      "frame-sampled multi-frame decode: every 2nd GIF frame's features oracle-exact vs the (i, f) formulas"),
+
     "ivf_probe_fixed" -> DeclaredQuery(
       // the WHOLE IVF probe pipeline under FIXED centroids, oracle-green:
       // ivf_assign certifies the assignment arithmetic; this row chains

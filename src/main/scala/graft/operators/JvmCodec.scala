@@ -161,6 +161,40 @@ object JvmCodec {
     hash
   }
 
+  /** Per-frame decode for multi-frame containers (animated GIF — the
+    * one multi-frame format the JDK ships a codec for): every
+    * `stride`-th stored frame decoded to (frameIdx, w, h, features,
+    * dHash). Single-frame containers yield just frame 0; no-codec
+    * payloads yield Nil. Honest caveat: frames are the STORED rasters —
+    * GIF disposal/compositing is not applied, so a patch-optimized GIF
+    * reports patch rects (a video pipeline composites before feature
+    * extraction; fixture and thumbnail GIFs store full frames). */
+  def decodeFrames(bytes: Array[Byte], stride: Int): Seq[(Int, Int, Int, Array[Float], Long)] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Nil
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true)
+            val n = try math.max(1, reader.getNumImages(true))
+              catch { case scala.util.control.NonFatal(_) => 1 }
+            (0 until n by math.max(1, stride)).flatMap { f =>
+              try {
+                val img = reader.read(f)
+                if (img == null) None
+                else Some((f, img.getWidth, img.getHeight,
+                  pixelFeatures(img), dHash(img)))
+              } catch { case scala.util.control.NonFatal(_) => None }
+            }
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
   /** Decode 16-bit PCM WAV samples (the one audio container with a
     * published layout and no codec): chunk walk for fmt/data, then a
     * single pass over frames mixing channels to mono. None for

@@ -552,11 +552,69 @@ object Multimodal {
 
   /** Frame sampling for video rows: every `stride`-th frame index up to
     * the decoded frame count — plan-side only (which frames to fetch),
-    * the fetch itself is the codec's job. */
+    * the fetch itself is the codec's job ([[extractFrames]] performs it
+    * for the containers the JDK can actually open). */
   def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
     decoded.filter(col("kind") === "video")
       .select(col("media_id"),
         sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_ids"))
+
+  final case class FrameRow(media_id: Long, frame_idx: Int,
+                            width: Int, height: Int,
+                            features: Array[Float], phash: Long)
+
+  /** REAL frame-sampled decode — [[sampleFrames]]'s fetch made actual
+    * for the multi-frame container the JDK ships a codec for (animated
+    * GIF): every `stride`-th stored frame of every image-kind asset
+    * becomes a row with its own pixel features and perceptual hash
+    * ([[graft.operators.JvmCodec.decodeFrames]] — per-partition reader
+    * instance, one decoder pass per asset, no shuffle). Single-frame
+    * images yield frame 0; undecodable payloads yield no rows. The
+    * per-frame hashes feed the same banded near-dup machinery as
+    * still-image dHashes — the video-near-dup shape (match any sampled
+    * frame) at GIF scale. */
+  def extractFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      // per-partition decoder init site, same contract as decodeAll
+      rows.flatMap { row =>
+        val bytes = if (row.payload == null) Array.emptyByteArray else row.payload
+        JvmCodec.decodeFrames(bytes, stride).map { case (f, w, h, feat, hash) =>
+          FrameRow(row.media_id, f, w, h, feat, hash)
+        }
+      }
+    }
+  }
+
+  /** Deterministic animated-GIF fixture: each asset is a genuine
+    * multi-frame GIF (`framesPer` full-frame solid rasters, per-frame
+    * color from closed-form formulas in (i, f)) — GIF palettes carry
+    * the exact colors, so the per-frame decode is lossless and the
+    * frame-feature oracle replays the formulas byte-exactly. */
+  def syntheticAnimatedMedia(spark: SparkSession, n: Int,
+                             framesPer: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val w = (16 + i % 8).toInt; val h = (12 + i % 6).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        (0 until framesPer).foreach { f =>
+          writer.writeToSequence(new javax.imageio.IIOImage(
+            JvmCodec.solidImage(w, h,
+              ((i * 17 + f * 31) % 256).toInt,
+              ((i * 29 + f * 37) % 256).toInt,
+              ((i * 43 + f * 41) % 256).toInt), null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      val payload = bos.toByteArray
+      MediaRow(i, "image", payload, "gif", payload.length.toLong)
+    }
+  }
 
   /** Deterministic synthetic media fixture (no binary fixture ships with
     * the harness). Image and audio rows carry REAL container headers —

@@ -549,6 +549,30 @@ class MultimodalSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("extractFrames: per-frame real decode of animated GIFs, stride-sampled, exact colors") {
+    val media = Multimodal.syntheticAnimatedMedia(spark, n = 6, framesPer = 5)
+    val frames = Multimodal.extractFrames(media, stride = 2).collect()
+      .sortBy(r => (r.media_id, r.frame_idx))
+    assert(frames.length === 6 * 3) // frames 0, 2, 4 per asset
+    frames.foreach { r =>
+      val i = r.media_id; val f = r.frame_idx
+      assert(Set(0, 2, 4).contains(f))
+      assert(r.width === (16 + i % 8).toInt && r.height === (12 + i % 6).toInt)
+      assert(r.features(0) === (((i * 17 + f * 31) % 256) / 255.0).toFloat,
+        s"id $i frame $f mean R")
+      assert(r.features(4) === 0.0f)
+    }
+    // a single-frame still yields exactly frame 0
+    val still = Multimodal.syntheticMediaReal(spark, 3)
+    val sf = Multimodal.extractFrames(still, stride = 3).collect()
+    assert(sf.map(r => (r.media_id, r.frame_idx)).toSeq === Seq((0L, 0)))
+    // per-frame hashes ride the banded near-dup machinery: identical
+    // frames across assets collide, distinct solid frames all hash 0
+    // (featureless raster) — which is exactly why dedup uses phash
+    // TOGETHER with the exact payload tier
+    assert(frames.forall(_.phash === 0L))
+  }
+
   test("scanMetadata: header-only sweep agrees with full decode on dims, never touches pixels") {
     val real = Multimodal.syntheticMediaReal(spark, 30)
     val scan = Multimodal.scanMetadata(real).collect().sortBy(_.media_id)
