@@ -128,7 +128,13 @@ object DumpPlans {
       "(PushedFilters), the semi-join against the vector table is a " +
       "BroadcastHashJoin (small filtered side), and the top-k is the " +
       "same TakeOrderedAndProject as unfiltered search — no global " +
-      "sort, no shuffle of the vector table"))
+      "sort, no shuffle of the vector table"),
+    "media_phash_near" -> ("perceptual image near-dup, the 100 TB " +
+      "shape: per-partition REAL decode (MapPartitions — payload " +
+      "never shuffles), 4×16-bit band explode, equi-join on " +
+      "(band, key) — never an all-pairs cross — then the Hamming " +
+      "verify BEFORE the distinct so the exchange carries only " +
+      "surviving (id, id, hamming) longs"))
 
   /** Plan-shape-critical OPERATOR INTERNALS whose declared queries
     * materialize eagerly (their final plans are LocalTableScans): built
