@@ -195,10 +195,33 @@ object JvmCodec {
       } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => Nil }
 
-  /** Decode 16-bit PCM WAV samples (the one audio container with a
-    * published layout and no codec): chunk walk for fmt/data, then a
-    * single pass over frames mixing channels to mono. None for
-    * non-PCM/non-16-bit audio — that genuinely needs a codec. Features:
+  /** G.711 µ-law byte → linear 16-bit sample (ITU-T G.711 table as the
+    * closed-form expansion; max magnitude 32124). */
+  private[operators] def ulawToLinear(b: Int): Int = {
+    val u = ~b & 0xFF
+    val mag = (((u & 0x0F) << 3) + 0x84 << ((u >> 4) & 7)) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 A-law byte → linear 16-bit sample (max magnitude 32256). */
+  private[operators] def alawToLinear(b: Int): Int = {
+    val a = (b ^ 0x55) & 0xFF
+    val exp = (a >> 4) & 7
+    val mant = a & 0x0F
+    val mag = if (exp == 0) (mant << 4) + 8
+              else ((mant << 4) + 0x108) << (exp - 1)
+    // A-law sign bit (after the 0x55 toggle) SET means positive — the
+    // opposite convention of µ-law's complemented byte
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** Decode WAV samples (the one audio container with a published
+    * layout): chunk walk for fmt/data, then a single pass over frames
+    * mixing channels to mono. Sample formats with published
+    * arithmetic are decoded for REAL — 16-bit linear PCM (format 1)
+    * and the G.711 companded pair, A-law (6) and µ-law (7), expanded
+    * by the ITU-T formulas; anything else (ADPCM, MP3-in-WAV, float)
+    * is an honest None. Features:
     *   0 RMS; 1 zero-crossing rate; 2 peak |sample|; 3 mean |sample|
     *   (all ÷32768); 4 duration seconds; 5 rate/48000; 6 channels;
     *   7 bits/16. */
@@ -212,6 +235,7 @@ object JvmCodec {
     if (!(tag(0, "RIFF") && tag(8, "WAVE"))) return None
     var i = 12
     var fmtOk = false; var channels = 0; var rate = 0; var block = 0; var bits = 0
+    var law = 0 // 0 = linear PCM, 6 = A-law, 7 = µ-law
     var dataOff = -1; var dataLen = 0L
     while (i + 8 <= bytes.length && (!fmtOk || dataOff < 0)) {
       val size = le32(i + 4)
@@ -219,13 +243,17 @@ object JvmCodec {
         val audioFormat = le16(i + 8)
         channels = le16(i + 10); rate = le32(i + 12).toInt
         block = le16(i + 20); bits = le16(i + 22)
-        fmtOk = audioFormat == 1 && bits == 16 && channels > 0 && block == channels * 2
+        law = if (audioFormat == 6 || audioFormat == 7) audioFormat else 0
+        fmtOk = channels > 0 &&
+          ((audioFormat == 1 && bits == 16 && block == channels * 2) ||
+           (law != 0 && bits == 8 && block == channels))
       } else if (tag(i, "data")) { dataOff = i + 8; dataLen = size }
       i += 8 + size.toInt + (size.toInt & 1)
     }
     if (!fmtOk || dataOff < 0 || rate <= 0) return None
     val avail = math.min(dataLen, (bytes.length - dataOff).toLong)
     val frames = (avail / block).toInt
+    val bytesPer = block / channels
     var f = 0
     var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0
     var crossings = 0L; var prevSign = 0
@@ -233,7 +261,11 @@ object JvmCodec {
       var ch = 0; var acc = 0L
       val base = dataOff + f * block
       while (ch < channels) {
-        val v = (le16(base + ch * 2) << 16) >> 16 // sign-extend
+        val v = law match {
+          case 7 => ulawToLinear(bytes(base + ch) & 0xFF)
+          case 6 => alawToLinear(bytes(base + ch) & 0xFF)
+          case _ => (le16(base + ch * bytesPer) << 16) >> 16 // sign-extend
+        }
         acc += v; ch += 1
       }
       val mono = acc.toDouble / channels

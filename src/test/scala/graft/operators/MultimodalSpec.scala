@@ -399,6 +399,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(s.features(1) - 2 * 440.0 / rate) < 0.005, "sine zero-crossing rate")
   }
 
+  test("JvmCodec G.711: mu-law and A-law WAV decode through the ITU expansion formulas") {
+    // published reference points of the G.711 tables
+    assert(JvmCodec.ulawToLinear(0xFF) === 0)        // quietest positive
+    assert(JvmCodec.ulawToLinear(0x80) === 32124)    // loudest positive
+    assert(JvmCodec.ulawToLinear(0x00) === -32124)   // loudest negative
+    assert(JvmCodec.alawToLinear(0x55) === -8)       // quietest negative
+    assert(JvmCodec.alawToLinear(0xD5) === 8)        // quietest positive
+    assert(JvmCodec.alawToLinear(0xAA) === 32256)    // loudest positive
+    def lawWav(format: Int, byte: Int, frames: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + frames)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + frames)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(format.toShort).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+      bb.put("data".getBytes("US-ASCII")).putInt(frames)
+      (0 until frames).foreach(_ => bb.put(byte.toByte))
+      bb.array()
+    }
+    // a constant companded byte decodes to a constant linear sample:
+    // RMS = peak = |decoded|/32768 exactly, zero crossings none
+    val u = JvmCodec.decodeWav(lawWav(7, 0x9A, 300)).get
+    val expectU = math.abs(JvmCodec.ulawToLinear(0x9A)) / 32768.0
+    assert(u.frames === 300 && u.features(0) === expectU.toFloat)
+    assert(u.features(1) === 0.0f && u.features(7) === 0.5f)
+    val a = JvmCodec.decodeWav(lawWav(6, 0x2A, 300)).get
+    val expectA = math.abs(JvmCodec.alawToLinear(0x2A)) / 32768.0
+    assert(a.features(0) === expectA.toFloat)
+    // expansion is monotone in segment: louder code → larger magnitude
+    assert(math.abs(JvmCodec.ulawToLinear(0x85)) > math.abs(JvmCodec.ulawToLinear(0x95)))
+  }
+
   test("JvmCodec: compressed-audio and 8-bit WAV are an honest None, not a guess") {
     // 8-bit PCM header (bits=16 is the supported contract)
     val bb = java.nio.ByteBuffer.allocate(44)
