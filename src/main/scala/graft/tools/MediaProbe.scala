@@ -86,6 +86,34 @@ object MediaProbe {
       println("  thumbnails: " + rz.toDF().agg(
         count(lit(1)), sum(length(col("payload")))).head())
     }
+    // large-raster tier: the fixture's thumbnails undersell per-byte
+    // codec cost — measure MB/s on 512×512 textured PNGs (pattern, not
+    // solid: realistic deflate ratios)
+    val big = s"$tmp/big"
+    val nBig = 2000
+    time(f"generate $nBig 512x512 textured PNGs -> parquet") {
+      spark.range(nBig.toLong).map { i =>
+        val payload = graft.operators.JvmCodec.encodePng(
+          graft.operators.JvmCodec.grayImage(512, 512)((x, y) =>
+            ((x * 31 + y * 17 + i * 7) % 251).toInt))
+        graft.operators.Multimodal.MediaRow(i, "image", payload, "png",
+          payload.length.toLong)
+      }.repartition(16).write.parquet(big)
+    }
+    val bigMedia = spark.read.parquet(big)
+      .as[graft.operators.Multimodal.MediaRow]
+    val bigBytes = bigMedia.toDF().agg(sum(col("meta_bytes"))).head().getLong(0)
+    for (i <- 1 to 2)
+      time(f"decodeAll run$i over ${bigBytes / 1e6}%.0f MB of 512x512 PNGs") {
+        graft.operators.Multimodal.decodeAll(bigMedia).toDF()
+          .agg(count(lit(1)), avg(element_at(col("features"), 4))).collect()
+      }
+    // frame-sampled decode at volume: 5k six-frame GIFs, every 2nd frame
+    time("extractFrames over 5000 six-frame GIFs (stride 2)") {
+      val gifs = graft.operators.Multimodal.syntheticAnimatedMedia(spark, 5000, 6)
+      println("  frame rows: " + graft.operators.Multimodal
+        .extractFrames(gifs, stride = 2).toDF().count())
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     spark.stop()
   }
