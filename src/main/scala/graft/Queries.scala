@@ -5734,6 +5734,49 @@ object Queries {
       """),
       "frame-sampled multi-frame decode: every 2nd GIF frame's features oracle-exact vs the (i, f) formulas"),
 
+    "media_frame_near" -> DeclaredQuery(
+      // VIDEO-SHAPE near-dup, oracle-checked against the exhaustive
+      // ground truth: two multi-frame assets match when ANY frame of
+      // one is within Hamming 3 of any frame of the other (re-encodes,
+      // trims and splices share frames without any global signature
+      // matching). Spark runs the scale shape — per-asset frame rows
+      // into the 4×16-bit band bucket join, min frame-pair distance
+      // per asset pair; DuckDB recomputes every frame hash from the
+      // pattern bit formula and compares ALL frame pairs of ALL asset
+      // pairs. Equality holds by the same pigeonhole-total-recall
+      // argument as media_phash_near, lifted to frame multisets.
+      (s, dir) => {
+        val media = Multimodal.syntheticAnimatedGridMedia(
+          s, n = 30, framesPer = 4, nPatterns = 10)
+        Multimodal.frameNearDup(media, stride = 1, maxHamming = 3)
+          .select(col("id_a"), col("id_b"),
+            col("min_hamming").cast("long").as("min_hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH ph AS (
+          SELECT p, bit_or(CASE WHEN (p * 31 + (x + 1) * (7 + p % 5) + y * 13) % 17
+                                  > (p * 31 + x * (7 + p % 5) + y * 13) % 17
+                   THEN CASE WHEN y * 8 + x = 63 THEN (-9223372036854775807 - 1)
+                        ELSE (1::BIGINT << (y * 8 + x)) END
+                   ELSE 0 END) AS h
+          FROM range(0, 10) t(p), range(0, 8) u(x), range(0, 8) v(y)
+          GROUP BY p),
+        fr AS (
+          SELECT i, (i + f) % 10 AS p
+          FROM range(0, 30) t(i), range(0, 4) u(f)),
+        pairs AS (
+          SELECT a.i AS id_a, b.i AS id_b,
+                 min(bit_count(xor(ha.h, hb.h))) AS min_hamming
+          FROM fr a, ph ha, fr b, ph hb
+          WHERE a.p = ha.p AND b.p = hb.p AND a.i < b.i
+          GROUP BY a.i, b.i)
+        SELECT id_a, id_b, min_hamming::BIGINT AS min_hamming
+        FROM pairs WHERE min_hamming <= 3
+        ORDER BY id_a, id_b
+      """),
+      "video-shape near-dup: any-frame banded match ≡ exhaustive min frame-pair Hamming (oracle)"),
+
     "ivf_probe_fixed" -> DeclaredQuery(
       // the WHOLE IVF probe pipeline under FIXED centroids, oracle-green:
       // ivf_assign certifies the assignment arithmetic; this row chains

@@ -586,6 +586,26 @@ object Multimodal {
     }
   }
 
+  /** Multi-frame (video-shape) near-dup: two assets are near-duplicates
+    * when ANY sampled frame of one is within `maxHamming` of any sampled
+    * frame of the other — the standard video-dedup decision (re-encodes,
+    * trims and splices share frames even when no global signature
+    * matches). Frames ride the same banded machinery as still images
+    * ([[graft.operators.NearDup.signatureCandidates]] keyed by asset
+    * id — multiple signature rows per id is exactly the multi-probe
+    * shape the banding supports), then the best (minimum) frame-pair
+    * distance is kept per asset pair. Never an asset×asset cross;
+    * payloads never shuffle. Output (id_a, id_b, min_hamming). */
+  def frameNearDup(media: Dataset[MediaRow], stride: Int,
+                   maxHamming: Int = 3): DataFrame = {
+    val frames = extractFrames(media, stride).toDF()
+      .select(col("media_id"), col("phash"))
+    graft.operators.NearDup.signatureCandidates(
+        frames, "media_id", "phash", maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("min_hamming"))
+  }
+
   /** Deterministic animated-GIF fixture: each asset is a genuine
     * multi-frame GIF (`framesPer` full-frame solid rasters, per-frame
     * color from closed-form formulas in (i, f)) — GIF palettes carry
@@ -596,24 +616,50 @@ object Multimodal {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
       val w = (16 + i % 8).toInt; val h = (12 + i % 6).toInt
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-      try {
-        writer.setOutput(ios)
-        writer.prepareWriteSequence(null)
-        (0 until framesPer).foreach { f =>
-          writer.writeToSequence(new javax.imageio.IIOImage(
-            JvmCodec.solidImage(w, h,
-              ((i * 17 + f * 31) % 256).toInt,
-              ((i * 29 + f * 37) % 256).toInt,
-              ((i * 43 + f * 41) % 256).toInt), null, null), null)
-        }
-        writer.endWriteSequence()
-      } finally { writer.dispose(); ios.close() }
-      val payload = bos.toByteArray
+      val payload = animatedGif((0 until framesPer).map { f =>
+        JvmCodec.solidImage(w, h,
+          ((i * 17 + f * 31) % 256).toInt,
+          ((i * 29 + f * 37) % 256).toInt,
+          ((i * 43 + f * 41) % 256).toInt)
+      })
       MediaRow(i, "image", payload, "gif", payload.length.toLong)
     }
+  }
+
+  /** Animated fixture for the FRAME-near-dup oracle: each asset's frame
+    * f shows the 9×8 grid PATTERN `(i + f) % nPatterns` — so assets i
+    * and j share a frame pattern exactly when their ids are within
+    * `framesPer - 1` of each other modulo `nPatterns`, a closed-form
+    * pair set, and every frame hash is the same SQL-replayable bit
+    * formula as [[syntheticGridMedia]]. */
+  def syntheticAnimatedGridMedia(spark: SparkSession, n: Int,
+                                 framesPer: Int,
+                                 nPatterns: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val payload = animatedGif((0 until framesPer).map { f =>
+        val p = (i + f) % nPatterns
+        JvmCodec.grayImage(9, 8) { (x, y) =>
+          (((p * 31 + x * (7 + p % 5) + y * 13) % 17) * 15).toInt
+        }
+      })
+      MediaRow(i, "image", payload, "gif", payload.length.toLong)
+    }
+  }
+
+  /** Encode frames into one genuine animated GIF. */
+  private def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(img => writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
   }
 
   /** Deterministic synthetic media fixture (no binary fixture ships with

@@ -606,6 +606,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.phash === 0L))
   }
 
+  test("frameNearDup: assets sharing ANY frame pattern match at distance 0") {
+    val media = Multimodal.syntheticAnimatedGridMedia(
+      spark, n = 20, framesPer = 3, nPatterns = 8)
+    val pairs = Multimodal.frameNearDup(media, stride = 1, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // construction: asset i shows patterns {(i+f) % 8 | f < 3}; i and j
+    // share one exactly when (j - i) mod 8 ∈ {±1, ±2} ∪ {0 (mod 8)}
+    for (i <- 0L until 20L; j <- (i + 1) until 20L) {
+      val d = ((j - i) % 8 + 8) % 8
+      val share = d <= 2 || d >= 6 || d == 0
+      if (share)
+        assert(pairs.get((i, j)).contains(0), s"pair ($i,$j) d=$d should share a frame")
+    }
+    assert(pairs.values.exists(_ == 0))
+  }
+
   test("scanMetadata: header-only sweep agrees with full decode on dims, never touches pixels") {
     val real = Multimodal.syntheticMediaReal(spark, 30)
     val scan = Multimodal.scanMetadata(real).collect().sortBy(_.media_id)
