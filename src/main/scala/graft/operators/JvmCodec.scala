@@ -335,6 +335,41 @@ object JvmCodec {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Apply an EXIF orientation (1-8) to a raster — the eight dihedral
+    * transforms as an explicit per-pixel remap (deterministic, no
+    * Java2D transform pipeline): 2 mirror, 3 rotate 180, 4 flip, 5
+    * transpose, 6 rotate 90 CW, 7 transverse, 8 rotate 270 CW. The
+    * returned image displays upright; 1 (or any out-of-range value)
+    * returns the input untouched. */
+  def normalizeOrientation(img: java.awt.image.BufferedImage,
+                           orientation: Int): java.awt.image.BufferedImage = {
+    if (orientation <= 1 || orientation > 8) return img
+    val w = img.getWidth; val h = img.getHeight
+    val swap = orientation >= 5
+    val out = new java.awt.image.BufferedImage(
+      if (swap) h else w, if (swap) w else h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < out.getHeight) {
+      var x = 0
+      while (x < out.getWidth) {
+        val (sx, sy) = orientation match {
+          case 2 => (w - 1 - x, y)
+          case 3 => (w - 1 - x, h - 1 - y)
+          case 4 => (x, h - 1 - y)
+          case 5 => (y, x)
+          case 6 => (y, h - 1 - x)
+          case 7 => (w - 1 - y, h - 1 - x)
+          case _ => (w - 1 - y, x) // 8
+        }
+        out.setRGB(x, y, img.getRGB(sx, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** PNG-encode a raster (lossless — decode inverts it pixel-exactly). */
   def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()

@@ -120,6 +120,48 @@ object Multimodal {
       case _ => None
     }
 
+    /** EXIF orientation (tag 0x0112, values 1-8) from a JPEG's APP1
+      * segment — the real IFD walk over the published TIFF layout
+      * (EXIF 2.3 §4.6.4): marker scan to APP1 "Exif\0\0", then the
+      * embedded TIFF header (byte order, IFD0 offset) and IFD0's
+      * 12-byte entries. None when the tag, segment, or container is
+      * absent — callers treat that as orientation 1 (upright). */
+    def exifOrientation(b: Array[Byte]): Option[Int] = {
+      if (sniff(b) != Some("jpeg")) return None
+      var i = 2
+      while (i + 4 < b.length && u8(b, i) == 0xFF) {
+        val marker = u8(b, i + 1)
+        if (marker == 0xD8) { i += 2 }
+        else {
+          val len = be16(b, i + 2)
+          if (marker == 0xE1 && ascii(b, i + 4, "Exif") &&
+            u8(b, i + 9) == 0 && i + 4 + len <= b.length) {
+            val t = i + 10 // TIFF header start
+            val little =
+              if (ascii(b, t, "II")) true
+              else if (ascii(b, t, "MM")) false
+              else return None
+            def r16(o: Int): Int = if (little) le16(b, o) else be16(b, o)
+            def r32(o: Int): Long = if (little) le32(b, o) else be32(b, o)
+            if (r16(t + 2) != 42) return None
+            val ifd = t + r32(t + 4).toInt
+            if (ifd + 2 > b.length) return None
+            val n = r16(ifd)
+            var e = 0
+            while (e < n && ifd + 2 + 12 * (e + 1) <= b.length) {
+              val off = ifd + 2 + 12 * e
+              if (r16(off) == 0x0112)
+                return Some(r16(off + 8)).filter(v => v >= 1 && v <= 8)
+              e += 1
+            }
+            return None
+          }
+          if (marker >= 0xD0 && marker <= 0xD9) i += 2 else i += 2 + len
+        }
+      }
+      None
+    }
+
     /** (sampleRate, channels, frameCount) from the RIFF chunk walk. */
     def wavInfo(b: Array[Byte]): Option[(Int, Int, Long)] = {
       var i = 12

@@ -622,6 +622,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.values.exists(_ == 0))
   }
 
+  test("EXIF orientation: real APP1/IFD walk, and the dihedral remap puts marked corners upright") {
+    import Multimodal.MediaHeaders
+    // a real JPEG with a hand-built EXIF APP1 spliced after SOI
+    def withExif(orientation: Int, little: Boolean): Array[Byte] = {
+      val img = JvmCodec.solidImage(10, 8, 60, 60, 60)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val jpeg = bos.toByteArray
+      val bb = java.nio.ByteBuffer.allocate(36).order(
+        if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      bb.put(0xFF.toByte).put(0xE1.toByte)
+      bb.order(java.nio.ByteOrder.BIG_ENDIAN).putShort(34) // segment length is always BE
+      bb.order(if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      bb.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+      bb.put((if (little) "II" else "MM").getBytes("US-ASCII"))
+      bb.putShort(42).putInt(8)         // TIFF magic + IFD0 offset
+      bb.putShort(1)                    // one IFD entry
+      bb.putShort(0x0112.toShort).putShort(3).putInt(1)
+      bb.putShort(orientation.toShort).putShort(0)
+      bb.putInt(0)                      // no next IFD
+      jpeg.take(2) ++ bb.array() ++ jpeg.drop(2)
+    }
+    assert(MediaHeaders.exifOrientation(withExif(6, little = true)) === Some(6))
+    assert(MediaHeaders.exifOrientation(withExif(8, little = false)) === Some(8))
+    // no APP1 → None; non-JPEG → None
+    val plain = JvmCodec.encodePng(JvmCodec.solidImage(4, 4, 1, 2, 3))
+    assert(MediaHeaders.exifOrientation(plain) === None)
+    // the remap: mark src(0,0) red on a 6x4 black raster and check the
+    // corner it lands in for each of the eight orientations
+    def marked(): java.awt.image.BufferedImage = {
+      val img = JvmCodec.solidImage(6, 4, 0, 0, 0)
+      img.setRGB(0, 0, 0xFF0000); img
+    }
+    def redAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Boolean =
+      (img.getRGB(x, y) & 0xFFFFFF) == 0xFF0000
+    assert(redAt(JvmCodec.normalizeOrientation(marked(), 1), 0, 0))
+    assert(redAt(JvmCodec.normalizeOrientation(marked(), 2), 5, 0))
+    assert(redAt(JvmCodec.normalizeOrientation(marked(), 3), 5, 3))
+    assert(redAt(JvmCodec.normalizeOrientation(marked(), 4), 0, 3))
+    val t5 = JvmCodec.normalizeOrientation(marked(), 5)
+    assert(t5.getWidth === 4 && t5.getHeight === 6 && redAt(t5, 0, 0))
+    val t6 = JvmCodec.normalizeOrientation(marked(), 6)
+    assert(t6.getWidth === 4 && redAt(t6, 3, 0)) // rotate CW: TL -> TR
+    val t7 = JvmCodec.normalizeOrientation(marked(), 7)
+    assert(redAt(t7, 3, 5))
+    val t8 = JvmCodec.normalizeOrientation(marked(), 8)
+    assert(redAt(t8, 0, 5)) // rotate CCW: TL -> BL
+    // a double application of 3 (180) is the identity
+    val back = JvmCodec.normalizeOrientation(
+      JvmCodec.normalizeOrientation(marked(), 3), 3)
+    assert(redAt(back, 0, 0))
+  }
+
   test("scanMetadata: header-only sweep agrees with full decode on dims, never touches pixels") {
     val real = Multimodal.syntheticMediaReal(spark, 30)
     val scan = Multimodal.scanMetadata(real).collect().sortBy(_.media_id)
