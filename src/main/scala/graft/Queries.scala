@@ -52,6 +52,16 @@ object Queries {
   private def duckDot(a: String, b: String) =
     s"list_dot_product(CAST($a AS DOUBLE[]), $b)"
 
+  /** media_ann's query vector: the REAL decoded features of fixture
+    * image 6 (w 38, h 30, rgb (102, 174, 2)) — computed once at init by
+    * the same codec the query runs, so the Spark side and the SQL
+    * literal below can only agree if the decode is deterministic. */
+  private val mediaAnnQuery: Array[Float] =
+    graft.operators.JvmCodec.decodeImage(graft.operators.JvmCodec.encodePng(
+      graft.operators.JvmCodec.solidImage(38, 30, 102, 174, 2))).get.features
+  private val mediaAnnQuerySql: String =
+    mediaAnnQuery.map(f => f.toDouble.toString).mkString("[", ", ", "]")
+
   /** The `ann_lsh` oracle, GENERATED from the same deterministic
     * exact-decimal hyperplanes the operator uses
     * ([[graft.operators.HyperplaneLsh.planes]]): per-row bucket =
@@ -5776,6 +5786,47 @@ object Queries {
         ORDER BY id_a, id_b
       """),
       "video-shape near-dup: any-frame banded match ≡ exhaustive min frame-pair Hamming (oracle)"),
+
+    "media_ann" -> DeclaredQuery(
+      // IMAGE similarity search end-to-end, oracle-checked: decode the
+      // real-payload fixture, score every image's pixel-feature vector
+      // against the (deterministically decoded) features of asset 6 by
+      // the SAME dot-product machinery as the flagship knn_topk, take
+      // top-10. DuckDB rebuilds each feature vector from the closed-form
+      // fixture formulas (FLOAT-cast per component, the media_pixels
+      // discipline) and replays list_dot_product against the literal
+      // query — the image-retrieval pipeline (decode → featurize →
+      // search) certified as one chain.
+      (s, dir) => {
+        val dec = Multimodal.decodeAll(Multimodal.syntheticMediaReal(s, 240))
+          .toDF().filter(col("kind") === "image")
+          .select(col("media_id"), col("features"))
+        Search.topK(dec, "features", "media_id",
+            mediaAnnQuery.map(_.toDouble).toSeq, k = 10)
+          .select(col("media_id"), col("sim"))
+      },
+      Some(s"""
+        WITH px AS (
+          SELECT i, 32 + i % 32 AS w, 24 + i % 24 AS h,
+                 (i * 17) % 256 AS r, (i * 29) % 256 AS g, (i * 43) % 256 AS b
+          FROM range(0, 240) t(i) WHERE i % 3 = 0),
+        fv AS (
+          SELECT i, list_value(
+            cast((w * h * r) / (w * h * 255.0) AS FLOAT)::DOUBLE,
+            cast((w * h * g) / (w * h * 255.0) AS FLOAT)::DOUBLE,
+            cast((w * h * b) / (w * h * 255.0) AS FLOAT)::DOUBLE,
+            cast((w * h * (299 * r + 587 * g + 114 * b)) / (w * h * 255000.0)
+              AS FLOAT)::DOUBLE,
+            0.0::DOUBLE, 0.0::DOUBLE,
+            cast(w::DOUBLE / (w::DOUBLE + h::DOUBLE) AS FLOAT)::DOUBLE,
+            CASE WHEN 2 * (299 * r + 587 * g + 114 * b) > 255000
+                 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS fvec
+          FROM px)
+        SELECT i AS media_id,
+               round(list_dot_product(fvec, ${mediaAnnQuerySql}), 4) AS sim
+        FROM fv ORDER BY sim DESC, media_id LIMIT 10
+      """),
+      "image similarity search: decode → featurize → dot top-10, oracle vs formula-built vectors"),
 
     "ivf_probe_fixed" -> DeclaredQuery(
       // the WHOLE IVF probe pipeline under FIXED centroids, oracle-green:
