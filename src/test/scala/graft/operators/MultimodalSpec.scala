@@ -204,6 +204,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PdfText corruption fuzz: body damage never throws and never fabricates text") {
+    val pdf = PdfText.write(Seq("stable line one", "stable line two"), compress = true)
+    val rnd = new scala.util.Random(42)
+    (1 to 60).foreach { trial =>
+      val dmg = pdf.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        // never the %PDF- header — that one is a contractual refusal
+        val at = 5 + rnd.nextInt(dmg.length - 5)
+        dmg(at) = rnd.nextInt(256).toByte
+      }
+      val out = PdfText.extract(dmg) // must not throw
+      // damaged streams either still decode (inflate is self-checking
+      // enough that most corruption surfaces as DataFormatException →
+      // stream skipped) or vanish; whatever survives must be a
+      // substring-of-intent, not invented bytes rendered as text
+      assert(out.length <= 64, s"trial $trial produced suspicious text: '$out'")
+    }
+    // header corruption refuses loudly
+    val bad = pdf.clone(); bad(1) = 'X'.toByte
+    intercept[UnsupportedOperationException](PdfText.extract(bad))
+  }
+
   test("extractText pdf format: real extraction chained into the chunker") {
     val docs = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
       .filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
