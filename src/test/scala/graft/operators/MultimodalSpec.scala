@@ -699,6 +699,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(redAt(back, 0, 0))
   }
 
+  test("model-based fuzz: admission + erasure vs a driver-side reference model") {
+    // the dedup-store state machine, driven with random batches and
+    // random erasures, checked against a trivially-correct driver
+    // model: an image is admitted iff its payload is byte-novel AND its
+    // pattern group has no LIVE index row; a video iff byte-novel.
+    // Within a batch, rows never affect each other (cross-set
+    // contract), and admission state advances only by what was
+    // admitted.
+    val rnd = new scala.util.Random(7)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mediafuzz")
+    val corpus = s"$tmp/corpus"; val index = s"$tmp/index"
+    val grid = Multimodal.syntheticGridMedia(spark, nGroups = 20, perGroup = 5)
+      .collect().map(r => (r.media_id / 5, r.media_id % 5) -> r.payload).toMap
+    val videoPool = (0 until 5).map(v =>
+      Array.tabulate[Byte](48)(j => (v * 31 + j * 7).toByte))
+    // model: live id → (payload content key, Some(group) for images)
+    var live = Map.empty[Long, (String, Option[Long])]
+    var nextId = 10000L
+    def contentKey(k: Either[(Long, Long), Int]): String = k match {
+      case Left((g, s)) => s"img:$g:$s"
+      case Right(v)     => s"vid:$v"
+    }
+    for (round <- 1 to 8) {
+      val batch = (1 to 6).map { _ =>
+        val id = { nextId += 1; nextId }
+        if (rnd.nextInt(4) == 0) {
+          val v = rnd.nextInt(videoPool.length)
+          (Multimodal.MediaRow(id, "video", videoPool(v), "mkv", 48L),
+            contentKey(Right(v)), None)
+        } else {
+          val g = rnd.nextInt(20).toLong; val s = rnd.nextInt(5).toLong
+          (Multimodal.MediaRow(id, "image", grid((g, s)), "png",
+            grid((g, s)).length.toLong), contentKey(Left((g, s))), Some(g))
+        }
+      }
+      val liveKeys = live.values.map(_._1).toSet
+      val liveGroups = live.values.flatMap(_._2).toSet
+      val expect = batch.filter { case (_, key, group) =>
+        !liveKeys.contains(key) && group.forall(g => !liveGroups.contains(g))
+      }.map(_._1.media_id).toSet
+      val idx =
+        if (graft.sources.VersionedCorpus.latest(index).isDefined)
+          graft.sources.VersionedCorpus.snapshot(spark, index)
+        else spark.range(0).select(col("id").as("media_id"),
+          col("id").as("payload_hash"), col("id").as("phash"))
+      val incoming = spark.createDataset(batch.map(_._1))
+      val (admitted, dec) = Multimodal.admitMediaPerceptual(incoming, idx)
+      val got = admitted.select(col("media_id")).collect().map(_.getLong(0)).toSet
+      assert(got === expect, s"round $round: model disagrees (live=${live.size})")
+      if (got.nonEmpty) {
+        graft.sources.VersionedCorpus.append(admitted, corpus)
+        graft.sources.VersionedCorpus.append(
+          Multimodal.mediaIndexProjection(dec), index)
+        live ++= batch.filter(r => got.contains(r._1.media_id))
+          .map(r => r._1.media_id -> (r._2, r._3))
+      }
+      // random erasure of one live asset: both stores forget, and the
+      // model frees its content key and (maybe) its group
+      if (live.nonEmpty && rnd.nextInt(3) == 0) {
+        val victim = live.keys.toSeq.sorted.apply(rnd.nextInt(live.size))
+        Forget.forget(spark, Seq(victim).toDF("media_id"),
+          extraStores = Seq(corpus -> "media_id", index -> "media_id"))
+        live -= victim
+      }
+    }
+    // end state: the index mirrors the model exactly
+    val finalIds = graft.sources.VersionedCorpus.snapshot(spark, index)
+      .select(col("media_id")).collect().map(_.getLong(0)).toSet
+    assert(finalIds === live.keySet)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("scanMetadata: header-only sweep agrees with full decode on dims, never touches pixels") {
     val real = Multimodal.syntheticMediaReal(spark, 30)
     val scan = Multimodal.scanMetadata(real).collect().sortBy(_.media_id)
