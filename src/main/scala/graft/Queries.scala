@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{Decontaminate, Dedup, Forget, IvfIndex, LangId, Multimodal, NearDup, PdfText, PqIndex, Sampling, Search, Sketch, SpanDedup, SqIndex, TextAnalysis, TextIndex}
+import graft.operators.{Decontaminate, Dedup, Expectations, Forget, IvfIndex, LangId, Multimodal, NearDup, PdfText, PqIndex, Sampling, Search, Sketch, SpanDedup, SqIndex, TextAnalysis, TextIndex}
 import graft.sources.{IncrementalView, VersionedCorpus}
 import graft.streaming.Streams
 
@@ -61,6 +61,17 @@ object Queries {
       graft.operators.JvmCodec.solidImage(38, 30, 102, 174, 2))).get.features
   private val mediaAnnQuerySql: String =
     mediaAnnQuery.map(f => f.toDouble.toString).mkString("[", ", ", "]")
+
+  /** the expectation rules of the q_expect_* pair, in declaration order
+    * (the quarantine lists preserve it). */
+  private def docRules: Seq[graft.operators.Expectations.Rule] = {
+    import graft.operators.Expectations.Rule
+    Seq(
+      Rule("len_max", col("n_chars") <= 400),
+      Rule("lang_known", col("lang").isin("en", "de", "fr")),
+      Rule("text_nonempty", length(col("text")) > 0),
+      Rule("len_consistent", length(col("text")) === col("n_chars")))
+  }
 
   /** The `ann_lsh` oracle, GENERATED from the same deterministic
     * exact-decimal hyperplanes the operator uses
@@ -5827,6 +5838,54 @@ object Queries {
         FROM fv ORDER BY sim DESC, media_id LIMIT 10
       """),
       "image similarity search: decode → featurize → dot top-10, oracle vs formula-built vectors"),
+
+    "q_expect_metrics" -> DeclaredQuery(
+      // Data-quality EXPECTATIONS, metrics face: four named constraints
+      // evaluated in ONE partial+final aggregate pass (no per-rule
+      // scan), per-rule violation counts + the row total. NULL
+      // predicate results count as violations on both engines (the
+      // conservative side).
+      (s, dir) => Expectations.metrics(T(s, dir, "documents"), docRules),
+      Some("""
+        SELECT rule, n_violations::BIGINT AS n_violations FROM (
+          SELECT '_rows' AS rule, count(*) AS n_violations FROM documents
+          UNION ALL SELECT 'len_max', count(*) FROM documents
+            WHERE NOT coalesce(n_chars <= 400, FALSE)
+          UNION ALL SELECT 'lang_known', count(*) FROM documents
+            WHERE NOT coalesce(lang IN ('en', 'de', 'fr'), FALSE)
+          UNION ALL SELECT 'text_nonempty', count(*) FROM documents
+            WHERE NOT coalesce(length(text) > 0, FALSE)
+          UNION ALL SELECT 'len_consistent', count(*) FROM documents
+            WHERE NOT coalesce(length(text) = n_chars, FALSE)
+        ) ORDER BY rule
+      """),
+      "expectation gate metrics: per-rule violation counts in one aggregate pass, oracle-checked"),
+
+    "q_expect_quarantine" -> DeclaredQuery(
+      // The quarantine face: rows failing any constraint, each carrying
+      // WHICH rules it violated in declaration order — the triage
+      // payload a production gate writes alongside the clean commit.
+      (s, dir) => {
+        val (_, bad) = Expectations.split(T(s, dir, "documents"), docRules)
+        bad.select(col("doc_id"),
+            array_join(col("_violations"), ",").as("violated"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, array_to_string(list_filter([
+            CASE WHEN NOT coalesce(n_chars <= 400, FALSE) THEN 'len_max' END,
+            CASE WHEN NOT coalesce(lang IN ('en', 'de', 'fr'), FALSE) THEN 'lang_known' END,
+            CASE WHEN NOT coalesce(length(text) > 0, FALSE) THEN 'text_nonempty' END,
+            CASE WHEN NOT coalesce(length(text) = n_chars, FALSE) THEN 'len_consistent' END
+          ], x -> x IS NOT NULL), ',') AS violated
+        FROM documents
+        WHERE NOT coalesce(n_chars <= 400, FALSE)
+           OR NOT coalesce(lang IN ('en', 'de', 'fr'), FALSE)
+           OR NOT coalesce(length(text) > 0, FALSE)
+           OR NOT coalesce(length(text) = n_chars, FALSE)
+        ORDER BY doc_id
+      """),
+      "expectation gate quarantine: violating rows with their rule lists, oracle-checked"),
 
     "ivf_probe_fixed" -> DeclaredQuery(
       // the WHOLE IVF probe pipeline under FIXED centroids, oracle-green:
