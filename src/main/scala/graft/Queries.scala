@@ -5716,6 +5716,38 @@ object Queries {
       """),
       "header-only triage sweep over real payloads, oracle-checked vs the generation formulas"),
 
+    "media_mp4_meta" -> DeclaredQuery(
+      // REAL MP4 metadata decode, oracle-checked: byte-valid ISO-BMFF
+      // skeletons (ftyp + moov/mvhd/trak/tkhd/stts with true big-endian
+      // box layout and 16.16 fixed-point dims) written from closed-form
+      // formulas, walked back by the real box parser — the VIDEO triage
+      // tier at 100 TB (classify and size assets from header bytes; the
+      // pixel tier honestly still needs codecs the JVM lacks).
+      (s, dir) => {
+        import s.implicits._
+        val media = s.range(120L).map { i =>
+          val p = Multimodal.syntheticMp4(
+            (320 + (i % 16) * 8).toInt, (240 + (i % 8) * 8).toInt,
+            timescale = 1000, duration = 1000 + (i % 50) * 200,
+            samples = (240 + (i % 60)).toInt)
+          Multimodal.MediaRow(i, "video", p, "mp4", p.length.toLong)
+        }
+        Multimodal.decodeAll(media).toDF()
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT i AS media_id,
+          (320 + (i % 16) * 8)::BIGINT AS width,
+          (240 + (i % 8) * 8)::BIGINT AS height,
+          (240 + i % 60)::BIGINT AS n_frames
+        FROM range(0, 120) t(i) ORDER BY media_id
+      """),
+      "real MP4 box-walk metadata: ISO-BMFF write → parse round trip vs the generation formulas"),
+
     "media_frames" -> DeclaredQuery(
       // REAL frame-sampled video-style decode, oracle-checked: genuine
       // multi-frame GIFs (6 full-frame solid rasters each, per-frame

@@ -771,6 +771,27 @@ class MultimodalSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("MP4 box walk: sniff, dims, duration, sample count; truncation-safe") {
+    import Multimodal.MediaHeaders
+    val mp4 = Multimodal.syntheticMp4(640, 360, timescale = 600,
+      duration = 3000, samples = 150)
+    assert(MediaHeaders.sniff(mp4) === Some("mp4"))
+    assert(MediaHeaders.mp4Info(mp4) === Some((640, 360, 5000L, 150L)))
+    // decode dispatch: real metadata, stub features, no phash
+    val row = Multimodal.MediaRow(5L, "video", mp4, "mp4", mp4.length.toLong)
+    val d = Multimodal.decodeOne(row)
+    assert(d.width === 640 && d.height === 360 && d.n_frames === 150)
+    assert(d.phash.isEmpty)
+    // truncation never throws, falls back to the stub
+    (1 until mp4.length by 37).foreach { cut =>
+      Multimodal.decodeOne(row.copy(payload = mp4.take(cut)))
+    }
+    // a lying box size (larger than the payload) is rejected, not read
+    val lying = mp4.clone()
+    lying(0) = 0x7F // first box claims a huge size
+    assert(MediaHeaders.mp4Info(lying) === None)
+  }
+
   test("scanMetadata: header-only sweep agrees with full decode on dims, never touches pixels") {
     val real = Multimodal.syntheticMediaReal(spark, 30)
     val scan = Multimodal.scanMetadata(real).collect().sortBy(_.media_id)
