@@ -5748,6 +5748,38 @@ object Queries {
       """),
       "real MP4 box-walk metadata: ISO-BMFF write → parse round trip vs the generation formulas"),
 
+    "media_mkv_meta" -> DeclaredQuery(
+      // REAL Matroska metadata decode, oracle-checked: byte-valid EBML
+      // documents (RFC 8794 varints, the published element IDs) written
+      // from closed-form formulas, walked back by the real parser —
+      // dims from Tracks/Video, duration from Info's float Duration ×
+      // TimestampScale. Frame counts live in clusters, not headers:
+      // n_frames is honestly 0 (unknown) and the row certifies what the
+      // header CAN know.
+      (s, dir) => {
+        import s.implicits._
+        val media = s.range(100L).map { i =>
+          val p = Multimodal.syntheticMkv(
+            (640 + (i % 10) * 2).toInt, (360 + (i % 6) * 2).toInt,
+            durationMs = 5000 + (i % 40) * 100)
+          Multimodal.MediaRow(i, "video", p, "mkv", p.length.toLong)
+        }
+        Multimodal.decodeAll(media).toDF()
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT i AS media_id,
+          (640 + (i % 10) * 2)::BIGINT AS width,
+          (360 + (i % 6) * 2)::BIGINT AS height,
+          0::BIGINT AS n_frames
+        FROM range(0, 100) t(i) ORDER BY media_id
+      """),
+      "real Matroska EBML metadata: write → parse round trip vs the generation formulas"),
+
     "media_frames" -> DeclaredQuery(
       // REAL frame-sampled video-style decode, oracle-checked: genuine
       // multi-frame GIFs (6 full-frame solid rasters each, per-frame

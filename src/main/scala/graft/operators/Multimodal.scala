@@ -91,6 +91,8 @@ object Multimodal {
         // JDK's TIFF reader performs — header tier reports format only
         Some("tiff")
       else if (ascii(b, 4, "ftyp")) Some("mp4")
+      else if (b.length >= 4 && u8(b, 0) == 0x1A && u8(b, 1) == 0x45 &&
+        u8(b, 2) == 0xDF && u8(b, 3) == 0xA3) Some("mkv") // EBML header
       else None
 
     /** (width, height) for the image containers; None on truncation or
@@ -204,6 +206,81 @@ object Multimodal {
           }
         }).find(_ > 0).getOrElse(0L)
         (dims._1, dims._2, durMs, sampleCount)
+      }
+    }
+
+    /** Matroska/WebM metadata — the REAL EBML walk (RFC 8794 varints +
+      * the published Matroska element IDs): Segment → Info
+      * (TimestampScale, Duration) and Segment → Tracks → TrackEntry →
+      * Video (PixelWidth, PixelHeight). Frame counts live in the
+      * cluster stream, not the headers — this tier reports
+      * (width, height, durationMs); unknown-size elements (the common
+      * streaming Segment) extend to end-of-buffer per the spec. */
+    def mkvInfo(b: Array[Byte]): Option[(Int, Int, Long)] = {
+      // EBML varint: leading-zero count of the first byte = extra bytes.
+      // For IDs the marker bit stays; for sizes it is stripped; a size
+      // of all value-bits-1 means "unknown" (None).
+      def vlen(first: Int): Int = {
+        var mask = 0x80; var n = 1
+        while (mask != 0 && (first & mask) == 0) { mask >>= 1; n += 1 }
+        if (mask == 0) 9 else n
+      }
+      def readId(i: Int): Option[(Long, Int)] = {
+        if (i >= b.length) return None
+        val n = vlen(u8(b, i))
+        if (n > 4 || i + n > b.length) return None
+        var v = 0L
+        (0 until n).foreach(k => v = (v << 8) | u8(b, i + k))
+        Some((v, n))
+      }
+      def readSize(i: Int): Option[(Option[Long], Int)] = {
+        if (i >= b.length) return None
+        val n = vlen(u8(b, i))
+        if (n > 8 || i + n > b.length) return None
+        var v = (u8(b, i) & (0xFF >> n)).toLong
+        (1 until n).foreach(k => v = (v << 8) | u8(b, i + k))
+        val allOnes = v == (1L << (7 * n)) - 1
+        Some((if (allOnes) None else Some(v), n))
+      }
+      /** payload range of the first child `id` within [from, to). */
+      def find(id: Long, from: Int, to: Int): Option[(Int, Int)] = {
+        var i = from
+        while (i < to) {
+          val (eid, idLen) = readId(i).getOrElse(return None)
+          val (szOpt, szLen) = readSize(i + idLen).getOrElse(return None)
+          val start = i + idLen + szLen
+          val end = szOpt.map(s => math.min(to.toLong, start + s).toInt)
+            .getOrElse(to) // unknown size extends to the range end
+          if (eid == id) return Some((start, end))
+          if (szOpt.isEmpty) return None // can't skip an unknown-size sibling
+          i = end
+        }
+        None
+      }
+      def uint(r: (Int, Int)): Long = {
+        var v = 0L
+        (r._1 until r._2).foreach(k => v = (v << 8) | u8(b, k))
+        v
+      }
+      def float(r: (Int, Int)): Double = (r._2 - r._1) match {
+        case 4 => java.lang.Float.intBitsToFloat(uint(r).toInt).toDouble
+        case 8 => java.lang.Double.longBitsToDouble(uint(r))
+        case _ => 0.0
+      }
+      for {
+        seg <- find(0x18538067L, 0, b.length)
+        info <- find(0x1549A966L, seg._1, seg._2)
+        tracks <- find(0x1654AE6BL, seg._1, seg._2)
+        entry <- find(0xAEL, tracks._1, tracks._2)
+        video <- find(0xE0L, entry._1, entry._2)
+        wR <- find(0xB0L, video._1, video._2)
+        hR <- find(0xBAL, video._1, video._2)
+      } yield {
+        val scale = find(0x2AD7B1L, info._1, info._2)
+          .map(uint).getOrElse(1000000L) // spec default: 1 ms
+        val durMs = find(0x4489L, info._1, info._2)
+          .map(r => (float(r) * scale / 1e6).toLong).getOrElse(0L)
+        (uint(wR).toInt, uint(hR).toInt, durMs)
       }
     }
 
@@ -337,6 +414,15 @@ object Multimodal {
               features = stubFeat, phash = None)
           case None => StubCodec.decode(row)
         }
+      case Some("mkv") =>
+        MediaHeaders.mkvInfo(bytes) match {
+          case Some((w, h, _)) =>
+            // REAL EBML metadata; Matroska headers carry no frame count
+            // (clusters do) — n_frames 0 = unknown, honestly
+            DecodedRow(row.media_id, row.kind, w, h, n_frames = 0,
+              features = stubFeat, phash = None)
+          case None => StubCodec.decode(row)
+        }
       case Some(imgFmt) =>
         JvmCodec.decodeImage(bytes) match {
           case Some(p) =>
@@ -377,6 +463,11 @@ object Multimodal {
             case Some((w, h, _, samples)) =>
               DecodedRow(row.media_id, row.kind, w, h,
                 samples.min(Int.MaxValue.toLong).toInt, feat, None)
+            case None => StubCodec.decode(row)
+          }
+          case Some("mkv") => MediaHeaders.mkvInfo(bytes) match {
+            case Some((w, h, _)) =>
+              DecodedRow(row.media_id, row.kind, w, h, 0, feat, None)
             case None => StubCodec.decode(row)
           }
           case Some(fmt) => MediaHeaders.dimensions(fmt, bytes) match {
@@ -701,6 +792,9 @@ object Multimodal {
     * for the containers the JDK can actually open). */
   def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
     decoded.filter(col("kind") === "video")
+      // n_frames 0 = count unknown from headers (Matroska) — nothing to
+      // plan for those rows
+      .filter(col("n_frames") > 0)
       .select(col("media_id"),
         sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_ids"))
 
@@ -955,6 +1049,30 @@ object Multimodal {
     val trak = box("trak", box("tkhd", tkhd) ++ mdia)
     val moov = box("moov", box("mvhd", mvhd) ++ trak)
     ftyp ++ moov
+  }
+
+  /** Byte-valid Matroska metadata skeleton: EBML header + Segment
+    * { Info { TimestampScale 1e6, Duration float8 }, Tracks { TrackEntry
+    * { Video { PixelWidth, PixelHeight } } } } with real RFC 8794
+    * varint sizes — parseable by [[MediaHeaders.mkvInfo]] and any EBML
+    * walker. */
+  def syntheticMkv(w: Int, h: Int, durationMs: Long): Array[Byte] = {
+    def el(idBytes: Array[Int], payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127)
+      idBytes.map(_.toByte).toArray ++
+        Array((0x80 | payload.length).toByte) ++ payload
+    }
+    def be(n: Long, len: Int): Array[Byte] =
+      Array.tabulate[Byte](len)(k => ((n >> (8 * (len - 1 - k))) & 0xFF).toByte)
+    val info = el(Array(0x15, 0x49, 0xA9, 0x66),
+      el(Array(0x2A, 0xD7, 0xB1), be(1000000L, 4)) ++
+        el(Array(0x44, 0x89),
+          be(java.lang.Double.doubleToLongBits(durationMs.toDouble), 8)))
+    val video = el(Array(0xE0),
+      el(Array(0xB0), be(w.toLong, 2)) ++ el(Array(0xBA), be(h.toLong, 2)))
+    val tracks = el(Array(0x16, 0x54, 0xAE, 0x6B), el(Array(0xAE), video))
+    val segment = el(Array(0x18, 0x53, 0x80, 0x67), info ++ tracks)
+    el(Array(0x1A, 0x45, 0xDF, 0xA3), Array.emptyByteArray) ++ segment
   }
 
   /** Byte-valid PNG prefix (signature + IHDR with the given dims) plus

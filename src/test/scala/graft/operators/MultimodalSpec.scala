@@ -792,6 +792,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaHeaders.mp4Info(lying) === None)
   }
 
+  test("Matroska EBML walk: sniff, dims, duration; truncation-safe; unknown-size Segment") {
+    import Multimodal.MediaHeaders
+    val mkv = Multimodal.syntheticMkv(1280, 720, durationMs = 42_000L)
+    assert(MediaHeaders.sniff(mkv) === Some("mkv"))
+    assert(MediaHeaders.mkvInfo(mkv) === Some((1280, 720, 42000L)))
+    val d = Multimodal.decodeOne(
+      Multimodal.MediaRow(3L, "video", mkv, "mkv", mkv.length.toLong))
+    assert(d.width === 1280 && d.height === 720 && d.n_frames === 0)
+    // streaming files mark the Segment size UNKNOWN (all value bits 1):
+    // the walk must still find its children, extending to end-of-buffer
+    val segIdx = 5 // EBML header (4 id + 1 size) precedes the Segment
+    val streaming = mkv.clone()
+    streaming(segIdx + 4) = 0xFF.toByte // 1-byte size, all ones
+    assert(MediaHeaders.mkvInfo(streaming) === Some((1280, 720, 42000L)))
+    // truncation never throws
+    (1 until mkv.length by 11).foreach { cut =>
+      MediaHeaders.mkvInfo(mkv.take(cut))
+    }
+  }
+
   test("scanMetadata: header-only sweep agrees with full decode on dims, never touches pixels") {
     val real = Multimodal.syntheticMediaReal(spark, 30)
     val scan = Multimodal.scanMetadata(real).collect().sortBy(_.media_id)
