@@ -4218,6 +4218,30 @@ object Queries {
       """),
       "real PDF→text extraction (FlateDecode + content-stream walk), oracle-checked via exact round trip"),
 
+    "q_docx_extract" -> DeclaredQuery(
+      // REAL DOCX→text extraction, oracle-checked through an EXACT
+      // round trip (the PDF row's discipline for the other office
+      // container): a .docx is a ZIP of OOXML — java.util.zip opens it,
+      // the WordprocessingML walk (w:t runs, w:p paragraphs, entities)
+      // recovers the text verbatim, whitespace preserved per
+      // xml:space="preserve".
+      (s, dir) => {
+        import s.implicits._
+        val media = T(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"))
+          .map { r => Multimodal.DocMediaRow(r.getLong(0),
+            graft.operators.DocxText.write(Seq(r.getString(1))), "docx") }
+        Multimodal.extractText(media).toDF()
+          .select(col("media_id"), col("text"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               regexp_replace(text, '^\s+|\s+$', '', 'g') AS text
+        FROM documents WHERE doc_id < 200 ORDER BY media_id
+      """),
+      "real DOCX→text extraction (ZIP + WordprocessingML walk), oracle-checked via exact round trip"),
+
     "q_quality" -> DeclaredQuery(
       (s, dir) => {
         val toks = TextAnalysis.tokens(col("text"))

@@ -667,9 +667,11 @@ object Multimodal {
             new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
         case "pdf" =>
           PdfText.extract(bytes)
+        case "docx" =>
+          DocxText.extract(bytes)
         case other =>
-          // a real extractor dispatches on container format here
-          // (docx, ...); the stub refuses rather than fake it
+          // formats with no pure-JVM extractor (rtf, odt, ...) refuse
+          // rather than fake it
           throw new UnsupportedOperationException(
             s"no extractor for format '$other' in this environment")
       }

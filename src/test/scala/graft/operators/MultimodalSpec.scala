@@ -123,20 +123,60 @@ class MultimodalSpec extends AnyFunSuite {
       3L -> "", 4L -> "  spaced   out  "))
   }
 
-  test("extractText refuses formats the stub has no extractor for, and non-PDF pdf payloads") {
-    val media = Seq(Multimodal.DocMediaRow(1L, Array[Byte](1, 2), "docx")).toDS()
-    val ex = intercept[org.apache.spark.SparkException] {
-      Multimodal.extractText(media).collect()
+  test("extractText refuses what it cannot read: unknown formats, non-PDF pdf, non-ZIP docx") {
+    def refuses(format: String, payload: Array[Byte]): Unit = {
+      val media = Seq(Multimodal.DocMediaRow(1L, payload, format)).toDS()
+      val ex = intercept[org.apache.spark.SparkException] {
+        Multimodal.extractText(media).collect()
+      }
+      assert(ex.getMessage.contains("no extractor") ||
+        String.valueOf(ex.getCause).contains("no extractor"), format)
     }
-    assert(ex.getMessage.contains("no extractor") ||
-      String.valueOf(ex.getCause).contains("no extractor"))
-    // pdf is dispatched for real now — garbage without %PDF- still refuses
-    val bad = Seq(Multimodal.DocMediaRow(1L, Array[Byte](1, 2), "pdf")).toDS()
-    val ex2 = intercept[org.apache.spark.SparkException] {
-      Multimodal.extractText(bad).collect()
+    refuses("rtf", Array[Byte](1, 2))   // no pure-JVM extractor exists
+    refuses("pdf", Array[Byte](1, 2))   // real extractor, wrong magic
+    refuses("docx", Array[Byte](1, 2))  // real extractor, not a ZIP
+  }
+
+  // ---- real DOCX extraction (DocxText) ----
+
+  test("DocxText: write → extract round-trips exact text; tabs/breaks/entities handled") {
+    val paras = Seq("First paragraph with <angle> & \"quotes\".",
+      "unicode: ñ 中文 🚀", "  preserved   spacing  kept  ")
+    val docx = DocxText.write(paras)
+    assert(docx.take(2).toSeq === Seq('P'.toByte, 'K'.toByte))
+    assert(DocxText.extract(docx) === paras.mkString("\n").trim)
+    // hand-written WordprocessingML beyond what the writer emits
+    val xml = """<w:document><w:body>
+      |<w:p><w:pPr><w:jc w:val="left"/></w:pPr>
+      |<w:r><w:t xml:space="preserve">a </w:t></w:r>
+      |<w:r><w:rPr><w:b/></w:rPr><w:t>bold</w:t></w:r>
+      |<w:r><w:tab/><w:t>after&#32;tab</w:t></w:r></w:p>
+      |<w:p><w:r><w:t>second</w:t><w:br/><w:t>line</w:t></w:r></w:p>
+      |</w:body></w:document>""".stripMargin
+    assert(DocxText.documentText(xml) ===
+      "a bold\tafter tab\nsecond\nline")
+    // a ZIP that is not a docx refuses loudly
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("other.txt")); z.closeEntry(); z.close()
+    intercept[UnsupportedOperationException](DocxText.extract(bos.toByteArray))
+  }
+
+  test("extractText docx format: real extraction chained into the chunker") {
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+    val media = docs.map { r =>
+      Multimodal.DocMediaRow(r.getLong(0),
+        DocxText.write(Seq(r.getString(1))), "docx")
     }
-    assert(ex2.getMessage.contains("no extractor") ||
-      String.valueOf(ex2.getCause).contains("no extractor"))
+    val extracted = Multimodal.extractText(media).toDF()
+      .select(col("media_id").as("doc_id"), col("text"))
+    val viaDocx = TextAnalysis.chunk(extracted, "doc_id", "text",
+      width = 5, stride = 5).collect().map(_.toSeq).toSet
+    val direct = TextAnalysis.chunk(docs, "doc_id", "text",
+      width = 5, stride = 5).collect().map(_.toSeq).toSet
+    assert(viaDocx === direct)
+    assert(viaDocx.nonEmpty)
   }
 
   // ---- real PDF extraction (PdfText) ----
