@@ -4242,6 +4242,48 @@ object Queries {
       """),
       "real DOCX→text extraction (ZIP + WordprocessingML walk), oracle-checked via exact round trip"),
 
+    "q_odt_extract" -> DeclaredQuery(
+      // REAL ODT→text extraction, oracle-checked via exact round trip:
+      // ZIP + the ODF text vocabulary, with space runs encoded per ODF
+      // whitespace rules so collapsing readers and this extractor agree.
+      (s, dir) => {
+        import s.implicits._
+        val media = T(s, dir, "documents").filter(col("doc_id") < 150)
+          .select(col("doc_id"), col("text"))
+          .map { r => Multimodal.DocMediaRow(r.getLong(0),
+            graft.operators.OdtText.write(Seq(r.getString(1))), "odt") }
+        Multimodal.extractText(media).toDF()
+          .select(col("media_id"), col("text"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               regexp_replace(text, '^\s+|\s+$', '', 'g') AS text
+        FROM documents WHERE doc_id < 150 ORDER BY media_id
+      """),
+      "real ODT→text extraction (ZIP + ODF walk), oracle-checked via exact round trip"),
+
+    "q_rtf_extract" -> DeclaredQuery(
+      // REAL RTF→text extraction, oracle-checked via exact round trip:
+      // control-word walk with group tracking, destination drops, hex
+      // and \uN unicode escapes.
+      (s, dir) => {
+        import s.implicits._
+        val media = T(s, dir, "documents").filter(col("doc_id") < 150)
+          .select(col("doc_id"), col("text"))
+          .map { r => Multimodal.DocMediaRow(r.getLong(0),
+            graft.operators.RtfText.write(Seq(r.getString(1))), "rtf") }
+        Multimodal.extractText(media).toDF()
+          .select(col("media_id"), col("text"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               regexp_replace(text, '^\s+|\s+$', '', 'g') AS text
+        FROM documents WHERE doc_id < 150 ORDER BY media_id
+      """),
+      "real RTF→text extraction (control-word walk), oracle-checked via exact round trip"),
+
     "q_quality" -> DeclaredQuery(
       (s, dir) => {
         val toks = TextAnalysis.tokens(col("text"))

@@ -669,9 +669,13 @@ object Multimodal {
           PdfText.extract(bytes)
         case "docx" =>
           DocxText.extract(bytes)
+        case "odt" =>
+          OdtText.extract(bytes)
+        case "rtf" =>
+          RtfText.extract(bytes)
         case other =>
-          // formats with no pure-JVM extractor (rtf, odt, ...) refuse
-          // rather than fake it
+          // every named document format above is genuinely parsed;
+          // anything else refuses rather than fakes it
           throw new UnsupportedOperationException(
             s"no extractor for format '$other' in this environment")
       }

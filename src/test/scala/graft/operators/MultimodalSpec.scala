@@ -162,6 +162,43 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException](DocxText.extract(bos.toByteArray))
   }
 
+  test("OdtText: round trip with ODF whitespace encoding; hand-written spans/breaks; refusals") {
+    val paras = Seq("plain text", "spaced:  two   three    four",
+      "tabs\there", "unicode ñ 中文 & <esc>")
+    val odt = OdtText.write(paras)
+    assert(OdtText.extract(odt) === paras.mkString("\n").trim)
+    // hand-written ODF beyond what the writer emits: styled spans keep
+    // their text, line-breaks break, text:s defaults to one space
+    val xml = """<office:document-content><office:body><office:text>
+      |<text:p>a <text:span text:style-name="T1">styled</text:span> run</text:p>
+      |<text:p>one<text:line-break/>two<text:s/>three</text:p>
+      |</office:text></office:body></office:document-content>"""
+      .stripMargin.replaceAll("\n", "")
+    assert(OdtText.contentText(xml) === "a styled run\none\ntwo three")
+    intercept[UnsupportedOperationException](OdtText.extract(Array[Byte](1, 2)))
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("x.txt")); z.closeEntry(); z.close()
+    intercept[UnsupportedOperationException](OdtText.extract(bos.toByteArray))
+  }
+
+  test("RtfText: round trip incl. unicode; destinations dropped; hex and uc handled") {
+    val paras = Seq("plain ascii", "specials \\ { } and\ttab",
+      "unicode: ñ ü 中文 🚀")
+    val rtf = RtfText.write(paras)
+    assert(RtfText.extract(rtf) === paras.mkString("\n").trim)
+    // hand-written RTF the wild produces: font/color tables, an
+    // ignorable {\*} destination, hex escapes, formatting words
+    val wild = ("{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Calibri;}}" +
+      "{\\colortbl;\\red0\\green0\\blue0;}" +
+      "{\\*\\generator LibreOffice}" +
+      "\\pard\\b bold\\b0  caf\\'e9 end\\par second}")
+    assert(RtfText.extract(wild.getBytes("ISO-8859-1")) ===
+      "bold café end\nsecond")
+    intercept[UnsupportedOperationException](
+      RtfText.extract(Array[Byte](1, 2, 3, 4, 5)))
+  }
+
   test("extractText docx format: real extraction chained into the chunker") {
     val docs = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
       .filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
