@@ -5497,7 +5497,7 @@ object Queries {
           .orderBy(col("kind"))
       },
       None,
-      "multimodal: stub decode over binary payloads, batched per partition"),
+      "multimodal FALLBACK tiers: header-parse dims for corrupt-stream payloads, stub for container-less ones"),
 
     "media_decode_hdr" -> DeclaredQuery(
       // the REAL-header slice of media_decode, promoted to the oracle:
