@@ -4284,6 +4284,40 @@ object Queries {
       """),
       "real RTF→text extraction (control-word walk), oracle-checked via exact round trip"),
 
+    "q_extract_safe" -> DeclaredQuery(
+      // The PRODUCTION extraction shape, oracle-checked: a mixed batch
+      // where even ids are genuine DOCX payloads and odd ids are
+      // garbage bytes under the same format tag — extractTextSafe must
+      // recover every good document AND capture every bad one as an
+      // error row instead of failing the batch (the
+      // one-damaged-file-kills-a-million-doc-task failure mode,
+      // eliminated by contract).
+      (s, dir) => {
+        import s.implicits._
+        val media = T(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text"))
+          .map { r =>
+            val id = r.getLong(0)
+            val payload =
+              if (id % 2 == 0) graft.operators.DocxText.write(Seq(r.getString(1)))
+              else Array.tabulate[Byte](16)(j => ((id * 31 + j * 7) % 251).toByte)
+            Multimodal.DocMediaRow(id, payload, "docx")
+          }
+        Multimodal.extractTextSafe(media).toDF()
+          .select(col("media_id"),
+            col("error").isNull.as("ok"),
+            col("text"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               doc_id % 2 = 0 AS ok,
+               CASE WHEN doc_id % 2 = 0
+                    THEN regexp_replace(text, '^\s+|\s+$', '', 'g') END AS text
+        FROM documents WHERE doc_id < 100 ORDER BY media_id
+      """),
+      "error-capturing extraction: good rows recover, damaged rows become error rows, batch never dies — oracle-checked"),
+
     "q_quality" -> DeclaredQuery(
       (s, dir) => {
         val toks = TextAnalysis.tokens(col("text"))

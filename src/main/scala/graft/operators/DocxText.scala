@@ -102,6 +102,12 @@ object DocxText {
       }
       throw new UnsupportedOperationException(
         "no extractor for this payload: ZIP has no word/document.xml")
+    } catch {
+      // damaged ZIP structure surfaces as the same declared refusal
+      // type as a wrong magic — callers never see a raw ZipException
+      case e: java.util.zip.ZipException =>
+        throw new UnsupportedOperationException(
+          s"no extractor for this payload: damaged ZIP (${e.getMessage})")
     } finally zip.close()
   }
 

@@ -697,6 +697,32 @@ object Multimodal {
     }
   }
 
+  final case class ExtractedSafeRow(media_id: Long, text: Option[String],
+                                    error: Option[String])
+
+  /** [[extractText]]'s PRODUCTION form: per-row error capture instead
+    * of task failure — at 100 TB one damaged file must not kill a
+    * batch of millions. Each row yields EITHER its extracted text or
+    * the refusal/parse error message; the batch always completes, and
+    * the error slice is a filter away for triage (the same
+    * clean/quarantine shape as the Expectations gate). */
+  def extractTextSafe(media: Dataset[DocMediaRow]): Dataset[ExtractedSafeRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try ExtractedSafeRow(r.media_id,
+          Some(StubExtractor.extract(r.meta_format, r.payload)), None)
+        catch {
+          case e: UnsupportedOperationException =>
+            ExtractedSafeRow(r.media_id, None, Some(e.getMessage))
+          case scala.util.control.NonFatal(e) =>
+            ExtractedSafeRow(r.media_id, None,
+              Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      }
+    }
+  }
+
   /** View a documents table as binary media rows (UTF-8 payload, `txt`
     * format tag) — the ingest shape a real pipeline sees when documents
     * arrive as files rather than clean text columns. */

@@ -91,6 +91,10 @@ object OdtText {
       }
       throw new UnsupportedOperationException(
         "no extractor for this payload: ZIP has no content.xml")
+    } catch {
+      case e: java.util.zip.ZipException =>
+        throw new UnsupportedOperationException(
+          s"no extractor for this payload: damaged ZIP (${e.getMessage})")
     } finally zip.close()
   }
 

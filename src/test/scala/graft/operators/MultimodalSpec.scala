@@ -199,6 +199,29 @@ class MultimodalSpec extends AnyFunSuite {
       RtfText.extract(Array[Byte](1, 2, 3, 4, 5)))
   }
 
+  test("extractTextSafe: per-row error capture; damaged ZIPs refuse as the declared type") {
+    val good = DocxText.write(Seq("fine document"))
+    val damaged = good.clone()
+    // corrupt the deflated data of the last entry, keep the PK magic
+    (good.length - 30 until good.length - 10).foreach(k => damaged(k) = 0x55)
+    val media = Seq(
+      Multimodal.DocMediaRow(1L, good, "docx"),
+      Multimodal.DocMediaRow(2L, Array[Byte](1, 2, 3, 4), "docx"),
+      Multimodal.DocMediaRow(3L, damaged, "docx"),
+      Multimodal.DocMediaRow(4L, good, "odt"),       // wrong part name
+      Multimodal.DocMediaRow(5L, good, "mystery")    // unknown format
+    ).toDS()
+    val out = Multimodal.extractTextSafe(media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(1L).text === Some("fine document") && out(1L).error.isEmpty)
+    assert(out(2L).text.isEmpty && out(2L).error.get.contains("no extractor"))
+    // damaged zip: either the entry still inflates (zip redundancy) or
+    // the declared refusal is captured — never a task-killing throw
+    assert(out(3L).text.isDefined || out(3L).error.isDefined)
+    assert(out(4L).error.get.contains("content.xml"))
+    assert(out(5L).error.get.contains("no extractor"))
+  }
+
   test("extractText docx format: real extraction chained into the chunker") {
     val docs = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
       .filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
