@@ -648,15 +648,16 @@ object Multimodal {
     }
   }
 
-  /** Document-text extractor: REAL for `txt` (UTF-8 decode — lossless,
-    * which is what lets the downstream chunker be oracle-checked
-    * end-to-end through the binary roundtrip), `html`
-    * ([[HtmlText.extract]] — real tag strip / entity decode) and `pdf`
-    * ([[graft.operators.PdfText.extract]] — real content-stream walk,
-    * FlateDecode via java.util.zip; the reference's declared PyPDF2
-    * capability made real). DOCX and friends remain the honest refusal
-    * (their extractors need libraries absent in this container). */
-  object StubExtractor {
+  /** Document-text extractor — EVERY named format genuinely parsed:
+    * `txt` (lossless UTF-8), `html` ([[HtmlText]]), `pdf`
+    * ([[graft.operators.PdfText]] — FlateDecode + the ISO 32000-1
+    * text-operator grammar; the reference's declared PyPDF2 capability
+    * made real), `docx` ([[graft.operators.DocxText]] — ZIP +
+    * WordprocessingML), `odt` ([[graft.operators.OdtText]]) and `rtf`
+    * ([[graft.operators.RtfText]]). Unknown formats and wrong-magic
+    * payloads refuse loudly ([[extractTextSafe]] captures the refusal
+    * per row instead). */
+  object DocumentExtractor {
     def extract(format: String, payload: Array[Byte]): String = {
       val bytes = if (payload == null) Array.emptyByteArray else payload
       format match {
@@ -693,7 +694,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init site for a real extraction library goes here
       rows.map(r => ExtractedRow(r.media_id,
-        StubExtractor.extract(r.meta_format, r.payload)))
+        DocumentExtractor.extract(r.meta_format, r.payload)))
     }
   }
 
@@ -711,7 +712,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         try ExtractedSafeRow(r.media_id,
-          Some(StubExtractor.extract(r.meta_format, r.payload)), None)
+          Some(DocumentExtractor.extract(r.meta_format, r.payload)), None)
         catch {
           case e: UnsupportedOperationException =>
             ExtractedSafeRow(r.media_id, None, Some(e.getMessage))
