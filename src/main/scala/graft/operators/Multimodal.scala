@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -766,26 +766,56 @@ object Multimodal {
     val exactRejected = payloadHashes
       .join(corpusIndex.select(col("payload_hash")).distinct(), Seq("payload_hash"))
       .select(col("media_id"))
+    // perceptual tier, split by hash degeneracy: structured rasters ride
+    // the banded Hamming join; FEATURELESS rasters (dHash 0 — solid
+    // colors, blank pages) would all share one band bucket at scale
+    // (the measured hot-bucket blowup), so they match by quantized mean
+    // color instead, which is also the perceptually correct rule for
+    // rasters with no gradient structure
     val nearRejected = graft.operators.NearDup.signatureCrossCandidates(
-        decoded.filter(col("phash").isNotNull), corpusIndex, "media_id", "phash",
-        maxHamming)
+        decoded.filter(col("phash").isNotNull && col("phash") =!= 0),
+        corpusIndex.filter(col("phash").isNotNull && col("phash") =!= 0),
+        "media_id", "phash", maxHamming)
       .select(col("id_new").as("media_id"))
+    val degRejected = decoded
+      .filter(col("phash") === 0)
+      .select(col("media_id"), colorBucket(col("features")).as("cbucket"))
+      .join(corpusIndex.filter(col("phash") === 0)
+        .select(col("cbucket")).distinct(), Seq("cbucket"))
+      .select(col("media_id"))
     // the rejected set is ids-only and bounded by the micro-batch size:
     // broadcast it so the anti-joins are structurally payload-local —
     // payload bytes NEVER enter an exchange (PlanSpec-pinned)
-    val rejected = broadcast(exactRejected.union(nearRejected).distinct())
+    val rejected = broadcast(
+      exactRejected.union(nearRejected).union(degRejected).distinct())
     val admitted = incoming.toDF().join(rejected, Seq("media_id"), "left_anti")
     val admittedDecoded = decoded.join(rejected, Seq("media_id"), "left_anti")
     (admitted, admittedDecoded)
   }
 
+  /** 12-bit quantized mean-color key (4 bits per RGB channel) from the
+    * pixel-feature vector — the degenerate-hash escape hatch: a
+    * FEATURELESS raster (solid color, monotone gradient) dHashes to 0
+    * regardless of its color, so at scale every blank page and solid
+    * frame would land in ONE perceptual bucket (the classic LSH
+    * hot-bucket skew — measured: a 10k-vs-60k admission over solid
+    * fixtures paid a 66M-pair bucket join). Splitting hash-0 rows by
+    * quantized color bounds that bucket AND matches perceptual truth
+    * better: a blank red page is not a near-dup of a blank blue one. */
+  def colorBucket(features: Column): Column =
+    ((least(floor(element_at(features, 1) * 16), lit(15)) * 16 +
+      least(floor(element_at(features, 2) * 16), lit(15))) * 16 +
+      least(floor(element_at(features, 3) * 16), lit(15))).cast("int")
+
   /** The hash-index projection of an admitted decoded batch — the rows
     * [[graft.streaming.Streams.incrementalMediaIngestion]] appends to
-    * the index store: ids, both dedup hashes, and the cheap metadata a
-    * triage query wants, NEVER payloads or feature vectors. */
+    * the index store: ids, both dedup hashes, the degenerate-tier color
+    * bucket, and the cheap metadata a triage query wants, NEVER
+    * payloads or feature vectors. */
   def mediaIndexProjection(decodedWithHash: DataFrame): DataFrame =
     decodedWithHash.select(col("media_id"), col("payload_hash"),
-      col("phash"), col("kind"), col("width"), col("height"),
+      col("phash"), colorBucket(col("features")).as("cbucket"),
+      col("kind"), col("width"), col("height"),
       col("n_frames"))
 
   /** Close the corpus→index crash window of the media ingestion loop:

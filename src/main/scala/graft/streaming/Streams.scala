@@ -334,7 +334,8 @@ object Streams {
         if (graft.sources.VersionedCorpus.latest(indexRoot).isDefined)
           graft.sources.VersionedCorpus.snapshot(spark, indexRoot)
         else spark.range(0).select(col("id").as("media_id"),
-          col("id").as("payload_hash"), col("id").as("phash"))
+          col("id").as("payload_hash"), col("id").as("phash"),
+          col("id").cast("int").as("cbucket"))
       val (admitted, admittedDec) = graft.operators.Multimodal
         .admitMediaPerceptual(
           batch.as[graft.operators.Multimodal.MediaRow], index, maxHamming)

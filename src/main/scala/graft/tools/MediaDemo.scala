@@ -38,7 +38,8 @@ object MediaDemo {
 
     println("== 3-4. admission + durable commit (first batch: all novel)")
     val empty = spark.range(0).select(col("id").as("media_id"),
-      col("id").as("payload_hash"), col("id").as("phash"))
+      col("id").as("payload_hash"), col("id").as("phash"),
+      col("id").cast("int").as("cbucket"))
     val (adm1, dec1) = Multimodal.admitMediaPerceptual(batch1, empty)
     VersionedCorpus.append(adm1, corpus)
     VersionedCorpus.append(Multimodal.mediaIndexProjection(dec1), index)

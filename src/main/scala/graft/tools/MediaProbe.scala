@@ -114,6 +114,24 @@ object MediaProbe {
       println("  frame rows: " + graft.operators.Multimodal
         .extractFrames(gifs, stride = 2).toDF().count())
     }
+    // perceptual admission at volume: a 10k incoming batch (all exact
+    // replays of corpus payloads under fresh ids — the worst case for
+    // the reject path) against the 60k-asset hash index
+    val hashIndex = time("build the (id, payload_hash, phash) index for 60k assets") {
+      val idx = graft.operators.Multimodal.mediaIndexProjection(
+        graft.operators.Multimodal.decodeAll(media).toDF()
+          .join(media.toDF().select(col("media_id"),
+            xxhash64(col("payload")).as("payload_hash")), "media_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.count(); idx
+    }
+    time("admission: 10k incoming (all dupes) vs the 60k index") {
+      val incoming = graft.operators.Multimodal.syntheticMediaReal(spark, 10000)
+        .map(r => r.copy(media_id = r.media_id + 10000000L))
+      val (adm, _) = graft.operators.Multimodal.admitMediaPerceptual(
+        incoming, hashIndex)
+      println("  admitted (expect 0): " + adm.count())
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     spark.stop()
   }

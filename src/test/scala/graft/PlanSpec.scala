@@ -196,7 +196,8 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     val media = graft.operators.Multimodal.syntheticGridMedia(spark, 4, 3)
     val idx = spark.range(0).select(col("id").as("media_id"),
-      col("id").as("payload_hash"), col("id").as("phash"))
+      col("id").as("payload_hash"), col("id").as("phash"),
+          col("id").cast("int").as("cbucket"))
     val (admitted, dec) =
       graft.operators.Multimodal.admitMediaPerceptual(media, idx)
     // the rejected-id set is broadcast, so the anti-joins are

@@ -692,7 +692,7 @@ class MultimodalSpec extends AnyFunSuite {
     val idx = graft.sources.VersionedCorpus.snapshot(spark, index)
     assert(idx.count() === 3L)
     assert(idx.columns.toSet ===
-      Set("media_id", "payload_hash", "phash", "kind", "width", "height", "n_frames"))
+      Set("media_id", "payload_hash", "phash", "cbucket", "kind", "width", "height", "n_frames"))
     // second run finds no drift and appends nothing
     assert(Multimodal.reconcileMediaIndex(spark, corpus, index) === 0L)
     assert(graft.sources.VersionedCorpus.snapshot(spark, index).count() === 3L)
@@ -843,7 +843,8 @@ class MultimodalSpec extends AnyFunSuite {
         if (graft.sources.VersionedCorpus.latest(index).isDefined)
           graft.sources.VersionedCorpus.snapshot(spark, index)
         else spark.range(0).select(col("id").as("media_id"),
-          col("id").as("payload_hash"), col("id").as("phash"))
+          col("id").as("payload_hash"), col("id").as("phash"),
+          col("id").cast("int").as("cbucket"))
       val incoming = spark.createDataset(batch.map(_._1))
       val (admitted, dec) = Multimodal.admitMediaPerceptual(incoming, idx)
       val got = admitted.select(col("media_id")).collect().map(_.getLong(0)).toSet
