@@ -736,6 +736,28 @@ object Multimodal {
       .as[DocMediaRow]
   }
 
+  /** Perceptual near-dup ANALYSIS over a decoded corpus — the self-join
+    * twin of the admission tiers, degenerate-safe: structured rasters
+    * pair through the banded Hamming join
+    * ([[graft.operators.NearDup.signatureCandidates]]); featureless
+    * rasters (dHash 0) pair by quantized mean-color bucket (see
+    * [[colorBucket]] — the hot-bucket fix), at distance 0 by
+    * convention. Output (id_a, id_b, hamming), id_a < id_b. Input:
+    * decoded rows WITH features (the [[decodeAll]] output). */
+  def imageNearDup(decoded: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val structured = graft.operators.NearDup.signatureCandidates(
+      decoded.filter(col("phash").isNotNull && col("phash") =!= 0),
+      "media_id", "phash", maxHamming)
+    val deg = decoded.filter(col("phash") === 0)
+      .select(col("media_id"), colorBucket(col("features")).as("cbucket"))
+    val a = deg.toDF("id_a", "cbucket")
+    val b = deg.toDF("id_b", "cbucket")
+    val degenerate = a.join(b, "cbucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    structured.unionByName(degenerate)
+  }
+
   /** PERCEPTUAL incremental admission — the image twin of
     * `Dedup.admitIncoming`: decode the incoming batch ONCE (real codec),
     * reject any asset that is (a) a byte-exact duplicate of a corpus

@@ -625,6 +625,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.width === 14 && d.height === 9 && d.phash === Some(p.phash))
   }
 
+  test("imageNearDup: structured rasters by banded Hamming, featureless by color bucket") {
+    // 6 solid images in 3 colors (2 each) + one grid group of 3 shifts
+    val solids = (0 until 6).map { i =>
+      val p = JvmCodec.encodePng(JvmCodec.solidImage(20, 16,
+        (i / 2) * 80 + 20, (i / 2) * 60 + 10, 200))
+      Multimodal.MediaRow(100L + i, "image", p, "png", p.length.toLong)
+    }
+    val grid = Multimodal.syntheticGridMedia(spark, nGroups = 1, perGroup = 3)
+      .collect().toSeq
+    val dec = Multimodal.decodeAll(
+      spark.createDataset(solids ++ grid)).toDF()
+    val pairs = Multimodal.imageNearDup(dec, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same-color solids pair (distance-0 by color bucket); cross-color
+    // solids never pair even though every solid shares dHash 0
+    assert(pairs.contains((100L, 101L)) && pairs.contains((102L, 103L)) &&
+      pairs.contains((104L, 105L)))
+    assert(!pairs.exists { case (x, y) =>
+      x >= 100 && y >= 100 && x / 2 != y / 2 && (x - 100) / 2 != (y - 100) / 2 })
+    // the grid group (structured, brightness shifts) pairs via banding
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)) &&
+      pairs.contains((0L, 2L)))
+    // no structured-vs-solid cross-tier pairs
+    assert(!pairs.exists { case (x, y) => x < 100 ^ y < 100 })
+  }
+
   test("signatureCandidates on decoded dHashes equals brute-force Hamming pairs") {
     val dec = Multimodal.decodeAll(
       Multimodal.syntheticGridMedia(spark, nGroups = 8, perGroup = 4)).toDF()
