@@ -5791,6 +5791,61 @@ object Queries {
       """),
       "perceptual admission decision: indexed groups rejected, novel groups admitted — closed-form oracle"),
 
+    "media_near_mixed" -> DeclaredQuery(
+      // The degenerate-safe analysis join, oracle-checked over a MIXED
+      // corpus — the hot-bucket fix certified end-to-end: 30 solid
+      // images (all dHash 0 — the mega-bucket hazard) pair ONLY when
+      // their quantized mean colors match, while 30 structured grid
+      // images pair through the banded Hamming join; DuckDB replays
+      // both rules from the fixture formulas (color buckets via the
+      // same double expression, hashes via the bit formula) and takes
+      // the exhaustive union.
+      (s, dir) => {
+        import s.implicits._
+        val solids = Multimodal.syntheticMediaReal(s, 90)
+          .filter(col("kind") === "image")
+        val grid = Multimodal.syntheticGridMedia(s, nGroups = 6, perGroup = 5)
+          .map(r => r.copy(media_id = r.media_id + 10000))
+        val dec = Multimodal.decodeAll(solids.unionByName(grid)).toDF()
+        Multimodal.imageNearDup(dec, maxHamming = 3)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast("long").as("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH solid AS (
+          SELECT i AS id, 32 + i % 32 AS w, 24 + i % 24 AS h,
+                 (i * 17) % 256 AS r, (i * 29) % 256 AS g, (i * 43) % 256 AS b
+          FROM range(0, 90) t(i) WHERE i % 3 = 0),
+        cb AS (
+          SELECT id,
+            (least(floor(cast((w * h * r) / (w * h * 255.0) AS FLOAT)::DOUBLE * 16), 15) * 16 +
+             least(floor(cast((w * h * g) / (w * h * 255.0) AS FLOAT)::DOUBLE * 16), 15)) * 16 +
+             least(floor(cast((w * h * b) / (w * h * 255.0) AS FLOAT)::DOUBLE * 16), 15) AS cbucket
+          FROM solid),
+        degpairs AS (
+          SELECT a.id AS id_a, b.id AS id_b, 0::BIGINT AS hamming
+          FROM cb a, cb b WHERE a.id < b.id AND a.cbucket = b.cbucket),
+        ph AS (
+          SELECT i + 10000 AS id,
+            bit_or(CASE WHEN ((i // 5) * 31 + (x + 1) * (7 + (i // 5) % 5) + y * 13) % 17
+                          > ((i // 5) * 31 + x * (7 + (i // 5) % 5) + y * 13) % 17
+                   THEN CASE WHEN y * 8 + x = 63 THEN (-9223372036854775807 - 1)
+                        ELSE (1::BIGINT << (y * 8 + x)) END
+                   ELSE 0 END) AS h
+          FROM range(0, 30) t(i), range(0, 8) u(x), range(0, 8) v(y)
+          GROUP BY i),
+        structpairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 bit_count(xor(a.h, b.h))::BIGINT AS hamming
+          FROM ph a, ph b
+          WHERE a.id < b.id AND bit_count(xor(a.h, b.h)) <= 3)
+        SELECT id_a, id_b, hamming FROM degpairs
+        UNION ALL SELECT id_a, id_b, hamming FROM structpairs
+        ORDER BY id_a, id_b
+      """),
+      "degenerate-safe image near-dup over a mixed corpus: color-bucket rule for featureless, banded Hamming for structured — exhaustive oracle"),
+
     "media_scan_meta" -> DeclaredQuery(
       // The header-only TRIAGE sweep (scanMetadata — the 100 TB
       // classify-before-decode pass), oracle-checked: real-payload

@@ -824,10 +824,14 @@ object Multimodal {
     * fixtures paid a 66M-pair bucket join). Splitting hash-0 rows by
     * quantized color bounds that bucket AND matches perceptual truth
     * better: a blank red page is not a near-dup of a blank blue one. */
-  def colorBucket(features: Column): Column =
-    ((least(floor(element_at(features, 1) * 16), lit(15)) * 16 +
-      least(floor(element_at(features, 2) * 16), lit(15))) * 16 +
-      least(floor(element_at(features, 3) * 16), lit(15))).cast("int")
+  def colorBucket(features: Column): Column = {
+    // double arithmetic throughout so the bucket is one IEEE expression
+    // the SQL oracle mirrors verbatim (a float multiply could round
+    // across a bucket boundary differently per engine)
+    def q(i: Int): Column =
+      least(floor(element_at(features, i).cast("double") * 16), lit(15))
+    ((q(1) * 16 + q(2)) * 16 + q(3)).cast("int")
+  }
 
   /** The hash-index projection of an admitted decoded batch — the rows
     * [[graft.streaming.Streams.incrementalMediaIngestion]] appends to
