@@ -62,25 +62,43 @@ object Bench {
     // auditable instead of invisible. (When the timed dir IS the warm
     // sibling — an sf0.001 smoke — the warmup loop already built the
     // memos, so the infra lines show the memo-hit cost, not a build.)
+    // MIN of 2 real rebuilds per infra line (memos cleared between
+    // passes): the r10 audit caught the one-shot `_ivfpq_build` timing
+    // reporting 14.7 s for a build that replays at ~4.9 s — the same VM-
+    // throttle spike class the per-query min-of-reps filters, hitting
+    // the only unprotected measurements in the file. The pass order
+    // matters (ivfpq consumes the ivf memo built two lines above it), so
+    // the whole sequence reruns per pass rather than per line.
     val infra = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def timeInfra(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      val ok = try { f; true } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      infra(name) = if (ok) dt else -dt
+    val infraBuilds: Seq[(String, () => Unit)] = Seq(
+      "_ivf_build" -> (() => { Queries.sharedIvfIndex(spark, sfDir); () }),
+      "_pq_build" -> (() => { Queries.sharedPqIndex(spark, sfDir); () }),
+      "_sq_build" -> (() => { Queries.sharedSqIndex(spark, sfDir); () }),
+      "_ivfpq_build" -> (() => { Queries.sharedIvfPqIndex(spark, sfDir); () }),
+      "_minhash_build" -> (() =>
+        { Queries.sharedMinhashVerified(spark, sfDir).count(); () }),
+      "_dedup_edges_build" -> (() =>
+        { Queries.sharedDedupEdges(spark, sfDir).count(); () }),
+      "_dedup_cc_build" -> (() =>
+        { Queries.sharedDedupLabels(spark, sfDir).count(); () }),
+      "_exact_pairs_build" -> (() =>
+        { Queries.sharedExactPairs(spark, sfDir).count(); () }))
+    val infraReps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_INFRA_REPS", "2").toInt)
+    for (pass <- 0 until infraReps) {
+      if (pass > 0) Queries.clearSharedBuildCaches(sfDir)
+      infraBuilds.foreach { case (name, f) =>
+        val t0 = System.nanoTime()
+        val ok = try { f(); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val prev = infra.get(name)
+        // a failed pass never overwrites a measured success; a line is
+        // negative (failed) only when no pass succeeded
+        infra(name) =
+          if (ok) prev.filter(_ >= 0).fold(dt)(math.min(_, dt))
+          else prev.getOrElse(-dt)
+      }
     }
-    timeInfra("_ivf_build") { Queries.sharedIvfIndex(spark, sfDir) }
-    timeInfra("_pq_build") { Queries.sharedPqIndex(spark, sfDir) }
-    timeInfra("_sq_build") { Queries.sharedSqIndex(spark, sfDir) }
-    timeInfra("_ivfpq_build") { Queries.sharedIvfPqIndex(spark, sfDir) }
-    timeInfra("_minhash_build") {
-      Queries.sharedMinhashVerified(spark, sfDir).count() }
-    timeInfra("_dedup_edges_build") {
-      Queries.sharedDedupEdges(spark, sfDir).count() }
-    timeInfra("_dedup_cc_build") {
-      Queries.sharedDedupLabels(spark, sfDir).count() }
-    timeInfra("_exact_pairs_build") {
-      Queries.sharedExactPairs(spark, sfDir).count() }
     // MIN of `reps` runs per query: two consecutive driver rounds had
     // 25-60% of per-query numbers absorb VM-throttle spikes (blocks of
     // untouched queries "regressing" 2-5x, back to normal on a warm

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Embedder, VectorFunctions}
+import graft.functions.{Embedder, TransformerEmbedder, VectorFunctions}
 import graft.functions.VectorFunctions._
 import graft.operators.{Decontaminate, Dedup, Expectations, Forget, IvfIndex, LangId, Multimodal, NearDup, PdfText, PqIndex, Sampling, Search, Sketch, SpanDedup, SqIndex, TextAnalysis, TextIndex}
 import graft.sources.{IncrementalView, VersionedCorpus}
@@ -44,6 +44,18 @@ object Queries {
 
   private def dbl(c: Column): Column = c.cast("double")
   private def r4(c: Column): Column = round(c, 4)
+
+  /** Deterministic-seeded transformer weight artifact, written once per
+    * driver JVM (a cluster run distributes the same file via addFile /
+    * shared store — executors only ever READ it through the session
+    * cache). Lazy so sessions that never touch the model row never pay
+    * the write. */
+  private lazy val transformerArtifactPath: String = {
+    val p = java.nio.file.Files.createTempFile("graft-gtfe", ".bin")
+    p.toFile.deleteOnExit()
+    TransformerEmbedder.writeRandom(p.toString)
+    p.toString
+  }
 
   private val q1Sql = QueryVectors.sql(QueryVectors.q1)
   private val q2Sql = QueryVectors.sql(QueryVectors.q2)
@@ -936,6 +948,27 @@ object Queries {
         (fp, pairs.collect().toSeq, pairs.schema)
       })
     s.createDataFrame(java.util.Arrays.asList(built._2: _*), built._3)
+  }
+
+  /** Drop every shared-build memo for `dir` so the next consumer
+    * rebuilds from scratch — the bench's infra-rep hook. The round-10
+    * audit showed the single-shot infra timings absorb the same VM-
+    * throttle spikes the per-query min-of-reps exists to filter
+    * (`_ivfpq_build` reported 14.7 s for a build that measures ~4.9 s
+    * under identical replayed conditions); clearing between reps lets
+    * the bench report the min of REAL rebuilds. Superseded temp dirs
+    * are left for the existing deleteOnExit/consumer-safety discipline
+    * (see the sharedIvfIndex scaladoc); cached frames are driver-local
+    * rows or paths, so dropping entries leaks nothing executor-side. */
+  private[graft] def clearSharedBuildCaches(dir: String): Unit = {
+    ivfBuildCache.remove(dir)
+    pqBuildCache.remove(dir)
+    sqBuildCache.remove(dir)
+    ivfPqBuildCache.remove(dir)
+    minhashEdgeCache.remove(dir)
+    dedupEdgesCache.remove(dir)
+    dedupLabelsCache.remove(dir)
+    exactPairsCache.remove(dir)
   }
 
   /** Per-source memo of the "day-1" index slice (`vec_id % 10 =!= 0`)
@@ -4606,6 +4639,34 @@ object Queries {
       None,
       "A3→A4→A5: embed + brute-force search, hashing embedder (no SQL analog)"),
 
+    "ref_embed_model" -> DeclaredQuery(
+      // ref_search with a REAL MULTI-LAYER MODEL in the embed seat —
+      // the reference's actual model path (`app.py:16-37`: tokenize →
+      // DistilBERT encoder → mean-pool) re-expressed as the engine's
+      // TransformerEmbedder: token+position embedding, 2 transformer
+      // layers (multi-head self-attention, add&norm, GELU FFN), mean
+      // pool, output projection — a real forward pass per document, not
+      // a featurizer. Corpus embedding rides the BATCHED mapPartitions
+      // path (one embedAll per 32 rows — the accelerator shape); the
+      // weight artifact is deterministic-seeded (zero-egress stands in
+      // for a trained checkpoint; byte-for-byte swap to deploy one) and
+      // loads ONCE per executor JVM via the companion session cache
+      // (load-count asserted in EmbedderSpec). Rows-only per the A3
+      // contract: float model inference has no SQL analog.
+      (s, dir) => {
+        val e = new TransformerEmbedder(transformerArtifactPath, dim = 64)
+        val qvec = e.embed("table scan fast query").map(_.toDouble).toSeq
+        Embedder.embedPartitions(
+          T(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "emb", e, batchSize = 32)
+          .select(col("doc_id"),
+            round(VectorFunctions.dot(col("emb"), vecLit(qvec)), 4)
+              .as("sim"))
+          .orderBy(desc("sim"), asc("doc_id")).limit(5)
+      },
+      None,
+      "A3 with a real multi-layer transformer (MHA+LN+GELU FFN, mean-pool) — model inference, no SQL analog"),
+
     "ivf_probe" -> DeclaredQuery(
       (s, dir) => {
         // probes the shared corpus-scaled iters=3 index (quality
@@ -4716,6 +4777,77 @@ object Queries {
       },
       None,
       "B6 batched: multi-query IVF probe in one job (broadcast probe sets + map-side top-k)"),
+
+    "ivf_probe_many_fixed" -> DeclaredQuery(
+      // the BATCHED probe under the BYTE-EXACT ORACLE — ivf_probe_fixed's
+      // seed-centroid rule applied to probeMany, which puts the batched
+      // kernel itself behind the hash gate: the per-query probe-set
+      // projection over the plan-constant centroids, the broadcast
+      // (query, cluster) relation joined into the CLUSTER-PARTITIONED
+      // on-disk index (written per invocation with the fixed
+      // assignment — the real deployed layout, partition pruning
+      // included), and the map-side bounded TopKAggregator whose tie
+      // discipline (sim DESC, id ASC, per query) must reproduce
+      // DuckDB's partitioned row_number exactly. The rows-only
+      // ivf_probe_many adds only the float-iterated centroids.
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        import s.implicits._
+        val seeds = emb.orderBy("vec_id").limit(8)
+          .select(transform(col("embedding"), _.cast("double")).as("c"))
+          .collect().toIndexedSeq.zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](0)) }
+        val cents = seeds.toDF("cluster_id", "centroid")
+        val assign = IvfIndex.assignTo(emb, "vec_id", "embedding", cents)
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivfmf")
+        try {
+          val path = s"$tmpRoot/ivf"
+          IvfIndex.writePartitioned(emb, "vec_id", assign, path)
+          val qs = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+            .toDF("qid", "qvec")
+          localFrame(
+            IvfIndex.probeMany(s, path, "vec_id", "embedding", cents, qs,
+                "qid", "qvec", k = 10, nprobe = 3)
+              .select(col("qid"), col("vec_id"), col("sim"),
+                col("rank").cast("long").as("rank"))
+              .orderBy(col("qid"), col("rank")))
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(tmpRoot.toFile)
+      },
+      Some(s"""WITH cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+         |         CAST(embedding AS DOUBLE[]) AS centroid
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |q AS (SELECT 1 AS qid, $q1Sql AS qv
+         |      UNION ALL SELECT 2, $q2Sql),
+         |assign AS (
+         |  SELECT vec_id, cluster_id FROM (
+         |    SELECT e.vec_id, c.cluster_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+         |                               c.centroid),
+         |          c.cluster_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         |near AS (
+         |  SELECT qid, cluster_id FROM (
+         |    SELECT q.qid, c.cluster_id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_distance(c.centroid, q.qv), c.cluster_id)
+         |        AS rn
+         |    FROM q CROSS JOIN cents c) WHERE rn <= 3),
+         |scored AS (
+         |  SELECT n.qid, e.vec_id,
+         |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv),
+         |      4) AS sim
+         |  FROM embeddings e JOIN assign a USING (vec_id)
+         |  JOIN near n ON n.cluster_id = a.cluster_id
+         |  JOIN q ON q.qid = n.qid)
+         |SELECT CAST(qid AS BIGINT) AS qid, vec_id, sim, rank FROM (
+         |  SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored WHERE sim IS NOT NULL)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
+      "batched multi-query IVF probe (partitioned scan + map-side top-k) under the byte-exact oracle at fixed centroids"),
 
     "sq_topk_many" -> DeclaredQuery(
       // BATCHED multi-query quantized search — ONE scan of the SQ8
@@ -5040,6 +5172,170 @@ object Queries {
          |  FROM embeddings e JOIN cand USING (vec_id))
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
       "SQ8 train+encode+scan+rerank under the byte-exact oracle at a pinned depth (the grid is min/max — no float iteration to hide)"),
+
+    "pq_topk_fixed" -> DeclaredQuery(
+      // the PQ pipeline under the BYTE-EXACT ORACLE — the ivf_probe_fixed
+      // trick applied to product quantization: swap the float-iterative
+      // k-means codebooks for the train's DETERMINISTIC INIT alone (the
+      // 16 smallest-id vectors' subvectors — what trainCodebooks starts
+      // from), and the whole pipeline — per-subspace argmin encode, the
+      // driver-side ADC lookup-table fold, the top-50 candidate cut, the
+      // exact re-rank — is SQL-expressible and DuckDB replays it stage
+      // by stage (codeword argmin ≡ row_number over (subspace distance,
+      // code); ADC fold ≡ ordered list_sum of per-subspace dot
+      // products). The only thing the rows-only pq_topk adds over this
+      // row is the Lloyd-iterated codewords themselves; the ENCODE/ADC/
+      // re-rank arithmetic it runs is exactly what this row hash-gates.
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val seeds = emb.orderBy("vec_id").limit(16)
+          .select(transform(col("embedding"), _.cast("double")).as("v"))
+          .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+        val cb: PqIndex.Codebooks = IndexedSeq.tabulate(8) { mi =>
+          seeds.zipWithIndex.map { case (v, c) =>
+            (c, v.slice(mi * 8, mi * 8 + 8)) }
+        }
+        val encoded = PqIndex.encode(emb, "vec_id", "embedding", cb)
+        PqIndex.searchRerank(encoded, emb, "vec_id", "embedding",
+            QueryVectors.q1, cb, k = 10, r = 50)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         |         CAST(embedding AS DOUBLE[]) AS v
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |m AS (SELECT unnest(range(0,8)) AS mi),
+         |codes AS (
+         |  SELECT vec_id, mi, code FROM (
+         |    SELECT e.vec_id, m.mi, s.code,
+         |      row_number() OVER (PARTITION BY e.vec_id, m.mi
+         |        ORDER BY list_distance(
+         |            list_slice(CAST(e.embedding AS DOUBLE[]),
+         |                       m.mi*8+1, m.mi*8+8),
+         |            list_slice(s.v, m.mi*8+1, m.mi*8+8)),
+         |          s.code) AS rn
+         |    FROM embeddings e CROSS JOIN m CROSS JOIN seeds s)
+         |  WHERE rn = 1),
+         |cl AS (SELECT vec_id, list(code ORDER BY mi) AS codes_l
+         |       FROM codes GROUP BY vec_id),
+         |cells AS (SELECT list(v ORDER BY code) AS cs FROM seeds),
+         |adc AS (
+         |  SELECT vec_id, round(list_sum(list_transform(range(0,8), i ->
+         |      list_dot_product(list_slice($q1Sql, i*8+1, i*8+8),
+         |        list_slice(cs[codes_l[i+1]+1], i*8+1, i*8+8)))), 4) AS a
+         |  FROM cl CROSS JOIN cells),
+         |cand AS (SELECT vec_id FROM adc ORDER BY a DESC, vec_id LIMIT 50)
+         |SELECT vec_id, sim,
+         |  row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+         |FROM (SELECT e.vec_id,
+         |        round(${duckDot("e.embedding", q1Sql)}, 4) AS sim
+         |      FROM embeddings e JOIN cand USING (vec_id))
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+      "PQ encode+ADC+rerank under the byte-exact oracle at fixed (init) codebooks — the arithmetic pq_topk runs, hash-gated"),
+
+    "ivfpq_topk_fixed" -> DeclaredQuery(
+      // the COMPOSED residual index under the BYTE-EXACT ORACLE: fixed
+      // seed centroids (the ivf_probe_fixed rule) × fixed residual
+      // codebooks (the 16 smallest-id RESIDUALS' subvectors — residual
+      // computation is pure float subtraction, so the artifact chain
+      // stays deterministic end to end). The row exercises the REAL
+      // deployed path — encodeResidual → cluster-partitioned codes
+      // table on disk → probeIvfPq's partition-pruned ADC scan with the
+      // per-cluster coarse term → exact re-rank — and DuckDB replays
+      // every stage: assignment argmin, residual arithmetic, codeword
+      // argmin per subspace, coarse+ADC scoring restricted to the
+      // 3 probed clusters, the top-50 cut, the re-rank. The rows-only
+      // ivfpq_topk differs ONLY in where the centroids/codewords come
+      // from (two stacked k-means).
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        import s.implicits._
+        val seeds = emb.orderBy("vec_id").limit(8)
+          .select(transform(col("embedding"), _.cast("double")).as("c"))
+          .collect().toIndexedSeq.zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](0)) }
+        val cents = seeds.toDF("cluster_id", "centroid")
+        val assign = IvfIndex.assignTo(emb, "vec_id", "embedding", cents)
+        val res = PqIndex.residuals(emb, "vec_id", "embedding", assign, cents)
+        val rseeds = res.orderBy("vec_id").limit(16).select("res")
+          .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+        val cb: PqIndex.Codebooks = IndexedSeq.tabulate(8) { mi =>
+          rseeds.zipWithIndex.map { case (v, c) =>
+            (c, v.slice(mi * 8, mi * 8 + 8)) }
+        }
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivfpqf")
+        try {
+          val path = s"$tmpRoot/codes"
+          PqIndex.encodeResidual(emb, "vec_id", "embedding", assign,
+              cents, cb)
+            .repartition(col("cluster_id"))
+            .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+          localFrame(
+            PqIndex.probeIvfPq(s, path, "vec_id", cents, QueryVectors.q1,
+                cb, k = 10, nprobe = 3,
+                rerank = Some((emb, "embedding", 50)))
+              .withColumn("rank", col("rank").cast("long"))
+              .orderBy(col("rank")))
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(tmpRoot.toFile)
+      },
+      Some(s"""WITH cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+         |         CAST(embedding AS DOUBLE[]) AS centroid
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |assign AS (
+         |  SELECT vec_id, cluster_id FROM (
+         |    SELECT e.vec_id, c.cluster_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+         |                               c.centroid),
+         |          c.cluster_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         |res AS (
+         |  SELECT e.vec_id, a.cluster_id,
+         |    list_transform(range(1,65),
+         |      i -> e.embedding[i]::DOUBLE - c.centroid[i]) AS r
+         |  FROM embeddings e JOIN assign a USING (vec_id)
+         |  JOIN cents c ON c.cluster_id = a.cluster_id),
+         |rseeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r AS v
+         |  FROM (SELECT * FROM res ORDER BY vec_id LIMIT 16)),
+         |m AS (SELECT unnest(range(0,8)) AS mi),
+         |codes AS (
+         |  SELECT vec_id, mi, code FROM (
+         |    SELECT r.vec_id, m.mi, s.code,
+         |      row_number() OVER (PARTITION BY r.vec_id, m.mi
+         |        ORDER BY list_distance(
+         |            list_slice(r.r, m.mi*8+1, m.mi*8+8),
+         |            list_slice(s.v, m.mi*8+1, m.mi*8+8)),
+         |          s.code) AS rn
+         |    FROM res r CROSS JOIN m CROSS JOIN rseeds s) WHERE rn = 1),
+         |cl AS (SELECT vec_id, list(code ORDER BY mi) AS codes_l
+         |       FROM codes GROUP BY vec_id),
+         |cells AS (SELECT list(v ORDER BY code) AS cs FROM rseeds),
+         |near AS (SELECT cluster_id FROM cents
+         |         ORDER BY list_distance(centroid, $q1Sql), cluster_id
+         |         LIMIT 3),
+         |scored AS (
+         |  SELECT a.vec_id,
+         |    round(list_dot_product($q1Sql, c.centroid)
+         |      + list_sum(list_transform(range(0,8), i ->
+         |          list_dot_product(list_slice($q1Sql, i*8+1, i*8+8),
+         |            list_slice(cs[codes_l[i+1]+1], i*8+1, i*8+8)))), 4)
+         |      AS sim
+         |  FROM assign a JOIN near n USING (cluster_id)
+         |  JOIN cents c ON c.cluster_id = a.cluster_id
+         |  JOIN cl ON cl.vec_id = a.vec_id CROSS JOIN cells),
+         |cand AS (SELECT vec_id FROM scored ORDER BY sim DESC, vec_id
+         |         LIMIT 50)
+         |SELECT vec_id, sim,
+         |  row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+         |FROM (SELECT e.vec_id,
+         |        round(${duckDot("e.embedding", q1Sql)}, 4) AS sim
+         |      FROM embeddings e JOIN cand USING (vec_id))
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+      "residual IVF-PQ (partition-pruned ADC + coarse term + rerank) under the byte-exact oracle at fixed artifacts"),
 
     "ivfpq_topk" -> DeclaredQuery(
       // the COMPOSED index at its calibrated operating point: IVF

@@ -1,0 +1,376 @@
+package graft.functions
+
+/** REAL multi-layer transformer text encoder behind the [[Embedder]]
+  * seam — the engine's answer to the reference's DistilBERT embedder
+  * (reference `app.py:16-37`: tokenize → encoder → mean-pool →
+  * unnormalized dense vector). No inference runtime ships in this
+  * container, so the forward pass is implemented directly (standard
+  * public architecture — Vaswani et al. 2017, "Attention Is All You
+  * Need"; the DistilBERT shape is Sanh et al. 2019):
+  *
+  *   token-id embedding + sinusoidal position encoding
+  *   → L × [ multi-head self-attention → add&norm → GELU FFN → add&norm ]
+  *   → mean-pool over positions → output projection.
+  *
+  * Everything the reference's model path does structurally — token
+  * lookup, position information, attention mixing across positions,
+  * per-layer residual+LayerNorm, pooling (`app.py:33-37`) — happens
+  * for real here; only the weight VALUES are synthetic (a deterministic
+  * seeded artifact, see [[TransformerEmbedder.writeRandom]]), because
+  * no pretrained checkpoint can enter this zero-egress environment.
+  * Swapping in trained weights is a byte-for-byte artifact swap.
+  *
+  * Lifecycle — the part that matters on a cluster — is the
+  * [[LinearModelEmbedder]] discipline exactly:
+  *   - the class is a cheap Serializable handle (path + dims); the task
+  *     closure never carries weights;
+  *   - the parsed session lives in a companion-object cache keyed by
+  *     path: ONE load per (executor JVM, model), first-call races
+  *     collapse via computeIfAbsent (spec-visible load counter);
+  *   - `embedAll` is the batch seam [[Embedder.embedPartitions]] calls —
+  *     one session resolution per batch, row-wise ≡ batched by
+  *     contract (asserted in EmbedderSpec).
+  *
+  * Artifact layout (little-endian): magic "GTFE", int32 vocab, dModel,
+  * nLayers, nHeads, dFf, dimOut; then float32 blocks in order:
+  * tokenEmb[vocab×dModel]; per layer {Wq,Wk,Wv,Wo [dModel×dModel
+  * row-major out×in], bq,bk,bv,bo [dModel], ln1g,ln1b [dModel],
+  * W1 [dFf×dModel], b1 [dFf], W2 [dModel×dFf], b2 [dModel],
+  * ln2g,ln2b [dModel]}; Wout [dimOut×dModel], bout [dimOut].
+  */
+final class TransformerEmbedder(val modelPath: String, val dim: Int,
+                                val maxTokens: Int = 128) extends Embedder {
+
+  override def embed(text: String): Array[Float] = embedAll(Seq(text)).head
+
+  override def embedAll(texts: Seq[String]): Seq[Array[Float]] = {
+    val sess = TransformerEmbedder.sessionFor(modelPath)
+    require(sess.dimOut == dim,
+      s"model at $modelPath emits ${sess.dimOut}-dim, embedder declared $dim")
+    texts.map { t => sess.forward(tokenIds(t, sess.vocab)) }
+  }
+
+  /** Whitespace tokens → ids by portable 31-polynomial hash mod vocab —
+    * the [[HashingEmbedder]] token rule reused as the vocabulary map (a
+    * trained deployment swaps in its real vocab file; the id-lookup
+    * shape downstream is identical). Empty/null text embeds as the
+    * single reserved id 0 so the forward pass always has one position. */
+  private def tokenIds(text: String, vocab: Int): Array[Int] = {
+    if (text == null) return Array(0)
+    val out = new java.util.ArrayList[Integer](math.min(maxTokens, 64))
+    var i = 0
+    val n = text.length
+    while (i < n && out.size < maxTokens) {
+      while (i < n && text.charAt(i) == ' ') i += 1
+      if (i < n) {
+        var h = 0
+        while (i < n && text.charAt(i) != ' ') {
+          h = h * 31 + text.charAt(i)
+          i += 1
+        }
+        out.add(java.lang.Math.floorMod(h, vocab))
+      }
+    }
+    if (out.isEmpty) return Array(0)
+    val arr = new Array[Int](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    arr
+  }
+}
+
+object TransformerEmbedder {
+
+  /** Per-layer weight block. Matrices are row-major (out × in). */
+  final case class Layer(wq: Array[Float], bq: Array[Float],
+                         wk: Array[Float], bk: Array[Float],
+                         wv: Array[Float], bv: Array[Float],
+                         wo: Array[Float], bo: Array[Float],
+                         ln1g: Array[Float], ln1b: Array[Float],
+                         w1: Array[Float], b1: Array[Float],
+                         w2: Array[Float], b2: Array[Float],
+                         ln2g: Array[Float], ln2b: Array[Float])
+
+  final case class Session(vocab: Int, dModel: Int, nLayers: Int,
+                           nHeads: Int, dFf: Int, dimOut: Int,
+                           tokenEmb: Array[Float], layers: IndexedSeq[Layer],
+                           wOut: Array[Float], bOut: Array[Float]) {
+
+    private val dHead = dModel / nHeads
+
+    /** One forward pass: ids → pooled `dimOut` vector. All buffers are
+      * call-local (the session is shared across threads — local mode
+      * runs 32 tasks in one JVM). */
+    def forward(ids: Array[Int]): Array[Float] = {
+      val t = ids.length
+      val d = dModel
+      // token embedding + sinusoidal position encoding
+      var x = new Array[Float](t * d)
+      var p = 0
+      while (p < t) {
+        val base = ids(p) * d
+        var i = 0
+        while (i < d) {
+          x(p * d + i) = tokenEmb(base + i) + posEnc(p, i, d)
+          i += 1
+        }
+        p += 1
+      }
+      var li = 0
+      while (li < nLayers) {
+        val l = layers(li)
+        // ---- multi-head self-attention ----
+        val q = linear(x, t, l.wq, l.bq, d, d)
+        val k = linear(x, t, l.wk, l.bk, d, d)
+        val v = linear(x, t, l.wv, l.bv, d, d)
+        val ctx = new Array[Float](t * d)
+        val scores = new Array[Float](t)
+        val scale = (1.0 / math.sqrt(dHead.toDouble)).toFloat
+        var h = 0
+        while (h < nHeads) {
+          val off = h * dHead
+          var ti = 0
+          while (ti < t) {
+            // scaled dot scores against every position, softmax row
+            var s = 0
+            var maxS = Float.NegativeInfinity
+            while (s < t) {
+              var acc = 0.0f
+              var i = 0
+              while (i < dHead) {
+                acc += q(ti * d + off + i) * k(s * d + off + i)
+                i += 1
+              }
+              val sc = acc * scale
+              scores(s) = sc
+              if (sc > maxS) maxS = sc
+              s += 1
+            }
+            var z = 0.0f
+            s = 0
+            while (s < t) {
+              val e = math.exp((scores(s) - maxS).toDouble).toFloat
+              scores(s) = e
+              z += e
+              s += 1
+            }
+            // attention-weighted value mix
+            s = 0
+            while (s < t) {
+              val a = scores(s) / z
+              var i = 0
+              while (i < dHead) {
+                ctx(ti * d + off + i) += a * v(s * d + off + i)
+                i += 1
+              }
+              s += 1
+            }
+            ti += 1
+          }
+          h += 1
+        }
+        val attnOut = linear(ctx, t, l.wo, l.bo, d, d)
+        addInPlace(attnOut, x)
+        val x1 = layerNorm(attnOut, t, l.ln1g, l.ln1b, d)
+        // ---- position-wise FFN (GELU) ----
+        val hid = linear(x1, t, l.w1, l.b1, d, dFf)
+        geluInPlace(hid)
+        val ff = linear(hid, t, l.w2, l.b2, dFf, d)
+        addInPlace(ff, x1)
+        x = layerNorm(ff, t, l.ln2g, l.ln2b, d)
+        li += 1
+      }
+      // mean-pool over positions (app.py:33-37 — unnormalized), then
+      // the output projection to the engine's embedding dim
+      val pooled = new Array[Float](d)
+      p = 0
+      while (p < t) {
+        var i = 0
+        while (i < d) { pooled(i) += x(p * d + i); i += 1 }
+        p += 1
+      }
+      var i = 0
+      while (i < d) { pooled(i) /= t; i += 1 }
+      val out = new Array[Float](dimOut)
+      var o = 0
+      while (o < dimOut) {
+        var acc = bOut(o)
+        val base = o * d
+        i = 0
+        while (i < d) { acc += wOut(base + i) * pooled(i); i += 1 }
+        out(o) = acc
+        o += 1
+      }
+      out
+    }
+
+    /** rows×dIn through W[dOut×dIn]+b → rows×dOut */
+    private def linear(x: Array[Float], rows: Int, w: Array[Float],
+                       b: Array[Float], dIn: Int, dOut: Int): Array[Float] = {
+      val out = new Array[Float](rows * dOut)
+      var r = 0
+      while (r < rows) {
+        var o = 0
+        while (o < dOut) {
+          var acc = b(o)
+          val wb = o * dIn
+          val xb = r * dIn
+          var i = 0
+          while (i < dIn) { acc += w(wb + i) * x(xb + i); i += 1 }
+          out(r * dOut + o) = acc
+          o += 1
+        }
+        r += 1
+      }
+      out
+    }
+
+    private def addInPlace(a: Array[Float], b: Array[Float]): Unit = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+    }
+
+    private def layerNorm(x: Array[Float], rows: Int, g: Array[Float],
+                          b: Array[Float], d: Int): Array[Float] = {
+      val out = new Array[Float](rows * d)
+      var r = 0
+      while (r < rows) {
+        val base = r * d
+        var mean = 0.0f
+        var i = 0
+        while (i < d) { mean += x(base + i); i += 1 }
+        mean /= d
+        var va = 0.0f
+        i = 0
+        while (i < d) {
+          val dv = x(base + i) - mean
+          va += dv * dv
+          i += 1
+        }
+        val inv = (1.0 / math.sqrt(va / d + 1e-5)).toFloat
+        i = 0
+        while (i < d) {
+          out(base + i) = (x(base + i) - mean) * inv * g(i) + b(i)
+          i += 1
+        }
+        r += 1
+      }
+      out
+    }
+
+    /** tanh-approximation GELU (the BERT-family activation). */
+    private def geluInPlace(x: Array[Float]): Unit = {
+      var i = 0
+      while (i < x.length) {
+        val v = x(i).toDouble
+        x(i) = (0.5 * v * (1.0 + math.tanh(
+          0.7978845608028654 * (v + 0.044715 * v * v * v)))).toFloat
+        i += 1
+      }
+    }
+
+    private def posEnc(pos: Int, i: Int, d: Int): Float = {
+      val freq = math.pow(10000.0, -((i / 2) * 2).toDouble / d)
+      val ang = pos * freq
+      (if (i % 2 == 0) math.sin(ang) else math.cos(ang)).toFloat
+    }
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Session]()
+
+  /** spec-visible evidence of the once-per-JVM lifecycle */
+  private[graft] val loadCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def sessionFor(path: String): Session =
+    cache.computeIfAbsent(path, p => {
+      loadCount.incrementAndGet()
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](4)
+      bb.get(magic)
+      require(new String(magic, "US-ASCII") == "GTFE",
+        s"$p is not a GTFE transformer artifact")
+      val vocab = bb.getInt; val dModel = bb.getInt
+      val nLayers = bb.getInt; val nHeads = bb.getInt
+      val dFf = bb.getInt; val dimOut = bb.getInt
+      require(vocab > 0 && dModel > 0 && nLayers > 0 && nHeads > 0 &&
+        dFf > 0 && dimOut > 0 && dModel % nHeads == 0,
+        s"$p: bad header vocab=$vocab d=$dModel L=$nLayers h=$nHeads")
+      val fb = bb.asFloatBuffer()
+      def take(n: Int): Array[Float] = {
+        val a = new Array[Float](n)
+        fb.get(a)
+        a
+      }
+      val tokenEmb = take(vocab * dModel)
+      val layers = IndexedSeq.fill(nLayers)(Layer(
+        wq = take(dModel * dModel), bq = take(dModel),
+        wk = take(dModel * dModel), bk = take(dModel),
+        wv = take(dModel * dModel), bv = take(dModel),
+        wo = take(dModel * dModel), bo = take(dModel),
+        ln1g = take(dModel), ln1b = take(dModel),
+        w1 = take(dFf * dModel), b1 = take(dFf),
+        w2 = take(dModel * dFf), b2 = take(dModel),
+        ln2g = take(dModel), ln2b = take(dModel)))
+      val wOut = take(dimOut * dModel)
+      val bOut = take(dimOut)
+      require(fb.remaining() == 0,
+        s"$p: ${fb.remaining()} trailing floats after parsing header dims")
+      Session(vocab, dModel, nLayers, nHeads, dFf, dimOut,
+        tokenEmb, layers, wOut, bOut)
+    })
+
+  /** Deterministic seeded artifact writer — the "export" step a real
+    * pipeline does once, off-cluster (a trained checkpoint would be
+    * exported to the same layout). splitmix64 over (seed, index) makes
+    * the artifact a pure function of its arguments: every writer on
+    * every machine produces identical bytes, so fingerprint-keyed memo
+    * reuse is sound. LayerNorm gains init to 1, every other weight
+    * uniform in ±0.15 (small enough that two stacked softmax/LN layers
+    * stay well-conditioned). */
+  def writeRandom(path: String, vocab: Int = 512, dModel: Int = 32,
+                  nLayers: Int = 2, nHeads: Int = 2, dFf: Int = 64,
+                  dimOut: Int = 64, seed: Long = 0x67726166744C4D31L): Unit = {
+    require(dModel % nHeads == 0, "dModel must divide into heads")
+    val perLayer = 4 * (dModel * dModel + dModel) + 4 * dModel +
+      dFf * dModel + dFf + dModel * dFf + dModel
+    val total = vocab * dModel + nLayers * perLayer + dimOut * dModel + dimOut
+    val bb = java.nio.ByteBuffer.allocate(4 + 6 * 4 + total * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GTFE".getBytes("US-ASCII"))
+    bb.putInt(vocab).putInt(dModel).putInt(nLayers).putInt(nHeads)
+      .putInt(dFf).putInt(dimOut)
+    var idx = 0L
+    def mix(): Float = {
+      // splitmix64 of (seed + idx) → uniform in [-0.15, 0.15]
+      var z = seed + idx * 0x9E3779B97F4A7C15L
+      idx += 1
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (((z >>> 11).toDouble / (1L << 53).toDouble) * 0.3 - 0.15).toFloat
+    }
+    def putUniform(n: Int): Unit = {
+      var i = 0
+      while (i < n) { bb.putFloat(mix()); i += 1 }
+    }
+    def putConst(n: Int, v: Float): Unit = {
+      var i = 0
+      while (i < n) { bb.putFloat(v); idx += 1; i += 1 }
+    }
+    putUniform(vocab * dModel)
+    var l = 0
+    while (l < nLayers) {
+      putUniform(4 * (dModel * dModel + dModel)) // Wq..Wo + biases
+      putConst(dModel, 1f); putConst(dModel, 0f) // ln1 gamma, beta
+      putUniform(dFf * dModel + dFf + dModel * dFf + dModel)
+      putConst(dModel, 1f); putConst(dModel, 0f) // ln2 gamma, beta
+      l += 1
+    }
+    putUniform(dimOut * dModel + dimOut)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bb.array())
+  }
+}

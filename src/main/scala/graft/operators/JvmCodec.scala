@@ -215,12 +215,90 @@ object JvmCodec {
     if ((a & 0x80) != 0) mag else -mag
   }
 
+  /** IMA/DVI ADPCM step table (public spec: IMA "Recommended Practices
+    * for Enhancing Digital Audio Compatibility", 1992 — the same 89
+    * entries every implementation ships). */
+  private[operators] val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private[operators] val imaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM nibble step: (newPredictor, newIndex). The exact
+    * integer state machine from the spec — diff accumulates step>>3,
+    * plus step, step>>1, step>>2 for bits 2..0, sign bit 3, predictor
+    * clamped to int16, index clamped to the table. */
+  private[operators] def imaStep(nibble: Int, pred: Int, index: Int): (Int, Int) = {
+    val step = imaStepTable(index)
+    var diff = step >> 3
+    if ((nibble & 4) != 0) diff += step
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 1) != 0) diff += step >> 2
+    val p0 = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, index + imaIndexTable(nibble)))
+    (p, i)
+  }
+
+  /** Decode one IMA ADPCM block into per-channel sample arrays.
+    * Block layout (WAV format 17): per channel a 4-byte header
+    * (int16 LE initial predictor = sample 0, uint8 step index,
+    * reserved), then 4-byte nibble groups interleaved by channel —
+    * ch0's 8 nibbles, ch1's 8 nibbles, back to ch0, … low nibble
+    * first within each byte. */
+  private def decodeImaBlock(bytes: Array[Byte], off: Int, block: Int,
+                             channels: Int): Array[Array[Int]] = {
+    val spb = (block - 4 * channels) * 2 / channels + 1
+    val out = Array.ofDim[Int](channels, spb)
+    val pred = new Array[Int](channels)
+    val idx = new Array[Int](channels)
+    var ch = 0
+    while (ch < channels) {
+      val h = off + ch * 4
+      pred(ch) = ((bytes(h) & 0xFF) | ((bytes(h + 1) & 0xFF) << 8)).toShort.toInt
+      idx(ch) = math.min(88, bytes(h + 2) & 0xFF)
+      out(ch)(0) = pred(ch)
+      ch += 1
+    }
+    val dataOff = off + 4 * channels
+    val groups = (block - 4 * channels) / (4 * channels)
+    var g = 0
+    while (g < groups) {
+      ch = 0
+      while (ch < channels) {
+        val base = dataOff + (g * channels + ch) * 4
+        var b = 0
+        while (b < 4) {
+          val byte = bytes(base + b) & 0xFF
+          val s = 1 + g * 8 + b * 2
+          val (p1, i1) = imaStep(byte & 0x0F, pred(ch), idx(ch))
+          pred(ch) = p1; idx(ch) = i1
+          if (s < spb) out(ch)(s) = p1
+          val (p2, i2) = imaStep(byte >> 4, pred(ch), idx(ch))
+          pred(ch) = p2; idx(ch) = i2
+          if (s + 1 < spb) out(ch)(s + 1) = p2
+          b += 1
+        }
+        ch += 1
+      }
+      g += 1
+    }
+    out
+  }
+
   /** Decode WAV samples (the one audio container with a published
     * layout): chunk walk for fmt/data, then a single pass over frames
     * mixing channels to mono. Sample formats with published
-    * arithmetic are decoded for REAL — 16-bit linear PCM (format 1)
-    * and the G.711 companded pair, A-law (6) and µ-law (7), expanded
-    * by the ITU-T formulas; anything else (ADPCM, MP3-in-WAV, float)
+    * arithmetic are decoded for REAL — 16-bit linear PCM (format 1),
+    * the G.711 companded pair, A-law (6) and µ-law (7), expanded
+    * by the ITU-T formulas, and IMA/DVI ADPCM (17) through the full
+    * block state machine; anything else (MS-ADPCM, MP3-in-WAV, float)
     * is an honest None. Features:
     *   0 RMS; 1 zero-crossing rate; 2 peak |sample|; 3 mean |sample|
     *   (all ÷32768); 4 duration seconds; 5 rate/48000; 6 channels;
@@ -243,38 +321,64 @@ object JvmCodec {
         val audioFormat = le16(i + 8)
         channels = le16(i + 10); rate = le32(i + 12).toInt
         block = le16(i + 20); bits = le16(i + 22)
-        law = if (audioFormat == 6 || audioFormat == 7) audioFormat else 0
+        law = if (audioFormat == 6 || audioFormat == 7 ||
+          audioFormat == 17) audioFormat else 0
         fmtOk = channels > 0 &&
           ((audioFormat == 1 && bits == 16 && block == channels * 2) ||
-           (law != 0 && bits == 8 && block == channels))
+           ((law == 6 || law == 7) && bits == 8 && block == channels) ||
+           (law == 17 && bits == 4 && block > 4 * channels &&
+             (block - 4 * channels) % (4 * channels) == 0))
       } else if (tag(i, "data")) { dataOff = i + 8; dataLen = size }
       i += 8 + size.toInt + (size.toInt & 1)
     }
     if (!fmtOk || dataOff < 0 || rate <= 0) return None
     val avail = math.min(dataLen, (bytes.length - dataOff).toLong)
-    val frames = (avail / block).toInt
-    val bytesPer = block / channels
-    var f = 0
     var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0
     var crossings = 0L; var prevSign = 0
-    while (f < frames) {
-      var ch = 0; var acc = 0L
-      val base = dataOff + f * block
-      while (ch < channels) {
-        val v = law match {
-          case 7 => ulawToLinear(bytes(base + ch) & 0xFF)
-          case 6 => alawToLinear(bytes(base + ch) & 0xFF)
-          case _ => (le16(base + ch * bytesPer) << 16) >> 16 // sign-extend
-        }
-        acc += v; ch += 1
-      }
-      val mono = acc.toDouble / channels
+    var frames = 0
+    def statFrame(mono: Double): Unit = {
       sumSq += mono * mono; sumAbs += math.abs(mono)
       if (math.abs(mono) > peak) peak = math.abs(mono)
       val sign = if (mono > 0) 1 else if (mono < 0) -1 else prevSign
       if (prevSign != 0 && sign != 0 && sign != prevSign) crossings += 1
       if (sign != 0) prevSign = sign
-      f += 1
+    }
+    if (law == 17) {
+      // block-structured decode: each block's channels come back as
+      // whole sample arrays, mixed to mono frame by frame
+      val nBlocks = (avail / block).toInt
+      val spb = (block - 4 * channels) * 2 / channels + 1
+      frames = nBlocks * spb
+      var b = 0
+      while (b < nBlocks) {
+        val chans = decodeImaBlock(bytes, dataOff + b * block, block, channels)
+        var s = 0
+        while (s < spb) {
+          var ch = 0; var acc = 0L
+          while (ch < channels) { acc += chans(ch)(s); ch += 1 }
+          statFrame(acc.toDouble / channels)
+          s += 1
+        }
+        b += 1
+      }
+    } else {
+      frames = (avail / block).toInt
+      val bytesPer = block / channels
+      var f = 0
+      while (f < frames) {
+        var ch = 0; var acc = 0L
+        val base = dataOff + f * block
+        while (ch < channels) {
+          val v = law match {
+            case 7 => ulawToLinear(bytes(base + ch) & 0xFF)
+            case 6 => alawToLinear(bytes(base + ch) & 0xFF)
+            case _ => (le16(base + ch * bytesPer) << 16) >> 16 // sign-extend
+          }
+          acc += v; ch += 1
+        }
+        statFrame(acc.toDouble / channels)
+        f += 1
+      }
     }
     val n = math.max(1, frames).toDouble
     Some(AudioSamples(rate, channels, frames, Array(
@@ -286,6 +390,82 @@ object JvmCodec {
       (rate / 48000.0).toFloat,
       channels.toFloat,
       (bits / 16.0).toFloat)))
+  }
+
+  /** Encode per-channel 16-bit samples as an IMA ADPCM WAV (format 17)
+    * — the fixture/export side of the ADPCM decode tier, the same
+    * public-spec quantizer run forward: per block, each channel's
+    * header carries the current predictor (≡ the block's first sample,
+    * emitted verbatim) and step index; every following sample becomes
+    * the 4-bit code whose [[imaStep]] reconstruction tracks it.
+    * `samplesPerBlock` must be 8k+1 (nibble groups are 8 samples per
+    * channel) and divide the sample count; state carries across
+    * blocks. fmt chunk written at size 20 with the standard
+    * wSamplesPerBlock extension. */
+  def encodeImaAdpcmWav(rate: Int, chans: Array[Array[Int]],
+                        samplesPerBlock: Int): Array[Byte] = {
+    val channels = chans.length
+    val spb = samplesPerBlock
+    require(channels >= 1 && spb >= 1 && (spb - 1) % 8 == 0,
+      s"samplesPerBlock must be 8k+1, got $spb")
+    val n = chans(0).length
+    require(chans.forall(_.length == n) && n > 0 && n % spb == 0,
+      s"sample count $n must be a positive multiple of samplesPerBlock $spb")
+    val block = 4 * channels + ((spb - 1) / 8) * 4 * channels
+    val nBlocks = n / spb
+    val dataBytes = nBlocks * block
+    val out = java.nio.ByteBuffer.allocate(48 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(40 + dataBytes)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17).putShort(channels.toShort).putInt(rate)
+      .putInt((rate.toLong * block / spb).toInt).putShort(block.toShort)
+      .putShort(4).putShort(2).putShort(spb.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    val idx = new Array[Int](channels)
+    val pred = new Array[Int](channels)
+    var b = 0
+    while (b < nBlocks) {
+      var ch = 0
+      while (ch < channels) {
+        pred(ch) = chans(ch)(b * spb)
+        out.putShort(pred(ch).toShort).put(idx(ch).toByte).put(0.toByte)
+        ch += 1
+      }
+      val groups = (spb - 1) / 8
+      var g = 0
+      while (g < groups) {
+        ch = 0
+        while (ch < channels) {
+          var byteIdx = 0
+          while (byteIdx < 4) {
+            var packed = 0
+            var half = 0
+            while (half < 2) {
+              val s = b * spb + 1 + g * 8 + byteIdx * 2 + half
+              val step = imaStepTable(idx(ch))
+              var diff = chans(ch)(s) - pred(ch)
+              var nib = 0
+              if (diff < 0) { nib = 8; diff = -diff }
+              if (diff >= step) { nib |= 4; diff -= step }
+              if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+              if (diff >= (step >> 2)) nib |= 1
+              val (p, i2) = imaStep(nib, pred(ch), idx(ch))
+              pred(ch) = p; idx(ch) = i2
+              packed |= (nib & 0xF) << (half * 4)
+              half += 1
+            }
+            out.put(packed.toByte)
+            byteIdx += 1
+          }
+          ch += 1
+        }
+        g += 1
+      }
+      b += 1
+    }
+    out.array()
   }
 
   /** Real resize: decode, area-average down to the target box (never

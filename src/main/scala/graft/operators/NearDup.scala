@@ -378,14 +378,53 @@ object NearDup {
     * bands), probabilistic beyond. Output (id_a, id_b, hamming),
     * id_a < id_b.
     *
-    * Caveat for dHash inputs: a featureless raster (solid color) hashes
-    * to 0, as does every row whose payload could not be pixel-decoded —
-    * filter undecodable rows out upstream or they all land in one
-    * bucket. */
+    * Degenerate-signature safety: a corpus where many rows share ONE
+    * signature value (solid-color dHash 0, blank pages, undecodable
+    * rows defaulted to a constant) used to concentrate the banded
+    * self-join on a single bucket — n rows × 4 bands → 4n² joined rows
+    * THEN a distinct over them (the measured 66M-pair hot bucket). The
+    * stats-adaptive exact-signature collapse below removes that
+    * hazard: when duplication is detected (one cheap count/
+    * count-distinct agg — the [[prefixJaccardJoin]] discipline), the
+    * banded join runs over DISTINCT signature values only, and
+    * equal-signature pairs are emitted by a direct equi-join on the
+    * 8-byte signature — output-bounded (the within-group all-pairs ARE
+    * part of the result; the irreducible quadratic is the answer
+    * itself, never an intermediate). Decisions are identical by
+    * construction: Hamming(s, s) = 0 ≤ maxHamming always, and
+    * cross-signature pairs inherit their signatures' Hamming verbatim. */
   def signatureCandidates(df: DataFrame, idCol: String, sigCol: String,
-                          maxHamming: Int = 3): DataFrame =
-    simHashBucketJoin(bandSignature64(
-      df.select(col(idCol).as("_id"), col(sigCol).as("_sh"))), maxHamming)
+                          maxHamming: Int = 3,
+                          dupHint: Option[Boolean] = None): DataFrame = {
+    val sigs = df.select(col(idCol).as("_id"), col(sigCol).as("_sh"))
+    val effectivelyDistinct = dupHint.getOrElse {
+      val stats = sigs.agg(count(lit(1)).as("n"),
+        countDistinct(col("_sh")).as("nd")).head()
+      stats.getLong(1) >= math.ceil(stats.getLong(0) * 0.9).toLong
+    }
+    if (effectivelyDistinct)
+      return simHashBucketJoin(bandSignature64(sigs), maxHamming)
+    // banded join over distinct signature VALUES (id := the signature
+    // itself — the join only needs a label, and sig-as-id makes the
+    // output directly (sh_a, sh_b, hamming))
+    val sigPairs = simHashBucketJoin(bandSignature64(
+      sigs.select(col("_sh").as("_id"), col("_sh")).distinct()), maxHamming)
+    // equal-signature members: every pair qualifies at Hamming 0
+    val memA = sigs.select(col("_sh"), col("_id").as("_ma"))
+    val memB = sigs.select(col("_sh"), col("_id").as("_mb"))
+    val within = memA.join(memB, "_sh")
+      .filter(col("_ma") < col("_mb"))
+      .select(col("_ma").as("id_a"), col("_mb").as("id_b"),
+        lit(0).as("hamming"))
+    // cross-signature pairs expand through group membership; least/
+    // greatest restores the id_a < id_b canonical order
+    val cross = sigPairs
+      .join(sigs.select(col("_sh").as("id_a"), col("_id").as("_xa")), "id_a")
+      .join(sigs.select(col("_sh").as("id_b"), col("_id").as("_xb")), "id_b")
+      .select(least(col("_xa"), col("_xb")).as("id_a"),
+        greatest(col("_xa"), col("_xb")).as("id_b"), col("hamming"))
+    within.unionAll(cross)
+  }
 
   /** CROSS-SET [[signatureCandidates]] — the ingestion form: incoming
     * signatures meet EXISTING corpus signatures only inside a shared
@@ -396,16 +435,49 @@ object NearDup {
     * nothing). Returns distinct (id_new, id_old, hamming). */
   def signatureCrossCandidates(incoming: DataFrame, corpus: DataFrame,
                                idCol: String, sigCol: String,
-                               maxHamming: Int = 3): DataFrame = {
-    val a = bandSignature64(incoming.select(col(idCol).as("_id"),
-      col(sigCol).as("_sh"))).toDF("id_new", "sh_new", "band_id", "band_key")
-    val b = bandSignature64(corpus.select(col(idCol).as("_id"),
-      col(sigCol).as("_sh"))).toDF("id_old", "sh_old", "band_id", "band_key")
-    a.join(b, Seq("band_id", "band_key"))
-      .select(col("id_new"), col("id_old"),
+                               maxHamming: Int = 3,
+                               dupHint: Option[Boolean] = None): DataFrame = {
+    val inc = incoming.select(col(idCol).as("_id"), col(sigCol).as("_sh"))
+    val cor = corpus.select(col(idCol).as("_id"), col(sigCol).as("_sh"))
+    val effectivelyDistinct = dupHint.getOrElse {
+      // one agg over the union decides for both sides — duplication on
+      // EITHER side concentrates the band buckets
+      val stats = inc.union(cor).agg(count(lit(1)).as("n"),
+        countDistinct(col("_sh")).as("nd")).head()
+      stats.getLong(1) >= math.ceil(stats.getLong(0) * 0.9).toLong
+    }
+    if (effectivelyDistinct) {
+      val a = bandSignature64(inc)
+        .toDF("id_new", "sh_new", "band_id", "band_key")
+      val b = bandSignature64(cor)
+        .toDF("id_old", "sh_old", "band_id", "band_key")
+      return a.join(b, Seq("band_id", "band_key"))
+        .select(col("id_new"), col("id_old"),
+          hamming(col("sh_new"), col("sh_old")).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+    }
+    // same exact-signature collapse as [[signatureCandidates]], cross-set
+    // form: the banded join runs once over the distinct signature values
+    // of each side; equal signatures across sides meet by 8-byte equi-
+    // join; expansion joins are output-bounded
+    val aSig = inc.select(col("_sh")).distinct()
+      .select(col("_sh").as("_id"), col("_sh"))
+    val bSig = cor.select(col("_sh")).distinct()
+      .select(col("_sh").as("_id"), col("_sh"))
+    val aB = bandSignature64(aSig).toDF("sh_new", "_d1", "band_id", "band_key")
+    val bB = bandSignature64(bSig).toDF("sh_old", "_d2", "band_id", "band_key")
+    val sigPairs = aB.join(bB, Seq("band_id", "band_key"))
+      .select(col("sh_new"), col("sh_old"),
         hamming(col("sh_new"), col("sh_old")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    sigPairs
+      .join(inc.select(col("_sh").as("sh_new"), col("_id").as("id_new")),
+        "sh_new")
+      .join(cor.select(col("_sh").as("sh_old"), col("_id").as("id_old")),
+        "sh_old")
+      .select(col("id_new"), col("id_old"), col("hamming"))
   }
 
   private def simHashBucketJoin(banded: DataFrame, maxHamming: Int): DataFrame = {

@@ -121,6 +121,75 @@ class EmbedderSpec extends AnyFunSuite {
     assert(LinearModelEmbedder.loadCount.get() === before + 1)
   }
 
+  private def writeTransformer(): String = {
+    val p = java.nio.file.Files.createTempFile("gtfe-spec", ".bin")
+    p.toFile.deleteOnExit()
+    TransformerEmbedder.writeRandom(p.toString)
+    p.toString
+  }
+
+  test("TransformerEmbedder: deterministic, position-sensitive, attention-mixing forward pass") {
+    val path = writeTransformer()
+    val m = new TransformerEmbedder(path, dim = 64)
+    val a = m.embed("deep learning systems at scale")
+    assert(a.length === 64)
+    // deterministic: a second instance over the same artifact agrees
+    val m2 = new TransformerEmbedder(path, dim = 64)
+    assert(m2.embed("deep learning systems at scale").toSeq === a.toSeq)
+    // position encoding: the same bag of words in a different order is a
+    // DIFFERENT embedding (the hashing embedder cannot do this)
+    val b = m.embed("scale at systems learning deep")
+    assert(b.toSeq !== a.toSeq)
+    // attention mixes positions: changing ONE token moves the whole
+    // pooled vector, not just one bucket
+    val c = m.embed("deep learning systems at speed")
+    assert(c.toSeq !== a.toSeq)
+    assert(a.count(!_.isNaN) === 64 && c.count(!_.isNaN) === 64)
+    // empty/null degenerate inputs embed without blowing up
+    assert(m.embed("").length === 64)
+    assert(m.embed(null).length === 64)
+    // embedAll ≡ per-row embed (the Embedder contract)
+    val texts = Seq("a b", "", null, "deep learning systems at scale")
+    assert(m.embedAll(texts).map(_.toSeq) ===
+      texts.map(t => m.embed(t).toSeq))
+  }
+
+  test("TransformerEmbedder: one session load per JVM across a distributed run, batched ≡ row-wise") {
+    val spark = graft.TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val path = writeTransformer()
+    val m = new TransformerEmbedder(path, dim = 64)
+    val before = TransformerEmbedder.loadCount.get()
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("text")).repartition(8)
+    val out = Embedder.embedPartitions(docs, "text", "emb", m, batchSize = 7)
+      .select("doc_id", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(TransformerEmbedder.loadCount.get() === before + 1)
+    val want = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        m.embed(if (r.isNullAt(1)) null else r.getString(1)).toSeq).toMap
+    assert(out.size === want.size)
+    assert(out === want)
+    Embedder.embedPartitions(docs, "text", "emb", m, batchSize = 19).count()
+    assert(TransformerEmbedder.loadCount.get() === before + 1)
+  }
+
+  test("TransformerEmbedder: artifact validation fails loudly") {
+    val bad = java.nio.file.Files.createTempFile("gtfe-bad", ".bin")
+    java.nio.file.Files.write(bad, "NOPE".getBytes("US-ASCII"))
+    bad.toFile.deleteOnExit()
+    val ex = intercept[IllegalArgumentException] {
+      TransformerEmbedder.sessionFor(bad.toString)
+    }
+    assert(ex.getMessage.contains("GTFE"))
+    val path = writeTransformer()
+    val wrong = new TransformerEmbedder(path, dim = 32)
+    val ex2 = intercept[IllegalArgumentException] { wrong.embed("x") }
+    assert(ex2.getMessage.contains("declared"))
+  }
+
   test("LinearModelEmbedder: artifact validation fails loudly") {
     val bad = java.nio.file.Files.createTempFile("glpj-bad", ".bin")
     java.nio.file.Files.write(bad, "NOPE".getBytes("US-ASCII"))

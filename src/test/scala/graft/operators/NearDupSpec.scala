@@ -377,4 +377,67 @@ class NearDupSpec extends AnyFunSuite {
     }
     assert(probed.nonEmpty)
   }
+
+  test("signatureCandidates: collapse path ≡ direct banded join on a duplicated-signature corpus") {
+    // dup families (the degenerate-hash shape), near pairs (hamming 1-3),
+    // far rows — so both paths exercise within-group, cross-group, and
+    // reject branches
+    val rows = (0 until 20).map(i => (i.toLong, 0L)) ++          // solid-color family
+      (20 until 30).map(i => (i.toLong, 0xABCDL)) ++             // second family
+      Seq((40L, 1L), (41L, 3L),                                  // near 0-family
+          (50L, 0x7777000011112222L), (51L, 0x7777000011112223L),
+          (60L, -1L))                                            // far row
+    val df = rows.toDF("media_id", "sig")
+    val direct = NearDup.signatureCandidates(df, "media_id", "sig",
+        maxHamming = 3, dupHint = Some(true))
+      .as[(Long, Long, Int)].collect.toSet
+    val collapsed = NearDup.signatureCandidates(df, "media_id", "sig",
+        maxHamming = 3, dupHint = Some(false))
+      .as[(Long, Long, Int)].collect.toSet
+    val adaptive = NearDup.signatureCandidates(df, "media_id", "sig",
+        maxHamming = 3)
+      .as[(Long, Long, Int)].collect.toSet
+    assert(collapsed === direct)
+    assert(adaptive === direct)
+    // the fixture's truth: 20-family all-pairs + 10-family all-pairs +
+    // cross pairs within hamming 3 of the 0 family + the 50/51 pair
+    assert(direct.nonEmpty)
+    assert(direct.count { case (_, _, h) => h === 0 } === 190 + 45)
+  }
+
+  test("signatureCandidates: 10k identical signatures complete through the collapse, decisions unchanged") {
+    // the verdict's foot-gun fixture: every row dHashes to 0 (solid
+    // colors). The banded self-join would build a 4·n² intermediate and
+    // distinct it; the collapse emits the output-bounded n·(n-1)/2 pairs
+    // by a direct 8-byte equi-join. The adaptive probe must pick the
+    // collapse on its own (no hint).
+    val n = 10000
+    val df = spark.range(n).select(col("id").as("media_id"),
+      lit(0L).as("sig"))
+    val pairs = NearDup.signatureCandidates(df, "media_id", "sig",
+      maxHamming = 3)
+    assert(pairs.count() === n.toLong * (n - 1) / 2)
+  }
+
+  test("signatureCrossCandidates: collapse path ≡ direct banded join, cross-set contract held") {
+    val corpus = ((0 until 15).map(i => (i.toLong, 0L)) ++
+      Seq((20L, 5L), (21L, 0x1234123412341234L))).toDF("media_id", "sig")
+    val incoming = ((100 until 110).map(i => (i.toLong, 0L)) ++
+      Seq((120L, 1L), (121L, 0x1234123412341230L),
+          (122L, 0x5555AAAA5555AAAAL))).toDF("media_id", "sig")
+    val direct = NearDup.signatureCrossCandidates(incoming, corpus,
+        "media_id", "sig", maxHamming = 3, dupHint = Some(true))
+      .as[(Long, Long, Int)].collect.toSet
+    val collapsed = NearDup.signatureCrossCandidates(incoming, corpus,
+        "media_id", "sig", maxHamming = 3, dupHint = Some(false))
+      .as[(Long, Long, Int)].collect.toSet
+    val adaptive = NearDup.signatureCrossCandidates(incoming, corpus,
+        "media_id", "sig", maxHamming = 3)
+      .as[(Long, Long, Int)].collect.toSet
+    assert(collapsed === direct)
+    assert(adaptive === direct)
+    assert(direct.nonEmpty)
+    // incoming never meet each other; corpus-internal pairs never appear
+    assert(direct.forall { case (n_, o, _) => n_ >= 100 && o < 100 })
+  }
 }
