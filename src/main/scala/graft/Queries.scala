@@ -5932,6 +5932,46 @@ object Queries {
       """),
       "multimodal REAL PCM decode: WAV write → sample pass → exact RMS/peak/zcr vs the DC-amp formula"),
 
+    "media_wave_adpcm" -> DeclaredQuery(
+      // the COMPRESSED audio tier made real and oracle-checked: IMA/DVI
+      // ADPCM (WAV format 17) decoded through the full public-spec
+      // block state machine — per-channel headers, nibble groups, the
+      // 89-entry step table, predictor clamps. The fixture signal is
+      // the DC trick carried into the compressed domain: the block
+      // header stores the amp as the initial predictor and every
+      // nibble's reconstruction step resolves to +0 (index 0 → step 7 →
+      // 7>>3), so the decoder does all the real work while RMS = peak =
+      // amp and zcr = 0 stay EXACT closed forms. Nonzero-nibble decode
+      // correctness (quantizer round-trip SNR, stereo de-interleave,
+      // state carry across blocks) is JvmCodecAdpcmSpec's job.
+      (s, dir) => {
+        val dec = Multimodal.decodeAll(
+          Multimodal.syntheticMediaAdpcm(s, 80)).toDF()
+        dec.select(col("media_id"),
+            col("width").cast("long").as("sample_rate"),
+            col("height").cast("long").as("channels"),
+            col("n_frames").cast("long").as("n_frames"),
+            round(element_at(col("features"), 1).cast("double"), 4).as("rms"),
+            round(element_at(col("features"), 2).cast("double"), 4).as("zcr"),
+            round(element_at(col("features"), 3).cast("double"), 4).as("peak"),
+            round(element_at(col("features"), 5).cast("double"), 4).as("dur_s"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH au AS (
+          SELECT i, 8000 + (i % 5) * 2000 AS rate, 1 + i % 2 AS ch,
+                 401 + (i % 13) * 8 AS frames, (i * 53) % 18000 AS amp
+          FROM range(0, 80) t(i))
+        SELECT i AS media_id, rate::BIGINT AS sample_rate,
+          ch::BIGINT AS channels, frames::BIGINT AS n_frames,
+          round(cast(amp / 32768.0 AS FLOAT)::DOUBLE, 4) AS rms,
+          0.0::DOUBLE AS zcr,
+          round(cast(amp / 32768.0 AS FLOAT)::DOUBLE, 4) AS peak,
+          round(cast(frames::DOUBLE / rate::DOUBLE AS FLOAT)::DOUBLE, 4) AS dur_s
+        FROM au ORDER BY media_id
+      """),
+      "multimodal REAL IMA ADPCM decode: compressed WAV → block state machine → exact DC stats vs the amp formula"),
+
     "media_phash" -> DeclaredQuery(
       // REAL perceptual hash, oracle-checked BIT-FOR-BIT: 9×8 genuine
       // PNGs make the dHash area-average grid the identity map, so each

@@ -252,7 +252,7 @@ object JvmCodec {
     * reserved), then 4-byte nibble groups interleaved by channel —
     * ch0's 8 nibbles, ch1's 8 nibbles, back to ch0, … low nibble
     * first within each byte. */
-  private def decodeImaBlock(bytes: Array[Byte], off: Int, block: Int,
+  private[operators] def decodeImaBlock(bytes: Array[Byte], off: Int, block: Int,
                              channels: Int): Array[Array[Int]] = {
     val spb = (block - 4 * channels) * 2 / channels + 1
     val out = Array.ofDim[Int](channels, spb)

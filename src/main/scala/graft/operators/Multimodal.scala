@@ -1088,6 +1088,33 @@ object Multimodal {
     out.array()
   }
 
+  /** IMA ADPCM twin of [[syntheticWavDc]]: the same constant-`amp`
+    * closed-form signal, carried through the REAL compressed format —
+    * the encoder stores `amp` as each block header's predictor and the
+    * all-zero nibble stream reconstructs it exactly (index 0 → step 7 →
+    * diff = 7>>3 = 0 every sample), so the decode runs the full IMA
+    * state machine yet the stats stay the exact DC formulas the oracle
+    * replays. `frames` must be 8k+1 (one nibble group = 8 samples). */
+  private[operators] def syntheticWavAdpcmDc(rate: Int, channels: Int,
+                                             frames: Int, amp: Int): Array[Byte] =
+    JvmCodec.encodeImaAdpcmWav(rate,
+      Array.fill(channels)(Array.fill(frames)(amp)),
+      samplesPerBlock = frames)
+
+  /** ADPCM audio fixture set for the `media_wave_adpcm` oracle row —
+    * the [[syntheticMediaReal]] audio pattern shifted onto the
+    * compressed codec (rate/channel/amp grids the SQL mirrors;
+    * frames ≡ 1 mod 8 per the single-block layout). */
+  def syntheticMediaAdpcm(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val payload = syntheticWavAdpcmDc(
+        (8000 + (i % 5) * 2000).toInt, (1 + i % 2).toInt,
+        (401 + (i % 13) * 8).toInt, ((i * 53) % 18000).toInt)
+      MediaRow(i, "audio", payload, "wav", payload.length.toLong)
+    }
+  }
+
   /** Byte-valid MP4 metadata skeleton: ftyp + moov(mvhd + trak(tkhd +
     * mdia(minf(stbl(stts))))) with real big-endian box layout — fully
     * parseable by [[MediaHeaders.mp4Info]] AND by any standard box
