@@ -441,18 +441,22 @@ object VersionedCorpus {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Read a just-written generation back ONCE, returning (rows, key
-    * bounds): the row count that gates the commit plus — when a merge
-    * key is pinned and its type is integral — the min/max key value
-    * the manifest records for lookup-time generation pruning
-    * ([[lookupKey]]). Folding the bounds into the count's aggregate
-    * keeps this at the one read-back job the commit already pays. */
-  private def writtenStats(spark: SparkSession, path: String, root: String)
+  /** Stage-write `df` and collect the manifest stats in the SAME job —
+    * the fused commit path: row count, key bounds for lookup-time
+    * generation pruning ([[lookupKey]]), every pinned stats column's
+    * min/max, and the pinned Bloom filter all ride the write as
+    * `Dataset.observe` metrics (CollectMetrics accumulators), so a
+    * commit pays ONE distributed pass where it used to pay the write
+    * plus a full read-back aggregate scan. The observed metrics come
+    * from exactly the rows the successful write produced (failed-task
+    * values are not counted), which is the same truth the read-back
+    * certified. */
+  private def writeStagedWithStats(df: DataFrame, root: String,
+                                   staging: java.nio.file.Path)
       : (Long, Option[Long], Option[Long], Map[String, (Long, Long)],
          Option[Array[Byte]]) = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, xxhash64}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val df = spark.read.parquet(path)
     def integral(c: String) = df.schema.fieldNames.contains(c) &&
       (df.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
@@ -484,15 +488,22 @@ object VersionedCorpus {
             .toAggregateExpression())
       }
     }
-    val aggCols = Seq(count(lit(1))) ++
+    val aggCols = (Seq(count(lit(1))) ++
       statKey.toSeq.flatMap(k => Seq(min(col(k).cast("long")),
         max(col(k).cast("long")))) ++
       extras.flatMap(c => Seq(min(col(c).cast("long")),
         max(col(c).cast("long")))) ++
-      bloomSpec.toSeq
-    val r = df.agg(aggCols.head, aggCols.tail: _*).head()
-    def optAt(i: Int): Option[Long] =
-      if (r.isNullAt(i)) None else Some(r.getLong(i))
+      bloomSpec.toSeq).zipWithIndex.map { case (c, i) => c.as(s"_m$i") }
+    val obs = new org.apache.spark.sql.Observation(
+      "graft_commit_" + java.util.UUID.randomUUID())
+    df.observe(obs, aggCols.head, aggCols.tail: _*)
+      .write.mode("overwrite").parquet(staging.toString)
+    val m = obs.get
+    def optAt(i: Int): Option[Long] = m(s"_m$i") match {
+      case null            => None
+      case v: java.lang.Long => Some(v.longValue)
+      case v: java.lang.Number => Some(v.longValue)
+    }
     val (klo, khi) =
       if (statKey.isEmpty) (None, None) else (optAt(1), optAt(2))
     val base = 1 + (if (statKey.isEmpty) 0 else 2)
@@ -509,10 +520,11 @@ object VersionedCorpus {
           case _                    => None
         })
     val bloomAt = base + 2 * extras.length
-    val bloom = bloomSpec.flatMap(_ =>
-      if (r.isNullAt(bloomAt)) None // zero-row write: no filter
-      else Some(r.getAs[Array[Byte]](bloomAt)))
-    (r.getLong(0), klo, khi, colStats, bloom)
+    val bloom = bloomSpec.flatMap(_ => m(s"_m$bloomAt") match {
+      case b: Array[Byte] => Some(b)
+      case _              => None // zero-row write: no filter
+    })
+    (optAt(0).getOrElse(0L), klo, khi, colStats, bloom)
   }
 
   /** Append `df` as the next generation. Data is written before the
@@ -536,9 +548,7 @@ object VersionedCorpus {
     // garbage ([[cleanStaging]]) or an unpublished gen= orphan; never a
     // torn commit.
     val staging = newStaging(root)
-    df.write.mode("overwrite").parquet(staging.toString)
-    val (rows, klo, khi, cs, bloom) =
-      writtenStats(df.sparkSession, staging.toString, root)
+    val (rows, klo, khi, cs, bloom) = writeStagedWithStats(df, root, staging)
     if (rows == 0L) {
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       return -1L
@@ -627,9 +637,7 @@ object VersionedCorpus {
     checkOrPinSchema(root, df.schema, evolveSchema)
     checkOrPinKey(root, keyCol)
     val staging = newStaging(root)
-    df.write.mode("overwrite").parquet(staging.toString)
-    val (rows, klo, khi, cs, bloom) =
-      writtenStats(df.sparkSession, staging.toString, root)
+    val (rows, klo, khi, cs, bloom) = writeStagedWithStats(df, root, staging)
     if (rows == 0L) {
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       return -1L
@@ -652,10 +660,8 @@ object VersionedCorpus {
   def delete(keys: DataFrame, root: String, keyCol: String): Long = {
     checkOrPinKey(root, keyCol)
     val staging = newStaging(root)
-    keys.select(keys.col(keyCol)).distinct()
-      .write.mode("overwrite").parquet(staging.toString)
-    val (n, klo, khi, _, bloom) =
-      writtenStats(keys.sparkSession, staging.toString, root)
+    val (n, klo, khi, _, bloom) = writeStagedWithStats(
+      keys.select(keys.col(keyCol)).distinct(), root, staging)
     if (n == 0L) {
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       return -1L
@@ -1268,9 +1274,7 @@ object VersionedCorpus {
         snap0.repartitionByRange(col(key)).sortWithinPartitions(col(key))
       }
     val staging = newStaging(root)
-    snap.write.mode("overwrite").parquet(staging.toString)
-    val (rows, klo, khi, cs, bloom) =
-      writtenStats(spark, staging.toString, root)
+    val (rows, klo, khi, cs, bloom) = writeStagedWithStats(snap, root, staging)
     val gen = claimGen(root, staging)
     bloom.foreach(writeBloom(root, gen, _))
     writeManifest(root, Commit(gen, rows, base = true, kind = "base",
@@ -1349,12 +1353,10 @@ object VersionedCorpus {
       val nFiles =
         math.max(1L, (total + targetFileRows - 1) / targetFileRows).toInt
       val staging = newStaging(root)
-      spark.read.schema(pinned)
-        .parquet(run.map(c => dataDir(root, c.gen).toString): _*)
-        .coalesce(nFiles)
-        .write.mode("overwrite").parquet(staging.toString)
-      val (rows, klo, khi, cs, bloom) =
-        writtenStats(spark, staging.toString, root)
+      val (rows, klo, khi, cs, bloom) = writeStagedWithStats(
+        spark.read.schema(pinned)
+          .parquet(run.map(c => dataDir(root, c.gen).toString): _*)
+          .coalesce(nFiles), root, staging)
       require(rows == total,
         s"optimize rewrite under $root lost rows: run ${run.head.gen}.." +
           s"${run.last.gen} holds $total, packed file holds $rows")
