@@ -1,0 +1,1778 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{Embedder, TransformerEmbedder, VectorFunctions}
+import graft.functions.VectorFunctions._
+import graft.operators.{Decontaminate, Dedup, Expectations, Forget, IvfIndex, LangId, Multimodal, NearDup, PdfText, PqIndex, Sampling, Search, Sketch, SpanDedup, SqIndex, TextAnalysis, TextIndex}
+import graft.sources.{IncrementalView, VersionedCorpus}
+import graft.streaming.Streams
+
+
+/** Dedup + text-analysis tier (the LLM-pipeline core).
+  *
+  * One tier of [[Queries.all]] — split from the single registry so a
+  * reviewer can hold each family; mixed back into [[Queries]], which
+  * concatenates the tiers in the original declaration order (bench and
+  * oracle iteration order unchanged). Helpers, shared builds, and the
+  * determinism contract live on [[Queries]] itself. */
+private[graft] trait QueriesTierDedupText { this: Queries.type =>
+
+  private[graft] lazy val tierDedupText: ListMap[String, DeclaredQuery] = ListMap(
+
+    // ----- dedup + text analysis (LLM-pipeline tier) ----------------------
+
+    "dedup_fingerprint" -> DeclaredQuery(
+      (s, dir) => Dedup.exact(T(s, dir, "documents"),
+        Dedup.tokenFingerprint(col("text")), col("doc_id"))
+        .select(col("rep_id"), col("dup_cnt"), md5(col("fp")).as("fp"))
+        .orderBy(asc("rep_id")),
+      Some("""SELECT min(doc_id) AS rep_id, count(*) AS dup_cnt,
+         |  md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp
+         |FROM documents
+         |GROUP BY fp ORDER BY rep_id""".stripMargin),
+      "B7: exact dedup on sorted-token fingerprint"),
+
+    "q_incremental_dedup" -> DeclaredQuery(
+      // incremental ingestion, exact tier: the incoming batch (doc_id ≥
+      // 250) is deduped against the existing corpus (doc_id < 250) by
+      // token fingerprint — corpus contributes only its distinct-key
+      // projection to a left-anti join, incoming rows flow once, nothing
+      // over already-ingested data recomputes. Per-lang admit counts.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val kept = Dedup.incrementalExact(
+          docs.filter(col("doc_id") >= 250),
+          Dedup.tokenFingerprint(col("text")),
+          docs.filter(col("doc_id") < 250),
+          Dedup.tokenFingerprint(col("text")))
+        kept.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_admitted"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_admitted, min(doc_id) AS first_id
+         |FROM documents i
+         |WHERE doc_id >= 250 AND NOT EXISTS (
+         |  SELECT 1 FROM documents c WHERE c.doc_id < 250
+         |    AND array_to_string(list_sort(string_split(c.text, ' ')), ' ')
+         |      = array_to_string(list_sort(string_split(i.text, ' ')), ' '))
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+      "incremental ingestion dedup: batch vs existing corpus, distinct-key anti-join"),
+
+    "incr_dedup_bloom" -> DeclaredQuery(
+      // the SAME incremental exact-dedup decision, fronted by the
+      // Bloom-filter routing tier (Dedup.incrementalExactBloom): one
+      // distributed pass folds the corpus key set into a Bloom filter,
+      // incoming rows it definitely-excludes are admitted without
+      // touching the join, and only the might-contain sliver pays the
+      // anti-join shuffle. Routing never decides admission (a false
+      // positive just re-enters the join), so the result — and the
+      // oracle — is identical to q_incremental_dedup. fpp=0.25 here to
+      // force real false positives through the confirm path at fixture
+      // scale.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val kept = Dedup.incrementalExactBloom(
+          docs.filter(col("doc_id") >= 250),
+          Dedup.tokenFingerprint(col("text")),
+          docs.filter(col("doc_id") < 250),
+          Dedup.tokenFingerprint(col("text")),
+          fpp = 0.25)
+        kept.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_admitted"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_admitted, min(doc_id) AS first_id
+         |FROM documents i
+         |WHERE doc_id >= 250 AND NOT EXISTS (
+         |  SELECT 1 FROM documents c WHERE c.doc_id < 250
+         |    AND array_to_string(list_sort(string_split(c.text, ' ')), ' ')
+         |      = array_to_string(list_sort(string_split(i.text, ' ')), ' '))
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+      "incremental exact dedup behind a Bloom-filter routing tier (runtime-filter pattern)"),
+
+    "incr_near_dup" -> DeclaredQuery(
+      // incremental ingestion, near-dup tier: cross-set MinHash-LSH
+      // candidates (incoming meets corpus only inside shared band
+      // buckets) + exact-Jaccard verify over the union relation —
+      // corpus-internal pairs are never regenerated. Seeded-hash →
+      // rows-only per the contract; cross-set shape covered in
+      // NearDupSpec.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val incoming = docs.filter(col("doc_id") >= 250)
+        val corpus = docs.filter(col("doc_id") < 250)
+        val cands = NearDup.materializePairs(
+          NearDup.minHashCrossCandidates(incoming, corpus, "doc_id", "text")
+            .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+        NearDup.jaccardVerify(docs, "doc_id", "text", cands)
+          .filter(col("jaccard") >= 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None,
+      "incremental near-dup: cross-set LSH candidates (batch × corpus buckets) + Jaccard verify"),
+
+    "incr_near_dup_simhash" -> DeclaredQuery(
+      // the SimHash variant of the incremental near-dup tier: incoming
+      // docs meet the corpus only inside shared 16-bit band buckets,
+      // verified by full 64-bit Hamming distance — same cross-set
+      // discipline as incr_near_dup (no corpus-internal pairs, no
+      // incoming×corpus cross join). Seeded-hash → rows-only; the
+      // cross ≡ restricted-full-corpus equivalence is property-tested
+      // in NearDupSpec.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        NearDup.simHashCrossCandidates(
+            docs.filter(col("doc_id") >= 250),
+            docs.filter(col("doc_id") < 250),
+            "doc_id", "text", maxHamming = 12)
+          .orderBy(col("id_new"), col("id_old"))
+      },
+      None,
+      "incremental near-dup, SimHash tier: cross-set banded candidates + Hamming verify"),
+
+    "incr_near_dup_winnow" -> DeclaredQuery(
+      // the winnowing-fingerprint variant of the incremental near-dup
+      // tier: incoming docs meet the corpus only inside shared
+      // fingerprint buckets (n_shared ≥ 2 filters single-hash
+      // accidents), completing the declared cross-set family —
+      // MinHash (incr_near_dup), SimHash (incr_near_dup_simhash),
+      // embedding (incr_near_dup_embed), winnowing (this row).
+      // Seeded-hash → rows-only; cross ≡ restricted-full-corpus is
+      // property-tested in NearDupSpec.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        NearDup.winnowCrossCandidates(
+            docs.filter(col("doc_id") >= 250),
+            docs.filter(col("doc_id") < 250),
+            "doc_id", "text")
+          .orderBy(col("id_new"), col("id_old"))
+      },
+      None,
+      "incremental near-dup, winnowing tier: cross-set fingerprint-bucket candidates"),
+
+    "incr_near_dup_embed" -> DeclaredQuery(
+      // the VECTOR tier of incremental ingestion, driver-visible:
+      // incoming vectors meet the existing corpus only inside shared
+      // sign-LSH buckets (1-bit multiprobe exploded on the INCOMING
+      // side — the small one), verified by exact cosine over the
+      // candidate-touched ids — no incoming×corpus cross join, no
+      // corpus-internal pairs. The split is SF-proportional
+      // (vec_id % 5: 20 % incoming at every scale factor) and the
+      // nBits sizing rule is the same occupancy-constant formula as
+      // near_dup_embed_lsh. Float cosine → rows-only per the contract;
+      // the cross-set shape is covered in NearDupSpec.
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+          val incoming = emb.filter(col("vec_id") % 5 === 0)
+          // one cache-populating job doubles as the (count, dim) fetch
+          val meta = corpus.agg(count(lit(1)).as("n"),
+            first(size(col("embedding"))).as("d")).head()
+          val nBits = math.max(6,
+            math.ceil(math.log(meta.getLong(0) / 4.0) / math.log(2.0)).toInt)
+          val cands = NearDup.materializePairs(
+            NearDup.embeddingCrossCandidates(incoming, corpus,
+              "vec_id", "embedding", nBits, meta.getInt(1))
+              .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+          localFrame(NearDup.cosineVerify(emb, "vec_id", "embedding", cands)
+            .filter(col("cos") >= 0.3)
+            .orderBy(col("id_a"), col("id_b")))
+        } finally emb.unpersist()
+      },
+      // PROMOTED (round 10): same deterministic-planes replay as
+      // near_dup_embed_lsh, cross-set form — nbits sized from the
+      // corpus side only, pairs restricted to incoming×corpus
+      Some(incrNearDupEmbedOracleSql),
+      "incremental near-dup, vector tier: cross-set sign-LSH candidates + exact-cosine verify (full DuckDB replay)"),
+
+    "incr_admit_vec" -> DeclaredQuery(
+      // the VECTOR-TIER admission decision end-to-end — incr_admit for
+      // an embedding-indexed corpus: incoming vectors meet the corpus
+      // only inside shared sign-LSH buckets, candidates verified by
+      // exact cosine, incoming rows at ≥ minCosine against ANY corpus
+      // vector rejected. The chain is Dedup.admitIncomingVectors — the
+      // SAME kernel the streaming mirrors run per micro-batch
+      // (Streams.incrementalVectorAdmission / ...Evolving; stream ≡
+      // batch asserted in StreamsSpec). minCosine = 0.3 so the
+      // near-uniform fixture produces real rejections (driver-visible
+      // evidence the tier bites, not an everything-admitted no-op).
+      // Float cosine + seeded LSH → rows-only per the contract.
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        localFrame(Dedup.admitIncomingVectors(
+            emb.filter(col("vec_id") % 5 === 0),
+            emb.filter(col("vec_id") % 5 =!= 0),
+            "vec_id", "embedding", minCosine = 0.3)
+          .groupBy((col("vec_id") % 100).as("id_bucket"))
+          .agg(count(lit(1)).as("n_admitted"),
+            min(col("vec_id")).as("first_id"))
+          .orderBy(col("id_bucket")))
+      },
+      // PROMOTED (round 10): deterministic planes at the fixed default
+      // nbits=8 make the whole admit/reject decision a static replay
+      Some(incrAdmitVecOracleSql),
+      "vector-tier incremental admission e2e: cross-set sign-LSH + cosine verify → admit/reject (full DuckDB replay)"),
+
+    "incr_semantic_admit" -> DeclaredQuery(
+      // SemDeDup at the INGESTION boundary — semantic_dedup_ivf's
+      // admission twin, and incr_admit_vec's cell-partitioned
+      // alternative: the incoming slice is assigned to the SHARED IVF
+      // index's existing cells (zero-shuffle argmin vs the frozen
+      // centroids; the cells the batch touches become a static
+      // partition filter on the index scan) and compared by exact
+      // cosine only against same-cell corpus vectors. The corpus side
+      // here is the shared partitioned table MINUS the incoming slice,
+      // so the decision replays a real day-2 ingestion. Same kernel as
+      // the streaming mirror (Streams.incrementalSemanticAdmission;
+      // stream ≡ batch in StreamsSpec). minCosine = 0.3 per
+      // incr_admit_vec's fixture-calibration rationale. Float k-means
+      // cells → rows-only per the contract.
+      (s, dir) => {
+        val ivf = sharedIvfIndex(s, dir)
+        val emb = T(s, dir, "embeddings")
+        val idx = s.read.parquet(ivf.indexPath)
+          .filter(col("vec_id") % 5 =!= 0)
+          .select(col("vec_id"), col("embedding"), col("cluster_id"))
+        localFrame(Dedup.admitIncomingSemantic(
+            emb.filter(col("vec_id") % 5 === 0),
+            idx, "vec_id", "embedding", ivf.centroids, minCosine = 0.3)
+          .groupBy((col("vec_id") % 100).as("id_bucket"))
+          .agg(count(lit(1)).as("n_admitted"),
+            min(col("vec_id")).as("first_id"))
+          .orderBy(col("id_bucket")))
+      },
+      None,
+      "semantic admission over IVF cells: assign-to-cell + within-cell cosine reject (SemDeDup ingestion twin)"),
+
+    "incr_admit_exact" -> DeclaredQuery(
+      // the admission decision with the GUARANTEED near-dup tier
+      // (Dedup.admitIncomingExactJaccard — cross-set prefix-filtered
+      // exact join instead of MinHash banding), which makes the WHOLE
+      // admission verdict deterministic and therefore ORACLE-CHECKED —
+      // the one admission row whose near-dup stage the DuckDB replay
+      // can follow (the LSH kernel rows are rows-only by contract).
+      // Bounded id slices keep the oracle's all-pairs cross replay
+      // cheap at any scale factor; the Spark side runs the same slice
+      // through the subquadratic prefix path.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        localFrame(Dedup.admitIncomingExactJaccard(
+            docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+            docs.filter(col("doc_id") < 150),
+            "doc_id", "text")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_admitted"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy(col("lang")))
+      },
+      Some("""WITH c AS (SELECT doc_id, text, lang FROM documents WHERE doc_id < 150),
+         |i AS (SELECT doc_id, text, lang FROM documents
+         |      WHERE doc_id >= 150 AND doc_id < 300),
+         |keptx AS (SELECT i.* FROM i WHERE NOT EXISTS (
+         |    SELECT 1 FROM c
+         |    WHERE array_to_string(list_sort(string_split(c.text, ' ')), ' ')
+         |        = array_to_string(list_sort(string_split(i.text, ' ')), ' '))),
+         |st AS (SELECT doc_id, list_distinct(
+         |        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |             ELSE list_transform(range(1, len(t) - 1),
+         |                    k -> t[k] || ' ' || t[k+1] || ' ' || t[k+2]) END) AS s
+         |       FROM (SELECT doc_id,
+         |               list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |             FROM keptx) WHERE len(t) > 0),
+         |so AS (SELECT doc_id, list_distinct(
+         |        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |             ELSE list_transform(range(1, len(t) - 1),
+         |                    k -> t[k] || ' ' || t[k+1] || ' ' || t[k+2]) END) AS s
+         |       FROM (SELECT doc_id,
+         |               list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |             FROM c) WHERE len(t) > 0),
+         |dup AS (SELECT DISTINCT st.doc_id FROM st JOIN so
+         |        ON round(len(list_intersect(st.s, so.s))::DOUBLE
+         |             / len(list_distinct(st.s || so.s)), 4) >= 0.8)
+         |SELECT lang, count(*) AS n_admitted, min(doc_id) AS first_id
+         |FROM keptx WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+      "admission with the guaranteed exact near-dup tier (prefix join) — oracle-checked end-to-end"),
+
+    "incr_admit" -> DeclaredQuery(
+      // the incremental ingestion decision end-to-end: incoming batch →
+      // exact-fingerprint anti-join vs corpus → cross-set LSH near-dup
+      // scan vs corpus → admit what survives both tiers. Each tier's
+      // shape is the individually-checked operator (q_incremental_dedup,
+      // incr_near_dup); this chains them into the admit/reject verdict
+      // an ingestion job actually emits. Seeded-hash tier → rows-only.
+      // the chain is Dedup.admitIncoming — the SAME kernel the streaming
+      // mirror runs per micro-batch (Streams.incrementalAdmission), so
+      // this row and the stream are one code path (stream ≡ batch
+      // asserted in StreamsSpec)
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        localFrame(Dedup.admitIncoming(
+            docs.filter(col("doc_id") >= 250),
+            docs.filter(col("doc_id") < 250),
+            "doc_id", "text")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_admitted"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy(col("lang")))
+      },
+      None,
+      "incremental admission e2e: exact anti-join tier + cross-set near-dup tier → admitted per lang"),
+
+    "incr_admit_seq" -> DeclaredQuery(
+      // TWO-DAY sequential ingestion replay — the batch twin of
+      // Streams.incrementalAdmissionEvolving (same kernel, chained):
+      // day 1 (doc_id 250-374) is admitted against the corpus
+      // (doc_id < 250); day 2 (doc_id ≥ 375) is admitted against
+      // corpus ∪ DAY-1 ADMISSIONS, so a day-2 document duplicating a
+      // day-1 admission is rejected even though neither is in the
+      // original corpus. Day-1 admissions are persisted before day 2
+      // references them (the kernel reads its corpus side three times —
+      // distinct-fingerprint projection, band buckets, verify side; at
+      // scale this persist is the write to the corpus table itself).
+      // Seeded-hash near-dup tier → rows-only per the contract; the
+      // evolving semantics are pinned deterministically in StreamsSpec.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 250)
+        val day1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+        val day2 = docs.filter(col("doc_id") >= 375)
+        val adm1 = Dedup.admitIncoming(day1, corpus, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          adm1.count()
+          val corpus2 = corpus.select(col("doc_id"), col("text"))
+            .union(adm1.select(col("doc_id"), col("text")))
+          val adm2 = Dedup.admitIncoming(day2, corpus2, "doc_id", "text")
+          localFrame(
+            adm1.select(col("doc_id"), col("lang"), lit(1L).as("day"))
+              .union(adm2.select(col("doc_id"), col("lang"), lit(2L).as("day")))
+              .groupBy(col("day"), col("lang"))
+              .agg(count(lit(1)).as("n_admitted"),
+                min(col("doc_id")).as("first_id"))
+              .orderBy(col("day"), col("lang")))
+        } finally adm1.unpersist()
+      },
+      None,
+      "sequential ingestion e2e: day-2 admission runs against corpus ∪ day-1 admissions (evolving-corpus batch twin)"),
+
+    "incr_admit_durable" -> DeclaredQuery(
+      // the incr_admit_seq replay with the evolving corpus held in a
+      // VersionedCorpus DIRECTORY instead of a persisted in-memory
+      // frame — the batch twin of Streams.incrementalAdmissionDurable
+      // (the restart-safe ingestion loop). Day-1 admissions COMMIT as a
+      // generation before day 2 snapshots the store, which is exactly
+      // the corpus-table append incr_admit_seq's persist simulates; the
+      // day's admitted rows are then READ BACK from their committed
+      // generation (read-your-commit), so the aggregate reflects what
+      // the store durably holds, not a recomputation. Row-identical to
+      // incr_admit_seq (asserted in VersionedCorpusSpec); seeded-hash
+      // near-dup tier → rows-only per the contract.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vcadmit")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(docs.filter(col("doc_id") < 250), root)
+          def admit(day: DataFrame): DataFrame =
+            Dedup.admitIncoming(day,
+              VersionedCorpus.snapshot(s, root)
+                .select(col("doc_id"), col("text")),
+              "doc_id", "text")
+          val g1 = VersionedCorpus.append(
+            admit(docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)),
+            root)
+          val g2 = VersionedCorpus.append(
+            admit(docs.filter(col("doc_id") >= 375)), root)
+          def dayRows(g: Long, day: Long): DataFrame =
+            s.read.parquet(s"$root/gen=$g")
+              .select(col("doc_id"), col("lang"), lit(day).as("day"))
+          localFrame(dayRows(g1, 1L).union(dayRows(g2, 2L))
+            .groupBy(col("day"), col("lang"))
+            .agg(count(lit(1)).as("n_admitted"),
+              min(col("doc_id")).as("first_id"))
+            .orderBy(col("day"), col("lang")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      None,
+      "durable sequential ingestion: two-day replay with the corpus as an on-disk versioned store (restart-safe batch twin)"),
+
+    "q_corpus_timetravel" -> DeclaredQuery(
+      // the VersionedCorpus lifecycle end-to-end, content-proven by
+      // oracle: three appends build the corpus in generations, a
+      // compaction rewrites the first two as one base generation
+      // (content-neutral, history-preserving), time travel to the first
+      // commit still sees exactly that commit AFTER compaction, and a
+      // vacuum drops the superseded generation data without changing
+      // the latest snapshot. Every snapshot's (count, id-sum,
+      // char-mass, lang-arity) must hash-match DuckDB computing the
+      // same slices straight from the source table — any row lost or
+      // duplicated by append/compact/vacuum bookkeeping breaks it.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vctt")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          val g0 = VersionedCorpus.append(
+            docs.filter(col("doc_id") < 150), root)
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), root)
+          VersionedCorpus.compact(s, root)
+          VersionedCorpus.append(docs.filter(col("doc_id") >= 300), root)
+          def stats(df: DataFrame, label: String): DataFrame =
+            df.agg(count(lit(1)).as("n_docs"),
+                sum(col("doc_id")).as("sum_ids"),
+                sum(length(col("text")).cast("long")).as("text_chars"),
+                countDistinct(col("lang")).as("n_langs"))
+              .select(lit(label).as("snap"), col("n_docs"),
+                col("sum_ids"), col("text_chars"), col("n_langs"))
+          // pre-vacuum reads materialize before vacuum mutates the dir
+          val pre = localFrame(
+            stats(VersionedCorpus.snapshot(s, root, g0), "asof_first")
+              .union(stats(VersionedCorpus.snapshot(s, root), "latest")))
+          VersionedCorpus.vacuum(root)
+          val post = localFrame(
+            stats(VersionedCorpus.snapshot(s, root), "post_vacuum"))
+          localFrame(pre.union(post).orderBy(col("snap")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT * FROM (
+         |  SELECT 'asof_first' AS snap, count(*) AS n_docs,
+         |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |    CAST(sum(length(text)) AS BIGINT) AS text_chars,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |  FROM documents WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT 'latest', count(*), CAST(sum(doc_id) AS BIGINT),
+         |    CAST(sum(length(text)) AS BIGINT),
+         |    CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+         |  UNION ALL
+         |  SELECT 'post_vacuum', count(*), CAST(sum(doc_id) AS BIGINT),
+         |    CAST(sum(length(text)) AS BIGINT),
+         |    CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+         |) ORDER BY snap""".stripMargin),
+      "versioned corpus store lifecycle: append ×3 + compact + time-travel + vacuum, every snapshot content-checked vs direct SQL"),
+
+    "q_corpus_merge" -> DeclaredQuery(
+      // merge-on-read UPSERT + DELETE on the versioned store,
+      // content-proven by oracle: an upsert generation revises a key
+      // range (text + " rev2") without rewriting anything, a tombstone
+      // generation deletes a range, a later append RESURRECTS part of
+      // the deleted range (generation order decides — the
+      // Delta/Iceberg merge-on-read rule), and a compact + vacuum
+      // applies the whole merge physically. Three snapshots
+      // (asof-upsert / latest / post-compact) must each hash-match
+      // DuckDB computing the same revised-and-filtered slices straight
+      // from the source table — a row lost, duplicated, revived too
+      // early, or left unrevised by the tombstone bookkeeping breaks
+      // it. The " rev2" suffix shifts char mass so an unapplied upsert
+      // is visible in the hash, not just the row count.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vcmg")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(docs.filter(col("doc_id") < 300), root)
+          val gU = VersionedCorpus.upsert(
+            docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+              .withColumn("text", concat(col("text"), lit(" rev2"))),
+            root, "doc_id")
+          VersionedCorpus.delete(
+            docs.filter(col("doc_id") < 50).select("doc_id"), root, "doc_id")
+          VersionedCorpus.append(docs.filter(col("doc_id") < 25), root)
+          def stats(df: DataFrame, label: String): DataFrame =
+            df.agg(count(lit(1)).as("n_docs"),
+                sum(col("doc_id")).as("sum_ids"),
+                sum(length(col("text")).cast("long")).as("text_chars"),
+                countDistinct(col("lang")).as("n_langs"))
+              .select(lit(label).as("snap"), col("n_docs"),
+                col("sum_ids"), col("text_chars"), col("n_langs"))
+          // pre-compact reads materialize before vacuum mutates the dir
+          val pre = localFrame(
+            stats(VersionedCorpus.snapshot(s, root, gU), "asof_upsert")
+              .union(stats(VersionedCorpus.snapshot(s, root), "latest")))
+          VersionedCorpus.compact(s, root)
+          VersionedCorpus.vacuum(root)
+          val post = localFrame(
+            stats(VersionedCorpus.snapshot(s, root), "post_compact"))
+          localFrame(pre.union(post).orderBy(col("snap")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT * FROM (
+         |  SELECT 'asof_upsert' AS snap, count(*) AS n_docs,
+         |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |    CAST(sum(length(text) + CASE WHEN doc_id >= 100 AND doc_id < 200
+         |      THEN 5 ELSE 0 END) AS BIGINT) AS text_chars,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |  FROM documents WHERE doc_id < 300
+         |  UNION ALL
+         |  SELECT 'latest', count(*), CAST(sum(doc_id) AS BIGINT),
+         |    CAST(sum(length(text) + CASE WHEN doc_id >= 100 AND doc_id < 200
+         |      THEN 5 ELSE 0 END) AS BIGINT),
+         |    CAST(count(DISTINCT lang) AS BIGINT)
+         |  FROM documents
+         |  WHERE doc_id < 300 AND (doc_id < 25 OR doc_id >= 50)
+         |  UNION ALL
+         |  SELECT 'post_compact', count(*), CAST(sum(doc_id) AS BIGINT),
+         |    CAST(sum(length(text) + CASE WHEN doc_id >= 100 AND doc_id < 200
+         |      THEN 5 ELSE 0 END) AS BIGINT),
+         |    CAST(count(DISTINCT lang) AS BIGINT)
+         |  FROM documents
+         |  WHERE doc_id < 300 AND (doc_id < 25 OR doc_id >= 50)
+         |) ORDER BY snap""".stripMargin),
+      "merge-on-read upsert + tombstone delete + resurrection + physical apply at compaction, every snapshot content-checked vs direct SQL"),
+
+    "q_cdc_apply" -> DeclaredQuery(
+      // CDC APPLY content-proven by oracle: a change batch mixing three
+      // overlapping waves — U(seq 1) over [100,300), D(seq 2) over
+      // [150,250), U(seq 3) over [180,220) — folds into the base table
+      // [0,300) through `VersionedCorpus.applyChanges` (last-writer-
+      // wins per key by seq, then one upsert generation + one tombstone
+      // generation). Every key class is exercised: untouched, updated,
+      // deleted, delete-then-re-upserted (the seq-3 wave beats the
+      // delete), inserted-new, and deleted-while-absent (a no-op). The
+      // oracle states the expected FINAL TABLE row-for-row — full text
+      // equality, not aggregate counts — so a wrong winner, a leaked
+      // tombstone, or a lost insert shows up as a hash mismatch.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-cdc")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(docs.filter(col("doc_id") < 300), root)
+          def wave(lo: Int, hi: Int, op: String, seq: Int, tag: String) =
+            docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+              .withColumn("text",
+                if (op == "D") col("text") else concat(col("text"), lit(tag)))
+              .withColumn("op", lit(op)).withColumn("seq", lit(seq))
+          val changes = wave(100, 300, "U", 1, " u1")
+            .unionByName(wave(150, 250, "D", 2, ""))
+            .unionByName(wave(180, 220, "U", 3, " u3"))
+          VersionedCorpus.applyChanges(changes, root, "doc_id", "op", "seq")
+          localFrame(VersionedCorpus.snapshot(s, root)
+            .select(col("doc_id"), col("text"), col("lang"))
+            .orderBy(col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id, text, lang FROM (
+         |  SELECT doc_id, text, lang FROM documents WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u1', lang FROM documents
+         |  WHERE doc_id >= 100 AND doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u3', lang FROM documents
+         |  WHERE doc_id >= 180 AND doc_id < 220
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u1', lang FROM documents
+         |  WHERE doc_id >= 250 AND doc_id < 300
+         |) ORDER BY doc_id""".stripMargin),
+      "CDC apply: last-writer-wins change fold into the versioned store, final table content-checked row-for-row vs direct SQL"),
+
+    "q_store_lookup" -> DeclaredQuery(
+      // POINT LOOKUPS through the manifest-stats pruned read path
+      // (`VersionedCorpus.lookupKey`): every keyed commit records its
+      // key min/max in the manifest, so a lookup reads only the
+      // generations whose range can hold the key — decided driver-side
+      // from O(generations) manifest records, no parquet footer
+      // touched for pruned dirs (pruning itself is asserted via
+      // inputFiles in VersionedCorpusSpec; THIS row certifies the
+      // answers). Six lookups cover every key class — untouched,
+      // resurrected-after-delete, deleted, upserted, tail, absent —
+      // and must reproduce exactly the rows direct SQL derives.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vclk")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(docs.filter(col("doc_id") < 200), root)
+          VersionedCorpus.upsert(
+            docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+              .withColumn("text", concat(col("text"), lit(" u1"))),
+            root, "doc_id")
+          VersionedCorpus.delete(
+            docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+              .select("doc_id"), root, "doc_id")
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") >= 55 && col("doc_id") < 60), root)
+          val out = Seq(10L, 57L, 75L, 120L, 180L, 4000L)
+            .map(k => VersionedCorpus.lookupKey(s, root, k))
+            .reduce(_ unionByName _)
+          localFrame(out.select(col("doc_id"), col("text"), col("lang"))
+            .orderBy(col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id, text, lang FROM (
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE doc_id IN (10, 57, 180)
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u1', lang FROM documents
+         |  WHERE doc_id = 120
+         |) ORDER BY doc_id""".stripMargin),
+      "manifest-stats pruned point lookups over the mutated store: every key class answered identically to direct SQL"),
+
+    "q_store_bloom" -> DeclaredQuery(
+      // BLOOM-PRUNED POINT LOOKUPS (`VersionedCorpus.pinBloom`): the
+      // store's generations hold keys STRIPED by doc_id % 3, so every
+      // generation's key [min,max] spans the whole domain and bounds
+      // pruning keeps everything — the per-generation Bloom filter
+      // (folded into the commit's one read-back aggregate, published
+      // as _manifest/<gen>.bloom) is the only thing that can skip
+      // reads, and lookups must still answer exactly what direct SQL
+      // derives across untouched / upserted / deleted / absent keys.
+      // The filter-level pruning itself is asserted via inputFiles in
+      // VersionedCorpusSpec; THIS row certifies the answers ride it
+      // safely (a probe hashing differently from the build would
+      // falsely prune present keys and break the hash here).
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vcbl")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+            .filter(col("doc_id") < 300)
+          VersionedCorpus.append(docs.filter(pmod(col("doc_id"), lit(3)) === 0), root)
+          VersionedCorpus.pinKey(root, "doc_id")
+          VersionedCorpus.pinBloom(root, expectedItems = 256, fpp = 0.01)
+          VersionedCorpus.append(docs.filter(pmod(col("doc_id"), lit(3)) === 1), root)
+          VersionedCorpus.append(docs.filter(pmod(col("doc_id"), lit(3)) === 2), root)
+          VersionedCorpus.upsert(
+            docs.filter(col("doc_id") >= 90 && col("doc_id") < 120)
+              .withColumn("text", concat(col("text"), lit(" u1"))),
+            root, "doc_id")
+          VersionedCorpus.delete(
+            docs.filter(col("doc_id") >= 150 && col("doc_id") < 180)
+              .select("doc_id"), root, "doc_id")
+          val out = Seq(10L, 99L, 155L, 200L, 271L, 4000L)
+            .map(k => VersionedCorpus.lookupKey(s, root, k))
+            .reduce(_ unionByName _)
+          localFrame(out.select(col("doc_id"), col("text"), col("lang"))
+            .orderBy(col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id, text, lang FROM (
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE doc_id IN (10, 200, 271)
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u1', lang FROM documents
+         |  WHERE doc_id = 99
+         |) ORDER BY doc_id""".stripMargin),
+      "Bloom-pruned point lookups where key bounds cannot prune (striped keys): every key class answered identically to direct SQL"),
+
+    "q_store_evolve" -> DeclaredQuery(
+      // ADDITIVE SCHEMA EVOLUTION content-proven by oracle: the store
+      // starts as (doc_id, text), an explicitly-opted-in evolved append
+      // adds the lang column, a strict append then uses the evolved
+      // schema, and a tombstone delete spans the evolution boundary.
+      // The snapshot must read pre-evolution rows with lang = NULL
+      // (parquet missing-column semantics under the pinned table
+      // schema) and post-evolution rows with their real lang — counted
+      // and distinct-counted against DuckDB deriving the same
+      // null-pattern from the source table. A reader that dropped the
+      // new column (first-file schema), invented non-null values, or
+      // lost evolved rows through the tombstone join breaks the hash.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vcev")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") < 150).drop("lang"), root)
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+            root, evolveSchema = true)
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") >= 300 && col("doc_id") < 350), root)
+          VersionedCorpus.delete(
+            docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+              .select("doc_id"), root, "doc_id")
+          localFrame(VersionedCorpus.snapshot(s, root)
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("doc_id")).as("sum_ids"),
+              count(col("lang")).as("n_with_lang"),
+              countDistinct(col("lang")).as("n_langs")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(count(CASE WHEN doc_id >= 150 THEN lang END) AS BIGINT)
+         |    AS n_with_lang,
+         |  CAST(count(DISTINCT CASE WHEN doc_id >= 150 THEN lang END)
+         |    AS BIGINT) AS n_langs
+         |FROM documents
+         |WHERE doc_id < 350 AND (doc_id < 100 OR doc_id >= 200)""".stripMargin),
+      "additive schema evolution: pre-evolution rows null-filled, evolved rows intact, across a tombstone spanning the boundary"),
+
+    "q_store_mv" -> DeclaredQuery(
+      // INCREMENTAL MATERIALIZED-VIEW MAINTENANCE off the change feed
+      // (`IncrementalView.refresh` — dirty-group recompute: direct
+      // groups from the feed, PREIMAGE groups of mutated keys from the
+      // pre-window snapshot via the pruned range path, one upsert +
+      // one delete on the view store per refresh). Three waves: a full
+      // build, then group MOVES (upserted rows change bucket) + a
+      // deleted range + appends, then revisions + another delete. The
+      // final view must hash-match DuckDB aggregating the final table
+      // directly — a stale untouched group, a lost preimage group, or
+      // a surviving emptied group breaks it.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-mv")
+        try {
+          val src = s"$tmpRoot/src"; val view = s"$tmpRoot/view"
+          val cursor = s"$tmpRoot/cursor.txt"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          def slice(lo: Int, hi: Int) =
+            docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+              .withColumn("bucket", pmod(col("doc_id"), lit(7)))
+              .select("doc_id", "bucket", "text")
+          val aggs = Seq(count(lit(1)).as("n"),
+            sum(length(col("text")).cast("long")).as("chars"))
+          def refresh() = IncrementalView.refresh(s, src, view, cursor,
+            "doc_id", "bucket", aggs)
+          VersionedCorpus.append(slice(0, 300), src)
+          VersionedCorpus.pinKey(src, "doc_id")
+          refresh()
+          VersionedCorpus.upsert(
+            slice(50, 80)
+              .withColumn("bucket", pmod(col("doc_id") + 1, lit(7)))
+              .withColumn("text", concat(col("text"), lit(" u1"))),
+            src, "doc_id")
+          VersionedCorpus.delete(slice(200, 250).select("doc_id"),
+            src, "doc_id")
+          VersionedCorpus.append(slice(300, 330), src)
+          refresh()
+          VersionedCorpus.upsert(
+            slice(0, 10).withColumn("text", concat(col("text"), lit(" u3"))),
+            src, "doc_id")
+          VersionedCorpus.delete(slice(100, 110).select("doc_id"),
+            src, "doc_id")
+          VersionedCorpus.delete(slice(150, 160).select("doc_id"),
+            src, "doc_id")
+          refresh()
+          localFrame(IncrementalView.read(s, view).orderBy(col("bucket")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""WITH final AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id BETWEEN 50 AND 79 THEN (doc_id + 1) % 7
+         |         ELSE doc_id % 7 END AS bucket,
+         |    CASE WHEN doc_id BETWEEN 50 AND 79 THEN text || ' u1'
+         |         WHEN doc_id < 10 THEN text || ' u3'
+         |         ELSE text END AS text
+         |  FROM documents
+         |  WHERE doc_id < 330
+         |    AND NOT (doc_id BETWEEN 200 AND 249)
+         |    AND NOT (doc_id BETWEEN 100 AND 109)
+         |    AND NOT (doc_id BETWEEN 150 AND 159))
+         |SELECT bucket, count(*) AS n,
+         |  CAST(sum(length(text)) AS BIGINT) AS chars
+         |FROM final GROUP BY bucket ORDER BY bucket""".stripMargin),
+      "incremental MV maintenance: dirty-group recompute across moves/deletes/revisions, final view ≡ DuckDB aggregating the final table"),
+
+    "q_store_where" -> DeclaredQuery(
+      // PREDICATE-PRUNED SNAPSHOT over a pinned NON-KEY stats column
+      // (`VersionedCorpus.pinStats` + `snapshotWhere` — the
+      // Iceberg/Delta column-stats idea at generation granularity):
+      // four day-partitioned appends, an upsert and a delete landing
+      // inside the band, then a day-band read that skips the
+      // out-of-band generations from the manifests alone (pruning
+      // asserted in VersionedCorpusSpec; THIS row certifies the
+      // answers under merge-on-read resolution).
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vcw")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+            .withColumn("day", (col("doc_id") / 100).cast("long"))
+          def slice(lo: Int, hi: Int) =
+            docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          VersionedCorpus.append(slice(0, 100), root)
+          VersionedCorpus.pinStats(root, Seq("day"))
+          VersionedCorpus.append(slice(100, 200), root)
+          VersionedCorpus.append(slice(200, 300), root)
+          VersionedCorpus.append(slice(300, 400), root)
+          VersionedCorpus.upsert(
+            slice(210, 220).withColumn("text", concat(col("text"), lit(" u1"))),
+            root, "doc_id")
+          VersionedCorpus.delete(slice(110, 130).select("doc_id"),
+            root, "doc_id")
+          localFrame(VersionedCorpus.snapshotWhere(s, root, "day", 1L, 2L)
+            .select(col("doc_id"), col("text"), col("lang"), col("day"))
+            .orderBy(col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id,
+         |  CASE WHEN doc_id >= 210 AND doc_id < 220 THEN text || ' u1'
+         |       ELSE text END AS text,
+         |  lang, CAST(doc_id // 100 AS BIGINT) AS day
+         |FROM documents
+         |WHERE doc_id >= 100 AND doc_id < 300
+         |  AND NOT (doc_id >= 110 AND doc_id < 130)
+         |ORDER BY doc_id""".stripMargin),
+      "generation skipping on a pinned non-key stats column: day-band snapshot ≡ direct SQL across an upsert and a delete"),
+
+    "q_store_range" -> DeclaredQuery(
+      // RANGE SCAN through the manifest-pruned keyed read path
+      // (`VersionedCorpus.lookupKeyRange` — generations whose key
+      // bounds cannot intersect [lo, hi] are never read, decided
+      // driver-side; the dominant read shape for time-ordered keys:
+      // "this week's slice" touches this week's generations). The
+      // range spans a deleted window, a resurrection inside it, an
+      // upserted run, and plain tails — the result must equal direct
+      // SQL row-for-row (pruning is asserted in VersionedCorpusSpec;
+      // THIS row certifies the answers).
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vcrg")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(docs.filter(col("doc_id") < 200), root)
+          VersionedCorpus.upsert(
+            docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+              .withColumn("text", concat(col("text"), lit(" u1"))),
+            root, "doc_id")
+          VersionedCorpus.delete(
+            docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+              .select("doc_id"), root, "doc_id")
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") >= 55 && col("doc_id") < 60), root)
+          localFrame(VersionedCorpus.lookupKeyRange(s, root, 40L, 160L)
+            .select(col("doc_id"), col("text"), col("lang"))
+            .orderBy(col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id, text, lang FROM (
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE (doc_id >= 40 AND doc_id < 50)
+         |     OR (doc_id >= 55 AND doc_id < 60)
+         |     OR (doc_id >= 150 AND doc_id <= 160)
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u1', lang FROM documents
+         |  WHERE doc_id >= 100 AND doc_id < 150
+         |) ORDER BY doc_id""".stripMargin),
+      "manifest-pruned range scan over the mutated store: deletes, a resurrection, and an upserted run inside the range, ≡ direct SQL"),
+
+    "q_store_optimize" -> DeclaredQuery(
+      // BIN-PACKING SMALL-FILE COMPACTION (`VersionedCorpus.optimize`,
+      // Delta OPTIMIZE semantics) content-proven by oracle: three
+      // small appends + an upsert + two more small appends leave two
+      // packable runs; optimize rewrites EACH run as one packed
+      // generation at the run-top's effective merge position, a delete
+      // then lands ACROSS packed and unpacked rows, and vacuumPacked
+      // reclaims the replaced originals — so the final snapshot is
+      // answered from packed files only and must still hash-match
+      // direct SQL row-for-row. A packed row surviving its delete,
+      // an upsert losing to a packed run committed before it, or a
+      // row lost/duplicated in the rewrite breaks the hash.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-opt")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          def slice(lo: Int, hi: Int) =
+            docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          VersionedCorpus.append(slice(0, 60), root)
+          VersionedCorpus.append(slice(60, 120), root)
+          VersionedCorpus.append(slice(120, 180), root)
+          VersionedCorpus.upsert(
+            slice(30, 90).withColumn("text", concat(col("text"), lit(" u1"))),
+            root, "doc_id")
+          VersionedCorpus.append(slice(180, 200), root)
+          VersionedCorpus.append(slice(200, 220), root)
+          val packed = VersionedCorpus.optimize(s, root, smallRows = 1000L)
+          require(packed.size == 2, s"expected 2 packed runs, got $packed")
+          VersionedCorpus.delete(slice(100, 190).select("doc_id"),
+            root, "doc_id")
+          VersionedCorpus.vacuumPacked(root)
+          localFrame(VersionedCorpus.snapshot(s, root)
+            .select(col("doc_id"), col("text"), col("lang"))
+            .orderBy(col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id,
+         |  CASE WHEN doc_id >= 30 AND doc_id < 90 THEN text || ' u1'
+         |       ELSE text END AS text, lang
+         |FROM documents
+         |WHERE doc_id < 100 OR (doc_id >= 190 AND doc_id < 220)
+         |ORDER BY doc_id""".stripMargin),
+      "bin-packing optimize: packed runs + cross-boundary delete + reclaimed originals, final snapshot ≡ direct SQL row-for-row"),
+
+    "q_corpus_cdf" -> DeclaredQuery(
+      // CHANGE DATA FEED read side, content-proven by oracle: the
+      // store's log IS the feed (`VersionedCorpus.changesBetween` —
+      // a bare union of the window's own committed files with two
+      // literal columns, no join, no read outside the window). The
+      // lifecycle commits append / upsert / delete / COMPACT / append;
+      // the full feed must carry every insert row, the upserted rows
+      // with their revised text, the delete KEYS with null payloads
+      // (coalesced to a sentinel so the null-ness itself is hashed),
+      // correct per-commit generation ids — and NOTHING for the
+      // compaction (a content-neutral rewrite emits no change rows,
+      // Delta's OPTIMIZE rule). Checked row-for-row: a leaked base
+      // row, wrong label, lost delete key, or mis-numbered commit
+      // breaks the hash.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-cdf")
+        try {
+          val root = s"$tmpRoot/corpus"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(docs.filter(col("doc_id") < 200), root)
+          VersionedCorpus.upsert(
+            docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+              .withColumn("text", concat(col("text"), lit(" u1"))),
+            root, "doc_id")
+          VersionedCorpus.delete(
+            docs.filter(col("doc_id") >= 150 && col("doc_id") < 180)
+              .select("doc_id"), root, "doc_id")
+          VersionedCorpus.compact(s, root) // gen 3: must emit NO rows
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") >= 200 && col("doc_id") < 230), root)
+          localFrame(VersionedCorpus.changesBetween(s, root, -1L)
+            .select(col("doc_id"),
+              coalesce(col("text"), lit("<null>")).as("text"),
+              coalesce(col("lang"), lit("<null>")).as("lang"),
+              col("_change_type").as("change_type"),
+              col("_commit_gen").as("commit_gen"))
+            .orderBy(col("commit_gen"), col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id, text, lang, change_type, commit_gen FROM (
+         |  SELECT doc_id, text, lang, 'insert' AS change_type,
+         |    CAST(0 AS BIGINT) AS commit_gen
+         |  FROM documents WHERE doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u1', lang, 'upsert', CAST(1 AS BIGINT)
+         |  FROM documents WHERE doc_id >= 50 AND doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id, '<null>', '<null>', 'delete', CAST(2 AS BIGINT)
+         |  FROM documents WHERE doc_id >= 150 AND doc_id < 180
+         |  UNION ALL
+         |  SELECT doc_id, text, lang, 'insert', CAST(4 AS BIGINT)
+         |  FROM documents WHERE doc_id >= 200 AND doc_id < 230
+         |) ORDER BY commit_gen, doc_id""".stripMargin),
+      "change data feed: every commit's change rows labeled and generation-stamped, compaction emits nothing, checked row-for-row"),
+
+    "q_corpus_replica" -> DeclaredQuery(
+      // INCREMENTAL PULL REPLICATION content-proven by oracle: a
+      // replica store is built purely from the source's change feed
+      // (`VersionedCorpus.replicate` — changesSince + applyChanges +
+      // durable cursor), pulled in TWO waves with upsert / delete /
+      // resurrection landing between them. The final replica snapshot
+      // must equal, row for row, what direct SQL derives from the
+      // source table — each pull moves only the NEW generations (the
+      // O(changes) property that makes downstream consumers viable at
+      // 100 TB), and the second pull folds a delete-then-resurrect
+      // sequence whose order only the generation stamps can resolve.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-rep")
+        try {
+          val src = s"$tmpRoot/src"; val dst = s"$tmpRoot/dst"
+          val cursor = s"$tmpRoot/cursor.txt"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          VersionedCorpus.append(docs.filter(col("doc_id") < 300), src)
+          VersionedCorpus.pinKey(src, "doc_id")
+          VersionedCorpus.replicate(s, src, dst, "doc_id", cursor) // pull 1
+          VersionedCorpus.upsert(
+            docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+              .withColumn("text", concat(col("text"), lit(" u1"))),
+            src, "doc_id")
+          VersionedCorpus.delete(
+            docs.filter(col("doc_id") >= 50 && col("doc_id") < 150)
+              .select("doc_id"), src, "doc_id")
+          VersionedCorpus.append(
+            docs.filter(col("doc_id") >= 60 && col("doc_id") < 80), src)
+          VersionedCorpus.replicate(s, src, dst, "doc_id", cursor) // pull 2
+          localFrame(VersionedCorpus.snapshot(s, dst)
+            .select(col("doc_id"), col("text"), col("lang"))
+            .orderBy(col("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""SELECT doc_id, text, lang FROM (
+         |  SELECT doc_id, text, lang FROM documents WHERE doc_id < 50
+         |  UNION ALL
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE doc_id >= 60 AND doc_id < 80
+         |  UNION ALL
+         |  SELECT doc_id, text || ' u1', lang FROM documents
+         |  WHERE doc_id >= 150 AND doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE doc_id >= 200 AND doc_id < 300
+         |) ORDER BY doc_id""".stripMargin),
+      "incremental pull replication off the change feed: replica snapshot ≡ direct SQL after two pulls spanning upsert/delete/resurrection"),
+
+    "span_dedup" -> DeclaredQuery(
+      // substring-level dedup (the ExactSubstr tier, Lee et al. 2021
+      // public recipe re-shaped for Spark): per-doc coverage by token
+      // 8-gram spans duplicated across >= 2 distinct docs — the
+      // boilerplate/license/quotation detector whole-doc MinHash never
+      // catches. posexplode grams → one hash-agg on the gram key →
+      // equi-join back → per-doc gaps-and-islands window merge. Fully
+      // SQL-expressible, so this tier gets a real DuckDB oracle.
+      (s, dir) => SpanDedup.coverageStats(T(s, dir, "documents"),
+          "doc_id", "text", k = 8, minDocs = 2)
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy(asc("doc_id")),
+      Some("""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |gp AS (
+         |  SELECT doc_id, toks, CAST(unnest(range(1, len(toks)-6)) AS INT) AS pos
+         |  FROM t WHERE len(toks) >= 8),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |         array_to_string(list_slice(toks, pos, pos+7), ' ') AS gram
+         |  FROM gp),
+         |d AS (SELECT gram FROM g GROUP BY gram
+         |      HAVING count(DISTINCT doc_id) >= 2),
+         |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM p),
+         |isl2 AS (SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+         |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos)+7 AS e
+         |       FROM isl2 GROUP BY doc_id, island),
+         |cov AS (SELECT doc_id, sum(e-s+1) AS dup_tokens, count(*) AS n_spans
+         |        FROM sp GROUP BY doc_id),
+         |nt AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens
+         |       FROM documents)
+         |SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(cov.dup_tokens,0) AS BIGINT) AS dup_tokens,
+         |       CAST(coalesce(cov.n_spans,0) AS BIGINT) AS n_spans,
+         |       round(coalesce(cov.dup_tokens,0) * 1.0 / greatest(n_tokens,1), 4)
+         |         AS dup_frac
+         |FROM nt LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin),
+      "substring-span dedup: cross-doc duplicated 8-gram span coverage per doc"),
+
+    "span_strip" -> DeclaredQuery(
+      // the span-dedup ACTION: rewrite each doc with duplicated-span
+      // tokens removed (span expansion + anti-join on position +
+      // ordered reassembly). md5 of the cleaned text keeps the oracle
+      // row narrow; kept_tokens must equal n_tokens - dup_tokens of
+      // span_dedup (asserted in SpanDedupSpec).
+      (s, dir) => SpanDedup.stripSpans(T(s, dir, "documents"),
+          "doc_id", "text", k = 8, minDocs = 2)
+        .select(col("_id").as("doc_id"), col("kept_tokens"),
+          md5(col("cleaned_text")).as("cleaned_md5"))
+        .orderBy(asc("doc_id")),
+      Some("""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |gp AS (
+         |  SELECT doc_id, toks, CAST(unnest(range(1, len(toks)-6)) AS INT) AS pos
+         |  FROM t WHERE len(toks) >= 8),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |         array_to_string(list_slice(toks, pos, pos+7), ' ') AS gram
+         |  FROM gp),
+         |d AS (SELECT gram FROM g GROUP BY gram
+         |      HAVING count(DISTINCT doc_id) >= 2),
+         |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM p),
+         |isl2 AS (SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+         |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos)+7 AS e
+         |       FROM isl2 GROUP BY doc_id, island),
+         |covpos AS (
+         |  SELECT doc_id, CAST(unnest(range(s, e+1)) AS INT) AS pos FROM sp),
+         |tokpos AS (
+         |  SELECT doc_id, toks, CAST(unnest(range(1, len(toks)+1)) AS INT) AS pos
+         |  FROM t),
+         |keep AS (
+         |  SELECT tp.doc_id, tp.pos, list_extract(tp.toks, tp.pos) AS tok
+         |  FROM tokpos tp ANTI JOIN covpos c USING (doc_id, pos)),
+         |o AS (
+         |  SELECT doc_id, count(*) AS kept_tokens,
+         |         array_to_string(list(tok ORDER BY pos), ' ') AS cleaned
+         |  FROM keep GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(o.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |       md5(coalesce(o.cleaned, '')) AS cleaned_md5
+         |FROM documents d LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin),
+      "substring-span dedup action: duplicated spans stripped, docs reassembled"),
+
+    "incr_span_strip" -> DeclaredQuery(
+      // incremental ingestion, SUBSTRING tier — completing the cross-set
+      // family (exact, MinHash, SimHash, winnow, embedding, and now
+      // span): incoming docs (doc_id >= 250) are rewritten with every
+      // token run they copy from the CORPUS (doc_id < 250) removed —
+      // quotation/boilerplate contamination is stripped at admission
+      // while the incoming doc's novel text survives. The corpus
+      // contributes only its DISTINCT gram-key projection to a
+      // left-semi join (never re-processed, never all-pairs);
+      // incoming-internal duplication deliberately does not trigger.
+      // Fully SQL-expressible → oracle-green.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        SpanDedup.crossStripSpans(
+            docs.filter(col("doc_id") >= 250),
+            docs.filter(col("doc_id") < 250),
+            "doc_id", "text", k = 8)
+          .select(col("_id").as("doc_id"), col("kept_tokens"),
+            md5(col("cleaned_text")).as("cleaned_md5"))
+          .orderBy(asc("doc_id"))
+      },
+      Some("""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id >= 250),
+         |ct AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id < 250),
+         |gp AS (
+         |  SELECT doc_id, toks, CAST(unnest(range(1, len(toks)-6)) AS INT) AS pos
+         |  FROM t WHERE len(toks) >= 8),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |         array_to_string(list_slice(toks, pos, pos+7), ' ') AS gram
+         |  FROM gp),
+         |cgp AS (
+         |  SELECT toks, CAST(unnest(range(1, len(toks)-6)) AS INT) AS pos
+         |  FROM ct WHERE len(toks) >= 8),
+         |cg AS (
+         |  SELECT DISTINCT array_to_string(list_slice(toks, pos, pos+7), ' ')
+         |    AS gram
+         |  FROM cgp),
+         |p AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN cg USING (gram)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM p),
+         |isl2 AS (SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+         |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos)+7 AS e
+         |       FROM isl2 GROUP BY doc_id, island),
+         |covpos AS (
+         |  SELECT doc_id, CAST(unnest(range(s, e+1)) AS INT) AS pos FROM sp),
+         |tokpos AS (
+         |  SELECT doc_id, toks, CAST(unnest(range(1, len(toks)+1)) AS INT) AS pos
+         |  FROM t),
+         |keep AS (
+         |  SELECT tp.doc_id, tp.pos, list_extract(tp.toks, tp.pos) AS tok
+         |  FROM tokpos tp ANTI JOIN covpos c USING (doc_id, pos)),
+         |o AS (
+         |  SELECT doc_id, count(*) AS kept_tokens,
+         |         array_to_string(list(tok ORDER BY pos), ' ') AS cleaned
+         |  FROM keep GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(o.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |       md5(coalesce(o.cleaned, '')) AS cleaned_md5
+         |FROM documents d LEFT JOIN o USING (doc_id)
+         |WHERE d.doc_id >= 250 ORDER BY d.doc_id""".stripMargin),
+      "incremental span dedup: incoming docs stripped of token runs copied from the corpus"),
+
+    "incr_clean_admit" -> DeclaredQuery(
+      // the FULL ingestion kernel, chained: strip corpus-copied token
+      // runs from the incoming batch (substring tier), drop docs with
+      // nothing novel left, then run the two-tier admission kernel
+      // (exact anti-join + cross-set MinHash + Jaccard verify) on the
+      // CLEANED text — Dedup.cleanAndAdmit, the same kernel the
+      // streaming mirror (Streams.incrementalCleanAdmission) runs per
+      // micro-batch (stream ≡ batch in StreamsSpec). Per-lang admit
+      // counts + surviving token mass. Seeded-hash admission tier →
+      // rows-only per the contract.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val admitted = Dedup.cleanAndAdmit(
+          docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250),
+          "doc_id", "text")
+        admitted
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long")
+              .as("kept_tokens"))
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_admitted"),
+            sum(col("kept_tokens")).as("kept_tokens"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy(col("lang"))
+      },
+      None,
+      "clean-then-admit e2e: span strip + two-tier admission on the cleaned text, per-lang rollup"),
+
+    "incr_gated_admit" -> DeclaredQuery(
+      // the QUALITY-GATED ingestion kernel: the row-local Gopher gate
+      // (TextAnalysis.gopherPass — one projection, no shuffle) rejects
+      // low-quality docs BEFORE they pay the cross-set dedup tiers,
+      // then the two-tier admission kernel runs on the survivors —
+      // Dedup.gateAndAdmit, the same kernel the streaming mirror
+      // (Streams.incrementalGatedAdmission) runs per micro-batch
+      // (stream ≡ batch in StreamsSpec). The rollup carries the gate's
+      // accounting next to the admission's: per-lang incoming vs
+      // gate-passing vs admitted. Seeded-hash admission tier →
+      // rows-only per the contract.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val incoming = docs.filter(col("doc_id") >= 250)
+        val corpus = docs.filter(col("doc_id") < 250)
+        val admitted = Dedup.gateAndAdmit(incoming, corpus,
+          "doc_id", "text")
+        val gate = incoming
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_incoming"),
+            sum(when(TextAnalysis.gopherPass(col("text")), 1L)
+              .otherwise(0L)).as("n_gate_pass"))
+        val adm = admitted
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_admitted"),
+            min(col("doc_id")).as("first_id"))
+        gate.join(adm, Seq("lang"), "left_outer")
+          .select(col("lang"), col("n_incoming"), col("n_gate_pass"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+            col("first_id"))
+          .orderBy(col("lang"))
+      },
+      None,
+      "quality-gated admission e2e: Gopher gate first (row-local), dedup tiers on survivors, per-lang accounting"),
+
+    "doc_stats" -> DeclaredQuery(
+      (s, dir) => TextAnalysis.docStats(T(s, dir, "documents"),
+        "doc_id", "text", "n_chars").orderBy(asc("doc_id")),
+      Some("""SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+         |  round(len(list_distinct(t))::DOUBLE / len(t), 4) AS distinct_ratio,
+         |  round(n_chars::DOUBLE / len(t), 4) AS chars_per_token
+         |FROM (SELECT doc_id, n_chars,
+         |        list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin),
+      "B10 + quality scoring: per-doc token stats"),
+
+    "q_token_budget" -> DeclaredQuery(
+      // training-mix assembly under a per-group token budget: within
+      // each lang, documents are admitted in deterministic id order
+      // until the cumulative token count crosses the budget — the
+      // running-sum window form of "take ~B tokens per source". Integer
+      // token counts keep the running sum exact (no float-retraction
+      // drift). Scale note: partitionBy(lang) gives one window partition
+      // per group (same skew profile as any per-key window, cf.
+      // q_top_order_per_cust); for few-group corpora at extreme size the
+      // same semantics come from per-range partial sums + prefix offsets.
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= 2000)
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |FROM (SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |QUALIFY cum_tokens <= 2000
+         |ORDER BY lang, doc_id""".stripMargin),
+      "training-mix token budgeting: per-lang running-sum admission under a token budget"),
+
+    "q_bpe_budget" -> DeclaredQuery(
+      // q_token_budget's twin with REAL subword counts: the budget
+      // window runs over size(graft_bpe(text)) — the merge-loop BPE
+      // count a training mix actually budgets on — instead of the
+      // whitespace proxy. Same window discipline (integer running sum,
+      // per-lang, id-ordered). ORACLE-CHECKED since round 10: the
+      // checked-in merges table is a plan constant, so DuckDB can replay
+      // the whole encode as a GENERATED chain of boundary-aware string
+      // replaces (each word becomes a U+0001-separated symbol string;
+      // merge (a,b) = replace "␁a␁b␁" → "␁ab␁" in RANK order; pieces =
+      // separator count − 1). Rank-order replay ≡ the encoder's
+      // best-first loop when no compound symbol has two derivations —
+      // verified exhaustively on every fixture word at sf0.01 AND sf0.1
+      // (297,869 word instances, zero mismatches) before this row was
+      // promoted from rows-only.
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TextAnalysis.bpeTokens(col("text"))).cast("long").as("n_bpe"))
+          .withColumn("cum_bpe", sum(col("n_bpe")).over(w))
+          .filter(col("cum_bpe") <= 2000)
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some(bpeBudgetOracleSql),
+      "training-mix token budgeting on real BPE subword counts — oracle via generated merge-replay SQL"),
+
+    "q_pack_sequences" -> DeclaredQuery(
+      // sequence packing (training-data assembly): documents are packed
+      // into fixed-token training sequences in deterministic id order
+      // within each lang — seq_id = floor(cum_tokens / seq_len), the
+      // running-sum bucket form (same window discipline as
+      // q_token_budget: integer running sums, no float retraction).
+      // Output is one row per packed sequence with its doc count and
+      // token mass. Scale note: the window partitions by lang (per-key
+      // skew profile documented at q_token_budget); the groupBy after it
+      // is partial-aggregatable.
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .withColumn("seq_id", floor(col("cum_tokens") / lit(512.0)))
+          .groupBy(col("lang"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("seq_tokens"))
+          .orderBy(col("lang"), col("seq_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM d)
+         |SELECT lang, CAST(floor(cum_tokens / 512.0) AS BIGINT) AS seq_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+         |FROM c GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin),
+      "sequence packing: per-lang running-sum bucket ids over fixed-token training sequences"),
+
+    "q_repetition" -> DeclaredQuery(
+      // Gopher-style repetition quality filter: fraction of a doc's
+      // 2-grams occupied by its single most frequent 2-gram — the
+      // standard boilerplate/spam signal a training mix drops on. Docs
+      // with < 2 tokens have no 2-gram and are excluded in both engines.
+      (s, dir) => TextAnalysis.repetitionStats(
+        T(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)),
+         |                          i -> toks[i] || ' ' || toks[i + 1])) AS gram
+         |  FROM t WHERE len(toks) >= 2),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+         |SELECT doc_id, round(max(cnt)::DOUBLE / sum(cnt), 4) AS rep_ratio,
+         |  CAST(sum(cnt) AS BIGINT) AS n_grams
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "quality scoring: max-2-gram repetition ratio (Gopher-style boilerplate filter)"),
+
+    "q_trainmix_e2e" -> DeclaredQuery(
+      // the TRAINING-MIX assembly pipeline end-to-end against ONE chained
+      // oracle: exact dedup (min-id full row per token fingerprint) →
+      // repetition-quality filter (max-2-gram ratio ≤ 0.2; <2-token docs
+      // drop with it) → stratified per-lang hash admission → per-lang
+      // token budget (running sum ≤ 4000) → packing into 512-token
+      // sequences. Every stage is the declared operator the standalone
+      // queries check individually (dedup_fingerprint, q_repetition,
+      // q_stratified, q_token_budget, q_pack_sequences); here the CHAIN
+      // is what the oracle replays, so stage composition bugs (dropped
+      // columns, filter order, window re-partitioning) can't hide.
+      (s, dir) => {
+        val bucket = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+          lit(1000L))
+        val thresh = when(col("lang") === "en", 500)
+          .when(col("lang") === "fr", 250).otherwise(100)
+        val dd = Dedup.dropDuplicatesByKey(
+          T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+          Dedup.tokenFingerprint(col("text")), col("doc_id"))
+        // repetition ratio as the ROW-LOCAL expression twin — joining
+        // repetitionStats back onto dd would reference the dedup subtree
+        // twice and re-execute its corpus-wide shuffle (the
+        // shared-subtree trap); as a projection the chain stays one pass.
+        // <2-token docs get a NULL ratio, and NULL <= 0.2 is NULL → the
+        // filter drops them, same as the aggregate form's exclusion.
+        val kept = dd
+          .filter(TextAnalysis.repetitionRatioCol(col("text")) <= 0.2 &&
+            bucket < thresh)
+          .select(col("doc_id"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        kept.withColumn("cum", sum(col("n_tokens")).over(w))
+          .filter(col("cum") <= 4000)
+          .withColumn("seq_id", floor(col("cum") / lit(512.0)))
+          .groupBy(col("lang"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+          .orderBy(col("lang"), col("seq_id"))
+      },
+      Some("""WITH dd AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |      row_number() OVER (
+         |        PARTITION BY array_to_string(list_sort(string_split(text, ' ')), ' ')
+         |        ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |t AS (SELECT doc_id, lang,
+         |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |      FROM dd),
+         |g AS (SELECT doc_id,
+         |        unnest(list_transform(range(1, len(toks)),
+         |                              i -> toks[i] || ' ' || toks[i + 1])) AS gram
+         |      FROM t WHERE len(toks) >= 2),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+         |r AS (SELECT doc_id, round(max(cnt)::DOUBLE / sum(cnt), 4) AS rep_ratio
+         |      FROM c GROUP BY doc_id),
+         |k AS (SELECT t.doc_id, t.lang, CAST(len(t.toks) AS BIGINT) AS n_tokens
+         |      FROM t JOIN r ON t.doc_id = r.doc_id
+         |      WHERE r.rep_ratio <= 0.2
+         |        AND ((t.doc_id % 1000003) * 2654435761) % 1000 <
+         |            (CASE WHEN t.lang = 'en' THEN 500
+         |                  WHEN t.lang = 'fr' THEN 250 ELSE 100 END)),
+         |b AS (SELECT doc_id, lang, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM k QUALIFY cum <= 4000)
+         |SELECT lang, CAST(floor(cum / 512.0) AS BIGINT) AS seq_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+         |FROM b GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin),
+      "training-mix assembly e2e: dedup → repetition filter → stratified sample → budget → packing vs one chained oracle"),
+
+    "word_freq" -> DeclaredQuery(
+      (s, dir) => TextAnalysis.wordFreq(T(s, dir, "documents"), "text")
+        .orderBy(desc("cnt"), asc("word")).limit(100),
+      Some("""SELECT w AS word, count(*) AS cnt
+         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |WHERE w <> '' GROUP BY w ORDER BY cnt DESC, word LIMIT 100""".stripMargin),
+      "B11: corpus word frequency"),
+
+    "tfidf_top" -> DeclaredQuery(
+      (s, dir) => TextAnalysis.tfIdf(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(desc("tfidf"), asc("doc_id"), asc("word")).limit(100),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |             FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+         |       WHERE word <> '' GROUP BY doc_id, word),
+         |dfc AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok
+         |        WHERE word <> '' GROUP BY word),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+         |SELECT tf.doc_id AS doc_id, tf.word AS word,
+         |  round(tf.tf * ln(n.n / dfc.df), 4) AS tfidf
+         |FROM tf JOIN dfc ON tf.word = dfc.word CROSS JOIN n
+         |ORDER BY tfidf DESC, tf.doc_id, tf.word LIMIT 100""".stripMargin),
+      "B12: tf-idf"),
+
+    "q_bm25" -> DeclaredQuery(
+      (s, dir) => TextAnalysis.bm25(T(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "data", "join"))
+        .orderBy(desc("bm25"), asc("doc_id")).limit(50),
+      Some("""WITH d AS (SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE AS dl,
+         |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |       FROM documents),
+         |s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, w AS word, count(*)::DOUBLE AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS w FROM d)
+         |       WHERE w IN ('spark', 'data', 'join') GROUP BY doc_id, dl, w),
+         |dfc AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY word)
+         |SELECT tf.doc_id AS doc_id,
+         |  round(sum(ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         |    * tf.tf * 2.2
+         |    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS bm25
+         |FROM tf JOIN dfc USING (word) CROSS JOIN s
+         |GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin),
+      "hybrid-search keyword tier: Okapi BM25 (Robertson & Zaragoza 2009)"),
+
+    "bm25_topk_many" -> DeclaredQuery(
+      // the keyword twin of ivf_probe_many / sq_topk_many: a BATCH of
+      // term-bag queries answered through one corpus pass — union-term
+      // filter before the explode, broadcast (qid, word) scoring join,
+      // per-query top-k on the map-side bounded aggregator.
+      (s, dir) => TextAnalysis.bm25Many(T(s, dir, "documents"),
+          "doc_id", "text",
+          Seq(1L -> Seq("spark", "data", "join"),
+            2L -> Seq("table", "row", "fast")), k = 10)
+        .orderBy(col("qid"), col("rank")),
+      Some("""WITH q AS (SELECT CAST(qid AS BIGINT) AS qid, word FROM (VALUES
+         |        (1, 'spark'), (1, 'data'), (1, 'join'),
+         |        (2, 'table'), (2, 'row'), (2, 'fast')) AS v(qid, word)),
+         |d AS (SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE AS dl,
+         |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |       FROM documents),
+         |s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, w AS word, count(*)::DOUBLE AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS w FROM d)
+         |       WHERE w IN (SELECT DISTINCT word FROM q)
+         |       GROUP BY doc_id, dl, w),
+         |dfc AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY word),
+         |sc AS (SELECT q.qid, tf.doc_id,
+         |         round(sum(ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         |           * tf.tf * 2.2
+         |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS bm25
+         |       FROM tf JOIN dfc USING (word) JOIN q USING (word) CROSS JOIN s
+         |       GROUP BY q.qid, tf.doc_id),
+         |r AS (SELECT qid, doc_id, bm25,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY bm25 DESC, doc_id) AS rank
+         |      FROM sc)
+         |SELECT qid, doc_id, bm25, rank FROM r WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin),
+      "batched multi-query BM25: one corpus pass, per-query bounded top-k"),
+
+    "q_store_textindex" -> DeclaredQuery(
+      // PERSISTED INVERTED INDEX lifecycle (`operators.TextIndex`):
+      // build the token-sharded postings index from half the corpus,
+      // APPEND the other half (N/avgdl/df must merge across batches),
+      // then answer BM25 from the index — reading only the shards the
+      // query terms hash to — and hash-match the same scan-based
+      // DuckDB oracle q_bm25 uses. STORE-LIFECYCLE row: Spark pays the
+      // index build + append it certifies; the oracle replays only the
+      // expected scores (exclude from any engine-vs-engine proxy).
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-tix")
+        try {
+          val idx = s"$tmpRoot/index"
+          val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+          TextIndex.build(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", idx, shards = 32)
+          TextIndex.append(docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", idx)
+          localFrame(TextIndex.bm25(s, idx, Seq("vector", "table", "fast"))
+            .orderBy(desc("bm25"), asc("doc_id")).limit(50))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE AS dl,
+         |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |       FROM documents),
+         |s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, w AS word, count(*)::DOUBLE AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS w FROM d)
+         |       WHERE w IN ('vector', 'table', 'fast') GROUP BY doc_id, dl, w),
+         |dfc AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY word)
+         |SELECT tf.doc_id AS doc_id,
+         |  round(sum(ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         |    * tf.tf * 2.2
+         |    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS bm25
+         |FROM tf JOIN dfc USING (word) CROSS JOIN s
+         |GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin),
+      "persisted inverted index: build + append + shard-pruned BM25 read, scores ≡ the scan-based oracle"),
+
+    "q_forget_e2e" -> DeclaredQuery(
+      // RIGHT-TO-BE-FORGOTTEN end-to-end (`operators.Forget`): the
+      // corpus store, the inverted text index, and the partitioned
+      // vector index are all built from the fixtures, one id slab is
+      // forgotten through the single composed call, and BOTH search
+      // surfaces are then queried — indexed BM25 top-20 and an
+      // exhaustive (nprobe = every cell, so centroid float-iteration
+      // cannot matter) vector probe top-10 — and must hash-match
+      // DuckDB replaying the same searches over the SURVIVING rows.
+      // A tombstone leak in either index, a stats row not corrected,
+      // or a probe reading a dead vector breaks the hash. LIFECYCLE
+      // row: Spark builds + mutates three stores; exclude from
+      // engine-vs-engine proxies.
+      (s, dir) => {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-forget")
+        try {
+          val corpusRoot = s"$tmpRoot/corpus"; val tix = s"$tmpRoot/tix"
+          val vix = s"$tmpRoot/vix"
+          val docs = T(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          val emb = T(s, dir, "embeddings")
+          VersionedCorpus.append(docs, corpusRoot)
+          VersionedCorpus.pinKey(corpusRoot, "doc_id")
+          TextIndex.build(docs, "doc_id", "text", tix, shards = 16)
+          val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
+            k = 8, iters = 2)
+          IvfIndex.writePartitioned(emb, "vec_id", assign, vix)
+          val removed = Forget.forget(s,
+            s.range(100L, 150L).select(col("id").as("doc_id")),
+            corpusRoot = Some(corpusRoot), textIndexDir = Some(tix),
+            vectorIndexPath = Some(vix))
+          require(removed("corpus") == 50L && removed("text_index") == 50L,
+            s"forget accounting: $removed")
+          val kw = TextIndex.bm25(s, tix, Seq("data", "query", "spark"))
+            .orderBy(desc("bm25"), asc("doc_id")).limit(20)
+            .select(lit("bm25").as("src"), col("doc_id"),
+              col("bm25").as("score"))
+          val vec = IvfIndex.probePartitioned(s, vix, "vec_id", "embedding",
+              cents, QueryVectors.q2, k = 10, nprobe = 8, score = cosine)
+            .select(lit("cosine").as("src"), col("vec_id").as("doc_id"),
+              col("sim").as("score"))
+          localFrame(kw.unionByName(vec)
+            .orderBy(col("src"), desc("score"), asc("doc_id")))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      },
+      Some(s"""WITH surv AS (SELECT * FROM documents
+         |  WHERE NOT (doc_id >= 100 AND doc_id < 150)),
+         |d AS (SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE AS dl,
+         |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |       FROM surv),
+         |st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, w AS word, count(*)::DOUBLE AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS w FROM d)
+         |       WHERE w IN ('data', 'query', 'spark') GROUP BY doc_id, dl, w),
+         |dfc AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY word),
+         |kw AS (SELECT 'bm25' AS src, tf.doc_id AS doc_id,
+         |    round(sum(ln(1 + (st.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         |      * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score
+         |  FROM tf JOIN dfc USING (word) CROSS JOIN st
+         |  GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20),
+         |vec AS (SELECT 'cosine' AS src, vec_id AS doc_id,
+         |    round(${duckDot("embedding", q2Sql)}
+         |      / (sqrt(${duckDot("embedding", "CAST(embedding AS DOUBLE[])")})
+         |         * sqrt(list_dot_product($q2Sql, $q2Sql))), 4) AS score
+         |  FROM embeddings WHERE NOT (vec_id >= 100 AND vec_id < 150)
+         |  ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT src, doc_id, score FROM (
+         |  SELECT * FROM kw UNION ALL SELECT * FROM vec
+         |) ORDER BY src, score DESC, doc_id""".stripMargin),
+      "right-to-be-forgotten across corpus store + text index + vector index, both search surfaces ≡ DuckDB over the survivors"),
+
+    "hybrid_rrf" -> DeclaredQuery(
+      (s, dir) => {
+        // each ranker is top-k-bounded FIRST (TakeOrderedAndProject), so
+        // the partition-less rank window only ever sees k rows — the
+        // fused join is k-sized by construction
+        val kw = TextAnalysis.bm25(T(s, dir, "documents"), "doc_id", "text",
+            Seq("spark", "data", "join"))
+          .orderBy(desc("bm25"), asc("doc_id")).limit(50)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("bm25"), asc("doc_id"))))
+          .select(col("doc_id"), col("rank"))
+        val vec = Search.topK(T(s, dir, "embeddings"), "embedding", "vec_id",
+            QueryVectors.q2, k = 50, score = cosine)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("sim"), asc("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("rank"))
+        Search.rrfFuse(kw, vec, "doc_id")
+          .orderBy(desc("rrf"), asc("doc_id")).limit(20)
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE AS dl,
+         |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |       FROM documents),
+         |s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, w AS word, count(*)::DOUBLE AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS w FROM d)
+         |       WHERE w IN ('spark', 'data', 'join') GROUP BY doc_id, dl, w),
+         |dfc AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY word),
+         |bm AS (SELECT tf.doc_id AS doc_id,
+         |         round(sum(ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         |           * tf.tf * 2.2
+         |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS bm25
+         |       FROM tf JOIN dfc USING (word) CROSS JOIN s
+         |       GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |kw AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+         |       FROM bm),
+         |vtop AS (SELECT vec_id,
+         |         round(${duckDot("embedding", q2Sql)}
+         |           / (sqrt(${duckDot("embedding", "CAST(embedding AS DOUBLE[])")})
+         |              * sqrt(list_dot_product($q2Sql, $q2Sql))), 4) AS sim
+         |       FROM embeddings ORDER BY sim DESC, vec_id LIMIT 50),
+         |vs AS (SELECT vec_id AS doc_id,
+         |         row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+         |       FROM vtop)
+         |SELECT coalesce(kw.doc_id, vs.doc_id) AS doc_id,
+         |  round(coalesce(1.0::DOUBLE / (60 + kw.r), 0)
+         |      + coalesce(1.0::DOUBLE / (60 + vs.r), 0), 4) AS rrf
+         |FROM kw FULL OUTER JOIN vs ON kw.doc_id = vs.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
+      "hybrid search: reciprocal-rank fusion of BM25 keyword and cosine vector rankings (Cormack et al. 2009)"),
+
+    "hybrid_rrf_many" -> DeclaredQuery(
+      // the BATCHED hybrid: per-query keyword ranking (bm25Many — one
+      // corpus pass for all term bags) fused with the per-query vector
+      // ranking (knnJoinAgg — broadcast queries × corpus, map-side
+      // bounded top-k) by reciprocal rank, completing the multi-query
+      // triad keyword / vector / fused. Fully SQL-expressible →
+      // oracle-checked.
+      (s, dir) => {
+        import s.implicits._
+        val kw = TextAnalysis.bm25Many(T(s, dir, "documents"),
+          "doc_id", "text",
+          Seq(1L -> Seq("spark", "data", "join"),
+            2L -> Seq("table", "row", "fast")), k = 20)
+        val qs = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+          .toDF("qid", "qvec")
+        val vec = Search.knnJoinAgg(qs, "qid", "qvec",
+            T(s, dir, "embeddings"), "vec_id", "embedding", k = 20,
+            excludeSelf = false)
+          .select(col("qid"), col("cid").as("doc_id"),
+            col("rank").cast("long").as("rank"))
+        Search.rrfFuseMany(kw.select(col("qid"), col("doc_id"), col("rank")),
+            vec, "qid", "doc_id")
+          .orderBy(col("qid"), desc("rrf"), col("doc_id"))
+      },
+      Some(s"""WITH q AS (SELECT CAST(qid AS BIGINT) AS qid, word FROM (VALUES
+         |        (1, 'spark'), (1, 'data'), (1, 'join'),
+         |        (2, 'table'), (2, 'row'), (2, 'fast')) AS v(qid, word)),
+         |d AS (SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE AS dl,
+         |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |       FROM documents),
+         |s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, w AS word, count(*)::DOUBLE AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS w FROM d)
+         |       WHERE w IN (SELECT DISTINCT word FROM q)
+         |       GROUP BY doc_id, dl, w),
+         |dfc AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY word),
+         |sc AS (SELECT q.qid, tf.doc_id,
+         |         round(sum(ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         |           * tf.tf * 2.2
+         |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS bm25
+         |       FROM tf JOIN dfc USING (word) JOIN q USING (word) CROSS JOIN s
+         |       GROUP BY q.qid, tf.doc_id),
+         |kw AS (SELECT qid, doc_id,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY bm25 DESC, doc_id) AS r
+         |       FROM sc QUALIFY r <= 20),
+         |vq AS (SELECT CAST(1 AS BIGINT) AS qid, $q1Sql AS qvec
+         |       UNION ALL SELECT CAST(2 AS BIGINT), $q2Sql),
+         |vsc AS (SELECT vq.qid, e.vec_id AS doc_id,
+         |          round(list_dot_product(CAST(e.embedding AS DOUBLE[]), vq.qvec)
+         |            / nullif(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+         |                                           CAST(e.embedding AS DOUBLE[])))
+         |               * sqrt(list_dot_product(vq.qvec, vq.qvec)), 0), 4) AS sim
+         |        FROM embeddings e CROSS JOIN vq),
+         |vs AS (SELECT qid, doc_id,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, doc_id) AS r
+         |       FROM vsc WHERE sim IS NOT NULL QUALIFY r <= 20)
+         |SELECT coalesce(kw.qid, vs.qid) AS qid,
+         |  coalesce(kw.doc_id, vs.doc_id) AS doc_id,
+         |  round(coalesce(1.0::DOUBLE / (60 + kw.r), 0)
+         |      + coalesce(1.0::DOUBLE / (60 + vs.r), 0), 4) AS rrf
+         |FROM kw FULL OUTER JOIN vs ON kw.qid = vs.qid AND kw.doc_id = vs.doc_id
+         |ORDER BY qid, rrf DESC, doc_id""".stripMargin),
+      "batched hybrid search: per-query RRF fusion of BM25 and cosine rankings"),
+
+    "lang_rollup" -> DeclaredQuery(
+      (s, dir) => T(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("cnt"), col("chars"))
+        .orderBy(asc("lang"), asc("source")),
+      Some("""SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+         |  count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM documents GROUP BY ROLLUP(lang, source)
+         |ORDER BY lang, source""".stripMargin),
+      "B13+B25: language/source distribution via ROLLUP")
+  )
+}
