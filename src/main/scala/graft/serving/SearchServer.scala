@@ -1,0 +1,139 @@
+package graft.serving
+
+import org.apache.spark.sql.SparkSession
+
+/** Long-lived interactive serving surface — the reference's primary UX
+  * (reference `app.py:60-96`: a Streamlit loop holding a cached corpus,
+  * answering search queries and accepting appends) re-expressed as a
+  * serve loop over the engine: one [[graft.VectorDb]] held for the
+  * process lifetime (the `@st.cache_resource` analog — corpus cached
+  * once, reused by every request, `app.py:13-14`), fronted by the
+  * JDK's built-in HTTP server (zero dependencies).
+  *
+  * Endpoints (all JSON):
+  *   - `GET  /health`             → `{"status":"ok"}`
+  *   - `GET  /count`              → `{"count":N}`
+  *   - `GET  /search?q=…&k=5`     → `{"query":…,"results":[{chunk_id,
+  *     chunk_text, similarity}]}` — embed → score → top-k, similarities
+  *     %.4f (the reference's display contract, app.py:91)
+  *   - `POST /add?id=…&text=…`    → `{"count":N}` — append + re-embed,
+  *     visible to the next search (app.py:74-86)
+  *
+  * Architecture note for a cluster: this loop is the DRIVER-side front
+  * of a long-lived SparkSession — each request is one Spark action over
+  * the cached corpus (broadcast-sized probe against a distributed
+  * table). The same seam is where a Spark Connect client would attach;
+  * the HTTP layer is deliberately thin so swapping the transport
+  * changes no engine code. Mutations serialize through the VectorDb
+  * handle (its corpus swap is `@volatile`; `add` keeps the
+  * read-mostly path lock-free).
+  *
+  * Port 0 binds an ephemeral port (tests); [[boundPort]] reports it.
+  */
+final class SearchServer(spark: SparkSession, db: graft.VectorDb,
+                         port: Int = 8080) {
+
+  private var server: com.sun.net.httpserver.HttpServer = _
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  }
+
+  private def queryParams(ex: com.sun.net.httpserver.HttpExchange)
+      : Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
+      .filter(_.contains('='))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private def respond(ex: com.sun.net.httpserver.HttpExchange,
+                      code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def handle(ex: com.sun.net.httpserver.HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath
+      (ex.getRequestMethod, path) match {
+        case ("GET", "/health") => respond(ex, 200, """{"status":"ok"}""")
+        case ("GET", "/count") =>
+          respond(ex, 200, s"""{"count":${db.count}}""")
+        case ("GET", "/search") =>
+          val p = queryParams(ex)
+          p.get("q") match {
+            case None | Some("") =>
+              respond(ex, 400, """{"error":"missing q parameter"}""")
+            case Some(q) =>
+              val k = p.get("k").flatMap(_.toIntOption).getOrElse(5)
+              if (k < 1 || k > 1000)
+                respond(ex, 400, """{"error":"k must be in [1,1000]"}""")
+              else {
+                val rows = db.search(q, k).collect()
+                val items = rows.map { r =>
+                  s"""{"chunk_id":${r.getLong(0)},""" +
+                    s""""chunk_text":"${jsonEscape(r.getString(1))}",""" +
+                    s""""similarity":${"%.4f".formatLocal(
+                      java.util.Locale.ROOT, r.getDouble(2))}}"""
+                }.mkString("[", ",", "]")
+                respond(ex, 200,
+                  s"""{"query":"${jsonEscape(q)}","results":$items}""")
+              }
+          }
+        case ("POST", "/add") =>
+          val p = queryParams(ex)
+          (p.get("id").flatMap(_.toLongOption), p.get("text")) match {
+            case (Some(id), Some(text)) if text.nonEmpty =>
+              // serialize writers; readers stay lock-free on the
+              // volatile corpus handle
+              db.synchronized { db.add(id, text) }
+              respond(ex, 200, s"""{"count":${db.count}}""")
+            case _ =>
+              respond(ex, 400,
+                """{"error":"need integral id and non-empty text"}""")
+          }
+        case _ => respond(ex, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 500,
+          s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+    }
+
+  /** Bind and start serving. Non-blocking — the JDK server runs on its
+    * own executor; call [[stop]] (or let the JVM exit) to end it. */
+  def start(): this.type = {
+    server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) =>
+      handle(ex))
+    // small fixed pool: each request is a driver-side Spark action, and
+    // local-mode actions already parallelize across the executor
+    // threads — request concurrency beyond a few just queues in Spark's
+    // scheduler anyway
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    this
+  }
+
+  def stop(): Unit = if (server != null) {
+    server.stop(0)
+    server.getExecutor match {
+      case e: java.util.concurrent.ExecutorService => e.shutdownNow()
+      case _                                       => ()
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.serving
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the serve loop over REAL HTTP — a long-lived server on an
+  * ephemeral port, requests through java.net.http, the full
+  * search/add/count flow the reference's UI loop performs. */
+class SearchServerSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def get(port: Int, pathAndQuery: String): (Int, String) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"http://127.0.0.1:$port$pathAndQuery"))
+      .GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def post(port: Int, pathAndQuery: String): (Int, String) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"http://127.0.0.1:$port$pathAndQuery"))
+      .POST(java.net.http.HttpRequest.BodyPublishers.noBody()).build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("serve loop: health, count, search, add, re-search over real HTTP") {
+    import spark.implicits._
+    val e = graft.functions.Embedder.default
+    val dir = java.nio.file.Files.createTempDirectory("srv").toString + "/c"
+    graft.sources.EmbeddingCsv.write(Seq(
+      (1L, "d1", "distributed query engine", e.embed("distributed query engine")),
+      (2L, "d1", "garden flowers bloom", e.embed("garden flowers bloom")),
+      (3L, "d2", "columnar storage scan", e.embed("columnar storage scan"))
+    ).toDF("chunk_id", "document_id", "chunk_text", "vector_embedding"), dir)
+    val db = graft.VectorDb.open(spark, Some(dir))
+    val srv = new SearchServer(spark, db, port = 0).start()
+    try {
+      val port = srv.boundPort
+      assert(get(port, "/health") === ((200, """{"status":"ok"}""")))
+      assert(get(port, "/count") === ((200, """{"count":3}""")))
+      // search: the on-topic chunk must rank first, %.4f formatting
+      val (sc, body) = get(port, "/search?q=distributed%20query%20engine&k=2")
+      assert(sc === 200)
+      assert(body.contains(""""chunk_id":1"""))
+      assert(body.indexOf(""""chunk_id":1""") < math.max(
+        body.indexOf(""""chunk_id":2"""), body.length - 1))
+      assert(""""similarity":-?\d+\.\d{4}[,}]""".r
+        .findFirstIn(body).isDefined, body)
+      // add then re-search: the appended row is immediately visible
+      assert(post(port, "/add?id=9&text=appended%20engine%20doc")
+        === ((200, """{"count":4}""")))
+      val (_, body2) = get(port, "/search?q=appended%20engine%20doc&k=1")
+      assert(body2.contains(""""chunk_id":9"""))
+      // error contracts
+      assert(get(port, "/search")._1 === 400)
+      assert(get(port, "/search?q=x&k=0")._1 === 400)
+      assert(post(port, "/add?id=notanumber&text=x")._1 === 400)
+      assert(get(port, "/nope")._1 === 404)
+    } finally srv.stop()
+  }
+}
