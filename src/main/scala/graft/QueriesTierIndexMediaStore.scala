@@ -596,8 +596,13 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       // products). The only thing the rows-only pq_topk adds over this
       // row is the Lloyd-iterated codewords themselves; the ENCODE/ADC/
       // re-rank arithmetic it runs is exactly what this row hash-gates.
+      // The corpus is SLICED (vec_id % 8 = 0, mirrored in the SQL): the
+      // per-rep HOF argmin encode is the expensive stage, and bounding
+      // it keeps the row bench-proportionate — whole-corpus realism
+      // stays with the calibrated pq_topk over the shared prebuilt
+      // codes table; this row's job is the hash gate.
       (s, dir) => {
-        val emb = T(s, dir, "embeddings")
+        val emb = T(s, dir, "embeddings").filter(col("vec_id") % 8 === 0)
         val seeds = emb.orderBy("vec_id").limit(16)
           .select(transform(col("embedding"), _.cast("double")).as("v"))
           .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
@@ -611,10 +616,12 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
           .withColumn("rank", col("rank").cast("long"))
           .orderBy(col("rank"))
       },
-      Some(s"""WITH seeds AS (
+      Some(s"""WITH emb8 AS (
+         |  SELECT * FROM embeddings WHERE vec_id % 8 = 0),
+         |seeds AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
          |         CAST(embedding AS DOUBLE[]) AS v
-         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |  FROM (SELECT * FROM emb8 ORDER BY vec_id LIMIT 16)),
          |m AS (SELECT unnest(range(0,8)) AS mi),
          |codes AS (
          |  SELECT vec_id, mi, code FROM (
@@ -625,7 +632,7 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
          |                       m.mi*8+1, m.mi*8+8),
          |            list_slice(s.v, m.mi*8+1, m.mi*8+8)),
          |          s.code) AS rn
-         |    FROM embeddings e CROSS JOIN m CROSS JOIN seeds s)
+         |    FROM emb8 e CROSS JOIN m CROSS JOIN seeds s)
          |  WHERE rn = 1),
          |cl AS (SELECT vec_id, list(code ORDER BY mi) AS codes_l
          |       FROM codes GROUP BY vec_id),
@@ -640,7 +647,7 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
          |  row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
          |FROM (SELECT e.vec_id,
          |        round(${duckDot("e.embedding", q1Sql)}, 4) AS sim
-         |      FROM embeddings e JOIN cand USING (vec_id))
+         |      FROM emb8 e JOIN cand USING (vec_id))
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
       "PQ encode+ADC+rerank under the byte-exact oracle at fixed (init) codebooks — the arithmetic pq_topk runs, hash-gated"),
 
