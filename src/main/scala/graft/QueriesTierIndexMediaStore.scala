@@ -63,11 +63,17 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       // loads ONCE per executor JVM via the companion session cache
       // (load-count asserted in EmbedderSpec). Rows-only per the A3
       // contract: float model inference has no SQL analog.
+      // Corpus sliced to doc_id % 4 = 0: the forward pass is REAL model
+      // inference (~1.3 ms/doc measured), and the row certifies the
+      // seam + lifecycle, not bulk throughput — the slice keeps the
+      // bench line proportionate while still running >1k true
+      // multi-layer forward passes per rep.
       (s, dir) => {
         val e = new TransformerEmbedder(transformerArtifactPath, dim = 64)
         val qvec = e.embed("table scan fast query").map(_.toDouble).toSeq
         Embedder.embedPartitions(
-          T(s, dir, "documents").select(col("doc_id"), col("text")),
+          T(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+            .select(col("doc_id"), col("text")),
           "text", "emb", e, batchSize = 32)
           .select(col("doc_id"),
             round(VectorFunctions.dot(col("emb"), vecLit(qvec)), 4)
