@@ -83,6 +83,49 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       None,
       "A3 with a real multi-layer transformer (MHA+LN+GELU FFN, mean-pool) — model inference, no SQL analog"),
 
+    "incr_embed_index" -> DeclaredQuery(
+      // the PRODUCTION day-2 loop with the REAL model in the embed
+      // seat, end to end: new documents → transformer forward pass →
+      // encode under the FROZEN day-1 SQ8 grid (no re-train — the
+      // incr_sq_append discipline) → append → search the COMBINED
+      // codes table with a model-embedded query → exact re-rank. Emits
+      // (rank, doc_id, sim, is_new) so the output shows day-2 docs
+      // competing in the same index as day-1 — a lost append or a
+      // re-trained grid changes the rows. Model inference + float grid
+      // → rows-only per the contract; every stage is oracle- or
+      // spec-certified individually (ref_embed_model, sq_topk_fixed,
+      // incr_sq_append, EmbedderSpec, SqIndexSpec).
+      (s, dir) => {
+        val e = new TransformerEmbedder(transformerArtifactPath, dim = 64)
+        val docs = T(s, dir, "documents")
+          .filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), col("text"))
+        val embedded = Embedder.embedPartitions(docs, "text", "emb", e,
+            batchSize = 32)
+          .select(col("doc_id"), col("emb"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val day1 = embedded.filter(col("doc_id") % 40 =!= 0)
+          val day2 = embedded.filter(col("doc_id") % 40 === 0)
+          val params = SqIndex.trainParams(day1, "doc_id", "emb")
+          val codes = SqIndex.encode(day1, "doc_id", "emb", params)
+            .unionByName(SqIndex.encode(day2, "doc_id", "emb", params))
+          // query with a DAY-2 document's own text: its appended vector
+          // must surface (self-similarity), so a lost append or a
+          // re-trained grid visibly changes the output rows
+          val qtext = docs.filter(col("doc_id") === 40)
+            .select(col("text")).head().getString(0)
+          val q = e.embed(qtext).map(_.toDouble).toSeq
+          localFrame(SqIndex.searchRerank(codes, embedded, "doc_id",
+              "emb", q, params, k = 10, r = 50)
+            .select(col("rank").cast("long").as("rank"), col("doc_id"),
+              col("sim"), (col("doc_id") % 40 === 0).as("is_new"))
+            .orderBy(col("rank")))
+        } finally embedded.unpersist()
+      },
+      None,
+      "day-2 capstone: transformer embed → frozen-grid SQ8 append → combined-index search (model + float grid, rows-only)"),
+
     "ivf_probe" -> DeclaredQuery(
       (s, dir) => {
         // probes the shared corpus-scaled iters=3 index (quality
