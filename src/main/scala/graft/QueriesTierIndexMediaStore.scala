@@ -83,6 +83,34 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       None,
       "A3 with a real multi-layer transformer (MHA+LN+GELU FFN, mean-pool) — model inference, no SQL analog"),
 
+    "q_bpe_train" -> DeclaredQuery(
+      // TOKENIZER TRAINING as a first-class distributed operator — the
+      // public BPE recipe (Sennrich et al. 2016) with every iteration a
+      // DataFrame job: adjacent-pair explode → partial-aggregated count
+      // → total-order argmax (ONE row to the driver per merge), merge
+      // applied as a pure array-fold projection with per-generation
+      // lineage truncation (`LearnBpe.learnDistributed` — the same code
+      // that generated the checked-in bpe_merges.txt artifact
+      // `q_bpe_tokens` consumes). Deterministic (lexicographic
+      // tie-break), but the per-iteration argmax over EVOLVING state is
+      // not a static SQL string — rows-only per the contract; BpeSpec
+      // proves distributed ≡ driver-side reference AND ≡ the checked-in
+      // artifact byte-for-byte at 200 merges. Sliced corpus + 12 merges
+      // keep the bench line proportionate (each merge is one job).
+      (s, dir) => {
+        val wf = TextAnalysis.wordFreq(
+          T(s, dir, "documents").filter(col("doc_id") < 200), "text")
+        val merges = graft.tools.LearnBpe.learnDistributed(
+          s, wf.select(col("word"), col("cnt")), numMerges = 12)
+        import s.implicits._
+        merges.zipWithIndex
+          .map { case ((l, r), i) => ((i + 1).toLong, l, r) }
+          .toDF("priority", "left", "right")
+          .orderBy(col("priority"))
+      },
+      None,
+      "distributed BPE tokenizer training: one pair-count+argmax job per merge, driver holds one pair per iteration (rows-only; BpeSpec proves ≡ reference + artifact)"),
+
     "incr_embed_index" -> DeclaredQuery(
       // the PRODUCTION day-2 loop with the REAL model in the embed
       // seat, end to end: new documents → transformer forward pass →
