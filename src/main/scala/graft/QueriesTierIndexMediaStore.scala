@@ -610,6 +610,86 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       None,
       "SQ8 quality: recall@10 of re-ranked quantized search vs exact top-k across the rerank-depth dial"),
 
+    "sq_recall_fixed" -> DeclaredQuery(
+      // a RECALL INSTRUMENT behind the byte-exact oracle — the novel
+      // step past sq_topk_fixed: not just the search pipeline but the
+      // QUALITY MEASUREMENT itself is hash-gated. DuckDB replays the
+      // whole evaluation: the quantized ADC ordering over the shared
+      // deterministic grid, the exact brute-force top-10, the
+      // intersection count at each pinned depth (10/20/50 — static, so
+      // the replay is a static SQL string; `sq_recall` keeps the
+      // calibrated runtime dial), and the recall arithmetic. A recall
+      // number that hash-matches an independent engine is the
+      // strongest form of quality evidence this engine reports.
+      (s, dir) => {
+        val sq = sharedSqIndex(s, dir)
+        val emb = T(s, dir, "embeddings")
+        val enc = s.read.parquet(sq.codesPath)
+        val dial = Seq(10, 20, 50)
+        val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        val rows = for {
+          (qid, q) <- calib
+          top = enc.select(col("vec_id"),
+              round(SqIndex.sqScore(col("codes"), q, sq.params), 4)
+                .as("sim"))
+            .orderBy(desc("sim"), asc("vec_id")).limit(dial.max)
+            .collect().map(_.getLong(0)).toIndexedSeq
+          exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          r <- dial
+        } yield {
+          val hit = (top.take(r).toSet & exact).size
+          (qid, r.toLong, hit.toLong,
+            math.rint(hit.toDouble / exact.size * 10000) / 10000)
+        }
+        import s.implicits._
+        rows.toDF("qid", "rerank_depth", "n_hit", "recall_at_10")
+          .orderBy(col("qid"), col("rerank_depth"))
+      },
+      Some(s"""WITH grid AS (
+         |  SELECT i, min(embedding[i]::DOUBLE) AS lo,
+         |    (max(embedding[i]::DOUBLE) - min(embedding[i]::DOUBLE)) / 127
+         |      AS dlt
+         |  FROM embeddings, (SELECT unnest(range(1,65)) AS i) d
+         |  GROUP BY i),
+         |g AS (SELECT list(lo ORDER BY i) AS vmin,
+         |             list(dlt ORDER BY i) AS dlt FROM grid),
+         |q AS (SELECT 1 AS qid, $q1Sql AS qv
+         |      UNION ALL SELECT 2, $q2Sql),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |    round(list_dot_product(qv, vmin)
+         |      + list_sum(list_transform(range(1,65), i ->
+         |          qv[i] * dlt[i] * (CASE WHEN dlt[i] = 0 THEN 0
+         |            ELSE least(127, greatest(0,
+         |              CAST(round((e.embedding[i]::DOUBLE - vmin[i])
+         |                / dlt[i]) AS INT))) END))), 4) AS sq
+         |  FROM embeddings e CROSS JOIN g CROSS JOIN q),
+         |ranked AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sq DESC, vec_id) AS rn FROM scored),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round(list_dot_product(
+         |          CAST(e.embedding AS DOUBLE[]), q.qv), 4) DESC,
+         |        e.vec_id) AS xr
+         |    FROM embeddings e CROSS JOIN q) WHERE xr <= 10),
+         |depths AS (SELECT unnest([10, 20, 50]) AS r),
+         |hits AS (
+         |  SELECT rk.qid, d.r, count(*) AS n_hit
+         |  FROM ranked rk JOIN exact x USING (qid, vec_id)
+         |  CROSS JOIN depths d WHERE rk.rn <= d.r
+         |  GROUP BY rk.qid, d.r)
+         |SELECT CAST(b.qid AS BIGINT) AS qid,
+         |  CAST(b.r AS BIGINT) AS rerank_depth,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(COALESCE(h.n_hit, 0) / 10.0, 4) AS recall_at_10
+         |FROM (SELECT q.qid, d.r FROM q CROSS JOIN depths d) b
+         |LEFT JOIN hits h ON h.qid = b.qid AND h.r = b.r
+         |ORDER BY qid, rerank_depth""".stripMargin),
+      "SQ8 recall@10 at pinned depths — the quality instrument itself hash-matched against an independent engine"),
+
     "sq_topk_fixed" -> DeclaredQuery(
       // the SQ8 pipeline under the BYTE-EXACT ORACLE — the ivf_assign
       // pattern applied to the quantization family: unlike the
