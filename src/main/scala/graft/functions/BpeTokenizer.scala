@@ -26,14 +26,58 @@ final class BpeTokenizer(val merges: IndexedSeq[(String, String)])
   private val rank: Map[(String, String), Int] =
     merges.iterator.zipWithIndex.toMap
 
+  /** Content fingerprint of the merges table (64-bit FNV-1a over every
+    * merge pair) — the per-JVM word→pieces memo key prefix. Recomputed
+    * lazily after deserialization into a task; two handles over the same
+    * table share one memo, two different tables can never collide on a
+    * mere object identity. */
+  @transient private lazy val mergesFingerprint: java.lang.Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h ^= 0x1F; h *= 0x100000001b3L // unit separator between fields
+    }
+    merges.foreach { case (a, b) => mix(a); mix(b) }
+    java.lang.Long.valueOf(h)
+  }
+
   /** End-of-word marker, fused onto a word's final character (so "low"
     * and the prefix of "lower" tokenize differently — the point of the
     * marker in the public algorithm). */
   val EOW = "</w>"
 
-  /** BPE pieces of one whitespace-free word. Empty input → no pieces. */
+  /** BPE pieces of one whitespace-free word. Empty input → no pieces.
+    *
+    * Memoized per JVM: natural-language corpora are Zipfian, so the same
+    * head words recur millions of times per partition while the greedy
+    * merge loop is O(len²·merges-present) per CALL — the standard
+    * production-BPE trick (GPT-2's reference encoder keeps exactly this
+    * word→pieces dict) is a cache keyed by (merges fingerprint, word).
+    * Bounded fill-then-freeze (see [[BpeTokenizer.memo]]): under Zipf the
+    * head fills first, which is precisely the high-hit-rate set. */
   def encodeWord(word: String): Seq[String] = {
-    if (word == null || word.isEmpty) return Nil
+    val a = encodeWordArray(word)
+    if (a.length == 0) Nil
+    else scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+  }
+
+  private def encodeWordArray(word: String): Array[String] = {
+    if (word == null || word.isEmpty) return BpeTokenizer.emptyPieces
+    val table = BpeTokenizer.memoFor(mergesFingerprint)
+    val hit = table.get(word)
+    if (hit != null) return hit
+    val syms = encodeWordUncached(word)
+    // cap both table size and key length: beyond the Zipf head the hit
+    // rate no longer pays for the memory, and pathological long "words"
+    // (base64 blobs, URLs) would bloat the cache for one-shot keys
+    if (word.length <= BpeTokenizer.memoMaxWordLen &&
+        table.size < BpeTokenizer.memoMaxEntries)
+      table.putIfAbsent(word, syms)
+    syms
+  }
+
+  private def encodeWordUncached(word: String): Array[String] = {
     var syms = new Array[String](word.length)
     var i = 0
     while (i < word.length) {
@@ -68,7 +112,7 @@ final class BpeTokenizer(val merges: IndexedSeq[(String, String)])
         syms = out.toArray
       }
     }
-    scala.collection.immutable.ArraySeq.unsafeWrapArray(syms)
+    syms
   }
 
   /** BPE pieces of a whole text: whitespace-split (same single-space
@@ -83,7 +127,7 @@ final class BpeTokenizer(val merges: IndexedSeq[(String, String)])
       while (i < n && text.charAt(i) == ' ') i += 1
       val start = i
       while (i < n && text.charAt(i) != ' ') i += 1
-      if (i > start) out ++= encodeWord(text.substring(start, i))
+      if (i > start) out ++= encodeWordArray(text.substring(start, i))
     }
     out.toSeq
   }
@@ -98,13 +142,40 @@ final class BpeTokenizer(val merges: IndexedSeq[(String, String)])
       while (i < n && text.charAt(i) == ' ') i += 1
       val start = i
       while (i < n && text.charAt(i) != ' ') i += 1
-      if (i > start) count += encodeWord(text.substring(start, i)).length
+      if (i > start) count += encodeWordArray(text.substring(start, i)).length
     }
     count
   }
 }
 
 object BpeTokenizer {
+
+  private[functions] val emptyPieces = new Array[String](0)
+
+  /** Per-JVM word→pieces memo, one inner map per merges-table
+    * fingerprint (executors can host tokenizers over different learned
+    * tables in one JVM — e.g. the checked-in default and a
+    * `q_bpe_train`-learned one). Fill-then-freeze bound: once an inner
+    * map reaches [[memoMaxEntries]] no new keys are admitted — under a
+    * Zipfian word distribution the head (the only high-hit-rate keys)
+    * fills first, and skipping eviction keeps reads lock-free. ~64 k
+    * entries × (≤48-char word + a handful of piece strings) is single-
+    * digit MB per table per executor JVM. */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    java.lang.Long,
+    java.util.concurrent.ConcurrentHashMap[String, Array[String]]]()
+  private[functions] val memoMaxEntries = 1 << 16
+  private[functions] val memoMaxWordLen = 48
+
+  private[functions] def memoFor(fp: java.lang.Long)
+      : java.util.concurrent.ConcurrentHashMap[String, Array[String]] =
+    memo.computeIfAbsent(fp, _ =>
+      new java.util.concurrent.ConcurrentHashMap[String, Array[String]](
+        1 << 12))
+
+  /** Test hook: drop every memoized table (BpeSpec uses it to prove
+    * cached and uncached paths agree). */
+  private[graft] def clearMemo(): Unit = memo.clear()
 
   /** Parse a merges table: one merge per line, "left right", in priority
     * order; blank lines skipped. Only the FIRST line may be a `#` header

@@ -98,20 +98,56 @@ object TransformerEmbedder {
 
     private val dHead = dModel / nHeads
 
+    /** Position-encoding table, computed ONCE per session and grown in
+      * doublings on demand: the formulaic [[posEnc]] costs a `pow` + a
+      * `sin`/`cos` per (position, dim) PER FORWARD CALL — t·d = 4096
+      * transcendentals per 128-token document, all recomputing the same
+      * values. The table stores the exact same floats (same formula,
+      * same order), so outputs are byte-identical; readers take the
+      * volatile snapshot lock-free and growth is rare + synchronized. */
+    @volatile private var posTable: Array[Float] = new Array[Float](0)
+
+    private def posTableFor(t: Int): Array[Float] = {
+      val cur = posTable
+      if (cur.length >= t * dModel) cur
+      else synchronized {
+        val have = posTable
+        if (have.length >= t * dModel) have
+        else {
+          var rows = math.max(have.length / dModel * 2, 64)
+          while (rows < t) rows *= 2
+          val next = new Array[Float](rows * dModel)
+          var p = 0
+          while (p < rows) {
+            var i = 0
+            while (i < dModel) {
+              next(p * dModel + i) = posEnc(p, i, dModel)
+              i += 1
+            }
+            p += 1
+          }
+          posTable = next
+          next
+        }
+      }
+    }
+
     /** One forward pass: ids → pooled `dimOut` vector. All buffers are
       * call-local (the session is shared across threads — local mode
       * runs 32 tasks in one JVM). */
     def forward(ids: Array[Int]): Array[Float] = {
       val t = ids.length
       val d = dModel
-      // token embedding + sinusoidal position encoding
+      // token embedding + sinusoidal position encoding (precomputed table)
+      val pt = posTableFor(t)
       var x = new Array[Float](t * d)
       var p = 0
       while (p < t) {
         val base = ids(p) * d
+        val xb = p * d
         var i = 0
         while (i < d) {
-          x(p * d + i) = tokenEmb(base + i) + posEnc(p, i, d)
+          x(xb + i) = tokenEmb(base + i) + pt(xb + i)
           i += 1
         }
         p += 1
@@ -191,33 +227,47 @@ object TransformerEmbedder {
       }
       var i = 0
       while (i < d) { pooled(i) /= t; i += 1 }
-      val out = new Array[Float](dimOut)
-      var o = 0
-      while (o < dimOut) {
-        var acc = bOut(o)
-        val base = o * d
-        i = 0
-        while (i < d) { acc += wOut(base + i) * pooled(i); i += 1 }
-        out(o) = acc
-        o += 1
-      }
-      out
+      linear(pooled, 1, wOut, bOut, d, dimOut)
     }
 
-    /** rows×dIn through W[dOut×dIn]+b → rows×dOut */
+    /** rows×dIn through W[dOut×dIn]+b → rows×dOut.
+      *
+      * Unrolled 4-wide over OUTPUTS: a single `acc += w·x` loop is one
+      * serial float-add dependency chain (~4-cycle latency per add caps
+      * it at ~0.25 MAC/cycle); four outputs give four INDEPENDENT chains
+      * sharing one streamed read of the x row. Each output's own
+      * accumulation order over i is unchanged, so results are
+      * byte-identical to the straight loop (asserted in EmbedderSpec). */
     private def linear(x: Array[Float], rows: Int, w: Array[Float],
                        b: Array[Float], dIn: Int, dOut: Int): Array[Float] = {
       val out = new Array[Float](rows * dOut)
       var r = 0
       while (r < rows) {
+        val xb = r * dIn
+        val ob = r * dOut
         var o = 0
+        while (o + 4 <= dOut) {
+          var a0 = b(o); var a1 = b(o + 1); var a2 = b(o + 2); var a3 = b(o + 3)
+          val w0 = o * dIn; val w1 = w0 + dIn; val w2 = w1 + dIn; val w3 = w2 + dIn
+          var i = 0
+          while (i < dIn) {
+            val xv = x(xb + i)
+            a0 += w(w0 + i) * xv
+            a1 += w(w1 + i) * xv
+            a2 += w(w2 + i) * xv
+            a3 += w(w3 + i) * xv
+            i += 1
+          }
+          out(ob + o) = a0; out(ob + o + 1) = a1
+          out(ob + o + 2) = a2; out(ob + o + 3) = a3
+          o += 4
+        }
         while (o < dOut) {
           var acc = b(o)
           val wb = o * dIn
-          val xb = r * dIn
           var i = 0
           while (i < dIn) { acc += w(wb + i) * x(xb + i); i += 1 }
-          out(r * dOut + o) = acc
+          out(ob + o) = acc
           o += 1
         }
         r += 1

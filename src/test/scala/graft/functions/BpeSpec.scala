@@ -116,6 +116,29 @@ class BpeSpec extends AnyFunSuite {
     assert(merges === Vector(("#", "i"), ("#i", "n"), ("a", "b</w>")))
   }
 
+  test("word memo: cached and cold paths agree; tables never cross-contaminate") {
+    BpeTokenizer.clearMemo()
+    val words = Seq("abc", "bc", "abcabc", "xyz", "aaaa", "hello")
+    val cold = words.map(t.encodeWord) // fills the memo
+    val warm = words.map(t.encodeWord) // served from the memo
+    assert(warm === cold)
+    // a DIFFERENT table over the same words must not see t's cached
+    // pieces — the fingerprint keys distinct tables to distinct memos
+    val t2 = new BpeTokenizer(Vector(("b", "c"), ("a", "b")))
+    // (b,c) can't fire (the c carries </w>), so (a,b) merges → [ab, c</w>]
+    assert(t2.encodeWord("abc") === Seq("ab", "c</w>"))
+    assert(t2.encodeWord("abc") !== t.encodeWord("abc"))
+    // and a fresh handle over the SAME merges shares the warm memo yet
+    // still answers identically to the cold computation
+    val tTwin = new BpeTokenizer(t.merges)
+    assert(words.map(tTwin.encodeWord) === cold)
+    // over-length words bypass admission but still encode correctly
+    val long = "ab" * 40 // 80 chars > memoMaxWordLen
+    assert(t.encodeWord(long).mkString.replace(t.EOW, "") === long)
+    BpeTokenizer.clearMemo()
+    assert(words.map(t.encodeWord) === cold) // cold again post-clear
+  }
+
   test("null-safe and registered as SQL function graft_bpe") {
     val spark = graft.TestSpark.spark
     graft.GraftExtensions.install(spark)

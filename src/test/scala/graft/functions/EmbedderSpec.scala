@@ -154,6 +154,100 @@ class EmbedderSpec extends AnyFunSuite {
       texts.map(t => m.embed(t).toSeq))
   }
 
+  test("TransformerEmbedder: optimized forward ≡ naive straight-loop reference, byte-for-byte") {
+    // Guards the hot-path optimizations (4-wide output-unrolled linear,
+    // precomputed position table): each output element's float
+    // accumulation ORDER must stay exactly the straight loop's, so the
+    // optimized session must reproduce this naive reference to the bit.
+    val path = writeTransformer()
+    val s = TransformerEmbedder.sessionFor(path)
+    val d = s.dModel; val dH = d / s.nHeads
+    def posEnc(pos: Int, i: Int): Float = {
+      val freq = math.pow(10000.0, -((i / 2) * 2).toDouble / d)
+      (if (i % 2 == 0) math.sin(pos * freq) else math.cos(pos * freq)).toFloat
+    }
+    def lin(x: Array[Float], rows: Int, w: Array[Float], b: Array[Float],
+            dIn: Int, dOut: Int): Array[Float] = {
+      val out = new Array[Float](rows * dOut)
+      for (r <- 0 until rows; o <- 0 until dOut) {
+        var acc = b(o)
+        var i = 0
+        while (i < dIn) { acc += w(o * dIn + i) * x(r * dIn + i); i += 1 }
+        out(r * dOut + o) = acc
+      }
+      out
+    }
+    def norm(x: Array[Float], rows: Int, g: Array[Float], b: Array[Float])
+        : Array[Float] = {
+      val out = new Array[Float](rows * d)
+      for (r <- 0 until rows) {
+        var mean = 0.0f
+        var i = 0
+        while (i < d) { mean += x(r * d + i); i += 1 }
+        mean /= d
+        var va = 0.0f
+        i = 0
+        while (i < d) {
+          val dv = x(r * d + i) - mean; va += dv * dv; i += 1 }
+        val inv = (1.0 / math.sqrt(va / d + 1e-5)).toFloat
+        i = 0
+        while (i < d) {
+          out(r * d + i) = (x(r * d + i) - mean) * inv * g(i) + b(i); i += 1 }
+      }
+      out
+    }
+    def reference(ids: Array[Int]): Array[Float] = {
+      val t = ids.length
+      var x = new Array[Float](t * d)
+      for (p <- 0 until t; i <- 0 until d)
+        x(p * d + i) = s.tokenEmb(ids(p) * d + i) + posEnc(p, i)
+      for (l <- s.layers) {
+        val q = lin(x, t, l.wq, l.bq, d, d); val k = lin(x, t, l.wk, l.bk, d, d)
+        val v = lin(x, t, l.wv, l.bv, d, d)
+        val ctx = new Array[Float](t * d)
+        val scale = (1.0 / math.sqrt(dH.toDouble)).toFloat
+        for (h <- 0 until s.nHeads; ti <- 0 until t) {
+          val off = h * dH
+          val sc = Array.tabulate(t) { si =>
+            var acc = 0.0f
+            var i = 0
+            while (i < dH) { acc += q(ti * d + off + i) * k(si * d + off + i); i += 1 }
+            acc * scale
+          }
+          val mx = sc.max
+          val es = sc.map(v0 => math.exp((v0 - mx).toDouble).toFloat)
+          var z = 0.0f
+          es.foreach(z += _)
+          for (si <- 0 until t; i <- 0 until dH)
+            ctx(ti * d + off + i) += (es(si) / z) * v(si * d + off + i)
+        }
+        val ao = lin(ctx, t, l.wo, l.bo, d, d)
+        for (i <- ao.indices) ao(i) += x(i)
+        val x1 = norm(ao, t, l.ln1g, l.ln1b)
+        val hid = lin(x1, t, l.w1, l.b1, d, s.dFf)
+        for (i <- hid.indices) {
+          val v0 = hid(i).toDouble
+          hid(i) = (0.5 * v0 * (1.0 + math.tanh(
+            0.7978845608028654 * (v0 + 0.044715 * v0 * v0 * v0)))).toFloat
+        }
+        val ff = lin(hid, t, l.w2, l.b2, s.dFf, d)
+        for (i <- ff.indices) ff(i) += x1(i)
+        x = norm(ff, t, l.ln2g, l.ln2b)
+      }
+      val pooled = new Array[Float](d)
+      for (p <- 0 until t; i <- 0 until d) pooled(i) += x(p * d + i)
+      for (i <- 0 until d) pooled(i) /= t
+      lin(pooled, 1, s.wOut, s.bOut, d, s.dimOut)
+    }
+    for (ids <- Seq(Array(0), Array(1, 2, 3), Array.tabulate(37)(i => (i * 97) % s.vocab),
+        Array.tabulate(128)(i => (i * 31 + 7) % s.vocab))) {
+      val got = s.forward(ids)
+      val want = reference(ids)
+      assert(got.toSeq === want.toSeq,
+        s"forward diverged from straight-loop reference at t=${ids.length}")
+    }
+  }
+
   test("TransformerEmbedder: one session load per JVM across a distributed run, batched ≡ row-wise") {
     val spark = graft.TestSpark.spark
     import org.apache.spark.sql.functions.col
