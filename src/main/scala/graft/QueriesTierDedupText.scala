@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Embedder, TransformerEmbedder, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{Decontaminate, Dedup, Expectations, Forget, IvfIndex, LangId, Multimodal, NearDup, PdfText, PqIndex, Sampling, Search, Sketch, SpanDedup, SqIndex, TextAnalysis, TextIndex}
+import graft.operators.{Decontaminate, Dedup, Expectations, Forget, IvfIndex, LangId, Multimodal, NearDup, PdfText, PqIndex, PrefixSum, Sampling, Search, Sketch, SpanDedup, SqIndex, TextAnalysis, TextIndex}
 import graft.sources.{IncrementalView, VersionedCorpus}
 import graft.streaming.Streams
 
@@ -1268,17 +1268,19 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // until the cumulative token count crosses the budget — the
       // running-sum window form of "take ~B tokens per source". Integer
       // token counts keep the running sum exact (no float-retraction
-      // drift). Scale note: partitionBy(lang) gives one window partition
-      // per group (same skew profile as any per-key window, cf.
-      // q_top_order_per_cust); for few-group corpora at extreme size the
-      // same semantics come from per-range partial sums + prefix offsets.
+      // drift). Scale shape: the two-phase prefix sum
+      // (PrefixSum.groupedRunningSum — per-range partial sums + broadcast
+      // exclusive offsets + a (lang, partition)-salted local scan)
+      // replaces the naive partitionBy(lang) window, whose parallelism is
+      // bounded by the number of languages: at 100 TB a handful of tasks
+      // would each drag terabytes through one sort buffer. Identical
+      // results (spec-pinned in PrefixSumSpec + this row's oracle).
       (s, dir) => {
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        T(s, dir, "documents")
+        val base = T(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        PrefixSum.groupedRunningSum(base, "lang", "doc_id",
+            "n_tokens", "cum_tokens")
           .filter(col("cum_tokens") <= 2000)
           .orderBy(col("lang"), col("doc_id"))
       },
@@ -1308,12 +1310,11 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // (297,869 word instances, zero mismatches) before this row was
       // promoted from rows-only.
       (s, dir) => {
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        T(s, dir, "documents")
+        val base = T(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             size(TextAnalysis.bpeTokens(col("text"))).cast("long").as("n_bpe"))
-          .withColumn("cum_bpe", sum(col("n_bpe")).over(w))
+        PrefixSum.groupedRunningSum(base, "lang", "doc_id",
+            "n_bpe", "cum_bpe")
           .filter(col("cum_bpe") <= 2000)
           .orderBy(col("lang"), col("doc_id"))
       },
@@ -1327,16 +1328,15 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // running-sum bucket form (same window discipline as
       // q_token_budget: integer running sums, no float retraction).
       // Output is one row per packed sequence with its doc count and
-      // token mass. Scale note: the window partitions by lang (per-key
-      // skew profile documented at q_token_budget); the groupBy after it
-      // is partial-aggregatable.
+      // token mass. Scale shape: two-phase prefix sum (see
+      // q_token_budget / PrefixSum) instead of the #langs-parallel
+      // window; the groupBy after it is partial-aggregatable.
       (s, dir) => {
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        T(s, dir, "documents")
+        val base = T(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        PrefixSum.groupedRunningSum(base, "lang", "doc_id",
+            "n_tokens", "cum_tokens")
           .withColumn("seq_id", floor(col("cum_tokens") / lit(512.0)))
           .groupBy(col("lang"), col("seq_id"))
           .agg(count(lit(1)).as("n_docs"),
@@ -1360,8 +1360,18 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // 2-grams occupied by its single most frequent 2-gram — the
       // standard boilerplate/spam signal a training mix drops on. Docs
       // with < 2 tokens have no 2-gram and are excluded in both engines.
-      (s, dir) => TextAnalysis.repetitionStats(
-        T(s, dir, "documents"), "doc_id", "text", n = 2)
+      // Declared on the ROW-LOCAL projection twin (sort-the-gram-array +
+      // longest-equal-run fold): zero Exchange — the aggregate form
+      // (repetitionStats) explodes every 2-gram into a corpus-token-sized
+      // shuffle stream, which at 100 TB is the difference between scan
+      // speed and a full-corpus Exchange. The two forms are asserted
+      // equal corpus-wide in TextAnalysisSpec, and the shuffle-free plan
+      // shape is pinned in PlanSpec.
+      (s, dir) => T(s, dir, "documents")
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 2)
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatioCol(col("text"), 2).as("rep_ratio"),
+          size(NearDup.shingles(col("text"), 2)).cast("long").as("n_grams"))
         .orderBy(col("doc_id")),
       Some("""WITH t AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -1407,9 +1417,10 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
             bucket < thresh)
           .select(col("doc_id"), col("lang"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        kept.withColumn("cum", sum(col("n_tokens")).over(w))
+        // two-phase prefix sum (see q_token_budget / PrefixSum): the
+        // budget scan must not serialize per lang even inside the chain
+        PrefixSum.groupedRunningSum(kept, "lang", "doc_id",
+            "n_tokens", "cum")
           .filter(col("cum") <= 4000)
           .withColumn("seq_id", floor(col("cum") / lit(512.0)))
           .groupBy(col("lang"), col("seq_id"))

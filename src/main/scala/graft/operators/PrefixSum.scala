@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase distributed prefix sum (grouped running totals).
+  *
+  * The naive form — `sum(v) OVER (PARTITION BY grp ORDER BY ord)` — puts
+  * EVERY row of a group in one window partition, i.e. one task per
+  * group. For the training-mix admission queries the group is a language
+  * tag: at 100 TB that is a handful of tasks each dragging terabytes
+  * through a single sort buffer, the classic low-cardinality window
+  * bottleneck. (The reference — a 193-line single-process engine,
+  * `app.py` — never meets it; this is the scale path the Spark rebuild
+  * owes its users.)
+  *
+  * The classic fix is the parallel two-phase scan (Blelloch 1990):
+  *
+  *   1. range-partition by (grp, ord) with an EXPLICIT partition count
+  *      (a user-specified count is exempt from AQE coalescing, keeping
+  *      `spark_partition_id()` stable across the two consumers of the
+  *      subtree — the reused Exchange serves both);
+  *   2. per (partition, grp) partial sums — a tiny aggregate of at most
+  *      numPartitions + |groups| rows (each partition holds a contiguous
+  *      (grp, ord) range, so it overlaps at most a prefix group, some
+  *      whole groups, and a suffix group);
+  *   3. exclusive offsets per (partition, grp) via a window over that
+  *      TINY table (cost: |partials| rows, not |rows|);
+  *   4. broadcast the offsets back and finish with a LOCAL running sum
+  *      per (grp, partition-id) — the salted window: parallelism is
+  *      numPartitions, every cell is bounded by one partition's slice of
+  *      one group, and no single task ever sees a whole group.
+  *
+  * Result rows are byte-identical to the naive window (integer adds over
+  * the same per-group `ord` order associate freely), pinned in
+  * PrefixSumSpec against the single-window twin and by the unchanged
+  * oracle hashes of q_token_budget / q_pack_sequences / q_trainmix_e2e.
+  */
+object PrefixSum {
+
+  /** `out` = running sum of LONG column `value` over rows ordered by
+    * `order` within each `group`, inclusive of the current row —
+    * identical semantics to
+    * `sum(value) OVER (PARTITION BY group ORDER BY order
+    *   ROWS UNBOUNDED PRECEDING)` but with no per-group task.
+    *
+    * `order` must be a within-group unique key (the admission queries
+    * use the primary-key doc_id) — the same requirement the naive window
+    * already had for deterministic output.
+    */
+  def groupedRunningSum(df: DataFrame, group: String, order: String,
+                        value: String, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // one materialized pid column; both phase-2 consumers read the SAME
+    // range Exchange (explicit count → AQE may not re-coalesce it)
+    val parted = df
+      .repartitionByRange(n, col(group), col(order))
+      .withColumn("_ps_pid", spark_partition_id())
+    val partials = parted
+      .groupBy(col("_ps_pid"), col(group))
+      .agg(sum(col(value)).as("_ps_partial"))
+    // exclusive prefix of earlier partitions' partials, per group —
+    // a window over ≤ n + |groups| rows
+    val offsets = partials
+      .withColumn("_ps_offset",
+        coalesce(
+          sum(col("_ps_partial")).over(
+            Window.partitionBy(col(group)).orderBy(col("_ps_pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_ps_pid").as("_ps_opid"), col(group).as("_ps_ogrp"),
+        col("_ps_offset"))
+    // local scan: window cells are (group, pid) — bounded by one
+    // partition's slice, parallelism = n regardless of |groups|
+    val localW = Window
+      .partitionBy(col(group), col("_ps_pid"))
+      .orderBy(col(order))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null-safe on the group key: a null group is a legal window
+    // partition in the naive form, so it must survive the offset join
+    parted
+      .withColumn("_ps_local", sum(col(value)).over(localW))
+      .join(broadcast(offsets),
+        col("_ps_pid") === col("_ps_opid") && col(group) <=> col("_ps_ogrp"))
+      .withColumn(out, col("_ps_local") + col("_ps_offset"))
+      .drop("_ps_pid", "_ps_opid", "_ps_ogrp", "_ps_local", "_ps_offset")
+  }
+}

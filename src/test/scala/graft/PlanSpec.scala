@@ -135,6 +135,39 @@ class PlanSpec extends AnyFunSuite {
       s"document text must not shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("q_repetition: row-local ratio — no gram explode, no hash Exchange, no aggregate") {
+    val p = plan("q_repetition")
+    // the declared form computes the max-2-gram ratio as a pure
+    // projection (sorted-gram-array longest-run fold). The aggregate twin
+    // (repetitionStats) explodes every 2-gram into a corpus-token-sized
+    // hash shuffle — that shape must never come back on this row.
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"gram-stream hash shuffle reappeared:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("Generate"),
+      s"aggregate/explode form reappeared:\n$p")
+    // the only Exchange allowed is the presentation-sort range partition
+    // over the 3-column result — it must not carry document text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text must not shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q_token_budget: running sum is the two-phase prefix scan, not a per-lang window") {
+    val p = plan("q_token_budget")
+    // the big-side window must carry the partition-id salt next to the
+    // lang key (parallelism = #partitions, not #langs); the only bare
+    // lang window allowed is the offsets' tiny scan, whose ORDER key is
+    // the pid itself — so every windowspecdefinition over lang must
+    // mention _ps_pid one way or the other
+    val bare = p.linesIterator
+      .filter(_.contains("windowspecdefinition(lang#"))
+      .filterNot(_.contains("_ps_pid")).toSeq
+    assert(bare.isEmpty,
+      s"per-lang single-task window reappeared:\n${bare.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"),
+      "prefix offsets must broadcast back onto the partitioned scan")
+  }
+
   test("incr_heavy_hitters: sketch aggs are partial+final; lookups broadcast; text never shuffles") {
     val p = plan("incr_heavy_hitters")
     // the CMS build/merge run as typed aggregates — partial then final
