@@ -76,6 +76,9 @@ object Bench {
       "_pq_build" -> (() => { Queries.sharedPqIndex(spark, sfDir); () }),
       "_sq_build" -> (() => { Queries.sharedSqIndex(spark, sfDir); () }),
       "_ivfpq_build" -> (() => { Queries.sharedIvfPqIndex(spark, sfDir); () }),
+      "_ivff_build" -> (() => { Queries.sharedFixedIvf(spark, sfDir); () }),
+      "_pqf_encode" -> (() => { Queries.sharedFixedPq(spark, sfDir); () }),
+      "_ivfpqf_build" -> (() => { Queries.sharedFixedIvfPq(spark, sfDir); () }),
       "_minhash_build" -> (() =>
         { Queries.sharedMinhashVerified(spark, sfDir).count(); () }),
       "_dedup_edges_build" -> (() =>

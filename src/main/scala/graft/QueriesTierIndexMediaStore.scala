@@ -276,30 +276,22 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       // included), and the map-side bounded TopKAggregator whose tie
       // discipline (sim DESC, id ASC, per query) must reproduce
       // DuckDB's partitioned row_number exactly. The rows-only
-      // ivf_probe_many adds only the float-iterated centroids.
+      // ivf_probe_many adds only the float-iterated centroids. The
+      // fixed-assignment index comes from the shared sharedFixedIvf memo
+      // (built once per dir, priced as the `_ivff_build` infra line) so
+      // each rep measures the deployed probe, not a rebuild — the same
+      // build-vs-consume split every calibrated index row already uses.
       (s, dir) => {
-        val emb = T(s, dir, "embeddings")
+        val (path, cents) = sharedFixedIvf(s, dir)
         import s.implicits._
-        val seeds = emb.orderBy("vec_id").limit(8)
-          .select(transform(col("embedding"), _.cast("double")).as("c"))
-          .collect().toIndexedSeq.zipWithIndex
-          .map { case (r, i) => (i, r.getSeq[Double](0)) }
-        val cents = seeds.toDF("cluster_id", "centroid")
-        val assign = IvfIndex.assignTo(emb, "vec_id", "embedding", cents)
-        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivfmf")
-        try {
-          val path = s"$tmpRoot/ivf"
-          IvfIndex.writePartitioned(emb, "vec_id", assign, path)
-          val qs = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
-            .toDF("qid", "qvec")
-          localFrame(
-            IvfIndex.probeMany(s, path, "vec_id", "embedding", cents, qs,
-                "qid", "qvec", k = 10, nprobe = 3)
-              .select(col("qid"), col("vec_id"), col("sim"),
-                col("rank").cast("long").as("rank"))
-              .orderBy(col("qid"), col("rank")))
-        } finally org.apache.commons.io.FileUtils
-          .deleteDirectory(tmpRoot.toFile)
+        val qs = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+          .toDF("qid", "qvec")
+        localFrame(
+          IvfIndex.probeMany(s, path, "vec_id", "embedding", cents, qs,
+              "qid", "qvec", k = 10, nprobe = 3)
+            .select(col("qid"), col("vec_id"), col("sim"),
+              col("rank").cast("long").as("rank"))
+            .orderBy(col("qid"), col("rank")))
       },
       Some(s"""WITH cents AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
@@ -754,22 +746,19 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       // row is the Lloyd-iterated codewords themselves; the ENCODE/ADC/
       // re-rank arithmetic it runs is exactly what this row hash-gates.
       // The corpus is SLICED (vec_id % 8 = 0, mirrored in the SQL): the
-      // per-rep HOF argmin encode is the expensive stage, and bounding
-      // it keeps the row bench-proportionate — whole-corpus realism
-      // stays with the calibrated pq_topk over the shared prebuilt
-      // codes table; this row's job is the hash gate.
+      // HOF argmin encode is the expensive stage, and bounding it keeps
+      // the row bench-proportionate — whole-corpus realism stays with
+      // the calibrated pq_topk over the shared prebuilt codes table;
+      // this row's job is the hash gate. The fixed-codebook codes table
+      // comes from the sharedFixedPq memo (built once per dir, priced as
+      // the `_pqf_encode` infra line): each rep measures the deployed
+      // ADC scan + re-rank, not a re-encode of yesterday's artifact.
       (s, dir) => {
         val emb = T(s, dir, "embeddings").filter(col("vec_id") % 8 === 0)
-        val seeds = emb.orderBy("vec_id").limit(16)
-          .select(transform(col("embedding"), _.cast("double")).as("v"))
-          .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-        val cb: PqIndex.Codebooks = IndexedSeq.tabulate(8) { mi =>
-          seeds.zipWithIndex.map { case (v, c) =>
-            (c, v.slice(mi * 8, mi * 8 + 8)) }
-        }
-        val encoded = PqIndex.encode(emb, "vec_id", "embedding", cb)
-        PqIndex.searchRerank(encoded, emb, "vec_id", "embedding",
-            QueryVectors.q1, cb, k = 10, r = 50)
+        val pqf = sharedFixedPq(s, dir)
+        PqIndex.searchRerank(s.read.parquet(pqf.codesPath), emb,
+            "vec_id", "embedding", QueryVectors.q1, pqf.codebooks,
+            k = 10, r = 50)
           .withColumn("rank", col("rank").cast("long"))
           .orderBy(col("rank"))
       },
@@ -821,38 +810,20 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       // argmin per subspace, coarse+ADC scoring restricted to the
       // 3 probed clusters, the top-50 cut, the re-rank. The rows-only
       // ivfpq_topk differs ONLY in where the centroids/codewords come
-      // from (two stacked k-means).
+      // from (two stacked k-means). The fixed artifact chain (seed
+      // centroids → assignment → residual codebooks → cluster-partitioned
+      // codes table) comes from the sharedFixedIvfPq memo (built once per
+      // dir, priced as the `_ivfpqf_build` infra line): each rep measures
+      // the deployed partition-pruned ADC probe + re-rank.
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
-        import s.implicits._
-        val seeds = emb.orderBy("vec_id").limit(8)
-          .select(transform(col("embedding"), _.cast("double")).as("c"))
-          .collect().toIndexedSeq.zipWithIndex
-          .map { case (r, i) => (i, r.getSeq[Double](0)) }
-        val cents = seeds.toDF("cluster_id", "centroid")
-        val assign = IvfIndex.assignTo(emb, "vec_id", "embedding", cents)
-        val res = PqIndex.residuals(emb, "vec_id", "embedding", assign, cents)
-        val rseeds = res.orderBy("vec_id").limit(16).select("res")
-          .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-        val cb: PqIndex.Codebooks = IndexedSeq.tabulate(8) { mi =>
-          rseeds.zipWithIndex.map { case (v, c) =>
-            (c, v.slice(mi * 8, mi * 8 + 8)) }
-        }
-        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivfpqf")
-        try {
-          val path = s"$tmpRoot/codes"
-          PqIndex.encodeResidual(emb, "vec_id", "embedding", assign,
-              cents, cb)
-            .repartition(col("cluster_id"))
-            .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
-          localFrame(
-            PqIndex.probeIvfPq(s, path, "vec_id", cents, QueryVectors.q1,
-                cb, k = 10, nprobe = 3,
-                rerank = Some((emb, "embedding", 50)))
-              .withColumn("rank", col("rank").cast("long"))
-              .orderBy(col("rank")))
-        } finally org.apache.commons.io.FileUtils
-          .deleteDirectory(tmpRoot.toFile)
+        val (path, cents, cb) = sharedFixedIvfPq(s, dir)
+        localFrame(
+          PqIndex.probeIvfPq(s, path, "vec_id", cents, QueryVectors.q1,
+              cb, k = 10, nprobe = 3,
+              rerank = Some((emb, "embedding", 50)))
+            .withColumn("rank", col("rank").cast("long"))
+            .orderBy(col("rank")))
       },
       Some(s"""WITH cents AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
