@@ -16,8 +16,12 @@ import org.apache.spark.sql.SparkSession
   *   - `GET  /search?q=…&k=5`     → `{"query":…,"results":[{chunk_id,
   *     chunk_text, similarity}]}` — embed → score → top-k, similarities
   *     %.4f (the reference's display contract, app.py:91)
-  *   - `POST /add?id=…&text=…`    → `{"count":N}` — append + re-embed,
-  *     visible to the next search (app.py:74-86)
+  *   - `POST /add` (form body `id=…&text=…`) → `{"count":N}` — append +
+  *     re-embed, visible to the next search (app.py:74-86). The payload
+  *     rides in the request BODY (application/x-www-form-urlencoded):
+  *     URL query params cap the text size at proxy URL limits and leak
+  *     document content into access logs. Query params are still
+  *     accepted for curl-friendliness, body fields win on conflict.
   *
   * Architecture note for a cluster: this loop is the DRIVER-side front
   * of a long-lived SparkSession — each request is one Spark action over
@@ -47,14 +51,33 @@ final class SearchServer(spark: SparkSession, db: graft.VectorDb,
     case c            => c.toString
   }
 
-  private def queryParams(ex: com.sun.net.httpserver.HttpExchange)
-      : Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
+  private def parseForm(raw: String): Map[String, String] =
+    raw.split('&')
       .filter(_.contains('='))
       .map { kv =>
         val Array(k, v) = kv.split("=", 2)
-        k -> java.net.URLDecoder.decode(v, "UTF-8")
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
       }.toMap
+
+  private def queryParams(ex: com.sun.net.httpserver.HttpExchange)
+      : Map[String, String] =
+    parseForm(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+
+  /** Mutation payload: form-encoded request body merged over any query
+    * params (body wins). Bounded read — a runaway body must not buffer
+    * unbounded bytes into the driver. */
+  private def bodyParams(ex: com.sun.net.httpserver.HttpExchange)
+      : Map[String, String] = {
+    val is = ex.getRequestBody
+    val raw = try new String(is.readNBytes(maxBodyBytes + 1), "UTF-8")
+    finally is.close()
+    if (raw.length > maxBodyBytes) throw new IllegalArgumentException(
+      s"request body exceeds $maxBodyBytes bytes")
+    queryParams(ex) ++ parseForm(raw)
+  }
+
+  private val maxBodyBytes = 1 << 20
 
   private def respond(ex: com.sun.net.httpserver.HttpExchange,
                       code: Int, body: String): Unit = {
@@ -94,16 +117,22 @@ final class SearchServer(spark: SparkSession, db: graft.VectorDb,
               }
           }
         case ("POST", "/add") =>
-          val p = queryParams(ex)
-          (p.get("id").flatMap(_.toLongOption), p.get("text")) match {
-            case (Some(id), Some(text)) if text.nonEmpty =>
-              // serialize writers; readers stay lock-free on the
-              // volatile corpus handle
-              db.synchronized { db.add(id, text) }
-              respond(ex, 200, s"""{"count":${db.count}}""")
-            case _ =>
-              respond(ex, 400,
-                """{"error":"need integral id and non-empty text"}""")
+          scala.util.Try(bodyParams(ex)) match {
+            case scala.util.Failure(e: IllegalArgumentException) =>
+              respond(ex, 413,
+                s"""{"error":"${jsonEscape(e.getMessage)}"}""")
+            case scala.util.Failure(e) => throw e
+            case scala.util.Success(p) =>
+              (p.get("id").flatMap(_.toLongOption), p.get("text")) match {
+                case (Some(id), Some(text)) if text.nonEmpty =>
+                  // serialize writers; readers stay lock-free on the
+                  // volatile corpus handle
+                  db.synchronized { db.add(id, text) }
+                  respond(ex, 200, s"""{"count":${db.count}}""")
+                case _ =>
+                  respond(ex, 400,
+                    """{"error":"need integral id and non-empty text"}""")
+              }
           }
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }

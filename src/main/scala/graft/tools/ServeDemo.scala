@@ -32,17 +32,20 @@ object ServeDemo {
           .uri(java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString()).body()
     }
-    def post(p: String): String = {
+    def post(p: String, body: String): String = {
       val c = java.net.http.HttpClient.newHttpClient()
       c.send(java.net.http.HttpRequest.newBuilder()
           .uri(java.net.URI.create(s"http://127.0.0.1:$port$p"))
-          .POST(java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
         java.net.http.HttpResponse.BodyHandlers.ofString()).body()
     }
     println("GET /count          -> " + get("/count"))
     println("GET /search?q=...   -> " +
       get("/search?q=distributed%20query%20engine&k=2"))
-    println("POST /add           -> " + post("/add?id=9&text=engine%20doc"))
+    println("POST /add (body)    -> " +
+      post("/add", "id=9&text=engine%20doc"))
     println("GET /search (new)   -> " + get("/search?q=engine%20doc&k=1"))
     if (args.contains("--stay")) {
       println("serving until killed (--stay)")

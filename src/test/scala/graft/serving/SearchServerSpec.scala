@@ -18,11 +18,13 @@ class SearchServerSpec extends AnyFunSuite {
     (resp.statusCode(), resp.body())
   }
 
-  private def post(port: Int, pathAndQuery: String): (Int, String) = {
+  private def post(port: Int, pathAndQuery: String, body: String = "")
+      : (Int, String) = {
     val client = java.net.http.HttpClient.newHttpClient()
     val req = java.net.http.HttpRequest.newBuilder()
       .uri(java.net.URI.create(s"http://127.0.0.1:$port$pathAndQuery"))
-      .POST(java.net.http.HttpRequest.BodyPublishers.noBody()).build()
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
     val resp = client.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body())
@@ -51,16 +53,79 @@ class SearchServerSpec extends AnyFunSuite {
         body.indexOf(""""chunk_id":2"""), body.length - 1))
       assert(""""similarity":-?\d+\.\d{4}[,}]""".r
         .findFirstIn(body).isDefined, body)
-      // add then re-search: the appended row is immediately visible
-      assert(post(port, "/add?id=9&text=appended%20engine%20doc")
+      // add (payload in the POST body) then re-search: the appended row
+      // is immediately visible
+      assert(post(port, "/add", "id=9&text=appended%20engine%20doc")
         === ((200, """{"count":4}""")))
       val (_, body2) = get(port, "/search?q=appended%20engine%20doc&k=1")
       assert(body2.contains(""""chunk_id":9"""))
+      // query-param add stays accepted (curl-friendliness), body wins
+      // on conflict: the text comes from the body here
+      assert(post(port, "/add?id=10&text=ignored", "text=body%20wins")
+        === ((200, """{"count":5}""")))
+      val (_, body3) = get(port, "/search?q=body%20wins&k=1")
+      assert(body3.contains(""""chunk_id":10"""))
       // error contracts
       assert(get(port, "/search")._1 === 400)
       assert(get(port, "/search?q=x&k=0")._1 === 400)
-      assert(post(port, "/add?id=notanumber&text=x")._1 === 400)
+      assert(post(port, "/add", "id=notanumber&text=x")._1 === 400)
+      assert(post(port, "/add", "id=11")._1 === 400)
+      assert(post(port, "/add", "id=11&text=" + "x" * ((1 << 20) + 8))._1
+        === 413)
       assert(get(port, "/nope")._1 === 404)
+    } finally srv.stop()
+  }
+
+  test("concurrent adds + searches: no lost append, count monotonic per reader") {
+    import spark.implicits._
+    val e = graft.functions.Embedder.default
+    val dir = java.nio.file.Files.createTempDirectory("srvc").toString + "/c"
+    graft.sources.EmbeddingCsv.write(Seq(
+      (1L, "d1", "seed document", e.embed("seed document"))
+    ).toDF("chunk_id", "document_id", "chunk_text", "vector_embedding"), dir)
+    val db = graft.VectorDb.open(spark, Some(dir))
+    val srv = new SearchServer(spark, db, port = 0).start()
+    try {
+      val port = srv.boundPort
+      val nWriters = 8
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters + 2)
+      try {
+        val monotonic = new java.util.concurrent.atomic.AtomicBoolean(true)
+        val stopReaders = new java.util.concurrent.atomic.AtomicBoolean(false)
+        // two reader threads hammer /count and /search while the
+        // writers append: each reader's observed count must never go
+        // backwards (the volatile corpus swap publishes atomically)
+        val readers = (1 to 2).map { _ =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var last = 0L
+              while (!stopReaders.get()) {
+                val (c, body) = get(port, "/count")
+                if (c == 200) {
+                  val n = body.replaceAll("[^0-9]", "").toLong
+                  if (n < last) monotonic.set(false)
+                  last = math.max(last, n)
+                }
+                val (sc, _) = get(port, "/search?q=seed%20document&k=1")
+                if (sc != 200) monotonic.set(false)
+              }
+            }
+          })
+        }
+        val writes = (1 to nWriters).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int =
+              post(port, "/add", s"id=${100 + i}&text=concurrent%20doc%20$i")._1
+          })
+        }
+        assert(writes.map(_.get()).forall(_ === 200))
+        stopReaders.set(true)
+        readers.foreach(_.get())
+        assert(monotonic.get(), "a reader saw the count go backwards")
+      } finally pool.shutdownNow()
+      // every add landed exactly once
+      val (_, finalCount) = get(port, "/count")
+      assert(finalCount === s"""{"count":${1 + nWriters}}""")
     } finally srv.stop()
   }
 }
