@@ -61,6 +61,19 @@ object Queries
     p.toString
   }
 
+  /** Same deterministic weights as [[transformerArtifactPath]] plus the
+    * checked-in tiny vocabulary section (graft/vocab_tiny.txt) — the
+    * deployment shape where listed tokens resolve through the FILE and
+    * out-of-vocabulary tokens fall back to hash-mod over the same
+    * embedding table. */
+  private[graft] lazy val transformerVocabArtifactPath: String = {
+    val p = java.nio.file.Files.createTempFile("graft-gtfev", ".bin")
+    p.toFile.deleteOnExit()
+    TransformerEmbedder.writeRandom(p.toString,
+      vocabTokens = TransformerEmbedder.tinyVocab())
+    p.toString
+  }
+
   private[graft] val q1Sql = QueryVectors.sql(QueryVectors.q1)
   private[graft] val q2Sql = QueryVectors.sql(QueryVectors.q2)
 

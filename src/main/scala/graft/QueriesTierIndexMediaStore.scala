@@ -83,6 +83,35 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       None,
       "A3 with a real multi-layer transformer (MHA+LN+GELU FFN, mean-pool) — model inference, no SQL analog"),
 
+    "ref_embed_vocab" -> DeclaredQuery(
+      // ref_embed_model with the FILE VOCABULARY in the id-lookup seat —
+      // the deployment piece the reference gets from its wordpiece
+      // vocab file (`app.py:29`): the artifact carries the checked-in
+      // graft/vocab_tiny.txt section, so every fixture-corpus token
+      // resolves to its FILE id while anything out-of-vocabulary falls
+      // back to hash-mod over the SAME embedding table. The weight
+      // bytes are ref_embed_model's exactly (the vocab section changes
+      // the id source only), the lifecycle is the same one-load-per-JVM
+      // session cache, and the batch seam is the same mapPartitions
+      // path — EmbedderSpec pins the file-vocab/hash-vocab contract.
+      // Rows-only per the A3 contract (model inference, no SQL analog).
+      // Slice % 8: the row certifies the vocab path, not throughput.
+      (s, dir) => {
+        val e = new TransformerEmbedder(transformerVocabArtifactPath,
+          dim = 64)
+        val qvec = e.embed("table scan fast query").map(_.toDouble).toSeq
+        Embedder.embedPartitions(
+          T(s, dir, "documents").filter(col("doc_id") % 8 === 0)
+            .select(col("doc_id"), col("text")),
+          "text", "emb", e, batchSize = 32)
+          .select(col("doc_id"),
+            round(VectorFunctions.dot(col("emb"), vecLit(qvec)), 4)
+              .as("sim"))
+          .orderBy(desc("sim"), asc("doc_id")).limit(5)
+      },
+      None,
+      "A3 id lookup through the artifact's file vocabulary (checked-in tiny vocab, OOV hash fallback) — model inference, no SQL analog"),
+
     "q_bpe_train" -> DeclaredQuery(
       // TOKENIZER TRAINING as a first-class distributed operator — the
       // public BPE recipe (Sennrich et al. 2016) with every iteration a

@@ -36,7 +36,16 @@ package graft.functions
   * tokenEmb[vocab×dModel]; per layer {Wq,Wk,Wv,Wo [dModel×dModel
   * row-major out×in], bq,bk,bv,bo [dModel], ln1g,ln1b [dModel],
   * W1 [dFf×dModel], b1 [dFf], W2 [dModel×dFf], b2 [dModel],
-  * ln2g,ln2b [dModel]}; Wout [dimOut×dModel], bout [dimOut].
+  * ln2g,ln2b [dModel]}; Wout [dimOut×dModel], bout [dimOut];
+  * then an OPTIONAL vocabulary section (the deployment piece the
+  * reference gets from its wordpiece vocab file, `app.py:29`): int32
+  * nTokens (1 ≤ nTokens ≤ vocab), then per token int32 byteLen +
+  * UTF-8 bytes — the token's id is its position in the list. Absent
+  * section (the v1 artifact, byte-compatible) ⇒ every token maps by
+  * the portable hash-mod rule; present ⇒ listed tokens take their
+  * file id and out-of-vocabulary tokens fall back to hash-mod over
+  * the SAME table — both paths index the same tokenEmb rows, so the
+  * pipeline downstream of the id lookup is identical.
   */
 final class TransformerEmbedder(val modelPath: String, val dim: Int,
                                 val maxTokens: Int = 128) extends Embedder {
@@ -47,15 +56,20 @@ final class TransformerEmbedder(val modelPath: String, val dim: Int,
     val sess = TransformerEmbedder.sessionFor(modelPath)
     require(sess.dimOut == dim,
       s"model at $modelPath emits ${sess.dimOut}-dim, embedder declared $dim")
-    texts.map { t => sess.forward(tokenIds(t, sess.vocab)) }
+    texts.map { t => sess.forward(tokenIds(t, sess)) }
   }
 
-  /** Whitespace tokens → ids by portable 31-polynomial hash mod vocab —
-    * the [[HashingEmbedder]] token rule reused as the vocabulary map (a
-    * trained deployment swaps in its real vocab file; the id-lookup
-    * shape downstream is identical). Empty/null text embeds as the
-    * single reserved id 0 so the forward pass always has one position. */
-  private def tokenIds(text: String, vocab: Int): Array[Int] = {
+  /** Whitespace tokens → ids. With a vocab section in the artifact,
+    * listed tokens take their FILE id (the reference's wordpiece-vocab
+    * lookup, `app.py:29`) and out-of-vocabulary tokens fall back to the
+    * portable 31-polynomial hash mod vocab — the [[HashingEmbedder]]
+    * token rule, which is also the whole map for v1 artifacts without a
+    * section. Empty/null text embeds as the single reserved id 0 so the
+    * forward pass always has one position. */
+  private def tokenIds(text: String,
+                       sess: TransformerEmbedder.Session): Array[Int] = {
+    val vocab = sess.vocab
+    val ids = sess.vocabIds // null on v1 artifacts — hash-only path
     if (text == null) return Array(0)
     val out = new java.util.ArrayList[Integer](math.min(maxTokens, 64))
     var i = 0
@@ -63,12 +77,16 @@ final class TransformerEmbedder(val modelPath: String, val dim: Int,
     while (i < n && out.size < maxTokens) {
       while (i < n && text.charAt(i) == ' ') i += 1
       if (i < n) {
+        val start = i
         var h = 0
         while (i < n && text.charAt(i) != ' ') {
           h = h * 31 + text.charAt(i)
           i += 1
         }
-        out.add(java.lang.Math.floorMod(h, vocab))
+        val fromVocab =
+          if (ids == null) null else ids.get(text.substring(start, i))
+        out.add(if (fromVocab != null) fromVocab
+          else java.lang.Math.floorMod(h, vocab))
       }
     }
     if (out.isEmpty) return Array(0)
@@ -94,7 +112,10 @@ object TransformerEmbedder {
   final case class Session(vocab: Int, dModel: Int, nLayers: Int,
                            nHeads: Int, dFf: Int, dimOut: Int,
                            tokenEmb: Array[Float], layers: IndexedSeq[Layer],
-                           wOut: Array[Float], bOut: Array[Float]) {
+                           wOut: Array[Float], bOut: Array[Float],
+                           // token → file id from the optional vocab
+                           // section; null on v1 artifacts (hash-only)
+                           vocabIds: java.util.HashMap[String, Integer] = null) {
 
     private val dHead = dModel / nHeads
 
@@ -349,6 +370,7 @@ object TransformerEmbedder {
       require(vocab > 0 && dModel > 0 && nLayers > 0 && nHeads > 0 &&
         dFf > 0 && dimOut > 0 && dModel % nHeads == 0,
         s"$p: bad header vocab=$vocab d=$dModel L=$nLayers h=$nHeads")
+      val floatStart = bb.position()
       val fb = bb.asFloatBuffer()
       def take(n: Int): Array[Float] = {
         val a = new Array[Float](n)
@@ -367,10 +389,35 @@ object TransformerEmbedder {
         ln2g = take(dModel), ln2b = take(dModel)))
       val wOut = take(dimOut * dModel)
       val bOut = take(dimOut)
-      require(fb.remaining() == 0,
-        s"$p: ${fb.remaining()} trailing floats after parsing header dims")
+      // optional vocab section after the float blocks (class doc):
+      // absent = v1 artifact (hash-only ids), present = token list
+      // whose position IS the id, consumed to the last byte
+      bb.position(floatStart + fb.position() * 4)
+      val vocabIds =
+        if (!bb.hasRemaining) null
+        else {
+          val n = bb.getInt
+          require(n > 0 && n <= vocab,
+            s"$p: vocab section has $n tokens for a $vocab-row tokenEmb")
+          val m = new java.util.HashMap[String, Integer](n * 2)
+          var i = 0
+          while (i < n) {
+            val len = bb.getInt
+            require(len > 0 && len <= bb.remaining(),
+              s"$p: vocab token $i has byte length $len")
+            val tb = new Array[Byte](len)
+            bb.get(tb)
+            val prev = m.putIfAbsent(new String(tb, "UTF-8"),
+              Integer.valueOf(i))
+            require(prev == null, s"$p: duplicate vocab token at id $i")
+            i += 1
+          }
+          require(!bb.hasRemaining,
+            s"$p: ${bb.remaining()} trailing bytes after the vocab section")
+          m
+        }
       Session(vocab, dModel, nLayers, nHeads, dFf, dimOut,
-        tokenEmb, layers, wOut, bOut)
+        tokenEmb, layers, wOut, bOut, vocabIds)
     })
 
   /** Deterministic seeded artifact writer — the "export" step a real
@@ -380,15 +427,30 @@ object TransformerEmbedder {
     * every machine produces identical bytes, so fingerprint-keyed memo
     * reuse is sound. LayerNorm gains init to 1, every other weight
     * uniform in ±0.15 (small enough that two stacked softmax/LN layers
-    * stay well-conditioned). */
+    * stay well-conditioned).
+    *
+    * `vocabTokens` (optional) appends the vocabulary section: token i of
+    * the list maps to id i (ids beyond the list stay reachable through
+    * the hash fallback). The weight bytes are IDENTICAL with or without
+    * the section — a file-vocab artifact and its hash-only twin share
+    * every float, which is what lets EmbedderSpec pin "same pipeline,
+    * different id source" exactly. */
   def writeRandom(path: String, vocab: Int = 512, dModel: Int = 32,
                   nLayers: Int = 2, nHeads: Int = 2, dFf: Int = 64,
-                  dimOut: Int = 64, seed: Long = 0x67726166744C4D31L): Unit = {
+                  dimOut: Int = 64, seed: Long = 0x67726166744C4D31L,
+                  vocabTokens: Seq[String] = Nil): Unit = {
     require(dModel % nHeads == 0, "dModel must divide into heads")
+    require(vocabTokens.size <= vocab,
+      s"${vocabTokens.size} vocab tokens exceed the $vocab-row tokenEmb")
     val perLayer = 4 * (dModel * dModel + dModel) + 4 * dModel +
       dFf * dModel + dFf + dModel * dFf + dModel
     val total = vocab * dModel + nLayers * perLayer + dimOut * dModel + dimOut
-    val bb = java.nio.ByteBuffer.allocate(4 + 6 * 4 + total * 4)
+    val tokenBytes = vocabTokens.map(_.getBytes("UTF-8"))
+    val vocabSectionBytes =
+      if (tokenBytes.isEmpty) 0
+      else 4 + tokenBytes.map(4 + _.length).sum
+    val bb = java.nio.ByteBuffer.allocate(
+        4 + 6 * 4 + total * 4 + vocabSectionBytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("GTFE".getBytes("US-ASCII"))
     bb.putInt(vocab).putInt(dModel).putInt(nLayers).putInt(nHeads)
@@ -421,6 +483,25 @@ object TransformerEmbedder {
       l += 1
     }
     putUniform(dimOut * dModel + dimOut)
+    if (tokenBytes.nonEmpty) {
+      bb.putInt(tokenBytes.size)
+      tokenBytes.foreach { tb =>
+        bb.putInt(tb.length)
+        bb.put(tb)
+      }
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get(path), bb.array())
+  }
+
+  /** The checked-in tiny deployment vocabulary (one token per line, id =
+    * line index — the plain-text convention of every public vocab file).
+    * Drives the `ref_embed_vocab` row and EmbedderSpec's file-vocab
+    * tests. */
+  def tinyVocab(): IndexedSeq[String] = {
+    val in = getClass.getResourceAsStream("/graft/vocab_tiny.txt")
+    require(in != null, "missing resource graft/vocab_tiny.txt")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toIndexedSeq
+    finally in.close()
   }
 }

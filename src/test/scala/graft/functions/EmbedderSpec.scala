@@ -270,6 +270,70 @@ class EmbedderSpec extends AnyFunSuite {
     assert(TransformerEmbedder.loadCount.get() === before + 1)
   }
 
+  test("TransformerEmbedder: file vocabulary — listed tokens take file ids, OOV falls back to hash, same pipeline") {
+    // twin artifacts sharing EVERY weight byte: one v1 (hash-only ids),
+    // one with the checked-in tiny vocab section appended
+    val hashPath = writeTransformer()
+    val vocab = TransformerEmbedder.tinyVocab()
+    assert(vocab.nonEmpty && vocab.distinct === vocab)
+    val vp = java.nio.file.Files.createTempFile("gtfe-vocab", ".bin")
+    vp.toFile.deleteOnExit()
+    TransformerEmbedder.writeRandom(vp.toString, vocabTokens = vocab)
+    val before = TransformerEmbedder.loadCount.get()
+    val hs = TransformerEmbedder.sessionFor(hashPath)
+    val vs = TransformerEmbedder.sessionFor(vp.toString)
+    // the vocab section parses to position-ids; weights are byte-equal
+    assert(hs.vocabIds === null)
+    vocab.zipWithIndex.foreach { case (t, i) =>
+      assert(vs.vocabIds.get(t) === i, s"token $t") }
+    assert(vs.tokenEmb.toSeq === hs.tokenEmb.toSeq)
+    val mh = new TransformerEmbedder(hashPath, dim = 64)
+    val mv = new TransformerEmbedder(vp.toString, dim = 64)
+    // in-vocab text: the file-vocab embedder must run the forward pass
+    // on the FILE ids — equal to the shared-weight session fed those
+    // ids directly (and, generically, different from the hash-id run)
+    val joinId = vs.vocabIds.get("join").intValue()
+    val scanId = vs.vocabIds.get("scan").intValue()
+    assert(mv.embed("join scan").toSeq ===
+      hs.forward(Array(joinId, scanId)).toSeq)
+    // OOV text: hash fallback over the same table ⇒ the two artifacts
+    // agree byte-for-byte
+    val oov = "zzzunknown qqqword notinvocab"
+    assert(mv.embed(oov).toSeq === mh.embed(oov).toSeq)
+    // mixed text: vocab word resolves via file, OOV neighbor via hash
+    val h = java.lang.Math.floorMod("zzzunknown".map(_.toInt)
+      .foldLeft(0)((a, c) => a * 31 + c), vs.vocab)
+    assert(mv.embed("join zzzunknown").toSeq ===
+      hs.forward(Array(joinId, h)).toSeq)
+    // load-once lifecycle holds for the vocab artifact too: both paths
+    // are fresh temp files ⇒ exactly two loads, then cache hits only
+    assert(TransformerEmbedder.loadCount.get() === before + 2)
+    mv.embedAll(Seq("join", "scan"))
+    assert(TransformerEmbedder.loadCount.get() === before + 2)
+    assert(TransformerEmbedder.sessionFor(vp.toString) eq vs,
+      "vocab session must be cached, not re-parsed")
+  }
+
+  test("TransformerEmbedder: vocab section validation fails loudly") {
+    // duplicate token
+    val p = java.nio.file.Files.createTempFile("gtfe-dup", ".bin")
+    p.toFile.deleteOnExit()
+    TransformerEmbedder.writeRandom(p.toString,
+      vocabTokens = Seq("join", "join"))
+    val ex = intercept[IllegalArgumentException] {
+      TransformerEmbedder.sessionFor(p.toString)
+    }
+    assert(ex.getMessage.contains("duplicate"))
+    // more tokens than tokenEmb rows is rejected at write time
+    val p2 = java.nio.file.Files.createTempFile("gtfe-over", ".bin")
+    p2.toFile.deleteOnExit()
+    val ex2 = intercept[IllegalArgumentException] {
+      TransformerEmbedder.writeRandom(p2.toString, vocab = 2,
+        vocabTokens = Seq("a", "b", "c"))
+    }
+    assert(ex2.getMessage.contains("exceed"))
+  }
+
   test("TransformerEmbedder: artifact validation fails loudly") {
     val bad = java.nio.file.Files.createTempFile("gtfe-bad", ".bin")
     java.nio.file.Files.write(bad, "NOPE".getBytes("US-ASCII"))
