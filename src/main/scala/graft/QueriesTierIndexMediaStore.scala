@@ -572,6 +572,98 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       None,
       "PQ quality: recall@10 of re-ranked ADC search vs exact top-k across the rerank-depth dial"),
 
+    "pq_recall_fixed" -> DeclaredQuery(
+      // the PQ RECALL INSTRUMENT behind the byte-exact oracle —
+      // sq_recall_fixed's pattern applied to product quantization: the
+      // float-iterated codebooks of `pq_recall` can't enter a static SQL
+      // string, but pq_topk_fixed's deterministic-init codebooks can, so
+      // DuckDB replays the ENTIRE quality evaluation — per-subspace
+      // argmin encode, the ADC ordering, the exact brute-force top-10
+      // over the same slice, the intersection count at each pinned depth
+      // (10/20/50), the recall arithmetic. Artifacts come from the SAME
+      // sharedFixedPq memo the hash-gated topk row consumes, so this row
+      // certifies the deployed fixed artifact's quality measurement, not
+      // a parallel re-derivation. `pq_recall` keeps the calibrated
+      // runtime dial over the trained codebooks.
+      (s, dir) => {
+        val pqf = sharedFixedPq(s, dir)
+        val emb8 = T(s, dir, "embeddings").filter(col("vec_id") % 8 === 0)
+        val enc = s.read.parquet(pqf.codesPath)
+        val dial = Seq(10, 20, 50)
+        val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        val rows = for {
+          (qid, q) <- calib
+          top = enc.select(col("vec_id"),
+              round(PqIndex.adcScore(col("codes"), q, pqf.codebooks), 4)
+                .as("sim"))
+            .orderBy(desc("sim"), asc("vec_id")).limit(dial.max)
+            .collect().map(_.getLong(0)).toIndexedSeq
+          exact = Search.topK(emb8, "embedding", "vec_id", q, k = 10)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          r <- dial
+        } yield {
+          val hit = (top.take(r).toSet & exact).size
+          (qid, r.toLong, hit.toLong,
+            math.rint(hit.toDouble / exact.size * 10000) / 10000)
+        }
+        import s.implicits._
+        rows.toDF("qid", "rerank_depth", "n_hit", "recall_at_10")
+          .orderBy(col("qid"), col("rerank_depth"))
+      },
+      Some(s"""WITH emb8 AS (
+         |  SELECT * FROM embeddings WHERE vec_id % 8 = 0),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         |         CAST(embedding AS DOUBLE[]) AS v
+         |  FROM (SELECT * FROM emb8 ORDER BY vec_id LIMIT 16)),
+         |q AS (SELECT 1 AS qid, $q1Sql AS qv
+         |      UNION ALL SELECT 2, $q2Sql),
+         |m AS (SELECT unnest(range(0,8)) AS mi),
+         |codes AS (
+         |  SELECT vec_id, mi, code FROM (
+         |    SELECT e.vec_id, m.mi, s.code,
+         |      row_number() OVER (PARTITION BY e.vec_id, m.mi
+         |        ORDER BY list_distance(
+         |            list_slice(CAST(e.embedding AS DOUBLE[]),
+         |                       m.mi*8+1, m.mi*8+8),
+         |            list_slice(s.v, m.mi*8+1, m.mi*8+8)),
+         |          s.code) AS rn
+         |    FROM emb8 e CROSS JOIN m CROSS JOIN seeds s)
+         |  WHERE rn = 1),
+         |cl AS (SELECT vec_id, list(code ORDER BY mi) AS codes_l
+         |       FROM codes GROUP BY vec_id),
+         |cells AS (SELECT list(v ORDER BY code) AS cs FROM seeds),
+         |adc AS (
+         |  SELECT q.qid, cl.vec_id,
+         |    round(list_sum(list_transform(range(0,8), i ->
+         |      list_dot_product(list_slice(q.qv, i*8+1, i*8+8),
+         |        list_slice(cs[codes_l[i+1]+1], i*8+1, i*8+8)))), 4) AS a
+         |  FROM cl CROSS JOIN cells CROSS JOIN q),
+         |ranked AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY a DESC, vec_id) AS rn FROM adc),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round(list_dot_product(
+         |          CAST(e.embedding AS DOUBLE[]), q.qv), 4) DESC,
+         |        e.vec_id) AS xr
+         |    FROM emb8 e CROSS JOIN q) WHERE xr <= 10),
+         |depths AS (SELECT unnest([10, 20, 50]) AS r),
+         |hits AS (
+         |  SELECT rk.qid, d.r, count(*) AS n_hit
+         |  FROM ranked rk JOIN exact x USING (qid, vec_id)
+         |  CROSS JOIN depths d WHERE rk.rn <= d.r
+         |  GROUP BY rk.qid, d.r)
+         |SELECT CAST(b.qid AS BIGINT) AS qid,
+         |  CAST(b.r AS BIGINT) AS rerank_depth,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(COALESCE(h.n_hit, 0) / 10.0, 4) AS recall_at_10
+         |FROM (SELECT q.qid, d.r FROM q CROSS JOIN depths d) b
+         |LEFT JOIN hits h ON h.qid = b.qid AND h.r = b.r
+         |ORDER BY qid, rerank_depth""".stripMargin),
+      "PQ recall@10 at pinned depths under fixed codebooks — the quality instrument hash-matched against an independent engine"),
+
     "sq_topk" -> DeclaredQuery(
       // SQ8-accelerated top-k at the CALIBRATED operating point:
       // quantized scan of the shared per-dimension-affine codes table
@@ -1071,6 +1163,100 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       },
       None,
       "B6 quality: recall@10 of the shared IVF probe vs exact top-k across the nprobe dial"),
+
+    "ivf_recall_fixed" -> DeclaredQuery(
+      // the IVF RECALL INSTRUMENT behind the byte-exact oracle —
+      // sq_recall_fixed's pattern applied to the inverted-file family:
+      // `ivf_recall`'s float-iterated centroids can't enter a static SQL
+      // string, but the fixed seed centroids can, so DuckDB replays the
+      // ENTIRE quality evaluation — assignment argmin, the per-query
+      // cluster ranking, the probe candidate set at every pinned nprobe
+      // (1/2/3/8), the candidates' exact-dot ranking, the brute-force
+      // exact top-10, the intersection counts and the recall arithmetic.
+      // nprobe = 8 probes EVERY cluster, so its recall row must be
+      // exactly 1.0 — the index-completeness self-check, here certified
+      // by an independent engine (a vector lost by the partitioned
+      // layout breaks the hash). The index table is the SAME
+      // sharedFixedIvf artifact the hash-gated probe rows consume.
+      (s, dir) => {
+        val (path, cents) = sharedFixedIvf(s, dir)
+        val emb = T(s, dir, "embeddings")
+        val centsSeq = cents.collect().toIndexedSeq
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
+        val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        val sweep = IvfIndex.calibrationTopK(s, path, "vec_id",
+          "embedding", centsSeq, calib, k = 10)
+        def topAt(qid: Long, np: Int): Set[Long] =
+          sweep.iterator.filter(t => t._1 == qid && t._2 < np).toSeq
+            .sortBy(t => (-t._4, t._3)).take(10).map(_._3).toSet
+        val dial = Seq(1, 2, 3, 8)
+        val rows = for {
+          (qid, q) <- calib
+          exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          nprobe <- dial
+        } yield {
+          val hit = (exact & topAt(qid, nprobe)).size
+          (qid, nprobe.toLong, hit.toLong,
+            math.rint(hit.toDouble / exact.size * 10000) / 10000)
+        }
+        import s.implicits._
+        rows.toDF("qid", "nprobe", "n_hit", "recall_at_10")
+          .orderBy(col("qid"), col("nprobe"))
+      },
+      Some(s"""WITH cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+         |         CAST(embedding AS DOUBLE[]) AS centroid
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |q AS (SELECT 1 AS qid, $q1Sql AS qv
+         |      UNION ALL SELECT 2, $q2Sql),
+         |assign AS (
+         |  SELECT vec_id, cluster_id FROM (
+         |    SELECT e.vec_id, c.cluster_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+         |                               c.centroid),
+         |          c.cluster_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         |near AS (
+         |  SELECT q.qid, c.cluster_id,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_distance(c.centroid, q.qv), c.cluster_id)
+         |      AS crank
+         |  FROM q CROSS JOIN cents c),
+         |depths AS (SELECT unnest([1, 2, 3, 8]) AS p),
+         |cand AS (
+         |  SELECT n.qid, d.p, e.vec_id,
+         |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv),
+         |      4) AS sim
+         |  FROM embeddings e JOIN assign a USING (vec_id)
+         |  JOIN near n ON n.cluster_id = a.cluster_id
+         |  JOIN q ON q.qid = n.qid
+         |  CROSS JOIN depths d
+         |  WHERE n.crank <= d.p),
+         |ranked AS (
+         |  SELECT qid, p, vec_id, row_number() OVER (PARTITION BY qid, p
+         |    ORDER BY sim DESC, vec_id) AS rn
+         |  FROM cand WHERE sim IS NOT NULL),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round(list_dot_product(
+         |          CAST(e.embedding AS DOUBLE[]), q.qv), 4) DESC,
+         |        e.vec_id) AS xr
+         |    FROM embeddings e CROSS JOIN q) WHERE xr <= 10),
+         |hits AS (
+         |  SELECT r.qid, r.p, count(*) AS n_hit
+         |  FROM ranked r JOIN exact x USING (qid, vec_id)
+         |  WHERE r.rn <= 10 GROUP BY r.qid, r.p)
+         |SELECT CAST(b.qid AS BIGINT) AS qid,
+         |  CAST(b.p AS BIGINT) AS nprobe,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(COALESCE(h.n_hit, 0) / 10.0, 4) AS recall_at_10
+         |FROM (SELECT q.qid, d.p FROM q CROSS JOIN depths d) b
+         |LEFT JOIN hits h ON h.qid = b.qid AND h.p = b.p
+         |ORDER BY qid, nprobe""".stripMargin),
+      "IVF recall@10 at pinned nprobes under fixed centroids (incl. the probe-all = 1.0 completeness row) — the quality instrument hash-matched against an independent engine"),
 
     "incr_ivf_append" -> DeclaredQuery(
       // INCREMENTAL IVF MAINTENANCE, driver-visible end-to-end: a day-1
