@@ -1061,6 +1061,120 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       None,
       "residual IVF-PQ quality: recall@10 vs exact across the rerank dial at the shared nprobe"),
 
+    "ivfpq_recall_fixed" -> DeclaredQuery(
+      // the COMPOSED-index RECALL INSTRUMENT behind the byte-exact
+      // oracle — completes the family (sq/pq/ivf/ivfpq now all carry a
+      // hash-gated recall twin): under ivfpq_topk_fixed's deterministic
+      // artifact chain DuckDB replays the full quality evaluation of
+      // BOTH stacked approximations at once — assignment, residuals,
+      // codeword argmin, the coarse+ADC ordering restricted to the 3
+      // probed clusters, the exact brute-force top-10 over the WHOLE
+      // corpus (so cells the probe skips count against recall, exactly
+      // as deployed), intersections at pinned depths 10/20/50, and the
+      // recall arithmetic. Same sharedFixedIvfPq artifact as the topk
+      // twin; `ivfpq_recall` keeps the calibrated dial.
+      (s, dir) => {
+        val (path, cents, cb) = sharedFixedIvfPq(s, dir)
+        val emb = T(s, dir, "embeddings")
+        val dial = Seq(10, 20, 50)
+        val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        val rows = for {
+          (qid, q) <- calib
+          adc = PqIndex.probeIvfPq(s, path, "vec_id", cents, q, cb,
+              k = dial.max, nprobe = 3)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toIndexedSeq
+          exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          r <- dial
+        } yield {
+          val hit = (adc.take(r).toSet & exact).size
+          (qid, r.toLong, hit.toLong,
+            math.rint(hit.toDouble / exact.size * 10000) / 10000)
+        }
+        import s.implicits._
+        rows.toDF("qid", "rerank_depth", "n_hit", "recall_at_10")
+          .orderBy(col("qid"), col("rerank_depth"))
+      },
+      Some(s"""WITH cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+         |         CAST(embedding AS DOUBLE[]) AS centroid
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |q AS (SELECT 1 AS qid, $q1Sql AS qv
+         |      UNION ALL SELECT 2, $q2Sql),
+         |assign AS (
+         |  SELECT vec_id, cluster_id FROM (
+         |    SELECT e.vec_id, c.cluster_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+         |                               c.centroid),
+         |          c.cluster_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         |res AS (
+         |  SELECT e.vec_id, a.cluster_id,
+         |    list_transform(range(1,65),
+         |      i -> e.embedding[i]::DOUBLE - c.centroid[i]) AS r
+         |  FROM embeddings e JOIN assign a USING (vec_id)
+         |  JOIN cents c ON c.cluster_id = a.cluster_id),
+         |rseeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r AS v
+         |  FROM (SELECT * FROM res ORDER BY vec_id LIMIT 16)),
+         |m AS (SELECT unnest(range(0,8)) AS mi),
+         |codes AS (
+         |  SELECT vec_id, mi, code FROM (
+         |    SELECT r.vec_id, m.mi, s.code,
+         |      row_number() OVER (PARTITION BY r.vec_id, m.mi
+         |        ORDER BY list_distance(
+         |            list_slice(r.r, m.mi*8+1, m.mi*8+8),
+         |            list_slice(s.v, m.mi*8+1, m.mi*8+8)),
+         |          s.code) AS rn
+         |    FROM res r CROSS JOIN m CROSS JOIN rseeds s) WHERE rn = 1),
+         |cl AS (SELECT vec_id, list(code ORDER BY mi) AS codes_l
+         |       FROM codes GROUP BY vec_id),
+         |cells AS (SELECT list(v ORDER BY code) AS cs FROM rseeds),
+         |near AS (
+         |  SELECT qid, cluster_id FROM (
+         |    SELECT q.qid, c.cluster_id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_distance(c.centroid, q.qv), c.cluster_id)
+         |        AS crank
+         |    FROM q CROSS JOIN cents c) WHERE crank <= 3),
+         |scored AS (
+         |  SELECT n.qid, a.vec_id,
+         |    round(list_dot_product(q.qv, c.centroid)
+         |      + list_sum(list_transform(range(0,8), i ->
+         |          list_dot_product(list_slice(q.qv, i*8+1, i*8+8),
+         |            list_slice(cs[codes_l[i+1]+1], i*8+1, i*8+8)))), 4)
+         |      AS sim
+         |  FROM assign a JOIN near n USING (cluster_id)
+         |  JOIN q ON q.qid = n.qid
+         |  JOIN cents c ON c.cluster_id = a.cluster_id
+         |  JOIN cl ON cl.vec_id = a.vec_id CROSS JOIN cells),
+         |ranked AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vec_id) AS rn
+         |  FROM scored WHERE sim IS NOT NULL),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round(list_dot_product(
+         |          CAST(e.embedding AS DOUBLE[]), q.qv), 4) DESC,
+         |        e.vec_id) AS xr
+         |    FROM embeddings e CROSS JOIN q) WHERE xr <= 10),
+         |depths AS (SELECT unnest([10, 20, 50]) AS r),
+         |hits AS (
+         |  SELECT rk.qid, d.r, count(*) AS n_hit
+         |  FROM ranked rk JOIN exact x USING (qid, vec_id)
+         |  CROSS JOIN depths d WHERE rk.rn <= d.r
+         |  GROUP BY rk.qid, d.r)
+         |SELECT CAST(b.qid AS BIGINT) AS qid,
+         |  CAST(b.r AS BIGINT) AS rerank_depth,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(COALESCE(h.n_hit, 0) / 10.0, 4) AS recall_at_10
+         |FROM (SELECT q.qid, d.r FROM q CROSS JOIN depths d) b
+         |LEFT JOIN hits h ON h.qid = b.qid AND h.r = b.r
+         |ORDER BY qid, rerank_depth""".stripMargin),
+      "IVF-PQ recall@10 at pinned depths under fixed artifacts (both stacked approximations priced in) — the quality instrument hash-matched against an independent engine"),
+
     "incr_ivfpq_append" -> DeclaredQuery(
       // INCREMENTAL MAINTENANCE OF THE COMPRESSED INDEX, driver-visible
       // end-to-end (the incr_ivf_append story, composed with PQ): a

@@ -39,15 +39,28 @@ object DumpPlans {
       "whitespace-count TWIN column (higher-order functions are " +
       "CodegenFallback); the graft_bpe static call itself fuses into " +
       "whole-stage codegen, asserted in BpeSpec on a bpe-only projection"),
-    "q_pack_sequences" -> ("sequence packing: the per-lang running-sum " +
-      "window (one exchange on lang) → floor bucket projection → " +
-      "partial+final HashAggregate on (lang, seq_id) — integer sums, " +
-      "no float retraction"),
+    "q_token_budget" -> ("two-phase prefix sum (PrefixSum." +
+      "groupedRunningSum): ONE range exchange on (lang, doc_id) feeding " +
+      "both phases (reused), per-(partition, lang) partial sums as a " +
+      "tiny aggregate, offsets window over that tiny relation, then the " +
+      "(lang, _ps_pid)-salted local window + BroadcastHashJoin of the " +
+      "offsets — parallelism is the partition count, never #langs; no " +
+      "bare partitionBy(lang) window anywhere"),
+    "q_repetition" -> ("row-local repetition ratio: Scan → " +
+      "Project(sorted-gram longest-run fold + shingle count) → sort — " +
+      "NO Generate, NO HashAggregate, no gram-stream Exchange (the " +
+      "aggregate twin repetitionStats explodes every 2-gram into a " +
+      "corpus-token-sized shuffle; it survives only as the spec " +
+      "cross-check)"),
+    "q_pack_sequences" -> ("sequence packing: the two-phase prefix scan " +
+      "(see q_token_budget) → floor bucket projection → partial+final " +
+      "HashAggregate on (lang, seq_id) — integer sums, no float " +
+      "retraction, no per-lang single-task window"),
     "q_trainmix_e2e" -> ("training-mix assembly chain in ONE pass: scan → " +
       "dedup (partial+final min-row agg, the only corpus-wide shuffle) → " +
       "row-local repetition-ratio + hash-admission filters (pure " +
       "projection — no repetitionStats join, no second dedup subtree) → " +
-      "per-lang window → packing aggregate"),
+      "two-phase prefix scan → packing aggregate"),
     "span_dedup" -> ("substring-span dedup: Generate(posexplode grams) → " +
       "TWO-PHASE count-distinct on the gram key (partial on (gram, doc) " +
       "map-side, so a boilerplate gram ships once per task) → equi-join " +
