@@ -71,9 +71,12 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       (s, dir) => {
         val e = new TransformerEmbedder(transformerArtifactPath, dim = 64)
         val qvec = e.embed("table scan fast query").map(_.toDouble).toSeq
+        // widenForCompute: the inference stage must see every core even
+        // when the fixture slice arrives as one parquet split
         Embedder.embedPartitions(
-          T(s, dir, "documents").filter(col("doc_id") % 4 === 0)
-            .select(col("doc_id"), col("text")),
+          widenForCompute(T(s, dir, "documents")
+            .filter(col("doc_id") % 4 === 0)
+            .select(col("doc_id"), col("text"))),
           "text", "emb", e, batchSize = 32)
           .select(col("doc_id"),
             round(VectorFunctions.dot(col("emb"), vecLit(qvec)), 4)
@@ -101,8 +104,9 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
           dim = 64)
         val qvec = e.embed("table scan fast query").map(_.toDouble).toSeq
         Embedder.embedPartitions(
-          T(s, dir, "documents").filter(col("doc_id") % 8 === 0)
-            .select(col("doc_id"), col("text")),
+          widenForCompute(T(s, dir, "documents")
+            .filter(col("doc_id") % 8 === 0)
+            .select(col("doc_id"), col("text"))),
           "text", "emb", e, batchSize = 32)
           .select(col("doc_id"),
             round(VectorFunctions.dot(col("emb"), vecLit(qvec)), 4)
@@ -157,27 +161,43 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
         val docs = T(s, dir, "documents")
           .filter(col("doc_id") % 4 === 0)
           .select(col("doc_id"), col("text"))
-        val embedded = Embedder.embedPartitions(docs, "text", "emb", e,
-            batchSize = 32)
+        // widenForCompute: inference is CPU-bound — one fixture split
+        // must not serialize the forward passes onto one core
+        val embedded = Embedder.embedPartitions(widenForCompute(docs),
+            "text", "emb", e, batchSize = 32)
           .select(col("doc_id"), col("emb"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val day1 = embedded.filter(col("doc_id") % 40 =!= 0)
           val day2 = embedded.filter(col("doc_id") % 40 === 0)
           val params = SqIndex.trainParams(day1, "doc_id", "emb")
+          // the codes table is MATERIALIZED once (cache + count — the
+          // in-memory analog of incr_sq_append's parquet write): the
+          // encode projection is an interpreted-HOF per-element grid
+          // walk, and leaving it lazy re-evaluates it inside both the
+          // broadcast candidate cut and the pushed-down null filter
+          // (profiled at 4.7 s lazy vs 0.44 s materialized for this
+          // slice). A deployment persists the codes table anyway —
+          // that's the entire point of an index.
           val codes = SqIndex.encode(day1, "doc_id", "emb", params)
             .unionByName(SqIndex.encode(day2, "doc_id", "emb", params))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // the touch aggregates the codes column itself so column
+          // pruning cannot skip materializing the array into the cache
+          codes.select(max(element_at(col("codes"), 1))).head()
           // query with a DAY-2 document's own text: its appended vector
           // must surface (self-similarity), so a lost append or a
           // re-trained grid visibly changes the output rows
           val qtext = docs.filter(col("doc_id") === 40)
             .select(col("text")).head().getString(0)
           val q = e.embed(qtext).map(_.toDouble).toSeq
-          localFrame(SqIndex.searchRerank(codes, embedded, "doc_id",
-              "emb", q, params, k = 10, r = 50)
-            .select(col("rank").cast("long").as("rank"), col("doc_id"),
-              col("sim"), (col("doc_id") % 40 === 0).as("is_new"))
-            .orderBy(col("rank")))
+          try {
+            localFrame(SqIndex.searchRerank(codes, embedded, "doc_id",
+                "emb", q, params, k = 10, r = 50)
+              .select(col("rank").cast("long").as("rank"), col("doc_id"),
+                col("sim"), (col("doc_id") % 40 === 0).as("is_new"))
+              .orderBy(col("rank")))
+          } finally codes.unpersist()
         } finally embedded.unpersist()
       },
       None,

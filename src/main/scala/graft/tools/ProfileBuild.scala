@@ -46,6 +46,79 @@ object ProfileBuild {
       }
       built._1.unpersist(); built._2.unpersist()
     }
+    // phase-by-phase replica of the incr_embed_index declared row — the
+    // heaviest non-lifecycle bench line; shows whether the seconds go to
+    // the transformer forward, the SQ stages, or job overheads
+    if (sys.env.contains("PROFILE_EMBED_PHASES")) {
+      import org.apache.spark.sql.functions._
+      val e = new graft.functions.TransformerEmbedder(
+        graft.Queries.transformerArtifactPath, dim = 64)
+      val docs = graft.Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))
+      var embedded: org.apache.spark.sql.DataFrame = null
+      t("embed_slice") {
+        embedded = graft.functions.Embedder
+          .embedPartitions(docs, "text", "emb", e, batchSize = 32)
+          .select(col("doc_id"), col("emb"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        embedded.count()
+      }
+      val day1 = embedded.filter(col("doc_id") % 40 =!= 0)
+      val day2 = embedded.filter(col("doc_id") % 40 === 0)
+      var params: graft.operators.SqIndex.SqParams = null
+      t("sq_train") {
+        params = graft.operators.SqIndex.trainParams(day1, "doc_id", "emb")
+      }
+      var codes: org.apache.spark.sql.DataFrame = null
+      t("sq_encode") {
+        codes = graft.operators.SqIndex.encode(day1, "doc_id", "emb", params)
+          .unionByName(
+            graft.operators.SqIndex.encode(day2, "doc_id", "emb", params))
+        codes.count()
+      }
+      var q: Seq[Double] = null
+      t("qtext_head_embed") {
+        val qtext = docs.filter(col("doc_id") === 40)
+          .select(col("text")).head().getString(0)
+        q = e.embed(qtext).map(_.toDouble).toSeq
+      }
+      t("embedded_recount") { embedded.count() }
+      t("embedded_recount2") { embedded.count() }
+      t("codes_recount") { codes.count() }
+      t("cands_only") {
+        codes.select(col("doc_id"),
+            round(graft.operators.SqIndex.sqScore(col("codes"), q, params), 4)
+              .as("_sq"))
+          .orderBy(desc("_sq"), asc("doc_id")).limit(50).collect()
+      }
+      t("search_rerank") {
+        graft.operators.SqIndex.searchRerank(codes, embedded, "doc_id",
+          "emb", q, params, k = 10, r = 50).collect()
+      }
+      t("search_rerank_warm") {
+        graft.operators.SqIndex.searchRerank(codes, embedded, "doc_id",
+          "emb", q, params, k = 10, r = 50).collect()
+      }
+      t("codes_materialize") {
+        codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // a max over the codes column defeats column pruning, forcing the
+        // cache to materialize the projected array
+        codes.select(max(element_at(col("codes"), 1))).head()
+      }
+      t("search_rerank_codes_cached") {
+        graft.operators.SqIndex.searchRerank(codes, embedded, "doc_id",
+          "emb", q, params, k = 10, r = 50).collect()
+      }
+      t("embed_repart") {
+        graft.functions.Embedder
+          .embedPartitions(docs.repartition(32), "text", "emb", e,
+            batchSize = 32)
+          .select(col("doc_id"), col("emb")).count()
+      }
+      codes.unpersist()
+      embedded.unpersist()
+    }
     t("ivf_build") { graft.Queries.sharedIvfIndex(spark, dir) }
     t("pq_build") { graft.Queries.sharedPqIndex(spark, dir) }
     t("sq_build") { graft.Queries.sharedSqIndex(spark, dir) }
