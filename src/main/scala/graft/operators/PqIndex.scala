@@ -165,8 +165,22 @@ object PqIndex {
 
   /** Approximate dot(q, row) from the codes column alone: `m` table
     * lookups folded in sequence — no per-dimension float math, no raw
-    * vector read. */
+    * vector read. Backed by the native codegen'd
+    * [[graft.expressions.PqAdcScoreExpr]] — bit-identical fold to
+    * [[adcScoreHof]] on valid codes (PqIndexSpec pins equality): the
+    * ADC scan over the compressed table is THE hot path of the index,
+    * so it must not run through interpreted per-element lambdas. */
   def adcScore(codes: Column, q: Seq[Double], cb: Codebooks): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.expressions.PqAdcScoreExpr(
+      Bridge.expression(codes), adcTable(q, cb), cb.head.length))
+  }
+
+  /** The higher-order-function twin of [[adcScore]] — retained as the
+    * readable fold specification and the parity oracle PqIndexSpec
+    * asserts the native kernel against; not on any hot path. */
+  private[graft] def adcScoreHof(codes: Column, q: Seq[Double],
+                                 cb: Codebooks): Column = {
     val ks = cb.head.length
     val tab = typedlit(adcTable(q, cb))
     aggregate(sequence(lit(0), lit(cb.length - 1)), lit(0.0),

@@ -112,6 +112,26 @@ object SqIndex {
     require(q.length == p.dim,
       s"query dim ${q.length} != trained dim ${p.dim}")
     val base = q.iterator.zip(p.vmin.iterator).map { case (a, b) => a * b }.sum
+    val qd = q.iterator.zip(p.delta.iterator)
+      .map { case (a, b) => a * b }.toIndexedSeq
+    // native codegen'd kernel — bit-identical fold to [[sqScoreHof]]
+    // (SqIndexSpec pins equality); the scan over the codes table is THE
+    // hot path of a compressed index, so it must not run through
+    // interpreted per-element lambda plumbing
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.expressions.SqScoreExpr(
+      Bridge.expression(codes), base, qd))
+  }
+
+  /** The higher-order-function twin of [[sqScore]] — retained as the
+    * readable specification of the fold (and the parity oracle
+    * SqIndexSpec asserts the native kernel against); not on any hot
+    * path. */
+  private[graft] def sqScoreHof(codes: Column, q: Seq[Double],
+                                p: SqParams): Column = {
+    require(q.length == p.dim,
+      s"query dim ${q.length} != trained dim ${p.dim}")
+    val base = q.iterator.zip(p.vmin.iterator).map { case (a, b) => a * b }.sum
     val qd = typedlit(q.iterator.zip(p.delta.iterator)
       .map { case (a, b) => a * b }.toIndexedSeq)
     aggregate(sequence(lit(0), lit(p.dim - 1)), lit(base),

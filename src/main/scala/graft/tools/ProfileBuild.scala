@@ -119,6 +119,84 @@ object ProfileBuild {
       codes.unpersist()
       embedded.unpersist()
     }
+    // phase-by-phase replica of near_dup_embed_lsh
+    if (sys.env.contains("PROFILE_LSH_PHASES")) {
+      import org.apache.spark.sql.functions._
+      val base = graft.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var n = 0L; var d = 0
+      t("lsh_cache_meta") {
+        val meta = base.agg(count(lit(1)).as("n"),
+          first(size(col("embedding"))).as("d")).head()
+        n = meta.getLong(0); d = meta.getInt(1)
+      }
+      val nBits = math.max(6, math.ceil(math.log(n / 4.0) / math.log(2.0)).toInt)
+      val ps = graft.operators.HyperplaneLsh.planes(d, nBits)
+      val bucketed = base.select(col("vec_id").as("_id"),
+        graft.operators.HyperplaneLsh.bucketCol(col("embedding"), ps).as("_bucket"))
+      t("lsh_bucket_eval") { bucketed.select(max(col("_bucket"))).head() }
+      var cands: org.apache.spark.sql.DataFrame = null
+      t("lsh_cands_materialize") {
+        cands = graft.operators.NearDup.embeddingCandidatesFromBuckets(bucketed, nBits)
+      }
+      t("lsh_verify") {
+        graft.operators.NearDup.cosineVerify(base, "vec_id", "embedding", cands)
+          .filter(col("cos") >= 0.3).orderBy(col("id_a"), col("id_b")).collect()
+      }
+      t("lsh_verify_warm") {
+        graft.operators.NearDup.cosineVerify(base, "vec_id", "embedding", cands)
+          .filter(col("cos") >= 0.3).orderBy(col("id_a"), col("id_b")).collect()
+      }
+      base.unpersist()
+    }
+    // native-vs-HOF scan-kernel micro-benchmark at a realistic row count
+    if (sys.env.contains("PROFILE_SCAN_KERNELS")) {
+      import org.apache.spark.sql.functions._
+      val emb = graft.Tables.load(spark, dir, "embeddings")
+      val p = graft.operators.SqIndex.trainParams(emb, "vec_id", "embedding")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-kern").toString
+      graft.operators.SqIndex.encode(emb, "vec_id", "embedding", p)
+        .crossJoin(spark.range(500).select(col("id").as("_rep")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+      val codes = spark.read.parquet(s"$tmp/codes")
+      val n = codes.count()
+      println(s"PROFILE scan_kernel_rows        $n")
+      val q = graft.QueryVectors.q1
+      def time(name: String)(c: org.apache.spark.sql.Column): Unit = {
+        codes.select(c.as("s")).agg(max(col("s"))).head() // warm
+        val t0 = System.nanoTime()
+        codes.select(c.as("s")).agg(max(col("s"))).head()
+        println(f"PROFILE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      }
+      time("sq_native") {
+        graft.operators.SqIndex.sqScore(col("codes"), q, p) }
+      time("sq_hof") {
+        graft.operators.SqIndex.sqScoreHof(col("codes"), q, p) }
+      val seeds = emb.orderBy("vec_id").limit(16)
+        .select(transform(col("embedding"), _.cast("double")).as("v"))
+        .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      val cb: graft.operators.PqIndex.Codebooks = IndexedSeq.tabulate(8) { mi =>
+        seeds.zipWithIndex.map { case (v, c) => (c, v.slice(mi * 8, mi * 8 + 8)) }
+      }
+      graft.operators.PqIndex.encode(emb, "vec_id", "embedding", cb)
+        .crossJoin(spark.range(500).select(col("id").as("_rep")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$tmp/pqcodes")
+      val pqCodes = spark.read.parquet(s"$tmp/pqcodes")
+      def timeP(name: String)(c: org.apache.spark.sql.Column): Unit = {
+        pqCodes.select(c.as("s")).agg(max(col("s"))).head()
+        val t0 = System.nanoTime()
+        pqCodes.select(c.as("s")).agg(max(col("s"))).head()
+        println(f"PROFILE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      }
+      timeP("pq_native") {
+        graft.operators.PqIndex.adcScore(col("codes"), q, cb) }
+      timeP("pq_hof") {
+        graft.operators.PqIndex.adcScoreHof(col("codes"), q, cb) }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
     t("ivf_build") { graft.Queries.sharedIvfIndex(spark, dir) }
     t("pq_build") { graft.Queries.sharedPqIndex(spark, dir) }
     t("sq_build") { graft.Queries.sharedSqIndex(spark, dir) }

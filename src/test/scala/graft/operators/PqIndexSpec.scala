@@ -229,4 +229,52 @@ class PqIndexSpec extends AnyFunSuite {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     } finally { assign.unpersist(); () }
   }
+
+  test("native adcScore kernel ≡ HOF twin bit-for-bit on valid codes; codegen'd; corrupt codes null out") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val seeds = emb.orderBy("vec_id").limit(16)
+      .select(org.apache.spark.sql.functions.transform(
+        $"embedding", _.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    val cb: PqIndex.Codebooks = IndexedSeq.tabulate(8) { mi =>
+      seeds.zipWithIndex.map { case (v, c) => (c, v.slice(mi * 8, mi * 8 + 8)) }
+    }
+    val enc = PqIndex.encode(emb, "vec_id", "embedding", cb)
+    val q64 = graft.QueryVectors.q1
+    val both = enc.select($"vec_id",
+      PqIndex.adcScore($"codes", q64, cb).as("native"),
+      PqIndex.adcScoreHof($"codes", q64, cb).as("hof")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"row ${r.getLong(0)}")
+    }
+    // codegen asserted over a MATERIALIZED codes table — the deployed
+    // shape (the in-plan encode projection is a CodegenFallback HOF)
+    val tmp = java.nio.file.Files.createTempDirectory("pqcodes").toString + "/c"
+    enc.limit(8).write.parquet(tmp)
+    val plan = spark.read.parquet(tmp)
+      .select(PqIndex.adcScore($"codes", q64, cb).as("s"))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` star on the Project is Spark's whole-stage-codegen mark
+    assert("""\*\(\d+\) Project \[pqadcscoreexpr""".r.findFirstIn(plan).isDefined,
+      s"pqadcscoreexpr must sit inside a codegen'd (starred) Project:\n$plan")
+    // a code outside [0, ks) nulls the score (the safe divergence from
+    // the HOF's neighboring-entry read, documented on the expression)
+    val corrupt = Seq((0L, Seq[Byte](0, 1, 2, 3, 4, 5, 6, 127)))
+      .toDF("vec_id", "codes")
+    assert(corrupt.select(PqIndex.adcScore($"codes", q64, cb).as("s"))
+      .select(isnull($"s")).head().getBoolean(0))
+    // short codes array -> NULL from the native kernel (one corrupt row
+    // must not fail a corpus-wide scan); the ANSI element_at in the HOF
+    // twin THROWS instead — the documented, deliberate divergence
+    val shortCodes = Seq((0L, Seq[Byte](1, 2))).toDF("vec_id", "codes")
+    assert(shortCodes.select(PqIndex.adcScore($"codes", q64, cb).as("s"))
+      .select(isnull($"s")).head().getBoolean(0))
+    intercept[Exception] {
+      shortCodes.select(PqIndex.adcScoreHof($"codes", q64, cb).as("s"))
+        .collect()
+    }
+  }
 }

@@ -186,4 +186,44 @@ class SqIndexSpec extends AnyFunSuite {
       SqIndex.trainParams(empty, "vec_id", "embedding")
     }
   }
+
+  test("native sqScore kernel ≡ HOF twin bit-for-bit; codegen'd; null shapes match") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val p = SqIndex.trainParams(emb, "vec_id", "embedding")
+    val enc = SqIndex.encode(emb, "vec_id", "embedding", p)
+    val q64 = graft.QueryVectors.q1
+    val both = enc.select($"vec_id",
+      SqIndex.sqScore($"codes", q64, p).as("native"),
+      SqIndex.sqScoreHof($"codes", q64, p).as("hof")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"row ${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}")
+    }
+    // the kernel stays inside whole-stage codegen over a MATERIALIZED
+    // codes table — the deployed shape (the in-plan encode projection is
+    // a HOF and CodegenFallback by Spark's own design, which is exactly
+    // why the builds persist codes before the scan)
+    val tmp = java.nio.file.Files.createTempDirectory("sqcodes").toString + "/c"
+    enc.limit(8).write.parquet(tmp)
+    val plan = spark.read.parquet(tmp)
+      .select(SqIndex.sqScore($"codes", q64, p).as("s"))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` star on the Project is Spark's whole-stage-codegen mark
+    assert("""\*\(\d+\) Project \[sqscoreexpr""".r.findFirstIn(plan).isDefined,
+      s"sqscoreexpr must sit inside a codegen'd (starred) Project:\n$plan")
+    assert(!plan.toLowerCase.contains("aggregate(sequence"),
+      "interpreted HOF fold must not be on the scan path")
+    // short codes array -> NULL from the native kernel (one corrupt row
+    // must not fail a corpus-wide scan); the ANSI element_at in the HOF
+    // twin THROWS instead — the documented, deliberate divergence
+    val shortCodes = Seq((0L, Seq[Byte](1, 2, 3))).toDF("vec_id", "codes")
+    assert(shortCodes.select(SqIndex.sqScore($"codes", q64, p).as("s"))
+      .select(isnull($"s")).head().getBoolean(0))
+    intercept[Exception] {
+      shortCodes.select(SqIndex.sqScoreHof($"codes", q64, p).as("s"))
+        .collect()
+    }
+  }
 }
