@@ -79,6 +79,11 @@ object Bench {
       "_ivff_build" -> (() => { Queries.sharedFixedIvf(spark, sfDir); () }),
       "_pqf_encode" -> (() => { Queries.sharedFixedPq(spark, sfDir); () }),
       "_ivfpqf_build" -> (() => { Queries.sharedFixedIvfPq(spark, sfDir); () }),
+      "_forget_fixture_build" -> (() => {
+        val (root, _) = Queries.forgetFixtureCopy(spark, sfDir)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root).getParentFile)
+      }),
       "_minhash_build" -> (() =>
         { Queries.sharedMinhashVerified(spark, sfDir).count(); () }),
       "_dedup_edges_build" -> (() =>

@@ -1053,6 +1053,61 @@ object Queries
       built.codebooks)
   }
 
+  private[graft] final case class ForgetFixtureBuilt(
+      fingerprint: String, root: String,
+      centRows: Seq[org.apache.spark.sql.Row],
+      centSchema: org.apache.spark.sql.types.StructType)
+
+  private[graft] val forgetFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ForgetFixtureBuilt]()
+
+  /** The three-store fixture `q_forget_e2e` mutates — corpus store +
+    * inverted text index + partitioned vector index — built ONCE per dir
+    * and FILE-COPIED to a fresh work dir per invocation (the
+    * [[day1SliceCopy]] discipline: what the row certifies is the FORGET
+    * composition and the post-forget searches, not the repeated
+    * construction of yesterday's stores, which at scale already exist).
+    * Every store path inside a root is relative (`gen=N`, shard files,
+    * cluster partitions), so a directory copy is a faithful store. The
+    * centroids ride in the memo; the declared probe runs nprobe = k
+    * (every cell), so the float-iterated centroid VALUES cannot affect
+    * the result — the oracle stays byte-exact. Caller must delete the
+    * returned work root. Build is priced as the `_forget_fixture_build`
+    * infra line; fingerprint covers both source tables. */
+  private[graft] def forgetFixtureCopy(s: SparkSession, dir: String)
+      : (String, DataFrame) = {
+    val fp = Tables.fixtureFingerprint(dir, "documents") + "|" +
+      embFingerprint(dir)
+    val built = forgetFixtureCache.compute(dir, (_, cached) =>
+      if (cached != null && cached.fingerprint == fp) cached
+      else {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-forgetfx")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(tmpRoot.toFile)
+        val corpusRoot = s"$tmpRoot/corpus"
+        val tix = s"$tmpRoot/tix"
+        val vix = s"$tmpRoot/vix"
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val emb = T(s, dir, "embeddings")
+        VersionedCorpus.append(docs, corpusRoot)
+        VersionedCorpus.pinKey(corpusRoot, "doc_id")
+        graft.operators.TextIndex.build(docs, "doc_id", "text", tix,
+          shards = 16)
+        val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
+          k = 8, iters = 2)
+        try {
+          IvfIndex.writePartitioned(emb, "vec_id", assign, vix)
+          ForgetFixtureBuilt(fp, tmpRoot.toString,
+            cents.collect().toSeq, cents.schema)
+        } finally { assign.unpersist(); cents.unpersist() }
+      })
+    val work = java.nio.file.Files.createTempDirectory("graft-forget-work")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(built.root), new java.io.File(s"$work/f"))
+    (s"$work/f", s.createDataFrame(
+      java.util.Arrays.asList(built.centRows: _*), built.centSchema))
+  }
+
   /** Generic source/sink round-trip through `fmt` (B32): write a typed
     * lineitem slice (long, decimal, date, string columns), read it back
     * with the writer's schema, aggregate. The oracle computes the same
@@ -1129,6 +1184,7 @@ object Queries
     fixedIvfCache.remove(dir)
     fixedPqCache.remove(dir)
     fixedIvfPqCache.remove(dir)
+    forgetFixtureCache.remove(dir)
     minhashEdgeCache.remove(dir)
     dedupEdgesCache.remove(dir)
     dedupLabelsCache.remove(dir)

@@ -1591,22 +1591,18 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // DuckDB replaying the same searches over the SURVIVING rows.
       // A tombstone leak in either index, a stats row not corrected,
       // or a probe reading a dead vector breaks the hash. LIFECYCLE
-      // row: Spark builds + mutates three stores; exclude from
-      // engine-vs-engine proxies.
+      // row: Spark mutates three real stores; exclude from
+      // engine-vs-engine proxies. The three-store fixture comes from
+      // the forgetFixtureCopy memo (built once per dir, priced as the
+      // `_forget_fixture_build` infra line; each invocation receives a
+      // cheap FILE COPY to mutate) — what the row measures is the
+      // erasure composition + both post-forget searches, not the
+      // re-construction of yesterday's stores.
       (s, dir) => {
-        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-forget")
+        val (root, cents) = forgetFixtureCopy(s, dir)
         try {
-          val corpusRoot = s"$tmpRoot/corpus"; val tix = s"$tmpRoot/tix"
-          val vix = s"$tmpRoot/vix"
-          val docs = T(s, dir, "documents")
-            .select(col("doc_id"), col("text"), col("lang"))
-          val emb = T(s, dir, "embeddings")
-          VersionedCorpus.append(docs, corpusRoot)
-          VersionedCorpus.pinKey(corpusRoot, "doc_id")
-          TextIndex.build(docs, "doc_id", "text", tix, shards = 16)
-          val (assign, cents) = IvfIndex.build(emb, "vec_id", "embedding",
-            k = 8, iters = 2)
-          IvfIndex.writePartitioned(emb, "vec_id", assign, vix)
+          val corpusRoot = s"$root/corpus"; val tix = s"$root/tix"
+          val vix = s"$root/vix"
           val removed = Forget.forget(s,
             s.range(100L, 150L).select(col("id").as("doc_id")),
             corpusRoot = Some(corpusRoot), textIndexDir = Some(tix),
@@ -1623,7 +1619,8 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
               col("sim").as("score"))
           localFrame(kw.unionByName(vec)
             .orderBy(col("src"), desc("score"), asc("doc_id")))
-        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root).getParentFile)
       },
       Some(s"""WITH surv AS (SELECT * FROM documents
          |  WHERE NOT (doc_id >= 100 AND doc_id < 150)),
