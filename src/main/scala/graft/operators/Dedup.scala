@@ -195,8 +195,19 @@ object Dedup {
   def admitIncoming(incoming: DataFrame, corpus: DataFrame,
                     idCol: String, textCol: String,
                     minJaccard: Double = 0.8): DataFrame = {
+    // exactKept feeds THREE consumers (the candidate collect below, the
+    // Jaccard verify, and the final anti-join), and its subtree carries
+    // whatever the caller stacked under `incoming` — cleanAndAdmit puts
+    // the whole cross-set span-strip chain there. Unpersisted, that
+    // chain re-executes per consumer (the lazy-recompute trap profiled
+    // on incr_clean_admit); the candidate collect right below populates
+    // the cache as a side effect, so the persist costs no extra job.
+    // No explicit unpersist: the handle is batch-scoped (one micro-batch
+    // / one declared-row invocation, a few hundred rows) and Spark's
+    // ContextCleaner reaps it with the DataFrame.
     val exactKept = incrementalExact(incoming,
       tokenFingerprint(col(textCol)), corpus, tokenFingerprint(col(textCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = NearDup.materializePairs(
       NearDup.minHashCrossCandidates(exactKept, corpus, idCol, textCol))
     val nearDupNew = NearDup.jaccardVerifyCross(
@@ -242,6 +253,10 @@ object Dedup {
   def admitIncomingExactJaccard(incoming: DataFrame, corpus: DataFrame,
                                 idCol: String, textCol: String,
                                 minJaccard: Double = 0.8): DataFrame = {
+    // NOT persisted, unlike admitIncoming: both consumers live in ONE
+    // plan here (no intermediate collect), and measured with a cache the
+    // blocking materialization costs more than the shared-subtree
+    // re-scan it saves (2.2 s → 3.1 s on the declared row)
     val exactKept = incrementalExact(incoming,
       tokenFingerprint(col(textCol)), corpus, tokenFingerprint(col(textCol)))
     val nearDupNew = NearDup.prefixJaccardJoinCross(
