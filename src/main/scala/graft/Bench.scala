@@ -43,6 +43,37 @@ object Bench {
     // warmed re-run of identical code). EVERY declared query runs once at
     // the smallest scale factor; each warm failure is isolated so one bad
     // warmup cannot skip the rest.
+    // VM-SPEED CALIBRATION SENTINEL: two fixed reference workloads —
+    // a pure single-thread scalar loop (xorshift64 fold) and one fixed
+    // distributed Spark job — timed before and after the query passes
+    // (min of the two readings each) and reported in the JSON as
+    // "calibration". Cross-session bench totals are only comparable
+    // through a same-file denominator: the r11→r12 audit burned a day
+    // establishing that a 35 % total swing was the MACHINE (both
+    // engines slowed equally), which these two numbers now show
+    // directly. The sentinel is not folded into any query time.
+    def calibCpu(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += x
+        i += 1
+      }
+      if (acc == 42L) System.err.println("") // defeat dead-code elim
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibSpark(): Double = {
+      val t0 = System.nanoTime()
+      // modulus keeps the ANSI sum far from long overflow
+      spark.range(50000000L)
+        .selectExpr("sum(id % 1000003) as s").head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var calCpu = calibCpu()
+    var calSpark = calibSpark()
     val warmDir = {
       val p = java.nio.file.Paths.get(sfDir)
       val sibling = Option(p.getParent).map(_.resolve("sf0.001"))
@@ -162,6 +193,10 @@ object Bench {
         name -> firstErr.getOrElse(name, -1.0)
       } else name -> b
     }.toSeq
+    // closing calibration reading (min with the opening one): a sustained
+    // slowdown shows as a HIGH min, a transient window as open ≠ close
+    calCpu = math.min(calCpu, calibCpu())
+    calSpark = math.min(calSpark, calibSpark())
     // 3-decimal precision keeps the full line compact (~25 bytes/query);
     // ms resolution is far below the run-to-run noise floor anyway
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
@@ -181,6 +216,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
         s""""queries":$qs,"infra":$infraJson,""" +
+        s""""calibration":{"cpu_st":${r3(calCpu)},""" +
+        s""""spark_job":${r3(calSpark)}},""" +
         s""""failed":${errors.size},"errors":$errJson,""" +
         s""""flaky":$flakyJson,"sf":"$sfDir"}"""
     val minimal =
