@@ -76,6 +76,56 @@ class SearchServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("serving with the REAL transformer + file vocabulary: model-embedded search and add over HTTP") {
+    // the reference's deployment shape end to end: a vocab-carrying GTFE
+    // transformer in the VectorDb embed seat, fronted by the HTTP loop —
+    // every /search and /add below runs genuine multi-layer model
+    // inference (query embed + append re-embed), one session load per JVM
+    import spark.implicits._
+    val mp = java.nio.file.Files.createTempFile("gtfe-srv", ".bin")
+    mp.toFile.deleteOnExit()
+    graft.functions.TransformerEmbedder.writeRandom(mp.toString,
+      vocabTokens = graft.functions.TransformerEmbedder.tinyVocab())
+    val e = new graft.functions.TransformerEmbedder(mp.toString, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("srvt").toString + "/c"
+    graft.sources.EmbeddingCsv.write(Seq(
+      (1L, "d1", "hash join fast scan", e.embed("hash join fast scan")),
+      (2L, "d1", "slow window sort", e.embed("slow window sort"))
+    ).toDF("chunk_id", "document_id", "chunk_text", "vector_embedding"), dir)
+    val db = new graft.VectorDb(spark, e)
+    db.load(dir)
+    val srv = new SearchServer(spark, db, port = 0).start()
+    try {
+      val port = srv.boundPort
+      // the served top-1 must equal the raw-dot argmax computed straight
+      // through the model (the reference scores UNNORMALIZED dot, so
+      // "the query's own text wins" is not guaranteed — the expected
+      // ranking is derived, not assumed)
+      def dot(a: Array[Float], b: Array[Float]): Double =
+        a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      def expectTop(q: String, stored: Seq[(Long, String)]): Long =
+        stored.map { case (id, t) =>
+          (id, dot(e.embed(q), e.embed(t))) }
+          .maxBy { case (id, s) => (s, -id) }._1
+      val corpus0 = Seq(1L -> "hash join fast scan", 2L -> "slow window sort")
+      val q1 = "hash join fast scan"
+      val (sc, body) = get(port,
+        s"/search?q=${q1.replace(" ", "%20")}&k=1")
+      assert(sc === 200)
+      assert(body.contains(s""""chunk_id":${expectTop(q1, corpus0)}"""), body)
+      // add re-embeds through the SAME model; re-search must rank by the
+      // model's dots over the grown corpus
+      assert(post(port, "/add", "id=7&text=vector%20table%20merge")._1 === 200)
+      val q2 = "vector table merge"
+      val grown = corpus0 :+ (7L -> "vector table merge")
+      val (_, body2) = get(port, s"/search?q=${q2.replace(" ", "%20")}&k=1")
+      assert(body2.contains(s""""chunk_id":${expectTop(q2, grown)}"""), body2)
+      // and the appended row is present in a full-depth search
+      val (_, body3) = get(port, s"/search?q=${q2.replace(" ", "%20")}&k=3")
+      assert(body3.contains(""""chunk_id":7"""), body3)
+    } finally srv.stop()
+  }
+
   test("concurrent adds + searches: no lost append, count monotonic per reader") {
     import spark.implicits._
     val e = graft.functions.Embedder.default
