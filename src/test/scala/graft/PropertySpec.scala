@@ -239,4 +239,32 @@ class PropertySpec extends AnyFunSuite {
           new java.io.File(root).getParentFile)
     }
   }
+
+  test("two-phase prefix sum ≡ naive window on randomized grouped frames") {
+    // random group cardinality (1-12, incl. the one-giant-group shape),
+    // random sizes, negative values, duplicate-free order keys — the
+    // two-phase scan must reproduce the naive window row for row no
+    // matter how the range partitioner slices the groups
+    val frameGen = for {
+      nGroups <- Gen.chooseNum(1, 12)
+      n <- Gen.chooseNum(1, 400)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-1000L, 1000L))
+      grps <- Gen.listOfN(n, Gen.chooseNum(0, nGroups - 1))
+    } yield grps.zip(vals).zipWithIndex.map { case ((g, v), i) =>
+      (s"g$g", i.toLong, v)
+    }
+    forAll(frameGen, n = 10) { rows =>
+      val df = rows.toDF("grp", "ord", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("ord"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val want = df.withColumn("cum", sum(col("v")).over(w))
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      val got = graft.operators.PrefixSum
+        .groupedRunningSum(df, "grp", "ord", "v", "cum")
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      assert(got.toSeq === want.toSeq)
+    }
+  }
 }
