@@ -14,6 +14,15 @@ object DumpPlans {
   private val watched: Seq[(String, String)] = Seq(
     "knn_topk" -> ("per-partition heap top-k: Scan → Project(graft_dot) → " +
       "TakeOrderedAndProject; NO Exchange, NO global Sort"),
+    "sq_topk" -> ("compressed-scan top-k: the codes-table scan carries the " +
+      "NATIVE sqscoreexpr kernel in a codegen'd (starred) Project — no " +
+      "interpreted HOF fold on the scan path — then TakeOrderedAndProject " +
+      "for the candidate cut and a broadcast join back to raw vectors " +
+      "for the bounded exact re-rank; the corpus side never shuffles"),
+    "pq_topk" -> ("PQ ADC top-k: same shape as sq_topk with the native " +
+      "pqadcscoreexpr table-lookup fold riding the codes scan — m byte " +
+      "lookups per row inside whole-stage codegen, candidate cut as " +
+      "TakeOrderedAndProject, r-bounded broadcast re-rank"),
     "q_filter_pushdown" -> ("PushedFilters carries both predicates into the " +
       "parquet scan; ReadSchema has only the 3 projected columns + filter column"),
     "jl_search_rerank" -> ("JL reduce-then-refine: the 16-dot projection is " +
