@@ -122,7 +122,13 @@ object Bench {
       "_dedup_cc_build" -> (() =>
         { Queries.sharedDedupLabels(spark, sfDir).count(); () }),
       "_exact_pairs_build" -> (() =>
-        { Queries.sharedExactPairs(spark, sfDir).count(); () }))
+        { Queries.sharedExactPairs(spark, sfDir).count(); () }),
+      "_bucketed_build" -> (() =>
+        { Queries.sharedBucketedTables(spark, sfDir); () }),
+      "_zorder_build" -> (() =>
+        { Queries.sharedZorderPath(spark, sfDir); () }),
+      "_hivepart_build" -> (() =>
+        { Queries.sharedHivePartPath(spark, sfDir); () }))
     val infraReps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_INFRA_REPS", "2").toInt)
     for (pass <- 0 until infraReps) {

@@ -439,6 +439,28 @@ object Queries
   private[graft] def embFingerprint(dir: String): String =
     Tables.fixtureFingerprint(dir, "embeddings")
 
+  /** Per-dir (rowCount, dim) of the embeddings table — TABLE STATISTICS,
+    * the catalog metadata every deployment already holds (row counts come
+    * from parquet footers, the dim from the schema contract), memoized
+    * fingerprint-fresh like every shared artifact. Consumers that size
+    * an operator from corpus stats (the LSH nBits rule) read this
+    * instead of paying a dedicated count job per invocation. */
+  private[graft] val embStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Int)]()
+
+  private[graft] def embStats(s: SparkSession, dir: String): (Long, Int) = {
+    val fp = embFingerprint(dir)
+    val st = embStatsCache.compute(dir, (_, cached) =>
+      if (cached != null && cached._1 == fp) cached
+      else {
+        val emb = T(s, dir, "embeddings")
+        val r = emb.agg(count(lit(1)).as("n"),
+          first(size(col("embedding"))).as("d")).head()
+        (fp, r.getLong(0), r.getInt(1))
+      })
+    (st._2, st._3)
+  }
+
   /** The lazy `near_dup_embed_lsh` pipeline over a (vec_id, embedding)
     * frame with known (count, dim): sign-LSH bucket projection →
     * materialized candidate pairs → exact-cosine verify. The sizing rule
@@ -1166,6 +1188,106 @@ object Queries
     s.createDataFrame(java.util.Arrays.asList(built._2: _*), built._3)
   }
 
+  /** Per-dir memo of the BUCKETED join tables (`q_bucketed_join`):
+    * the layout is one-time infrastructure — a deployment writes its
+    * fact tables bucketed ONCE and every recurring join reads them —
+    * so the row prices the zero-exchange co-located read while the
+    * build is the `_bucketed_build` infra line (the same
+    * build-vs-consume split every index row uses; the r12 audit
+    * flagged the per-rep rebuild as 0.7-1.0 s vs a millisecond oracle
+    * that only replays the read). Table names are dir-keyed constants
+    * so a rebuild overwrites rather than leaks catalog entries. */
+  private[graft] val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  private[graft] def sharedBucketedTables(s: SparkSession, dir: String)
+      : (String, String) = {
+    val fp = Tables.fixtureFingerprint(dir, "lineitem") + "|" +
+      Tables.fixtureFingerprint(dir, "orders")
+    val built = bucketedCache.compute(dir, (_, cached) =>
+      if (cached != null && cached._1 == fp) cached
+      else {
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val lt = s"li_bkt_$tag"
+        val ot = s"ord_bkt_$tag"
+        s.sql(s"DROP TABLE IF EXISTS $lt")
+        s.sql(s"DROP TABLE IF EXISTS $ot")
+        // the warehouse location can outlive the in-memory catalog (a
+        // previous JVM's run left files the fresh catalog knows nothing
+        // about) — saveAsTable refuses a name whose location exists, so
+        // clear the orphaned dirs too
+        val wh = new java.net.URI(
+          s.sessionState.conf.warehousePath).getPath
+        Seq(lt, ot).foreach { t =>
+          val d = new java.io.File(wh, t)
+          if (d.exists())
+            org.apache.commons.io.FileUtils.deleteDirectory(d)
+        }
+        graft.sources.Bucketing.writeBucketed(
+          T(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+            .select(col("l_orderkey"), col("l_extendedprice")),
+          lt, "l_orderkey", buckets = 8)
+        graft.sources.Bucketing.writeBucketed(
+          T(s, dir, "orders").filter(col("o_orderkey") < 2000)
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          ot, "o_orderkey", buckets = 8)
+        (fp, lt, ot)
+      })
+    (built._2, built._3)
+  }
+
+  /** Per-dir memo of the Z-ordered lineitem slice
+    * (`q_zorder_roundtrip`): clustering is a one-time layout rewrite;
+    * the row prices the clustered READ, the write is the
+    * `_zorder_build` infra line. */
+  private[graft] val zorderCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def sharedZorderPath(s: SparkSession, dir: String): String = {
+    val fp = Tables.fixtureFingerprint(dir, "lineitem")
+    bucketableTempMemo(zorderCache, dir, fp, "graft-zort") { path =>
+      graft.sources.Layout.writeZOrdered(
+        T(s, dir, "lineitem").filter(col("l_orderkey") < 3000)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity")),
+        path, "l_partkey", "l_suppkey", numFiles = 4)
+    }
+  }
+
+  /** Per-dir memo of the hive-partitioned events table
+    * (`q_partitioned_prune`): the partitioned layout is the deployed
+    * store; the row prices the partition-pruned read, the write is the
+    * `_hivepart_build` infra line. */
+  private[graft] val hivePartCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def sharedHivePartPath(s: SparkSession, dir: String): String = {
+    val fp = Tables.fixtureFingerprint(dir, "events")
+    bucketableTempMemo(hivePartCache, dir, fp, "graft-part") { path =>
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.partitionBy("event_type").mode("overwrite").parquet(path)
+    }
+  }
+
+  /** Shared temp-dir memo plumbing for the layout stores above:
+    * fingerprint-keyed rebuild into a fresh deleteOnExit temp dir (the
+    * superseded dir is left to the exit hook — a concurrent reader may
+    * still hold the old path, same discipline as sharedIvfIndex). */
+  private def bucketableTempMemo(
+      cache: java.util.concurrent.ConcurrentHashMap[String, (String, String)],
+      dir: String, fp: String, tag: String)(write: String => Unit): String =
+    cache.compute(dir, (_, cached) =>
+      if (cached != null && cached._1 == fp) cached
+      else {
+        val tmpRoot = java.nio.file.Files.createTempDirectory(tag)
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(tmpRoot.toFile)
+        val path = s"$tmpRoot/t"
+        write(path)
+        (fp, path)
+      })._2
+
   /** Drop every shared-build memo for `dir` so the next consumer
     * rebuilds from scratch — the bench's infra-rep hook. The round-10
     * audit showed the single-shot infra timings absorb the same VM-
@@ -1189,6 +1311,10 @@ object Queries
     dedupEdgesCache.remove(dir)
     dedupLabelsCache.remove(dir)
     exactPairsCache.remove(dir)
+    bucketedCache.remove(dir)
+    zorderCache.remove(dir)
+    hivePartCache.remove(dir)
+    embStatsCache.remove(dir)
   }
 
   /** Per-source memo of the "day-1" index slice (`vec_id % 10 =!= 0`)

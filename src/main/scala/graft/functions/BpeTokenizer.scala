@@ -27,11 +27,15 @@ final class BpeTokenizer(val merges: IndexedSeq[(String, String)])
     merges.iterator.zipWithIndex.toMap
 
   /** Content fingerprint of the merges table (64-bit FNV-1a over every
-    * merge pair) — the per-JVM word→pieces memo key prefix. Recomputed
-    * lazily after deserialization into a task; two handles over the same
-    * table share one memo, two different tables can never collide on a
-    * mere object identity. */
-  @transient private lazy val mergesFingerprint: java.lang.Long = {
+    * merge pair, belt-and-braces suffixed with the table LENGTH and the
+    * first/last pairs — a raw-hash collision between two distinct
+    * tables in one executor JVM would silently serve wrong
+    * tokenizations, so the structural fields make that require a
+    * same-length same-boundary collision too). The per-JVM word→pieces
+    * memo key prefix; recomputed lazily after deserialization into a
+    * task — two handles over the same table share one memo, two
+    * different tables can never collide on a mere object identity. */
+  @transient private lazy val mergesFingerprint: String = {
     var h = 0xcbf29ce484222325L
     def mix(s: String): Unit = {
       var i = 0
@@ -39,7 +43,10 @@ final class BpeTokenizer(val merges: IndexedSeq[(String, String)])
       h ^= 0x1F; h *= 0x100000001b3L // unit separator between fields
     }
     merges.foreach { case (a, b) => mix(a); mix(b) }
-    java.lang.Long.valueOf(h)
+    val bound =
+      if (merges.isEmpty) "-"
+      else s"${merges.head._1} ${merges.head._2}|${merges.last._1} ${merges.last._2}"
+    s"${java.lang.Long.toHexString(h)}:${merges.length}:$bound"
   }
 
   /** End-of-word marker, fused onto a word's final character (so "low"
@@ -162,12 +169,12 @@ object BpeTokenizer {
     * entries × (≤48-char word + a handful of piece strings) is single-
     * digit MB per table per executor JVM. */
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    java.lang.Long,
+    String,
     java.util.concurrent.ConcurrentHashMap[String, Array[String]]]()
   private[functions] val memoMaxEntries = 1 << 16
   private[functions] val memoMaxWordLen = 48
 
-  private[functions] def memoFor(fp: java.lang.Long)
+  private[functions] def memoFor(fp: String)
       : java.util.concurrent.ConcurrentHashMap[String, Array[String]] =
     memo.computeIfAbsent(fp, _ =>
       new java.util.concurrent.ConcurrentHashMap[String, Array[String]](

@@ -148,9 +148,24 @@ object Sketch {
   def heavyHitters(docs: DataFrame, langCol: String, textCol: String,
                    batchCol: Column, k: Int = 10,
                    candidatesPerBatch: Int = 30, eps: Double = 0.001,
-                   confidence: Double = 0.99, seed: Int = 42): DataFrame = {
-    val toks = docs.select(col(langCol), batchCol.as("__batch"),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+                   confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    heavyHittersTok(
+      docs.select(col(langCol), batchCol.as("__batch"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok")),
+      langCol, "tok", col("__batch"), k, candidatesPerBatch,
+      eps, confidence, seed)
+
+  /** [[heavyHitters]] over a PRE-TOKENIZED (group, token) frame — the
+    * entry point for callers that already hold the exploded token
+    * stream (e.g. persisted once and shared with other sketch builds,
+    * so the corpus is tokenized a single time instead of once per
+    * consumer). `batchCol` must be derivable from `toks`' columns. */
+  def heavyHittersTok(toksIn: DataFrame, langCol: String, tokCol: String,
+                      batchCol: Column, k: Int = 10,
+                      candidatesPerBatch: Int = 30, eps: Double = 0.001,
+                      confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val toks = toksIn.select(col(langCol), batchCol.as("__batch"),
+      col(tokCol).as("tok"))
     val merged = mergeFreqSketches(
       freqSketches(toks, col("tok"), col("__batch"), Seq(col(langCol)),
         eps, confidence, seed),

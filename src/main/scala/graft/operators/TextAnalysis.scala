@@ -425,12 +425,16 @@ object TextAnalysis {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("word"))
     val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    // document frequency from the tf relation — (doc, word) is already
-    // unique there, so this is countDistinct(doc) without a second
-    // explode + scan of the corpus
-    val dfc = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // document frequency as a whole-partition WINDOW count over the tf
+    // relation — (doc, word) is already unique there, so count(*) over
+    // (PARTITION BY word) is the df. A broadcast-join formulation would
+    // run the scan→tokenize→explode→aggregate subtree TWICE (once to
+    // materialize the broadcast df side, once for the probe side); the
+    // window is one extra exchange of the already-aggregated narrow
+    // (doc, word, tf) rows — rows ≪ tokens — in a single linear plan.
+    val byWord = org.apache.spark.sql.expressions.Window.partitionBy("word")
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
-    tf.join(broadcast(dfc), "word")
+    tf.withColumn("df", count(lit(1)).over(byWord))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("word"),
         round(col("tf") * log(col("n") / col("df")), 4).as("tfidf"))

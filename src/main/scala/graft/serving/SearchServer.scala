@@ -66,18 +66,38 @@ final class SearchServer(spark: SparkSession, db: graft.VectorDb,
 
   /** Mutation payload: form-encoded request body merged over any query
     * params (body wins). Bounded read — a runaway body must not buffer
-    * unbounded bytes into the driver. */
+    * unbounded bytes into the driver. The size check runs on the RAW
+    * BYTES before decoding: a multi-byte UTF-8 body over the limit
+    * decodes to fewer chars than bytes, so a char-count check after
+    * decode would silently accept (and truncate, possibly mid-codepoint)
+    * an oversized payload instead of rejecting it. */
   private def bodyParams(ex: com.sun.net.httpserver.HttpExchange)
       : Map[String, String] = {
     val is = ex.getRequestBody
-    val raw = try new String(is.readNBytes(maxBodyBytes + 1), "UTF-8")
-    finally is.close()
-    if (raw.length > maxBodyBytes) throw new IllegalArgumentException(
-      s"request body exceeds $maxBodyBytes bytes")
-    queryParams(ex) ++ parseForm(raw)
+    val bytes = try is.readNBytes(maxBodyBytes + 1) finally is.close()
+    if (bytes.length > maxBodyBytes)
+      throw new SearchServer.BodyTooLarge(maxBodyBytes)
+    queryParams(ex) ++ parseForm(new String(bytes, "UTF-8"))
   }
 
   private val maxBodyBytes = 1 << 20
+
+  /** Parse the request body and run `f` on the params, mapping the two
+    * parse-failure classes to distinct statuses: an oversized body is
+    * 413, a malformed body (bad percent-encoding → URLDecoder's
+    * IllegalArgumentException) is 400 — a small-but-garbled payload must
+    * not masquerade as "payload too large". */
+  private def withBody(ex: com.sun.net.httpserver.HttpExchange)
+                      (f: Map[String, String] => Unit): Unit =
+    scala.util.Try(bodyParams(ex)) match {
+      case scala.util.Failure(e: SearchServer.BodyTooLarge) =>
+        respond(ex, 413, s"""{"error":"${jsonEscape(e.getMessage)}"}""")
+      case scala.util.Failure(e: IllegalArgumentException) =>
+        respond(ex, 400, s"""{"error":"malformed form body: ${
+          jsonEscape(String.valueOf(e.getMessage).take(200))}"}""")
+      case scala.util.Failure(e) => throw e
+      case scala.util.Success(p) => f(p)
+    }
 
   private def respond(ex: com.sun.net.httpserver.HttpExchange,
                       code: Int, body: String): Unit = {
@@ -117,22 +137,36 @@ final class SearchServer(spark: SparkSession, db: graft.VectorDb,
               }
           }
         case ("POST", "/add") =>
-          scala.util.Try(bodyParams(ex)) match {
-            case scala.util.Failure(e: IllegalArgumentException) =>
-              respond(ex, 413,
-                s"""{"error":"${jsonEscape(e.getMessage)}"}""")
-            case scala.util.Failure(e) => throw e
-            case scala.util.Success(p) =>
-              (p.get("id").flatMap(_.toLongOption), p.get("text")) match {
-                case (Some(id), Some(text)) if text.nonEmpty =>
-                  // serialize writers; readers stay lock-free on the
-                  // volatile corpus handle
-                  db.synchronized { db.add(id, text) }
-                  respond(ex, 200, s"""{"count":${db.count}}""")
-                case _ =>
-                  respond(ex, 400,
-                    """{"error":"need integral id and non-empty text"}""")
-              }
+          withBody(ex) { p =>
+            (p.get("id").flatMap(_.toLongOption), p.get("text")) match {
+              case (Some(id), Some(text)) if text.nonEmpty =>
+                // serialize writers; readers stay lock-free on the
+                // volatile corpus handle
+                db.synchronized { db.add(id, text) }
+                respond(ex, 200, s"""{"count":${db.count}}""")
+              case _ =>
+                respond(ex, 400,
+                  """{"error":"need integral id and non-empty text"}""")
+            }
+          }
+        case ("POST", "/load") =>
+          // the reference UI's whole-table replace verb (app.py:145-152,
+          // the uploader path): swap the served corpus for the file at
+          // `path` (the A7 semantics, VectorDb.load). Searches in flight
+          // keep reading the old volatile handle; the swap is atomic.
+          withBody(ex) { p =>
+            p.get("path").filter(_.nonEmpty) match {
+              case None =>
+                respond(ex, 400, """{"error":"missing path parameter"}""")
+              case Some(path) =>
+                scala.util.Try(db.synchronized { db.load(path) }) match {
+                  case scala.util.Success(_) =>
+                    respond(ex, 200, s"""{"count":${db.count}}""")
+                  case scala.util.Failure(e) =>
+                    respond(ex, 400, s"""{"error":"load failed: ${
+                      jsonEscape(String.valueOf(e.getMessage).take(300))}"}""")
+                }
+            }
           }
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }
@@ -165,4 +199,12 @@ final class SearchServer(spark: SparkSession, db: graft.VectorDb,
       case _                                       => ()
     }
   }
+}
+
+object SearchServer {
+  /** Dedicated oversize-body signal so the 413 mapping can't swallow
+    * other IllegalArgumentExceptions (e.g. URLDecoder's malformed
+    * percent-encoding, which must be a 400). */
+  final class BodyTooLarge(maxBytes: Int) extends RuntimeException(
+    s"request body exceeds $maxBytes bytes")
 }

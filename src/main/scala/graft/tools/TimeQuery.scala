@@ -24,18 +24,52 @@ object TimeQuery {
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_TQ_JOBS=1 adds a per-query job/stage/task-time profile
+    // (the round-12 playbook's "per-rep SparkListener job counts", now a
+    // standing tool): jobs = scheduler-floor multiplier, taskTime = real
+    // distributed work — a row whose wall time is mostly (jobs × floor)
+    // needs fusion, one whose taskTime dominates needs a faster kernel
+    val profile = sys.env.get("SPARK_GRAFT_TQ_JOBS").contains("1")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    if (profile) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          taskMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+        }
+      })
     args.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
       // one unmeasured warm pass (codegen + shared builds), then reps
       fn(spark, dir).count()
       var best = Double.MaxValue
+      var bestJobs = 0
+      var bestStages = 0
+      var bestTaskMs = 0L
       for (_ <- 0 until reps) {
+        jobs.set(0); stages.set(0); taskMs.set(0)
         val t0 = System.nanoTime()
         fn(spark, dir).count()
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // listener events are async; give the bus a beat to drain (the
+        // public API has no flush — 150 ms is far above its latency)
+        if (profile) Thread.sleep(150)
+        if (dt < best) {
+          best = dt; bestJobs = jobs.get(); bestStages = stages.get()
+          bestTaskMs = taskMs.get()
+        }
       }
-      println(f"TIME $name%-28s $best%8.3f s (min of $reps)")
+      if (profile)
+        println(f"TIME $name%-28s $best%8.3f s (min of $reps)  " +
+          f"jobs=$bestJobs%3d stages=$bestStages%3d taskTime=${bestTaskMs / 1000.0}%7.2f s")
+      else println(f"TIME $name%-28s $best%8.3f s (min of $reps)")
     }
     spark.stop()
   }

@@ -67,4 +67,35 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "offsets must come back as a broadcast, not a shuffle join")
   }
+
+  test("plan: both phases read ONE materialized range Exchange (reuse)") {
+    // Correctness of the offset join requires _ps_pid to be IDENTICAL in
+    // the partials subtree and the final scan. That holds because both
+    // consumers canonicalize to the same range Exchange and Spark's
+    // reuse rule (physical planning with AQE off, stage-level reuse with
+    // AQE on) materializes it once. If a rule change ever defeated the
+    // reuse over a nondeterministic upstream, rows could land in
+    // different pids per consumer and the running sums would be silently
+    // wrong — so the reused shape is pinned HERE, on the operator
+    // itself, not just via the declared rows' oracle hashes. AQE is
+    // disabled for the inspection: with it on, the pre-execution plan
+    // hides reuse inside runtime stage creation; with it off, the
+    // ReuseExchange rule must fire in planning, which asserts exactly
+    // the canonical-equality property stage-level reuse depends on.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val base = Tables.load(spark, TestSpark.sf0001, "documents")
+        .select(col("doc_id"), col("lang"), lit(1L).as("n"))
+      val p = PrefixSum.groupedRunningSum(base, "lang", "doc_id", "n", "cum")
+        .queryExecution.executedPlan.toString
+      val materialized = p.linesIterator
+        .filter(l => l.contains("Exchange rangepartitioning") &&
+          !l.contains("ReusedExchange")).size
+      assert(materialized === 1,
+        s"expected exactly one materialized range Exchange, got $materialized:\n$p")
+      assert(p.contains("ReusedExchange"),
+        s"second consumer must read the reused Exchange, not its own:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

@@ -126,6 +126,67 @@ class SearchServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("POST /load replaces the served corpus (the reference UI's upload verb)") {
+    import spark.implicits._
+    val e = graft.functions.Embedder.default
+    def writeCorpus(rows: Seq[(Long, String, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("srvl").toString + "/c"
+      graft.sources.EmbeddingCsv.write(
+        rows.map { case (id, d, t) => (id, d, t, e.embed(t)) }
+          .toDF("chunk_id", "document_id", "chunk_text", "vector_embedding"),
+        dir)
+      dir
+    }
+    val dirA = writeCorpus(Seq((1L, "d1", "alpha doc"), (2L, "d1", "beta doc")))
+    val dirB = writeCorpus(Seq(
+      (10L, "d2", "gamma doc"), (11L, "d2", "delta doc"), (12L, "d2", "epsilon doc")))
+    val db = graft.VectorDb.open(spark, Some(dirA))
+    val srv = new SearchServer(spark, db, port = 0).start()
+    try {
+      val port = srv.boundPort
+      assert(get(port, "/count") === ((200, """{"count":2}""")))
+      // whole-table replace via the HTTP verb: count and search flip to
+      // the new corpus
+      val enc = java.net.URLEncoder.encode(dirB, "UTF-8")
+      assert(post(port, "/load", s"path=$enc") === ((200, """{"count":3}""")))
+      val (_, body) = get(port, "/search?q=gamma%20doc&k=1")
+      assert(body.contains(""""chunk_id":1"""), body) // 10/11/12 all start with 1
+      assert(!body.contains(""""chunk_id":1,"""), body) // but not old id 1
+      // adds append to the REPLACED corpus
+      assert(post(port, "/add", "id=99&text=post%20load%20doc")
+        === ((200, """{"count":4}""")))
+      // error contracts: missing path, unreadable path
+      assert(post(port, "/load", "")._1 === 400)
+      assert(post(port, "/load", "path=%2Fno%2Fsuch%2Fplace")._1 === 400)
+    } finally srv.stop()
+  }
+
+  test("body-parse error contracts: byte-counted 413, malformed body is 400") {
+    import spark.implicits._
+    val e = graft.functions.Embedder.default
+    val dir = java.nio.file.Files.createTempDirectory("srve").toString + "/c"
+    graft.sources.EmbeddingCsv.write(Seq(
+      (1L, "d1", "seed", e.embed("seed"))
+    ).toDF("chunk_id", "document_id", "chunk_text", "vector_embedding"), dir)
+    val db = graft.VectorDb.open(spark, Some(dir))
+    val srv = new SearchServer(spark, db, port = 0).start()
+    try {
+      val port = srv.boundPort
+      // an oversized MULTI-BYTE body: > 1 MiB of UTF-8 bytes but well
+      // under 1 Mi chars after decode — the size gate must count BYTES
+      // (a char-count check would silently truncate this mid-stream)
+      val twoByte = "é" // é → 2 UTF-8 bytes
+      val body = "id=5&text=" + twoByte * (600 * 1024)
+      assert(post(port, "/add", body)._1 === 413)
+      // a SMALL but malformed body (bad percent-encoding) is a client
+      // error, not "payload too large"
+      assert(post(port, "/add", "id=5&text=%zz")._1 === 400)
+      assert(post(port, "/load", "path=%")._1 === 400)
+      // and the server still serves normally afterwards
+      assert(get(port, "/count") === ((200, """{"count":1}""")))
+    } finally srv.stop()
+  }
+
   test("concurrent adds + searches: no lost append, count monotonic per reader") {
     import spark.implicits._
     val e = graft.functions.Embedder.default

@@ -32,6 +32,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def calibrate(con) -> dict:
+    """Fixed-workload VM-speed sentinels, the DuckDB-side mirror of
+    graft.Bench's cpu_st/spark_job calibration: cross-session totals are
+    only comparable through a same-file denominator (the r12 audit's 2.08x
+    vs 1.61x disagreement was ENTIRELY an uncalibrated DuckDB run). Two
+    readings: a pure-Python single-thread loop (the VM's scalar speed,
+    engine-independent) and a fixed DuckDB aggregate (the engine actually
+    being timed). Not folded into any query time."""
+    t0 = time.perf_counter()
+    x, acc = 0x9E3779B97F4A7C15, 0
+    for _ in range(4_000_000):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        acc = (acc + x) & 0xFFFFFFFFFFFFFFFF
+    cpu = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    con.execute("SELECT sum(range % 1000003) FROM range(50000000)").fetchall()
+    duck = time.perf_counter() - t0
+    return {"cpu_st_py": round(cpu, 3), "duck_fixed": round(duck, 3)}
+
+
 def main() -> None:
     sf_dir, oracle_path = sys.argv[1], sys.argv[2]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
@@ -40,6 +62,7 @@ def main() -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
+    cal_open = calibrate(con)
     times = {}
     for name, sql in sorted(oracles.items()):
         best = None
@@ -49,9 +72,14 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 4)
+    # closing reading, min with the opening one (same discipline as
+    # Bench): a sustained slowdown shows as a HIGH min, a transient
+    # throttle window as open != close
+    cal_close = calibrate(con)
+    cal = {k: min(cal_open[k], cal_close[k]) for k in cal_open}
     print(json.dumps({"total": round(sum(times.values()), 3),
                       "queries": times, "n": len(times), "reps": reps,
-                      "sf": sf_dir}))
+                      "calibration": cal, "sf": sf_dir}))
 
 
 if __name__ == "__main__":
