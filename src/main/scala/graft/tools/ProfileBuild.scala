@@ -119,6 +119,45 @@ object ProfileBuild {
       codes.unpersist()
       embedded.unpersist()
     }
+    // micro-profile of the LSH bucket projection itself: is the cost the
+    // DATA (rows × planes × dim dots) or the EXPRESSION (9 inlined
+    // 64-literal when(dot) branches → huge generated method → Janino
+    // compile per plan + JIT bailout)? Timed at nBits 1 vs 9 over the
+    // same frame, twice each (second run isolates compile-once costs).
+    if (sys.env.contains("PROFILE_LSH_MICRO")) {
+      import org.apache.spark.sql.functions._
+      val emb = graft.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      for (nb <- Seq(1, 9); pass <- Seq("cold", "warm")) {
+        val ps = graft.operators.HyperplaneLsh.planes(64, nb)
+        t(s"bucket_nb${nb}_$pass") {
+          emb.select(graft.operators.HyperplaneLsh
+            .bucketCol(col("embedding"), ps).as("b"))
+            .select(max(col("b"))).head()
+        }
+      }
+      // the same 9-plane fold as ONE untyped scala udf (no codegen, one
+      // closure) — if this is much faster than bucket_nb9, the cost is
+      // the expression shape, not the arithmetic
+      val ps9 = graft.operators.HyperplaneLsh.planes(64, 9)
+      val arr = ps9.map(_.toArray).toArray
+      val u = udf { (v: Seq[Float]) =>
+        var bits = 0L
+        var b = 0
+        while (b < arr.length) {
+          var acc = 0.0; var i = 0
+          val p = arr(b)
+          while (i < p.length) { acc += v(i) * p(i); i += 1 }
+          if (acc > 0) bits |= (1L << b); b += 1
+        }
+        bits
+      }
+      for (pass <- Seq("cold", "warm"))
+        t(s"bucket_udf9_$pass") {
+          emb.select(u(col("embedding")).as("b"))
+            .select(max(col("b"))).head()
+        }
+    }
     // phase-by-phase replica of near_dup_embed_lsh
     if (sys.env.contains("PROFILE_LSH_PHASES")) {
       import org.apache.spark.sql.functions._
