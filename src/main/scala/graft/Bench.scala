@@ -23,7 +23,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -33,6 +33,24 @@ object Bench {
       // to these self-contained temp-dir writes, and at cluster scale
       // the same knob is what object-store committers replace anyway.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+    // Let maxPartitionBytes alone govern file splits (cluster-faithful:
+    // minPartitionNum defaults to core count, which shreds a kilobyte
+    // fixture file into 32 single-digit-row tasks and pays the per-task
+    // scheduler floor dozens of times per multi-job chain; at 100 TB
+    // files exceed 128 MB and the knob is inert). Rows with real CPU on
+    // few rows opt back into width via Queries.widenForCompute.
+    // SPARK_GRAFT_MINPART overrides for A/B.
+    val minPart = sys.env.getOrElse("SPARK_GRAFT_MINPART", "1")
+    val spark = b0
+      .config("spark.sql.files.minPartitionNum", minPart)
+      .config("spark.sql.leafNodeDefaultParallelism", minPart)
+      // let AQE coalesce small shuffles to the advisory byte size instead
+      // of pinning reduce width to the core count (parallelismFirst's
+      // default) — kilobyte shuffle stages otherwise run 32 tasks whose
+      // fixed per-task cost dwarfs the data; at 100 TB stages exceed the
+      // advisory size and keep full width either way
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PFIRST", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen/parquet-reader/file-commit warmup so per-query times

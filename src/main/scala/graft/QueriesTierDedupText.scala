@@ -213,7 +213,8 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
         localFrame(Dedup.admitIncomingVectors(
             emb.filter(col("vec_id") % 5 === 0),
             emb.filter(col("vec_id") % 5 =!= 0),
-            "vec_id", "embedding", minCosine = 0.3)
+            "vec_id", "embedding", minCosine = 0.3,
+            dim = embStats(s, dir)._2)
           .groupBy((col("vec_id") % 100).as("id_bucket"))
           .agg(count(lit(1)).as("n_admitted"),
             min(col("vec_id")).as("first_id"))

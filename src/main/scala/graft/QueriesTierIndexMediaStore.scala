@@ -1680,7 +1680,9 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       (s, dir) => {
         // UNPERSISTED token subtree, same finding as incr_vocab_sketch:
         // each consumer's explode pipelines into its map-side partial
-        // aggregate; caching the exploded stream measured 2x slower.
+        // aggregate; caching the exploded stream measured 2x slower, and
+        // widening the scan measured slower still (32 tiny tasks pay more
+        // fixed per-task runtime than the serialized tokenize costs).
         val toks = T(s, dir, "documents")
           .select(col("lang"), col("doc_id"),
             explode(TextAnalysis.tokens(col("text"))).as("tok"))
@@ -2027,10 +2029,14 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
           .collect()
         val corpusMedia = s.createDataset(
           grid.filter(r => r.media_id % 5 == 0 && r.media_id < 60).toSeq)
-        val index = Multimodal.mediaIndexProjection(
+        // the admission kernel references the index three times (exact
+        // hash tier, banded perceptual tier + its degeneracy stats, color
+        // tier) — pin the 12-row projection locally so the corpus decode
+        // subtree runs once, not once per reference
+        val index = localFrame(Multimodal.mediaIndexProjection(
           Multimodal.decodeAll(corpusMedia).toDF()
             .join(corpusMedia.toDF().select(col("media_id"),
-              xxhash64(col("payload")).as("payload_hash")), "media_id"))
+              xxhash64(col("payload")).as("payload_hash")), "media_id")))
         val incoming = s.createDataset(
           grid.filter(_.media_id % 5 == 2)
             .map(r => r.copy(media_id = r.media_id + 1000)).toSeq)

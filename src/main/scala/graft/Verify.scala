@@ -14,6 +14,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // same v2-committer rationale as Bench: single-rename task commits
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // same small-file split policy as Bench (see Bench.scala): results
+      // must be partition-count-invariant anyway (the oracle pins them),
+      // so verify under the bench's layout to certify exactly what runs
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MINPART", "1"))
+      .config("spark.sql.leafNodeDefaultParallelism",
+        sys.env.getOrElse("SPARK_GRAFT_MINPART", "1"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PFIRST", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

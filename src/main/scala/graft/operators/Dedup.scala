@@ -320,9 +320,14 @@ object Dedup {
   def admitIncomingVectors(incoming: DataFrame, corpus: DataFrame,
                            idCol: String, vecCol: String,
                            minCosine: Double = 0.9,
-                           nBits: Int = 8): DataFrame = {
+                           nBits: Int = 8,
+                           dim: Int = -1): DataFrame = {
+    // dim < 0 pays a dedicated first() job inside the candidate
+    // generator — callers holding table statistics (Queries.embStats)
+    // pass the dimension and the whole admission runs schema-driven
     val cands = NearDup.materializePairs(
-      NearDup.embeddingCrossCandidates(incoming, corpus, idCol, vecCol, nBits))
+      NearDup.embeddingCrossCandidates(incoming, corpus, idCol, vecCol,
+        nBits, dim))
     val dupNew = NearDup.cosineVerifyCross(incoming, corpus, idCol, vecCol, cands)
       .filter(col("cos") >= minCosine)
       .select(col("id_new").as(idCol)).distinct()

@@ -783,8 +783,13 @@ object Multimodal {
     // never a payload shuffle)
     val payloadHashes = incoming.toDF()
       .select(col("media_id"), xxhash64(col("payload")).as("payload_hash"))
+    // the decode subtree feeds three consumers (the banded join's
+    // degeneracy stats, the join itself, and the degenerate color tier) —
+    // persist it for the rejected-set computation so the batch decodes
+    // ONCE, released below the moment `rejected` is materialized
     val decoded = decodeAll(incoming).toDF()
       .join(payloadHashes, "media_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exactRejected = payloadHashes
       .join(corpusIndex.select(col("payload_hash")).distinct(), Seq("payload_hash"))
       .select(col("media_id"))
@@ -806,10 +811,15 @@ object Multimodal {
         .select(col("cbucket")).distinct(), Seq("cbucket"))
       .select(col("media_id"))
     // the rejected set is ids-only and bounded by the micro-batch size:
-    // broadcast it so the anti-joins are structurally payload-local —
-    // payload bytes NEVER enter an exchange (PlanSpec-pinned)
-    val rejected = broadcast(
-      exactRejected.union(nearRejected).union(degRejected).distinct())
+    // MATERIALIZE it (same bounded-collect contract as
+    // NearDup.materializePairs) so its three-branch union — which
+    // references the decode subtree twice plus a stats job — executes
+    // exactly once against the persisted decode, then broadcast the
+    // local relation into the anti-joins so payload bytes NEVER enter
+    // an exchange (PlanSpec-pinned)
+    val rejected = broadcast(graft.operators.NearDup.materializePairs(
+      exactRejected.union(nearRejected).union(degRejected).distinct()))
+    decoded.unpersist()
     val admitted = incoming.toDF().join(rejected, Seq("media_id"), "left_anti")
     val admittedDecoded = decoded.join(rejected, Seq("media_id"), "left_anti")
     (admitted, admittedDecoded)

@@ -531,6 +531,38 @@ object NearDup {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), pairs.schema)
   }
 
+  /** Candidate-touched id set read DRIVER-SIDE off an already-local
+    * candidate spine. The verify kernels prune their vector/text sides
+    * to candidate-touched ids; when `pairs` is a LocalRelation (the
+    * [[materializePairs]] contract — every batch verify chain), deriving
+    * that id set with a distributed union+distinct+BroadcastExchange is
+    * 2-3 pure-overhead jobs per kernel re-deriving data the driver
+    * already holds. Returns the distinct non-null ids of `cols` when the
+    * spine is local, long-typed, and small enough for an IN predicate
+    * (the set is candidate-bounded by construction); None falls back to
+    * the distributed semi-join spine. The IN form is also the 100 TB
+    * shape: the id set reaches the scan as a pushable filter instead of
+    * a runtime broadcast. */
+  private[graft] def localIdSet(pairs: DataFrame, cols: Seq[String],
+                                maxIds: Int = 100000): Option[Array[Long]] =
+    pairs.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if lr.data.lengthCompare(maxIds) <= 0 =>
+        val idxs = cols.map(c => lr.output.indexWhere(_.name == c))
+        val allLong = idxs.forall(i => i >= 0 &&
+          lr.output(i).dataType == org.apache.spark.sql.types.LongType)
+        if (!allLong) None
+        else Some(lr.data.iterator.flatMap(r => idxs.iterator
+            .filter(i => !r.isNullAt(i)).map(r.getLong))
+          .toArray.distinct.sorted)
+      case _ => None
+    }
+
+  /** `col IN (ids)` as a Column, with the empty-set edge pinned to
+    * false (Catalyst's `isin()` on zero values is not valid SQL). */
+  private def inIds(c: Column, ids: Array[Long]): Column =
+    if (ids.isEmpty) lit(false) else c.isin(ids.map(Long.box).toIndexedSeq: _*)
+
   /** Exact n-gram Jaccard similarity for given candidate pairs — the
     * verification stage after LSH (B8→B9), and independently
     * SQL-expressible for the oracle gate. `pairs` has (id_a, id_b).
@@ -736,14 +768,18 @@ object NearDup {
                     pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
     // only shingle the docs that actually appear in a candidate pair —
     // post-LSH that is a tiny fraction of the corpus
-    val ids = pairs.select(col("id_a").as("_jid"))
-      .union(pairs.select(col("id_b").as("_jid"))).distinct()
-    val sh = docs.select(col(idCol).as("_jid"),
+    val proj = docs.select(col(idCol).as("_jid"),
       array_distinct(shingles(col(textCol), shingleSize)).as("_sh"))
       // empty docs have no shingle set — Jaccard is undefined (0/0);
       // drop them rather than diverge between engines on the edge
       .filter(size(TextAnalysis.tokens(col(textCol))) > 0)
-      .join(ids, Seq("_jid"), "left_semi")
+    val sh = localIdSet(pairs, Seq("id_a", "id_b")) match {
+      case Some(idsL) => proj.where(inIds(col("_jid"), idsL))
+      case None =>
+        val ids = pairs.select(col("id_a").as("_jid"))
+          .union(pairs.select(col("id_b").as("_jid"))).distinct()
+        proj.join(ids, Seq("_jid"), "left_semi")
+    }
     pairs
       .join(sh.select(col("_jid").as("id_a"), col("_sh").as("sh_a")), "id_a")
       .join(sh.select(col("_jid").as("id_b"), col("_sh").as("sh_b")), "id_b")
@@ -762,13 +798,18 @@ object NearDup {
   def jaccardVerifyCross(incoming: DataFrame, corpus: DataFrame,
                          idCol: String, textCol: String,
                          pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
-    def side(df: DataFrame, asId: String, asSh: String) =
-      df.select(col(idCol).as(asId),
+    def side(df: DataFrame, asId: String, asSh: String) = {
+      val proj = df.select(col(idCol).as(asId),
         array_distinct(shingles(col(textCol), shingleSize)).as(asSh))
         // empty docs have no shingle set — Jaccard is undefined (0/0);
         // drop them rather than diverge between engines on the edge
         .filter(size(TextAnalysis.tokens(col(textCol))) > 0)
-        .join(pairs.select(col(asId)).distinct(), Seq(asId), "left_semi")
+      localIdSet(pairs, Seq(asId)) match {
+        case Some(ids) => proj.where(inIds(col(asId), ids))
+        case None =>
+          proj.join(pairs.select(col(asId)).distinct(), Seq(asId), "left_semi")
+      }
+    }
     pairs
       .join(side(incoming, "id_new", "sh_new"), "id_new")
       .join(side(corpus, "id_old", "sh_old"), "id_old")
@@ -881,11 +922,15 @@ object NearDup {
     * row, cosine computed once per pair. */
   def cosineVerify(emb: DataFrame, idCol: String, vecCol: String,
                    pairs: DataFrame): DataFrame = {
-    val ids = pairs.select(col("id_a").as("_vid"))
-      .union(pairs.select(col("id_b").as("_vid"))).distinct()
-    val side = emb.select(col(idCol).as("_vid"), col(vecCol).as("_v"),
+    val proj = emb.select(col(idCol).as("_vid"), col(vecCol).as("_v"),
       VectorFunctions.l2Norm(col(vecCol)).as("_n"))
-      .join(ids, Seq("_vid"), "left_semi")
+    val side = localIdSet(pairs, Seq("id_a", "id_b")) match {
+      case Some(ids) => proj.where(inIds(col("_vid"), ids))
+      case None =>
+        val ids = pairs.select(col("id_a").as("_vid"))
+          .union(pairs.select(col("id_b").as("_vid"))).distinct()
+        proj.join(ids, Seq("_vid"), "left_semi")
+    }
     pairs
       .join(side.select(col("_vid").as("id_a"), col("_v").as("va"), col("_n").as("na")), "id_a")
       .join(side.select(col("_vid").as("id_b"), col("_v").as("vb"), col("_n").as("nb")), "id_b")
@@ -903,10 +948,15 @@ object NearDup {
   def cosineVerifyCross(incoming: DataFrame, corpus: DataFrame,
                         idCol: String, vecCol: String,
                         pairs: DataFrame): DataFrame = {
-    def side(df: DataFrame, asId: String, asV: String, asN: String) =
-      df.select(col(idCol).as(asId), col(vecCol).as(asV),
+    def side(df: DataFrame, asId: String, asV: String, asN: String) = {
+      val proj = df.select(col(idCol).as(asId), col(vecCol).as(asV),
         VectorFunctions.l2Norm(col(vecCol)).as(asN))
-        .join(pairs.select(col(asId)).distinct(), Seq(asId), "left_semi")
+      localIdSet(pairs, Seq(asId)) match {
+        case Some(ids) => proj.where(inIds(col(asId), ids))
+        case None =>
+          proj.join(pairs.select(col(asId)).distinct(), Seq(asId), "left_semi")
+      }
+    }
     pairs
       .join(side(incoming, "id_new", "v_new", "n_new"), "id_new")
       .join(side(corpus, "id_old", "v_old", "n_old"), "id_old")

@@ -195,9 +195,10 @@ object DumpPlans {
       ("near_dup_embed_lsh (verify stage)",
         "bucketed near-dup verify stage: the candidate pairs are a " +
           "LocalTableScan (materialized once, broadcast into both verify " +
-          "joins); vector sides are semi-join pruned to candidate ids — " +
-          "no corpus×corpus join anywhere (the declared query materializes " +
-          "this eagerly so its cache can be released)",
+          "joins); vector sides are pruned to candidate-touched ids by a " +
+          "driver-derived IN filter pushed into each scan (the spine is " +
+          "already local, so no distributed union+distinct+broadcast " +
+          "round-trip) — no corpus×corpus join anywhere",
         lshVerify),
       ("ivf_assign (IvfIndex.withCluster)",
         "k-means assignment is a ZERO-SHUFFLE projection: Scan → Project " +
@@ -270,6 +271,12 @@ object DumpPlans {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // mirror Bench's split policy (see Bench.scala) so the dumped
+      // plans are the executed ones
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.sql.leafNodeDefaultParallelism", "1")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -124,6 +124,36 @@ object ProfileBuild {
     // 64-literal when(dot) branches → huge generated method → Janino
     // compile per plan + JIT bailout)? Timed at nBits 1 vs 9 over the
     // same frame, twice each (second run isolates compile-once costs).
+    // per-task fixed-cost probe: the same trivial work split over P
+    // tasks, P swept — separates scheduler/launch floor (RDD map) from
+    // SQL task init (codegen'd projection + hash agg) from typed-udaf
+    // task init. Wall AND summed executorRunTime per P tell whether
+    // extra tasks cost launch time (wall grows, runTime flat) or real
+    // per-task runtime (both grow).
+    if (sys.env.contains("PROFILE_TASK_FLOOR")) {
+      import org.apache.spark.sql.functions._
+      val sc = spark.sparkContext
+      for (p <- Seq(1, 4, 16, 32)) {
+        val rdd = sc.parallelize(1 to 64000, p)
+        rdd.map(_ + 1).count()
+        t(s"rdd_map_p$p") { (1 to 5).foreach(_ => rdd.map(_ + 1).count()) }
+      }
+      for (p <- Seq(1, 4, 16, 32)) {
+        val df = spark.range(0, 64000, 1, p)
+        df.select((col("id") * 2).as("x")).agg(max("x")).head()
+        t(s"sql_proj_p$p") { (1 to 5).foreach(_ =>
+          df.select((col("id") * 2).as("x")).agg(max("x")).head()) }
+      }
+      val topk = udaf(new graft.functions.TopKAggregator(10))
+      for (p <- Seq(1, 4, 16, 32)) {
+        val df = spark.range(0, 64000, 1, p)
+          .select((col("id") % 8).as("g"), col("id").cast("double").as("s"),
+            col("id").as("i"))
+        df.groupBy("g").agg(topk(col("s"), col("i"))).count()
+        t(s"udaf_topk_p$p") { (1 to 5).foreach(_ =>
+          df.groupBy("g").agg(topk(col("s"), col("i"))).count()) }
+      }
+    }
     if (sys.env.contains("PROFILE_LSH_MICRO")) {
       import org.apache.spark.sql.functions._
       val emb = graft.Tables.load(spark, dir, "embeddings")
