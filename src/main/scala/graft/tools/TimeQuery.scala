@@ -27,6 +27,8 @@ object TimeQuery {
         .config("spark.sql.leafNodeDefaultParallelism", n)
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
           sys.env.getOrElse("SPARK_GRAFT_PFIRST", "false"))
+        .config("spark.sql.adaptive.enabled",
+          sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
     }
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

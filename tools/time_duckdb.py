@@ -58,6 +58,10 @@ def main() -> None:
     sf_dir, oracle_path = sys.argv[1], sys.argv[2]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     oracles = json.load(open(oracle_path))
+    # untimed as always (BASELINE.md since round 10): this oracle is the
+    # DELIBERATELY quadratic all-pairs replay — at sf0.1 it grinds 12.5M
+    # list intersections per rep, and the proxy never compares it anyway
+    oracles.pop("exact_jaccard_join", None)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
