@@ -148,4 +148,15 @@ object GraftExtensions {
     import org.apache.spark.sql.graftshim.Bridge
     Bridge.column(L2Distance(Bridge.expression(a), Bridge.expression(b)))
   }
+
+  /** Column-API handle on the weighted count-min-sketch aggregate
+    * ([[graft.expressions.CmsWeighted]] — `count_min_sketch` over
+    * pre-counted (item, count) rows, grid-identical to the built-in). */
+  def cmsWeightedCol(item: Column, weight: Column, eps: Double,
+                     confidence: Double, seed: Int): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.expressions.CmsWeighted(
+      Bridge.expression(item), Bridge.expression(weight),
+      eps, confidence, seed).toAggregateExpression())
+  }
 }

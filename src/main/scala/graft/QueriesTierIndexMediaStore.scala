@@ -1680,9 +1680,13 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       (s, dir) => {
         // UNPERSISTED token subtree, same finding as incr_vocab_sketch:
         // each consumer's explode pipelines into its map-side partial
-        // aggregate; caching the exploded stream measured 2x slower, and
-        // widening the scan measured slower still (32 tiny tasks pay more
-        // fixed per-task runtime than the serialized tokenize costs).
+        // aggregate. Measured alternatives that LOST: caching the
+        // exploded stream (2x slower), widening the scan (per-task cost
+        // beats the serialized tokenize), and the counted-relation form
+        // via Sketch.heavyHittersCounted (one tokenize instead of three,
+        // but +8 jobs of persist/populate/collect at ~0.1 s/job driver
+        // floor — the weighted-CMS API is the right shape when the
+        // counted relation is a MAINTAINED artifact, not built in-row).
         val toks = T(s, dir, "documents")
           .select(col("lang"), col("doc_id"),
             explode(TextAnalysis.tokens(col("text"))).as("tok"))

@@ -189,4 +189,53 @@ object Sketch {
       .filter(col("rank") <= k)
       .select(col(langCol), col("rank"), col("tok"), col("est"))
   }
+
+  /** [[freqSketches]] over a PRE-COUNTED (value, count) relation — so one
+    * tokenize/explode pass, aggregated once to a vocabulary-sized counted
+    * relation, can feed EVERY batching scheme (the per-batch sketch is
+    * grid-identical because CMS addition is linear; byte-equality with
+    * the unweighted built-in pinned in SketchSpec). At 100 TB the counted
+    * relation is the (group, batch, token, n) artifact a corpus pipeline
+    * maintains incrementally anyway. */
+  def freqSketchesWeighted(counted: DataFrame, valueCol: Column,
+                           cntCol: Column, batchCol: Column,
+                           groupCols: Seq[Column], eps: Double = 0.001,
+                           confidence: Double = 0.99,
+                           seed: Int = 42): DataFrame =
+    counted.groupBy(groupCols :+ batchCol.as("batch"): _*)
+      .agg(graft.GraftExtensions.cmsWeightedCol(valueCol, cntCol,
+        eps, confidence, seed).as("cms"))
+
+  /** [[heavyHittersTok]] from a pre-counted (lang, batch, tok, cnt)
+    * relation — identical candidate rule (per-batch local top by count,
+    * same tie-break) and identical merged-sketch estimates, minus the
+    * per-invocation tokenize. */
+  def heavyHittersCounted(counted: DataFrame, langCol: String,
+                          tokCol: String, batchCol: String, cntCol: String,
+                          k: Int = 10, candidatesPerBatch: Int = 30,
+                          eps: Double = 0.001, confidence: Double = 0.99,
+                          seed: Int = 42): DataFrame = {
+    val merged = mergeFreqSketches(
+      freqSketchesWeighted(counted, col(tokCol), col(cntCol),
+        col(batchCol), Seq(col(langCol)), eps, confidence, seed),
+      Seq(col(langCol)))
+    val perBatch = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol), col(batchCol))
+      .orderBy(col("__c").desc, col(tokCol).asc)
+    val candidates = counted
+      .groupBy(col(langCol), col(batchCol), col(tokCol))
+      .agg(sum(col(cntCol)).as("__c"))
+      .withColumn("__rn", row_number().over(perBatch))
+      .filter(col("__rn") <= candidatesPerBatch)
+      .select(col(langCol), col(tokCol)).distinct()
+    val perLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col("est").desc, col(tokCol).asc)
+    candidates
+      .join(broadcast(merged), langCol)
+      .withColumn("est", freqEstimate(col("cms"), col(tokCol)))
+      .withColumn("rank", row_number().over(perLang).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(langCol), col("rank"), col(tokCol), col("est"))
+  }
 }

@@ -88,6 +88,32 @@ class SketchSpec extends AnyFunSuite {
         s"batching $b diverged for $lang")
   }
 
+  test("weighted CMS over counted tokens is byte-identical to the raw-stream sketch") {
+    // the fusion incr_heavy_hitters relies on: tokenize ONCE into
+    // (lang, batch, tok, cnt), sketch from counts — CMS addition is
+    // linear, so the grids must match the unweighted built-in's exactly
+    val toks = docs.select(col("lang"), col("doc_id"),
+      explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+    val raw = Sketch.freqSketches(
+        toks.select(col("lang"), pmod(col("doc_id"), lit(3)).as("__b"),
+          col("tok")),
+        col("tok"), col("__b"), Seq(col("lang")))
+      .select(col("lang"), col("batch"), col("cms"))
+      .as[(String, Long, Array[Byte])].collect()
+      .map { case (l, b, s) => (l, b) -> s }.toMap
+    val counted = toks
+      .groupBy(col("lang"), pmod(col("doc_id"), lit(3)).as("__b"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val weighted = Sketch.freqSketchesWeighted(counted, col("tok"),
+        col("cnt"), col("__b"), Seq(col("lang")))
+      .select(col("lang"), col("batch"), col("cms"))
+      .as[(String, Long, Array[Byte])].collect()
+      .map { case (l, b, s) => (l, b) -> s }.toMap
+    assert(weighted.keySet === raw.keySet)
+    for ((k, bytes) <- weighted)
+      assert(java.util.Arrays.equals(bytes, raw(k)), s"grid diverged at $k")
+  }
+
   test("CMS estimates are one-sided (est >= exact), and exact when width >> keys") {
     // default eps=0.001 (~2k slots/row) vs ~2.4k tokens per lang DOES
     // collide (measured ~8% of tokens over-estimate, each by a little)
@@ -142,6 +168,20 @@ class SketchSpec extends AnyFunSuite {
     }
     // 10 slots per row at ~2-3k tokens/lang MUST collide somewhere
     assert(overs > 0, "coarse sketch showed no collisions — suspicious")
+  }
+
+  test("heavyHittersCounted over the counted relation ≡ heavyHittersTok over the raw stream") {
+    val toks = docs.select(col("lang"), col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val want = Sketch.heavyHittersTok(toks, "lang", "tok",
+        pmod(col("doc_id"), lit(3)))
+      .orderBy(col("lang"), col("rank")).collect().toSeq
+    val counted = toks
+      .groupBy(col("lang"), pmod(col("doc_id"), lit(3)).as("b"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val got = Sketch.heavyHittersCounted(counted, "lang", "tok", "b", "cnt")
+      .orderBy(col("lang"), col("rank")).collect().toSeq
+    assert(got === want)
   }
 
   test("heavyHitters recovers the exact per-language top-10 at collision-free width") {
