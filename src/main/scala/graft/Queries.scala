@@ -461,6 +461,31 @@ object Queries
     (st._2, st._3)
   }
 
+  /** Per-dir (docCount, avgTokenLength) of the documents table — BM25
+    * INDEX METADATA (every BM25 deployment persists (N, avgdl) with its
+    * index; [[graft.operators.TextIndex]] does too). Memoized
+    * fingerprint-fresh like [[embStats]] so scan-based BM25 rows skip a
+    * full corpus tokenize per invocation. Computed by the exact
+    * expression the in-plan form used (count + avg(size(tokens))),
+    * under the same session config, so the scores are bit-identical. */
+  private[graft] val docStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Double, Double)]()
+
+  private[graft] def docStats(s: SparkSession, dir: String): (Double, Double) = {
+    val fp = Tables.fixtureFingerprint(dir, "documents")
+    val st = docStatsCache.compute(dir, (_, cached) =>
+      if (cached != null && cached._1 == fp) cached
+      else {
+        val r = T(s, dir, "documents")
+          .select(size(graft.operators.TextAnalysis.tokens(col("text")))
+            .cast("double").as("_dl"))
+          .agg(count(lit(1)).cast("double").as("n"), avg(col("_dl")).as("avgdl"))
+          .head()
+        (fp, r.getDouble(0), r.getDouble(1))
+      })
+    (st._2, st._3)
+  }
+
   /** The lazy `near_dup_embed_lsh` pipeline over a (vec_id, embedding)
     * frame with known (count, dim): sign-LSH bucket projection →
     * materialized candidate pairs → exact-cosine verify. The sizing rule
@@ -1315,6 +1340,7 @@ object Queries
     zorderCache.remove(dir)
     hivePartCache.remove(dir)
     embStatsCache.remove(dir)
+    docStatsCache.remove(dir)
   }
 
   /** Per-source memo of the "day-1" index slice (`vec_id % 10 =!= 0`)

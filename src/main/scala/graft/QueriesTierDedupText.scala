@@ -1486,7 +1486,8 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
 
     "q_bm25" -> DeclaredQuery(
       (s, dir) => TextAnalysis.bm25(T(s, dir, "documents"), "doc_id", "text",
-          Seq("spark", "data", "join"))
+          Seq("spark", "data", "join"),
+          corpusStats = Some(docStats(s, dir)))
         .orderBy(desc("bm25"), asc("doc_id")).limit(50),
       Some("""WITH d AS (SELECT doc_id,
          |         len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE AS dl,
@@ -1513,7 +1514,8 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       (s, dir) => TextAnalysis.bm25Many(T(s, dir, "documents"),
           "doc_id", "text",
           Seq(1L -> Seq("spark", "data", "join"),
-            2L -> Seq("table", "row", "fast")), k = 10)
+            2L -> Seq("table", "row", "fast")), k = 10,
+          corpusStats = Some(docStats(s, dir)))
         .orderBy(col("qid"), col("rank")),
       Some("""WITH q AS (SELECT CAST(qid AS BIGINT) AS qid, word FROM (VALUES
          |        (1, 'spark'), (1, 'data'), (1, 'join'),
@@ -1657,7 +1659,8 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
         // the partition-less rank window only ever sees k rows — the
         // fused join is k-sized by construction
         val kw = TextAnalysis.bm25(T(s, dir, "documents"), "doc_id", "text",
-            Seq("spark", "data", "join"))
+            Seq("spark", "data", "join"),
+            corpusStats = Some(docStats(s, dir)))
           .orderBy(desc("bm25"), asc("doc_id")).limit(50)
           .withColumn("rank",
             row_number().over(Window.orderBy(desc("bm25"), asc("doc_id"))))
@@ -1715,7 +1718,8 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
         val kw = TextAnalysis.bm25Many(T(s, dir, "documents"),
           "doc_id", "text",
           Seq(1L -> Seq("spark", "data", "join"),
-            2L -> Seq("table", "row", "fast")), k = 20)
+            2L -> Seq("table", "row", "fast")), k = 20,
+          corpusStats = Some(docStats(s, dir)))
         val qs = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
           .toDF("qid", "qvec")
         val vec = Search.knnJoinAgg(qs, "qid", "qvec",

@@ -337,28 +337,42 @@ object TextAnalysis {
     * [[tfIdf]]). */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2,
-           b: Double = 0.75): DataFrame = {
+           b: Double = 0.75,
+           corpusStats: Option[(Double, Double)] = None): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val termLit = array(terms.distinct.map(lit): _*)
     val base = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), col("_toks"),
         size(col("_toks")).cast("double").as("_dl"))
-    val stats = base.agg(count(lit(1)).cast("double").as("_n"),
-      avg(col("_dl")).as("_avgdl"))
+    // (n, avgdl) are BM25 index metadata — every deployment maintains
+    // them with the index (TextIndex persists them; `Queries.docStats`
+    // memoizes them per fixture dir). Callers without them pay one
+    // corpus aggregation; callers with them skip a full tokenize pass.
+    val withStats: DataFrame => DataFrame = corpusStats match {
+      case Some((n, avgdl)) => _.withColumn("_n", lit(n))
+        .withColumn("_avgdl", lit(avgdl))
+      case None => _.crossJoin(broadcast(base.agg(
+        count(lit(1)).cast("double").as("_n"),
+        avg(col("_dl")).as("_avgdl"))))
+    }
     val tf = base.select(col("doc_id"), col("_dl"),
         explode(filter(col("_toks"),
           t => array_contains(termLit, t))).as("word"))
       .groupBy(col("doc_id"), col("_dl"), col("word"))
       .agg(count(lit(1)).cast("double").as("_tf"))
-    val dfc = tf.groupBy(col("word"))
-      .agg(count(lit(1)).cast("double").as("_df"))
+    // document frequency as a window over the tf relation — (doc, word)
+    // is unique there, so count(*) over (PARTITION BY word) IS the df;
+    // the broadcast-join formulation re-executed the tokenize subtree
+    // (the tfIdf finding applied here)
+    val withDf = tf.withColumn("_df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("word"))).cast("double"))
     val idf = log(lit(1.0) +
       (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
     val norm = col("_tf") + lit(k1) *
       (lit(1.0) - lit(b) + lit(b) * col("_dl") / col("_avgdl"))
-    tf.join(broadcast(dfc), "word")
-      .crossJoin(broadcast(stats))
+    withStats(withDf)
       .select(col("doc_id"),
         (idf * col("_tf") * lit(k1 + 1.0) / norm).as("_s"))
       .groupBy(col("doc_id"))
@@ -380,7 +394,8 @@ object TextAnalysis {
     * integral (the aggregator carries (score, long-id) pairs). */
   def bm25Many(docs: DataFrame, idCol: String, textCol: String,
                queries: Seq[(Long, Seq[String])], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               corpusStats: Option[(Double, Double)] = None): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "bm25Many needs at least one query, each with at least one term")
     val spark = docs.sparkSession
@@ -391,24 +406,29 @@ object TextAnalysis {
       tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), col("_toks"),
         size(col("_toks")).cast("double").as("_dl"))
-    val stats = base.agg(count(lit(1)).cast("double").as("_n"),
-      avg(col("_dl")).as("_avgdl"))
+    // same index-metadata / window-df fusion as [[bm25]]
+    val withStats: DataFrame => DataFrame = corpusStats match {
+      case Some((n, avgdl)) => _.withColumn("_n", lit(n))
+        .withColumn("_avgdl", lit(avgdl))
+      case None => _.crossJoin(broadcast(base.agg(
+        count(lit(1)).cast("double").as("_n"),
+        avg(col("_dl")).as("_avgdl"))))
+    }
     val tf = base.select(col("doc_id"), col("_dl"),
         explode(filter(col("_toks"),
           t => array_contains(termLit, t))).as("word"))
       .groupBy(col("doc_id"), col("_dl"), col("word"))
       .agg(count(lit(1)).cast("double").as("_tf"))
-    val dfc = tf.groupBy(col("word"))
-      .agg(count(lit(1)).cast("double").as("_df"))
+    val withDf = tf.withColumn("_df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("word"))).cast("double"))
     val qterms = queries.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
       .toDF("qid", "word")
     val idf = log(lit(1.0) +
       (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
     val norm = col("_tf") + lit(k1) *
       (lit(1.0) - lit(b) + lit(b) * col("_dl") / col("_avgdl"))
-    val scored = tf.join(broadcast(dfc), "word")
-      .join(broadcast(qterms), "word")
-      .crossJoin(broadcast(stats))
+    val scored = withStats(withDf.join(broadcast(qterms), "word"))
       .select(col("qid"), col("doc_id"),
         (idf * col("_tf") * lit(k1 + 1.0) / norm).as("_s"))
       .groupBy(col("qid"), col("doc_id"))
