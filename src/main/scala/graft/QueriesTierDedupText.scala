@@ -78,12 +78,15 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // scale.
       (s, dir) => {
         val docs = T(s, dir, "documents")
+        // expectedItems: the corpus watermark (doc_id < 250 ⇒ ≤ 250
+        // keys) — admission metadata the caller holds, so the Bloom
+        // sizing skips a dedicated corpus tokenize+distinct+count job
         val kept = Dedup.incrementalExactBloom(
           docs.filter(col("doc_id") >= 250),
           Dedup.tokenFingerprint(col("text")),
           docs.filter(col("doc_id") < 250),
           Dedup.tokenFingerprint(col("text")),
-          fpp = 0.25)
+          fpp = 0.25, expectedItems = 250L)
         kept.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_admitted"),
             min(col("doc_id")).as("first_id"))

@@ -52,7 +52,15 @@ object PrefixSum {
   def groupedRunningSum(df: DataFrame, group: String, order: String,
                         value: String, out: String): DataFrame = {
     val spark = df.sparkSession
-    val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // width scales with the INPUT's split count (×4 so a skewed range
+    // sample still spreads), capped by the session's shuffle width: a
+    // kilobyte admission batch runs 2-4 range tasks instead of paying
+    // the full configured width twice, while a 100 TB scan (splits ≫
+    // cores) keeps the configured parallelism. Result rows are
+    // partition-count invariant (PrefixSumSpec pins ≡ the naive window).
+    val n = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      df.rdd.getNumPartitions * 4))
     // one materialized pid column; both phase-2 consumers read the SAME
     // range Exchange (explicit count → AQE may not re-coalesce it)
     val parted = df
