@@ -186,7 +186,14 @@ object Bench {
     val flaky = scala.collection.mutable.LinkedHashMap[String, String]()
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     val firstErr = scala.collection.mutable.HashMap[String, Double]()
+    // per-pass VM-speed samples: the open/close sentinel pair misses a
+    // sustained slowdown that starts after warmup and ends before the
+    // close (observed r13: a run 11% slower than its same-commit sibling
+    // with cpu_st moving only 3%); one scalar-loop reading per pass
+    // boundary makes such windows visible in the archived record
+    val calPerPass = scala.collection.mutable.ArrayBuffer[Double]()
     for (pass <- 0 until reps) {
+      calPerPass += calibCpu()
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -241,7 +248,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
         s""""queries":$qs,"infra":$infraJson,""" +
         s""""calibration":{"cpu_st":${r3(calCpu)},""" +
-        s""""spark_job":${r3(calSpark)}},""" +
+        s""""spark_job":${r3(calSpark)},""" +
+        s""""cpu_st_per_pass":${
+          calPerPass.map(r3).mkString("[", ",", "]")}},""" +
         s""""failed":${errors.size},"errors":$errJson,""" +
         s""""flaky":$flakyJson,"sf":"$sfDir"}"""
     val minimal =
