@@ -92,6 +92,67 @@ object Bench {
     }
     var calCpu = calibCpu()
     var calSpark = calibSpark()
+    // PER-QUERY JOB COUNTS (always on, archived as "jobs" in the full
+    // line): at fixture scale the driver's per-job floor (~0.1 s of
+    // analysis + AQE stage scheduling) dominates most rows, so wall ≈
+    // jobs × 0.1 s — the r13 profiling playbook. Counting in BENCH
+    // context (not TimeQuery isolation) is the whole point: shared-memo
+    // state and pass interleaving change job counts, and r13's
+    // TimeQuery-based claims did not reproduce here. The listener bus is
+    // async, so deltas are read behind a reflective waitUntilEmpty
+    // (private[spark] → public in bytecode); if the reflection ever
+    // breaks, counts degrade to ±1 attribution noise, never wrong wall
+    // times.
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet(); ()
+        }
+      })
+    val busFlush: () => Unit = {
+      try {
+        val sc = spark.sparkContext
+        val busM = sc.getClass.getMethods.find(_.getName == "listenerBus").get
+        val bus = busM.invoke(sc)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .map(m => () => { try m.invoke(bus) catch { case _: Throwable => () }; () })
+          .orElse(bus.getClass.getMethods
+            .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
+            .map(m => () => {
+              try m.invoke(bus, java.lang.Long.valueOf(2000L))
+              catch { case _: Throwable => () }; ()
+            }))
+          .getOrElse(() => ())
+      } catch { case _: Throwable => () => () }
+    }
+    // INTER-PASS HOOK (env SPARK_GRAFT_INTERPASS_CMD): a shell command
+    // run before the first timed pass and after every pass, with
+    // GRAFT_PASS=0..reps in its environment — the r13 judge's
+    // window-proofing demand. The intended command is a single-rep
+    // tools/time_duckdb.py pass writing duck_pass$GRAFT_PASS.json, so
+    // every Spark pass is BRACKETED by DuckDB passes in one session and
+    // the proxy ratio stops depending on which VM window priced which
+    // engine (r13: 88.7→121.8 s same-tree spread at flat cpu_st was the
+    // entire builder/judge disagreement). Each run's wall time lands in
+    // calibration.interpass_sec.
+    val interCmd = sys.env.get("SPARK_GRAFT_INTERPASS_CMD")
+    val interSecs = scala.collection.mutable.ArrayBuffer[Double]()
+    def runInterpass(passIdx: Int): Unit = interCmd.foreach { cmd =>
+      val t0 = System.nanoTime()
+      try {
+        val pb = new ProcessBuilder("/bin/sh", "-c", cmd)
+        pb.environment().put("GRAFT_PASS", passIdx.toString)
+        pb.inheritIO()
+        val rc = pb.start().waitFor()
+        if (rc != 0) System.err.println(s"interpass pass=$passIdx rc=$rc")
+      } catch {
+        case t: Throwable => System.err.println(s"interpass failed: $t")
+      }
+      interSecs += (System.nanoTime() - t0) / 1e9
+    }
     val warmDir = {
       val p = java.nio.file.Paths.get(sfDir)
       val sibling = Option(p.getParent).map(_.resolve("sf0.001"))
@@ -146,7 +207,18 @@ object Bench {
       "_zorder_build" -> (() =>
         { Queries.sharedZorderPath(spark, sfDir); () }),
       "_hivepart_build" -> (() =>
-        { Queries.sharedHivePartPath(spark, sfDir); () }))
+        { Queries.sharedHivePartPath(spark, sfDir); () }),
+      // the two table-statistics memos (embeddings (N, dim); documents
+      // (N, avgdl) — BM25 index metadata): cleared by
+      // clearSharedBuildCaches like every memo, so without their own
+      // lines the corpus-stats jobs the BM25/LSH rows moved out of
+      // per-rep time would vanish from the archived record entirely
+      // (first timed rep rebuilds, min-of-reps filters it) while the
+      // DuckDB oracle still computes them inline — the r13-advice
+      // invisible-asymmetry flag. Same auditability contract as every
+      // other shared build.
+      "_embstats_build" -> (() => { Queries.embStats(spark, sfDir); () }),
+      "_docstats_build" -> (() => { Queries.docStats(spark, sfDir); () }))
     val infraReps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_INFRA_REPS", "2").toInt)
     for (pass <- 0 until infraReps) {
@@ -192,9 +264,13 @@ object Bench {
     // with cpu_st moving only 3%); one scalar-loop reading per pass
     // boundary makes such windows visible in the archived record
     val calPerPass = scala.collection.mutable.ArrayBuffer[Double]()
+    val jobsMin = scala.collection.mutable.LinkedHashMap[String, Long]()
+    runInterpass(0)
     for (pass <- 0 until reps) {
       calPerPass += calibCpu()
       SparkEntry.queries.foreach { case (name, fn) =>
+        busFlush()
+        val j0 = jobCounter.get()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -210,12 +286,17 @@ object Bench {
               false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) best(name) = best.get(name).fold(dt)(math.min(_, dt))
-        else {
+        busFlush()
+        val dj = jobCounter.get() - j0
+        if (ok) {
+          best(name) = best.get(name).fold(dt)(math.min(_, dt))
+          jobsMin(name) = jobsMin.get(name).fold(dj)(math.min(_, dj))
+        } else {
           if (!firstErr.contains(name)) firstErr(name) = -dt
           if (!best.contains(name)) best(name) = Double.MaxValue
         }
       }
+      runInterpass(pass + 1)
     }
     val results = SparkEntry.queries.keys.map { name =>
       val b = best.getOrElse(name, Double.MaxValue)
@@ -244,13 +325,17 @@ object Bench {
     // (NOT folded into the headline): they amortize across every
     // consumer, exactly like the fixture parquet write itself.
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    val jobsJson = jobsMin.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-        s""""queries":$qs,"infra":$infraJson,""" +
+        s""""queries":$qs,"infra":$infraJson,"jobs":$jobsJson,""" +
         s""""calibration":{"cpu_st":${r3(calCpu)},""" +
         s""""spark_job":${r3(calSpark)},""" +
         s""""cpu_st_per_pass":${
-          calPerPass.map(r3).mkString("[", ",", "]")}},""" +
+          calPerPass.map(r3).mkString("[", ",", "]")},""" +
+        s""""interpass_sec":${
+          interSecs.map(r3).mkString("[", ",", "]")}},""" +
         s""""failed":${errors.size},"errors":$errJson,""" +
         s""""flaky":$flakyJson,"sf":"$sfDir"}"""
     val minimal =

@@ -51,12 +51,29 @@ final class VectorDb(spark: SparkSession,
   def table: DataFrame = corpus
 
   /** A1/A2/A7 — read the reference CSV contract, REPLACING the corpus
-    * (and releasing the previous corpus' cache). The release happens
-    * BEFORE re-caching so reloading the same path cannot drop the fresh
-    * entry (cache entries match by plan, not by reference). */
+    * (and releasing the previous corpus' cache).
+    *
+    * The new path is VALIDATED before the served handle is touched:
+    * `read` is lazy, so a readable-but-malformed file would otherwise
+    * pass the swap and then poison every subsequent `count`/`search`
+    * with the old corpus already released — one bad `/load` request
+    * permanently breaking the server (r13 advice). Validation is the
+    * cache POPULATE itself (`fresh.count()` on the cached frame): cache
+    * build materializes every column, which a bare `count()` would not
+    * (CSV count pushdown skips field conversion, so a FAILFAST parse
+    * error in an unreferenced column would sail through). A failed
+    * populate releases the fresh entry and rethrows with the old corpus
+    * still serving, cache intact. The old entry is released only
+    * afterwards — and skipped entirely when it IS the fresh entry
+    * (same-path reload: cache entries match by plan, so unpersisting
+    * the old would drop the just-populated data). */
   def load(path: String): this.type = {
-    cached.foreach(_.unpersist())
     val fresh = EmbeddingCsv.read(spark, path).cache()
+    try fresh.count()
+    catch { case t: Throwable => fresh.unpersist(); throw t }
+    cached.filterNot(_.queryExecution.analyzed
+        .sameResult(fresh.queryExecution.analyzed))
+      .foreach(_.unpersist())
     cached = Some(fresh)
     corpus = fresh
     this

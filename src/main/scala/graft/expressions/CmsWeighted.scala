@@ -1,9 +1,10 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -31,6 +32,18 @@ case class CmsWeighted(item: Expression, weight: Expression,
     extends TypedImperativeAggregate[CountMinSketch] {
 
   override def children: Seq[Expression] = Seq(item, weight)
+  // analysis-time typing (the r13 advice): without this a non-string
+  // item or an IntegerType count passes analysis and dies at execution
+  // on the asInstanceOf below — the built-in CountMinSketchAgg fails at
+  // analysis for the same misuse, so this aggregate must too
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (item.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName item must be STRING, got ${item.dataType.sql}")
+    else if (weight.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName weight must be BIGINT, got ${weight.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "cms_weighted"

@@ -817,9 +817,20 @@ object Multimodal {
     // exactly once against the persisted decode, then broadcast the
     // local relation into the anti-joins so payload bytes NEVER enter
     // an exchange (PlanSpec-pinned)
-    val rejected = broadcast(graft.operators.NearDup.materializePairs(
-      exactRejected.union(nearRejected).union(degRejected).distinct()))
-    decoded.unpersist()
+    // try/finally: a throw in the three-branch rejected-set jobs must
+    // not leak the persisted decode for the session lifetime (r13
+    // advice). NOTE the unpersist means the returned admittedDecoded
+    // re-runs the decode subtree ONCE when the caller materializes it —
+    // "decodes ONCE" holds per consumer group: the rejected-set jobs
+    // share one persisted decode here, and a caller that consumes
+    // admittedDecoded more than once persists it itself (see
+    // Streams.incrementalMediaIngestion). Holding the persist open past
+    // return would trade that one recompute for an unbounded leak —
+    // nothing downstream could know when to release it.
+    val rejected =
+      try broadcast(graft.operators.NearDup.materializePairs(
+        exactRejected.union(nearRejected).union(degRejected).distinct()))
+      finally decoded.unpersist()
     val admitted = incoming.toDF().join(rejected, Seq("media_id"), "left_anti")
     val admittedDecoded = decoded.join(rejected, Seq("media_id"), "left_anti")
     (admitted, admittedDecoded)

@@ -33,9 +33,14 @@ import org.apache.spark.sql.SparkSession
   * read-mostly path lock-free).
   *
   * Port 0 binds an ephemeral port (tests); [[boundPort]] reports it.
+  * Binds LOOPBACK by default: `/load` points the driver at arbitrary
+  * filesystem paths and `/add` mutates the corpus — an unauthenticated
+  * mutation surface must not listen on a wildcard address out of the
+  * box (r13 advice). Pass `host = "0.0.0.0"` to serve externally,
+  * behind whatever auth the deployment fronts it with.
   */
 final class SearchServer(spark: SparkSession, db: graft.VectorDb,
-                         port: Int = 8080) {
+                         port: Int = 8080, host: String = "127.0.0.1") {
 
   private var server: com.sun.net.httpserver.HttpServer = _
 
@@ -180,7 +185,7 @@ final class SearchServer(spark: SparkSession, db: graft.VectorDb,
     * own executor; call [[stop]] (or let the JVM exit) to end it. */
   def start(): this.type = {
     server = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress(port), 0)
+      new java.net.InetSocketAddress(host, port), 0)
     server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) =>
       handle(ex))
     // small fixed pool: each request is a driver-side Spark action, and

@@ -158,6 +158,22 @@ class SearchServerSpec extends AnyFunSuite {
       // error contracts: missing path, unreadable path
       assert(post(port, "/load", "")._1 === 400)
       assert(post(port, "/load", "path=%2Fno%2Fsuch%2Fplace")._1 === 400)
+      // a READABLE-but-MALFORMED path must fail the load WITHOUT
+      // breaking the served corpus: load validates (materializes) the
+      // new table before swapping the handle, so one bad request cannot
+      // leave every subsequent /count and /search returning 500 (the
+      // r13-advice poisoning scenario — read is lazy, the old handle
+      // was already unpersisted+replaced when the first consumer threw)
+      val badDir = java.nio.file.Files.createTempDirectory("srvbad").toString
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(badDir, "part-00000.csv"),
+        "chunk_id,document_id,chunk_text,vector_embedding\nnot_a_long,x,y,\"0.1,0.2\"\n"
+          .getBytes("UTF-8"))
+      assert(post(port, "/load",
+        s"path=${java.net.URLEncoder.encode(badDir, "UTF-8")}")._1 === 400)
+      assert(get(port, "/count") === ((200, """{"count":4}""")))
+      val (scAfter, bodyAfter) = get(port, "/search?q=gamma%20doc&k=1")
+      assert(scAfter === 200, bodyAfter)
     } finally srv.stop()
   }
 

@@ -52,6 +52,16 @@ def main() -> None:
               if q in bench["queries"] and q not in UNTIMED]
     core = [q for q in common if q not in LIFECYCLE and q not in CODEC]
 
+    # Bench records a FAILED query as a negative elapsed time; summing it
+    # unfiltered would silently deflate the Spark total and flatter the
+    # ratio the 2x gate adjudicates (r13 advice). A failed row in either
+    # file is a hard error — a run with failures is not adjudicable.
+    bad = [q for q in common
+           if bench["queries"][q] < 0 or duck["queries"][q] < 0]
+    if bad:
+        sys.exit(f"FAILED queries present (negative time), run not "
+                 f"adjudicable: {bad}")
+
     def tot(side, qs):
         return sum(side["queries"][q] for q in qs)
 
