@@ -51,6 +51,17 @@ object Bench {
       // advisory size and keep full width either way
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PFIRST", "false"))
+      // SPARK_GRAFT_AQE=false replays the bench without adaptive
+      // execution for A/B: AQE materializes one JOB per shuffle stage
+      // (plus replanning between), so at fixture scale a 5-exchange
+      // chain pays the driver floor 5+ times; without it the whole
+      // chain is ONE job whose stages the DAGScheduler runs back to
+      // back. The r13 A/B (width-32 shuffles) kept AQE for its
+      // coalescing; at the driver's width-4 config that benefit is
+      // bounded by 4 tasks/stage, so the tradeoff is re-measured per
+      // round. Results are partitioning-invariant either way (oracle).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen/parquet-reader/file-commit warmup so per-query times
@@ -191,6 +202,11 @@ object Bench {
       "_ivfpqf_build" -> (() => { Queries.sharedFixedIvfPq(spark, sfDir); () }),
       "_forget_fixture_build" -> (() => {
         val (root, _) = Queries.forgetFixtureCopy(spark, sfDir)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root).getParentFile)
+      }),
+      "_textindex_build" -> (() => {
+        val root = Queries.textIndexFixtureCopy(spark, sfDir)
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(root).getParentFile)
       }),

@@ -87,6 +87,18 @@ object Queries
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
 
+  /** The documents table widened to core count — for the tokenize-heavy
+    * rows: at fixture scale the table is ONE parquet split (one row
+    * group), so scan→tokenize→explode→partial-agg otherwise serializes
+    * on a single task (~0.3-0.6 s of the row's wall at sf0.1 under the
+    * r14 job-count instrument) while the other cores idle. The
+    * round-robin exchange it costs moves the kilobyte-scale raw rows
+    * once; at 100 TB the scan has thousands of natural splits and
+    * [[widenForCompute]] is a no-op. Result-neutral (every consumer is
+    * an aggregation or a range repartition; oracle-pinned). */
+  private[graft] def Tw(s: SparkSession, dir: String, name: String): DataFrame =
+    widenForCompute(T(s, dir, name))
+
   private[graft] val q1Sql = QueryVectors.sql(QueryVectors.q1)
   private[graft] val q2Sql = QueryVectors.sql(QueryVectors.q2)
 
@@ -1108,6 +1120,38 @@ object Queries
   private[graft] val forgetFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, ForgetFixtureBuilt]()
 
+  private[graft] final case class TextIndexBuilt(fingerprint: String,
+                                                 root: String)
+
+  private[graft] val textIndexFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TextIndexBuilt]()
+
+  /** The half-corpus text index `q_store_textindex` appends to and
+    * queries — built ONCE per fixture dir (the `_textindex_build` infra
+    * line, same build-vs-mutate split as `forgetFixtureCopy`: a
+    * deployment builds its inverted index once and every ingestion
+    * batch appends to the standing artifact), then file-copied per
+    * invocation so the row's append can mutate freely. Returns the
+    * work-copy root; callers delete its PARENT when done. */
+  private[graft] def textIndexFixtureCopy(s: SparkSession,
+                                          dir: String): String = {
+    val fp = Tables.fixtureFingerprint(dir, "documents")
+    val built = textIndexFixtureCache.compute(dir, (_, cached) =>
+      if (cached != null && cached.fingerprint == fp) cached
+      else {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-tixfx")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(tmpRoot.toFile)
+        val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        graft.operators.TextIndex.build(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", s"$tmpRoot/index", shards = 32)
+        TextIndexBuilt(fp, tmpRoot.toString)
+      })
+    val work = java.nio.file.Files.createTempDirectory("graft-tix-work")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(built.root), new java.io.File(s"$work/f"))
+    s"$work/f"
+  }
+
   /** The three-store fixture `q_forget_e2e` mutates — corpus store +
     * inverted text index + partitioned vector index — built ONCE per dir
     * and FILE-COPIED to a fresh work dir per invocation (the
@@ -1332,6 +1376,7 @@ object Queries
     fixedPqCache.remove(dir)
     fixedIvfPqCache.remove(dir)
     forgetFixtureCache.remove(dir)
+    textIndexFixtureCache.remove(dir)
     minhashEdgeCache.remove(dir)
     dedupEdgesCache.remove(dir)
     dedupLabelsCache.remove(dir)

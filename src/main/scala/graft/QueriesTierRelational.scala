@@ -348,13 +348,21 @@ private[graft] trait QueriesTierRelational { this: Queries.type =>
       // per-source agg, a broadcast of |sources| threshold rows back
       // onto the corpus scan, one final rollup — the corpus flows once.
       (s, dir) => {
-        val docs = T(s, dir, "documents")
+        val docs = Tw(s, dir, "documents")
         val budget = 100L // target docs in the mix
         val counts = docs.groupBy(col("source"))
           .agg(count(lit(1)).as("n_total"))
           .withColumn("w", floor(sqrt(col("n_total"))).cast("long"))
+        // Σw as a whole-frame window over the ALREADY-AGGREGATED counts
+        // (|sources| rows in one partition — the single-partition window
+        // warning is exactly right-sized here) instead of the old
+        // crossJoin(counts.agg(...)): that form consumed the counts
+        // subtree twice and re-ran the corpus aggregation to build the
+        // broadcast side (r14 job-count profile)
         val thr = counts
-          .crossJoin(counts.agg(sum(col("w")).as("_wsum")))
+          .withColumn("_wsum", sum(col("w")).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
           .withColumn("_num", lit(1000000L) * lit(budget) * col("w"))
           .withColumn("_den", col("_wsum") * col("n_total"))
           // int64 `div`, not `/`: float division re-rounds the quotient

@@ -686,7 +686,7 @@ private[graft] trait QueriesTierTextAnalysis { this: Queries.type =>
           "l_orderkey", Seq("l_orderkey", "l_linenumber"),
           T(s, dir, "orders")
             .select(col("o_orderkey"), col("o_orderpriority")),
-          "o_orderkey", factor = 4)
+          "o_orderkey", factor = 2)
         joined.groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
             r4(dbl(decSum(col("l_quantity")))).as("sum_qty"))

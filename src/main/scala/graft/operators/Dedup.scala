@@ -111,17 +111,43 @@ object Dedup {
 
     val keyed = corpus.select(xxhash64(corpusKey).as("__graft_fp")).distinct()
     val n = if (expectedItems > 0L) expectedItems else keyed.count()
-    // an empty corpus can't reject anything — and Spark's bloomFilter
-    // aggregate returns a null buffer over zero rows, so route around it
-    // (the isEmpty probe is a limit-1 job, only paid when the sizing
-    // count() was skipped via expectedItems)
-    if (n == 0L || (expectedItems > 0L && keyed.isEmpty)) return incoming
-    val bf = keyed.stat.bloomFilter("__graft_fp", math.max(n, 1L), fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
+    if (n == 0L) return incoming
+    val est = math.max(n, 1L)
+    val numBits =
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(est, fpp)
+    val conf = corpus.sparkSession.conf
+    def confLong(k: String, dflt: Long): Long =
+      scala.util.Try(conf.get(k).toLong).getOrElse(dflt)
+    // ONE aggregation job builds the filter AND detects an empty corpus:
+    // the native BloomFilterAggregate returns a NULL buffer over zero
+    // rows, which is exactly the emptiness signal the old dedicated
+    // isEmpty probe paid a limit-1 job for (r14 job-count profile). The
+    // aggregate's serialized form is what BloomFilterMightContain
+    // consumes (Spark's own runtime-filter pairing). The aggregate is
+    // analysis-capped by the runtime-filter confs, so corpora sized past
+    // them fall back to the uncapped stat.bloomFilter (+ its own
+    // emptiness handling) — at 100 TB that is the path a billion-key
+    // corpus takes.
+    val bytes: Array[Byte] =
+      if (est <= confLong(
+            "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L) &&
+          numBits <= confLong(
+            "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L)) {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        val agg = new BloomFilterAggregate(
+          Bridge.expression(col("__graft_fp")),
+          Literal(est), Literal(numBits))
+        val row = keyed.select(
+          Bridge.column(agg.toAggregateExpression()).as("_bf")).head()
+        if (row.isNullAt(0)) return incoming
+        row.getAs[Array[Byte]](0)
+      } else {
+        if (expectedItems > 0L && keyed.isEmpty) return incoming
+        val bf = keyed.stat.bloomFilter("__graft_fp", est, fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
     val mightContain = Bridge.column(BloomFilterMightContain(
       Literal(bytes, BinaryType), Bridge.expression(xxhash64(key))))
     val definitelyNew = incoming.filter(!mightContain)
@@ -214,7 +240,9 @@ object Dedup {
       exactKept, corpus, idCol, textCol, cands)
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_new").as(idCol)).distinct()
-    exactKept.join(nearDupNew, Seq(idCol), "left_anti")
+    // the reject set is bounded by the incoming batch — broadcast it
+    // into the anti-join so the admitted slice never shuffles
+    exactKept.join(broadcast(nearDupNew), Seq(idCol), "left_anti")
   }
 
   /** The VECTOR-TIER incremental admission decision — [[admitIncoming]]
@@ -262,7 +290,9 @@ object Dedup {
     val nearDupNew = NearDup.prefixJaccardJoinCross(
         exactKept, corpus, idCol, textCol, minJaccard)
       .select(col("id_new").as(idCol)).distinct()
-    exactKept.join(nearDupNew, Seq(idCol), "left_anti")
+    // reject set ≤ batch size: broadcast into the anti-join (same
+    // rationale as admitIncoming)
+    exactKept.join(broadcast(nearDupNew), Seq(idCol), "left_anti")
   }
 
   /** SEMANTIC admission against an IVF-CELLED corpus — [[semanticDedup]]
@@ -331,7 +361,9 @@ object Dedup {
     val dupNew = NearDup.cosineVerifyCross(incoming, corpus, idCol, vecCol, cands)
       .filter(col("cos") >= minCosine)
       .select(col("id_new").as(idCol)).distinct()
-    incoming.join(dupNew, Seq(idCol), "left_anti")
+    // reject set ≤ batch size: broadcast into the anti-join (same
+    // rationale as admitIncoming)
+    incoming.join(broadcast(dupNew), Seq(idCol), "left_anti")
   }
 
   /** Connected components over a near-dup pair graph — the CLUSTERING

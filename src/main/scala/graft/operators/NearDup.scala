@@ -140,7 +140,13 @@ object NearDup {
       .toDF("id_new", "band_id", "band_hash")
     val b = minHashBuckets(corpus, idCol, textCol, numHashes, bands)
       .toDF("id_old", "band_id", "band_hash")
-    a.join(b, Seq("band_id", "band_hash"))
+    // the INCOMING side is broadcast by contract: it is the micro-batch
+    // (bands × batch rows — kilobytes against a corpus of any size), so
+    // the corpus side's bucket projection streams map-side past it with
+    // NO shuffle of either side — at 100 TB the corpus never enters an
+    // exchange here, and at fixture scale the hint skips the two
+    // shuffle-map stages AQE's runtime broadcast conversion still pays
+    broadcast(a).join(b, Seq("band_id", "band_hash"))
       .select(col("id_new"), col("id_old"))
       .distinct()
   }
@@ -159,7 +165,9 @@ object NearDup {
       .toDF("id_new", "sh_new", "band_id", "band_key")
     val b = simHashBuckets(corpus, idCol, textCol)
       .toDF("id_old", "sh_old", "band_id", "band_key")
-    a.join(b, Seq("band_id", "band_key"))
+    // incoming = the micro-batch: broadcast by the same contract (and
+    // with the same 100 TB rationale) as minHashCrossCandidates
+    broadcast(a).join(b, Seq("band_id", "band_key"))
       .select(col("id_new"), col("id_old"),
         hamming(col("sh_new"), col("sh_old")).as("hamming"))
       // same discipline as the self-join: filter BEFORE distinct so the
@@ -182,7 +190,9 @@ object NearDup {
       .toDF("id_new", "_fp")
     val b = winnowBuckets(corpus, idCol, textCol, window)
       .toDF("id_old", "_fp")
-    a.join(b, "_fp")
+    // incoming = the micro-batch: broadcast by the same contract (and
+    // with the same 100 TB rationale) as minHashCrossCandidates
+    broadcast(a).join(b, "_fp")
       .groupBy(col("id_new"), col("id_old"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -869,7 +879,11 @@ object NearDup {
           .as("bucket"))
     val b = embeddingBuckets(corpus, idCol, vecCol, nBits, d)
       .select(col("_id").as("id_old"), col("_bucket").as("bucket"))
-    a.join(b, "bucket")
+    // incoming = the micro-batch ((nBits+1) × batch rows of two longs):
+    // broadcast by the same contract (and with the same 100 TB
+    // rationale) as minHashCrossCandidates — the corpus bucket
+    // projection never enters an exchange
+    broadcast(a).join(b, "bucket")
       .select(col("id_new"), col("id_old"))
       .distinct()
   }

@@ -441,7 +441,8 @@ object TextAnalysis {
         col("_hit._1").as("bm25"), (col("_pos") + 1).cast("long").as("rank"))
   }
 
-  def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String,
+            corpusN: Option[Double] = None): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("word"))
     val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -452,10 +453,16 @@ object TextAnalysis {
     // materialize the broadcast df side, once for the probe side); the
     // window is one extra exchange of the already-aggregated narrow
     // (doc, word, tf) rows — rows ≪ tokens — in a single linear plan.
+    // `corpusN` is catalog metadata (parquet-footer row count — the
+    // same index-metadata contract as bm25's corpusStats); callers
+    // without it pay one column-pruned count + broadcast.
     val byWord = org.apache.spark.sql.expressions.Window.partitionBy("word")
-    val n = docs.agg(count(lit(1)).cast("double").as("n"))
-    tf.withColumn("df", count(lit(1)).over(byWord))
-      .crossJoin(broadcast(n))
+    val withN: DataFrame => DataFrame = corpusN match {
+      case Some(n) => _.withColumn("n", lit(n))
+      case None => _.crossJoin(broadcast(
+        docs.agg(count(lit(1)).cast("double").as("n"))))
+    }
+    withN(tf.withColumn("df", count(lit(1)).over(byWord)))
       .select(col("doc_id"), col("word"),
         round(col("tf") * log(col("n") / col("df")), 4).as("tfidf"))
   }
