@@ -168,7 +168,7 @@ private[graft] trait QueriesTierNearDupVerify { this: Queries.type =>
       // agg, single shuffle, no per-group sort, so the selection costs
       // the same as the min-id pick at any scale.
       (s, dir) => {
-        val toks = filter(split(col("text"), " "), x => x =!= lit(""))
+        val toks = TextAnalysis.tokens(col("text"))
         val sub = T(s, dir, "documents").filter(col("doc_id") < 128)
           .select(col("doc_id"),
             size(array_distinct(toks)).cast("long").as("n_types"))

@@ -13,7 +13,17 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokens of `text`, empty tokens removed. */
-  def tokens(text: Column): Column =
+  def tokens(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.expressions.Tokens(Bridge.expression(text)))
+  }
+
+  /** The higher-order twin [[tokens]] replaced (r14): `ArrayFilter` is
+    * CodegenFallback — a regex split materializing empties plus an
+    * interpreted lambda per element, under the engine's hottest path.
+    * Retained so TextAnalysisSpec can pin the native expression
+    * bit-equal against it on the real fixture. */
+  private[graft] def tokensHof(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
   /** Real BPE subword tokens of `text` under the checked-in merges table
@@ -340,7 +350,6 @@ object TextAnalysis {
            b: Double = 0.75,
            corpusStats: Option[(Double, Double)] = None): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val termLit = array(terms.distinct.map(lit): _*)
     val base = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), col("_toks"),
@@ -356,9 +365,14 @@ object TextAnalysis {
         count(lit(1)).cast("double").as("_n"),
         avg(col("_dl")).as("_avgdl"))))
     }
+    // explode-then-isin instead of filter-then-explode: ArrayFilter is
+    // CodegenFallback (interpreted lambda per token); the codegen'd
+    // generate+In pipeline over the full token stream is faster AND
+    // stays inside whole-stage codegen (r14 — same finding as the
+    // native Tokens expression)
     val tf = base.select(col("doc_id"), col("_dl"),
-        explode(filter(col("_toks"),
-          t => array_contains(termLit, t))).as("word"))
+        explode(col("_toks")).as("word"))
+      .filter(col("word").isInCollection(terms.distinct))
       .groupBy(col("doc_id"), col("_dl"), col("word"))
       .agg(count(lit(1)).cast("double").as("_tf"))
     // document frequency as a window over the tf relation — (doc, word)
@@ -414,9 +428,10 @@ object TextAnalysis {
         count(lit(1)).cast("double").as("_n"),
         avg(col("_dl")).as("_avgdl"))))
     }
+    // explode-then-isin, same rationale as [[bm25]]
     val tf = base.select(col("doc_id"), col("_dl"),
-        explode(filter(col("_toks"),
-          t => array_contains(termLit, t))).as("word"))
+        explode(col("_toks")).as("word"))
+      .filter(col("word").isInCollection(unionTerms))
       .groupBy(col("doc_id"), col("_dl"), col("word"))
       .agg(count(lit(1)).cast("double").as("_tf"))
     val withDf = tf.withColumn("_df",

@@ -190,4 +190,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect()(0).getDouble(2)
     assert(fluent < junk)
   }
+
+  test("native Tokens ≡ the HOF filter(split) twin: fixture + edge shapes") {
+    import org.apache.spark.sql.functions.col
+    // edge shapes the byte-scan must get exactly right: empties from
+    // leading/trailing/consecutive spaces, all-space, empty, single
+    // token, multibyte UTF-8 (no 0x20 inside a multibyte sequence),
+    // tabs/newlines NOT split (only literal space — split(" ")
+    // semantics), and null text
+    val edges = Seq(
+      (1L, "a b a"), (2L, "  leading"), (3L, "trailing  "),
+      (4L, "a  b   c"), (5L, "     "), (6L, ""), (7L, "single"),
+      (8L, "héllo wörld é́ café"), (9L, "tab\tkept new\nline x"),
+      (10L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val fixture = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edges, fixture)) {
+      val got = df.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("t")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val want = df.select(col("doc_id"),
+        TextAnalysis.tokensHof(col("text")).as("t")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(got === want)
+    }
+  }
 }
