@@ -411,6 +411,44 @@ object Queries
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(df.collect(): _*), df.schema)
 
+  /** [[localFrame]] with the ORDER applied driver-side: the pattern
+    * `localFrame(tiny.orderBy(k…))` pays a distributed global sort — a
+    * range-partitioner boundary-SAMPLING pass plus a shuffle+sort stage
+    * — for a result the driver is about to collect anyway (r14
+    * job-count profile: ~2 pure-overhead jobs on every verify/rollup
+    * row ending this way). Collect unsorted, sort locally by the same
+    * keys (ascending, nulls first — Spark's `asc` default), identical
+    * rows in identical order. Only for driver-bounded results, which
+    * every localFrame call already is by contract. */
+  private[graft] def localFrameOrdered(df: DataFrame,
+                                       keys: String*): DataFrame = {
+    val rows = df.collect()
+    // "-name" = descending (nulls last), bare = ascending (nulls first)
+    // — Spark's desc/asc null defaults
+    val spec = keys.map { k =>
+      if (k.startsWith("-")) (df.schema.fieldIndex(k.drop(1)), -1)
+      else (df.schema.fieldIndex(k), 1)
+    }.toArray
+    val sorted = rows.sortWith { (a, b) =>
+      var i = 0
+      var cmp = 0
+      while (cmp == 0 && i < spec.length) {
+        val (fi, sign) = spec(i)
+        val (x, y) = (a.getAs[AnyRef](fi), b.getAs[AnyRef](fi))
+        cmp =
+          if (x == null && y == null) 0
+          else if (x == null) -1
+          else if (y == null) 1
+          else x.asInstanceOf[Comparable[AnyRef]].compareTo(y)
+        cmp *= sign
+        i += 1
+      }
+      cmp < 0
+    }
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(sorted: _*), df.schema)
+  }
+
   /** One shared IVF index per fixture dir: `ivf_probe` and
     * `ivf_probe_part` need (assignments, centroids) from the SAME k-means
     * parameters, and a declared-set pass (Verify, a Bench round) runs

@@ -188,9 +188,8 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
             NearDup.embeddingCrossCandidates(incoming, corpus,
               "vec_id", "embedding", nBits, meta.getInt(1))
               .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
-          localFrame(NearDup.cosineVerify(emb, "vec_id", "embedding", cands)
-            .filter(col("cos") >= 0.3)
-            .orderBy(col("id_a"), col("id_b")))
+          localFrameOrdered(NearDup.cosineVerify(emb, "vec_id", "embedding", cands)
+            .filter(col("cos") >= 0.3), "id_a", "id_b")
         } finally emb.unpersist()
       },
       // PROMOTED (round 10): same deterministic-planes replay as
@@ -213,15 +212,14 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // Float cosine + seeded LSH → rows-only per the contract.
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
-        localFrame(Dedup.admitIncomingVectors(
+        localFrameOrdered(Dedup.admitIncomingVectors(
             emb.filter(col("vec_id") % 5 === 0),
             emb.filter(col("vec_id") % 5 =!= 0),
             "vec_id", "embedding", minCosine = 0.3,
             dim = embStats(s, dir)._2)
           .groupBy((col("vec_id") % 100).as("id_bucket"))
           .agg(count(lit(1)).as("n_admitted"),
-            min(col("vec_id")).as("first_id"))
-          .orderBy(col("id_bucket")))
+            min(col("vec_id")).as("first_id")), "id_bucket")
       },
       // PROMOTED (round 10): deterministic planes at the fixed default
       // nbits=8 make the whole admit/reject decision a static replay
@@ -248,13 +246,12 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
         val idx = s.read.parquet(ivf.indexPath)
           .filter(col("vec_id") % 5 =!= 0)
           .select(col("vec_id"), col("embedding"), col("cluster_id"))
-        localFrame(Dedup.admitIncomingSemantic(
+        localFrameOrdered(Dedup.admitIncomingSemantic(
             emb.filter(col("vec_id") % 5 === 0),
             idx, "vec_id", "embedding", ivf.centroids, minCosine = 0.3)
           .groupBy((col("vec_id") % 100).as("id_bucket"))
           .agg(count(lit(1)).as("n_admitted"),
-            min(col("vec_id")).as("first_id"))
-          .orderBy(col("id_bucket")))
+            min(col("vec_id")).as("first_id")), "id_bucket")
       },
       None,
       "semantic admission over IVF cells: assign-to-cell + within-cell cosine reject (SemDeDup ingestion twin)"),
@@ -271,14 +268,13 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // through the subquadratic prefix path.
       (s, dir) => {
         val docs = T(s, dir, "documents")
-        localFrame(Dedup.admitIncomingExactJaccard(
+        localFrameOrdered(Dedup.admitIncomingExactJaccard(
             docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
             docs.filter(col("doc_id") < 150),
             "doc_id", "text")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_admitted"),
-            min(col("doc_id")).as("first_id"))
-          .orderBy(col("lang")))
+            min(col("doc_id")).as("first_id")), "lang")
       },
       Some("""WITH c AS (SELECT doc_id, text, lang FROM documents WHERE doc_id < 150),
          |i AS (SELECT doc_id, text, lang FROM documents
@@ -322,14 +318,13 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // asserted in StreamsSpec)
       (s, dir) => {
         val docs = T(s, dir, "documents")
-        localFrame(Dedup.admitIncoming(
+        localFrameOrdered(Dedup.admitIncoming(
             docs.filter(col("doc_id") >= 250),
             docs.filter(col("doc_id") < 250),
             "doc_id", "text")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_admitted"),
-            min(col("doc_id")).as("first_id"))
-          .orderBy(col("lang")))
+            min(col("doc_id")).as("first_id")), "lang")
       },
       None,
       "incremental admission e2e: exact anti-join tier + cross-set near-dup tier → admitted per lang"),
@@ -359,13 +354,12 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
           val corpus2 = corpus.select(col("doc_id"), col("text"))
             .union(adm1.select(col("doc_id"), col("text")))
           val adm2 = Dedup.admitIncoming(day2, corpus2, "doc_id", "text")
-          localFrame(
+          localFrameOrdered(
             adm1.select(col("doc_id"), col("lang"), lit(1L).as("day"))
               .union(adm2.select(col("doc_id"), col("lang"), lit(2L).as("day")))
               .groupBy(col("day"), col("lang"))
               .agg(count(lit(1)).as("n_admitted"),
-                min(col("doc_id")).as("first_id"))
-              .orderBy(col("day"), col("lang")))
+                min(col("doc_id")).as("first_id")), "day", "lang")
         } finally adm1.unpersist()
       },
       None,
@@ -403,11 +397,10 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
           def dayRows(g: Long, day: Long): DataFrame =
             s.read.parquet(s"$root/gen=$g")
               .select(col("doc_id"), col("lang"), lit(day).as("day"))
-          localFrame(dayRows(g1, 1L).union(dayRows(g2, 2L))
+          localFrameOrdered(dayRows(g1, 1L).union(dayRows(g2, 2L))
             .groupBy(col("day"), col("lang"))
             .agg(count(lit(1)).as("n_admitted"),
-              min(col("doc_id")).as("first_id"))
-            .orderBy(col("day"), col("lang")))
+              min(col("doc_id")).as("first_id")), "day", "lang")
         } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
       },
       None,
@@ -450,7 +443,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
           VersionedCorpus.vacuum(root)
           val post = localFrame(
             stats(VersionedCorpus.snapshot(s, root), "post_vacuum"))
-          localFrame(pre.union(post).orderBy(col("snap")))
+          localFrameOrdered(pre.union(post), "snap")
         } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
       },
       Some("""SELECT * FROM (
@@ -513,7 +506,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
           VersionedCorpus.vacuum(root)
           val post = localFrame(
             stats(VersionedCorpus.snapshot(s, root), "post_compact"))
-          localFrame(pre.union(post).orderBy(col("snap")))
+          localFrameOrdered(pre.union(post), "snap")
         } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
       },
       Some("""SELECT * FROM (

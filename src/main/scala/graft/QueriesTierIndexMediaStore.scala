@@ -192,11 +192,11 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
             .select(col("text")).head().getString(0)
           val q = e.embed(qtext).map(_.toDouble).toSeq
           try {
-            localFrame(SqIndex.searchRerank(codes, embedded, "doc_id",
+            localFrameOrdered(SqIndex.searchRerank(codes, embedded, "doc_id",
                 "emb", q, params, k = 10, r = 50)
               .select(col("rank").cast("long").as("rank"), col("doc_id"),
-                col("sim"), (col("doc_id") % 40 === 0).as("is_new"))
-              .orderBy(col("rank")))
+                col("sim"), (col("doc_id") % 40 === 0).as("is_new")),
+              "rank")
           } finally codes.unpersist()
         } finally embedded.unpersist()
       },
@@ -305,11 +305,11 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
         import s.implicits._
         val qs = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
           .toDF("qid", "qvec")
-        localFrame(
+        localFrameOrdered(
           IvfIndex.probeMany(s, ivf.indexPath, "vec_id", "embedding",
             ivf.centroids, qs, "qid", "qvec", k = 10, nprobe = ivf.nprobe)
-            .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
-            .orderBy(col("qid"), col("rank")))
+            .select(col("qid"), col("vec_id"), col("sim"), col("rank")),
+          "qid", "rank")
       },
       None,
       "B6 batched: multi-query IVF probe in one job (broadcast probe sets + map-side top-k)"),
@@ -335,12 +335,12 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
         import s.implicits._
         val qs = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
           .toDF("qid", "qvec")
-        localFrame(
+        localFrameOrdered(
           IvfIndex.probeMany(s, path, "vec_id", "embedding", cents, qs,
               "qid", "qvec", k = 10, nprobe = 3)
             .select(col("qid"), col("vec_id"), col("sim"),
-              col("rank").cast("long").as("rank"))
-            .orderBy(col("qid"), col("rank")))
+              col("rank").cast("long").as("rank")),
+          "qid", "rank")
       },
       Some(s"""WITH cents AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
@@ -392,12 +392,12 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
         import s.implicits._
         val qs = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
           .toDF("qid", "qvec")
-        localFrame(
+        localFrameOrdered(
           SqIndex.searchManyRerank(s.read.parquet(sq.codesPath),
             T(s, dir, "embeddings"), "vec_id", "embedding",
             qs, "qid", "qvec", sq.params, k = 10, r = sq.rerank)
-            .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
-            .orderBy(col("qid"), col("rank")))
+            .select(col("qid"), col("vec_id"), col("sim"), col("rank")),
+          "qid", "rank")
       },
       None,
       "B6h batched: multi-query SQ8 search in one codes scan (broadcast ADC terms + map-side top-k)"),
@@ -416,13 +416,13 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
         import s.implicits._
         val qs = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
           .toDF("qid", "qvec")
-        localFrame(
+        localFrameOrdered(
           SqIndex.searchManyRerank(s.read.parquet(sq.codesPath),
             T(s, dir, "embeddings"), "vec_id", "embedding",
             qs, "qid", "qvec", sq.params, k = 10, r = 50)
             .select(col("qid"), col("vec_id"), col("sim"),
-              col("rank").cast("long").as("rank"))
-            .orderBy(col("qid"), col("rank")))
+              col("rank").cast("long").as("rank")),
+          "qid", "rank")
       },
       Some(s"""WITH grid AS (
          |  SELECT i, min(embedding[i]::DOUBLE) AS lo,
@@ -483,10 +483,9 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
           "cluster_id", m = 5)
         val sizes = idx.groupBy(col("cluster_id").as("cluster"))
           .agg(count(lit(1)).as("n_members"))
-        localFrame(sampled.join(sizes, "cluster")
+        localFrameOrdered(sampled.join(sizes, "cluster")
           .select(col("cluster"), col("n_members"), col("vec_id"),
-            col("pos"))
-          .orderBy(col("cluster"), col("pos")))
+            col("pos")), "cluster", "pos")
       },
       None,
       "diversity-aware sampling: deterministic per-cluster top-m over the IVF assignment relation"),
@@ -1230,10 +1229,10 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
           val exact = Search.topK(emb, "embedding", "vec_id",
               QueryVectors.q1, k = 10)
             .select(col("vec_id"), col("sim").as("sim_exact"))
-          localFrame(probed.join(exact, Seq("vec_id"), "full_outer")
+          localFrameOrdered(probed.join(exact, Seq("vec_id"), "full_outer")
             .select(col("vec_id"), col("sim"), col("sim_exact"),
-              (col("sim") === col("sim_exact")).as("matches"))
-            .orderBy(desc("sim"), asc("vec_id")))
+              (col("sim") === col("sim_exact")).as("matches")),
+            "-sim", "vec_id")
         } finally org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(path).getParentFile)
       },
@@ -1426,10 +1425,10 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
           val exact = graft.operators.Search
             .topK(emb, "embedding", "vec_id", QueryVectors.q1, k = 10)
             .select(col("vec_id"), col("sim").as("sim_exact"))
-          localFrame(probed.join(exact, Seq("vec_id"), "full_outer")
+          localFrameOrdered(probed.join(exact, Seq("vec_id"), "full_outer")
             .select(col("vec_id"), col("sim"), col("sim_exact"),
-              (col("sim") === col("sim_exact")).as("matches"))
-            .orderBy(desc("sim"), asc("vec_id")))
+              (col("sim") === col("sim_exact")).as("matches")),
+            "-sim", "vec_id")
         } finally org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(path).getParentFile)
       },
@@ -1471,10 +1470,10 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
           val exact = graft.operators.Search
             .topK(emb, "embedding", "vec_id", QueryVectors.q1, k = 10)
             .select(col("vec_id"), col("sim").as("sim_exact"))
-          localFrame(probed.join(exact, Seq("vec_id"), "full_outer")
+          localFrameOrdered(probed.join(exact, Seq("vec_id"), "full_outer")
             .select(col("vec_id"), col("sim"), col("sim_exact"),
-              (col("sim") === col("sim_exact")).as("matches"))
-            .orderBy(desc("sim"), asc("vec_id")))
+              (col("sim") === col("sim_exact")).as("matches")),
+            "-sim", "vec_id")
         } finally org.apache.commons.io.FileUtils
           .deleteDirectory(tmpRoot.toFile)
       },
@@ -1581,8 +1580,7 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
           .select(col("vec_id"), col("embedding"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          localFrame(lshNearDupVerify(base, n, d)
-            .orderBy(col("id_a"), col("id_b")))
+          localFrameOrdered(lshNearDupVerify(base, n, d), "id_a", "id_b")
         } finally base.unpersist()
       },
       // PROMOTED (round 10): deterministic exact-decimal planes + a

@@ -122,14 +122,13 @@ private[graft] trait QueriesTierNearDupVerify { this: Queries.type =>
             .select(lit(tier).as("tier"), col("n_exact"), col("n_hit"),
               r4(col("n_hit").cast("double") / col("n_exact")).as("recall"))
         }
-        localFrame(
+        localFrameOrdered(
           coverage("minhash",
             sharedMinhashVerified(s, dir).filter(col("jaccard") >= 0.8))
           .unionAll(coverage("simhash",
             NearDup.simHashCandidates(docs, "doc_id", "text")))
           .unionAll(coverage("winnow",
-            NearDup.winnowCandidates(docs, "doc_id", "text")))
-          .orderBy(col("tier")))
+            NearDup.winnowCandidates(docs, "doc_id", "text"))), "tier")
       },
       None,
       "per-tier candidate coverage of the exact Jaccard ground truth"),
@@ -181,10 +180,9 @@ private[graft] trait QueriesTierNearDupVerify { this: Queries.type =>
         val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
         val reps = Dedup.keepBestByKey(sub.join(cc, "doc_id"),
           col("component"), col("n_types"), col("doc_id"))
-        localFrame(reps.join(sizes, "component")
+        localFrameOrdered(reps.join(sizes, "component")
           .select(col("component"), col("doc_id").as("rep_id"),
-            col("n_types").as("rep_n_types"), col("n_docs"))
-          .orderBy(col("component")))
+            col("n_types").as("rep_n_types"), col("n_docs")), "component")
       },
       Some("""WITH RECURSIVE
          |  d AS (
@@ -237,10 +235,9 @@ private[graft] trait QueriesTierNearDupVerify { this: Queries.type =>
         val out = Dedup.dedupFromEdges(
           T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
           "doc_id", edges)
-        try localFrame(out
+        try localFrameOrdered(out
           .select(col("doc_id"), col("lang"), col("component"),
-            col("n_docs"))
-          .orderBy(col("doc_id")))
+            col("n_docs")), "doc_id")
         finally out.unpersist()
       },
       None,
