@@ -44,13 +44,13 @@ object DumpPlans {
       "document text never shuffles, only (doc_id, count) partials do"),
     "q_bpe_tokens" -> ("real BPE subword counting: Scan → Project → " +
       "TakeOrderedAndProject; NO shuffle — tokenization is embarrassingly " +
-      "parallel. The Project is unstarred only because of the n_ws " +
-      "whitespace-count TWIN column (higher-order functions are " +
-      "CodegenFallback); the graft_bpe static call itself fuses into " +
-      "whole-stage codegen, asserted in BpeSpec on a bpe-only projection"),
+      "parallel, and with the r14 native graft_tokens expression the " +
+      "whole projection (graft_bpe + whitespace-twin count) fuses into " +
+      "starred whole-stage codegen"),
     "q_token_budget" -> ("two-phase prefix sum (PrefixSum." +
-      "groupedRunningSum): ONE range exchange on (lang, doc_id) feeding " +
-      "both phases (reused), per-(partition, lang) partial sums as a " +
+      "groupedRunningSum): ONE range exchange on (lang, doc_id) inside a " +
+      "PERSISTED InMemoryRelation both phases scan (pid frozen by " +
+      "construction — r14), per-(partition, lang) partial sums as a " +
       "tiny aggregate, offsets window over that tiny relation, then the " +
       "(lang, _ps_pid)-salted local window + BroadcastHashJoin of the " +
       "offsets — parallelism is the partition count, never #langs; no " +
