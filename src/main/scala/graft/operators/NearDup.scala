@@ -700,15 +700,36 @@ object NearDup {
       .withColumn("_n", size(col("_sh")))
     val df_ = sh.select(explode(col("_sh")).as("_tok"))
       .groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    // Two result-identical refinements on the df machinery (r14):
+    //   1. the ORDERING join only needs the df ≥ 2 SLIVER — in a natural
+    //      corpus the overwhelming majority of 3-gram shingles are
+    //      unique (df = 1), so instances that miss the sliver coalesce
+    //      to df = 1 and the (df, tok) order is unchanged. The sliver is
+    //      dup-density-bounded; its size is only known at runtime, so
+    //      the join is left UNHINTED and AQE's size check converts it to
+    //      a broadcast when it fits (replacing a sort-merge join of the
+    //      full corpus-instance stream against a vocabulary-sized
+    //      relation) and keeps the shuffle when a dup-saturated corpus
+    //      blows the sliver up — adaptive, no driver gate job;
+    //   2. a df = 1 token has exactly ONE instance corpus-wide, so it
+    //      can never match in the candidate self-join (id_a < id_b
+    //      excludes self) — both join sides filter to _df ≥ 2 and the
+    //      exchange carries only instances that can produce a pair.
+    val df2 = df_.filter(col("_df") >= 2L)
+    val withDf =
+      sh.select(col("_jid"), col("_n"), explode(col("_sh")).as("_tok"))
+        .join(df2, Seq("_tok"), "left_outer")
+        .withColumn("_df", coalesce(col("_df"), lit(1L)))
     // per-doc prefix under the global (df, token) order: rarest first
     val w = Window.partitionBy(col("_jid")).orderBy(col("_df"), col("_tok"))
-    val prefix = sh.select(col("_jid"), col("_n"), explode(col("_sh")).as("_tok"))
-      .join(df_, "_tok")
+    val prefix = withDf
       .withColumn("_pos", row_number().over(w))
       .filter(col("_pos") <= col("_n") - ceil(lit(tau) * col("_n")) + 1)
-      .select(col("_tok"), col("_jid"), col("_n"))
-    val aSide = prefix.select(col("_tok"), col("_jid").as("id_a"), col("_n").as("_na"))
-    val bSide = prefix.select(col("_tok"), col("_jid").as("id_b"), col("_n").as("_nb"))
+      .select(col("_tok"), col("_jid"), col("_n"), col("_df"))
+    val aSide = prefix.filter(col("_df") >= 2L)
+      .select(col("_tok"), col("_jid").as("id_a"), col("_n").as("_na"))
+    val bSide = prefix.filter(col("_df") >= 2L)
+      .select(col("_tok"), col("_jid").as("id_b"), col("_n").as("_nb"))
     val matched =
       if (saltFactor > 1)
         Skew.saltedJoin(aSide, "_tok", Seq("id_a"), bSide, "_tok", saltFactor)
@@ -754,12 +775,21 @@ object NearDup {
     val df_ = shNew.select(explode(col("_sh")).as("_tok"))
       .unionAll(shOld.select(explode(col("_sh")).as("_tok")))
       .groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    // same df ≥ 2 sliver refinement as [[prefixJaccardJoinDistinct]]:
+    // the ordering join reads only the dup-density-bounded sliver
+    // (unhinted — AQE broadcast-converts it when it fits; df = 1
+    // instances coalesce, order unchanged), and since a df = 1 token
+    // has one instance across BOTH sides it can never produce a cross
+    // match, so both candidate-join sides filter to _df ≥ 2
+    val df2 = df_.filter(col("_df") >= 2L)
     def prefix(sh: DataFrame) = {
       val w = Window.partitionBy(col("_jid")).orderBy(col("_df"), col("_tok"))
       sh.select(col("_jid"), col("_n"), explode(col("_sh")).as("_tok"))
-        .join(df_, "_tok")
+        .join(df2, Seq("_tok"), "left_outer")
+        .withColumn("_df", coalesce(col("_df"), lit(1L)))
         .withColumn("_pos", row_number().over(w))
         .filter(col("_pos") <= col("_n") - ceil(lit(tau) * col("_n")) + 1)
+        .filter(col("_df") >= 2L)
         .select(col("_tok"), col("_jid"), col("_n"))
     }
     val cands = prefix(shNew)
