@@ -561,9 +561,8 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
             .unionByName(wave(150, 250, "D", 2, ""))
             .unionByName(wave(180, 220, "U", 3, " u3"))
           VersionedCorpus.applyChanges(changes, root, "doc_id", "op", "seq")
-          localFrame(VersionedCorpus.snapshot(s, root)
-            .select(col("doc_id"), col("text"), col("lang"))
-            .orderBy(col("doc_id")))
+          localFrameOrdered(VersionedCorpus.snapshot(s, root)
+            .select(col("doc_id"), col("text"), col("lang")), "doc_id")
         } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
       },
       Some("""SELECT doc_id, text, lang FROM (
@@ -610,8 +609,8 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
           val out = Seq(10L, 57L, 75L, 120L, 180L, 4000L)
             .map(k => VersionedCorpus.lookupKey(s, root, k))
             .reduce(_ unionByName _)
-          localFrame(out.select(col("doc_id"), col("text"), col("lang"))
-            .orderBy(col("doc_id")))
+          localFrameOrdered(out.select(col("doc_id"), col("text"), col("lang")),
+            "doc_id")
         } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
       },
       Some("""SELECT doc_id, text, lang FROM (
@@ -658,8 +657,8 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
           val out = Seq(10L, 99L, 155L, 200L, 271L, 4000L)
             .map(k => VersionedCorpus.lookupKey(s, root, k))
             .reduce(_ unionByName _)
-          localFrame(out.select(col("doc_id"), col("text"), col("lang"))
-            .orderBy(col("doc_id")))
+          localFrameOrdered(out.select(col("doc_id"), col("text"), col("lang")),
+            "doc_id")
         } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
       },
       Some("""SELECT doc_id, text, lang FROM (
@@ -762,7 +761,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
           VersionedCorpus.delete(slice(150, 160).select("doc_id"),
             src, "doc_id")
           refresh()
-          localFrame(IncrementalView.read(s, view).orderBy(col("bucket")))
+          localFrameOrdered(IncrementalView.read(s, view), "bucket")
         } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
       },
       Some("""WITH final AS (
@@ -810,9 +809,9 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
             root, "doc_id")
           VersionedCorpus.delete(slice(110, 130).select("doc_id"),
             root, "doc_id")
-          localFrame(VersionedCorpus.snapshotWhere(s, root, "day", 1L, 2L)
-            .select(col("doc_id"), col("text"), col("lang"), col("day"))
-            .orderBy(col("doc_id")))
+          localFrameOrdered(VersionedCorpus.snapshotWhere(s, root, "day", 1L, 2L)
+            .select(col("doc_id"), col("text"), col("lang"), col("day")),
+            "doc_id")
         } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
       },
       Some("""SELECT doc_id,
@@ -851,9 +850,8 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
               .select("doc_id"), root, "doc_id")
           VersionedCorpus.append(
             docs.filter(col("doc_id") >= 55 && col("doc_id") < 60), root)
-          localFrame(VersionedCorpus.lookupKeyRange(s, root, 40L, 160L)
-            .select(col("doc_id"), col("text"), col("lang"))
-            .orderBy(col("doc_id")))
+          localFrameOrdered(VersionedCorpus.lookupKeyRange(s, root, 40L, 160L)
+            .select(col("doc_id"), col("text"), col("lang")), "doc_id")
         } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
       },
       Some("""SELECT doc_id, text, lang FROM (
@@ -900,9 +898,8 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
           VersionedCorpus.delete(slice(100, 190).select("doc_id"),
             root, "doc_id")
           VersionedCorpus.vacuumPacked(root)
-          localFrame(VersionedCorpus.snapshot(s, root)
-            .select(col("doc_id"), col("text"), col("lang"))
-            .orderBy(col("doc_id")))
+          localFrameOrdered(VersionedCorpus.snapshot(s, root)
+            .select(col("doc_id"), col("text"), col("lang")), "doc_id")
         } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
       },
       Some("""SELECT doc_id,
@@ -1000,9 +997,8 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
           VersionedCorpus.append(
             docs.filter(col("doc_id") >= 60 && col("doc_id") < 80), src)
           VersionedCorpus.replicate(s, src, dst, "doc_id", cursor) // pull 2
-          localFrame(VersionedCorpus.snapshot(s, dst)
-            .select(col("doc_id"), col("text"), col("lang"))
-            .orderBy(col("doc_id")))
+          localFrameOrdered(VersionedCorpus.snapshot(s, dst)
+            .select(col("doc_id"), col("text"), col("lang")), "doc_id")
         } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
       },
       Some("""SELECT doc_id, text, lang FROM (
@@ -1625,8 +1621,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
               cents, QueryVectors.q2, k = 10, nprobe = 8, score = cosine)
             .select(lit("cosine").as("src"), col("vec_id").as("doc_id"),
               col("sim").as("score"))
-          localFrame(kw.unionByName(vec)
-            .orderBy(col("src"), desc("score"), asc("doc_id")))
+          localFrameOrdered(kw.unionByName(vec), "src", "-score", "doc_id")
         } finally org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(root).getParentFile)
       },

@@ -958,12 +958,11 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
         val (path, cents, cb) = sharedFixedIvfPq(s, dir)
-        localFrame(
+        localFrameOrdered(
           PqIndex.probeIvfPq(s, path, "vec_id", cents, QueryVectors.q1,
               cb, k = 10, nprobe = 3,
               rerank = Some((emb, "embedding", 50)))
-            .withColumn("rank", col("rank").cast("long"))
-            .orderBy(col("rank")))
+            .withColumn("rank", col("rank").cast("long")), "rank")
       },
       Some(s"""WITH cents AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
