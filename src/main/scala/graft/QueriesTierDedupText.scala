@@ -1306,10 +1306,10 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
         val base = T(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             size(TextAnalysis.bpeTokens(col("text"))).cast("long").as("n_bpe"))
-        PrefixSum.groupedRunningSum(base, "lang", "doc_id",
-            "n_bpe", "cum_bpe")
-          .filter(col("cum_bpe") <= 2000)
-          .orderBy(col("lang"), col("doc_id"))
+        localFrameOrdered(
+          PrefixSum.groupedRunningSum(base, "lang", "doc_id",
+              "n_bpe", "cum_bpe")
+            .filter(col("cum_bpe") <= 2000), "lang", "doc_id")
       },
       Some(bpeBudgetOracleSql),
       "training-mix token budgeting on real BPE subword counts — oracle via generated merge-replay SQL"),
@@ -1727,9 +1727,9 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
             excludeSelf = false)
           .select(col("qid"), col("cid").as("doc_id"),
             col("rank").cast("long").as("rank"))
-        Search.rrfFuseMany(kw.select(col("qid"), col("doc_id"), col("rank")),
-            vec, "qid", "doc_id")
-          .orderBy(col("qid"), desc("rrf"), col("doc_id"))
+        localFrameOrdered(
+          Search.rrfFuseMany(kw.select(col("qid"), col("doc_id"), col("rank")),
+            vec, "qid", "doc_id"), "qid", "-rrf", "doc_id")
       },
       Some(s"""WITH q AS (SELECT CAST(qid AS BIGINT) AS qid, word FROM (VALUES
          |        (1, 'spark'), (1, 'data'), (1, 'join'),
