@@ -173,6 +173,11 @@ object Bench {
     SparkEntry.queries.keys.foreach { q =>
       try SparkEntry.queries(q)(spark, warmDir).count()
       catch { case _: Throwable => () }
+      // per-call operator caches (PrefixSum's pid-frozen slice) are
+      // released between queries so no row ever times another row's —
+      // or another rep's — warm entry (r14 advice: min-of-reps was
+      // timing an in-memory scan the DuckDB side recomputes every pass)
+      graft.operators.PrefixSum.releaseCaches()
     }
     // the IVF index and the MinHash verified-candidate relation are
     // one-time infrastructure (built ONCE per corpus, consumed by
@@ -285,6 +290,9 @@ object Bench {
     for (pass <- 0 until reps) {
       calPerPass += calibCpu()
       SparkEntry.queries.foreach { case (name, fn) =>
+        // release the PREVIOUS query's per-call operator caches before
+        // this row's clock starts (see the warmup-loop note)
+        graft.operators.PrefixSum.releaseCaches()
         busFlush()
         val j0 = jobCounter.get()
         val t0 = System.nanoTime()

@@ -419,7 +419,32 @@ object Queries
     * row ending this way). Collect unsorted, sort locally by the same
     * keys (ascending, nulls first — Spark's `asc` default), identical
     * rows in identical order. Only for driver-bounded results, which
-    * every localFrame call already is by contract. */
+    * every localFrame call already is by contract. Keys must be ATOMIC
+    * orderable types (string/numeric/date/…): strings compare by CODE
+    * POINT (= UTF-8 byte order, Spark's UTF8String.binary collation —
+    * Java's compareTo orders by UTF-16 code UNIT, which diverges for
+    * supplementary characters vs U+E000..U+FFFF; QueriesHelperSpec pins
+    * the parity), and a non-Comparable key (array/struct) fails loudly
+    * instead of casting blind. */
+  /** Code-point (= UTF-8 byte / UTF8String.binary) string comparison —
+    * Java's `compareTo` is UTF-16 code-unit order, which ranks
+    * supplementary planes (surrogate pairs, 0xD800-prefixed) BELOW
+    * U+E000..U+FFFF; Spark's binary collation ranks them above. */
+  private[graft] def compareCodePoints(a: String, b: String): Int = {
+    val la = a.length
+    val lb = b.length
+    var i = 0
+    var j = 0
+    while (i < la && j < lb) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(la - i, lb - j)
+  }
+
   private[graft] def localFrameOrdered(df: DataFrame,
                                        keys: String*): DataFrame = {
     val rows = df.collect()
@@ -439,7 +464,15 @@ object Queries
           if (x == null && y == null) 0
           else if (x == null) -1
           else if (y == null) 1
-          else x.asInstanceOf[Comparable[AnyRef]].compareTo(y)
+          else (x, y) match {
+            case (sx: String, sy: String) => compareCodePoints(sx, sy)
+            case (cx: Comparable[_], _) =>
+              cx.asInstanceOf[Comparable[AnyRef]].compareTo(y)
+            case _ => throw new IllegalArgumentException(
+              s"localFrameOrdered: key ${df.schema(fi).name} has " +
+                s"non-atomic type ${df.schema(fi).dataType}; order " +
+                "identity with Spark is only defined for atomic keys")
+          }
         cmp *= sign
         i += 1
       }

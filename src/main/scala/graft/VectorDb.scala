@@ -63,17 +63,33 @@ final class VectorDb(spark: SparkSession,
     * (CSV count pushdown skips field conversion, so a FAILFAST parse
     * error in an unreferenced column would sail through). A failed
     * populate releases the fresh entry and rethrows with the old corpus
-    * still serving, cache intact. The old entry is released only
-    * afterwards — and skipped entirely when it IS the fresh entry
-    * (same-path reload: cache entries match by plan, so unpersisting
-    * the old would drop the just-populated data). */
+    * still serving, cache intact — EXCEPT on a same-path reload: cache
+    * entries match by plan, so there `.cache()` would silently no-op
+    * against the old entry and "validation" would count the STALE rows
+    * without ever touching the changed file (r14 advice). Same-path
+    * reloads therefore drop the old entry FIRST (blocking, so the
+    * populate below re-reads and re-validates the disk bytes); the
+    * validate-before-swap ordering survives only for distinct paths,
+    * where the two plans cache independently. The narrowed guarantee is
+    * honest: once the file at the served path has been replaced on
+    * disk, "keep serving the old bytes on a failed reload" is not a
+    * promise the lazy CSV source could keep anyway. */
   def load(path: String): this.type = {
-    val fresh = EmbeddingCsv.read(spark, path).cache()
+    // drop any cached file listing/status for the path (the shared
+    // FileStatusCache outlives the plan cache, and a replaced file's
+    // stale LENGTH would truncate or over-read the new bytes)
+    spark.catalog.refreshByPath(path)
+    val plan = EmbeddingCsv.read(spark, path)
+    val samePath = cached.exists(_.queryExecution.analyzed
+      .sameResult(plan.queryExecution.analyzed))
+    if (samePath) {
+      cached.foreach(_.unpersist(blocking = true))
+      cached = None
+    }
+    val fresh = plan.cache()
     try fresh.count()
     catch { case t: Throwable => fresh.unpersist(); throw t }
-    cached.filterNot(_.queryExecution.analyzed
-        .sameResult(fresh.queryExecution.analyzed))
-      .foreach(_.unpersist())
+    cached.foreach(_.unpersist())
     cached = Some(fresh)
     corpus = fresh
     this

@@ -38,6 +38,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop per-call operator caches (PrefixSum pid slices) between
+      // queries — same bounded-cache discipline as Bench
+      graft.operators.PrefixSum.releaseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

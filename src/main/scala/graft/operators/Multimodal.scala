@@ -759,8 +759,12 @@ object Multimodal {
   }
 
   /** PERCEPTUAL incremental admission — the image twin of
-    * `Dedup.admitIncoming`: decode the incoming batch ONCE (real codec),
-    * reject any asset that is (a) a byte-exact duplicate of a corpus
+    * `Dedup.admitIncoming`: decode the incoming batch (real codec; the
+    * decode runs ONCE for the whole rejected-set computation via a
+    * scoped persist, and ONCE more when the caller materializes the
+    * returned `admittedDecoded` — see the lifecycle note at the
+    * unpersist below), reject any asset that is (a) a byte-exact
+    * duplicate of a corpus
     * payload (xxhash64 of the bytes — catches undecodable containers
     * too, and makes replays idempotent) or (b) perceptually within
     * `maxHamming` of a corpus dHash (banded cross-join, never

@@ -123,6 +123,27 @@ object NearDup {
       .select(col("_id"), col("_bk.band_id"), col("_bk.band_hash"))
   }
 
+  /** Broadcast hint GATED on Catalyst's size estimate (r14 advice): the
+    * four cross-candidate operators hint their incoming/micro-batch side
+    * so fixture-scale runs skip the two shuffle-map stages AQE's runtime
+    * conversion still pays — but these are PUBLIC operators, and an
+    * unconditional hint forces a driver collect AQE cannot undo, so a
+    * caller passing a corpus-sized "incoming" would OOM the driver
+    * instead of degrading to a shuffle. Below the session's
+    * autoBroadcastJoinThreshold (the same bar Catalyst's own planner
+    * uses) the hint applies; above it — or with auto-broadcast disabled
+    * — the join is left unhinted and AQE's runtime size measurement
+    * decides, exactly like this file's df-sliver join. Estimates are
+    * plan-level (a filter over a big scan estimates big without CBO),
+    * so the gate errs toward the safe shuffle. */
+  private def hintIfSmall(df: DataFrame): DataFrame = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val est =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    if (thr > 0 && est <= BigInt(thr)) broadcast(df) else df
+  }
+
   /** CROSS-SET MinHash-LSH candidates — incremental ingestion's near-dup
     * tier: incoming docs meet EXISTING corpus docs only inside a shared
     * (band, hash) bucket, exactly like the self-join path but across two
@@ -140,13 +161,14 @@ object NearDup {
       .toDF("id_new", "band_id", "band_hash")
     val b = minHashBuckets(corpus, idCol, textCol, numHashes, bands)
       .toDF("id_old", "band_id", "band_hash")
-    // the INCOMING side is broadcast by contract: it is the micro-batch
-    // (bands × batch rows — kilobytes against a corpus of any size), so
-    // the corpus side's bucket projection streams map-side past it with
-    // NO shuffle of either side — at 100 TB the corpus never enters an
+    // the INCOMING side is the micro-batch (bands × batch rows —
+    // kilobytes against a corpus of any size): hinted when its size
+    // estimate clears the broadcast bar (see hintIfSmall), so the
+    // corpus side's bucket projection streams map-side past it with NO
+    // shuffle of either side — at 100 TB the corpus never enters an
     // exchange here, and at fixture scale the hint skips the two
     // shuffle-map stages AQE's runtime broadcast conversion still pays
-    broadcast(a).join(b, Seq("band_id", "band_hash"))
+    hintIfSmall(a).join(b, Seq("band_id", "band_hash"))
       .select(col("id_new"), col("id_old"))
       .distinct()
   }
@@ -165,9 +187,9 @@ object NearDup {
       .toDF("id_new", "sh_new", "band_id", "band_key")
     val b = simHashBuckets(corpus, idCol, textCol)
       .toDF("id_old", "sh_old", "band_id", "band_key")
-    // incoming = the micro-batch: broadcast by the same contract (and
-    // with the same 100 TB rationale) as minHashCrossCandidates
-    broadcast(a).join(b, Seq("band_id", "band_key"))
+    // incoming = the micro-batch: size-gated hint, same contract (and
+    // same 100 TB rationale) as minHashCrossCandidates
+    hintIfSmall(a).join(b, Seq("band_id", "band_key"))
       .select(col("id_new"), col("id_old"),
         hamming(col("sh_new"), col("sh_old")).as("hamming"))
       // same discipline as the self-join: filter BEFORE distinct so the
@@ -190,9 +212,9 @@ object NearDup {
       .toDF("id_new", "_fp")
     val b = winnowBuckets(corpus, idCol, textCol, window)
       .toDF("id_old", "_fp")
-    // incoming = the micro-batch: broadcast by the same contract (and
-    // with the same 100 TB rationale) as minHashCrossCandidates
-    broadcast(a).join(b, "_fp")
+    // incoming = the micro-batch: size-gated hint, same contract (and
+    // same 100 TB rationale) as minHashCrossCandidates
+    hintIfSmall(a).join(b, "_fp")
       .groupBy(col("id_new"), col("id_old"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -910,10 +932,10 @@ object NearDup {
     val b = embeddingBuckets(corpus, idCol, vecCol, nBits, d)
       .select(col("_id").as("id_old"), col("_bucket").as("bucket"))
     // incoming = the micro-batch ((nBits+1) × batch rows of two longs):
-    // broadcast by the same contract (and with the same 100 TB
-    // rationale) as minHashCrossCandidates — the corpus bucket
-    // projection never enters an exchange
-    broadcast(a).join(b, "bucket")
+    // size-gated hint, same contract (and same 100 TB rationale) as
+    // minHashCrossCandidates — the corpus bucket projection never
+    // enters an exchange
+    hintIfSmall(a).join(b, "bucket")
       .select(col("id_new"), col("id_old"))
       .distinct()
   }

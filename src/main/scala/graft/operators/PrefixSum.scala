@@ -38,8 +38,39 @@ import org.apache.spark.sql.functions._
   * the same per-group `ord` order associate freely), pinned in
   * PrefixSumSpec against the single-window twin and by the unchanged
   * oracle hashes of q_token_budget / q_pack_sequences / q_trainmix_e2e.
+  *
+  * CACHE LIFECYCLE: each call persists one input-sized slice (the
+  * pid-frozen range partitioning — see the inline note for why
+  * correctness requires it). The entry must stay live until the LAST
+  * action over the returned frame (unpersisting earlier would let the
+  * two consumers of the partitioned slice re-sample range boundaries
+  * independently and silently mis-sum), so the operator cannot release
+  * it itself; entries are tracked in a registry and callers that loop
+  * (services, benchmarks) call [[releaseCaches]] once the consuming
+  * action of a call is done. Bench does this between queries, so no
+  * rep ever times another rep's warm entry (r14 advice: the leak both
+  * grew the cache unboundedly and let min-of-reps time an in-memory
+  * scan the DuckDB side recomputes).
   */
 object PrefixSum {
+
+  private val live =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every partitioned slice persisted by prior
+    * [[groupedRunningSum]] calls. Safe ONLY once the frames returned by
+    * those calls have finished their consuming actions; frames consumed
+    * AFTER a release recompute with freshly sampled range boundaries on
+    * each reference and may mis-sum (the hazard the persist exists to
+    * close) — so callers release at loop boundaries, not mid-query. */
+  def releaseCaches(): Unit = {
+    var df = live.poll()
+    while (df != null) {
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      df = live.poll()
+    }
+  }
 
   /** `out` = running sum of LONG column `value` over rows ordered by
     * `order` within each `group`, inclusive of the current row —
@@ -75,15 +106,16 @@ object PrefixSum {
     // reuse explicitly and still pins correctness). The cache also
     // freezes pids across lost-partition recompute (same lineage, same
     // shuffle outputs). Lifecycle: one input-sized entry per call,
-    // released by the cache manager under memory pressure; a long-lived
-    // service looping over corpora should checkpoint/unpersist between
-    // epochs — at 100 TB the entry is the working slice a two-phase
-    // scan must hold somewhere anyway (the shuffle files of the reused
-    // exchange were the same bytes).
+    // registered in the companion's `live` queue and dropped by
+    // [[releaseCaches]] once the caller's consuming action is done (see
+    // the object scaladoc) — at 100 TB the entry is the working slice a
+    // two-phase scan must hold somewhere anyway (the shuffle files of
+    // the reused exchange were the same bytes).
     val parted = df
       .repartitionByRange(n, col(group), col(order))
       .withColumn("_ps_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    live.add(parted)
     val partials = parted
       .groupBy(col("_ps_pid"), col(group))
       .agg(sum(col(value)).as("_ps_partial"))

@@ -13,6 +13,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("localFrameOrdered orders like Spark for supplementary chars (r14 advice)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // U+10000 (surrogate pair 0xD800 0xDC00) vs U+E000: UTF-16 code-unit
+    // order puts the pair FIRST, code-point/UTF-8 order puts it LAST —
+    // the exact divergence the helper used to inherit from compareTo
+    val df = Seq("\uE000", new String(Character.toChars(0x10000)), "a", "")
+      .toDF("k")
+    val sparkOrder = df.orderBy(col("k")).as[String].collect().toSeq
+    val local = Queries.localFrameOrdered(df, "k").as[String].collect().toSeq
+    assert(local === sparkOrder)
+    val sparkDesc = df.orderBy(col("k").desc).as[String].collect().toSeq
+    val localDesc = Queries.localFrameOrdered(df, "-k").as[String].collect().toSeq
+    assert(localDesc === sparkDesc)
+    // non-atomic key fails loudly instead of casting blind
+    val arr = Seq(Seq(1, 2), Seq(3)).toDF("k")
+    intercept[IllegalArgumentException](
+      Queries.localFrameOrdered(arr, "k").collect())
+  }
+
   test("entry (driver smoke) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -79,4 +79,26 @@ class VectorDbSpec extends AnyFunSuite {
     assert(back.search("fast vector search engine", 1)
       .select("chunk_id").as[Long].head === 3L)
   }
+
+  test("same-path reload re-reads the changed file, not the stale cache") {
+    val e = Embedder.default
+    val dir = Files.createTempDirectory("graft-vdb-reload").toString + "/corpus"
+    val v1 = Seq((1L, "docA", "first version", e.embed("first version")))
+      .toDF("chunk_id", "document_id", "chunk_text", "vector_embedding")
+    graft.sources.EmbeddingCsv.write(v1, dir)
+    val db = new VectorDb(spark).load(dir)
+    assert(db.count === 1)
+    // replace the file at the SAME path — the r14-advice hazard: the
+    // plan cache matches by plan, so without the unpersist-first path
+    // the reload validated and served the v1 rows
+    val v2 = Seq(
+      (10L, "docB", "second version row one", e.embed("second version row one")),
+      (11L, "docB", "second version row two", e.embed("second version row two"))
+    ).toDF("chunk_id", "document_id", "chunk_text", "vector_embedding")
+    graft.sources.EmbeddingCsv.write(v2, dir)
+    db.load(dir)
+    assert(db.count === 2, "reload must serve the new file's rows")
+    assert(db.table.select("chunk_id").as[Long].collect().sorted
+      === Array(10L, 11L))
+  }
 }

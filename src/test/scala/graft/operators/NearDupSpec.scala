@@ -226,6 +226,34 @@ class NearDupSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 101L))
   }
 
+  test("cross-candidate broadcast hint is size-gated: same pairs with the hint suppressed (r14 advice)") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val incoming = Seq((100L, shared)).toDF("doc_id", "text")
+    val corpus = Seq((1L, shared), (2L, "spark engines and queries today"))
+      .toDF("doc_id", "text")
+    val conf = spark.conf
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = conf.get(key)
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    try {
+      // kilobyte incoming under the default threshold → hint applies
+      conf.set(key, "10485760")
+      val small = NearDup.minHashCrossCandidates(incoming, corpus, "doc_id", "text")
+      assert(hinted(small), "small incoming must carry the broadcast hint")
+      val want = small.as[(Long, Long)].collect.toSet
+      // auto-broadcast disabled → the public operator must NOT force a
+      // driver collect; plan is unhinted, result identical
+      conf.set(key, "-1")
+      val big = NearDup.minHashCrossCandidates(incoming, corpus, "doc_id", "text")
+      assert(!hinted(big), "oversized incoming must degrade to a shuffle")
+      assert(big.as[(Long, Long)].collect.toSet === want)
+    } finally conf.set(key, saved)
+  }
+
   test("simHashCrossCandidates ≡ full-corpus candidates restricted to cross pairs") {
     val fixture = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
       .select($"doc_id", $"text")

@@ -50,6 +50,21 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(hotMax === big.map(_._3).sum)
   }
 
+  test("releaseCaches drops the pid-frozen slice (r14 advice: no cross-rep memo)") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("g" + (i % 3), i.toLong, 1L))
+      .toDF("grp", "ord", "v")
+    PrefixSum.releaseCaches() // clean slate so the delta below is ours
+    val n0 = spark.sparkContext.getPersistentRDDs.size
+    val out = PrefixSum.groupedRunningSum(df, "grp", "ord", "v", "cum")
+    assert(out.count() === 100)
+    assert(spark.sparkContext.getPersistentRDDs.size > n0,
+      "the partitioned slice must stay persisted while consumers run")
+    PrefixSum.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.size === n0,
+      "release must return the cache to its pre-call state")
+  }
+
   test("plan: local scan is salted by partition id, offsets broadcast — no per-group window") {
     val base = Tables.load(spark, TestSpark.sf0001, "documents")
       .select(col("doc_id"), col("lang"), lit(1L).as("n"))

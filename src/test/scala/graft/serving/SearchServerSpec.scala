@@ -177,6 +177,38 @@ class SearchServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("/load allowlist: in-root path loads, out-of-root and traversal are 403") {
+    import spark.implicits._
+    val e = graft.functions.Embedder.default
+    val root = java.nio.file.Files.createTempDirectory("srv-allow")
+    val inside = root.resolve("c").toString
+    graft.sources.EmbeddingCsv.write(
+      Seq((1L, "d", "allow doc", e.embed("allow doc")))
+        .toDF("chunk_id", "document_id", "chunk_text", "vector_embedding"),
+      inside)
+    val outside = java.nio.file.Files.createTempDirectory("srv-deny").toString + "/c"
+    graft.sources.EmbeddingCsv.write(
+      Seq((2L, "d", "deny doc", e.embed("deny doc")))
+        .toDF("chunk_id", "document_id", "chunk_text", "vector_embedding"),
+      outside)
+    val db = new graft.VectorDb(spark)
+    val srv = new SearchServer(spark, db, port = 0,
+      loadRoots = Seq(root.toString)).start()
+    try {
+      val port = srv.boundPort
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      assert(post(port, "/load", s"path=${enc(inside)}")
+        === ((200, """{"count":1}""")))
+      // outside the root → 403, corpus untouched
+      assert(post(port, "/load", s"path=${enc(outside)}")._1 === 403)
+      // `..` traversal out of the root normalizes away → 403
+      val sneaky = root.toString + "/../" +
+        new java.io.File(outside).getParentFile.getName + "/c"
+      assert(post(port, "/load", s"path=${enc(sneaky)}")._1 === 403)
+      assert(get(port, "/count") === ((200, """{"count":1}""")))
+    } finally srv.stop()
+  }
+
   test("body-parse error contracts: byte-counted 413, malformed body is 400") {
     import spark.implicits._
     val e = graft.functions.Embedder.default
