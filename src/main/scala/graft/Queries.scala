@@ -127,6 +127,62 @@ object Queries
       Rule("len_consistent", length(col("text")) === col("n_chars")))
   }
 
+  /** The closed-form polynomial hash of `NearDup.polyHash`, as DuckDB
+    * SQL over any string expression — shared by the two `_fixed` text
+    * candidate twins. */
+  private[graft] def duckPolyHash(expr: String): String =
+    s"list_reduce(list_prepend(7::BIGINT, " +
+      s"[unicode(c)::BIGINT FOR c IN string_split($expr, '')]), " +
+      "(a, x) -> (a * 131 + x) % 1000000007)"
+
+  /** `simhash_pairs_fixed` oracle: the full SimHash chain — per-token
+    * polynomial hash, 24 sign-vote bit sums, 3×8 banding, bucket join,
+    * bit_count Hamming ≤ 2 — as one static replay. */
+  private[graft] lazy val simhashFixedOracleSql: String = {
+    val bits = (0 until 24).map(i =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents WHERE doc_id < 2000),
+       |th AS (SELECT doc_id, ${duckPolyHash("tok")} AS h
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d WHERE len(toks) > 0)),
+       |sig AS (SELECT doc_id, $bits AS sig FROM th GROUP BY doc_id),
+       |banded AS (SELECT doc_id, sig, t.b AS band, (sig >> (t.b * 8)) & 255 AS key
+       |  FROM sig CROSS JOIN unnest([0, 1, 2]) AS t(b))
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b USING (band, key)
+       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** `winnow_pairs_fixed` oracle: token-3-gram polynomial hashes,
+    * window-4 minima over full windows, distinct fingerprints, bucket
+    * join with n_shared ≥ 2 — as one static replay. */
+  private[graft] lazy val winnowFixedOracleSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents WHERE doc_id < 2000),
+       |g AS (
+       |  SELECT doc_id, 1 AS pos, array_to_string(toks, ' ') AS gram
+       |  FROM d WHERE len(toks) BETWEEN 1 AND 2
+       |  UNION ALL
+       |  SELECT doc_id, t.i AS pos, array_to_string(toks[t.i:t.i+2], ' ') AS gram
+       |  FROM d CROSS JOIN unnest(generate_series(1, len(toks) - 2)) AS t(i)
+       |  WHERE len(toks) >= 3),
+       |gh AS (SELECT doc_id, pos, ${duckPolyHash("gram")} AS h FROM g),
+       |w AS (SELECT doc_id, pos,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+       |  FROM gh QUALIFY pos >= 4),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM w)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+       |FROM fps a JOIN fps b USING (fp)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** The `ann_lsh` oracle, GENERATED from the same deterministic
     * exact-decimal hyperplanes the operator uses
     * ([[graft.operators.HyperplaneLsh.planes]]): per-row bucket =

@@ -489,7 +489,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
               .withColumn("text", concat(col("text"), lit(" rev2"))),
             root, "doc_id")
           VersionedCorpus.delete(
-            docs.filter(col("doc_id") < 50).select("doc_id"), root, "doc_id")
+            docs.filter(col("doc_id") < 50).select("doc_id"), root, "doc_id", keysDistinct = true)
           VersionedCorpus.append(docs.filter(col("doc_id") < 25), root)
           def stats(df: DataFrame, label: String): DataFrame =
             df.agg(count(lit(1)).as("n_docs"),
@@ -603,7 +603,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
             root, "doc_id")
           VersionedCorpus.delete(
             docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
-              .select("doc_id"), root, "doc_id")
+              .select("doc_id"), root, "doc_id", keysDistinct = true)
           VersionedCorpus.append(
             docs.filter(col("doc_id") >= 55 && col("doc_id") < 60), root)
           val out = Seq(10L, 57L, 75L, 120L, 180L, 4000L)
@@ -653,7 +653,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
             root, "doc_id")
           VersionedCorpus.delete(
             docs.filter(col("doc_id") >= 150 && col("doc_id") < 180)
-              .select("doc_id"), root, "doc_id")
+              .select("doc_id"), root, "doc_id", keysDistinct = true)
           val out = Seq(10L, 99L, 155L, 200L, 271L, 4000L)
             .map(k => VersionedCorpus.lookupKey(s, root, k))
             .reduce(_ unionByName _)
@@ -697,7 +697,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
             docs.filter(col("doc_id") >= 300 && col("doc_id") < 350), root)
           VersionedCorpus.delete(
             docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
-              .select("doc_id"), root, "doc_id")
+              .select("doc_id"), root, "doc_id", keysDistinct = true)
           localFrame(VersionedCorpus.snapshot(s, root)
             .agg(count(lit(1)).as("n_docs"),
               sum(col("doc_id")).as("sum_ids"),
@@ -750,16 +750,16 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
               .withColumn("text", concat(col("text"), lit(" u1"))),
             src, "doc_id")
           VersionedCorpus.delete(slice(200, 250).select("doc_id"),
-            src, "doc_id")
+            src, "doc_id", keysDistinct = true)
           VersionedCorpus.append(slice(300, 330), src)
           refresh()
           VersionedCorpus.upsert(
             slice(0, 10).withColumn("text", concat(col("text"), lit(" u3"))),
             src, "doc_id")
           VersionedCorpus.delete(slice(100, 110).select("doc_id"),
-            src, "doc_id")
+            src, "doc_id", keysDistinct = true)
           VersionedCorpus.delete(slice(150, 160).select("doc_id"),
-            src, "doc_id")
+            src, "doc_id", keysDistinct = true)
           refresh()
           localFrameOrdered(IncrementalView.read(s, view), "bucket")
         } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
@@ -808,7 +808,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
             slice(210, 220).withColumn("text", concat(col("text"), lit(" u1"))),
             root, "doc_id")
           VersionedCorpus.delete(slice(110, 130).select("doc_id"),
-            root, "doc_id")
+            root, "doc_id", keysDistinct = true)
           localFrameOrdered(VersionedCorpus.snapshotWhere(s, root, "day", 1L, 2L)
             .select(col("doc_id"), col("text"), col("lang"), col("day")),
             "doc_id")
@@ -847,7 +847,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
             root, "doc_id")
           VersionedCorpus.delete(
             docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
-              .select("doc_id"), root, "doc_id")
+              .select("doc_id"), root, "doc_id", keysDistinct = true)
           VersionedCorpus.append(
             docs.filter(col("doc_id") >= 55 && col("doc_id") < 60), root)
           localFrameOrdered(VersionedCorpus.lookupKeyRange(s, root, 40L, 160L)
@@ -896,7 +896,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
           val packed = VersionedCorpus.optimize(s, root, smallRows = 1000L)
           require(packed.size == 2, s"expected 2 packed runs, got $packed")
           VersionedCorpus.delete(slice(100, 190).select("doc_id"),
-            root, "doc_id")
+            root, "doc_id", keysDistinct = true)
           VersionedCorpus.vacuumPacked(root)
           localFrameOrdered(VersionedCorpus.snapshot(s, root)
             .select(col("doc_id"), col("text"), col("lang")), "doc_id")
@@ -937,7 +937,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
             root, "doc_id")
           VersionedCorpus.delete(
             docs.filter(col("doc_id") >= 150 && col("doc_id") < 180)
-              .select("doc_id"), root, "doc_id")
+              .select("doc_id"), root, "doc_id", keysDistinct = true)
           VersionedCorpus.compact(s, root) // gen 3: must emit NO rows
           VersionedCorpus.append(
             docs.filter(col("doc_id") >= 200 && col("doc_id") < 230), root)
@@ -993,7 +993,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
             src, "doc_id")
           VersionedCorpus.delete(
             docs.filter(col("doc_id") >= 50 && col("doc_id") < 150)
-              .select("doc_id"), src, "doc_id")
+              .select("doc_id"), src, "doc_id", keysDistinct = true)
           VersionedCorpus.append(
             docs.filter(col("doc_id") >= 60 && col("doc_id") < 80), src)
           VersionedCorpus.replicate(s, src, dst, "doc_id", cursor) // pull 2

@@ -1611,6 +1611,39 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       None,
       "B8: winnowing-fingerprint near-dup candidates (seeded hash, no SQL analog)"),
 
+    "simhash_pairs_fixed" -> DeclaredQuery(
+      // the r14-judge promotion recipe (ann_lsh's) applied to SimHash:
+      // the seeded xxhash64 of `simhash_pairs` is the only
+      // SQL-inexpressible step in its chain, so this twin runs the SAME
+      // hash→signature→banding→Hamming-verify chain under the
+      // closed-form polynomial hash (NearDup.polyHash) and hash-matches
+      // a full static DuckDB replay — sign-vote fold, band split,
+      // bucket join, bit_count verify, all certified byte-exact. With
+      // 3 bands, hamming ≤ 2 candidates are exhaustively recalled, so
+      // the output is banding-loss-free by construction.
+      (s, dir) => localFrameOrdered(
+        NearDup.simHashPolyCandidates(
+          T(s, dir, "documents").filter(col("doc_id") < 2000),
+          "doc_id", "text", maxHamming = 2),
+        "id_a", "id_b"),
+      Some(simhashFixedOracleSql),
+      "SimHash banded candidates under the closed-form hash: full DuckDB replay of the signature/banding/Hamming chain"),
+
+    "winnow_pairs_fixed" -> DeclaredQuery(
+      // winnowing's oracle twin (same promotion recipe): token-3-gram
+      // polynomial hashes, window-4 minima over full windows, distinct
+      // fingerprint buckets, n_shared ≥ 2 — the whole selection and
+      // bucket-join chain replayed as static SQL. The fingerprint SET
+      // is tie-rule-independent (equal window minima select the same
+      // value), which is what makes the twin exactly replayable.
+      (s, dir) => localFrameOrdered(
+        NearDup.winnowPolyCandidates(
+          T(s, dir, "documents").filter(col("doc_id") < 2000),
+          "doc_id", "text", minShared = 2),
+        "id_a", "id_b"),
+      Some(winnowFixedOracleSql),
+      "winnowing fingerprint candidates under the closed-form hash: full DuckDB replay of gram-hash/window-min/bucket-join"),
+
     "q_approx_distinct" -> DeclaredQuery(
       (s, dir) => T(s, dir, "lineitem")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),

@@ -42,7 +42,11 @@ object Forget {
     val idsOne = ids.select(ids.columns.head).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (idsOne.isEmpty) {
+      // ONE counting pass doubles as the empty-request guard and the
+      // vector leg's tombstoned-id count (the old isEmpty probe + late
+      // count() paid two jobs for the same persisted relation)
+      val nIds = idsOne.count()
+      if (nIds == 0L) {
         // an empty request forgets nothing and commits nothing anywhere
         return (corpusRoot.map(_ => "corpus" -> 0L) ++
           textIndexDir.map(_ => "text_index" -> 0L) ++
@@ -52,17 +56,21 @@ object Forget {
       def storeDelete(root: String, keyCol: String): Long = {
         val gen = VersionedCorpus.delete(
           idsOne.withColumnRenamed(idsOne.columns.head, keyCol),
-          root, keyCol)
+          root, keyCol, keysDistinct = true)
         if (gen < 0L) 0L
         else VersionedCorpus.commits(root).find(_.gen == gen)
           .map(_.rows).getOrElse(0L)
       }
       val corpus = corpusRoot.map(storeDelete(_, corpusKeyCol))
+      // idsOne is distinct by construction; long-cast collisions (the
+      // text/vector legs cast to long) only produce duplicate tombstone
+      // ids, which the read-side set semantics absorb
       val text = textIndexDir.map(dir =>
-        TextIndex.delete(spark, dir, idsOne))
+        TextIndex.delete(spark, dir, idsOne, idsDistinct = true))
       val vec = vectorIndexPath.map { path =>
-        IvfIndex.deletePartitioned(spark, path, vectorIdCol, idsOne)
-        idsOne.count()
+        IvfIndex.deletePartitioned(spark, path, vectorIdCol, idsOne,
+          idsDistinct = true)
+        nIds
       }
       // extra versioned stores keyed by the same ids — e.g. the media
       // pipeline's (payload store, hash index) pair, or any derived

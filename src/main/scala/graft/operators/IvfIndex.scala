@@ -255,12 +255,15 @@ object IvfIndex {
     * apply-then-[[reconcilePartitioned]]. */
   def deletePartitioned(spark: org.apache.spark.sql.SparkSession,
                         path: String, idCol: String,
-                        ids: DataFrame): Unit = {
+                        ids: DataFrame, idsDistinct: Boolean = false): Unit = {
     val staging = java.nio.file.Paths.get(path, "_tomb_staging",
       java.util.UUID.randomUUID().toString)
     java.nio.file.Files.createDirectories(staging.getParent)
-    ids.select(ids.columns.head)
-      .select(col(ids.columns.head).cast("long").as(idCol)).distinct()
+    // idsDistinct: same size-only dedup contract as VersionedCorpus
+    // .delete — duplicate tombstone ids are read-side harmless
+    val sel = ids.select(ids.columns.head)
+      .select(col(ids.columns.head).cast("long").as(idCol))
+    (if (idsDistinct) sel else sel.distinct())
       .write.mode("overwrite").parquet(staging.toString)
     val dir = java.nio.file.Paths.get(path, "_tombstones")
     java.nio.file.Files.createDirectories(dir)

@@ -144,6 +144,106 @@ object NearDup {
     if (thr > 0 && est <= BigInt(thr)) broadcast(df) else df
   }
 
+  /** Closed-form polynomial string hash — the determinizable hash the
+    * `_fixed` oracle twins run the candidate chains under:
+    * `h = fold(chars, 7, (acc, c) -> (acc*131 + code(c)) mod 1e9+7)`.
+    * Every operation is exact BIGINT arithmetic both engines implement
+    * identically (the fold stays < 2^38, far from overflow), so the
+    * whole hash→signature→banding→verify chain replays as static
+    * DuckDB SQL — the ann_lsh promotion recipe applied to the text
+    * tiers. Character codes are code points; the synthetic fixtures
+    * are ASCII, where Spark's `ascii`/`split("")` and DuckDB's
+    * `unicode`/`string_split('')` provably agree (supplementary-plane
+    * input could split differently — the SEEDED xxhash64 operators
+    * remain the production path for arbitrary bytes; these twins
+    * certify the chain's shape, not the hash's universality). */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(filter(split(s, ""), c => length(c) > 0),
+        c => ascii(c).cast("long")),
+      lit(7L),
+      (acc, x) => (acc * lit(131L) + x) % lit(1000000007L))
+
+  /** SimHash banded candidates under [[polyHash]] — the byte-exact
+    * oracle twin of [[simHashCandidates]]: 24-bit signature (one vote
+    * per token OCCURRENCE per bit; ties break to 0), 3 bands × 8 bits,
+    * banded self-join, full-Hamming verify. With 3 bands, any pair
+    * within `maxHamming` ≤ 2 flipped bits leaves at least one band
+    * intact — candidate recall is EXHAUSTIVE at the twin's threshold,
+    * so the output is a pure function of the corpus (no banding loss
+    * for the oracle to disagree with). Returns distinct
+    * (id_a, id_b, hamming), id_a < id_b. */
+  def simHashPolyCandidates(docs: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 2): DataFrame = {
+    val bits = 24
+    val bands = 3
+    val rows = bits / bands
+    val base = docs.filter(size(TextAnalysis.tokens(col(textCol))) > 0)
+    val th = base
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("_tok"))
+      .select(col("_id"), polyHash(col("_tok")).as("_h"))
+    val bitSums = (0 until bits).map(i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(lit(1L)) === lit(1L),
+        lit(1)).otherwise(lit(-1))).as(s"_b$i"))
+    val sig = th.groupBy(col("_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("_id"),
+        (0 until bits).map(i =>
+          when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("_sig"))
+    val banded = sig.select(col("_id"), col("_sig"),
+      explode(array((0 until bands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          shiftright(col("_sig"), bnd * rows)
+            .bitwiseAND(lit((1L << rows) - 1)).as("key"))): _*)).as("_bk"))
+      .select(col("_id"), col("_sig"),
+        col("_bk.band").as("_band"), col("_bk.key").as("_key"))
+    val a = banded.select(col("_id").as("id_a"), col("_sig").as("_siga"),
+      col("_band"), col("_key"))
+    val b = banded.select(col("_id").as("id_b"), col("_sig").as("_sigb"),
+      col("_band"), col("_key"))
+    a.join(b, Seq("_band", "_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_siga").bitwiseXOR(col("_sigb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Winnowing fingerprint candidates under [[polyHash]] — the
+    * byte-exact oracle twin of [[winnowCandidates]]: token 3-gram
+    * hashes, window-4 minima over FULL windows only (docs with fewer
+    * than 4 grams contribute no fingerprints — the twin's documented
+    * edge simplification; the production operator keeps its
+    * short-window rule), distinct fingerprints per doc, bucket
+    * self-join, `minShared` distinct shared fingerprints. The selected
+    * fingerprint SET needs no tie rule: equal minima in one window
+    * select the same VALUE whichever position wins. Returns
+    * (id_a, id_b, n_shared), id_a < id_b. */
+  def winnowPolyCandidates(docs: DataFrame, idCol: String, textCol: String,
+                           minShared: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.filter(size(TextAnalysis.tokens(col(textCol))) > 0)
+    val gh = base
+      .select(col(idCol).as("_id"),
+        posexplode(shingles(col(textCol), 3)).as(Seq("_pos0", "_gram")))
+      .select(col("_id"), (col("_pos0") + 1).as("_pos"),
+        polyHash(col("_gram")).as("_h"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+      .rowsBetween(-3, 0)
+    val fps = gh.withColumn("_fp", min(col("_h")).over(w))
+      .filter(col("_pos") >= 4)
+      .select(col("_id"), col("_fp")).distinct()
+    val a = fps.select(col("_id").as("id_a"), col("_fp"))
+    val b = fps.select(col("_id").as("id_b"), col("_fp"))
+    a.join(b, "_fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** CROSS-SET MinHash-LSH candidates — incremental ingestion's near-dup
     * tier: incoming docs meet EXISTING corpus docs only inside a shared
     * (band, hash) bucket, exactly like the self-join path but across two
@@ -826,12 +926,31 @@ object NearDup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Native merge-walk Jaccard over sorted deduped shingle arrays —
+    * codegen'd [[graft.expressions.JaccardSorted]], bit-parity with
+    * [[jaccardHof]] pinned in NearDupSpec. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.expressions.JaccardSorted(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** Reference built-in formulation of [[jaccardSorted]] — two hash-set
+    * builds per row-pair; kept as the parity twin. */
+  def jaccardHof(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
   def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
                     pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
     // only shingle the docs that actually appear in a candidate pair —
-    // post-LSH that is a tiny fraction of the corpus
+    // post-LSH that is a tiny fraction of the corpus. Shingle sets are
+    // SORTED once per doc so the per-pair verify is the allocation-free
+    // merge walk (JaccardSorted) instead of two hash-set builds — the
+    // r14 profile put the whole exact_jaccard_join residual in this
+    // verify stage
     val proj = docs.select(col(idCol).as("_jid"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("_sh"))
+      array_sort(array_distinct(shingles(col(textCol), shingleSize)))
+        .as("_sh"))
       // empty docs have no shingle set — Jaccard is undefined (0/0);
       // drop them rather than diverge between engines on the edge
       .filter(size(TextAnalysis.tokens(col(textCol))) > 0)
@@ -846,8 +965,7 @@ object NearDup {
       .join(sh.select(col("_jid").as("id_a"), col("_sh").as("sh_a")), "id_a")
       .join(sh.select(col("_jid").as("id_b"), col("_sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+        round(jaccardSorted(col("sh_a"), col("sh_b")), 4).as("jaccard"))
   }
 
   /** CROSS-SET exact-Jaccard verification — [[jaccardVerify]] for
@@ -862,7 +980,8 @@ object NearDup {
                          pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
     def side(df: DataFrame, asId: String, asSh: String) = {
       val proj = df.select(col(idCol).as(asId),
-        array_distinct(shingles(col(textCol), shingleSize)).as(asSh))
+        array_sort(array_distinct(shingles(col(textCol), shingleSize)))
+          .as(asSh))
         // empty docs have no shingle set — Jaccard is undefined (0/0);
         // drop them rather than diverge between engines on the edge
         .filter(size(TextAnalysis.tokens(col(textCol))) > 0)
@@ -876,8 +995,7 @@ object NearDup {
       .join(side(incoming, "id_new", "sh_new"), "id_new")
       .join(side(corpus, "id_old", "sh_old"), "id_old")
       .select(col("id_new"), col("id_old"),
-        round(size(array_intersect(col("sh_new"), col("sh_old"))).cast("double") /
-          size(array_union(col("sh_new"), col("sh_old"))), 4).as("jaccard"))
+        round(jaccardSorted(col("sh_new"), col("sh_old")), 4).as("jaccard"))
   }
 
   /** Embedding near-dup candidate pairs via sign-random-projection LSH —

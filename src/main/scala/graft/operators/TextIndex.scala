@@ -105,6 +105,37 @@ object TextIndex {
       .split("\n").map(_.trim).filter(_.nonEmpty).toSet
   }
 
+  /** Per-batch corpus accounting (n_docs, total_tokens, n_with_dl) as a
+    * DRIVER-READABLE `_stats.json` sidecar: the values are known on the
+    * driver at commit time anyway (they ride the doclens/tombstone
+    * write as `Dataset.observe` metrics), and every consumer of the
+    * numbers — BM25's (N, avgdl), optimize's collapse — needs them ON
+    * the driver, so shipping them through a 1-row parquet cost a write
+    * job and a read-back job per touch. Legacy batches (pre-sidecar
+    * `stats/` parquet) stay readable through the Spark fallback in
+    * [[indexStats]]. Written before the claim rename like every other
+    * batch file — the commit is still atomic. */
+  private def writeStatsJson(dir: java.nio.file.Path, nDocs: Long,
+                             totalTokens: Long, nWithDl: Long): Unit =
+    java.nio.file.Files.write(dir.resolve("_stats.json"),
+      s"""{"n_docs":$nDocs,"total_tokens":$totalTokens,"n_with_dl":$nWithDl}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def readStatsJson(dir: java.nio.file.Path)
+      : Option[(Long, Long, Long)] = {
+    val f = dir.resolve("_stats.json")
+    if (!java.nio.file.Files.exists(f)) return None
+    val s = new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def field(k: String): Long = {
+      val m = java.util.regex.Pattern
+        .compile("\"" + k + "\"\\s*:\\s*(-?\\d+)").matcher(s)
+      require(m.find(), s"corrupt _stats.json under $dir: missing $k")
+      m.group(1).toLong
+    }
+    Some((field("n_docs"), field("total_tokens"), field("n_with_dl")))
+  }
+
   private def shardsFile(indexDir: String) =
     java.nio.file.Paths.get(indexDir, "_shards.txt")
 
@@ -151,30 +182,37 @@ object TextIndex {
     val staging = root.resolve("_staging")
       .resolve(java.util.UUID.randomUUID().toString)
     java.nio.file.Files.createDirectories(staging)
-    val post = postings(docs, idCol, textCol, nShards)
-    post.write.partitionBy("shard").mode("overwrite")
-      .parquet(staging.resolve("postings").toString)
     // per-batch (doc_id, dl) sidecar — what [[delete]] consults for its
     // stats correction without touching the postings. One row per
     // ingested doc INCLUDING zero-token and null-text docs (they carry
     // no postings but do count in N / n_with_dl, so their deletion
-    // must correct the stats exactly)
+    // must correct the stats exactly). The batch stats ride this write
+    // as observe metrics — N counts every doc (null texts too), avgdl
+    // averages dl over docs whose text tokenized (null text → null dl,
+    // excluded; empty text → dl 0, included) — which also answers the
+    // empty-batch check, so the append is two write jobs total
+    val obs = new org.apache.spark.sql.Observation(
+      "graft_tix_app_" + java.util.UUID.randomUUID())
     docs.select(col(idCol).cast("long").as("doc_id"),
         size(TextAnalysis.tokens(col(textCol))).cast("double").as("dl"))
+      .observe(obs, count(lit(1)).as("n"), sum(col("dl")).as("toks"),
+        count(col("dl")).as("nd"))
       .write.mode("overwrite").parquet(staging.resolve("doclens").toString)
-    // batch stats over the SOURCE batch, mirroring the scan-based
-    // form's accounting exactly: N counts every doc (null texts too),
-    // avgdl averages dl over docs whose text tokenized (null text →
-    // null dl, excluded; empty text → dl 0, included)
-    val st = docs.select(
-        size(TextAnalysis.tokens(col(textCol))).cast("long").as("_dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("_dl")).as("total_tokens"),
-        count(col("_dl")).as("n_with_dl"))
-    if (st.head().getLong(0) == 0L) {
+    val m = obs.get
+    val nDocs = m("n").asInstanceOf[java.lang.Number].longValue()
+    if (nDocs == 0L) {
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       return false
     }
-    st.write.mode("overwrite").parquet(staging.resolve("stats").toString)
+    val totalTokens = m("toks") match {
+      case null                => 0L
+      case v: java.lang.Number => v.doubleValue().toLong
+    }
+    val nWithDl = m("nd").asInstanceOf[java.lang.Number].longValue()
+    val post = postings(docs, idCol, textCol, nShards)
+    post.write.partitionBy("shard").mode("overwrite")
+      .parquet(staging.resolve("postings").toString)
+    writeStatsJson(staging, nDocs, totalTokens, nWithDl)
     if (token != null)
       java.nio.file.Files.write(staging.resolve("_token.txt"),
         token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -207,9 +245,15 @@ object TextIndex {
     require(batches.nonEmpty, s"no committed batches under $indexDir")
     val nShards = pinnedShards(indexDir)
     import spark.implicits._
+    // the same `xxhash64` EXPRESSION the build ran, evaluated over a
+    // LocalRelation of the terms: the optimizer's ConvertToLocalRelation
+    // folds the projection, so the collect is a LocalTableScan — zero
+    // Spark jobs for hashing a handful of strings (the dedup moves to
+    // the driver for the same reason: a `distinct` would block the
+    // fold behind a real aggregate job)
     val shardIds = terms.toDF("t")
-      .select(pmod(xxhash64(col("t")), lit(nShards))).distinct()
-      .collect().map(_.getLong(0))
+      .select(pmod(xxhash64(col("t")), lit(nShards)))
+      .collect().map(_.getLong(0)).distinct
     val shardDirs = for {
       b <- batches; s <- shardIds
       d = b.resolve("postings").resolve(s"shard=$s")
@@ -247,14 +291,31 @@ object TextIndex {
     }
   }
 
-  private def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
+  /** Corpus-level (N, avgdl) from the per-batch accounting — resolved
+    * on the DRIVER from the `_stats.json` sidecars (manifest-shaped
+    * metadata; summing a dozen longs is not a distributed job), with a
+    * single Spark read-back for any LEGACY batch still carrying the
+    * pre-sidecar `stats/` parquet. Same arithmetic as the old
+    * distributed aggregate: exact long sums, one double division. */
+  private def indexStats(spark: SparkSession,
+                         indexDir: String): (Double, Double) = {
     val batches = batchDirs(indexDir)
     require(batches.nonEmpty, s"no committed batches under $indexDir")
-    batches.map(b => spark.read.parquet(b.resolve("stats").toString))
-      .reduce(_ unionByName _)
-      .agg(sum(col("n_docs")).cast("double").as("_n"),
-        (sum(col("total_tokens")).cast("double") /
-          sum(col("n_with_dl"))).as("_avgdl"))
+    var nDocs = 0L; var toks = 0L; var nWith = 0L
+    val legacy = batches.filter { b =>
+      readStatsJson(b) match {
+        case Some((n, t, w)) => nDocs += n; toks += t; nWith += w; false
+        case None            => true
+      }
+    }
+    if (legacy.nonEmpty) {
+      val r = legacy.map(b => spark.read.parquet(b.resolve("stats").toString))
+        .reduce(_ unionByName _)
+        .agg(sum(col("n_docs")), sum(col("total_tokens")),
+          sum(col("n_with_dl"))).head()
+      nDocs += r.getLong(0); toks += r.getLong(1); nWith += r.getLong(2)
+    }
+    (nDocs.toDouble, toks.toDouble / nWith)
   }
 
   /** Okapi BM25 of every indexed document against a bag of query
@@ -265,15 +326,16 @@ object TextIndex {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val post = prunedPostings(spark, indexDir, terms.distinct)
-    val stats = indexStats(spark, indexDir)
+    // (N, avgdl) resolve on the driver (manifest metadata) and fold as
+    // literals — no stats scan, no broadcast cross join in the plan
+    val (n, avgdl) = indexStats(spark, indexDir)
     val dfc = post.groupBy(col("token"))
       .agg(count(lit(1)).cast("double").as("_df"))
     val idf = log(lit(1.0) +
-      (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
+      (lit(n) - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
     val norm = col("tf") + lit(k1) *
-      (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl"))
+      (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
     post.join(broadcast(dfc), "token")
-      .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (idf * col("tf") * lit(k1 + 1.0) / norm).as("_s"))
       .groupBy(col("doc_id"))
@@ -292,18 +354,18 @@ object TextIndex {
     import spark.implicits._
     val unionTerms = queries.flatMap(_._2).distinct
     val post = prunedPostings(spark, indexDir, unionTerms)
-    val stats = indexStats(spark, indexDir)
+    // same literal fold as [[bm25]]
+    val (n, avgdl) = indexStats(spark, indexDir)
     val dfc = post.groupBy(col("token"))
       .agg(count(lit(1)).cast("double").as("_df"))
     val qterms = queries.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
       .toDF("qid", "token")
     val idf = log(lit(1.0) +
-      (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
+      (lit(n) - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
     val norm = col("tf") + lit(k1) *
-      (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl"))
+      (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
     val scored = post.join(broadcast(dfc), "token")
       .join(broadcast(qterms), "token")
-      .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc_id"),
         (idf * col("tf") * lit(k1 + 1.0) / norm).as("_s"))
       .groupBy(col("qid"), col("doc_id"))
@@ -328,42 +390,54 @@ object TextIndex {
     * cannot double-correct). Query-time cost: pruned postings
     * anti-join the broadcast tombstone set; [[optimize]] applies
     * tombstones physically and retires them. Returns the number of
-    * docs actually removed (0 = nothing committed). */
-  def delete(spark: SparkSession, indexDir: String, ids: DataFrame): Long = {
+    * docs actually removed (0 = nothing committed).
+    *
+    * `idsDistinct` — same contract as `VersionedCorpus.delete`: the
+    * internal dedup only bounds the broadcast side's size, so a caller
+    * holding an already-distinct long id set skips its exchange. */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame,
+             idsDistinct: Boolean = false): Long = {
     val live = batchDirs(indexDir)
     require(live.nonEmpty, s"no committed batches under $indexDir")
     val root = java.nio.file.Paths.get(indexDir)
-    val idsDf = ids.select(ids.columns.head)
-      .select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+    val idsSel = ids.select(ids.columns.head)
+      .select(col(ids.columns.head).cast("long").as("doc_id"))
+    val idsDf = if (idsDistinct) idsSel else idsSel.distinct()
     // live doclens rows of the requested ids: latest per doc, then
     // resolved through the current tombstones. The RESULT is id-set
     // bounded; the scan behind it is doclens-sized (2 columns, one row
     // per ingested doc — the small sidecar, never the postings), with
     // parquet min/max pruning when ids cluster. A maintenance op pays
-    // it once; queries never do
+    // it once; queries never do. The negative-stats aggregate rides
+    // the tombstone write as `Dataset.observe` metrics (the fused
+    // commit discipline of VersionedCorpus.writeStagedWithStats), so
+    // the whole delete is one doclens pass + one 1-row stats write —
+    // no persist, no separate read-back aggregate.
     val dls = liveDoclens(spark, live)
       .join(broadcast(idsDf), Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val st = dls.agg(count(lit(1)).as("n"),
-        sum(col("dl")).as("toks"), count(col("dl")).as("nd")).head()
-      val removed = st.getLong(0)
-      if (removed == 0L) return 0L
-      val staging = root.resolve("_staging")
-        .resolve(java.util.UUID.randomUUID().toString)
-      java.nio.file.Files.createDirectories(staging)
-      dls.select(col("doc_id"))
-        .write.mode("overwrite").parquet(staging.resolve("deletes").toString)
-      import spark.implicits._
-      Seq((-removed,
-          -(if (st.isNullAt(1)) 0L else st.getDouble(1).toLong),
-          -st.getLong(2)))
-        .toDF("n_docs", "total_tokens", "n_with_dl")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(staging.resolve("stats").toString)
-      claimBatch(indexDir, staging)
-      removed
-    } finally dls.unpersist()
+    val staging = root.resolve("_staging")
+      .resolve(java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.createDirectories(staging)
+    val obs = new org.apache.spark.sql.Observation(
+      "graft_tix_del_" + java.util.UUID.randomUUID())
+    dls.observe(obs, count(lit(1)).as("n"), sum(col("dl")).as("toks"),
+        count(col("dl")).as("nd"))
+      .select(col("doc_id"))
+      .write.mode("overwrite").parquet(staging.resolve("deletes").toString)
+    val m = obs.get
+    val removed = m("n").asInstanceOf[java.lang.Number].longValue()
+    if (removed == 0L) {
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      return 0L
+    }
+    val toks = m("toks") match {
+      case null                 => 0L
+      case v: java.lang.Number  => v.doubleValue().toLong
+    }
+    val nd = m("nd").asInstanceOf[java.lang.Number].longValue()
+    writeStatsJson(staging, -removed, -toks, -nd)
+    claimBatch(indexDir, staging)
+    removed
   }
 
   /** The CURRENT (doc_id, dl) relation: latest doclens row per doc,
@@ -464,16 +538,21 @@ object TextIndex {
       .parquet(staging.resolve("postings").toString)
     liveDoclens(spark, live).drop("_b")
       .write.mode("overwrite").parquet(staging.resolve("doclens").toString)
-    // stats collapse to ONE corrected row (delete batches contributed
-    // negatives; their tombstones are now applied, so the pack's row
-    // IS the surviving corpus's accounting)
-    live.map(b => spark.read.parquet(b.resolve("stats").toString))
-      .reduce(_ unionByName _)
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("total_tokens")).as("total_tokens"),
-        sum(col("n_with_dl")).as("n_with_dl"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(staging.resolve("stats").toString)
+    // stats collapse to ONE corrected sidecar (delete batches
+    // contributed negatives; their tombstones are now applied, so the
+    // pack's row IS the surviving corpus's accounting) — the same
+    // driver-side sum every query already does, written back as the
+    // pack's `_stats.json`
+    val (pn, pt, pw) = live.foldLeft((0L, 0L, 0L)) { case ((a, b2, c), d) =>
+      val (n, t, w) = readStatsJson(d).getOrElse {
+        val r = spark.read.parquet(d.resolve("stats").toString)
+          .agg(sum(col("n_docs")), sum(col("total_tokens")),
+            sum(col("n_with_dl"))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      (a + n, b2 + t, c + w)
+    }
+    writeStatsJson(staging, pn, pt, pw)
     val tokens = live.flatMap(tokensOf)
     if (tokens.nonEmpty)
       java.nio.file.Files.write(staging.resolve("_token.txt"),

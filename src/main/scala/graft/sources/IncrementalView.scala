@@ -89,10 +89,20 @@ object IncrementalView {
     }
     val (feed, to) = VersionedCorpus.changesSince(spark, srcRoot, from)
     if (to == from) return from
-    val slice = feed
-      .select(col(groupCol), col(keyCol), col("_change_type"))
-      .limit(fuseLimit + 1).collect()
-    if (slice.length <= fuseLimit) {
+    // the window's EXACT change-row count is already in the manifests
+    // (the feed is the window's own files — changesBetween's gen
+    // filter, mirrored here), so the fused-path decision needs no
+    // probing limit-collect: CollectLimit's incremental partition
+    // scaling pays up to three jobs where the plain collect of an
+    // already-known-small feed pays one
+    val windowRows = VersionedCorpus.commits(srcRoot)
+      .filter(c => c.gen > from && c.gen <= to)
+      .filterNot(c => c.base || c.kind == "optimize")
+      .map(_.rows).sum
+    if (windowRows <= fuseLimit) {
+      val slice = feed
+        .select(col(groupCol), col(keyCol), col("_change_type"))
+        .collect()
       // FUSED small-window path: everything up to the recompute is
       // driver arithmetic over the one collected slice.
       val direct = slice.iterator
@@ -105,15 +115,17 @@ object IncrementalView {
           case Some(expr) =>
             // the caller declared group ≡ expr(key): every mutated
             // key's OLD group is computable from the key alone, so the
-            // preimage needs NO corpus read — one local projection
-            // over the driver-held keys. At 100 TB this deletes the
-            // only corpus-sized I/O the small-window refresh had left.
+            // preimage needs NO corpus read — a LocalRelation projection
+            // over the driver-held keys, folded by the optimizer
+            // (ConvertToLocalRelation) into a job-free LocalTableScan.
+            // At 100 TB this deletes the only corpus-sized I/O the
+            // small-window refresh had left.
             val kType = feed.schema(keyCol).dataType
             val kdf = spark.createDataFrame(
-              spark.sparkContext.parallelize(
-                mutated.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+              java.util.Arrays.asList(
+                mutated.map(org.apache.spark.sql.Row(_)): _*),
               new org.apache.spark.sql.types.StructType().add(keyCol, kType))
-            kdf.select(expr.as(groupCol)).distinct().collect().map(_.get(0))
+            kdf.select(expr.as(groupCol)).collect().map(_.get(0)).distinct
           case None =>
             // integral keys ride the manifest-pruned range path; a
             // non-integral key falls back to the plain pre-window
@@ -141,7 +153,11 @@ object IncrementalView {
                     .add(keyCol, kType))
                 preRows.join(broadcast(kdf), Seq(keyCol), "left_semi")
               }
-            filtered.select(col(groupCol)).distinct().collect().map(_.get(0))
+            // collect UNDEDUPED and dedup driver-side: the result is
+            // bounded by the mutated-key count (≤ the collected slice,
+            // one live old row per key), and skipping the distinct
+            // keeps the preimage read a single shuffle-free job
+            filtered.select(col(groupCol)).collect().map(_.get(0)).distinct
         }
       val dirtyKeys = (direct ++ preGroups).distinct
       applyDirty(spark, srcRoot, viewRoot, groupCol, aggs, dirtyKeys,
@@ -232,23 +248,35 @@ object IncrementalView {
     val refreshed = base
       .filter(col(groupCol).isin(dirtyKeys.toSeq: _*))
       .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val alive = refreshed.select(col(groupCol)).collect()
-        .map(_.get(0)).toSet
-      val vanished = dirtyKeys.filterNot(alive)
-      VersionedCorpus.upsert(refreshed, viewRoot, groupCol)
-      if (vanished.nonEmpty) {
-        // rebuild the key frame with the SOURCE's group column type
-        // (the view store pinned it at first commit)
-        val vdf = spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            vanished.toSeq.map(org.apache.spark.sql.Row(_))),
-          new org.apache.spark.sql.types.StructType()
-            .add(groupCol, gType))
-        VersionedCorpus.delete(vdf, viewRoot, groupCol)
-      }
-    } finally refreshed.unpersist()
+    // the ALIVE group set (≤ dirtyKeys, driver-bounded by the 10k cap
+    // above) rides the upsert's staged write as an observe metric —
+    // the r14 fused-commit discipline applied to the view refresh: one
+    // distributed pass where the old persist + collect + write paid
+    // the recompute twice-shaped cost (persist populate, read-back)
+    val obs = new org.apache.spark.sql.Observation(
+      "graft_mv_alive_" + java.util.UUID.randomUUID())
+    VersionedCorpus.upsert(
+      refreshed.observe(obs,
+        org.apache.spark.sql.functions.collect_set(col(groupCol))
+          .as("alive")),
+      viewRoot, groupCol)
+    val alive: Set[Any] = obs.get("alive") match {
+      case null       => Set.empty
+      case s: Seq[_]  => s.toSet
+      case other      => sys.error(s"unexpected alive metric: $other")
+    }
+    val vanished = dirtyKeys.filterNot(alive)
+    if (vanished.nonEmpty) {
+      // rebuild the key frame with the SOURCE's group column type
+      // (the view store pinned it at first commit); driver-deduped →
+      // the tombstone commit skips its distinct exchange
+      val vdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          vanished.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+        new org.apache.spark.sql.types.StructType()
+          .add(groupCol, gType))
+      VersionedCorpus.delete(vdf, viewRoot, groupCol, keysDistinct = true)
+    }
   }
 
   /** The join formulation for dirty sets too large for an IN-list. */
@@ -267,7 +295,9 @@ object IncrementalView {
         val vanished = dirtyP.join(
           refreshed.select(col(groupCol)), Seq(groupCol), "left_anti")
         VersionedCorpus.upsert(refreshed, viewRoot, groupCol)
-        VersionedCorpus.delete(vanished, viewRoot, groupCol)
+        // dirtyP is distinct by construction, so the anti-join output is
+        VersionedCorpus.delete(vanished, viewRoot, groupCol,
+          keysDistinct = true)
       } finally refreshed.unpersist()
     } finally dirtyP.unpersist()
   }

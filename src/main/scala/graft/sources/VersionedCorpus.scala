@@ -656,12 +656,22 @@ object VersionedCorpus {
     * append of the same key resurrects it. Deleting keys the store
     * never held is a harmless no-op at read time (the anti-join just
     * never matches). Returns the generation id, -1 for an empty key
-    * set. */
-  def delete(keys: DataFrame, root: String, keyCol: String): Long = {
+    * set.
+    *
+    * `keysDistinct` — duplicates in a tombstone are semantically
+    * harmless (the read-side anti-join matches sets); the dedup pass
+    * exists only to bound the tombstone's SIZE, and at fixture scale
+    * its exchange costs one whole extra Spark job inside the commit.
+    * A caller that guarantees distinct keys (a primary-key projection,
+    * a driver-deduped set) sets it and the commit is one shuffle-free
+    * pass; defaults to the safe dedup. */
+  def delete(keys: DataFrame, root: String, keyCol: String,
+             keysDistinct: Boolean = false): Long = {
     checkOrPinKey(root, keyCol)
     val staging = newStaging(root)
+    val sel = keys.select(keys.col(keyCol))
     val (n, klo, khi, _, bloom) = writeStagedWithStats(
-      keys.select(keys.col(keyCol)).distinct(), root, staging)
+      if (keysDistinct) sel else sel.distinct(), root, staging)
     if (n == 0L) {
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       return -1L
@@ -807,6 +817,79 @@ object VersionedCorpus {
       Some(col(statCol).between(lo, hi)))
   }
 
+  /** (key → max tombstone generation), the merge-on-read visibility
+    * relation. Tombstone sets the MANIFESTS bound at ≤ 65536 rows
+    * collect once and come back as a LocalRelation: the downstream
+    * broadcast build then ships driver rows with NO query stage of its
+    * own, and the distributed groupBy(max) disappears — one bounded
+    * collect where the join path paid an aggregate job plus a
+    * broadcast-materialization job per snapshot read. Bigger sets keep
+    * the distributed aggregate (the collect bound is the same
+    * driver-safety contract as NearDup.materializePairs). Join
+    * semantics are identical either way — null tombstone keys never
+    * equi-match, so dropping them driver-side preserves the join's
+    * behavior exactly. */
+  private def localTmaxFrame(spark: SparkSession, pairs: Seq[(Any, Long)],
+                             keyField: org.apache.spark.sql.types.StructField)
+      : DataFrame = {
+    val rows: Seq[org.apache.spark.sql.Row] =
+      pairs.map { case (k, g) => org.apache.spark.sql.Row(k, g) }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      new org.apache.spark.sql.types.StructType()
+        .add(keyField.copy(nullable = true))
+        .add("_vc_tmax", org.apache.spark.sql.types.LongType))
+  }
+
+  /** LRU memo for [[tombMaxLocal]]: committed generations are IMMUTABLE
+    * (a gen dir is written once and only ever deleted — by vacuum,
+    * after which no window resolves to it), so (root, tombstone gen
+    * ids) fully determines the resolution rows and the memo can never
+    * serve stale data. Bounded at 64 windows; per-invocation temp-dir
+    * stores (the bench rows) age out naturally. */
+  private val tombMaxMemo: java.util.Map[String, Seq[(Any, Long)]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[(Any, Long)]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[(Any, Long)]]): Boolean =
+          size() > 64
+      })
+
+  /** [[tombMax]] for a MANIFEST-BOUNDED-small tombstone window, read
+    * UNFILTERED from the window's gen dirs (a pred-pruned caller gets
+    * extra never-matching keys — harmless under the equi-join) and
+    * memoized per (root, gens): a mutation lifecycle reads the same
+    * resolution window several times (preimage asOf = the previous
+    * refresh's recompute asOf, replica catch-ups, repeated snapshot
+    * reads), and re-collecting identical immutable bytes is a pure
+    * job-floor tax. */
+  private def tombMaxLocal(spark: SparkSession, root: String,
+                           tombGens: Seq[Commit],
+                           keyField: org.apache.spark.sql.types.StructField)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val memoKey = root + "|" + tombGens.map(_.gen).sorted.mkString(",")
+    var pairs = tombMaxMemo.get(memoKey)
+    if (pairs == null) {
+      val keyOnly = new org.apache.spark.sql.types.StructType().add(keyField)
+      val tombs = tombGens.map { c =>
+        spark.read.schema(keyOnly).parquet(dataDir(root, c.gen).toString)
+          .select(col(keyField.name), lit(c.gen).as("_vc_tgen"))
+      }.reduce(_ unionByName _)
+      val m = new scala.collection.mutable.HashMap[Any, Long]()
+      tombs.collect().foreach { r =>
+        val k = r.get(0)
+        if (k != null) {
+          val g = r.getLong(1)
+          if (m.getOrElse(k, Long.MinValue) < g) m(k) = g
+        }
+      }
+      pairs = m.toSeq
+      tombMaxMemo.put(memoKey, pairs)
+    }
+    localTmaxFrame(spark, pairs, keyField)
+  }
+
   private def snapshotImpl(spark: SparkSession, root: String, asOf: Long,
                            keep: Commit => Boolean,
                            rowPred: Option[org.apache.spark.sql.Column])
@@ -925,10 +1008,14 @@ object VersionedCorpus {
             .option("basePath", root)
             .parquet(tombGens.map(c => dataDir(root, c.gen).toString): _*)
             .withColumn("_vc_tgen", col("gen").cast("long")).drop("gen")
-        val tmax = tombs.groupBy(col(key))
-          .agg(max(col("_vc_tgen")).as("_vc_tmax"))
+        val totalTombRows = tombGens.map(_.rows).sum
+        val tmax =
+          if (totalTombRows <= 65536L)
+            tombMaxLocal(spark, root, tombGens, pinned(key))
+          else tombs.groupBy(col(key))
+            .agg(max(col("_vc_tgen")).as("_vc_tmax"))
         val tmaxSized =
-          if (tombGens.map(_.rows).sum <= 4000000L) broadcast(tmax) else tmax
+          if (totalTombRows <= 4000000L) broadcast(tmax) else tmax
         Some(data.join(tmaxSized, Seq(key), "left")
           .filter(col("_vc_tmax").isNull || col("_vc_gen") >= col("_vc_tmax"))
           .select(pinnedFields.map(col): _*))
@@ -1234,13 +1321,16 @@ object VersionedCorpus {
     else {
       val keyOnly = new org.apache.spark.sql.types.StructType()
         .add(pinned(key))
-      val tombs = tombC.map { c =>
-        spark.read.schema(keyOnly).parquet(dataDir(root, c.gen).toString)
-          .filter(pred(col(key)))
-          .withColumn("_vc_tgen", lit(c.gen))
-      }.reduce(_ unionByName _)
-      val tmax = tombs.groupBy(col(key))
-        .agg(max(col("_vc_tgen")).as("_vc_tmax"))
+      val totalTombRows = tombC.map(_.rows).sum
+      val tmax =
+        if (totalTombRows <= 65536L)
+          tombMaxLocal(spark, root, tombC, pinned(key))
+        else tombC.map { c =>
+          spark.read.schema(keyOnly).parquet(dataDir(root, c.gen).toString)
+            .filter(pred(col(key)))
+            .withColumn("_vc_tgen", lit(c.gen))
+        }.reduce(_ unionByName _)
+          .groupBy(col(key)).agg(max(col("_vc_tgen")).as("_vc_tmax"))
       val outCols = data.columns.filter(_ != "_vc_gen").map(col).toSeq
       data.join(broadcast(tmax), Seq(key), "left")
         .filter(col("_vc_tmax").isNull || col("_vc_gen") >= col("_vc_tmax"))

@@ -332,6 +332,30 @@ class NearDupSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect.toSet
   }
 
+  test("jaccardSorted ≡ array_intersect/array_union bit-for-bit (fixture all-pairs + edges)") {
+    import org.apache.spark.sql.functions.{array_distinct, array_sort, not}
+    val fixture = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .limit(120)
+      .select(col("doc_id").as("id"),
+        array_sort(array_distinct(NearDup.shingles(col("text")))).as("sh"))
+    // no empty set: the ∅/∅ pair divides by zero, which ANSI mode makes
+    // an ERROR in the built-in form — and every caller filters empty
+    // docs out before verifying (Jaccard undefined on ∅ by contract)
+    val edges = Seq(
+      (9001L, Seq("a", "b", "c")), (9002L, Seq("b", "c", "d")),
+      (9003L, Seq("zz")), (9005L, Seq("a", "b", "c")))
+      .toDF("id", "sh")
+      .select(col("id"), array_sort(array_distinct(col("sh"))).as("sh"))
+    val all = fixture.unionByName(edges)
+    val a = all.select(col("id").as("ia"), col("sh").as("sha"))
+    val b = all.select(col("id").as("ib"), col("sh").as("shb"))
+    val pairs = a.crossJoin(b).filter(col("ia") <= col("ib"))
+    val mismatches = pairs.filter(not(
+      NearDup.jaccardSorted(col("sha"), col("shb")) <=>
+        NearDup.jaccardHof(col("sha"), col("shb")))).count()
+    assert(mismatches === 0L)
+  }
+
   test("prefixJaccardJoin ≡ quadratic all-pairs verify on the fixture") {
     for (tau <- Seq(0.5, 0.8, 0.9)) {
       val got = NearDup.prefixJaccardJoin(docs, "doc_id", "text", tau)
