@@ -89,11 +89,20 @@ object PrefixSum {
     // sample still spreads), capped by the session's shuffle width: a
     // kilobyte admission batch runs 2-4 range tasks instead of paying
     // the full configured width twice, while a 100 TB scan (splits ≫
-    // cores) keeps the configured parallelism. Result rows are
-    // partition-count invariant (PrefixSumSpec pins ≡ the naive window).
+    // cores) keeps the configured parallelism. The split count comes
+    // from the PHYSICAL PLAN'S LEAVES (file-scan partition metadata —
+    // pure driver-side planning): the previous `df.rdd` probe looked
+    // innocent but under AQE materializes every shuffle stage below
+    // `df` just to count partitions, silently executing the upstream
+    // chain twice. Result rows are partition-count invariant either
+    // way (PrefixSumSpec pins ≡ the naive window at several widths).
+    val leafSplits =
+      try df.queryExecution.sparkPlan.collectLeaves()
+        .map(l => math.max(1, l.execute().getNumPartitions)).sum
+      catch { case _: Throwable =>
+        spark.sessionState.conf.numShufflePartitions }
     val n = math.max(1, math.min(
-      spark.sessionState.conf.numShufflePartitions,
-      df.rdd.getNumPartitions * 4))
+      spark.sessionState.conf.numShufflePartitions, leafSplits * 4))
     // one materialized pid column, PERSISTED: both phase-2 consumers
     // (the partials aggregate and the final local-window join) must see
     // IDENTICAL `_ps_pid` assignments, and without the cache that holds
