@@ -156,8 +156,20 @@ object NearDup {
     * `unicode`/`string_split('')` provably agree (supplementary-plane
     * input could split differently — the SEEDED xxhash64 operators
     * remain the production path for arbitrary bytes; these twins
-    * certify the chain's shape, not the hash's universality). */
-  def polyHash(s: Column): Column =
+    * certify the chain's shape, not the hash's universality).
+    *
+    * Native codegen'd ([[graft.expressions.PolyHash]] — a byte fold,
+    * identical to the char-code fold on ASCII); [[polyHashHof]] is the
+    * built-in-functions twin, bit-parity pinned in NearDupSpec. */
+  def polyHash(s: Column): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.expressions.PolyHash(Bridge.expression(s)))
+  }
+
+  /** Reference HOF formulation of [[polyHash]] — the arithmetic spec,
+    * kept for parity testing (interpreted lambda chain; not the hot
+    * path). */
+  def polyHashHof(s: Column): Column =
     aggregate(
       transform(filter(split(s, ""), c => length(c) > 0),
         c => ascii(c).cast("long")),

@@ -356,6 +356,20 @@ class NearDupSpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("native polyHash ≡ HOF polyHash bit-for-bit on fixture tokens and grams") {
+    import org.apache.spark.sql.functions.{explode, not}
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+    val toks = docs.select(explode(
+      graft.operators.TextAnalysis.tokens(col("text"))).as("s"))
+    val grams = docs.select(explode(NearDup.shingles(col("text"))).as("s"))
+    val edge = Seq("a", "zz top", "0", " ", "punct.,;").toDF("s")
+    for (df <- Seq(toks, grams, edge)) {
+      val bad = df.filter(not(
+        NearDup.polyHash(col("s")) <=> NearDup.polyHashHof(col("s")))).count()
+      assert(bad === 0L)
+    }
+  }
+
   test("prefixJaccardJoin ≡ quadratic all-pairs verify on the fixture") {
     for (tau <- Seq(0.5, 0.8, 0.9)) {
       val got = NearDup.prefixJaccardJoin(docs, "doc_id", "text", tau)
