@@ -81,10 +81,30 @@ object PrefixSum {
     * `order` must be a within-group unique key (the admission queries
     * use the primary-key doc_id) — the same requirement the naive window
     * already had for deterministic output.
-    */
+    *
+    * STATS-ADAPTIVE: inputs whose Catalyst size estimate is at or under
+    * `smallInputBytes` (default 64 MB) take the NAIVE single-window
+    * form — at that size even one group through one sort buffer is
+    * trivial, while the two-phase machinery costs a sampling pass, a
+    * persist, and a broadcast join of pure job-floor overhead (the
+    * same plan-by-measured-stats discipline as
+    * `NearDup.prefixJaccardJoin`'s duplication probe). Estimates are
+    * conservative (a filter over a big scan estimates big without
+    * CBO), so scale inputs can't accidentally take the serial path;
+    * `smallInputBytes = 0` pins the two-phase plan (the specs do).
+    * Result rows are identical either way (PrefixSumSpec). */
   def groupedRunningSum(df: DataFrame, group: String, order: String,
-                        value: String, out: String): DataFrame = {
+                        value: String, out: String,
+                        smallInputBytes: Long = 64L << 20): DataFrame = {
     val spark = df.sparkSession
+    val est =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    if (est <= BigInt(smallInputBytes)) {
+      val w = Window.partitionBy(col(group)).orderBy(col(order))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return df.withColumn(out, sum(col(value)).over(w))
+    }
     // width scales with the INPUT's split count (×4 so a skewed range
     // sample still spreads), capped by the session's shuffle width: a
     // kilobyte admission batch runs 2-4 range tasks instead of paying

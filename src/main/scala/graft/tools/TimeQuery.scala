@@ -76,6 +76,7 @@ object TimeQuery {
         sys.error(s"unknown query $name"))
       // one unmeasured warm pass (codegen + shared builds), then reps
       fn(spark, dir).count()
+      graft.operators.PrefixSum.releaseCaches()
       var best = Double.MaxValue
       var bestJobs = 0
       var bestStages = 0
@@ -86,6 +87,9 @@ object TimeQuery {
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        // same per-rep release discipline as Bench: min-of-reps must
+        // time real rebuilds, not another rep's warm operator cache
+        graft.operators.PrefixSum.releaseCaches()
         if (profile) { Thread.sleep(150); measuring.set(false) }
         // listener events are async; give the bus a beat to drain (the
         // public API has no flush — 150 ms is far above its latency)

@@ -262,7 +262,8 @@ class PropertySpec extends AnyFunSuite {
       val want = df.withColumn("cum", sum(col("v")).over(w))
         .collect().map(_.toSeq).sortBy(_.mkString("|"))
       val got = graft.operators.PrefixSum
-        .groupedRunningSum(df, "grp", "ord", "v", "cum")
+        .groupedRunningSum(df, "grp", "ord", "v", "cum",
+          smallInputBytes = 0L) // force the two-phase plan under test
         .collect().map(_.toSeq).sortBy(_.mkString("|"))
       assert(got.toSeq === want.toSeq)
     }

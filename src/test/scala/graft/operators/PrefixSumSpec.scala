@@ -27,7 +27,8 @@ class PrefixSumSpec extends AnyFunSuite {
     val base = Tables.load(spark, TestSpark.sf0001, "documents")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n"))
-    val got = PrefixSum.groupedRunningSum(base, "lang", "doc_id", "n", "cum")
+    val got = PrefixSum.groupedRunningSum(base, "lang", "doc_id", "n", "cum",
+      smallInputBytes = 0L)
     val want = naive(base, "lang", "doc_id", "n", "cum")
     assert(got.columns.toSeq === want.columns.toSeq)
     assert(rows(got) === rows(want))
@@ -42,7 +43,8 @@ class PrefixSumSpec extends AnyFunSuite {
     val rest = Seq((Option("solo"), 1L, 42L),
       (Option.empty[String], 1L, 5L), (Option.empty[String], 2L, 6L))
     val df = (big ++ rest).toDF("grp", "ord", "v")
-    val got = PrefixSum.groupedRunningSum(df, "grp", "ord", "v", "cum")
+    val got = PrefixSum.groupedRunningSum(df, "grp", "ord", "v", "cum",
+      smallInputBytes = 0L)
     val want = naive(df, "grp", "ord", "v", "cum")
     assert(rows(got) === rows(want))
     // the hot group's final total survives the offset chain exactly
@@ -56,7 +58,8 @@ class PrefixSumSpec extends AnyFunSuite {
       .toDF("grp", "ord", "v")
     PrefixSum.releaseCaches() // clean slate so the delta below is ours
     val n0 = spark.sparkContext.getPersistentRDDs.size
-    val out = PrefixSum.groupedRunningSum(df, "grp", "ord", "v", "cum")
+    val out = PrefixSum.groupedRunningSum(df, "grp", "ord", "v", "cum",
+      smallInputBytes = 0L)
     assert(out.count() === 100)
     assert(spark.sparkContext.getPersistentRDDs.size > n0,
       "the partitioned slice must stay persisted while consumers run")
@@ -68,7 +71,8 @@ class PrefixSumSpec extends AnyFunSuite {
   test("plan: local scan is salted by partition id, offsets broadcast — no per-group window") {
     val base = Tables.load(spark, TestSpark.sf0001, "documents")
       .select(col("doc_id"), col("lang"), lit(1L).as("n"))
-    val p = PrefixSum.groupedRunningSum(base, "lang", "doc_id", "n", "cum")
+    val p = PrefixSum.groupedRunningSum(base, "lang", "doc_id", "n", "cum",
+      smallInputBytes = 0L)
       .queryExecution.executedPlan.toString
     // every big-side window spec must carry the pid salt next to the
     // group key: a bare partitionBy(lang) is the #langs-parallel shape
@@ -95,7 +99,8 @@ class PrefixSumSpec extends AnyFunSuite {
     // relation, offsets still broadcast.
     val base = Tables.load(spark, TestSpark.sf0001, "documents")
       .select(col("doc_id"), col("lang"), lit(1L).as("n"))
-    val q = PrefixSum.groupedRunningSum(base, "lang", "doc_id", "n", "cum")
+    val q = PrefixSum.groupedRunningSum(base, "lang", "doc_id", "n", "cum",
+      smallInputBytes = 0L)
     val p = q.queryExecution.executedPlan.toString
     val scans = p.linesIterator.count(_.contains("InMemoryTableScan"))
     assert(scans >= 2,
@@ -131,7 +136,8 @@ class PrefixSumSpec extends AnyFunSuite {
       val df = (1 to 5000).map { i =>
         (s"g${i % 3}", i.toLong, (i % 11 + 1).toLong, s"payload-$i" * 8)
       }.toDF("grp", "ord", "v", "payload").repartition(16)
-      val got = PrefixSum.groupedRunningSum(df, "grp", "ord", "v", "cum")
+      val got = PrefixSum.groupedRunningSum(df, "grp", "ord", "v", "cum",
+      smallInputBytes = 0L)
       val want = naive(df, "grp", "ord", "v", "cum")
       assert(rows(got) === rows(want))
     } finally {
