@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BpeEncode, DotProduct, L2Distance, NfcNormalize, Shingles, SimHash64, WinnowFp}
+import graft.expressions.{BpeEncode, DotProduct, JaccardSorted, L2Distance, NfcNormalize, PolyHash, Shingles, SimHash64, WinnowFp}
 
 /** Engine extensions: registers the native expressions as SQL functions.
   *
@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nfcFunction)
     ext.injectFunction(GraftExtensions.winnowFunction)
     ext.injectFunction(GraftExtensions.bpeFunction)
+    ext.injectFunction(GraftExtensions.jaccardSortedFunction)
+    ext.injectFunction(GraftExtensions.polyHashFunction)
   }
 }
 
@@ -120,6 +122,23 @@ object GraftExtensions {
       BpeEncode(exprs.head)
     })
 
+  private val jaccardSortedFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jaccard_sorted"),
+    new ExpressionInfo(classOf[JaccardSorted].getName, "graft_jaccard_sorted"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 2,
+        "graft_jaccard_sorted(a, b) takes two sorted array<string> arguments")
+      JaccardSorted(exprs.head, exprs(1))
+    })
+
+  private val polyHashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_polyhash"),
+    new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 1, "graft_polyhash(s) takes one string argument")
+      PolyHash(exprs.head)
+    })
+
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotFunction._1, dotFunction._2, dotFunction._3)
@@ -135,6 +154,11 @@ object GraftExtensions {
       winnowFunction._1, winnowFunction._2, winnowFunction._3)
     spark.sessionState.functionRegistry.registerFunction(
       bpeFunction._1, bpeFunction._2, bpeFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      jaccardSortedFunction._1, jaccardSortedFunction._2,
+      jaccardSortedFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      polyHashFunction._1, polyHashFunction._2, polyHashFunction._3)
   }
 
   /** Column-API handle on the native expression. */

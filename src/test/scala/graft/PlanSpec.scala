@@ -152,20 +152,32 @@ class PlanSpec extends AnyFunSuite {
       s"document text must not shuffle:\n${exchanges.mkString("\n")}")
   }
 
-  test("q_token_budget: running sum is the two-phase prefix scan, not a per-lang window") {
+  test("q_token_budget: prefix sum plans by stats — naive window at fixture scale, two-phase above") {
+    // STATS-ADAPTIVE contract (r15): the declared row's input estimates
+    // ≤ 64 MB at every test SF, so the SMALL-INPUT path — the plain
+    // single-window form, no sampling pass, no persist, no broadcast
+    // join — is the plan this row MUST produce (taking the two-phase
+    // machinery here would re-introduce 8 pure-job-floor jobs). The
+    // two-phase shape itself (pid-salted windows, broadcast offsets,
+    // one persisted range exchange) is pinned in PrefixSumSpec with
+    // `smallInputBytes = 0`, and the BIG-input trigger is pinned below
+    // by widening the estimate threshold through a synthetic frame.
     val p = plan("q_token_budget")
-    // the big-side window must carry the partition-id salt next to the
-    // lang key (parallelism = #partitions, not #langs); the only bare
-    // lang window allowed is the offsets' tiny scan, whose ORDER key is
-    // the pid itself — so every windowspecdefinition over lang must
-    // mention _ps_pid one way or the other
-    val bare = p.linesIterator
-      .filter(_.contains("windowspecdefinition(lang#"))
-      .filterNot(_.contains("_ps_pid")).toSeq
-    assert(bare.isEmpty,
-      s"per-lang single-task window reappeared:\n${bare.mkString("\n")}")
-    assert(p.contains("BroadcastHashJoin"),
-      "prefix offsets must broadcast back onto the partitioned scan")
+    assert(p.contains("windowspecdefinition(lang#"),
+      s"the running sum must still be a window at fixture scale:\n$p")
+    assert(!p.contains("_ps_pid"),
+      s"two-phase machinery on a kilobyte input is pure job floor:\n$p")
+    // the adaptive cut itself: the same call over a frame whose stats
+    // exceed the bound takes the salted two-phase plan
+    val big = graft.operators.PrefixSum.groupedRunningSum(
+      graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.lit(1L).as("n")),
+      "lang", "doc_id", "n", "cum", smallInputBytes = 0L)
+      .queryExecution.executedPlan.toString
+    assert(big.contains("_ps_pid"),
+      s"forcing the bound must produce the two-phase plan:\n$big")
   }
 
   test("incr_heavy_hitters: sketch aggs are partial+final; lookups broadcast; text never shuffles") {

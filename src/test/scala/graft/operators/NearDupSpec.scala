@@ -356,6 +356,17 @@ class NearDupSpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("graft_jaccard_sorted / graft_polyhash are callable from SQL once extensions are installed") {
+    graft.GraftExtensions.install(spark)
+    val j = spark.sql(
+      "SELECT graft_jaccard_sorted(array('a','b','c'), array('b','c','d')) AS j")
+      .head.getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12) // |{b,c}| / |{a,b,c,d}|
+    val h = spark.sql("SELECT graft_polyhash('ab') AS h").head.getLong(0)
+    // fold: ((7*131 + 97)*131 + 98) % 1e9+7
+    assert(h === ((7L * 131 + 97) * 131 + 98) % 1000000007L)
+  }
+
   test("native polyHash ≡ HOF polyHash bit-for-bit on fixture tokens and grams") {
     import org.apache.spark.sql.functions.{explode, not}
     val docs = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
