@@ -367,6 +367,30 @@ class NearDupSpec extends AnyFunSuite {
     assert(h === ((7L * 131 + 97) * 131 + 98) % 1000000007L)
   }
 
+  test("poly candidate chains: identical docs always collide (hamming 0 / all fingerprints); disjoint never") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again and again"
+    val docs = Seq(
+      (1L, shared), (2L, shared),
+      (3L, "completely different vocabulary nowhere overlapping anything today maybe"),
+      (4L, "spark engines process queries with columnar batches at scale")
+    ).toDF("doc_id", "text")
+    val sh = NearDup.simHashPolyCandidates(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sh.contains((1L, 2L, 0L)),
+      s"identical docs must collide at hamming 0: $sh")
+    val wn = NearDup.winnowPolyCandidates(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    // identical docs share EVERY fingerprint; the doc has 14 tokens →
+    // 12 grams → 9 full windows → ≥ 1 distinct fingerprint, all shared
+    assert(wn.contains((1L, 2L)), s"identical docs must share fingerprints: $wn")
+    // disjoint-vocabulary pairs never share 2+ winnow fingerprints
+    // (simhash's disjoint-pair behavior is probabilistic — the hamming
+    // verify is its filter — so only the winnow side pins exclusion)
+    assert(!wn.contains((1L, 3L)) && !wn.contains((3L, 4L)), s"$wn")
+  }
+
   test("native polyHash ≡ HOF polyHash bit-for-bit on fixture tokens and grams") {
     import org.apache.spark.sql.functions.{explode, not}
     val docs = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
