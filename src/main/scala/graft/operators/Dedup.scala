@@ -236,13 +236,27 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = NearDup.materializePairs(
       NearDup.minHashCrossCandidates(exactKept, corpus, idCol, textCol))
-    val nearDupNew = NearDup.jaccardVerifyCross(
+    // the verified reject set is bounded by `cands` — ALREADY
+    // driver-held under materializePairs' capped contract — so it
+    // collects to a LocalRelation (dedup on the driver) instead of
+    // paying a distinct exchange plus a broadcast-build stage; the
+    // anti-join ships driver rows and the admitted slice never shuffles
+    val verified = NearDup.jaccardVerifyCross(
       exactKept, corpus, idCol, textCol, cands)
       .filter(col("jaccard") >= minJaccard)
-      .select(col("id_new").as(idCol)).distinct()
-    // the reject set is bounded by the incoming batch — broadcast it
-    // into the anti-join so the admitted slice never shuffles
-    exactKept.join(broadcast(nearDupNew), Seq(idCol), "left_anti")
+      .select(col("id_new").as(idCol))
+    exactKept.join(broadcast(localIdFrame(verified)), Seq(idCol), "left_anti")
+  }
+
+  /** Collect a (driver-bounded, by the caller's contract) single-column
+    * id frame and return it as a deduplicated LocalRelation — the
+    * broadcast side then builds from driver rows with no query stage
+    * of its own. */
+  private def localIdFrame(ids: DataFrame): DataFrame = {
+    val rows = ids.collect().map(_.get(0)).distinct
+      .map(org.apache.spark.sql.Row(_))
+    ids.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), ids.schema)
   }
 
   /** The VECTOR-TIER incremental admission decision — [[admitIncoming]]
@@ -358,12 +372,13 @@ object Dedup {
     val cands = NearDup.materializePairs(
       NearDup.embeddingCrossCandidates(incoming, corpus, idCol, vecCol,
         nBits, dim))
-    val dupNew = NearDup.cosineVerifyCross(incoming, corpus, idCol, vecCol, cands)
+    // reject set ≤ |cands| (driver-held already): LocalRelation
+    // anti-join, same fusion rationale as admitIncoming
+    val verified = NearDup.cosineVerifyCross(incoming, corpus, idCol,
+        vecCol, cands)
       .filter(col("cos") >= minCosine)
-      .select(col("id_new").as(idCol)).distinct()
-    // reject set ≤ batch size: broadcast into the anti-join (same
-    // rationale as admitIncoming)
-    incoming.join(broadcast(dupNew), Seq(idCol), "left_anti")
+      .select(col("id_new").as(idCol))
+    incoming.join(broadcast(localIdFrame(verified)), Seq(idCol), "left_anti")
   }
 
   /** Connected components over a near-dup pair graph — the CLUSTERING
