@@ -1299,7 +1299,12 @@ object VersionedCorpus {
     val window = resolveWindow(root, asOf)
     val dataC = window.filter(c => c.kind != "delete" && touch(c))
     val tombC = window.filter(c => c.tombstones && touch(c))
-    val missing = (dataC ++ tombC).map(c => dataDir(root, c.gen).toString)
+    // the local tombstone resolution below reads the whole window's
+    // tombstones (same dirs snapshotImpl consults), so the vacuum
+    // guard covers them too
+    val allTombsGuard = window.filter(_.tombstones)
+    val missing = (dataC ++ allTombsGuard)
+      .map(c => dataDir(root, c.gen).toString)
       .distinct.filterNot(p =>
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
     require(missing.isEmpty,
@@ -1321,10 +1326,18 @@ object VersionedCorpus {
     else {
       val keyOnly = new org.apache.spark.sql.types.StructType()
         .add(pinned(key))
-      val totalTombRows = tombC.map(_.rows).sum
+      // the LOCAL path resolves the UNFILTERED window (all tombstone
+      // gens, no touch/pred pruning): keys outside the lookup band
+      // never equi-match the pred-filtered data side, and keying the
+      // memo by the whole window means a snapshot read and a later
+      // lookup at the same asOf SHARE one resolution (the mutation
+      // lifecycles read the same window several times — recompute at
+      // asOf=N, then next wave's preimage at asOf=N)
+      val allTombs = allTombsGuard
+      val totalTombRows = allTombs.map(_.rows).sum
       val tmax =
         if (totalTombRows <= 65536L)
-          tombMaxLocal(spark, root, tombC, pinned(key))
+          tombMaxLocal(spark, root, allTombs, pinned(key))
         else tombC.map { c =>
           spark.read.schema(keyOnly).parquet(dataDir(root, c.gen).toString)
             .filter(pred(col(key)))
