@@ -868,7 +868,18 @@ object VersionedCorpus {
                            keyField: org.apache.spark.sql.types.StructField)
       : DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val memoKey = root + "|" + tombGens.map(_.gen).sorted.mkString(",")
+    // the memo key fingerprints each generation's MANIFEST file
+    // (mtime + size): gens are immutable in a LIVE store, but a store
+    // deleted and rebuilt at the same path restarts gen ids — without
+    // the fingerprint the memo would serve the DEAD store's tombstones
+    val memoKey = root + "|" + tombGens.map { c =>
+      val m = manifestDir(root).resolve(s"${c.gen}.json")
+      val fp =
+        try s"${java.nio.file.Files.getLastModifiedTime(m).toMillis}:" +
+          s"${java.nio.file.Files.size(m)}"
+        catch { case _: java.io.IOException => "?" }
+      s"${c.gen}@$fp"
+    }.sorted.mkString(",")
     var pairs = tombMaxMemo.get(memoKey)
     if (pairs == null) {
       val keyOnly = new org.apache.spark.sql.types.StructType().add(keyField)

@@ -943,4 +943,34 @@ class VersionedCorpusSpec extends AnyFunSuite {
       .build(spark, TestSpark.sf0001).collect().toSeq
     assert(durable === inMem)
   }
+
+  test("store rebuilt at the SAME path: snapshots reflect the new store, never the dead one's tombstones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the r15 tombstone-resolution memo is keyed by (root, gens,
+    // manifest fingerprint) — this is the scenario the fingerprint
+    // exists for: same path, same gen ids, different content
+    val root = java.nio.file.Files.createTempDirectory("graft-rebuild")
+      .toString + "/store"
+    def build(tag: String, delLo: Long, delHi: Long): Unit = {
+      val docs = (0L until 40L).map(i => (i, s"$tag-$i")).toDF("id", "t")
+      VersionedCorpus.append(docs, root)
+      VersionedCorpus.pinKey(root, "id")
+      VersionedCorpus.delete(
+        docs.filter(col("id") >= delLo && col("id") < delHi).select("id"),
+        root, "id")
+    }
+    build("v1", 0L, 10L)
+    val s1 = VersionedCorpus.snapshot(spark, root)
+      .select("id").as[Long].collect().sorted
+    assert(s1 === (10L until 40L).toArray)
+    // kill the store, rebuild at the same path with a DIFFERENT delete
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+    build("v2", 30L, 40L)
+    val s2 = VersionedCorpus.snapshot(spark, root)
+      .select("id").as[Long].collect().sorted
+    assert(s2 === (0L until 30L).toArray,
+      "snapshot served the dead store's tombstone resolution")
+  }
 }
