@@ -157,6 +157,41 @@ object Queries
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** `minhash_pairs_fixed` oracle: distinct token-3-gram shingles →
+    * polynomial base hash → 8 affine-rehash minima (the constants
+    * mirror `NearDup.polyA`/`polyB` verbatim) → 4 bands × 2 rows →
+    * banded self-join, as one static replay. */
+  private[graft] lazy val minhashFixedOracleSql: String = {
+    val P = 1000000007L
+    val a = graft.operators.NearDup.polyA
+    val b = graft.operators.NearDup.polyB
+    val sigs = (0 until 8).map(i =>
+      s"min((${a(i)}::BIGINT * h + ${b(i)}) % $P) AS s$i").mkString(", ")
+    val bandSelects = (0 until 4).map(bd =>
+      s"SELECT doc_id, $bd AS band, s${bd * 2} AS k0, s${bd * 2 + 1} AS k1 FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents WHERE doc_id < 2000),
+       |g0 AS (
+       |  SELECT doc_id, array_to_string(toks, ' ') AS gram
+       |  FROM d WHERE len(toks) BETWEEN 1 AND 2
+       |  UNION ALL
+       |  SELECT doc_id, array_to_string(toks[t.i:t.i+2], ' ') AS gram
+       |  FROM d CROSS JOIN unnest(generate_series(1, len(toks) - 2)) AS t(i)
+       |  WHERE len(toks) >= 3),
+       |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+       |gh AS (SELECT doc_id, ${duckPolyHash("gram")} AS h FROM g),
+       |sig AS (SELECT doc_id, $sigs FROM gh GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+       |WHERE a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** `winnow_pairs_fixed` oracle: token-3-gram polynomial hashes,
     * window-4 minima over full windows, distinct fingerprints, bucket
     * join with n_shared ≥ 2 — as one static replay. */

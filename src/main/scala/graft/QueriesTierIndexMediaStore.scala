@@ -1611,6 +1611,21 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       None,
       "B8: winnowing-fingerprint near-dup candidates (seeded hash, no SQL analog)"),
 
+    "minhash_pairs_fixed" -> DeclaredQuery(
+      // completes the fixed-hash twin family (with simhash_pairs_fixed
+      // and winnow_pairs_fixed below): the REAL MinHash chain — distinct
+      // shingles → hash → k affine-rehash minima → banded self-join —
+      // under the closed-form polynomial hash, hash-matched against a
+      // full static DuckDB replay. Only the production xxhash64 seeds
+      // remain rows-only across all of B8.
+      (s, dir) => localFrameOrdered(
+        NearDup.minHashPolyCandidates(
+          T(s, dir, "documents").filter(col("doc_id") < 2000),
+          "doc_id", "text"),
+        "id_a", "id_b"),
+      Some(minhashFixedOracleSql),
+      "MinHash-LSH candidates under the closed-form hash: full DuckDB replay of shingle/minima/banding"),
+
     "simhash_pairs_fixed" -> DeclaredQuery(
       // the r14-judge promotion recipe (ann_lsh's) applied to SimHash:
       // the seeded xxhash64 of `simhash_pairs` is the only

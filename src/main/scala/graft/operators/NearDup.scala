@@ -223,6 +223,44 @@ object NearDup {
       .distinct()
   }
 
+  /** MinHash-LSH candidates under [[polyHash]] — the byte-exact oracle
+    * twin of [[minHashCandidates]], completing the fixed-hash coverage
+    * of all three B8 candidate families (MinHash/SimHash/winnowing):
+    * distinct token-3-gram shingles, base polynomial hash, `numHashes`
+    * affine rehashes `(a_i·h + b_i) mod 1e9+7` (the standard universal
+    * family — exact BIGINT arithmetic both engines implement
+    * identically, max product ~1.4e17 ≪ 2^63), per-doc minima as the
+    * signature, banded self-join on the row-key tuples. Returns
+    * distinct (id_a, id_b), id_a < id_b — a pure function of the
+    * corpus, replayable as static SQL. */
+  def minHashPolyCandidates(docs: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "bands must divide numHashes")
+    require(numHashes <= NearDup.polyA.length,
+      s"at most ${NearDup.polyA.length} fixed rehash constants available")
+    val base = docs.filter(size(TextAnalysis.tokens(col(textCol))) > 0)
+    val gh = base.select(col(idCol).as("_id"),
+        explode(array_distinct(shingles(col(textCol), 3))).as("_gram"))
+      .select(col("_id"), polyHash(col("_gram")).as("_h"))
+    val sigAggs = (0 until numHashes).map(i =>
+      min((lit(NearDup.polyA(i)) * col("_h") + lit(NearDup.polyB(i)))
+        % lit(1000000007L)).as(s"_s$i"))
+    val sig = gh.groupBy(col("_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val banded = sig.select(col("_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          array((0 until rows).map(r => col(s"_s${b * rows + r}")): _*)
+            .as("ks"))): _*)).as("_bk"))
+      .select(col("_id"), col("_bk.band").as("_band"), col("_bk.ks").as("_ks"))
+    val a = banded.select(col("_id").as("id_a"), col("_band"), col("_ks"))
+    val b = banded.select(col("_id").as("id_b"), col("_band"), col("_ks"))
+    a.join(b, Seq("_band", "_ks"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
   /** Winnowing fingerprint candidates under [[polyHash]] — the
     * byte-exact oracle twin of [[winnowCandidates]]: token 3-gram
     * hashes, window-4 minima over FULL windows only (docs with fewer
@@ -1181,4 +1219,14 @@ object NearDup {
           (col("na") * col("nb")), 4).as("cos"))
       .filter(col("cos") >= minCosine)
   }
+
+  /** Fixed affine-rehash constants for [[minHashPolyCandidates]] —
+    * eight primes (a_i) and eight offsets (b_i), mirrored verbatim in
+    * the DuckDB oracle replay. */
+  private[graft] val polyA: IndexedSeq[Long] = IndexedSeq(
+    15485863L, 32452843L, 49979687L, 67867967L,
+    86028121L, 104395301L, 122949823L, 141650939L)
+  private[graft] val polyB: IndexedSeq[Long] = IndexedSeq(
+    104729L, 224737L, 350377L, 479909L,
+    611953L, 746773L, 882377L, 1020379L)
 }

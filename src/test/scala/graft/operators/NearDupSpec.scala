@@ -389,6 +389,10 @@ class NearDupSpec extends AnyFunSuite {
     // (simhash's disjoint-pair behavior is probabilistic — the hamming
     // verify is its filter — so only the winnow side pins exclusion)
     assert(!wn.contains((1L, 3L)) && !wn.contains((3L, 4L)), s"$wn")
+    // minhash: identical shingle sets agree on every band → must collide
+    val mh = NearDup.minHashPolyCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(mh.contains((1L, 2L)), s"identical docs must band-collide: $mh")
   }
 
   test("native polyHash ≡ HOF polyHash bit-for-bit on fixture tokens and grams") {
