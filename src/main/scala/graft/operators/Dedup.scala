@@ -218,9 +218,20 @@ object Dedup {
       incoming.filter(TextAnalysis.gopherPass(col(textCol))),
       corpus, idCol, textCol, minJaccard)
 
+  /** NOTE ON LAZINESS: unlike most operators here, this one EXECUTES the
+    * candidate+verify pipeline at CALL time (the candidate spine is
+    * collected to the driver so the verify joins broadcast a
+    * LocalRelation — the fused small-batch shape). Callers see a cheap
+    * returned frame, not a deferred pipeline. `maxCandidates` bounds
+    * that driver materialization; past it the kernel DEGRADES GRACEFULLY
+    * to the fully distributed shape (persisted lazy candidates +
+    * distributed anti-join) instead of throwing — decision-identical,
+    * just without the driver fusion (DedupSpec pins identity on a
+    * forced-overflow fixture). */
   def admitIncoming(incoming: DataFrame, corpus: DataFrame,
                     idCol: String, textCol: String,
-                    minJaccard: Double = 0.8): DataFrame = {
+                    minJaccard: Double = 0.8,
+                    maxCandidates: Int = 1 << 20): DataFrame = {
     // exactKept feeds THREE consumers (the candidate collect below, the
     // Jaccard verify, and the final anti-join), and its subtree carries
     // whatever the caller stacked under `incoming` — cleanAndAdmit puts
@@ -234,26 +245,54 @@ object Dedup {
     val exactKept = incrementalExact(incoming,
       tokenFingerprint(col(textCol)), corpus, tokenFingerprint(col(textCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = NearDup.materializePairs(
-      NearDup.minHashCrossCandidates(exactKept, corpus, idCol, textCol))
-    // the verified reject set is bounded by `cands` — ALREADY
-    // driver-held under materializePairs' capped contract — so it
-    // collects to a LocalRelation (dedup on the driver) instead of
-    // paying a distinct exchange plus a broadcast-build stage; the
-    // anti-join ships driver rows and the admitted slice never shuffles
-    val verified = NearDup.jaccardVerifyCross(
-      exactKept, corpus, idCol, textCol, cands)
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_new").as(idCol))
-    exactKept.join(broadcast(localIdFrame(verified)), Seq(idCol), "left_anti")
+    val candLineage =
+      NearDup.minHashCrossCandidates(exactKept, corpus, idCol, textCol)
+    NearDup.materializePairsOpt(candLineage, maxCandidates) match {
+      case Some(cands) =>
+        // the verified reject set is bounded by `cands` — ALREADY
+        // driver-held under materializePairsOpt's capped contract — so it
+        // collects to a LocalRelation (dedup on the driver) instead of
+        // paying a distinct exchange plus a broadcast-build stage; the
+        // anti-join ships driver rows and the admitted slice never shuffles
+        val verified = NearDup.jaccardVerifyCross(
+          exactKept, corpus, idCol, textCol, cands)
+          .filter(col("jaccard") >= minJaccard)
+          .select(col("id_new").as(idCol))
+        exactKept.join(broadcast(localIdFrame(verified)), Seq(idCol),
+          "left_anti")
+      case None =>
+        // candidate set exceeded the driver cap: keep the job alive with
+        // the fully distributed shape — persist the lazy candidates so
+        // the signature pass runs once across the verify's consumers
+        // (batch-scoped handle, ContextCleaner reaps it), verify
+        // distributed, and anti-join without a driver-held reject set.
+        val cands = candLineage
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val verified = NearDup.jaccardVerifyCross(
+          exactKept, corpus, idCol, textCol, cands)
+          .filter(col("jaccard") >= minJaccard)
+          .select(col("id_new").as(idCol)).distinct()
+        exactKept.join(verified, Seq(idCol), "left_anti")
+    }
   }
 
   /** Collect a (driver-bounded, by the caller's contract) single-column
     * id frame and return it as a deduplicated LocalRelation — the
     * broadcast side then builds from driver rows with no query stage
-    * of its own. */
+    * of its own. EAGER: the collect executes the whole upstream pipeline
+    * at call time (see [[admitIncoming]]'s laziness note). The driver
+    * dedup normalizes -0.0 → 0.0 for float/double ids first so Java
+    * `equals` distinct matches Spark's grouping semantics (r15 advice;
+    * ids are longs in every production caller, where the two agree). */
   private def localIdFrame(ids: DataFrame): DataFrame = {
-    val rows = ids.collect().map(_.get(0)).distinct
+    def norm(v: Any): Any = v match {
+      case d: java.lang.Double if d.doubleValue() == 0.0 =>
+        java.lang.Double.valueOf(0.0)
+      case f: java.lang.Float if f.floatValue() == 0.0f =>
+        java.lang.Float.valueOf(0.0f)
+      case x => x
+    }
+    val rows = ids.collect().map(r => norm(r.get(0))).distinct
       .map(org.apache.spark.sql.Row(_))
     ids.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), ids.schema)
@@ -361,24 +400,39 @@ object Dedup {
     incoming.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Same call-time-execution + graceful-overflow contract as
+    * [[admitIncoming]] (see its laziness note). */
   def admitIncomingVectors(incoming: DataFrame, corpus: DataFrame,
                            idCol: String, vecCol: String,
                            minCosine: Double = 0.9,
                            nBits: Int = 8,
-                           dim: Int = -1): DataFrame = {
+                           dim: Int = -1,
+                           maxCandidates: Int = 1 << 20): DataFrame = {
     // dim < 0 pays a dedicated first() job inside the candidate
     // generator — callers holding table statistics (Queries.embStats)
     // pass the dimension and the whole admission runs schema-driven
-    val cands = NearDup.materializePairs(
-      NearDup.embeddingCrossCandidates(incoming, corpus, idCol, vecCol,
-        nBits, dim))
-    // reject set ≤ |cands| (driver-held already): LocalRelation
-    // anti-join, same fusion rationale as admitIncoming
-    val verified = NearDup.cosineVerifyCross(incoming, corpus, idCol,
-        vecCol, cands)
-      .filter(col("cos") >= minCosine)
-      .select(col("id_new").as(idCol))
-    incoming.join(broadcast(localIdFrame(verified)), Seq(idCol), "left_anti")
+    val candLineage = NearDup.embeddingCrossCandidates(
+      incoming, corpus, idCol, vecCol, nBits, dim)
+    NearDup.materializePairsOpt(candLineage, maxCandidates) match {
+      case Some(cands) =>
+        // reject set ≤ |cands| (driver-held already): LocalRelation
+        // anti-join, same fusion rationale as admitIncoming
+        val verified = NearDup.cosineVerifyCross(incoming, corpus, idCol,
+            vecCol, cands)
+          .filter(col("cos") >= minCosine)
+          .select(col("id_new").as(idCol))
+        incoming.join(broadcast(localIdFrame(verified)), Seq(idCol),
+          "left_anti")
+      case None =>
+        // overflow: distributed degrade, same shape as admitIncoming's
+        val cands = candLineage
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val verified = NearDup.cosineVerifyCross(incoming, corpus, idCol,
+            vecCol, cands)
+          .filter(col("cos") >= minCosine)
+          .select(col("id_new").as(idCol)).distinct()
+        incoming.join(verified, Seq(idCol), "left_anti")
+    }
   }
 
   /** Connected components over a near-dup pair graph — the CLUSTERING

@@ -1153,7 +1153,7 @@ object Multimodal {
       out.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
       out.array()
     }
-    val ftyp = box("ftyp", "isom   isomiso2".getBytes("ISO-8859-1"))
+    val ftyp = box("ftyp", "isom\u0000\u0000\u0002\u0000isomiso2".getBytes("ISO-8859-1"))
     val mvhd = {
       val bb = java.nio.ByteBuffer.allocate(100)
       bb.putInt(0)                      // version 0 + flags

@@ -705,12 +705,25 @@ object NearDup {
     * lets Catalyst broadcast the pair spine into the verify joins. For
     * candidate sets that might exceed `maxRows`, `.persist()` the pairs
     * frame instead and unpersist after the verify output materializes. */
-  def materializePairs(pairs: DataFrame, maxRows: Int = 1 << 20): DataFrame = {
+  def materializePairs(pairs: DataFrame, maxRows: Int = 1 << 20): DataFrame =
+    materializePairsOpt(pairs, maxRows).getOrElse(sys.error(
+      s"candidate set exceeds $maxRows rows; persist() it instead of materializing"))
+
+  /** Non-throwing [[materializePairs]]: `None` when the candidate set
+    * exceeds `maxRows` — the caller's signal to degrade to the fully
+    * distributed shape (persisted lazy candidates + distributed
+    * anti-join) instead of dying mid-ingestion (r15 verdict: a graceful
+    * fallback keeps the job alive where cap-or-die kills it). The
+    * overflow probe costs the same limit(maxRows+1) collect either way;
+    * on overflow those driver rows are discarded and the lazy lineage
+    * is what the caller re-executes distributed. */
+  def materializePairsOpt(pairs: DataFrame,
+                          maxRows: Int = 1 << 20): Option[DataFrame] = {
     val spark = pairs.sparkSession
     val rows = pairs.limit(maxRows + 1).collect()
-    require(rows.length <= maxRows,
-      s"candidate set exceeds $maxRows rows; persist() it instead of materializing")
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), pairs.schema)
+    if (rows.length > maxRows) None
+    else Some(
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), pairs.schema))
   }
 
   /** Candidate-touched id set read DRIVER-SIDE off an already-local

@@ -54,21 +54,36 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
+  // registry is PER-THREAD (r15 advice): a global queue would let one
+  // loop's releaseCaches() unpersist a slice another thread is mid-query
+  // on, re-sampling its range boundaries — the exact mis-sum hazard the
+  // persist exists to close. Every production caller builds and releases
+  // on the same thread (the bench/verify/serve loop that ran the query).
   private val live =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[
+      Long, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  private def myQueue() = live.computeIfAbsent(
+    Thread.currentThread().getId,
+    _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
 
   /** Unpersist every partitioned slice persisted by prior
-    * [[groupedRunningSum]] calls. Safe ONLY once the frames returned by
-    * those calls have finished their consuming actions; frames consumed
-    * AFTER a release recompute with freshly sampled range boundaries on
-    * each reference and may mis-sum (the hazard the persist exists to
-    * close) — so callers release at loop boundaries, not mid-query. */
+    * [[groupedRunningSum]] calls ON THIS THREAD. Safe ONLY once the
+    * frames returned by those calls have finished their consuming
+    * actions; frames consumed AFTER a release recompute with freshly
+    * sampled range boundaries on each reference and may mis-sum (the
+    * hazard the persist exists to close) — so callers release at loop
+    * boundaries, not mid-query. Other threads' live slices are never
+    * touched. */
   def releaseCaches(): Unit = {
-    var df = live.poll()
-    while (df != null) {
-      try df.unpersist(blocking = false)
-      catch { case _: Throwable => () }
-      df = live.poll()
+    val q = live.remove(Thread.currentThread().getId)
+    if (q != null) {
+      var df = q.poll()
+      while (df != null) {
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        df = q.poll()
+      }
     }
   }
 
@@ -144,7 +159,7 @@ object PrefixSum {
       .repartitionByRange(n, col(group), col(order))
       .withColumn("_ps_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    live.add(parted)
+    myQueue().add(parted)
     val partials = parted
       .groupBy(col("_ps_pid"), col(group))
       .agg(sum(col(value)).as("_ps_partial"))

@@ -313,7 +313,11 @@ object TextIndex {
         .reduce(_ unionByName _)
         .agg(sum(col("n_docs")), sum(col("total_tokens")),
           sum(col("n_with_dl"))).head()
-      nDocs += r.getLong(0); toks += r.getLong(1); nWith += r.getLong(2)
+      // a legacy batch of only null-text docs sums total_tokens to NULL
+      // (sum over all-null input) — treat null sums as 0, matching the
+      // observe-metric path's null handling (r15 advice: getLong NPEs)
+      def longAt(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      nDocs += longAt(0); toks += longAt(1); nWith += longAt(2)
     }
     (nDocs.toDouble, toks.toDouble / nWith)
   }

@@ -103,6 +103,18 @@ object IncrementalView {
       val slice = feed
         .select(col(groupCol), col(keyCol), col("_change_type"))
         .collect()
+      // DRIFT GUARD (r15 advice): the fused-path decision trusts the
+      // manifest row-count mirror of changesBetween's gen filter. If the
+      // two filters ever diverge (a new commit kind counted by one and
+      // not the other), fail loudly here rather than silently refreshing
+      // from a mis-sized slice — the collect above is bounded by the
+      // feed's actual size, which a drift could not grow past the
+      // window's own files.
+      require(slice.length == windowRows,
+        s"incremental-view feed/manifest drift: collected ${slice.length} " +
+          s"change rows but manifests declare $windowRows for gens " +
+          s"($from, $to] — changesBetween's filter and the fused-path " +
+          "row-count mirror disagree (new commit kind?)")
       // FUSED small-window path: everything up to the recompute is
       // driver arithmetic over the one collected slice.
       val direct = slice.iterator

@@ -868,16 +868,26 @@ object VersionedCorpus {
                            keyField: org.apache.spark.sql.types.StructField)
       : DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    // the memo key fingerprints each generation's MANIFEST file
-    // (mtime + size): gens are immutable in a LIVE store, but a store
-    // deleted and rebuilt at the same path restarts gen ids — without
-    // the fingerprint the memo would serve the DEAD store's tombstones
+    // the memo key fingerprints each generation's MANIFEST CONTENT
+    // (a hash of the JSON bytes — r15 advice: mtime+size collides on
+    // coarse-timestamp filesystems when a store is deleted and rebuilt
+    // at the same path with same gen ids and same-length manifests,
+    // serving the DEAD store's tombstones): gens are immutable in a
+    // live store, so the bytes are a stable identity, and manifests
+    // are ~hundreds of bytes so the read is driver-trivial. An
+    // UNREADABLE manifest gets a per-call-unique token — it can never
+    // memo-hit (the old "?" made all unreadable manifests look alike).
     val memoKey = root + "|" + tombGens.map { c =>
       val m = manifestDir(root).resolve(s"${c.gen}.json")
       val fp =
-        try s"${java.nio.file.Files.getLastModifiedTime(m).toMillis}:" +
-          s"${java.nio.file.Files.size(m)}"
-        catch { case _: java.io.IOException => "?" }
+        try {
+          val bytes = java.nio.file.Files.readAllBytes(m)
+          java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            .map("%02x".format(_)).mkString
+        } catch {
+          case _: java.io.IOException =>
+            s"!${System.identityHashCode(new Object)}:${System.nanoTime()}"
+        }
       s"${c.gen}@$fp"
     }.sorted.mkString(",")
     var pairs = tombMaxMemo.get(memoKey)

@@ -467,6 +467,36 @@ class DedupSpec extends AnyFunSuite {
     assert(keptNo11 === Set(2L, 3L, 4L))
   }
 
+  test("admitIncoming: forced candidate-cap overflow degrades to the " +
+      "distributed path with IDENTICAL decisions") {
+    val docsT = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+    val corpus = docsT.filter($"doc_id" < 250)
+    val incoming = docsT.filter($"doc_id" >= 250)
+    val fused = Dedup.admitIncoming(incoming, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // maxCandidates = 0 trips the cap on ANY non-empty candidate set —
+    // the graceful-degrade path must reproduce the fused decisions
+    val degraded = Dedup.admitIncoming(incoming, corpus, "doc_id", "text",
+        maxCandidates = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(degraded === fused && fused.nonEmpty)
+    // and the fixture really exercises both branches: some rows rejected
+    assert(fused.size < incoming.count())
+  }
+
+  test("admitIncomingVectors: forced overflow degrades decision-identically") {
+    val emb = graft.Tables.load(spark, graft.TestSpark.sf0001, "embeddings")
+    val corpus = emb.filter($"vec_id" < 150)
+    val incoming = emb.filter($"vec_id" >= 150 && $"vec_id" < 250)
+    val fused = Dedup.admitIncomingVectors(incoming, corpus,
+        "vec_id", "embedding", minCosine = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    val degraded = Dedup.admitIncomingVectors(incoming, corpus,
+        "vec_id", "embedding", minCosine = 0.95, maxCandidates = 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(degraded === fused && fused.nonEmpty)
+  }
+
   test("semanticDedup: transitive chains keep exactly the best member") {
     // a-b cos≈1, b-c cos≈1, a-c cos≈1 within one cluster: one survivor
     val chain = Seq(
