@@ -192,6 +192,72 @@ object Queries
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** `dedup_pipeline_lsh_fixed` oracle: the END-TO-END LSH dedup
+    * pipeline under the closed-form hash — [[minhashFixedOracleSql]]'s
+    * candidate chain (distinct 3-gram shingles → polynomial hash →
+    * affine minima → banded self-join), then the exact 3-gram Jaccard
+    * verify at ≥ 0.8 over the same shingle sets, then recursive-CTE
+    * connected components over the verified edges, min-id
+    * representative + component size — one static replay of the whole
+    * flagship composition (every stage was already individually
+    * oracle-certified; this row certifies the chaining). */
+  private[graft] lazy val dedupPipelineLshFixedOracleSql: String = {
+    val P = 1000000007L
+    val a = graft.operators.NearDup.polyA
+    val b = graft.operators.NearDup.polyB
+    val sigs = (0 until 8).map(i =>
+      s"min((${a(i)}::BIGINT * h + ${b(i)}) % $P) AS s$i").mkString(", ")
+    val bandSelects = (0 until 4).map(bd =>
+      s"SELECT doc_id, $bd AS band, s${bd * 2} AS k0, s${bd * 2 + 1} AS k1 FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE
+       |d AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents WHERE doc_id < 2000),
+       |g0 AS (
+       |  SELECT doc_id, array_to_string(toks, ' ') AS gram
+       |  FROM d WHERE len(toks) BETWEEN 1 AND 2
+       |  UNION ALL
+       |  SELECT doc_id, array_to_string(toks[t.i:t.i+2], ' ') AS gram
+       |  FROM d CROSS JOIN unnest(generate_series(1, len(toks) - 2)) AS t(i)
+       |  WHERE len(toks) >= 3),
+       |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+       |gh AS (SELECT doc_id, ${duckPolyHash("gram")} AS h FROM g),
+       |sig AS (SELECT doc_id, $sigs FROM gh GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+       |  WHERE a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list(gram) AS s FROM g GROUP BY doc_id),
+       |e AS (
+       |  SELECT c.id_a AS src, c.id_b AS dst
+       |  FROM cand c
+       |  JOIN sets sa ON sa.doc_id = c.id_a
+       |  JOIN sets sb ON sb.doc_id = c.id_b
+       |  WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+       |      / len(list_distinct(sa.s || sb.s)), 4) >= 0.8),
+       |e2 AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |r AS (
+       |  SELECT doc_id AS v, doc_id AS comp
+       |  FROM documents WHERE doc_id < 2000
+       |  UNION
+       |  SELECT e2.src, r.comp FROM e2 JOIN r ON r.v = e2.dst
+       |),
+       |comp AS (SELECT v AS doc_id, min(comp) AS component FROM r GROUP BY v),
+       |sizes AS (SELECT component, count(*)::BIGINT AS n_docs
+       |          FROM comp GROUP BY component),
+       |reps AS (SELECT component, min(doc_id) AS doc_id
+       |         FROM comp GROUP BY component)
+       |SELECT rp.doc_id, dd.lang, rp.component, sz.n_docs
+       |FROM reps rp
+       |JOIN sizes sz USING (component)
+       |JOIN documents dd ON dd.doc_id = rp.doc_id
+       |ORDER BY rp.doc_id""".stripMargin
+  }
+
   /** `winnow_pairs_fixed` oracle: token-3-gram polynomial hashes,
     * window-4 minima over full windows, distinct fingerprints, bucket
     * join with n_shared ≥ 2 — as one static replay. */

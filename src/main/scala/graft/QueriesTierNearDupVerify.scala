@@ -243,6 +243,31 @@ private[graft] trait QueriesTierNearDupVerify { this: Queries.type =>
       None,
       "LLM-pipeline dedup chained end-to-end: LSH candidates → Jaccard verify → CC → representatives"),
 
+    "dedup_pipeline_lsh_fixed" -> DeclaredQuery(
+      // the end-to-end pipeline's ORACLE TWIN (r15 verdict #1): the same
+      // candidates → Jaccard-verify → connected-components →
+      // representative chain as dedup_pipeline_lsh, but with the seeded
+      // xxhash64 candidate stage swapped for the closed-form polynomial
+      // hash (NearDup.minHashPolyCandidates — the minhash_pairs_fixed
+      // chain), which makes the WHOLE flagship composition a static
+      // DuckDB replay: shingle/minima/banding, exact 3-gram Jaccard,
+      // recursive-CTE components, min-id rep + size, all hash-matched.
+      (s, dir) => {
+        val slice = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        val edges = NearDup.jaccardVerify(slice, "doc_id", "text",
+            NearDup.minHashPolyCandidates(slice, "doc_id", "text"))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_a"), col("id_b"))
+        val out = Dedup.dedupFromEdges(
+          slice.select(col("doc_id"), col("lang")), "doc_id", edges)
+        try localFrameOrdered(out
+          .select(col("doc_id"), col("lang"), col("component"),
+            col("n_docs")), "doc_id")
+        finally out.unpersist()
+      },
+      Some(dedupPipelineLshFixedOracleSql),
+      "the flagship LSH dedup pipeline under the closed-form hash: candidates → verify → CC → reps, full DuckDB replay"),
+
     "near_dup_embed" -> DeclaredQuery(
       (s, dir) => NearDup.embeddingNearDup(T(s, dir, "embeddings"),
         "vec_id", "embedding", minCosine = 0.35, maxId = 300)
