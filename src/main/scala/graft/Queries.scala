@@ -135,33 +135,52 @@ object Queries
       s"[unicode(c)::BIGINT FOR c IN string_split($expr, '')]), " +
       "(a, x) -> (a * 131 + x) % 1000000007)"
 
-  /** `simhash_pairs_fixed` oracle: the full SimHash chain — per-token
-    * polynomial hash, 24 sign-vote bit sums, 3×8 banding, bucket join,
-    * bit_count Hamming ≤ 2 — as one static replay. */
-  private[graft] lazy val simhashFixedOracleSql: String = {
+  /** Shared CTE chain of the SimHash fixed-twin oracles (self and
+    * cross): per-token polynomial hash, 24 sign-vote bit sums, 3×8
+    * banding — yields CTEs `d, th, sig, banded`. */
+  private lazy val simhashPolyCtesSql: String = {
     val bits = (0 until 24).map(i =>
       s"(CASE WHEN sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
         s"THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-    s"""WITH d AS (SELECT doc_id,
+    s"""d AS (SELECT doc_id,
        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
        |  FROM documents WHERE doc_id < 2000),
        |th AS (SELECT doc_id, ${duckPolyHash("tok")} AS h
        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d WHERE len(toks) > 0)),
        |sig AS (SELECT doc_id, $bits AS sig FROM th GROUP BY doc_id),
        |banded AS (SELECT doc_id, sig, t.b AS band, (sig >> (t.b * 8)) & 255 AS key
-       |  FROM sig CROSS JOIN unnest([0, 1, 2]) AS t(b))
+       |  FROM sig CROSS JOIN unnest([0, 1, 2]) AS t(b))""".stripMargin
+  }
+
+  /** `simhash_pairs_fixed` oracle: the full SimHash chain — per-token
+    * polynomial hash, 24 sign-vote bit sums, 3×8 banding, bucket join,
+    * bit_count Hamming ≤ 2 — as one static replay. */
+  private[graft] lazy val simhashFixedOracleSql: String =
+    s"""WITH $simhashPolyCtesSql
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
        |FROM banded a JOIN banded b USING (band, key)
        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 2
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
-  /** `minhash_pairs_fixed` oracle: distinct token-3-gram shingles →
-    * polynomial base hash → 8 affine-rehash minima (the constants
-    * mirror `NearDup.polyA`/`polyB` verbatim) → 4 bands × 2 rows →
-    * banded self-join, as one static replay. */
-  private[graft] lazy val minhashFixedOracleSql: String = {
+  /** `incr_near_dup_simhash_fixed` oracle: the CROSS-SET SimHash
+    * candidate chain (incoming ≥ 250 meets corpus < 250 only inside a
+    * shared band bucket) under the closed-form hash. */
+  private[graft] lazy val incrSimhashFixedOracleSql: String =
+    s"""WITH $simhashPolyCtesSql
+       |SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b USING (band, key)
+       |WHERE a.doc_id >= 250 AND b.doc_id < 250
+       |  AND bit_count(xor(a.sig, b.sig)) <= 2
+       |ORDER BY id_new, id_old""".stripMargin
+
+  /** Shared CTE chain of the MinHash fixed-twin oracles (self, cross,
+    * and the end-to-end pipeline): distinct token-3-gram shingles →
+    * polynomial base hash → 8 affine-rehash minima (constants mirror
+    * `NearDup.polyA`/`polyB` verbatim) → 4 bands × 2 rows — yields
+    * CTEs `d, g0, g, gh, sig, banded`. */
+  private lazy val minhashPolyCtesSql: String = {
     val P = 1000000007L
     val a = graft.operators.NearDup.polyA
     val b = graft.operators.NearDup.polyB
@@ -170,7 +189,7 @@ object Queries
     val bandSelects = (0 until 4).map(bd =>
       s"SELECT doc_id, $bd AS band, s${bd * 2} AS k0, s${bd * 2 + 1} AS k1 FROM sig")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH d AS (SELECT doc_id,
+    s"""d AS (SELECT doc_id,
        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
        |  FROM documents WHERE doc_id < 2000),
        |g0 AS (
@@ -184,13 +203,40 @@ object Queries
        |gh AS (SELECT doc_id, ${duckPolyHash("gram")} AS h FROM g),
        |sig AS (SELECT doc_id, $sigs FROM gh GROUP BY doc_id),
        |banded AS (
-       |  $bandSelects)
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** `minhash_pairs_fixed` oracle: the shared MinHash chain closed by
+    * the banded SELF-join, as one static replay. */
+  private[graft] lazy val minhashFixedOracleSql: String =
+    s"""WITH $minhashPolyCtesSql
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
        |WHERE a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** `incr_near_dup_fixed` oracle: the CROSS-SET MinHash candidate
+    * chain (incoming ≥ 250 × corpus < 250 inside shared band buckets)
+    * plus the exact 3-gram Jaccard verify at ≥ 0.8 — the whole
+    * ingestion-side near-dup tier as one static replay. */
+  private[graft] lazy val incrNearDupFixedOracleSql: String =
+    s"""WITH $minhashPolyCtesSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+       |  WHERE a.doc_id >= 250 AND b.doc_id < 250),
+       |sets AS (SELECT doc_id, list(gram) AS s FROM g GROUP BY doc_id)
+       |SELECT c.id_a, c.id_b,
+       |  round(len(list_intersect(sa.s, sb.s))::DOUBLE
+       |      / len(list_distinct(sa.s || sb.s)), 4) AS jaccard
+       |FROM cand c
+       |JOIN sets sa ON sa.doc_id = c.id_a
+       |JOIN sets sb ON sb.doc_id = c.id_b
+       |WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+       |    / len(list_distinct(sa.s || sb.s)), 4) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** `dedup_pipeline_lsh_fixed` oracle: the END-TO-END LSH dedup
     * pipeline under the closed-form hash — [[minhashFixedOracleSql]]'s
@@ -201,31 +247,9 @@ object Queries
     * representative + component size — one static replay of the whole
     * flagship composition (every stage was already individually
     * oracle-certified; this row certifies the chaining). */
-  private[graft] lazy val dedupPipelineLshFixedOracleSql: String = {
-    val P = 1000000007L
-    val a = graft.operators.NearDup.polyA
-    val b = graft.operators.NearDup.polyB
-    val sigs = (0 until 8).map(i =>
-      s"min((${a(i)}::BIGINT * h + ${b(i)}) % $P) AS s$i").mkString(", ")
-    val bandSelects = (0 until 4).map(bd =>
-      s"SELECT doc_id, $bd AS band, s${bd * 2} AS k0, s${bd * 2 + 1} AS k1 FROM sig")
-      .mkString("\n  UNION ALL\n  ")
+  private[graft] lazy val dedupPipelineLshFixedOracleSql: String =
     s"""WITH RECURSIVE
-       |d AS (SELECT doc_id,
-       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
-       |  FROM documents WHERE doc_id < 2000),
-       |g0 AS (
-       |  SELECT doc_id, array_to_string(toks, ' ') AS gram
-       |  FROM d WHERE len(toks) BETWEEN 1 AND 2
-       |  UNION ALL
-       |  SELECT doc_id, array_to_string(toks[t.i:t.i+2], ' ') AS gram
-       |  FROM d CROSS JOIN unnest(generate_series(1, len(toks) - 2)) AS t(i)
-       |  WHERE len(toks) >= 3),
-       |g AS (SELECT DISTINCT doc_id, gram FROM g0),
-       |gh AS (SELECT doc_id, ${duckPolyHash("gram")} AS h FROM g),
-       |sig AS (SELECT doc_id, $sigs FROM gh GROUP BY doc_id),
-       |banded AS (
-       |  $bandSelects),
+       |$minhashPolyCtesSql,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded a JOIN banded b
@@ -256,13 +280,12 @@ object Queries
        |JOIN sizes sz USING (component)
        |JOIN documents dd ON dd.doc_id = rp.doc_id
        |ORDER BY rp.doc_id""".stripMargin
-  }
 
-  /** `winnow_pairs_fixed` oracle: token-3-gram polynomial hashes,
-    * window-4 minima over full windows, distinct fingerprints, bucket
-    * join with n_shared ≥ 2 — as one static replay. */
-  private[graft] lazy val winnowFixedOracleSql: String =
-    s"""WITH d AS (SELECT doc_id,
+  /** Shared CTE chain of the winnowing fixed-twin oracles (self and
+    * cross): token-3-gram polynomial hashes, window-4 minima over full
+    * windows, distinct fingerprints — yields CTEs `d, g, gh, w, fps`. */
+  private lazy val winnowPolyCtesSql: String =
+    s"""d AS (SELECT doc_id,
        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
        |  FROM documents WHERE doc_id < 2000),
        |g AS (
@@ -277,12 +300,29 @@ object Queries
        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
        |  FROM gh QUALIFY pos >= 4),
-       |fps AS (SELECT DISTINCT doc_id, fp FROM w)
+       |fps AS (SELECT DISTINCT doc_id, fp FROM w)""".stripMargin
+
+  /** `winnow_pairs_fixed` oracle: the shared winnowing chain closed by
+    * the fingerprint-bucket SELF-join with n_shared ≥ 2. */
+  private[graft] lazy val winnowFixedOracleSql: String =
+    s"""WITH $winnowPolyCtesSql
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
        |FROM fps a JOIN fps b USING (fp)
        |WHERE a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= 2
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** `incr_near_dup_winnow_fixed` oracle: the CROSS-SET winnowing
+    * candidate chain (incoming ≥ 250 × corpus < 250 inside shared
+    * fingerprint buckets) under the closed-form hash. */
+  private[graft] lazy val incrWinnowFixedOracleSql: String =
+    s"""WITH $winnowPolyCtesSql
+       |SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+       |  count(*)::BIGINT AS n_shared
+       |FROM fps a JOIN fps b USING (fp)
+       |WHERE a.doc_id >= 250 AND b.doc_id < 250
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY id_new, id_old""".stripMargin
 
   /** The `ann_lsh` oracle, GENERATED from the same deterministic
     * exact-decimal hyperplanes the operator uses

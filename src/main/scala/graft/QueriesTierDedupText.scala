@@ -161,6 +161,59 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       None,
       "incremental near-dup, winnowing tier: cross-set fingerprint-bucket candidates"),
 
+    "incr_near_dup_fixed" -> DeclaredQuery(
+      // incr_near_dup's ORACLE TWIN (r15 verdict #2): the same cross-set
+      // candidates + Jaccard-verify chain with the seeded hash swapped
+      // for the closed-form polynomial hash
+      // (NearDup.minHashPolyCrossCandidates), putting the
+      // ingestion-side candidate logic itself behind the hash gate —
+      // banded cross join, shingle sets, verify threshold, all replayed
+      // as static DuckDB SQL.
+      (s, dir) => {
+        val slice = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        val cands = NearDup.materializePairs(
+          NearDup.minHashPolyCrossCandidates(
+            slice.filter(col("doc_id") >= 250),
+            slice.filter(col("doc_id") < 250), "doc_id", "text")
+            .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+        localFrameOrdered(
+          NearDup.jaccardVerify(slice, "doc_id", "text", cands)
+            .filter(col("jaccard") >= 0.8), "id_a", "id_b")
+      },
+      Some(incrNearDupFixedOracleSql),
+      "incremental near-dup under the closed-form hash: cross-set banded candidates + Jaccard verify, full DuckDB replay"),
+
+    "incr_near_dup_simhash_fixed" -> DeclaredQuery(
+      // the SimHash admission tier's oracle twin: cross-set banded
+      // candidates + full-Hamming verify under the closed-form hash
+      // (exhaustive recall at hamming ≤ 2 with 3 bands — no banding
+      // loss for the oracle to disagree with).
+      (s, dir) => {
+        val slice = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        localFrameOrdered(
+          NearDup.simHashPolyCrossCandidates(
+            slice.filter(col("doc_id") >= 250),
+            slice.filter(col("doc_id") < 250),
+            "doc_id", "text", maxHamming = 2), "id_new", "id_old")
+      },
+      Some(incrSimhashFixedOracleSql),
+      "incremental SimHash near-dup under the closed-form hash: cross-set banded candidates + Hamming verify, full DuckDB replay"),
+
+    "incr_near_dup_winnow_fixed" -> DeclaredQuery(
+      // the winnowing admission tier's oracle twin: cross-set
+      // fingerprint-bucket candidates with n_shared ≥ 2 under the
+      // closed-form hash.
+      (s, dir) => {
+        val slice = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        localFrameOrdered(
+          NearDup.winnowPolyCrossCandidates(
+            slice.filter(col("doc_id") >= 250),
+            slice.filter(col("doc_id") < 250),
+            "doc_id", "text", minShared = 2), "id_new", "id_old")
+      },
+      Some(incrWinnowFixedOracleSql),
+      "incremental winnowing near-dup under the closed-form hash: cross-set fingerprint buckets, full DuckDB replay"),
+
     "incr_near_dup_embed" -> DeclaredQuery(
       // the VECTOR tier of incremental ingestion, driver-visible:
       // incoming vectors meet the existing corpus only inside shared

@@ -187,6 +187,48 @@ object NearDup {
     * (id_a, id_b, hamming), id_a < id_b. */
   def simHashPolyCandidates(docs: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 2): DataFrame = {
+    val banded = simHashPolyBanded(docs, idCol, textCol)
+    val a = banded.select(col("_id").as("id_a"), col("_sig").as("_siga"),
+      col("_band"), col("_key"))
+    val b = banded.select(col("_id").as("id_b"), col("_sig").as("_sigb"),
+      col("_band"), col("_key"))
+    a.join(b, Seq("_band", "_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_siga").bitwiseXOR(col("_sigb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** CROSS-SET [[simHashPolyCandidates]] — the fixed-hash oracle twin of
+    * [[simHashCrossCandidates]]: incoming docs meet EXISTING corpus docs
+    * only inside a shared band bucket (no incoming×corpus cross join,
+    * no corpus-internal pairs), under the closed-form hash so the whole
+    * ingestion-side candidate chain replays as static SQL. Returns
+    * distinct (id_new, id_old, hamming). */
+  def simHashPolyCrossCandidates(incoming: DataFrame, corpus: DataFrame,
+                                 idCol: String, textCol: String,
+                                 maxHamming: Int = 2): DataFrame = {
+    val a = simHashPolyBanded(incoming, idCol, textCol)
+      .select(col("_id").as("id_new"), col("_sig").as("_siga"),
+        col("_band"), col("_key"))
+    val b = simHashPolyBanded(corpus, idCol, textCol)
+      .select(col("_id").as("id_old"), col("_sig").as("_sigb"),
+        col("_band"), col("_key"))
+    hintIfSmall(a).join(b, Seq("_band", "_key"))
+      .select(col("id_new"), col("id_old"),
+        bit_count(col("_siga").bitwiseXOR(col("_sigb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The per-doc banded 24-bit SimHash relation under [[polyHash]] —
+    * shared by the self and cross fixed-twin generators: one vote per
+    * token occurrence per bit (ties to 0), 3 bands × 8 bits. */
+  private def simHashPolyBanded(docs: DataFrame, idCol: String,
+                                textCol: String): DataFrame = {
     val bits = 24
     val bands = 3
     val rows = bits / bands
@@ -203,24 +245,13 @@ object NearDup {
         (0 until bits).map(i =>
           when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("_sig"))
-    val banded = sig.select(col("_id"), col("_sig"),
+    sig.select(col("_id"), col("_sig"),
       explode(array((0 until bands).map(bnd =>
         struct(lit(bnd).as("band"),
           shiftright(col("_sig"), bnd * rows)
             .bitwiseAND(lit((1L << rows) - 1)).as("key"))): _*)).as("_bk"))
       .select(col("_id"), col("_sig"),
         col("_bk.band").as("_band"), col("_bk.key").as("_key"))
-    val a = banded.select(col("_id").as("id_a"), col("_sig").as("_siga"),
-      col("_band"), col("_key"))
-    val b = banded.select(col("_id").as("id_b"), col("_sig").as("_sigb"),
-      col("_band"), col("_key"))
-    a.join(b, Seq("_band", "_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("_siga").bitwiseXOR(col("_sigb"))).cast("long")
-          .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** MinHash-LSH candidates under [[polyHash]] — the byte-exact oracle
@@ -235,6 +266,40 @@ object NearDup {
     * corpus, replayable as static SQL. */
   def minHashPolyCandidates(docs: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val banded = minHashPolyBanded(docs, idCol, textCol, numHashes, bands)
+    val a = banded.select(col("_id").as("id_a"), col("_band"), col("_ks"))
+    val b = banded.select(col("_id").as("id_b"), col("_band"), col("_ks"))
+    a.join(b, Seq("_band", "_ks"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** CROSS-SET [[minHashPolyCandidates]] — the fixed-hash oracle twin of
+    * [[minHashCrossCandidates]]: incoming meets the corpus only inside
+    * a shared (band, row-key) bucket, never all-pairs, never
+    * corpus-internal — the ingestion-side candidate logic itself under
+    * the closed-form hash. Returns distinct (id_new, id_old). */
+  def minHashPolyCrossCandidates(incoming: DataFrame, corpus: DataFrame,
+                                 idCol: String, textCol: String,
+                                 numHashes: Int = 8,
+                                 bands: Int = 4): DataFrame = {
+    val a = minHashPolyBanded(incoming, idCol, textCol, numHashes, bands)
+      .select(col("_id").as("id_new"), col("_band"), col("_ks"))
+    val b = minHashPolyBanded(corpus, idCol, textCol, numHashes, bands)
+      .select(col("_id").as("id_old"), col("_band"), col("_ks"))
+    // the incoming side is the micro-batch: size-gated hint, same 100 TB
+    // rationale as minHashCrossCandidates (corpus buckets never shuffle)
+    hintIfSmall(a).join(b, Seq("_band", "_ks"))
+      .select(col("id_new"), col("id_old"))
+      .distinct()
+  }
+
+  /** The per-doc banded MinHash signature relation under [[polyHash]] —
+    * shared by the self and cross fixed-twin generators. */
+  private def minHashPolyBanded(docs: DataFrame, idCol: String,
+                                textCol: String, numHashes: Int,
+                                bands: Int): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
     require(numHashes <= NearDup.polyA.length,
@@ -247,18 +312,12 @@ object NearDup {
       min((lit(NearDup.polyA(i)) * col("_h") + lit(NearDup.polyB(i)))
         % lit(1000000007L)).as(s"_s$i"))
     val sig = gh.groupBy(col("_id")).agg(sigAggs.head, sigAggs.tail: _*)
-    val banded = sig.select(col("_id"),
+    sig.select(col("_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           array((0 until rows).map(r => col(s"_s${b * rows + r}")): _*)
             .as("ks"))): _*)).as("_bk"))
       .select(col("_id"), col("_bk.band").as("_band"), col("_bk.ks").as("_ks"))
-    val a = banded.select(col("_id").as("id_a"), col("_band"), col("_ks"))
-    val b = banded.select(col("_id").as("id_b"), col("_band"), col("_ks"))
-    a.join(b, Seq("_band", "_ks"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
   }
 
   /** Winnowing fingerprint candidates under [[polyHash]] — the
@@ -273,6 +332,38 @@ object NearDup {
     * (id_a, id_b, n_shared), id_a < id_b. */
   def winnowPolyCandidates(docs: DataFrame, idCol: String, textCol: String,
                            minShared: Int = 2): DataFrame = {
+    val fps = winnowPolyFps(docs, idCol, textCol)
+    val a = fps.select(col("_id").as("id_a"), col("_fp"))
+    val b = fps.select(col("_id").as("id_b"), col("_fp"))
+    a.join(b, "_fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** CROSS-SET [[winnowPolyCandidates]] — the fixed-hash oracle twin of
+    * [[winnowCrossCandidates]]: incoming docs meet the corpus only
+    * inside a shared fingerprint bucket, under the closed-form hash.
+    * Returns (id_new, id_old, n_shared ≥ `minShared`). */
+  def winnowPolyCrossCandidates(incoming: DataFrame, corpus: DataFrame,
+                                idCol: String, textCol: String,
+                                minShared: Int = 2): DataFrame = {
+    val a = winnowPolyFps(incoming, idCol, textCol)
+      .select(col("_id").as("id_new"), col("_fp"))
+    val b = winnowPolyFps(corpus, idCol, textCol)
+      .select(col("_id").as("id_old"), col("_fp"))
+    hintIfSmall(a).join(b, "_fp")
+      .groupBy(col("id_new"), col("id_old"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The per-doc distinct winnowing-fingerprint relation under
+    * [[polyHash]] — shared by the self and cross fixed-twin generators:
+    * window-4 minima over FULL windows only. */
+  private def winnowPolyFps(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.filter(size(TextAnalysis.tokens(col(textCol))) > 0)
     val gh = base
@@ -282,16 +373,9 @@ object NearDup {
         polyHash(col("_gram")).as("_h"))
     val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
       .rowsBetween(-3, 0)
-    val fps = gh.withColumn("_fp", min(col("_h")).over(w))
+    gh.withColumn("_fp", min(col("_h")).over(w))
       .filter(col("_pos") >= 4)
       .select(col("_id"), col("_fp")).distinct()
-    val a = fps.select(col("_id").as("id_a"), col("_fp"))
-    val b = fps.select(col("_id").as("id_b"), col("_fp"))
-    a.join(b, "_fp")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
   }
 
   /** CROSS-SET MinHash-LSH candidates — incremental ingestion's near-dup
