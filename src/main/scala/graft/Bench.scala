@@ -149,7 +149,39 @@ object Bench {
     // engine (r13: 88.7→121.8 s same-tree spread at flat cpu_st was the
     // entire builder/judge disagreement). Each run's wall time lands in
     // calibration.interpass_sec.
-    val interCmd = sys.env.get("SPARK_GRAFT_INTERPASS_CMD")
+    // SELF-WIRED DEFAULT (r15 verdict #8): when the env is unset, Bench
+    // wires its own DuckDB bracketing — dump the oracle SQL to a temp
+    // file and run a single-rep tools/time_duckdb.py pass around every
+    // Spark pass, writing duck_auto_pass$GRAFT_PASS.json to the working
+    // directory — so the committed driver artifact carries populated
+    // interpass_sec and the same-session proxy pairing without any
+    // harness cooperation. Skipped silently when python3/duckdb/the
+    // script are absent (the old behavior); SPARK_GRAFT_INTERPASS_CMD=""
+    // (explicitly empty) disables it.
+    def defaultInterpassCmd(): Option[String] =
+      try {
+        if (!new java.io.File("tools/time_duckdb.py").isFile) None
+        else {
+          val probe = new ProcessBuilder("python3", "-c", "import duckdb")
+            .start()
+          val ok = probe.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) &&
+            probe.exitValue() == 0
+          if (!ok) None
+          else {
+            val tmp = java.nio.file.Files
+              .createTempDirectory("graft-interpass")
+            val oracle = tmp.resolve("oracle_sql.json")
+            java.nio.file.Files.writeString(oracle, Verify.oracleSqlJson)
+            Some(s"python3 tools/time_duckdb.py $sfDir $oracle 1 " +
+              "> duck_auto_pass$GRAFT_PASS.json")
+          }
+        }
+      } catch { case _: Throwable => None }
+    val interCmd = sys.env.get("SPARK_GRAFT_INTERPASS_CMD") match {
+      case Some(c) if c.trim.nonEmpty => Some(c)
+      case Some(_)                    => None // explicitly disabled
+      case None                       => defaultInterpassCmd()
+    }
     val interSecs = scala.collection.mutable.ArrayBuffer[Double]()
     def runInterpass(passIdx: Int): Unit = interCmd.foreach { cmd =>
       val t0 = System.nanoTime()

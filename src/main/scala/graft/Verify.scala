@@ -42,9 +42,17 @@ object Verify {
       // queries — same bounded-cache discipline as Bench
       graft.operators.PrefixSum.releaseCaches()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleSqlJson)
+    spark.stop()
+  }
+
+  /** `SparkEntry.oracleSql` as a JSON object string — shared by the
+    * verify dump and Bench's self-wired interpass (which hands it to
+    * tools/time_duckdb.py). JSON string escape covers backslash, quote,
+    * and ALL control chars (<0x20) — a tab or CR in builder-authored
+    * SQL would otherwise make the driver's json.load fail and silently
+    * zero the round's correctness. */
+  def oracleSqlJson: String = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -54,9 +62,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

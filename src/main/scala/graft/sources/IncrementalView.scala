@@ -79,11 +79,25 @@ object IncrementalView {
     val latest = VersionedCorpus.latest(srcRoot).getOrElse(
       sys.error(s"no committed generations under $srcRoot"))
     if (latest <= from) return from
+    // a SMALL store (manifest-exact row bound — conservative: counts
+    // tombstone rows too) runs its whole refresh with AQE off: every
+    // shuffle in the recompute/preimage plans is kilobyte-sized, and
+    // AQE's per-exchange query-stage materialization pays a
+    // scheduler-floor job each with nothing to re-plan. At-scale
+    // stores keep adaptive planning — the recompute scan there is the
+    // real work the materialization jobs amortize against.
+    val storeRows = VersionedCorpus.commits(srcRoot)
+      .filterNot(c => c.base || c.kind == "optimize").map(_.rows).sum
+    def scoped[T](body: => T): T =
+      if (storeRows <= 1000000L) VersionedCorpus.withAqeOff(spark)(body)
+      else body
     if (from < 0L) {
       // first build: one full aggregate, committed as the view's base
-      val full = VersionedCorpus.snapshot(spark, srcRoot)
-        .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-      VersionedCorpus.upsert(full, viewRoot, groupCol)
+      scoped {
+        val full = VersionedCorpus.snapshot(spark, srcRoot)
+          .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+        VersionedCorpus.upsert(full, viewRoot, groupCol)
+      }
       VersionedCorpus.writeCursor(cursorFile, latest)
       return latest
     }
@@ -99,7 +113,7 @@ object IncrementalView {
       .filter(c => c.gen > from && c.gen <= to)
       .filterNot(c => c.base || c.kind == "optimize")
       .map(_.rows).sum
-    if (windowRows <= fuseLimit) {
+    if (windowRows <= fuseLimit) scoped {
       val slice = feed
         .select(col(groupCol), col(keyCol), col("_change_type"))
         .collect()

@@ -451,11 +451,51 @@ object VersionedCorpus {
     * from exactly the rows the successful write produced (failed-task
     * values are not counted), which is the same truth the read-back
     * certified. */
+  /** Run `body` with adaptive query execution OFF, restoring the prior
+    * setting after — for DRIVER-BOUNDED maintenance actions (small
+    * staged commits, fused view refreshes) where AQE's per-shuffle
+    * query-stage materialization adds a scheduler-floor job per
+    * exchange but has nothing to re-plan. Callers gate on a size bound
+    * so at-scale plans keep AQE. Session-scoped conf: safe under the
+    * single-writer commit contract these paths already hold. */
+  private[sources] def withAqeOff[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    if (prev == "false") body
+    else {
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, prev)
+    }
+  }
+
+  /** The staged-commit write width for a SMALL input: ~16 MB of
+    * estimated input per task, floor 1 — a kilobyte maintenance commit
+    * writes one file instead of fanning over every core (the r15
+    * 32-core store-commit regression: each staged kilobyte write paid
+    * 32 tasks + 32-file generations that every later snapshot re-scans).
+    * `None` when the estimate clears `smallCommitBytes` — at-scale
+    * commits keep their natural parallelism. */
+  private val smallCommitBytes = 64L << 20
+  private def smallCommitWidth(df: DataFrame): Option[Int] = {
+    val est =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    if (est > BigInt(smallCommitBytes)) None
+    else Some(math.max(1L, (est.toLong >> 24) + 1L).toInt)
+  }
+
+  /** `collectKeys` — tombstone-writing commits (upsert/delete) set it
+    * so the staged write's observe pass ALSO collects the gen's key
+    * set (small commits only — the same size gate as the coalesce),
+    * letting the committer pre-populate the tombstone-resolution memo
+    * with zero extra jobs. Returned as the 6th element; `None` when
+    * not requested, not small, or the key column is absent. */
   private def writeStagedWithStats(df: DataFrame, root: String,
-                                   staging: java.nio.file.Path)
+                                   staging: java.nio.file.Path,
+                                   collectKeys: Boolean = false)
       : (Long, Option[Long], Option[Long], Map[String, (Long, Long)],
-         Option[Array[Byte]]) = {
-    import org.apache.spark.sql.functions.{col, count, lit, max, min, xxhash64}
+         Option[Array[Byte]], Option[Seq[Any]]) = {
+    import org.apache.spark.sql.functions.{col, collect_set, count, lit, max, min, xxhash64}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     def integral(c: String) = df.schema.fieldNames.contains(c) &&
       (df.schema(c).dataType match {
@@ -488,16 +528,30 @@ object VersionedCorpus {
             .toAggregateExpression())
       }
     }
+    // small commits coalesce to a size-derived width (one file per
+    // ~16 MB of input, not one per core) and run with AQE off (its
+    // query-stage materialization pays a scheduler-floor job per
+    // exchange with nothing to re-plan at this size); estimates above
+    // the bound keep full parallelism and adaptive planning
+    val width = smallCommitWidth(df)
+    val keySetCol =
+      if (collectKeys && width.isDefined)
+        pinnedKey(root).filter(df.schema.fieldNames.contains)
+          .map(k => collect_set(col(k)))
+      else None
     val aggCols = (Seq(count(lit(1))) ++
       statKey.toSeq.flatMap(k => Seq(min(col(k).cast("long")),
         max(col(k).cast("long")))) ++
       extras.flatMap(c => Seq(min(col(c).cast("long")),
         max(col(c).cast("long")))) ++
-      bloomSpec.toSeq).zipWithIndex.map { case (c, i) => c.as(s"_m$i") }
+      bloomSpec.toSeq ++ keySetCol.toSeq)
+      .zipWithIndex.map { case (c, i) => c.as(s"_m$i") }
     val obs = new org.apache.spark.sql.Observation(
       "graft_commit_" + java.util.UUID.randomUUID())
-    df.observe(obs, aggCols.head, aggCols.tail: _*)
+    val dfw = width.fold(df)(df.coalesce)
+    def run(): Unit = dfw.observe(obs, aggCols.head, aggCols.tail: _*)
       .write.mode("overwrite").parquet(staging.toString)
+    if (width.isDefined) withAqeOff(df.sparkSession)(run()) else run()
     val m = obs.get
     def optAt(i: Int): Option[Long] = m(s"_m$i") match {
       case null            => None
@@ -524,7 +578,13 @@ object VersionedCorpus {
       case b: Array[Byte] => Some(b)
       case _              => None // zero-row write: no filter
     })
-    (optAt(0).getOrElse(0L), klo, khi, colStats, bloom)
+    val keysAt = bloomAt + bloomSpec.size
+    val keySet = keySetCol.flatMap(_ => m(s"_m$keysAt") match {
+      case s: Seq[_] => Some(s.asInstanceOf[Seq[Any]])
+      case null      => Some(Seq.empty[Any]) // zero-row write
+      case _         => None
+    })
+    (optAt(0).getOrElse(0L), klo, khi, colStats, bloom, keySet)
   }
 
   /** Append `df` as the next generation. Data is written before the
@@ -548,7 +608,7 @@ object VersionedCorpus {
     // garbage ([[cleanStaging]]) or an unpublished gen= orphan; never a
     // torn commit.
     val staging = newStaging(root)
-    val (rows, klo, khi, cs, bloom) = writeStagedWithStats(df, root, staging)
+    val (rows, klo, khi, cs, bloom, _) = writeStagedWithStats(df, root, staging)
     if (rows == 0L) {
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       return -1L
@@ -637,7 +697,8 @@ object VersionedCorpus {
     checkOrPinSchema(root, df.schema, evolveSchema)
     checkOrPinKey(root, keyCol)
     val staging = newStaging(root)
-    val (rows, klo, khi, cs, bloom) = writeStagedWithStats(df, root, staging)
+    val (rows, klo, khi, cs, bloom, keySet) =
+      writeStagedWithStats(df, root, staging, collectKeys = true)
     if (rows == 0L) {
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       return -1L
@@ -646,6 +707,9 @@ object VersionedCorpus {
     bloom.foreach(writeBloom(root, gen, _))
     writeManifest(root, Commit(gen, rows, base = false, kind = "upsert",
       klo = klo, khi = khi, stats = cs))
+    // pre-populate the tombstone-resolution memo from the observe
+    // metric: later snapshot reads over this gen skip their collect
+    keySet.foreach(memoizeTombKeys(root, gen, _))
     gen
   }
 
@@ -670,8 +734,9 @@ object VersionedCorpus {
     checkOrPinKey(root, keyCol)
     val staging = newStaging(root)
     val sel = keys.select(keys.col(keyCol))
-    val (n, klo, khi, _, bloom) = writeStagedWithStats(
-      if (keysDistinct) sel else sel.distinct(), root, staging)
+    val (n, klo, khi, _, bloom, keySet) = writeStagedWithStats(
+      if (keysDistinct) sel else sel.distinct(), root, staging,
+      collectKeys = true)
     if (n == 0L) {
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       return -1L
@@ -680,6 +745,7 @@ object VersionedCorpus {
     bloom.foreach(writeBloom(root, gen, _))
     writeManifest(root,
       Commit(gen, n, base = false, kind = "delete", klo = klo, khi = khi))
+    keySet.foreach(memoizeTombKeys(root, gen, _))
     gen
   }
 
@@ -841,74 +907,107 @@ object VersionedCorpus {
         .add("_vc_tmax", org.apache.spark.sql.types.LongType))
   }
 
-  /** LRU memo for [[tombMaxLocal]]: committed generations are IMMUTABLE
-    * (a gen dir is written once and only ever deleted — by vacuum,
-    * after which no window resolves to it), so (root, tombstone gen
-    * ids) fully determines the resolution rows and the memo can never
-    * serve stale data. Bounded at 64 windows; per-invocation temp-dir
-    * stores (the bench rows) age out naturally. */
-  private val tombMaxMemo: java.util.Map[String, Seq[(Any, Long)]] =
+  /** LRU memo of PER-GENERATION tombstone key sets: committed
+    * generations are IMMUTABLE (a gen dir is written once and only ever
+    * deleted — by vacuum, after which no window resolves to it), so
+    * (root, gen, manifest-content fingerprint) fully determines a gen's
+    * keys and the memo can never serve stale data. Per-gen (not
+    * per-window, the r15 shape): any window over cached gens merges
+    * driver-side with zero jobs, and the COMMIT paths pre-populate
+    * their own gen's entry from the staged write's observe metric — a
+    * mutation lifecycle then resolves tombstones without ever
+    * re-collecting bytes the committer already held. Bounded at 256
+    * gens × ≤ [[tombLocalMaxRows]] keys; per-invocation temp-dir stores
+    * (the bench rows) age out naturally. */
+  private val tombGenKeysMemo: java.util.Map[String, Seq[Any]] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Seq[(Any, Long)]](16, 0.75f, true) {
+      new java.util.LinkedHashMap[String, Seq[Any]](16, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Seq[(Any, Long)]]): Boolean =
-          size() > 64
+            e: java.util.Map.Entry[String, Seq[Any]]): Boolean =
+          size() > 256
       })
+
+  private[sources] val tombLocalMaxRows = 65536
+
+  /** Content fingerprint of a generation's manifest — the memo identity
+    * (r15 advice: mtime+size collides on coarse-timestamp filesystems
+    * when a store is deleted and rebuilt at the same path; the JSON
+    * bytes are a stable identity for an immutable gen, and manifests
+    * are ~hundreds of bytes so the read is driver-trivial). An
+    * UNREADABLE manifest gets a per-call-unique token — it can never
+    * memo-hit. */
+  private def manifestFp(root: String, gen: Long): String = {
+    val m = manifestDir(root).resolve(s"$gen.json")
+    try {
+      val bytes = java.nio.file.Files.readAllBytes(m)
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+    } catch {
+      case _: java.io.IOException =>
+        s"!${System.identityHashCode(new Object)}:${System.nanoTime()}"
+    }
+  }
+
+  private def tombMemoKey(root: String, gen: Long): String =
+    s"$root|$gen@${manifestFp(root, gen)}"
+
+  /** Commit-side memo population: the upsert/delete paths call this
+    * right after the manifest rename with the key set their staged
+    * write's observe metric already collected — zero extra jobs, and
+    * every later [[tombMaxLocal]] over a window containing this gen
+    * skips its read entirely. */
+  private def memoizeTombKeys(root: String, gen: Long,
+                              keys: Seq[Any]): Unit =
+    if (keys.lengthCompare(tombLocalMaxRows) <= 0)
+      tombGenKeysMemo.put(tombMemoKey(root, gen), keys)
 
   /** [[tombMax]] for a MANIFEST-BOUNDED-small tombstone window, read
     * UNFILTERED from the window's gen dirs (a pred-pruned caller gets
-    * extra never-matching keys — harmless under the equi-join) and
-    * memoized per (root, gens): a mutation lifecycle reads the same
+    * extra never-matching keys — harmless under the equi-join). Gens
+    * already in the per-gen memo (a prior read, or their own commit)
+    * cost nothing; the uncached remainder reads as ONE union job and
+    * back-fills the memo, so a mutation lifecycle that reads the same
     * resolution window several times (preimage asOf = the previous
     * refresh's recompute asOf, replica catch-ups, repeated snapshot
-    * reads), and re-collecting identical immutable bytes is a pure
-    * job-floor tax. */
+    * reads) pays the collect once — or never, when the committer
+    * pre-populated it. */
   private def tombMaxLocal(spark: SparkSession, root: String,
                            tombGens: Seq[Commit],
                            keyField: org.apache.spark.sql.types.StructField)
       : DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    // the memo key fingerprints each generation's MANIFEST CONTENT
-    // (a hash of the JSON bytes — r15 advice: mtime+size collides on
-    // coarse-timestamp filesystems when a store is deleted and rebuilt
-    // at the same path with same gen ids and same-length manifests,
-    // serving the DEAD store's tombstones): gens are immutable in a
-    // live store, so the bytes are a stable identity, and manifests
-    // are ~hundreds of bytes so the read is driver-trivial. An
-    // UNREADABLE manifest gets a per-call-unique token — it can never
-    // memo-hit (the old "?" made all unreadable manifests look alike).
-    val memoKey = root + "|" + tombGens.map { c =>
-      val m = manifestDir(root).resolve(s"${c.gen}.json")
-      val fp =
-        try {
-          val bytes = java.nio.file.Files.readAllBytes(m)
-          java.security.MessageDigest.getInstance("MD5").digest(bytes)
-            .map("%02x".format(_)).mkString
-        } catch {
-          case _: java.io.IOException =>
-            s"!${System.identityHashCode(new Object)}:${System.nanoTime()}"
-        }
-      s"${c.gen}@$fp"
-    }.sorted.mkString(",")
-    var pairs = tombMaxMemo.get(memoKey)
-    if (pairs == null) {
+    val cached = tombGens.map(c =>
+      c -> tombGenKeysMemo.get(tombMemoKey(root, c.gen)))
+    val misses = cached.collect { case (c, null) => c }
+    val perGen = scala.collection.mutable.HashMap[Long, Seq[Any]](
+      cached.collect { case (c, ks) if ks != null => c.gen -> ks }: _*)
+    if (misses.nonEmpty) {
       val keyOnly = new org.apache.spark.sql.types.StructType().add(keyField)
-      val tombs = tombGens.map { c =>
+      val tombs = misses.map { c =>
         spark.read.schema(keyOnly).parquet(dataDir(root, c.gen).toString)
           .select(col(keyField.name), lit(c.gen).as("_vc_tgen"))
       }.reduce(_ unionByName _)
-      val m = new scala.collection.mutable.HashMap[Any, Long]()
+      val byGen = scala.collection.mutable.HashMap[Long,
+        scala.collection.mutable.ArrayBuffer[Any]]()
       tombs.collect().foreach { r =>
         val k = r.get(0)
-        if (k != null) {
-          val g = r.getLong(1)
-          if (m.getOrElse(k, Long.MinValue) < g) m(k) = g
-        }
+        if (k != null)
+          byGen.getOrElseUpdate(r.getLong(1),
+            scala.collection.mutable.ArrayBuffer.empty[Any]) += k
       }
-      pairs = m.toSeq
-      tombMaxMemo.put(memoKey, pairs)
+      misses.foreach { c =>
+        val ks = byGen.get(c.gen).fold(Seq.empty[Any])(_.toSeq)
+        perGen(c.gen) = ks
+        memoizeTombKeys(root, c.gen, ks)
+      }
     }
-    localTmaxFrame(spark, pairs, keyField)
+    val m = new scala.collection.mutable.HashMap[Any, Long]()
+    perGen.foreach { case (g, ks) =>
+      ks.foreach { k =>
+        if (m.getOrElse(k, Long.MinValue) < g) m(k) = g
+      }
+    }
+    localTmaxFrame(spark, m.toSeq, keyField)
   }
 
   private def snapshotImpl(spark: SparkSession, root: String, asOf: Long,
@@ -1398,7 +1497,7 @@ object VersionedCorpus {
         snap0.repartitionByRange(col(key)).sortWithinPartitions(col(key))
       }
     val staging = newStaging(root)
-    val (rows, klo, khi, cs, bloom) = writeStagedWithStats(snap, root, staging)
+    val (rows, klo, khi, cs, bloom, _) = writeStagedWithStats(snap, root, staging)
     val gen = claimGen(root, staging)
     bloom.foreach(writeBloom(root, gen, _))
     writeManifest(root, Commit(gen, rows, base = true, kind = "base",
@@ -1477,7 +1576,7 @@ object VersionedCorpus {
       val nFiles =
         math.max(1L, (total + targetFileRows - 1) / targetFileRows).toInt
       val staging = newStaging(root)
-      val (rows, klo, khi, cs, bloom) = writeStagedWithStats(
+      val (rows, klo, khi, cs, bloom, _) = writeStagedWithStats(
         spark.read.schema(pinned)
           .parquet(run.map(c => dataDir(root, c.gen).toString): _*)
           .coalesce(nFiles), root, staging)
