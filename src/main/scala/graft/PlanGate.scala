@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Stats-adaptive execution gates shared by the driver-side collect
+  * points (declared-query local frames, candidate-spine
+  * materialization, admission reject sets).
+  *
+  * The one decision here: a plan whose LEAF SCANS total under
+  * `smallPlanBytes` runs its consuming action with adaptive query
+  * execution scoped OFF — at that size AQE's per-exchange query-stage
+  * materialization pays a scheduler-floor job per shuffle with nothing
+  * to re-plan (the r15 job-floor watch list was exactly this class),
+  * while a plan reading real volume keeps runtime re-planning (skew
+  * splits, runtime broadcast, partition coalescing — the things that
+  * matter at 100 TB). The gate keys on what the query READS
+  * (file-stat-backed leaf relation statistics, conservative), never on
+  * the final frame's post-aggregate estimate, which is tiny even over
+  * a 100 TB scan. Purely physical: results are identical either way.
+  */
+object PlanGate {
+
+  val smallPlanBytes: Long = 256L << 20
+
+  /** Sum of the optimizer's leaf-relation size estimates — the plan's
+    * read volume. `Long.MaxValue` when statistics are unavailable, so
+    * an unknown plan NEVER takes the small-plan path. */
+  def leafBytes(df: DataFrame): BigInt =
+    try df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    catch { case _: Throwable => BigInt(Long.MaxValue) }
+
+  /** Run `body` (the consuming action of `df`) with AQE off when the
+    * plan's leaf scans are small; unchanged otherwise. */
+  def withAqeOffIfSmall[T](df: DataFrame)(body: => T): T =
+    if (leafBytes(df) <= BigInt(smallPlanBytes))
+      graft.sources.VersionedCorpus.withAqeOff(df.sparkSession)(body)
+    else body
+}

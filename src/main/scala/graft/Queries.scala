@@ -600,13 +600,20 @@ object Queries
        |FROM documents LEFT JOIN wc USING (doc_id)
        |ORDER BY doc_id LIMIT 1000""".stripMargin
 
+  /** Collect under [[PlanGate.withAqeOffIfSmall]] — small plans skip
+    * AQE's per-exchange query-stage materialization jobs (the r15
+    * job-floor watch list); plans reading real volume keep runtime
+    * re-planning. Purely physical — results identical either way. */
+  private def collectGated(df: DataFrame): Array[org.apache.spark.sql.Row] =
+    PlanGate.withAqeOffIfSmall(df)(df.collect())
+
   /** Eagerly execute `df` and return the result as a LocalRelation-backed
     * frame — the shared tail of every round-trip/materializing declared
     * query (the result is tiny; the point is truncating lineage so temp
     * dirs and cache entries can be released before returning). */
   private[graft] def localFrame(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
+      java.util.Arrays.asList(collectGated(df): _*), df.schema)
 
   /** [[localFrame]] with the ORDER applied driver-side: the pattern
     * `localFrame(tiny.orderBy(k…))` pays a distributed global sort — a
@@ -644,7 +651,7 @@ object Queries
 
   private[graft] def localFrameOrdered(df: DataFrame,
                                        keys: String*): DataFrame = {
-    val rows = df.collect()
+    val rows = collectGated(df)
     // "-name" = descending (nulls last), bare = ascending (nulls first)
     // — Spark's desc/asc null defaults
     val spec = keys.map { k =>

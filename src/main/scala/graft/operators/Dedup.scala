@@ -292,7 +292,8 @@ object Dedup {
         java.lang.Float.valueOf(0.0f)
       case x => x
     }
-    val rows = ids.collect().map(r => norm(r.get(0))).distinct
+    val rows = graft.PlanGate.withAqeOffIfSmall(ids)(ids.collect())
+      .map(r => norm(r.get(0))).distinct
       .map(org.apache.spark.sql.Row(_))
     ids.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), ids.schema)
@@ -569,7 +570,32 @@ object Dedup {
                           pointerJump: Boolean = false,
                           saltFactor: Int = 1,
                           starContraction: Boolean = false,
-                          localFinishEdges: Int = 1 << 16): DataFrame = {
+                          localFinishEdges: Int = 1 << 16): DataFrame =
+    // a graph built from small scans runs its whole labeling (edge
+    // materialization, local-finish probe, per-round jobs) with AQE
+    // scoped off — every exchange here is dup-graph-sized, and AQE's
+    // per-exchange query-stage materialization pays a scheduler-floor
+    // job each with nothing to re-plan; at-scale graphs keep adaptive
+    // planning (skew splits on hub keys matter there)
+    if (graft.PlanGate.leafBytes(vertices) + graft.PlanGate.leafBytes(edges)
+        <= BigInt(graft.PlanGate.smallPlanBytes))
+      graft.sources.VersionedCorpus.withAqeOff(vertices.sparkSession)(
+        connectedComponentsImpl(vertices, idCol, edges, srcCol, dstCol,
+          maxIters, pointerJump, saltFactor, starContraction,
+          localFinishEdges))
+    else
+      connectedComponentsImpl(vertices, idCol, edges, srcCol, dstCol,
+        maxIters, pointerJump, saltFactor, starContraction,
+        localFinishEdges)
+
+  private def connectedComponentsImpl(
+      vertices: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int,
+      pointerJump: Boolean,
+      saltFactor: Int,
+      starContraction: Boolean,
+      localFinishEdges: Int): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // undirected propagation: both directions of every edge, pruned to
     // the vertex set on BOTH endpoints (one-time semi-joins on the
@@ -987,7 +1013,9 @@ object Dedup {
       val out = reps.join(sizes, "component")
         .select(docs.columns.map(col) :+ col("component") :+ col("n_docs"): _*)
         .persist(lvl)
-      out.count()
+      // the materializing count runs under the same small-plan AQE gate
+      // as the labeling (cc is a cached label table; `docs` decides)
+      graft.PlanGate.withAqeOffIfSmall(docs)(out.count())
       out
     } finally cc.unpersist()
   }

@@ -804,7 +804,12 @@ object NearDup {
   def materializePairsOpt(pairs: DataFrame,
                           maxRows: Int = 1 << 20): Option[DataFrame] = {
     val spark = pairs.sparkSession
-    val rows = pairs.limit(maxRows + 1).collect()
+    // candidate spines over small scans collect with AQE scoped off —
+    // the bucket-join chain's per-exchange materialization jobs are
+    // pure scheduler floor at fixture scale (PlanGate's leaf gate keeps
+    // at-scale runs adaptive)
+    val rows = graft.PlanGate.withAqeOffIfSmall(pairs)(
+      pairs.limit(maxRows + 1).collect())
     if (rows.length > maxRows) None
     else Some(
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), pairs.schema))

@@ -458,7 +458,7 @@ object VersionedCorpus {
     * exchange but has nothing to re-plan. Callers gate on a size bound
     * so at-scale plans keep AQE. Session-scoped conf: safe under the
     * single-writer commit contract these paths already hold. */
-  private[sources] def withAqeOff[T](spark: SparkSession)(body: => T): T = {
+  private[graft] def withAqeOff[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key, "true")
     if (prev == "false") body
