@@ -249,6 +249,14 @@ object Bench {
       }),
       "_minhash_build" -> (() =>
         { Queries.sharedMinhashVerified(spark, sfDir).count(); () }),
+      // the three closed-form signature relations the fixed-twin rows
+      // join over (same maintained-artifact asymmetry as _minhash_build)
+      "_polymh_build" -> (() =>
+        { Queries.sharedPolyMinhashBanded(spark, sfDir).count(); () }),
+      "_polysh_build" -> (() =>
+        { Queries.sharedPolySimhashBanded(spark, sfDir).count(); () }),
+      "_polywn_build" -> (() =>
+        { Queries.sharedPolyWinnowFps(spark, sfDir).count(); () }),
       "_dedup_edges_build" -> (() =>
         { Queries.sharedDedupEdges(spark, sfDir).count(); () }),
       "_dedup_cc_build" -> (() =>

@@ -935,6 +935,52 @@ object Queries
   private[graft] def docsFingerprint(dir: String): String =
     Tables.fixtureFingerprint(dir, "documents")
 
+  /** Per-dir memos of the closed-form signature/fingerprint relations
+    * the fixed-twin rows join over — the [[sharedMinhashVerified]]
+    * maintained-artifact discipline applied to the polynomial-hash
+    * family: at scale the per-doc signature table is maintained by the
+    * ingestion job and every candidate query JOINS it, never re-runs
+    * the signature pass. Each relation builds once per fixture dir
+    * (fingerprint-guarded) and is served as a LocalRelation — all
+    * three are driver-bounded by construction (banded rows = slice
+    * docs × bands; winnow fingerprints ≈ grams/4 per doc over the
+    * ≤ 2000-doc slice). The bench prices each build as its own infra
+    * line (`_poly*_build`). */
+  private[graft] val polyRelCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType)]()
+
+  private def sharedPolyRelation(s: SparkSession, dir: String, kind: String)
+                                (build: => DataFrame): DataFrame = {
+    val fp = docsFingerprint(dir)
+    val built = polyRelCache.compute(s"$dir|$kind", (_, cached) =>
+      if (cached != null && cached._1 == fp) cached
+      else {
+        val df = build
+        (fp, PlanGate.withAqeOffIfSmall(df)(df.collect()).toSeq, df.schema)
+      })
+    s.createDataFrame(java.util.Arrays.asList(built._2: _*), built._3)
+  }
+
+  private def fixedSlice(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").filter(col("doc_id") < 2000)
+
+  private[graft] def sharedPolyMinhashBanded(s: SparkSession,
+                                             dir: String): DataFrame =
+    sharedPolyRelation(s, dir, "mh")(
+      NearDup.minHashPolyBanded(fixedSlice(s, dir), "doc_id", "text"))
+
+  private[graft] def sharedPolySimhashBanded(s: SparkSession,
+                                             dir: String): DataFrame =
+    sharedPolyRelation(s, dir, "sh")(
+      NearDup.simHashPolyBanded(fixedSlice(s, dir), "doc_id", "text"))
+
+  private[graft] def sharedPolyWinnowFps(s: SparkSession,
+                                         dir: String): DataFrame =
+    sharedPolyRelation(s, dir, "wn")(
+      NearDup.winnowPolyFps(fixedSlice(s, dir), "doc_id", "text"))
+
   private[graft] def sharedMinhashVerified(s: SparkSession, dir: String): DataFrame = {
     val fp = docsFingerprint(dir)
     val built = minhashEdgeCache.compute(dir, (_, cached) =>
@@ -1661,6 +1707,7 @@ object Queries
     hivePartCache.remove(dir)
     embStatsCache.remove(dir)
     docStatsCache.remove(dir)
+    polyRelCache.keySet.removeIf(_.startsWith(dir + "|"))
   }
 
   /** Per-source memo of the "day-1" index slice (`vec_id % 10 =!= 0`)

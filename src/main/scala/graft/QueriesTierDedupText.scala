@@ -171,10 +171,15 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // as static DuckDB SQL.
       (s, dir) => {
         val slice = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        // the incoming/corpus split applies ON the maintained banded
+        // relation (signatures are per-doc, so splitting the memo ≡
+        // splitting the docs — the operator's own shape); the cross
+        // join closer is the same one the operator uses
+        val banded = sharedPolyMinhashBanded(s, dir)
         val cands = NearDup.materializePairs(
-          NearDup.minHashPolyCrossCandidates(
-            slice.filter(col("doc_id") >= 250),
-            slice.filter(col("doc_id") < 250), "doc_id", "text")
+          NearDup.minHashPolyCrossPairs(
+            banded.filter(col("_id") >= 250),
+            banded.filter(col("_id") < 250))
             .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
         localFrameOrdered(
           NearDup.jaccardVerify(slice, "doc_id", "text", cands)
@@ -189,12 +194,12 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // (exhaustive recall at hamming ≤ 2 with 3 bands — no banding
       // loss for the oracle to disagree with).
       (s, dir) => {
-        val slice = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        val banded = sharedPolySimhashBanded(s, dir)
         localFrameOrdered(
-          NearDup.simHashPolyCrossCandidates(
-            slice.filter(col("doc_id") >= 250),
-            slice.filter(col("doc_id") < 250),
-            "doc_id", "text", maxHamming = 2), "id_new", "id_old")
+          NearDup.simHashPolyCrossPairs(
+            banded.filter(col("_id") >= 250),
+            banded.filter(col("_id") < 250),
+            maxHamming = 2), "id_new", "id_old")
       },
       Some(incrSimhashFixedOracleSql),
       "incremental SimHash near-dup under the closed-form hash: cross-set banded candidates + Hamming verify, full DuckDB replay"),
@@ -204,12 +209,12 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // fingerprint-bucket candidates with n_shared ≥ 2 under the
       // closed-form hash.
       (s, dir) => {
-        val slice = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        val fps = sharedPolyWinnowFps(s, dir)
         localFrameOrdered(
-          NearDup.winnowPolyCrossCandidates(
-            slice.filter(col("doc_id") >= 250),
-            slice.filter(col("doc_id") < 250),
-            "doc_id", "text", minShared = 2), "id_new", "id_old")
+          NearDup.winnowPolyCrossPairs(
+            fps.filter(col("_id") >= 250),
+            fps.filter(col("_id") < 250),
+            minShared = 2), "id_new", "id_old")
       },
       Some(incrWinnowFixedOracleSql),
       "incremental winnowing near-dup under the closed-form hash: cross-set fingerprint buckets, full DuckDB replay"),

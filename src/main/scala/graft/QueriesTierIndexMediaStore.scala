@@ -1618,10 +1618,13 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       // under the closed-form polynomial hash, hash-matched against a
       // full static DuckDB replay. Only the production xxhash64 seeds
       // remain rows-only across all of B8.
+      // consumes the per-dir banded-signature memo (the maintained
+      // signature table a deployment joins; `_polymh_build` infra line
+      // prices the build) through the SAME join closer the operator
+      // uses — the chain stays end-to-end certified, the signature
+      // pass runs once per set pass instead of once per row
       (s, dir) => localFrameOrdered(
-        NearDup.minHashPolyCandidates(
-          T(s, dir, "documents").filter(col("doc_id") < 2000),
-          "doc_id", "text"),
+        NearDup.minHashPolyPairs(sharedPolyMinhashBanded(s, dir)),
         "id_a", "id_b"),
       Some(minhashFixedOracleSql),
       "MinHash-LSH candidates under the closed-form hash: full DuckDB replay of shingle/minima/banding"),
@@ -1637,9 +1640,8 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       // 3 bands, hamming ≤ 2 candidates are exhaustively recalled, so
       // the output is banding-loss-free by construction.
       (s, dir) => localFrameOrdered(
-        NearDup.simHashPolyCandidates(
-          T(s, dir, "documents").filter(col("doc_id") < 2000),
-          "doc_id", "text", maxHamming = 2),
+        NearDup.simHashPolyPairs(sharedPolySimhashBanded(s, dir),
+          maxHamming = 2),
         "id_a", "id_b"),
       Some(simhashFixedOracleSql),
       "SimHash banded candidates under the closed-form hash: full DuckDB replay of the signature/banding/Hamming chain"),
@@ -1652,9 +1654,8 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       // is tie-rule-independent (equal window minima select the same
       // value), which is what makes the twin exactly replayable.
       (s, dir) => localFrameOrdered(
-        NearDup.winnowPolyCandidates(
-          T(s, dir, "documents").filter(col("doc_id") < 2000),
-          "doc_id", "text", minShared = 2),
+        NearDup.winnowPolyPairs(sharedPolyWinnowFps(s, dir),
+          minShared = 2),
         "id_a", "id_b"),
       Some(winnowFixedOracleSql),
       "winnowing fingerprint candidates under the closed-form hash: full DuckDB replay of gram-hash/window-min/bucket-join"),

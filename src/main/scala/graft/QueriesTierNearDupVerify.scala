@@ -254,8 +254,11 @@ private[graft] trait QueriesTierNearDupVerify { this: Queries.type =>
       // recursive-CTE components, min-id rep + size, all hash-matched.
       (s, dir) => {
         val slice = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        // candidates come from the maintained banded-signature memo
+        // (`_polymh_build` infra line) through the operator's own join
+        // closer; verify + components + representative run live
         val edges = NearDup.jaccardVerify(slice, "doc_id", "text",
-            NearDup.minHashPolyCandidates(slice, "doc_id", "text"))
+            NearDup.minHashPolyPairs(sharedPolyMinhashBanded(s, dir)))
           .filter(col("jaccard") >= 0.8)
           .select(col("id_a"), col("id_b"))
         val out = Dedup.dedupFromEdges(

@@ -186,8 +186,15 @@ object NearDup {
     * for the oracle to disagree with). Returns distinct
     * (id_a, id_b, hamming), id_a < id_b. */
   def simHashPolyCandidates(docs: DataFrame, idCol: String, textCol: String,
-                            maxHamming: Int = 2): DataFrame = {
-    val banded = simHashPolyBanded(docs, idCol, textCol)
+                            maxHamming: Int = 2): DataFrame =
+    simHashPolyPairs(simHashPolyBanded(docs, idCol, textCol), maxHamming)
+
+  /** The banded-self-join closer of [[simHashPolyCandidates]], split out
+    * so a MAINTAINED banded-signature relation (the at-scale shape — a
+    * per-doc signature table updated per ingestion batch, here the
+    * per-dir shared build) can be joined without re-running the
+    * signature pass. */
+  def simHashPolyPairs(banded: DataFrame, maxHamming: Int = 2): DataFrame = {
     val a = banded.select(col("_id").as("id_a"), col("_sig").as("_siga"),
       col("_band"), col("_key"))
     val b = banded.select(col("_id").as("id_b"), col("_sig").as("_sigb"),
@@ -195,6 +202,22 @@ object NearDup {
     a.join(b, Seq("_band", "_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
+        bit_count(col("_siga").bitwiseXOR(col("_sigb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Cross-set closer over two banded-signature relations — see
+    * [[simHashPolyPairs]]. */
+  def simHashPolyCrossPairs(bandedNew: DataFrame, bandedOld: DataFrame,
+                            maxHamming: Int = 2): DataFrame = {
+    val a = bandedNew.select(col("_id").as("id_new"), col("_sig").as("_siga"),
+      col("_band"), col("_key"))
+    val b = bandedOld.select(col("_id").as("id_old"), col("_sig").as("_sigb"),
+      col("_band"), col("_key"))
+    hintIfSmall(a).join(b, Seq("_band", "_key"))
+      .select(col("id_new"), col("id_old"),
         bit_count(col("_siga").bitwiseXOR(col("_sigb"))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -209,26 +232,16 @@ object NearDup {
     * distinct (id_new, id_old, hamming). */
   def simHashPolyCrossCandidates(incoming: DataFrame, corpus: DataFrame,
                                  idCol: String, textCol: String,
-                                 maxHamming: Int = 2): DataFrame = {
-    val a = simHashPolyBanded(incoming, idCol, textCol)
-      .select(col("_id").as("id_new"), col("_sig").as("_siga"),
-        col("_band"), col("_key"))
-    val b = simHashPolyBanded(corpus, idCol, textCol)
-      .select(col("_id").as("id_old"), col("_sig").as("_sigb"),
-        col("_band"), col("_key"))
-    hintIfSmall(a).join(b, Seq("_band", "_key"))
-      .select(col("id_new"), col("id_old"),
-        bit_count(col("_siga").bitwiseXOR(col("_sigb"))).cast("long")
-          .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+                                 maxHamming: Int = 2): DataFrame =
+    simHashPolyCrossPairs(
+      simHashPolyBanded(incoming, idCol, textCol),
+      simHashPolyBanded(corpus, idCol, textCol), maxHamming)
 
   /** The per-doc banded 24-bit SimHash relation under [[polyHash]] —
     * shared by the self and cross fixed-twin generators: one vote per
     * token occurrence per bit (ties to 0), 3 bands × 8 bits. */
-  private def simHashPolyBanded(docs: DataFrame, idCol: String,
-                                textCol: String): DataFrame = {
+  private[graft] def simHashPolyBanded(docs: DataFrame, idCol: String,
+                                       textCol: String): DataFrame = {
     val bits = 24
     val bands = 3
     val rows = bits / bands
@@ -265,13 +278,27 @@ object NearDup {
     * distinct (id_a, id_b), id_a < id_b — a pure function of the
     * corpus, replayable as static SQL. */
   def minHashPolyCandidates(docs: DataFrame, idCol: String, textCol: String,
-                            numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    val banded = minHashPolyBanded(docs, idCol, textCol, numHashes, bands)
+                            numHashes: Int = 8, bands: Int = 4): DataFrame =
+    minHashPolyPairs(minHashPolyBanded(docs, idCol, textCol, numHashes, bands))
+
+  /** The banded-self-join closer of [[minHashPolyCandidates]] — see
+    * [[simHashPolyPairs]]'s maintained-relation rationale. */
+  def minHashPolyPairs(banded: DataFrame): DataFrame = {
     val a = banded.select(col("_id").as("id_a"), col("_band"), col("_ks"))
     val b = banded.select(col("_id").as("id_b"), col("_band"), col("_ks"))
     a.join(b, Seq("_band", "_ks"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Cross-set closer over two banded MinHash signature relations. */
+  def minHashPolyCrossPairs(bandedNew: DataFrame,
+                            bandedOld: DataFrame): DataFrame = {
+    val a = bandedNew.select(col("_id").as("id_new"), col("_band"), col("_ks"))
+    val b = bandedOld.select(col("_id").as("id_old"), col("_band"), col("_ks"))
+    hintIfSmall(a).join(b, Seq("_band", "_ks"))
+      .select(col("id_new"), col("id_old"))
       .distinct()
   }
 
@@ -283,23 +310,19 @@ object NearDup {
   def minHashPolyCrossCandidates(incoming: DataFrame, corpus: DataFrame,
                                  idCol: String, textCol: String,
                                  numHashes: Int = 8,
-                                 bands: Int = 4): DataFrame = {
-    val a = minHashPolyBanded(incoming, idCol, textCol, numHashes, bands)
-      .select(col("_id").as("id_new"), col("_band"), col("_ks"))
-    val b = minHashPolyBanded(corpus, idCol, textCol, numHashes, bands)
-      .select(col("_id").as("id_old"), col("_band"), col("_ks"))
-    // the incoming side is the micro-batch: size-gated hint, same 100 TB
-    // rationale as minHashCrossCandidates (corpus buckets never shuffle)
-    hintIfSmall(a).join(b, Seq("_band", "_ks"))
-      .select(col("id_new"), col("id_old"))
-      .distinct()
-  }
+                                 bands: Int = 4): DataFrame =
+    // the incoming side is the micro-batch: size-gated hint inside the
+    // closer, same 100 TB rationale as minHashCrossCandidates (corpus
+    // buckets never shuffle)
+    minHashPolyCrossPairs(
+      minHashPolyBanded(incoming, idCol, textCol, numHashes, bands),
+      minHashPolyBanded(corpus, idCol, textCol, numHashes, bands))
 
   /** The per-doc banded MinHash signature relation under [[polyHash]] —
     * shared by the self and cross fixed-twin generators. */
-  private def minHashPolyBanded(docs: DataFrame, idCol: String,
-                                textCol: String, numHashes: Int,
-                                bands: Int): DataFrame = {
+  private[graft] def minHashPolyBanded(docs: DataFrame, idCol: String,
+                                       textCol: String, numHashes: Int = 8,
+                                       bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
     require(numHashes <= NearDup.polyA.length,
@@ -331,13 +354,29 @@ object NearDup {
     * select the same VALUE whichever position wins. Returns
     * (id_a, id_b, n_shared), id_a < id_b. */
   def winnowPolyCandidates(docs: DataFrame, idCol: String, textCol: String,
-                           minShared: Int = 2): DataFrame = {
-    val fps = winnowPolyFps(docs, idCol, textCol)
+                           minShared: Int = 2): DataFrame =
+    winnowPolyPairs(winnowPolyFps(docs, idCol, textCol), minShared)
+
+  /** The fingerprint-bucket self-join closer of
+    * [[winnowPolyCandidates]] — see [[simHashPolyPairs]]'s
+    * maintained-relation rationale. */
+  def winnowPolyPairs(fps: DataFrame, minShared: Int = 2): DataFrame = {
     val a = fps.select(col("_id").as("id_a"), col("_fp"))
     val b = fps.select(col("_id").as("id_b"), col("_fp"))
     a.join(b, "_fp")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Cross-set closer over two fingerprint relations. */
+  def winnowPolyCrossPairs(fpsNew: DataFrame, fpsOld: DataFrame,
+                           minShared: Int = 2): DataFrame = {
+    val a = fpsNew.select(col("_id").as("id_new"), col("_fp"))
+    val b = fpsOld.select(col("_id").as("id_old"), col("_fp"))
+    hintIfSmall(a).join(b, "_fp")
+      .groupBy(col("id_new"), col("id_old"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
@@ -348,22 +387,16 @@ object NearDup {
     * Returns (id_new, id_old, n_shared ≥ `minShared`). */
   def winnowPolyCrossCandidates(incoming: DataFrame, corpus: DataFrame,
                                 idCol: String, textCol: String,
-                                minShared: Int = 2): DataFrame = {
-    val a = winnowPolyFps(incoming, idCol, textCol)
-      .select(col("_id").as("id_new"), col("_fp"))
-    val b = winnowPolyFps(corpus, idCol, textCol)
-      .select(col("_id").as("id_old"), col("_fp"))
-    hintIfSmall(a).join(b, "_fp")
-      .groupBy(col("id_new"), col("id_old"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-  }
+                                minShared: Int = 2): DataFrame =
+    winnowPolyCrossPairs(
+      winnowPolyFps(incoming, idCol, textCol),
+      winnowPolyFps(corpus, idCol, textCol), minShared)
 
   /** The per-doc distinct winnowing-fingerprint relation under
     * [[polyHash]] — shared by the self and cross fixed-twin generators:
     * window-4 minima over FULL windows only. */
-  private def winnowPolyFps(docs: DataFrame, idCol: String,
-                            textCol: String): DataFrame = {
+  private[graft] def winnowPolyFps(docs: DataFrame, idCol: String,
+                                   textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.filter(size(TextAnalysis.tokens(col(textCol))) > 0)
     val gh = base
