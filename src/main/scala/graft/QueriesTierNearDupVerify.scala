@@ -256,11 +256,17 @@ private[graft] trait QueriesTierNearDupVerify { this: Queries.type =>
         val slice = T(s, dir, "documents").filter(col("doc_id") < 2000)
         // candidates come from the maintained banded-signature memo
         // (`_polymh_build` infra line) through the operator's own join
-        // closer; verify + components + representative run live
-        val edges = NearDup.jaccardVerify(slice, "doc_id", "text",
-            NearDup.minHashPolyPairs(sharedPolyMinhashBanded(s, dir)))
-          .filter(col("jaccard") >= 0.8)
-          .select(col("id_a"), col("id_b"))
+        // closer; verify runs live and its verified edge set — dup-pair
+        // bounded, the materializePairs class — lands driver-side ONCE,
+        // so the clustering stage's bidirectional edge union references
+        // a LocalRelation instead of re-executing the verify subtree
+        // per orientation (the shared-subtree double-execution trap);
+        // components + representative run live
+        val edges = NearDup.materializePairs(
+          NearDup.jaccardVerify(slice, "doc_id", "text",
+              NearDup.minHashPolyPairs(sharedPolyMinhashBanded(s, dir)))
+            .filter(col("jaccard") >= 0.8)
+            .select(col("id_a"), col("id_b")))
         val out = Dedup.dedupFromEdges(
           slice.select(col("doc_id"), col("lang")), "doc_id", edges)
         try localFrameOrdered(out
