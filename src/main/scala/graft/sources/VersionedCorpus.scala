@@ -451,20 +451,35 @@ object VersionedCorpus {
     * from exactly the rows the successful write produced (failed-task
     * values are not counted), which is the same truth the read-back
     * certified. */
-  /** Run `body` with adaptive query execution OFF, restoring the prior
-    * setting after — for DRIVER-BOUNDED maintenance actions (small
-    * staged commits, fused view refreshes) where AQE's per-shuffle
+  /** Run `body` with adaptive query execution OFF — and the shuffle
+    * width capped at 4 — restoring both settings after. For
+    * DRIVER-BOUNDED maintenance actions (small staged commits, fused
+    * view refreshes, dup-graph labeling) where AQE's per-shuffle
     * query-stage materialization adds a scheduler-floor job per
-    * exchange but has nothing to re-plan. Callers gate on a size bound
-    * so at-scale plans keep AQE. Session-scoped conf: safe under the
-    * single-writer commit contract these paths already hold. */
+    * exchange but has nothing to re-plan. The width cap is the other
+    * half of what AQE was doing for these plans: without it, a
+    * kilobyte exchange fans over every core
+    * (spark.sql.shuffle.partitions) — the r16 dual-config measurement
+    * put the whole 32-core regression of the gated rows there. Callers
+    * gate on a size bound (≤ 256 MB of leaf scans), so 4 × ~64 MB
+    * partitions bound the per-task slice; at-scale plans keep AQE and
+    * full width. Session-scoped conf: safe under the single-writer
+    * commit contract these paths already hold. */
   private[graft] def withAqeOff[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key, "true")
-    if (prev == "false") body
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevAqe = spark.conf.get(aqeKey, "true")
+    if (prevAqe == "false") body
     else {
-      spark.conf.set(key, "false")
-      try body finally spark.conf.set(key, prev)
+      val prevSp = spark.conf.get(spKey, "200")
+      val cappedSp =
+        try math.min(prevSp.toInt, 4).toString catch { case _: Throwable => "4" }
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(spKey, cappedSp)
+      try body finally {
+        spark.conf.set(aqeKey, prevAqe)
+        spark.conf.set(spKey, prevSp)
+      }
     }
   }
 
