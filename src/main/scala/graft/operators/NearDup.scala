@@ -1146,7 +1146,8 @@ object NearDup {
           .union(pairs.select(col("id_b").as("_jid"))).distinct()
         proj.join(ids, Seq("_jid"), "left_semi")
     }
-    pairs
+    // spine-broadcast hint: same rationale as jaccardVerifyCross
+    hintIfSmall(pairs)
       .join(sh.select(col("_jid").as("id_a"), col("_sh").as("sh_a")), "id_a")
       .join(sh.select(col("_jid").as("id_b"), col("_sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -1176,7 +1177,11 @@ object NearDup {
           proj.join(pairs.select(col(asId)).distinct(), Seq(asId), "left_semi")
       }
     }
-    pairs
+    // the pair spine is the side to broadcast (a LocalRelation spine
+    // builds job-free; a distributed one is materializePairs-bounded);
+    // without the hint the planner may broadcast a SCAN side instead,
+    // paying a build job per join
+    hintIfSmall(pairs)
       .join(side(incoming, "id_new", "sh_new"), "id_new")
       .join(side(corpus, "id_old", "sh_old"), "id_old")
       .select(col("id_new"), col("id_old"),
@@ -1300,7 +1305,8 @@ object NearDup {
           .union(pairs.select(col("id_b").as("_vid"))).distinct()
         proj.join(ids, Seq("_vid"), "left_semi")
     }
-    pairs
+    // spine-broadcast hint: same rationale as jaccardVerifyCross
+    hintIfSmall(pairs)
       .join(side.select(col("_vid").as("id_a"), col("_v").as("va"), col("_n").as("na")), "id_a")
       .join(side.select(col("_vid").as("id_b"), col("_v").as("vb"), col("_n").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -1326,7 +1332,8 @@ object NearDup {
           proj.join(pairs.select(col(asId)).distinct(), Seq(asId), "left_semi")
       }
     }
-    pairs
+    // spine-broadcast hint: same rationale as jaccardVerifyCross
+    hintIfSmall(pairs)
       .join(side(incoming, "id_new", "v_new", "n_new"), "id_new")
       .join(side(corpus, "id_old", "v_old", "n_old"), "id_old")
       .select(col("id_new"), col("id_old"),
