@@ -36,4 +36,25 @@ object PlanGate {
     if (leafBytes(df) <= BigInt(smallPlanBytes))
       graft.sources.VersionedCorpus.withAqeOff(df.sparkSession)(body)
     else body
+
+  /** `df.limit(maxRows).collect()` in ONE job: CollectLimit's
+    * incremental partition scaling (initialNumPartitions = 1, then
+    * scale-up) pays up to three jobs for a capped safety collect whose
+    * cap almost never binds — the probe-collect shape every
+    * driver-bounded materialization uses. Scoping
+    * `spark.sql.limit.initialNumPartitions` high makes the one
+    * execution scan every partition, which is what the scale-up would
+    * have done anyway by the time the cap is the question. */
+  def cappedCollect(df: DataFrame,
+                    maxRows: Int): Array[org.apache.spark.sql.Row] = {
+    val spark = df.sparkSession
+    val key = "spark.sql.limit.initialNumPartitions"
+    val prev = try Some(spark.conf.get(key)) catch { case _: Throwable => None }
+    spark.conf.set(key, "1000000")
+    try df.limit(maxRows).collect()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }

@@ -643,9 +643,9 @@ object Dedup {
     val localEntry: Option[Array[(Long, Long)]] =
       if (localFinishEdges <= 0) None
       else {
-        val capped = e.filter(col("_src") < col("_dst"))
-          .select(col("_src"), col("_dst"))
-          .limit(localFinishEdges + 1).collect()
+        val capped = graft.PlanGate.cappedCollect(
+          e.filter(col("_src") < col("_dst"))
+            .select(col("_src"), col("_dst")), localFinishEdges + 1)
         if (capped.length > localFinishEdges) None
         else Some(capped.map(r => (r.getLong(0), r.getLong(1))))
       }

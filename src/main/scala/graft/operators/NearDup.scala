@@ -840,9 +840,10 @@ object NearDup {
     // candidate spines over small scans collect with AQE scoped off —
     // the bucket-join chain's per-exchange materialization jobs are
     // pure scheduler floor at fixture scale (PlanGate's leaf gate keeps
-    // at-scale runs adaptive)
+    // at-scale runs adaptive) — and the capped collect runs as ONE job
+    // (cappedCollect) instead of CollectLimit's incremental 1-3
     val rows = graft.PlanGate.withAqeOffIfSmall(pairs)(
-      pairs.limit(maxRows + 1).collect())
+      graft.PlanGate.cappedCollect(pairs, maxRows + 1))
     if (rows.length > maxRows) None
     else Some(
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), pairs.schema))

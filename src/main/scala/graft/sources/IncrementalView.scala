@@ -227,7 +227,7 @@ object IncrementalView {
       //    A small dirty set collects to the driver and pushes as an
       //    IN-list; a window that dirties >10k groups keeps the join
       //    formulation rather than a 10k-literal plan.
-      val dirtyKeys = dirty.limit(10001).collect().map(_.get(0))
+      val dirtyKeys = graft.PlanGate.cappedCollect(dirty, 10001).map(_.get(0))
       if (dirtyKeys.length <= 10000)
         applyDirty(spark, srcRoot, viewRoot, groupCol, aggs, dirtyKeys,
           feedP.schema(groupCol).dataType, to)

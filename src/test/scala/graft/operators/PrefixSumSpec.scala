@@ -57,15 +57,21 @@ class PrefixSumSpec extends AnyFunSuite {
     val df = (1 to 100).map(i => ("g" + (i % 3), i.toLong, 1L))
       .toDF("grp", "ord", "v")
     PrefixSum.releaseCaches() // clean slate so the delta below is ours
-    val n0 = spark.sparkContext.getPersistentRDDs.size
+    // track OUR entry by RDD id, not global counts: the shared session's
+    // ContextCleaner asynchronously reaps OTHER suites' abandoned
+    // batch-scoped cache entries, so absolute-size equality flakes in a
+    // full-suite run
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = PrefixSum.groupedRunningSum(df, "grp", "ord", "v", "cum",
       smallInputBytes = 0L)
     assert(out.count() === 100)
-    assert(spark.sparkContext.getPersistentRDDs.size > n0,
+    val ours = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(ours.nonEmpty,
       "the partitioned slice must stay persisted while consumers run")
     PrefixSum.releaseCaches()
-    assert(spark.sparkContext.getPersistentRDDs.size === n0,
-      "release must return the cache to its pre-call state")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ours.forall(id => !after.contains(id)),
+      "release must drop the slice this call persisted")
   }
 
   test("plan: local scan is salted by partition id, offsets broadcast — no per-group window") {
