@@ -170,9 +170,22 @@ object Bench {
           else {
             val tmp = java.nio.file.Files
               .createTempDirectory("graft-interpass")
+            // best-effort cleanup at JVM exit (r16 advice: the temp dir
+            // leaked); deepest-first so the dir delete finds it empty
             val oracle = tmp.resolve("oracle_sql.json")
+            tmp.toFile.deleteOnExit()
+            oracle.toFile.deleteOnExit()
             java.nio.file.Files.writeString(oracle, Verify.oracleSqlJson)
-            Some(s"python3 tools/time_duckdb.py $sfDir $oracle 1 " +
+            // single-quote the interpolated paths for /bin/sh (r16
+            // advice: unquoted they break on spaces/metacharacters);
+            // $GRAFT_PASS must stay shell-expanded, so it is OUTSIDE
+            // the quoting
+            def sq(s: String) = "'" + s.replace("'", "'\\''") + "'"
+            System.err.println(
+              "[bench] interpass self-wired: bracketing every Spark pass " +
+                "with a DuckDB pass (duck_auto_pass$GRAFT_PASS.json; " +
+                "set SPARK_GRAFT_INTERPASS_CMD='' to disable)")
+            Some(s"python3 tools/time_duckdb.py ${sq(sfDir)} ${sq(oracle.toString)} 1 " +
               "> duck_auto_pass$GRAFT_PASS.json")
           }
         }
@@ -210,6 +223,7 @@ object Bench {
       // or another rep's — warm entry (r14 advice: min-of-reps was
       // timing an in-memory scan the DuckDB side recomputes every pass)
       graft.operators.PrefixSum.releaseCaches()
+      graft.operators.Dedup.releaseAdmissionCaches()
     }
     // the IVF index and the MinHash verified-candidate relation are
     // one-time infrastructure (built ONCE per corpus, consumed by
@@ -333,6 +347,7 @@ object Bench {
         // release the PREVIOUS query's per-call operator caches before
         // this row's clock starts (see the warmup-loop note)
         graft.operators.PrefixSum.releaseCaches()
+        graft.operators.Dedup.releaseAdmissionCaches()
         busFlush()
         val j0 = jobCounter.get()
         val t0 = System.nanoTime()

@@ -22,6 +22,34 @@ object PlanGate {
 
   val smallPlanBytes: Long = 256L << 20
 
+  /** Process-wide lock serializing every session-conf-scoped window
+    * (this object's [[cappedCollect]], `VersionedCorpus.withAqeOff`,
+    * and everything built on them). The scopes mutate SESSION-level
+    * conf around an action and restore in a finally; unserialized, two
+    * overlapping scopes on the shared session could each capture the
+    * other's TEMPORARY value as its "previous" and make the override
+    * permanent (r16 verdict). The lock closes that capture race — the
+    * save/mutate/act/restore sequence is atomic per scope. Reentrant,
+    * so the standing nesting (`withAqeOffIfSmall(cappedCollect(...))`)
+    * self-locks without deadlock.
+    *
+    * Residual, documented: a concurrent query on ANOTHER thread that
+    * compiles while a scope is open still plans with the scope's
+    * physical knobs (AQE off / capped width / high limit
+    * initial-partitions). Those knobs are physical-only — results are
+    * identical — and the gated scopes are by construction small-plan
+    * fast paths, so the window is milliseconds; serving deployments
+    * wanting zero cross-talk run maintenance actions on a dedicated
+    * session (`spark.newSession()` shares the catalog and cache but
+    * not the conf). */
+  private[graft] val confScopeLock =
+    new java.util.concurrent.locks.ReentrantLock()
+
+  private[graft] def confScoped[T](body: => T): T = {
+    confScopeLock.lock()
+    try body finally confScopeLock.unlock()
+  }
+
   /** Sum of the optimizer's leaf-relation size estimates — the plan's
     * read volume. `Long.MaxValue` when statistics are unavailable, so
     * an unknown plan NEVER takes the small-plan path. */
@@ -46,7 +74,7 @@ object PlanGate {
     * execution scan every partition, which is what the scale-up would
     * have done anyway by the time the cap is the question. */
   def cappedCollect(df: DataFrame,
-                    maxRows: Int): Array[org.apache.spark.sql.Row] = {
+                    maxRows: Int): Array[org.apache.spark.sql.Row] = confScoped {
     val spark = df.sparkSession
     val key = "spark.sql.limit.initialNumPartitions"
     val prev = try Some(spark.conf.get(key)) catch { case _: Throwable => None }

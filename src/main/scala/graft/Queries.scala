@@ -238,6 +238,97 @@ object Queries
        |    / len(list_distinct(sa.s || sb.s)), 4) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** `incr_admit_fixed` oracle: the FULL two-tier admission verdict
+    * under the closed-form hash — the exact-fingerprint anti-join
+    * tier, then the cross-set banded MinHash candidates restricted to
+    * the exact-tier survivors, the 3-gram Jaccard verify at ≥ 0.8, and
+    * the final anti-join, rolled up per lang. This is `incr_admit`'s
+    * byte-exact twin: the same kernel chain (`Dedup.admitIncoming`'s
+    * shape) with the seeded signature swapped for the polynomial hash,
+    * so the admit/reject VERDICT itself is replayed as one static
+    * DuckDB query. */
+  private[graft] lazy val incrAdmitFixedOracleSql: String =
+    s"""WITH $minhashPolyCtesSql,
+       |cfp AS (SELECT DISTINCT
+       |    array_to_string(list_sort(string_split(text, ' ')), ' ') AS fp
+       |  FROM documents WHERE doc_id < 250),
+       |keptx AS (SELECT i.doc_id, i.lang
+       |  FROM documents i
+       |  WHERE i.doc_id >= 250 AND i.doc_id < 2000 AND NOT EXISTS (
+       |    SELECT 1 FROM cfp c WHERE c.fp =
+       |      array_to_string(list_sort(string_split(i.text, ' ')), ' '))),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+       |  JOIN keptx k ON k.doc_id = a.doc_id
+       |  WHERE b.doc_id < 250),
+       |sets AS (SELECT doc_id, list(gram) AS s FROM g GROUP BY doc_id),
+       |rej AS (
+       |  SELECT DISTINCT c.id_a AS doc_id
+       |  FROM cand c
+       |  JOIN sets sa ON sa.doc_id = c.id_a
+       |  JOIN sets sb ON sb.doc_id = c.id_b
+       |  WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+       |      / len(list_distinct(sa.s || sb.s)), 4) >= 0.8)
+       |SELECT k.lang, count(*)::BIGINT AS n_admitted,
+       |  min(k.doc_id) AS first_id
+       |FROM keptx k
+       |WHERE k.doc_id NOT IN (SELECT doc_id FROM rej)
+       |GROUP BY k.lang ORDER BY k.lang""".stripMargin
+
+  /** `incr_gated_admit_fixed` oracle: [[incrAdmitFixedOracleSql]] with
+    * the row-local Gopher quality gate in front of the exact tier —
+    * `Dedup.gateAndAdmit`'s verdict under the closed-form hash. The
+    * gate's four rules replay `q_gopher_rules`' oracle arithmetic
+    * verbatim. */
+  private[graft] lazy val incrGatedAdmitFixedOracleSql: String =
+    s"""WITH $minhashPolyCtesSql,
+       |gt AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       |  FROM documents WHERE doc_id >= 250 AND doc_id < 2000),
+       |gs AS (SELECT doc_id,
+       |    len(tk) AS n_words,
+       |    list_sum(list_transform(tk, x -> length(x)))::DOUBLE
+       |      / len(tk) AS mwl,
+       |    len(list_filter(tk, x -> x IN ('the','a','of','to','in')))
+       |      AS n_stop,
+       |    list_max(list_transform(list_distinct(tk),
+       |        w -> len(list_filter(tk, x -> x = w))))::DOUBLE
+       |      / len(tk) AS topfrac
+       |  FROM gt),
+       |gpass AS (SELECT doc_id FROM gs
+       |  WHERE n_words >= 20 AND n_words <= 80
+       |    AND mwl >= 3.9 AND mwl <= 5.0 AND n_stop >= 2
+       |    AND topfrac <= 0.15),
+       |cfp AS (SELECT DISTINCT
+       |    array_to_string(list_sort(string_split(text, ' ')), ' ') AS fp
+       |  FROM documents WHERE doc_id < 250),
+       |keptx AS (SELECT i.doc_id, i.lang
+       |  FROM documents i JOIN gpass gp ON gp.doc_id = i.doc_id
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM cfp c WHERE c.fp =
+       |      array_to_string(list_sort(string_split(i.text, ' ')), ' '))),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+       |  JOIN keptx k ON k.doc_id = a.doc_id
+       |  WHERE b.doc_id < 250),
+       |sets AS (SELECT doc_id, list(gram) AS s FROM g GROUP BY doc_id),
+       |rej AS (
+       |  SELECT DISTINCT c.id_a AS doc_id
+       |  FROM cand c
+       |  JOIN sets sa ON sa.doc_id = c.id_a
+       |  JOIN sets sb ON sb.doc_id = c.id_b
+       |  WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+       |      / len(list_distinct(sa.s || sb.s)), 4) >= 0.8)
+       |SELECT k.lang, count(*)::BIGINT AS n_admitted,
+       |  min(k.doc_id) AS first_id
+       |FROM keptx k
+       |WHERE k.doc_id NOT IN (SELECT doc_id FROM rej)
+       |GROUP BY k.lang ORDER BY k.lang""".stripMargin
+
   /** `dedup_pipeline_lsh_fixed` oracle: the END-TO-END LSH dedup
     * pipeline under the closed-form hash — [[minhashFixedOracleSql]]'s
     * candidate chain (distinct 3-gram shingles → polynomial hash →

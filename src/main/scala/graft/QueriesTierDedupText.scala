@@ -219,6 +219,78 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       Some(incrWinnowFixedOracleSql),
       "incremental winnowing near-dup under the closed-form hash: cross-set fingerprint buckets, full DuckDB replay"),
 
+    "incr_admit_fixed" -> DeclaredQuery(
+      // incr_admit's ORACLE TWIN — the FULL admission VERDICT under the
+      // closed-form hash: the same two-tier chain as Dedup.admitIncoming
+      // (exact-fingerprint anti-join, cross-set banded candidates over
+      // the exact-tier survivors, 3-gram Jaccard verify ≥ 0.8, final
+      // anti-join, per-lang rollup) with the seeded MinHash swapped for
+      // the polynomial hash, so the admit/reject decision itself — not
+      // just the candidate tier (incr_near_dup_fixed) — is replayed
+      // byte-exactly by one static DuckDB query. The banded relation is
+      // the shared maintained memo; restricting it to the exact-tier
+      // survivors ≡ banding the survivors (signatures are per-doc).
+      (s, dir) => {
+        val docs = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        val incoming = docs.filter(col("doc_id") >= 250)
+        val corpus = docs.filter(col("doc_id") < 250)
+        val exactKept = Dedup.incrementalExact(incoming,
+          Dedup.tokenFingerprint(col("text")),
+          corpus, Dedup.tokenFingerprint(col("text")))
+        val banded = sharedPolyMinhashBanded(s, dir)
+        val cands = NearDup.materializePairs(
+          NearDup.minHashPolyCrossPairs(
+            banded.join(exactKept.select(col("doc_id").as("_id")),
+              Seq("_id"), "left_semi"),
+            banded.filter(col("_id") < 250))
+            .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+        val rejected = NearDup.jaccardVerify(docs, "doc_id", "text", cands)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_a").as("doc_id")).distinct()
+        localFrameOrdered(
+          exactKept.join(broadcast(rejected), Seq("doc_id"), "left_anti")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_admitted"),
+              min(col("doc_id")).as("first_id")), "lang")
+      },
+      Some(incrAdmitFixedOracleSql),
+      "two-tier admission verdict under the closed-form hash: exact tier + banded cross candidates + Jaccard verify + anti-join, full DuckDB replay"),
+
+    "incr_gated_admit_fixed" -> DeclaredQuery(
+      // incr_gated_admit's ORACLE TWIN — Dedup.gateAndAdmit's verdict
+      // under the closed-form hash: the row-local Gopher gate runs
+      // FIRST (quality rejects never pay the dedup tiers — the same
+      // ingestion order as the production row), then the incr_admit
+      // chain above on the survivors. With the gate's arithmetic
+      // already oracle-certified row-local (q_gopher_rules), this row
+      // certifies the GATED COMPOSITION end-to-end.
+      (s, dir) => {
+        val docs = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        val incoming = docs.filter(col("doc_id") >= 250)
+          .filter(TextAnalysis.gopherPass(col("text")))
+        val corpus = docs.filter(col("doc_id") < 250)
+        val exactKept = Dedup.incrementalExact(incoming,
+          Dedup.tokenFingerprint(col("text")),
+          corpus, Dedup.tokenFingerprint(col("text")))
+        val banded = sharedPolyMinhashBanded(s, dir)
+        val cands = NearDup.materializePairs(
+          NearDup.minHashPolyCrossPairs(
+            banded.join(exactKept.select(col("doc_id").as("_id")),
+              Seq("_id"), "left_semi"),
+            banded.filter(col("_id") < 250))
+            .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+        val rejected = NearDup.jaccardVerify(docs, "doc_id", "text", cands)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_a").as("doc_id")).distinct()
+        localFrameOrdered(
+          exactKept.join(broadcast(rejected), Seq("doc_id"), "left_anti")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_admitted"),
+              min(col("doc_id")).as("first_id")), "lang")
+      },
+      Some(incrGatedAdmitFixedOracleSql),
+      "quality-gated admission verdict under the closed-form hash: Gopher gate + two-tier admission, full DuckDB replay"),
+
     "incr_near_dup_embed" -> DeclaredQuery(
       // the VECTOR tier of incremental ingestion, driver-visible:
       // incoming vectors meet the existing corpus only inside shared
@@ -270,14 +342,15 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // Float cosine + seeded LSH → rows-only per the contract.
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
-        localFrameOrdered(Dedup.admitIncomingVectors(
-            emb.filter(col("vec_id") % 5 === 0),
-            emb.filter(col("vec_id") % 5 =!= 0),
-            "vec_id", "embedding", minCosine = 0.3,
-            dim = embStats(s, dir)._2)
-          .groupBy((col("vec_id") % 100).as("id_bucket"))
-          .agg(count(lit(1)).as("n_admitted"),
-            min(col("vec_id")).as("first_id")), "id_bucket")
+        Dedup.withAdmissionScope(
+          localFrameOrdered(Dedup.admitIncomingVectors(
+              emb.filter(col("vec_id") % 5 === 0),
+              emb.filter(col("vec_id") % 5 =!= 0),
+              "vec_id", "embedding", minCosine = 0.3,
+              dim = embStats(s, dir)._2)
+            .groupBy((col("vec_id") % 100).as("id_bucket"))
+            .agg(count(lit(1)).as("n_admitted"),
+              min(col("vec_id")).as("first_id")), "id_bucket"))
       },
       // PROMOTED (round 10): deterministic planes at the fixed default
       // nbits=8 make the whole admit/reject decision a static replay
@@ -376,13 +449,14 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // asserted in StreamsSpec)
       (s, dir) => {
         val docs = T(s, dir, "documents")
-        localFrameOrdered(Dedup.admitIncoming(
-            docs.filter(col("doc_id") >= 250),
-            docs.filter(col("doc_id") < 250),
-            "doc_id", "text")
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_admitted"),
-            min(col("doc_id")).as("first_id")), "lang")
+        Dedup.withAdmissionScope(
+          localFrameOrdered(Dedup.admitIncoming(
+              docs.filter(col("doc_id") >= 250),
+              docs.filter(col("doc_id") < 250),
+              "doc_id", "text")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_admitted"),
+              min(col("doc_id")).as("first_id")), "lang"))
       },
       None,
       "incremental admission e2e: exact anti-join tier + cross-set near-dup tier → admitted per lang"),
@@ -405,20 +479,22 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
         val corpus = docs.filter(col("doc_id") < 250)
         val day1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
         val day2 = docs.filter(col("doc_id") >= 375)
-        val adm1 = Dedup.admitIncoming(day1, corpus, "doc_id", "text")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          adm1.count()
-          val corpus2 = corpus.select(col("doc_id"), col("text"))
-            .union(adm1.select(col("doc_id"), col("text")))
-          val adm2 = Dedup.admitIncoming(day2, corpus2, "doc_id", "text")
-          localFrameOrdered(
-            adm1.select(col("doc_id"), col("lang"), lit(1L).as("day"))
-              .union(adm2.select(col("doc_id"), col("lang"), lit(2L).as("day")))
-              .groupBy(col("day"), col("lang"))
-              .agg(count(lit(1)).as("n_admitted"),
-                min(col("doc_id")).as("first_id")), "day", "lang")
-        } finally adm1.unpersist()
+        Dedup.withAdmissionScope {
+          val adm1 = Dedup.admitIncoming(day1, corpus, "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            adm1.count()
+            val corpus2 = corpus.select(col("doc_id"), col("text"))
+              .union(adm1.select(col("doc_id"), col("text")))
+            val adm2 = Dedup.admitIncoming(day2, corpus2, "doc_id", "text")
+            localFrameOrdered(
+              adm1.select(col("doc_id"), col("lang"), lit(1L).as("day"))
+                .union(adm2.select(col("doc_id"), col("lang"), lit(2L).as("day")))
+                .groupBy(col("day"), col("lang"))
+                .agg(count(lit(1)).as("n_admitted"),
+                  min(col("doc_id")).as("first_id")), "day", "lang")
+          } finally adm1.unpersist()
+        }
       },
       None,
       "sequential ingestion e2e: day-2 admission runs against corpus ∪ day-1 admissions (evolving-corpus batch twin)"),
@@ -437,7 +513,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // near-dup tier → rows-only per the contract.
       (s, dir) => {
         val tmpRoot = java.nio.file.Files.createTempDirectory("graft-vcadmit")
-        try {
+        try Dedup.withAdmissionScope {
           val root = s"$tmpRoot/corpus"
           val docs = T(s, dir, "documents")
             .select(col("doc_id"), col("text"), col("lang"))

@@ -38,9 +38,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop per-call operator caches (PrefixSum pid slices) between
-      // queries — same bounded-cache discipline as Bench
+      // drop per-call operator caches (PrefixSum pid slices, unscoped
+      // admission intermediates) between queries — same bounded-cache
+      // discipline as Bench
       graft.operators.PrefixSum.releaseCaches()
+      graft.operators.Dedup.releaseAdmissionCaches()
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleSqlJson)
     spark.stop()

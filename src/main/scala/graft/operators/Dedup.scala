@@ -15,6 +15,78 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // ── admission-cache lifecycle ─────────────────────────────────────
+  // The incremental-admission kernels persist one or two batch-scoped
+  // intermediates (the exact-kept slice; on candidate overflow, the
+  // lazy candidate lineage). Dataset.persist registers the plan in the
+  // session's CacheManager, which holds a STRONG reference until an
+  // explicit unpersist — Spark's ContextCleaner never reaps it (r16
+  // advice: the old comment claimed otherwise; in a long-running
+  // ingestion loop every micro-batch leaked a cache entry and its disk
+  // blocks). The kernels themselves cannot unpersist: the returned
+  // frame still references the cached subtree and the caller's
+  // consuming action happens after the call returns. So entries are
+  // tracked and released by whoever owns the batch boundary:
+  //   * callers that consume the result before moving on (every
+  //     production caller: the declared rows collect to a local frame,
+  //     the streaming mirrors write the micro-batch inside
+  //     foreachBatch) wrap the call+consumption in
+  //     [[withAdmissionScope]] — the THREAD-LOCAL scope unpersists in
+  //     a finally, so one thread can never release another's live
+  //     slice;
+  //   * anything persisted OUTSIDE a scope lands in an orphan queue
+  //     drained by [[releaseAdmissionCaches]] at loop boundaries
+  //     (Bench/Verify call it between queries).
+  private val scopeStack =
+    new ThreadLocal[java.util.ArrayDeque[
+        scala.collection.mutable.ArrayBuffer[DataFrame]]] {
+      override def initialValue() =
+        new java.util.ArrayDeque[
+          scala.collection.mutable.ArrayBuffer[DataFrame]]()
+    }
+  private val orphanCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def registerCache(df: DataFrame): DataFrame = {
+    val st = scopeStack.get()
+    if (!st.isEmpty) st.peek() += df else orphanCaches.add(df)
+    df
+  }
+
+  /** Run `body` — an admission call PLUS the consuming action of its
+    * returned frame — and unpersist every intermediate the admission
+    * kernels cached during it. Scopes nest (inner scope releases only
+    * its own entries) and are thread-local: concurrent admission loops
+    * on other threads are never touched. The returned frame must not
+    * be consumed again after the scope closes — it would recompute the
+    * whole chain (correct, just unfused). */
+  def withAdmissionScope[T](body: => T): T = {
+    val st = scopeStack.get()
+    st.push(scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+    try body
+    finally {
+      val mine = st.pop()
+      mine.foreach { df =>
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  /** Release admission intermediates persisted OUTSIDE any
+    * [[withAdmissionScope]] — the loop-boundary escape hatch for
+    * callers (benchmarks, ad-hoc sessions) that didn't scope. Safe
+    * only between batches: a frame returned by an unscoped admission
+    * call recomputes (correctly) if consumed after this. */
+  def releaseAdmissionCaches(): Unit = {
+    var df = orphanCaches.poll()
+    while (df != null) {
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      df = orphanCaches.poll()
+    }
+  }
+
   /** Canonical text fingerprint: the sorted token multiset. Catches
     * reordered-but-identical word-soup documents, not just byte-equal
     * ones. */
@@ -239,12 +311,14 @@ object Dedup {
     // chain re-executes per consumer (the lazy-recompute trap profiled
     // on incr_clean_admit); the candidate collect right below populates
     // the cache as a side effect, so the persist costs no extra job.
-    // No explicit unpersist: the handle is batch-scoped (one micro-batch
-    // / one declared-row invocation, a few hundred rows) and Spark's
-    // ContextCleaner reaps it with the DataFrame.
-    val exactKept = incrementalExact(incoming,
+    // Lifecycle: registered with the admission-cache registry (see the
+    // object header) — the enclosing withAdmissionScope (or a later
+    // releaseAdmissionCaches) unpersists it once the caller's consuming
+    // action is done. CacheManager holds a strong reference until then;
+    // ContextCleaner alone would never reap it.
+    val exactKept = registerCache(incrementalExact(incoming,
       tokenFingerprint(col(textCol)), corpus, tokenFingerprint(col(textCol)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val candLineage =
       NearDup.minHashCrossCandidates(exactKept, corpus, idCol, textCol)
     NearDup.materializePairsOpt(candLineage, maxCandidates) match {
@@ -264,10 +338,11 @@ object Dedup {
         // candidate set exceeded the driver cap: keep the job alive with
         // the fully distributed shape — persist the lazy candidates so
         // the signature pass runs once across the verify's consumers
-        // (batch-scoped handle, ContextCleaner reaps it), verify
-        // distributed, and anti-join without a driver-held reject set.
-        val cands = candLineage
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // (registry-tracked handle; the caller's scope / the next
+        // releaseAdmissionCaches unpersists it), verify distributed,
+        // and anti-join without a driver-held reject set.
+        val cands = registerCache(candLineage
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val verified = NearDup.jaccardVerifyCross(
           exactKept, corpus, idCol, textCol, cands)
           .filter(col("jaccard") >= minJaccard)
@@ -426,8 +501,9 @@ object Dedup {
           "left_anti")
       case None =>
         // overflow: distributed degrade, same shape as admitIncoming's
-        val cands = candLineage
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // (registry-tracked persist — see the object header)
+        val cands = registerCache(candLineage
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val verified = NearDup.cosineVerifyCross(incoming, corpus, idCol,
             vecCol, cands)
           .filter(col("cos") >= minCosine)

@@ -59,12 +59,18 @@ object PrefixSum {
   // on, re-sampling its range boundaries — the exact mis-sum hazard the
   // persist exists to close. Every production caller builds and releases
   // on the same thread (the bench/verify/serve loop that ran the query).
+  // Keyed by the Thread OBJECT, not its id — JVM thread ids are reused,
+  // and an id-keyed map could hand a new thread a dead thread's queue
+  // (r16 advice). Entries for threads that died without releasing stay
+  // until [[releaseAllCaches]] (the shutdown/loop-boundary sweep); the
+  // strong key is deliberate — a weak one would silently drop the only
+  // handles that can ever unpersist those slices.
   private val live =
     new java.util.concurrent.ConcurrentHashMap[
-      Long, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+      Thread, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
 
   private def myQueue() = live.computeIfAbsent(
-    Thread.currentThread().getId,
+    Thread.currentThread(),
     _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
 
   /** Unpersist every partitioned slice persisted by prior
@@ -74,16 +80,36 @@ object PrefixSum {
     * sampled range boundaries on each reference and may mis-sum (the
     * hazard the persist exists to close) — so callers release at loop
     * boundaries, not mid-query. Other threads' live slices are never
-    * touched. */
+    * touched — which also means a release MUST run on the thread that
+    * ran the query: a pool that builds on worker threads and releases
+    * from the loop thread should use [[releaseAllCaches]] at a point
+    * where no worker is mid-query instead. */
   def releaseCaches(): Unit = {
-    val q = live.remove(Thread.currentThread().getId)
-    if (q != null) {
-      var df = q.poll()
-      while (df != null) {
-        try df.unpersist(blocking = false)
-        catch { case _: Throwable => () }
-        df = q.poll()
-      }
+    val q = live.remove(Thread.currentThread())
+    if (q != null) drain(q)
+  }
+
+  /** Unpersist EVERY thread's registered slices — the escape hatch for
+    * shutdown and for pool-dispatch loops where the building thread and
+    * the releasing thread differ (r16 advice: without it, cross-thread
+    * release was a silent no-op and dead threads' queues leaked
+    * forever). Safe ONLY at a global quiescent point: no thread may be
+    * mid-query on a groupedRunningSum result when this runs. */
+  def releaseAllCaches(): Unit = {
+    val it = live.keySet().iterator()
+    while (it.hasNext) {
+      val q = live.remove(it.next())
+      if (q != null) drain(q)
+    }
+  }
+
+  private def drain(
+      q: java.util.concurrent.ConcurrentLinkedQueue[DataFrame]): Unit = {
+    var df = q.poll()
+    while (df != null) {
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      df = q.poll()
     }
   }
 
@@ -107,7 +133,11 @@ object PrefixSum {
     * conservative (a filter over a big scan estimates big without
     * CBO), so scale inputs can't accidentally take the serial path;
     * `smallInputBytes = 0` pins the two-phase plan (the specs do).
-    * Result rows are identical either way (PrefixSumSpec). */
+    * Result rows are identical either way (PrefixSumSpec).
+    *
+    * THREADING: the persisted slice registers against the CALLING
+    * thread — [[releaseCaches]] must run on that same thread (see its
+    * note), or use [[releaseAllCaches]] at a quiescent point. */
   def groupedRunningSum(df: DataFrame, group: String, order: String,
                         value: String, out: String,
                         smallInputBytes: Long = 64L << 20): DataFrame = {

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, max, min}
+import org.apache.spark.sql.functions.{broadcast, col, lit, max, min}
 
 /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE over a versioned corpus —
   * the change feed's second consumer (after [[VersionedCorpus.replicate]]):
@@ -86,14 +86,27 @@ object IncrementalView {
     // scheduler-floor job each with nothing to re-plan. At-scale
     // stores keep adaptive planning — the recompute scan there is the
     // real work the materialization jobs amortize against.
+    def scopedIf[T](rowBound: Long)(body: => T): T =
+      if (rowBound <= 1000000L) VersionedCorpus.withAqeOff(spark)(body)
+      else body
+    // change-row bound for the INCREMENTAL window path only. The
+    // first-build path must NOT use it: a compacted store (one large
+    // base generation, history vacuumed) has a change-row sum of 0
+    // while its snapshot is arbitrarily large (r16 advice — the full
+    // first-build aggregate was collapsing to 4 reducers with AQE off
+    // on exactly the at-scale shape the bound exists to exclude).
     val storeRows = VersionedCorpus.commits(srcRoot)
       .filterNot(c => c.base || c.kind == "optimize").map(_.rows).sum
-    def scoped[T](body: => T): T =
-      if (storeRows <= 1000000L) VersionedCorpus.withAqeOff(spark)(body)
-      else body
+    def scoped[T](body: => T): T = scopedIf(storeRows)(body)
     if (from < 0L) {
-      // first build: one full aggregate, committed as the view's base
-      scoped {
+      // first build: one full aggregate over the WHOLE snapshot — gate
+      // on total committed rows (base generations included; counts
+      // tombstones and superseded rows too, i.e. a conservative
+      // overestimate of the snapshot, so a big store can never
+      // accidentally take the small path)
+      val snapshotRows =
+        VersionedCorpus.commits(srcRoot).map(_.rows).sum
+      scopedIf(snapshotRows) {
         val full = VersionedCorpus.snapshot(spark, srcRoot)
           .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
         VersionedCorpus.upsert(full, viewRoot, groupCol)
@@ -114,77 +127,113 @@ object IncrementalView {
       .filterNot(c => c.base || c.kind == "optimize")
       .map(_.rows).sum
     if (windowRows <= fuseLimit) scoped {
-      val slice = feed
-        .select(col(groupCol), col(keyCol), col("_change_type"))
-        .collect()
       // DRIFT GUARD (r15 advice): the fused-path decision trusts the
       // manifest row-count mirror of changesBetween's gen filter. If the
       // two filters ever diverge (a new commit kind counted by one and
       // not the other), fail loudly here rather than silently refreshing
-      // from a mis-sized slice — the collect above is bounded by the
-      // feed's actual size, which a drift could not grow past the
+      // from a mis-sized slice — the collected feed part is bounded by
+      // the feed's actual size, which a drift could not grow past the
       // window's own files.
-      require(slice.length == windowRows,
-        s"incremental-view feed/manifest drift: collected ${slice.length} " +
+      def driftGuard(collected: Int): Unit = require(collected == windowRows,
+        s"incremental-view feed/manifest drift: collected $collected " +
           s"change rows but manifests declare $windowRows for gens " +
           s"($from, $to] — changesBetween's filter and the fused-path " +
           "row-count mirror disagree (new commit kind?)")
-      // FUSED small-window path: everything up to the recompute is
-      // driver arithmetic over the one collected slice.
-      val direct = slice.iterator
-        .filter(_.getString(2) != "delete").map(_.get(0)).toArray.distinct
-      val mutated = slice.iterator
-        .filter(_.getString(2) != "insert").map(_.get(1)).toArray.distinct
-      val preGroups: Array[Any] =
-        if (mutated.isEmpty) Array.empty // inserts only: no preimages
-        else groupFromKey match {
-          case Some(expr) =>
-            // the caller declared group ≡ expr(key): every mutated
-            // key's OLD group is computable from the key alone, so the
-            // preimage needs NO corpus read — a LocalRelation projection
-            // over the driver-held keys, folded by the optimizer
-            // (ConvertToLocalRelation) into a job-free LocalTableScan.
-            // At 100 TB this deletes the only corpus-sized I/O the
-            // small-window refresh had left.
-            val kType = feed.schema(keyCol).dataType
-            val kdf = spark.createDataFrame(
-              java.util.Arrays.asList(
-                mutated.map(org.apache.spark.sql.Row(_)): _*),
-              new org.apache.spark.sql.types.StructType().add(keyCol, kType))
-            kdf.select(expr.as(groupCol)).collect().map(_.get(0)).distinct
-          case None =>
-            // integral keys ride the manifest-pruned range path; a
-            // non-integral key falls back to the plain pre-window
-            // snapshot — correct, just unpruned. Each mutated key had
-            // at most one old row, so preGroups is bounded by the
-            // slice, like `direct`. A small key set pushes as an
-            // IN-list into the scan; a large one goes through the
-            // broadcast semi-join (a many-thousand-literal In costs
-            // more in planning than the join saves in jobs).
-            val nums = mutated.collect { case n: java.lang.Number => n.longValue() }
-            val preRows =
-              if (nums.nonEmpty && nums.length == mutated.length)
-                VersionedCorpus.lookupKeyRange(spark, srcRoot,
-                  nums.min, nums.max, asOf = from)
-              else VersionedCorpus.snapshot(spark, srcRoot, from)
-            val filtered =
-              if (mutated.length <= 1000)
-                preRows.filter(col(keyCol).isin(mutated.toSeq: _*))
-              else {
+      // preimage plan over a driver-held mutated-key set: integral keys
+      // ride the manifest-pruned range path; a non-integral key falls
+      // back to the plain pre-window snapshot — correct, just unpruned.
+      // Each mutated key had at most one old row, so the preimage is
+      // bounded by the window, like `direct`. A small key set pushes as
+      // an IN-list into the scan; a large one goes through the
+      // broadcast semi-join (a many-thousand-literal In costs more in
+      // planning than the join saves in jobs).
+      def preimagePlan(mutated: Array[Any]): DataFrame = {
+        val nums = mutated.collect { case n: java.lang.Number => n.longValue() }
+        val preRows =
+          if (nums.nonEmpty && nums.length == mutated.length)
+            VersionedCorpus.lookupKeyRange(spark, srcRoot,
+              nums.min, nums.max, asOf = from)
+          else VersionedCorpus.snapshot(spark, srcRoot, from)
+        if (mutated.length <= 1000)
+          preRows.filter(col(keyCol).isin(mutated.toSeq: _*))
+        else {
+          val kType = feed.schema(keyCol).dataType
+          val kdf = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              mutated.toSeq.map(org.apache.spark.sql.Row(_))),
+            new org.apache.spark.sql.types.StructType()
+              .add(keyCol, kType))
+          preRows.join(broadcast(kdf), Seq(keyCol), "left_semi")
+        }
+      }
+      // MEMO-FUSED sub-path (r17): the window's mutated keys are exactly
+      // the upsert/delete generations' key sets, which their committers
+      // already memoized from the staged write's observe metric
+      // (windowMutatedKeys — zero jobs). With the keys known BEFORE any
+      // collect, the preimage plan no longer depends on the change
+      // slice, so the two collects (slice + preimage groups) fuse into
+      // ONE union job. Falls back to the sequential two-collect path
+      // when any mutating gen's memo is missing (cold process, LRU
+      // eviction, foreign committer) — and is skipped under
+      // `groupFromKey`, whose preimage is job-free already.
+      val memoMutated: Option[Array[Any]] =
+        if (groupFromKey.isDefined) None
+        else VersionedCorpus.windowMutatedKeys(srcRoot, from, to)
+          .map(_.toArray)
+      val (direct, preGroups): (Array[Any], Array[Any]) = memoMutated match {
+        case Some(mutated) =>
+          val feedPart = feed.select(col(groupCol).as("_vc_g"),
+            col("_change_type").as("_vc_ct"), lit("f").as("_vc_src"))
+          val plan =
+            if (mutated.isEmpty) feedPart // inserts only: no preimages
+            else feedPart.unionByName(preimagePlan(mutated).select(
+              col(groupCol).as("_vc_g"),
+              lit(null).cast("string").as("_vc_ct"),
+              lit("p").as("_vc_src")))
+          val rows = plan.collect()
+          val (fRows, pRows) = rows.partition(_.getString(2) == "f")
+          driftGuard(fRows.length)
+          (fRows.iterator.filter(_.getString(1) != "delete")
+             .map(_.get(0)).toArray.distinct,
+           pRows.iterator.map(_.get(0)).toArray.distinct)
+        case None =>
+          // FUSED small-window path: everything up to the recompute is
+          // driver arithmetic over the one collected slice.
+          val slice = feed
+            .select(col(groupCol), col(keyCol), col("_change_type"))
+            .collect()
+          driftGuard(slice.length)
+          val direct0 = slice.iterator
+            .filter(_.getString(2) != "delete").map(_.get(0)).toArray.distinct
+          val mutated = slice.iterator
+            .filter(_.getString(2) != "insert").map(_.get(1)).toArray.distinct
+          val pre: Array[Any] =
+            if (mutated.isEmpty) Array.empty // inserts only: no preimages
+            else groupFromKey match {
+              case Some(expr) =>
+                // the caller declared group ≡ expr(key): every mutated
+                // key's OLD group is computable from the key alone, so the
+                // preimage needs NO corpus read — a LocalRelation projection
+                // over the driver-held keys, folded by the optimizer
+                // (ConvertToLocalRelation) into a job-free LocalTableScan.
+                // At 100 TB this deletes the only corpus-sized I/O the
+                // small-window refresh had left.
                 val kType = feed.schema(keyCol).dataType
                 val kdf = spark.createDataFrame(
-                  spark.sparkContext.parallelize(
-                    mutated.toSeq.map(org.apache.spark.sql.Row(_))),
-                  new org.apache.spark.sql.types.StructType()
-                    .add(keyCol, kType))
-                preRows.join(broadcast(kdf), Seq(keyCol), "left_semi")
-              }
-            // collect UNDEDUPED and dedup driver-side: the result is
-            // bounded by the mutated-key count (≤ the collected slice,
-            // one live old row per key), and skipping the distinct
-            // keeps the preimage read a single shuffle-free job
-            filtered.select(col(groupCol)).collect().map(_.get(0)).distinct
-        }
+                  java.util.Arrays.asList(
+                    mutated.map(org.apache.spark.sql.Row(_)): _*),
+                  new org.apache.spark.sql.types.StructType().add(keyCol, kType))
+                kdf.select(expr.as(groupCol)).collect().map(_.get(0)).distinct
+              case None =>
+                // collect UNDEDUPED and dedup driver-side: the result is
+                // bounded by the mutated-key count (≤ the collected slice,
+                // one live old row per key), and skipping the distinct
+                // keeps the preimage read a single shuffle-free job
+                preimagePlan(mutated).select(col(groupCol))
+                  .collect().map(_.get(0)).distinct
+            }
+          (direct0, pre)
+      }
       val dirtyKeys = (direct ++ preGroups).distinct
       applyDirty(spark, srcRoot, viewRoot, groupCol, aggs, dirtyKeys,
         feed.schema(groupCol).dataType, to)

@@ -465,23 +465,31 @@ object VersionedCorpus {
     * partitions bound the per-task slice; at-scale plans keep AQE and
     * full width. Session-scoped conf: safe under the single-writer
     * commit contract these paths already hold. */
-  private[graft] def withAqeOff[T](spark: SparkSession)(body: => T): T = {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val spKey = "spark.sql.shuffle.partitions"
-    val prevAqe = spark.conf.get(aqeKey, "true")
-    if (prevAqe == "false") body
-    else {
-      val prevSp = spark.conf.get(spKey, "200")
-      val cappedSp =
-        try math.min(prevSp.toInt, 4).toString catch { case _: Throwable => "4" }
-      spark.conf.set(aqeKey, "false")
-      spark.conf.set(spKey, cappedSp)
-      try body finally {
-        spark.conf.set(aqeKey, prevAqe)
-        spark.conf.set(spKey, prevSp)
+  // conf-scope atomicity: the save/mutate/act/restore sequence runs
+  // under PlanGate.confScopeLock (r16 verdict — two unserialized
+  // overlapping scopes could each capture the other's temporary value
+  // as "previous", pinning the override; see the lock's scaladoc for
+  // the documented residual). The prevAqe read happens INSIDE the lock
+  // so a scope can never mistake another scope's transient "false" for
+  // the session's steady state.
+  private[graft] def withAqeOff[T](spark: SparkSession)(body: => T): T =
+    graft.PlanGate.confScoped {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val spKey = "spark.sql.shuffle.partitions"
+      val prevAqe = spark.conf.get(aqeKey, "true")
+      if (prevAqe == "false") body
+      else {
+        val prevSp = spark.conf.get(spKey, "200")
+        val cappedSp =
+          try math.min(prevSp.toInt, 4).toString catch { case _: Throwable => "4" }
+        spark.conf.set(aqeKey, "false")
+        spark.conf.set(spKey, cappedSp)
+        try body finally {
+          spark.conf.set(aqeKey, prevAqe)
+          spark.conf.set(spKey, prevSp)
+        }
       }
     }
-  }
 
   /** The staged-commit write width for a SMALL input: ~16 MB of
     * estimated input per task, floor 1 — a kilobyte maintenance commit
@@ -976,6 +984,27 @@ object VersionedCorpus {
     if (keys.lengthCompare(tombLocalMaxRows) <= 0)
       tombGenKeysMemo.put(tombMemoKey(root, gen), keys)
 
+  /** Driver-held MUTATED-KEY set of the (from, to] window — the union
+    * of the window's upsert/delete generations' memoized key sets
+    * (exactly the keys whose feed rows carry `_change_type` ≠ "insert":
+    * append gens mutate nothing). `Some(keys)` iff EVERY mutating gen
+    * in the window has a memo entry (its committer collected the key
+    * set, and the LRU hasn't evicted it); `None` sends the caller to
+    * the feed-derived path. Zero jobs either way — this is the
+    * commit-side observe metric paying off a second time: the
+    * incremental-view refresh can build its preimage plan WITHOUT
+    * first collecting the change slice, fusing the two collects into
+    * one. */
+  private[graft] def windowMutatedKeys(root: String, from: Long,
+                                       to: Long): Option[Seq[Any]] = {
+    val muts = commits(root).filter(c => c.gen > from && c.gen <= to)
+      .filter(c => c.kind == "upsert" || c.kind == "delete")
+    val sets = muts.map(c =>
+      Option(tombGenKeysMemo.get(tombMemoKey(root, c.gen))))
+    if (sets.exists(_.isEmpty)) None
+    else Some(sets.flatMap(_.get).distinct)
+  }
+
   /** [[tombMax]] for a MANIFEST-BOUNDED-small tombstone window, read
     * UNFILTERED from the window's gen dirs (a pred-pruned caller gets
     * extra never-matching keys — harmless under the equi-join). Gens
@@ -990,6 +1019,26 @@ object VersionedCorpus {
                            tombGens: Seq[Commit],
                            keyField: org.apache.spark.sql.types.StructField)
       : DataFrame = {
+    val perGen = tombKeysByGen(spark, root, tombGens, keyField)
+    val m = new scala.collection.mutable.HashMap[Any, Long]()
+    perGen.foreach { case (g, ks) =>
+      ks.foreach { k =>
+        if (m.getOrElse(k, Long.MinValue) < g) m(k) = g
+      }
+    }
+    localTmaxFrame(spark, m.toSeq, keyField)
+  }
+
+  /** The per-generation tombstone key sets of a manifest-bounded-small
+    * window, driver-held — [[tombMaxLocal]]'s underlying read, exposed
+    * so the merge plan can choose between the LocalRelation join and
+    * the job-free static-predicate form. Memo-cached gens cost nothing;
+    * the uncached remainder reads as one union job and back-fills the
+    * memo. */
+  private def tombKeysByGen(spark: SparkSession, root: String,
+                            tombGens: Seq[Commit],
+                            keyField: org.apache.spark.sql.types.StructField)
+      : Map[Long, Seq[Any]] = {
     import org.apache.spark.sql.functions.{col, lit}
     val cached = tombGens.map(c =>
       c -> tombGenKeysMemo.get(tombMemoKey(root, c.gen)))
@@ -1016,13 +1065,7 @@ object VersionedCorpus {
         memoizeTombKeys(root, c.gen, ks)
       }
     }
-    val m = new scala.collection.mutable.HashMap[Any, Long]()
-    perGen.foreach { case (g, ks) =>
-      ks.foreach { k =>
-        if (m.getOrElse(k, Long.MinValue) < g) m(k) = g
-      }
-    }
-    localTmaxFrame(spark, m.toSeq, keyField)
+    perGen.toMap
   }
 
   private def snapshotImpl(spark: SparkSession, root: String, asOf: Long,
@@ -1144,16 +1187,44 @@ object VersionedCorpus {
             .parquet(tombGens.map(c => dataDir(root, c.gen).toString): _*)
             .withColumn("_vc_tgen", col("gen").cast("long")).drop("gen")
         val totalTombRows = tombGens.map(_.rows).sum
-        val tmax =
-          if (totalTombRows <= 65536L)
-            tombMaxLocal(spark, root, tombGens, pinned(key))
-          else tombs.groupBy(col(key))
-            .agg(max(col("_vc_tgen")).as("_vc_tmax"))
-        val tmaxSized =
-          if (totalTombRows <= 4000000L) broadcast(tmax) else tmax
-        Some(data.join(tmaxSized, Seq(key), "left")
-          .filter(col("_vc_tmax").isNull || col("_vc_gen") >= col("_vc_tmax"))
-          .select(pinnedFields.map(col): _*))
+        // TINY tombstone window (≤ the IN-list planning budget): the
+        // resolution becomes a STATIC predicate instead of a join — a
+        // row of generation g dies iff some tombstone gen t > g holds
+        // its key, so with the per-gen key sets driver-held (memo or
+        // one union read) the whole merge is
+        //   NOT (OR over tomb gens t: _vc_gen < t AND key IN keys(t))
+        // null-guarded (coalesce) to match the left-join's
+        // survive-on-null-key semantics. No join operator, no broadcast
+        // build, no per-read future job (the r17 job audit: every
+        // LocalRelation broadcast still pays a 1-task scheduler-floor
+        // job) — the resolution folds into the scan's filter instead of
+        // materializing a build side per read. Bigger windows keep the
+        // LocalRelation broadcast join; manifest-big ones the
+        // distributed aggregate.
+        val inListBudget = 1000L
+        val merged0 =
+          if (totalTombRows <= inListBudget) {
+            val perGen = tombKeysByGen(spark, root, tombGens, pinned(key))
+              .filter(_._2.nonEmpty)
+            val kill = perGen.toSeq.sortBy(_._1).map { case (g, ks) =>
+              col("_vc_gen") < lit(g) &&
+                col(key).isin(ks.toIndexedSeq: _*)
+            }.reduceOption(_ || _)
+            kill.fold(data)(k =>
+              data.filter(!org.apache.spark.sql.functions
+                .coalesce(k, lit(false))))
+          } else {
+            val tmax =
+              if (totalTombRows <= 65536L)
+                tombMaxLocal(spark, root, tombGens, pinned(key))
+              else tombs.groupBy(col(key))
+                .agg(max(col("_vc_tgen")).as("_vc_tmax"))
+            val tmaxSized =
+              if (totalTombRows <= 4000000L) broadcast(tmax) else tmax
+            data.join(tmaxSized, Seq(key), "left")
+              .filter(col("_vc_tmax").isNull || col("_vc_gen") >= col("_vc_tmax"))
+          }
+        Some(merged0.select(pinnedFields.map(col): _*))
       }
       (clean, merged) match {
         case (Some(c), Some(m)) => c.select(pinnedFields.map(col): _*)

@@ -87,8 +87,14 @@ object Streams {
                           (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(graft.operators.Dedup.admitIncoming(
-        batch, corpus, idCol, textCol, minJaccard), batchId)
+      // scope = kernel call + sink's synchronous consumption: the
+      // kernel's batch-scoped persists are unpersisted when the
+      // callback returns (r16 advice — CacheManager holds them forever
+      // otherwise, one leaked entry per micro-batch)
+      graft.operators.Dedup.withAdmissionScope {
+        sink(graft.operators.Dedup.admitIncoming(
+          batch, corpus, idCol, textCol, minJaccard), batchId)
+      }
     }
 
   /** Streaming CLEAN-THEN-ADMIT — [[incrementalAdmission]] with the
@@ -107,8 +113,10 @@ object Streams {
                                (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(graft.operators.Dedup.cleanAndAdmit(
-        batch, corpus, idCol, textCol, k, minKeptTokens, minJaccard), batchId)
+      graft.operators.Dedup.withAdmissionScope {
+        sink(graft.operators.Dedup.cleanAndAdmit(
+          batch, corpus, idCol, textCol, k, minKeptTokens, minJaccard), batchId)
+      }
     }
 
   /** Streaming mirror of [[graft.operators.Dedup.gateAndAdmit]] — the
@@ -124,8 +132,10 @@ object Streams {
                                (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(graft.operators.Dedup.gateAndAdmit(
-        batch, corpus, idCol, textCol, minJaccard), batchId)
+      graft.operators.Dedup.withAdmissionScope {
+        sink(graft.operators.Dedup.gateAndAdmit(
+          batch, corpus, idCol, textCol, minJaccard), batchId)
+      }
     }
 
   /** The shared EVOLVING-CORPUS foreachBatch loop behind
@@ -173,18 +183,23 @@ object Streams {
         if (corpus != null) corpus.unpersist()
         corpus = init.persist(lvl)
       }
-      val admitted = admit(batch, corpus).persist(lvl)
-      admitted.count()
-      try {
-        sink(admitted, batchId)
-        // next generation: corpus ∪ this batch's admissions, lineage cut
-        // and materialized BEFORE the inputs it reads from are released
-        val next = corpus.union(admitted.select(cols.map(col): _*))
-          .localCheckpoint(false)
-        next.count()
-        corpus.unpersist()
-        corpus = next
-      } finally admitted.unpersist()
+      // admission scope: the kernel's internal persists are released
+      // when the batch body completes — everything (sink, the next
+      // generation's checkpoint) consumes `admitted` inside it
+      graft.operators.Dedup.withAdmissionScope {
+        val admitted = admit(batch, corpus).persist(lvl)
+        admitted.count()
+        try {
+          sink(admitted, batchId)
+          // next generation: corpus ∪ this batch's admissions, lineage cut
+          // and materialized BEFORE the inputs it reads from are released
+          val next = corpus.union(admitted.select(cols.map(col): _*))
+            .localCheckpoint(false)
+          next.count()
+          corpus.unpersist()
+          corpus = next
+        } finally admitted.unpersist()
+      }
     }
   }
 
@@ -259,18 +274,20 @@ object Streams {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val admitted = graft.operators.Dedup.admitIncoming(
-          batch,
-          graft.sources.VersionedCorpus.snapshot(spark, root)
-            .select(col(idCol), col(textCol)),
-          idCol, textCol, minJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        graft.sources.VersionedCorpus.append(admitted, root)
-        graft.sources.VersionedCorpus.maybeCompact(
-          spark, root, compactEvery, vacuumAfter)
-        sink(admitted, batchId)
-      } finally admitted.unpersist()
+      graft.operators.Dedup.withAdmissionScope {
+        val admitted = graft.operators.Dedup.admitIncoming(
+            batch,
+            graft.sources.VersionedCorpus.snapshot(spark, root)
+              .select(col(idCol), col(textCol)),
+            idCol, textCol, minJaccard)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          graft.sources.VersionedCorpus.append(admitted, root)
+          graft.sources.VersionedCorpus.maybeCompact(
+            spark, root, compactEvery, vacuumAfter)
+          sink(admitted, batchId)
+        } finally admitted.unpersist()
+      }
     }
 
   /** INVERTED-INDEX ingestion loop — keep a persisted
@@ -453,8 +470,10 @@ object Streams {
                                 (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(graft.operators.Dedup.admitIncomingVectors(
-        batch, corpus, idCol, vecCol, minCosine, nBits), batchId)
+      graft.operators.Dedup.withAdmissionScope {
+        sink(graft.operators.Dedup.admitIncomingVectors(
+          batch, corpus, idCol, vecCol, minCosine, nBits), batchId)
+      }
     }
 
   /** CELL-PARTITIONED streaming semantic admission —
@@ -608,20 +627,22 @@ object Streams {
                                           (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val admitted = graft.operators.Dedup.admitIncomingVectors(
-          batch,
-          graft.sources.VersionedCorpus.snapshot(batch.sparkSession, root)
-            .select(col(idCol), col(vecCol)),
-          idCol, vecCol, minCosine, nBits)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        if (graft.sources.VersionedCorpus.append(admitted, root) >= 0L)
-          graft.operators.IvfIndex.appendPartitioned(admitted, idCol,
-            graft.operators.IvfIndex.assignTo(
-              admitted, idCol, vecCol, centroids),
-            indexPath)
-        afterBatch(admitted, batchId)
-      } finally admitted.unpersist()
+      graft.operators.Dedup.withAdmissionScope {
+        val admitted = graft.operators.Dedup.admitIncomingVectors(
+            batch,
+            graft.sources.VersionedCorpus.snapshot(batch.sparkSession, root)
+              .select(col(idCol), col(vecCol)),
+            idCol, vecCol, minCosine, nBits)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (graft.sources.VersionedCorpus.append(admitted, root) >= 0L)
+            graft.operators.IvfIndex.appendPartitioned(admitted, idCol,
+              graft.operators.IvfIndex.assignTo(
+                admitted, idCol, vecCol, centroids),
+              indexPath)
+          afterBatch(admitted, batchId)
+        } finally admitted.unpersist()
+      }
     }
 
   /** Streaming SKETCH MAINTENANCE — [[graft.operators.Sketch]]'s

@@ -238,7 +238,7 @@ class VersionedCorpusSpec extends AnyFunSuite {
     }
   }
 
-  test("merge-on-read plan: small tombstone sets resolve via broadcast join; append-only stays a bare scan") {
+  test("merge-on-read plan: tiny tombstone sets fold into the scan filter, mid-size resolve via broadcast join; append-only stays a bare scan") {
     val root = freshRoot()
     VersionedCorpus.append(docs(0 until 20, "a"), root)
     // append-only fast path: no join operator in the plan at all
@@ -247,12 +247,22 @@ class VersionedCorpusSpec extends AnyFunSuite {
     assert(!plain.contains("Join"))
     VersionedCorpus.delete(docs(0 until 2, "x").select("doc_id"),
       root, "doc_id")
-    // the manifests say the tombstone set is 2 rows -> the data side
-    // must NOT shuffle: tombstone resolution is a broadcast hash join
+    // the manifests say the tombstone set is 2 rows — under the IN-list
+    // budget the resolution is a STATIC predicate (r17): still no join
+    // operator, no broadcast build, and no per-read future job
     val merged = VersionedCorpus.snapshot(spark, root)
-    assert(merged.queryExecution.executedPlan.toString
-      .contains("BroadcastHashJoin"))
+    assert(!merged.queryExecution.executedPlan.toString.contains("Join"))
     assert(merged.count() === 18L)
+    // blow past the IN-list budget (>1000 tombstone rows) with distinct
+    // keys OUTSIDE the live id range so the count is unchanged: the
+    // resolution must fall back to the broadcast hash join — the data
+    // side still never shuffles
+    VersionedCorpus.delete(docs(5000 until 6200, "x").select("doc_id"),
+      root, "doc_id", keysDistinct = true)
+    val mergedBig = VersionedCorpus.snapshot(spark, root)
+    assert(mergedBig.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(mergedBig.count() === 18L)
   }
 
   test("applyChanges: last-writer-wins per key by seq, ties break toward delete, replay idempotent") {
