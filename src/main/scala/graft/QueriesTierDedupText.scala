@@ -28,10 +28,11 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
     // ----- dedup + text analysis (LLM-pipeline tier) ----------------------
 
     "dedup_fingerprint" -> DeclaredQuery(
-      (s, dir) => Dedup.exact(T(s, dir, "documents"),
-        Dedup.tokenFingerprint(col("text")), col("doc_id"))
-        .select(col("rep_id"), col("dup_cnt"), md5(col("fp")).as("fp"))
-        .orderBy(asc("rep_id")),
+      (s, dir) => localFrameOrdered(
+        Dedup.exact(T(s, dir, "documents"),
+          Dedup.tokenFingerprint(col("text")), col("doc_id"))
+          .select(col("rep_id"), col("dup_cnt"), md5(col("fp")).as("fp")),
+        "rep_id"),
       Some("""SELECT min(doc_id) AS rep_id, count(*) AS dup_cnt,
          |  md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp
          |FROM documents
@@ -51,10 +52,9 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
           Dedup.tokenFingerprint(col("text")),
           docs.filter(col("doc_id") < 250),
           Dedup.tokenFingerprint(col("text")))
-        kept.groupBy(col("lang"))
+        localFrameOrdered(kept.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_admitted"),
-            min(col("doc_id")).as("first_id"))
-          .orderBy(col("lang"))
+            min(col("doc_id")).as("first_id")), "lang")
       },
       Some("""SELECT lang, count(*) AS n_admitted, min(doc_id) AS first_id
          |FROM documents i
@@ -87,10 +87,9 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
           docs.filter(col("doc_id") < 250),
           Dedup.tokenFingerprint(col("text")),
           fpp = 0.25, expectedItems = 250L)
-        kept.groupBy(col("lang"))
+        localFrameOrdered(kept.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_admitted"),
-            min(col("doc_id")).as("first_id"))
-          .orderBy(col("lang"))
+            min(col("doc_id")).as("first_id")), "lang")
       },
       Some("""SELECT lang, count(*) AS n_admitted, min(doc_id) AS first_id
          |FROM documents i
@@ -115,9 +114,9 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
         val cands = NearDup.materializePairs(
           NearDup.minHashCrossCandidates(incoming, corpus, "doc_id", "text")
             .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
-        NearDup.jaccardVerify(docs, "doc_id", "text", cands)
-          .filter(col("jaccard") >= 0.8)
-          .orderBy(col("id_a"), col("id_b"))
+        localFrameOrdered(
+          NearDup.jaccardVerify(docs, "doc_id", "text", cands)
+            .filter(col("jaccard") >= 0.8), "id_a", "id_b")
       },
       None,
       "incremental near-dup: cross-set LSH candidates (batch × corpus buckets) + Jaccard verify"),
@@ -132,11 +131,11 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // in NearDupSpec.
       (s, dir) => {
         val docs = T(s, dir, "documents")
-        NearDup.simHashCrossCandidates(
+        localFrameOrdered(
+          NearDup.simHashCrossCandidates(
             docs.filter(col("doc_id") >= 250),
             docs.filter(col("doc_id") < 250),
-            "doc_id", "text", maxHamming = 12)
-          .orderBy(col("id_new"), col("id_old"))
+            "doc_id", "text", maxHamming = 12), "id_new", "id_old")
       },
       None,
       "incremental near-dup, SimHash tier: cross-set banded candidates + Hamming verify"),
@@ -152,11 +151,11 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // property-tested in NearDupSpec.
       (s, dir) => {
         val docs = T(s, dir, "documents")
-        NearDup.winnowCrossCandidates(
+        localFrameOrdered(
+          NearDup.winnowCrossCandidates(
             docs.filter(col("doc_id") >= 250),
             docs.filter(col("doc_id") < 250),
-            "doc_id", "text")
-          .orderBy(col("id_new"), col("id_old"))
+            "doc_id", "text"), "id_new", "id_old")
       },
       None,
       "incremental near-dup, winnowing tier: cross-set fingerprint-bucket candidates"),
@@ -1324,20 +1323,24 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // rows-only per the contract.
       (s, dir) => {
         val docs = T(s, dir, "documents")
-        val admitted = Dedup.cleanAndAdmit(
-          docs.filter(col("doc_id") >= 250),
-          docs.filter(col("doc_id") < 250),
-          "doc_id", "text")
-        admitted
-          .select(col("doc_id"),
-            size(TextAnalysis.tokens(col("text"))).cast("long")
-              .as("kept_tokens"))
-          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_admitted"),
-            sum(col("kept_tokens")).as("kept_tokens"),
-            min(col("doc_id")).as("first_id"))
-          .orderBy(col("lang"))
+        // eager + scoped (r17): the rollup collects inside the admission
+        // scope, so the kernel's batch persists release deterministically
+        // instead of waiting for the loop-boundary orphan sweep
+        Dedup.withAdmissionScope {
+          val admitted = Dedup.cleanAndAdmit(
+            docs.filter(col("doc_id") >= 250),
+            docs.filter(col("doc_id") < 250),
+            "doc_id", "text")
+          localFrameOrdered(admitted
+            .select(col("doc_id"),
+              size(TextAnalysis.tokens(col("text"))).cast("long")
+                .as("kept_tokens"))
+            .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_admitted"),
+              sum(col("kept_tokens")).as("kept_tokens"),
+              min(col("doc_id")).as("first_id")), "lang")
+        }
       },
       None,
       "clean-then-admit e2e: span strip + two-tier admission on the cleaned text, per-lang rollup"),
@@ -1357,22 +1360,24 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
         val docs = T(s, dir, "documents")
         val incoming = docs.filter(col("doc_id") >= 250)
         val corpus = docs.filter(col("doc_id") < 250)
-        val admitted = Dedup.gateAndAdmit(incoming, corpus,
-          "doc_id", "text")
-        val gate = incoming
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_incoming"),
-            sum(when(TextAnalysis.gopherPass(col("text")), 1L)
-              .otherwise(0L)).as("n_gate_pass"))
-        val adm = admitted
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_admitted"),
-            min(col("doc_id")).as("first_id"))
-        gate.join(adm, Seq("lang"), "left_outer")
-          .select(col("lang"), col("n_incoming"), col("n_gate_pass"),
-            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
-            col("first_id"))
-          .orderBy(col("lang"))
+        // eager + scoped: same rationale as incr_clean_admit
+        Dedup.withAdmissionScope {
+          val admitted = Dedup.gateAndAdmit(incoming, corpus,
+            "doc_id", "text")
+          val gate = incoming
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_incoming"),
+              sum(when(TextAnalysis.gopherPass(col("text")), 1L)
+                .otherwise(0L)).as("n_gate_pass"))
+          val adm = admitted
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_admitted"),
+              min(col("doc_id")).as("first_id"))
+          localFrameOrdered(gate.join(adm, Seq("lang"), "left_outer")
+            .select(col("lang"), col("n_incoming"), col("n_gate_pass"),
+              coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+              col("first_id")), "lang")
+        }
       },
       None,
       "quality-gated admission e2e: Gopher gate first (row-local), dedup tiers on survivors, per-lang accounting"),
