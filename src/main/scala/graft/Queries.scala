@@ -18,7 +18,19 @@ import graft.streaming.Streams
 final case class DeclaredQuery(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    doc: String = "")
+    doc: String = "",
+    // the INSPECTABLE pipeline for rows whose `build` collects to a
+    // LocalRelation (the localFrameOrdered tail truncates lineage, so
+    // `build(...).queryExecution` shows only a LocalTableScan):
+    // PlanSpec / DumpPlans read THIS lazy twin when present — same
+    // operators, no collecting tail — so the plan audit sees the real
+    // distributed shape the collect executes
+    planView: Option[(SparkSession, String) => DataFrame] = None) {
+  /** The frame whose physical plan represents this row: the lazy
+    * plan-view twin when declared, else the built frame itself. */
+  def planFrame(s: SparkSession, dir: String): DataFrame =
+    planView.fold(build(s, dir))(_(s, dir))
+}
 
 /** The engine's declared query set — one entry per implemented operator
   * from SURVEY.md §2, wired into `SparkEntry.queries` / `oracleSql`.

@@ -65,7 +65,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
          |GROUP BY lang ORDER BY lang""".stripMargin),
       "incremental ingestion dedup: batch vs existing corpus, distinct-key anti-join"),
 
-    "incr_dedup_bloom" -> DeclaredQuery(
+    "incr_dedup_bloom" -> {
       // the SAME incremental exact-dedup decision, fronted by the
       // Bloom-filter routing tier (Dedup.incrementalExactBloom): one
       // distributed pass folds the corpus key set into a Bloom filter,
@@ -76,7 +76,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // oracle — is identical to q_incremental_dedup. fpp=0.25 here to
       // force real false positives through the confirm path at fixture
       // scale.
-      (s, dir) => {
+      def pipeline(s: SparkSession, dir: String): DataFrame = {
         val docs = T(s, dir, "documents")
         // expectedItems: the corpus watermark (doc_id < 250 ⇒ ≤ 250
         // keys) — admission metadata the caller holds, so the Bloom
@@ -87,10 +87,12 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
           docs.filter(col("doc_id") < 250),
           Dedup.tokenFingerprint(col("text")),
           fpp = 0.25, expectedItems = 250L)
-        localFrameOrdered(kept.groupBy(col("lang"))
+        kept.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_admitted"),
-            min(col("doc_id")).as("first_id")), "lang")
-      },
+            min(col("doc_id")).as("first_id"))
+      }
+      DeclaredQuery(
+        (s, dir) => localFrameOrdered(pipeline(s, dir), "lang"),
       Some("""SELECT lang, count(*) AS n_admitted, min(doc_id) AS first_id
          |FROM documents i
          |WHERE doc_id >= 250 AND NOT EXISTS (
@@ -98,7 +100,9 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
          |    AND array_to_string(list_sort(string_split(c.text, ' ')), ' ')
          |      = array_to_string(list_sort(string_split(i.text, ' ')), ' '))
          |GROUP BY lang ORDER BY lang""".stripMargin),
-      "incremental exact dedup behind a Bloom-filter routing tier (runtime-filter pattern)"),
+        "incremental exact dedup behind a Bloom-filter routing tier (runtime-filter pattern)",
+        planView = Some((s, dir) => pipeline(s, dir)))
+    },
 
     "incr_near_dup" -> DeclaredQuery(
       // incremental ingestion, near-dup tier: cross-set MinHash-LSH
@@ -386,7 +390,7 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       None,
       "semantic admission over IVF cells: assign-to-cell + within-cell cosine reject (SemDeDup ingestion twin)"),
 
-    "incr_admit_exact" -> DeclaredQuery(
+    "incr_admit_exact" -> {
       // the admission decision with the GUARANTEED near-dup tier
       // (Dedup.admitIncomingExactJaccard — cross-set prefix-filtered
       // exact join instead of MinHash banding), which makes the WHOLE
@@ -396,16 +400,18 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       // Bounded id slices keep the oracle's all-pairs cross replay
       // cheap at any scale factor; the Spark side runs the same slice
       // through the subquadratic prefix path.
-      (s, dir) => {
+      def pipeline(s: SparkSession, dir: String): DataFrame = {
         val docs = T(s, dir, "documents")
-        localFrameOrdered(Dedup.admitIncomingExactJaccard(
+        Dedup.admitIncomingExactJaccard(
             docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
             docs.filter(col("doc_id") < 150),
             "doc_id", "text")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_admitted"),
-            min(col("doc_id")).as("first_id")), "lang")
-      },
+            min(col("doc_id")).as("first_id"))
+      }
+      DeclaredQuery(
+        (s, dir) => localFrameOrdered(pipeline(s, dir), "lang"),
       Some("""WITH c AS (SELECT doc_id, text, lang FROM documents WHERE doc_id < 150),
          |i AS (SELECT doc_id, text, lang FROM documents
          |      WHERE doc_id >= 150 AND doc_id < 300),
@@ -433,7 +439,9 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
          |SELECT lang, count(*) AS n_admitted, min(doc_id) AS first_id
          |FROM keptx WHERE doc_id NOT IN (SELECT doc_id FROM dup)
          |GROUP BY lang ORDER BY lang""".stripMargin),
-      "admission with the guaranteed exact near-dup tier (prefix join) — oracle-checked end-to-end"),
+        "admission with the guaranteed exact near-dup tier (prefix join) — oracle-checked end-to-end",
+        planView = Some((s, dir) => pipeline(s, dir)))
+    },
 
     "incr_admit" -> DeclaredQuery(
       // the incremental ingestion decision end-to-end: incoming batch →

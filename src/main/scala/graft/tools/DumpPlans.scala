@@ -294,8 +294,10 @@ object DumpPlans {
         .replaceAll("@[0-9a-f]{6,10}", "@...")
       sb.append(s"\n## $name\n\n$note\n\n```\n$formatted```\n")
     }
+    // planFrame: rows that collect to a LocalRelation dump their lazy
+    // plan-view twin (the distributed shape the collect executes)
     watched.foreach { case (name, note) =>
-      render(name, note, Queries.all(name).build(spark, dir))
+      render(name, note, Queries.all(name).planFrame(spark, dir))
     }
     val ex = extras(spark, dir)
     ex.foreach { case (name, note, df) => render(name, note, df) }

@@ -12,8 +12,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  // planFrame: rows whose build collects to a LocalRelation declare a
+  // lazy plan-view twin — the spec asserts the distributed shape the
+  // collect executes, not the collected LocalTableScan
   private def plan(name: String): String =
-    Queries.all(name).build(spark, TestSpark.sf0001)
+    Queries.all(name).planFrame(spark, TestSpark.sf0001)
       .queryExecution.executedPlan.toString
 
   test("knn_topk: per-partition heap top-k, no shuffle, no global sort") {
