@@ -453,9 +453,20 @@ object Bench {
         finally s.close()
         n + 1
       }
-      java.nio.file.Files.write(
-        cwd.resolve(f"BENCH_FULL_r$round%02d.json"),
-        (line + "\n").getBytes("UTF-8"))
+      // NEVER clobber an existing round archive (r16 verdict: a later
+      // re-run on a throttled window was overwriting the committed
+      // round-of-record in place, making the record artifact unstable).
+      // If BENCH_FULL_r{N}.json exists with different content, this run
+      // lands in the first free _1/_2/... sibling; promoting a better
+      // session to the record is an explicit copy, not a side effect.
+      val bytes = (line + "\n").getBytes("UTF-8")
+      val target = Iterator.single(f"BENCH_FULL_r$round%02d.json")
+        .++(Iterator.from(1).map(i => f"BENCH_FULL_r$round%02d_$i.json"))
+        .map(cwd.resolve)
+        .find(p => !java.nio.file.Files.exists(p) ||
+          java.util.Arrays.equals(java.nio.file.Files.readAllBytes(p), bytes))
+        .get
+      java.nio.file.Files.write(target, bytes)
     } catch {
       case t: Throwable =>
         System.err.println(s"BENCH_FULL archive write failed: $t")
