@@ -509,4 +509,33 @@ class DedupSpec extends AnyFunSuite {
       .select($"vec_id").as[Long].collect().toSet
     assert(kept === Set(5L))
   }
+
+  test("withAdmissionScope releases the kernel's batch persists; unscoped ones drain via releaseAdmissionCaches") {
+    // track OWN rdd ids only (the shared session's ContextCleaner reaps
+    // other suites' abandoned entries asynchronously — r16 flake note)
+    val corpus = docs.filter($"doc_id" <= 2L)
+    val incoming = docs.filter($"doc_id" >= 3L)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    var during: Set[Int] = Set.empty
+    Dedup.withAdmissionScope {
+      val admitted = Dedup.admitIncoming(incoming, corpus, "doc_id", "text")
+      admitted.count() // consume inside the scope, per the contract
+      during = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet
+    }
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(during.nonEmpty, "kernel should persist inside the scope")
+    assert(during.forall(!after.contains(_)),
+      s"scope left persisted entries behind: ${during.intersect(after)}")
+
+    // unscoped call: entries land in the orphan queue and survive the
+    // call — the loop-boundary sweep releases them
+    val before2 = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.admitIncoming(incoming, corpus, "doc_id", "text").count()
+    val leaked = (spark.sparkContext.getPersistentRDDs.keySet -- before2).toSet
+    assert(leaked.nonEmpty, "unscoped kernel should have live entries")
+    Dedup.releaseAdmissionCaches()
+    val after2 = spark.sparkContext.getPersistentRDDs.keySet
+    assert(leaked.forall(!after2.contains(_)),
+      s"releaseAdmissionCaches left entries: ${leaked.intersect(after2)}")
+  }
 }
