@@ -471,6 +471,9 @@ object Bench {
       case t: Throwable =>
         System.err.println(s"BENCH_FULL archive write failed: $t")
     }
+    // shutdown sweep for thread-keyed operator caches: drains every
+    // thread's queue, including threads that died without releasing
+    graft.operators.PrefixSum.releaseAllCaches()
     spark.stop()
     println(line)
     println(minimal)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BpeEncode, DotProduct, JaccardSorted, L2Distance, NfcNormalize, PolyHash, Shingles, SimHash64, WinnowFp}
+import graft.expressions.{BpeEncode, DotProduct, GopherStats, JaccardSorted, L2Distance, NfcNormalize, PolyHash, Shingles, SimHash64, WinnowFp}
 
 /** Engine extensions: registers the native expressions as SQL functions.
   *
@@ -131,6 +131,15 @@ object GraftExtensions {
       JaccardSorted(exprs.head, exprs(1))
     })
 
+  private val gopherStatsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_gopher_stats"),
+    new ExpressionInfo(classOf[GopherStats].getName, "graft_gopher_stats"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 1,
+        "graft_gopher_stats(text) takes one string argument")
+      GopherStats(exprs.head)
+    })
+
   private val polyHashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_polyhash"),
     new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
@@ -159,6 +168,8 @@ object GraftExtensions {
       jaccardSortedFunction._3)
     spark.sessionState.functionRegistry.registerFunction(
       polyHashFunction._1, polyHashFunction._2, polyHashFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      gopherStatsFunction._1, gopherStatsFunction._2, gopherStatsFunction._3)
   }
 
   /** Column-API handle on the native expression. */

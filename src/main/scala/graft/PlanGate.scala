@@ -22,16 +22,14 @@ object PlanGate {
 
   val smallPlanBytes: Long = 256L << 20
 
-  /** Process-wide lock serializing every session-conf-scoped window
-    * (this object's [[cappedCollect]], `VersionedCorpus.withAqeOff`,
-    * and everything built on them). The scopes mutate SESSION-level
-    * conf around an action and restore in a finally; unserialized, two
-    * overlapping scopes on the shared session could each capture the
-    * other's TEMPORARY value as its "previous" and make the override
-    * permanent (r16 verdict). The lock closes that capture race — the
-    * save/mutate/act/restore sequence is atomic per scope. Reentrant,
-    * so the standing nesting (`withAqeOffIfSmall(cappedCollect(...))`)
-    * self-locks without deadlock.
+  /** Process-wide lock guarding session-conf scope TRANSITIONS (the
+    * set and restore phases of [[withConfScope]], plus the few
+    * residual whole-window scopes like IvfIndex's dynamic-overwrite
+    * write). Unserialized, two overlapping scopes on the shared
+    * session could each capture the other's TEMPORARY value as its
+    * "previous" and make the override permanent (r16 verdict).
+    * Reentrant, so nested scopes (`withAqeOffIfSmall(cappedCollect
+    * (...))`) self-lock without deadlock.
     *
     * Residual, documented: a concurrent query on ANOTHER thread that
     * compiles while a scope is open still plans with the scope's
@@ -48,6 +46,67 @@ object PlanGate {
   private[graft] def confScoped[T](body: => T): T = {
     confScopeLock.lock()
     try body finally confScopeLock.unlock()
+  }
+
+  /** Per-(session, key) open-scope ledger: the steady-state value the
+    * FIRST scope to open a key observed, plus how many scopes of that
+    * key are currently open. Guarded by [[confScopeLock]]. */
+  private final case class ScopeEntry(original: Option[String], depth: Int)
+  private val scopeState =
+    scala.collection.mutable.Map.empty[(Int, String), ScopeEntry]
+
+  /** Run `body` with the session-conf `settings` applied, holding
+    * [[confScopeLock]] only for the set and restore phases — the body
+    * (the consuming action, often a whole collect or write) runs
+    * OUTSIDE the lock, so concurrent gated actions no longer
+    * serialize end-to-end (they used to: every declared-query local
+    * frame routed its full collect through one process-wide lock).
+    *
+    * `settings` is computed UNDER the lock, so derived values (e.g. a
+    * width capped from the current setting) read a stable conf. The
+    * per-key depth ledger keeps restoration exact at any
+    * interleaving: the first scope to open a key records the
+    * session's steady-state value, the last to close restores it —
+    * no scope can capture another's temporary value as "previous"
+    * and pin it. Overlapping scopes of the same key see
+    * last-set-wins for the overlap window; every knob routed through
+    * here is physical-only (AQE, shuffle width, limit scan count),
+    * so results are identical regardless. */
+  private[graft] def withConfScope[T](
+      spark: org.apache.spark.sql.SparkSession)(
+      settings: => Seq[(String, String)])(body: => T): T = {
+    val sid = System.identityHashCode(spark.conf)
+    var applied: Seq[String] = Nil
+    confScopeLock.lock()
+    try {
+      val kvs = settings
+      kvs.foreach { case (k, v) =>
+        val key = (sid, k)
+        scopeState.get(key) match {
+          case Some(e) => scopeState(key) = e.copy(depth = e.depth + 1)
+          case None    => scopeState(key) = ScopeEntry(spark.conf.getOption(k), 1)
+        }
+        spark.conf.set(k, v)
+      }
+      applied = kvs.map(_._1)
+    } finally confScopeLock.unlock()
+    try body
+    finally {
+      confScopeLock.lock()
+      try applied.foreach { k =>
+        val key = (sid, k)
+        scopeState.get(key) match {
+          case Some(e) if e.depth <= 1 =>
+            scopeState.remove(key)
+            e.original match {
+              case Some(v) => spark.conf.set(k, v)
+              case None    => spark.conf.unset(k)
+            }
+          case Some(e) => scopeState(key) = e.copy(depth = e.depth - 1)
+          case None    => // unbalanced close — nothing recorded, nothing to restore
+        }
+      } finally confScopeLock.unlock()
+    }
   }
 
   /** Sum of the optimizer's leaf-relation size estimates — the plan's
@@ -74,15 +133,8 @@ object PlanGate {
     * execution scan every partition, which is what the scale-up would
     * have done anyway by the time the cap is the question. */
   def cappedCollect(df: DataFrame,
-                    maxRows: Int): Array[org.apache.spark.sql.Row] = confScoped {
-    val spark = df.sparkSession
-    val key = "spark.sql.limit.initialNumPartitions"
-    val prev = try Some(spark.conf.get(key)) catch { case _: Throwable => None }
-    spark.conf.set(key, "1000000")
-    try df.limit(maxRows).collect()
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+                    maxRows: Int): Array[org.apache.spark.sql.Row] =
+    withConfScope(df.sparkSession)(
+      Seq("spark.sql.limit.initialNumPartitions" -> "1000000"))(
+      df.limit(maxRows).collect())
 }

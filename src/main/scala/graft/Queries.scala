@@ -27,9 +27,24 @@ final case class DeclaredQuery(
     // distributed shape the collect executes
     planView: Option[(SparkSession, String) => DataFrame] = None) {
   /** The frame whose physical plan represents this row: the lazy
-    * plan-view twin when declared, else the built frame itself. */
+    * plan-view twin when declared; otherwise the build runs in
+    * PLAN-CAPTURE mode — the first `localFrame`/`localFrameOrdered`
+    * tail aborts BEFORE collecting and hands back the distributed
+    * frame it was about to execute. A plan audit of a collected row
+    * therefore (a) never silently inspects a LocalTableScan and
+    * (b) never pays the row's full execution just to read its plan
+    * (r17 advice). Multi-collect builds (lifecycle rows that union
+    * several collected stages) capture their FIRST collect point —
+    * the real distributed shape of that stage; DumpPlans marks these. */
   def planFrame(s: SparkSession, dir: String): DataFrame =
-    planView.fold(build(s, dir))(_(s, dir))
+    planView match {
+      case Some(v) => v(s, dir)
+      case None =>
+        Queries.PlanCapture.active.set(true)
+        try build(s, dir)
+        catch { case Queries.PlanCapture.Captured(df) => df }
+        finally Queries.PlanCapture.active.set(false)
+    }
 }
 
 /** The engine's declared query set — one entry per implemented operator
@@ -192,7 +207,17 @@ object Queries
     * polynomial base hash → 8 affine-rehash minima (constants mirror
     * `NearDup.polyA`/`polyB` verbatim) → 4 bands × 2 rows — yields
     * CTEs `d, g0, g, gh, sig, banded`. */
-  private lazy val minhashPolyCtesSql: String = {
+  private lazy val minhashPolyCtesSql: String = minhashPolyCtesFromD(
+    s"""d AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents WHERE doc_id < 2000)""".stripMargin)
+
+  /** [[minhashPolyCtesSql]] with the SOURCE relation injectable: `dCte`
+    * must define a CTE named `d(doc_id, toks)` (non-empty tokens). Used
+    * by the clean-admit twin, whose poly chain runs over corpus
+    * originals ∪ span-STRIPPED incoming texts instead of raw
+    * `documents`. */
+  private def minhashPolyCtesFromD(dCte: String): String = {
     val P = 1000000007L
     val a = graft.operators.NearDup.polyA
     val b = graft.operators.NearDup.polyB
@@ -201,9 +226,7 @@ object Queries
     val bandSelects = (0 until 4).map(bd =>
       s"SELECT doc_id, $bd AS band, s${bd * 2} AS k0, s${bd * 2 + 1} AS k1 FROM sig")
       .mkString("\n  UNION ALL\n  ")
-    s"""d AS (SELECT doc_id,
-       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
-       |  FROM documents WHERE doc_id < 2000),
+    s"""$dCte,
        |g0 AS (
        |  SELECT doc_id, array_to_string(toks, ' ') AS gram
        |  FROM d WHERE len(toks) BETWEEN 1 AND 2
@@ -288,6 +311,171 @@ object Queries
        |FROM keptx k
        |WHERE k.doc_id NOT IN (SELECT doc_id FROM rej)
        |GROUP BY k.lang ORDER BY k.lang""".stripMargin
+
+  /** `incr_admit_seq_fixed` oracle: the TWO-DAY evolving admission
+    * replay (`incr_admit_seq`'s shape) under the closed-form hash —
+    * day 1 (250 ≤ id < 375) admits against the corpus (< 250); day 2
+    * (id ≥ 375) admits against corpus ∪ DAY-1 ADMISSIONS, so day-1's
+    * verdict feeds day-2's exact-fingerprint set AND its banded
+    * candidate side. The day-2 corpus is just a CTE over day-1's
+    * result — the whole evolving sequence replays as one static query. */
+  private[graft] lazy val incrAdmitSeqFixedOracleSql: String =
+    s"""WITH $minhashPolyCtesSql,
+       |sets AS (SELECT doc_id, list(gram) AS s FROM g GROUP BY doc_id),
+       |cfp1 AS (SELECT DISTINCT
+       |    array_to_string(list_sort(string_split(text, ' ')), ' ') AS fp
+       |  FROM documents WHERE doc_id < 250),
+       |kept1 AS (SELECT i.doc_id, i.lang
+       |  FROM documents i
+       |  WHERE i.doc_id >= 250 AND i.doc_id < 375 AND NOT EXISTS (
+       |    SELECT 1 FROM cfp1 c WHERE c.fp =
+       |      array_to_string(list_sort(string_split(i.text, ' ')), ' '))),
+       |cand1 AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+       |  JOIN kept1 k ON k.doc_id = a.doc_id
+       |  WHERE b.doc_id < 250),
+       |rej1 AS (
+       |  SELECT DISTINCT c.id_a AS doc_id
+       |  FROM cand1 c
+       |  JOIN sets sa ON sa.doc_id = c.id_a
+       |  JOIN sets sb ON sb.doc_id = c.id_b
+       |  WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+       |      / len(list_distinct(sa.s || sb.s)), 4) >= 0.8),
+       |adm1 AS (SELECT doc_id, lang FROM kept1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
+       |cfp2 AS (SELECT DISTINCT
+       |    array_to_string(list_sort(string_split(text, ' ')), ' ') AS fp
+       |  FROM documents
+       |  WHERE doc_id < 250 OR doc_id IN (SELECT doc_id FROM adm1)),
+       |kept2 AS (SELECT i.doc_id, i.lang
+       |  FROM documents i
+       |  WHERE i.doc_id >= 375 AND i.doc_id < 2000 AND NOT EXISTS (
+       |    SELECT 1 FROM cfp2 c WHERE c.fp =
+       |      array_to_string(list_sort(string_split(i.text, ' ')), ' '))),
+       |cand2 AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+       |  JOIN kept2 k ON k.doc_id = a.doc_id
+       |  WHERE b.doc_id < 250
+       |     OR b.doc_id IN (SELECT doc_id FROM adm1)),
+       |rej2 AS (
+       |  SELECT DISTINCT c.id_a AS doc_id
+       |  FROM cand2 c
+       |  JOIN sets sa ON sa.doc_id = c.id_a
+       |  JOIN sets sb ON sb.doc_id = c.id_b
+       |  WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+       |      / len(list_distinct(sa.s || sb.s)), 4) >= 0.8),
+       |adm2 AS (SELECT doc_id, lang FROM kept2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM rej2))
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS day, lang,
+       |    count(*)::BIGINT AS n_admitted, min(doc_id) AS first_id
+       |  FROM adm1 GROUP BY lang
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT) AS day, lang,
+       |    count(*)::BIGINT AS n_admitted, min(doc_id) AS first_id
+       |  FROM adm2 GROUP BY lang)
+       |ORDER BY day, lang""".stripMargin
+
+  /** `incr_clean_admit_fixed` oracle: the FULL clean-then-admit kernel
+    * (`Dedup.cleanAndAdmit`'s shape) under the closed-form hash — the
+    * span-strip chain (incr_span_strip's oracle-green CTEs, prefixed
+    * `s*` to avoid colliding with the poly chain's names) rewrites
+    * each incoming doc with corpus-copied token runs removed; docs
+    * with nothing novel left drop; the two-tier admission (exact
+    * fingerprint anti-join + banded candidates + 3-gram Jaccard
+    * verify, all over the CLEANED text) then replays statically. The
+    * poly chain's source relation is corpus originals ∪ cleaned
+    * incoming — the parameterized `d` CTE. */
+  private[graft] lazy val incrCleanAdmitFixedOracleSql: String = {
+    val polyCtes = minhashPolyCtesFromD(
+      s"""d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents WHERE doc_id < 250
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM cleaned)""".stripMargin)
+    s"""WITH st AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE doc_id >= 250 AND doc_id < 2000),
+       |sct AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE doc_id < 250),
+       |sgp AS (
+       |  SELECT doc_id, toks, CAST(unnest(range(1, len(toks)-6)) AS INT) AS pos
+       |  FROM st WHERE len(toks) >= 8),
+       |sg AS (
+       |  SELECT doc_id, pos,
+       |         array_to_string(list_slice(toks, pos, pos+7), ' ') AS gram
+       |  FROM sgp),
+       |scgp AS (
+       |  SELECT toks, CAST(unnest(range(1, len(toks)-6)) AS INT) AS pos
+       |  FROM sct WHERE len(toks) >= 8),
+       |scg AS (
+       |  SELECT DISTINCT array_to_string(list_slice(toks, pos, pos+7), ' ')
+       |    AS gram
+       |  FROM scgp),
+       |sp0 AS (SELECT sg.doc_id, sg.pos FROM sg SEMI JOIN scg USING (gram)),
+       |sisl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM sp0),
+       |sisl2 AS (SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM sisl),
+       |ssp AS (SELECT doc_id, island, min(pos) AS s, max(pos)+7 AS e
+       |        FROM sisl2 GROUP BY doc_id, island),
+       |scov AS (
+       |  SELECT doc_id, CAST(unnest(range(s, e+1)) AS INT) AS pos FROM ssp),
+       |stok AS (
+       |  SELECT doc_id, toks, CAST(unnest(range(1, len(toks)+1)) AS INT) AS pos
+       |  FROM st),
+       |skeep AS (
+       |  SELECT tp.doc_id, tp.pos, list_extract(tp.toks, tp.pos) AS tok
+       |  FROM stok tp ANTI JOIN scov c USING (doc_id, pos)),
+       |so AS (
+       |  SELECT doc_id, count(*) AS kept_tokens,
+       |         array_to_string(list(tok ORDER BY pos), ' ') AS cleaned
+       |  FROM skeep GROUP BY doc_id),
+       |cleaned AS (
+       |  SELECT doc_id, cleaned AS text FROM so WHERE kept_tokens >= 1),
+       |$polyCtes,
+       |sets AS (SELECT doc_id, list(gram) AS s FROM g GROUP BY doc_id),
+       |cfp AS (SELECT DISTINCT
+       |    array_to_string(list_sort(string_split(text, ' ')), ' ') AS fp
+       |  FROM documents WHERE doc_id < 250),
+       |keptx AS (SELECT c.doc_id, c.text
+       |  FROM cleaned c
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM cfp f WHERE f.fp =
+       |      array_to_string(list_sort(string_split(c.text, ' ')), ' '))),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+       |  JOIN keptx k ON k.doc_id = a.doc_id
+       |  WHERE b.doc_id < 250),
+       |rej AS (
+       |  SELECT DISTINCT c.id_a AS doc_id
+       |  FROM cand c
+       |  JOIN sets sa ON sa.doc_id = c.id_a
+       |  JOIN sets sb ON sb.doc_id = c.id_b
+       |  WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+       |      / len(list_distinct(sa.s || sb.s)), 4) >= 0.8)
+       |SELECT dl.lang, count(*)::BIGINT AS n_admitted,
+       |  CAST(sum(len(list_filter(string_split(k.text, ' '), x -> x <> '')))
+       |    AS BIGINT) AS kept_tokens,
+       |  min(k.doc_id) AS first_id
+       |FROM keptx k
+       |JOIN documents dl ON dl.doc_id = k.doc_id
+       |WHERE k.doc_id NOT IN (SELECT doc_id FROM rej)
+       |GROUP BY dl.lang ORDER BY dl.lang""".stripMargin
+  }
 
   /** `incr_gated_admit_fixed` oracle: [[incrAdmitFixedOracleSql]] with
     * the row-local Gopher quality gate in front of the exact tier —
@@ -710,13 +898,28 @@ object Queries
   private def collectGated(df: DataFrame): Array[org.apache.spark.sql.Row] =
     PlanGate.withAqeOffIfSmall(df)(df.collect())
 
+  /** Plan-capture mode for `DeclaredQuery.planFrame`: while active on
+    * the current thread, the first collecting tail
+    * ([[localFrame]]/[[localFrameOrdered]]) throws [[PlanCapture.Captured]]
+    * carrying the distributed frame INSTEAD of executing it — the plan
+    * audit reads the real pre-collect shape for free. Control flow
+    * only; never set outside planFrame. */
+  private[graft] object PlanCapture {
+    val active: ThreadLocal[java.lang.Boolean] =
+      ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+    final case class Captured(df: DataFrame)
+      extends RuntimeException with scala.util.control.NoStackTrace
+  }
+
   /** Eagerly execute `df` and return the result as a LocalRelation-backed
     * frame — the shared tail of every round-trip/materializing declared
     * query (the result is tiny; the point is truncating lineage so temp
     * dirs and cache entries can be released before returning). */
-  private[graft] def localFrame(df: DataFrame): DataFrame =
+  private[graft] def localFrame(df: DataFrame): DataFrame = {
+    if (PlanCapture.active.get) throw PlanCapture.Captured(df)
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(collectGated(df): _*), df.schema)
+  }
 
   /** [[localFrame]] with the ORDER applied driver-side: the pattern
     * `localFrame(tiny.orderBy(k…))` pays a distributed global sort — a
@@ -754,6 +957,7 @@ object Queries
 
   private[graft] def localFrameOrdered(df: DataFrame,
                                        keys: String*): DataFrame = {
+    if (PlanCapture.active.get) throw PlanCapture.Captured(df)
     val rows = collectGated(df)
     // "-name" = descending (nulls last), bare = ascending (nulls first)
     // — Spark's desc/asc null defaults

@@ -294,6 +294,112 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       Some(incrGatedAdmitFixedOracleSql),
       "quality-gated admission verdict under the closed-form hash: Gopher gate + two-tier admission, full DuckDB replay"),
 
+    "incr_admit_seq_fixed" -> DeclaredQuery(
+      // incr_admit_seq's ORACLE TWIN — the TWO-DAY evolving admission
+      // under the closed-form hash: day 1 (250 ≤ id < 375) admits
+      // against the corpus (< 250); day 2 (id ≥ 375) admits against
+      // corpus ∪ DAY-1 ADMISSIONS, so a day-2 doc duplicating a day-1
+      // admission is rejected even though neither is in the original
+      // corpus. Day-1's verdict feeds day-2's exact-fingerprint set
+      // AND its banded candidate side — in DuckDB that corpus is just
+      // a CTE over day-1's result, so the whole evolving sequence
+      // replays as ONE static query. The banded memo restricted by id
+      // set ≡ banding the subset (signatures are per-doc, texts
+      // unchanged by admission). Day-1 admissions persist before day 2
+      // references them (three consumers), mirroring incr_admit_seq.
+      (s, dir) => {
+        val docs = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        val corpus = docs.filter(col("doc_id") < 250)
+        val banded = sharedPolyMinhashBanded(s, dir)
+        def admitDay(day: DataFrame, corpusDf: DataFrame): DataFrame = {
+          val exactKept = Dedup.incrementalExact(day,
+            Dedup.tokenFingerprint(col("text")),
+            corpusDf, Dedup.tokenFingerprint(col("text")))
+          val cands = NearDup.materializePairs(
+            NearDup.minHashPolyCrossPairs(
+              banded.join(exactKept.select(col("doc_id").as("_id")),
+                Seq("_id"), "left_semi"),
+              banded.join(corpusDf.select(col("doc_id").as("_id")),
+                Seq("_id"), "left_semi"))
+              .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+          val rejected = NearDup.jaccardVerify(docs, "doc_id", "text", cands)
+            .filter(col("jaccard") >= 0.8)
+            .select(col("id_a").as("doc_id")).distinct()
+          exactKept.join(broadcast(rejected), Seq("doc_id"), "left_anti")
+        }
+        Dedup.withAdmissionScope {
+          val adm1 = admitDay(
+            docs.filter(col("doc_id") >= 250 && col("doc_id") < 375), corpus)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            adm1.count()
+            val adm2 = admitDay(docs.filter(col("doc_id") >= 375),
+              corpus.select(col("doc_id"), col("text"), col("lang"))
+                .union(adm1.select(col("doc_id"), col("text"), col("lang"))))
+            localFrameOrdered(
+              adm1.select(col("doc_id"), col("lang"), lit(1L).as("day"))
+                .union(adm2.select(col("doc_id"), col("lang"),
+                  lit(2L).as("day")))
+                .groupBy(col("day"), col("lang"))
+                .agg(count(lit(1)).as("n_admitted"),
+                  min(col("doc_id")).as("first_id")), "day", "lang")
+          } finally adm1.unpersist()
+        }
+      },
+      Some(incrAdmitSeqFixedOracleSql),
+      "two-day evolving admission under the closed-form hash: day-2 verdict against corpus ∪ day-1 admissions, full DuckDB replay"),
+
+    "incr_clean_admit_fixed" -> DeclaredQuery(
+      // incr_clean_admit's ORACLE TWIN — Dedup.cleanAndAdmit's verdict
+      // under the closed-form hash: the span-strip tier (oracle-green
+      // as incr_span_strip) rewrites each incoming doc with
+      // corpus-copied token runs removed, docs with nothing novel left
+      // drop, then the two-tier admission runs over the CLEANED text.
+      // The shared banded memo does NOT apply here — stripping changes
+      // the text, so the poly minhash chain runs over corpus originals
+      // ∪ cleaned incoming (both sides fresh), exactly what the
+      // oracle's parameterized `d` CTE replays. `cleaned` persists for
+      // the scope: it feeds the exact tier, the banding, and the
+      // verify relation.
+      (s, dir) => {
+        val docs = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        val corpus = docs.filter(col("doc_id") < 250)
+        Dedup.withAdmissionScope {
+          val cleaned = SpanDedup.crossStripSpans(
+              docs.filter(col("doc_id") >= 250), corpus,
+              "doc_id", "text", k = 8)
+            .filter(col("kept_tokens") >= 1)
+            .select(col("_id").as("doc_id"), col("cleaned_text").as("text"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val exactKept = Dedup.incrementalExact(cleaned,
+              Dedup.tokenFingerprint(col("text")),
+              corpus, Dedup.tokenFingerprint(col("text")))
+            val rel = corpus.select(col("doc_id"), col("text")).union(cleaned)
+            val banded = NearDup.minHashPolyBanded(rel, "doc_id", "text")
+            val cands = NearDup.materializePairs(
+              NearDup.minHashPolyCrossPairs(
+                banded.join(exactKept.select(col("doc_id").as("_id")),
+                  Seq("_id"), "left_semi"),
+                banded.filter(col("_id") < 250))
+                .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+            val rejected = NearDup.jaccardVerify(rel, "doc_id", "text", cands)
+              .filter(col("jaccard") >= 0.8)
+              .select(col("id_a").as("doc_id")).distinct()
+            localFrameOrdered(
+              exactKept.join(broadcast(rejected), Seq("doc_id"), "left_anti")
+                .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+                .groupBy(col("lang"))
+                .agg(count(lit(1)).as("n_admitted"),
+                  sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+                    .as("kept_tokens"),
+                  min(col("doc_id")).as("first_id")), "lang")
+          } finally cleaned.unpersist()
+        }
+      },
+      Some(incrCleanAdmitFixedOracleSql),
+      "clean-then-admit verdict under the closed-form hash: span strip + two-tier admission on the cleaned text, full DuckDB replay"),
+
     "incr_near_dup_embed" -> DeclaredQuery(
       // the VECTOR tier of incremental ingestion, driver-visible:
       // incoming vectors meet the existing corpus only inside shared

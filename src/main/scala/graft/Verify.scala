@@ -45,6 +45,11 @@ object Verify {
       graft.operators.Dedup.releaseAdmissionCaches()
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleSqlJson)
+    // shutdown sweep: the per-query releaseCaches() above is
+    // thread-scoped; this drains every thread's queue, including
+    // threads that died without releasing (the documented escape
+    // hatch actually runs at least once per process)
+    graft.operators.PrefixSum.releaseAllCaches()
     spark.stop()
   }
 

@@ -319,13 +319,20 @@ object IvfIndex {
       try {
         val kept = survivors.select(col("cluster_id")).distinct()
           .collect().map(_.getInt(0)).toSet
-        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try survivors.repartition(col("cluster_id"))
-          .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
-        finally prev match {
-          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        // conf-scoped under the process-wide lock: unserialized, an
+        // overlapping save/set/restore on another thread could capture
+        // this scope's temporary "dynamic" as its previous value and
+        // pin it — and a pinned static overwrite later deletes whole
+        // tables instead of the touched partitions.
+        graft.PlanGate.confScoped {
+          val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try survivors.repartition(col("cluster_id"))
+            .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+          finally prev match {
+            case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
         }
         // a cluster whose every row was tombstoned writes no survivors,
         // so dynamic overwrite never visits its directory — drop it

@@ -149,21 +149,82 @@ object TextAnalysis {
                          minStopwords: Int, maxTopFrac: Double)
       : (Column, Column, Column, Column,
          Column, Column, Column, Column) = {
-    val tk = tokens(text)
-    val nW = size(tk).cast("long")
-    val meanLen =
-      aggregate(tk, lit(0L), (a, x) => a + length(x)).cast("double") / nW
-    val nStop =
-      size(filter(tk, x => x.isin("the", "a", "of", "to", "in")))
-        .cast("long")
-    val topFrac = array_max(
-      transform(array_distinct(tk), w => size(filter(tk, x => x === w))))
-      .cast("double") / nW
+    // the four raw counts come from ONE native single-pass expression
+    // (GopherStats — the HOF fold was O(distinct × n) interpreted per
+    // row and priced above both dedup tiers in AdmitProbe); all derived
+    // arithmetic stays in Catalyst so null/zero-token edges are the
+    // built-ins' own. Codegen subexpression elimination evaluates the
+    // shared struct once per row across the getFields.
+    import org.apache.spark.sql.graftshim.Bridge
+    val st = Bridge.column(
+      graft.expressions.GopherStats(Bridge.expression(text)))
+    val nW = st.getField("n_words")
+    // guarded divisions: zero-token docs get NULL ratios (and so fail
+    // every ratio rule), per the operator contract — under Spark 4's
+    // default ANSI mode a bare 0/0 THROWS DIVIDE_BY_ZERO instead (a
+    // latent crash the parity spec's empty-doc edge exposed; the
+    // seeded fixtures happen to contain no empty documents)
+    val meanLen = when(nW > 0, st.getField("sum_len").cast("double") / nW)
+    val nStop = st.getField("n_stop")
+    val topFrac = when(nW > 0, st.getField("top_cnt").cast("double") / nW)
     (nW, meanLen, nStop, topFrac,
       nW >= minWords && nW <= maxWords,
       meanLen >= minMeanLen && meanLen <= maxMeanLen,
       nStop >= minStopwords,
       topFrac <= maxTopFrac)
+  }
+
+  /** The higher-order formulation [[gopherCols]] replaced — retained so
+    * TextAnalysisSpec can pin the native single-pass expression
+    * bit-equal against it on the real fixture (the standing
+    * native-Expression + HOF-parity-twin discipline). */
+  private def gopherColsHof(text: Column,
+                            minWords: Int, maxWords: Int,
+                            minMeanLen: Double, maxMeanLen: Double,
+                            minStopwords: Int, maxTopFrac: Double)
+      : (Column, Column, Column, Column,
+         Column, Column, Column, Column) = {
+    val tk = tokens(text)
+    val nW = size(tk).cast("long")
+    // same ANSI divide-by-zero guard as the native formulation
+    val meanLen = when(nW > 0,
+      aggregate(tk, lit(0L), (a, x) => a + length(x)).cast("double") / nW)
+    val nStop =
+      size(filter(tk, x => x.isin("the", "a", "of", "to", "in")))
+        .cast("long")
+    val topFrac = when(nW > 0, array_max(
+      transform(array_distinct(tk), w => size(filter(tk, x => x === w))))
+      .cast("double") / nW)
+    (nW, meanLen, nStop, topFrac,
+      nW >= minWords && nW <= maxWords,
+      meanLen >= minMeanLen && meanLen <= maxMeanLen,
+      nStop >= minStopwords,
+      topFrac <= maxTopFrac)
+  }
+
+  /** [[gopherRules]] over the retained HOF columns — the parity twin
+    * TextAnalysisSpec compares against [[gopherRules]] row-for-row. */
+  private[graft] def gopherRulesHof(docs: DataFrame, idCol: String,
+                                    textCol: String,
+                                    minWords: Int = 20, maxWords: Int = 80,
+                                    minMeanLen: Double = 3.9,
+                                    maxMeanLen: Double = 5.0,
+                                    minStopwords: Int = 2,
+                                    maxTopFrac: Double = 0.15): DataFrame = {
+    val (nW, meanLen, nStop, topFrac, rWc, rMl, rSt, rTp) =
+      gopherColsHof(col(textCol), minWords, maxWords, minMeanLen, maxMeanLen,
+        minStopwords, maxTopFrac)
+    def verdict(c: Column): Column = when(c, 1L).otherwise(0L)
+    docs.select(col(idCol),
+      nW.as("n_words"),
+      round(meanLen, 4).as("mean_wlen"),
+      nStop.as("n_stop"),
+      round(topFrac, 4).as("top_frac"),
+      verdict(rWc).as("r_wordcount"),
+      verdict(rMl).as("r_meanlen"),
+      verdict(rSt).as("r_stop"),
+      verdict(rTp).as("r_topword"),
+      verdict(rWc && rMl && rSt && rTp).as("gopher_pass"))
   }
 
   /** The conjunctive Gopher verdict as a ROW-LOCAL boolean Column —

@@ -465,31 +465,24 @@ object VersionedCorpus {
     * partitions bound the per-task slice; at-scale plans keep AQE and
     * full width. Session-scoped conf: safe under the single-writer
     * commit contract these paths already hold. */
-  // conf-scope atomicity: the save/mutate/act/restore sequence runs
-  // under PlanGate.confScopeLock (r16 verdict — two unserialized
-  // overlapping scopes could each capture the other's temporary value
-  // as "previous", pinning the override; see the lock's scaladoc for
-  // the documented residual). The prevAqe read happens INSIDE the lock
-  // so a scope can never mistake another scope's transient "false" for
-  // the session's steady state.
+  // conf-scope atomicity: routed through PlanGate.withConfScope — the
+  // set and restore phases run under the process-wide scope lock (r16
+  // verdict: two unserialized overlapping scopes could each capture
+  // the other's temporary value as "previous", pinning the override),
+  // while the BODY runs outside it, so concurrent gated actions don't
+  // serialize end-to-end (r17 advice). The per-key depth ledger makes
+  // nesting exact: an inner withAqeOff inside an outer one re-sets
+  // "false" idempotently and the LAST scope to close restores the
+  // session's steady-state values. The settings thunk reads prevSp
+  // under the lock, so the cap derives from a stable conf.
   private[graft] def withAqeOff[T](spark: SparkSession)(body: => T): T =
-    graft.PlanGate.confScoped {
-      val aqeKey = "spark.sql.adaptive.enabled"
+    graft.PlanGate.withConfScope(spark)({
       val spKey = "spark.sql.shuffle.partitions"
-      val prevAqe = spark.conf.get(aqeKey, "true")
-      if (prevAqe == "false") body
-      else {
-        val prevSp = spark.conf.get(spKey, "200")
-        val cappedSp =
-          try math.min(prevSp.toInt, 4).toString catch { case _: Throwable => "4" }
-        spark.conf.set(aqeKey, "false")
-        spark.conf.set(spKey, cappedSp)
-        try body finally {
-          spark.conf.set(aqeKey, prevAqe)
-          spark.conf.set(spKey, prevSp)
-        }
-      }
-    }
+      val prevSp = spark.conf.get(spKey, "200")
+      val cappedSp =
+        try math.min(prevSp.toInt, 4).toString catch { case _: Throwable => "4" }
+      Seq("spark.sql.adaptive.enabled" -> "false", spKey -> cappedSp)
+    })(body)
 
   /** The staged-commit write width for a SMALL input: ~16 MB of
     * estimated input per task, floor 1 — a kilobyte maintenance commit

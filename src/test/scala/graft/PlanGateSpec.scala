@@ -74,4 +74,48 @@ class PlanGateSpec extends AnyFunSuite {
     assert(spark.conf.getOption(key) === before,
       "limit.initialNumPartitions not restored after concurrent scopes")
   }
+
+  test("scope bodies run OUTSIDE the lock: two scopes overlap in time") {
+    // r17 advice: the old whole-window lock serialized every gated
+    // collect end-to-end. With the set/restore-only critical section,
+    // a scope body can be entered while another scope's body is still
+    // open — this rendezvous would deadlock (then time out) under the
+    // old contract.
+    import graft.sources.{VersionedCorpus => VC}
+    val aInside = new java.util.concurrent.CountDownLatch(1)
+    val bInside = new java.util.concurrent.CountDownLatch(1)
+    val ok = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val a = new Thread(() => VC.withAqeOff(spark) {
+      aInside.countDown()
+      // hold the scope open until B proves it reached its own body
+      ok.set(bInside.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    })
+    val b = new Thread(() => {
+      aInside.await()
+      VC.withAqeOff(spark) { bInside.countDown() }
+    })
+    a.start(); b.start(); a.join(15000); b.join(15000)
+    assert(ok.get(), "second scope body never opened while first was open")
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") !== "false",
+      "AQE flag not restored after overlapping scopes")
+  }
+
+  test("nested same-key scopes: depth ledger restores the steady state") {
+    import graft.sources.{VersionedCorpus => VC}
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val (aqe0, sp0) = (spark.conf.get(aqeKey, "true"), spark.conf.get(spKey))
+    VC.withAqeOff(spark) {
+      VC.withAqeOff(spark) {
+        assert(spark.conf.get(aqeKey) === "false")
+        assert(spark.conf.get(spKey).toInt <= 4)
+      }
+      // inner close must NOT restore while the outer scope is open
+      assert(spark.conf.get(aqeKey) === "false",
+        "inner scope close restored the key under an open outer scope")
+      assert(spark.conf.get(spKey).toInt <= 4)
+    }
+    assert(spark.conf.get(aqeKey, "true") === aqe0)
+    assert(spark.conf.get(spKey) === sp0)
+  }
 }

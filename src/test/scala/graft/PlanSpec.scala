@@ -218,6 +218,29 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("planFrame captures the pre-collect frame of collected rows") {
+    // r17 advice: rows whose build collects to a LocalRelation used to
+    // fall back to build() — executing the full query and exposing only
+    // a LocalTableScan to the audit. Plan-capture mode aborts at the
+    // collecting tail and hands back the distributed frame instead.
+    for (name <- Seq("dedup_fingerprint", "q_incremental_dedup",
+        "incr_admit_fixed", "incr_gated_admit_fixed")) {
+      val p = plan(name)
+      assert(!p.trim.startsWith("LocalTableScan"),
+        s"$name plan audit sees only the collected LocalTableScan:\n$p")
+      assert(p.contains("HashAggregate") || p.contains("Join"),
+        s"$name captured plan shows no distributed operator:\n$p")
+    }
+  }
+
+  test("dedup_fingerprint: captured plan is the partial+final agg, no window") {
+    val p = plan("dedup_fingerprint")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"exact dedup must be a two-phase hash aggregation:\n$p")
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_gopher_rules: the whole gate is one row-local projection") {
     val p = plan("q_gopher_rules")
     // scan → project(rules) → top-N; NO explode, NO join, NO shuffle —

@@ -216,4 +216,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got === want)
     }
   }
+
+  test("native GopherStats rules ≡ the HOF twin: fixture + edge shapes") {
+    import org.apache.spark.sql.functions.col
+    // edge shapes: empty doc (null ratios must fail the gate), all-space,
+    // null text, all-same tokens (top_frac = 1), every-token-a-stopword,
+    // multibyte tokens (mean_wlen counts CHARACTERS, not bytes), and a
+    // gate-passing document
+    val edges = Seq(
+      (1L, ""), (2L, "     "), (3L, null.asInstanceOf[String]),
+      (4L, "same same same same same"),
+      (5L, "the a of to in the a of to in"),
+      (6L, "héllo wörld café déjà vu naïve crème brûlée über jalapeño"),
+      (7L, ("the quick brown fox jumps over a lazy dog of unusual size " +
+        "and then runs to the distant hills in pursuit of winter food " +
+        "while the pack follows close behind through fallen snow")))
+      .toDF("doc_id", "text")
+    val fixture = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (1 until r.length).map(i =>
+        if (r.isNullAt(i)) null else r.get(i))
+    for (df <- Seq(edges, fixture)) {
+      val got = TextAnalysis.gopherRules(df, "doc_id", "text")
+        .collect().map(key).toMap
+      val want = TextAnalysis.gopherRulesHof(df, "doc_id", "text")
+        .collect().map(key).toMap
+      assert(got === want)
+    }
+  }
 }
