@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.Shingles
+
 /** Substring-level (k-gram span) deduplication — the ExactSubstr tier of
   * training-data dedup (Lee et al. 2021, "Deduplicating Training Data
   * Makes Language Models Better", public): find runs of tokens that are
@@ -47,14 +49,23 @@ object SpanDedup {
   def grams(docs: DataFrame, idCol: String, textCol: String, k: Int,
             hashGrams: Boolean = false): DataFrame = {
     require(k >= 2, s"need k >= 2, got $k")
+    import org.apache.spark.sql.graftshim.Bridge
     val toksOf = TextAnalysis.tokens(col(textCol))
     val t = col("_toks")
-    val starts = when(size(t) >= k, sequence(lit(1), size(t) - (k - 1), lit(1)))
-      .otherwise(array().cast("array<int>"))
+    // native Shingles builds the k-gram array in one static call per
+    // row — the prior `transform(starts, i => concat_ws(slice(...)))`
+    // was an interpreted lambda with a slice + concat per POSITION
+    // (CodegenFallback; profiled as the dominant task time of the
+    // span-strip admission chain). For size >= k the outputs are
+    // bit-identical (one gram per window, single-space joined); the
+    // size < k guard preserves this method's drop-short-docs contract
+    // (Shingles alone would emit one whole-doc gram there).
+    val sh = when(size(t) >= k,
+      Bridge.column(Shingles(Bridge.expression(t), k)))
+      .otherwise(array().cast("array<string>"))
     val gram = col("col")
     docs.select(col(idCol).as("_id"), toksOf.as("_toks"))
-      .select(col("_id"),
-        posexplode(transform(starts, i => concat_ws(" ", slice(t, i, lit(k))))))
+      .select(col("_id"), posexplode(sh))
       .select(col("_id"), (col("pos") + 1).as("pos"),
         (if (hashGrams) xxhash64(gram) else gram).as("gram"))
   }
@@ -174,6 +185,33 @@ object SpanDedup {
 
   private def stripFrom(docs: DataFrame, idCol: String, textCol: String,
                         spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.Bridge
+    // per-doc span list (tiny: spans are already maximal islands), then
+    // ONE row-local native strip per doc — the prior exploded tail paid
+    // three shuffles of a token-POSITION-sized relation (posexplode →
+    // anti-join → collect_list/array_sort/interpreted-transform
+    // reassembly) to express what is a per-row token walk. Retained as
+    // [[stripFromExploded]]; SpanDedupSpec pins them row-identical.
+    val sp = spans.groupBy(col("_id"))
+      .agg(collect_list(struct(
+        col("span_start").cast("int").as("s"),
+        col("span_end").cast("int").as("e"))).as("_spans"))
+    val stripped = Bridge.column(graft.expressions.StripSpans(
+      Bridge.expression(TextAnalysis.tokens(col(textCol))),
+      Bridge.expression(col("_spans"))))
+    docs.select(col(idCol).as("_id"), col(textCol))
+      .join(sp, Seq("_id"), "left")
+      .select(col("_id"),
+        stripped.getField("kept_tokens").as("kept_tokens"),
+        stripped.getField("cleaned_text").as("cleaned_text"))
+  }
+
+  /** The exploded formulation [[stripFrom]] replaced — kept as the
+    * parity twin SpanDedupSpec compares row-identical on the fixture
+    * (plus crafted overlap/empty/null edges). */
+  private[graft] def stripFromExploded(docs: DataFrame, idCol: String,
+                                       textCol: String,
+                                       spans: DataFrame): DataFrame = {
     val toksOf = TextAnalysis.tokens(col(textCol))
     val tp = docs.select(col(idCol).as("_id"), posexplode(toksOf))
       .select(col("_id"), (col("pos") + 1).as("pos"), col("col").as("_tok"))
@@ -192,4 +230,24 @@ object SpanDedup {
         coalesce(col("kept_tokens"), lit(0L)).cast("long").as("kept_tokens"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
+
+  /** [[stripSpans]] over the exploded twin — parity surface for
+    * SpanDedupSpec. */
+  private[graft] def stripSpansExploded(docs: DataFrame, idCol: String,
+                                        textCol: String,
+                                        k: Int = 8, minDocs: Int = 2,
+                                        hashGrams: Boolean = false): DataFrame =
+    stripFromExploded(docs, idCol, textCol,
+      duplicatedSpans(docs, idCol, textCol, k, minDocs, hashGrams))
+
+  /** [[crossStripSpans]] over the exploded twin — parity surface for
+    * SpanDedupSpec. */
+  private[graft] def crossStripSpansExploded(incoming: DataFrame,
+                                             corpus: DataFrame,
+                                             idCol: String, textCol: String,
+                                             k: Int = 8,
+                                             hashGrams: Boolean = false)
+      : DataFrame =
+    stripFromExploded(incoming, idCol, textCol,
+      crossDuplicatedSpans(incoming, corpus, idCol, textCol, k, hashGrams))
 }

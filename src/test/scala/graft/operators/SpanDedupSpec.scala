@@ -153,4 +153,41 @@ class SpanDedupSpec extends AnyFunSuite {
       .as[(Long, Long, String)].collect.toSet
     assert(got === Set((10L, 0L, "")))
   }
+
+  test("native row-local strip ≡ the exploded twin: fixture + edges") {
+    // the strip tail moved from posexplode → anti-join → collected
+    // reassembly to one native StripSpans call per row; both forms
+    // must be row-identical everywhere, including null text (→ (0,'')),
+    // span-free docs (all tokens kept), and full coverage (→ (0,''))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, String)].collect.toSet
+    val edges = Seq(
+      (1L, "alpha beta gamma one two three four five six seven eight end"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "novel text with no copied runs here at all ok"),
+      (4L, null.asInstanceOf[String]),
+      (5L, ""),
+      (6L, "x one two three four five six seven eight y one two three " +
+        "four five six seven eight z"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    assert(
+      rows(SpanDedup.crossStripSpans(edges, corpus, "doc_id", "text", k = 8))
+        === rows(SpanDedup.crossStripSpansExploded(
+          edges, corpus, "doc_id", "text", k = 8)))
+    val fixture = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select($"doc_id", $"text")
+    val inc = fixture.filter($"doc_id" >= 250)
+    val corp = fixture.filter($"doc_id" < 250)
+    assert(
+      rows(SpanDedup.crossStripSpans(inc, corp, "doc_id", "text", k = 8))
+        === rows(SpanDedup.crossStripSpansExploded(
+          inc, corp, "doc_id", "text", k = 8)))
+    assert(
+      rows(SpanDedup.stripSpans(fixture, "doc_id", "text", k = 8))
+        === rows(SpanDedup.stripSpansExploded(fixture, "doc_id", "text",
+          k = 8)))
+  }
 }
