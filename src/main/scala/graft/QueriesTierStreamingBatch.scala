@@ -49,6 +49,11 @@ private[graft] trait QueriesTierStreamingBatch { this: Queries.type =>
       "B34: sliding window agg — each event lands in width/slide buckets"),
 
     "q_session" -> DeclaredQuery(
+      // tail stays a distributed orderBy: the r18 localFrameOrdered
+      // experiment REGRESSED this row (0.36 → 0.77 s) — the collect
+      // gate's small-plan AQE-off path caps the shuffle at width 4,
+      // and the session-window aggregation over ~500k events is
+      // compute-bound, not floor-bound; it needs the parallelism
       (s, dir) => Streams.sessionAgg(T(s, dir, "events"), "10 minutes")
         .orderBy(col("user_id"), col("session_start")),
       Some("""WITH x AS (

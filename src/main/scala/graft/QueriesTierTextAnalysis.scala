@@ -687,6 +687,10 @@ private[graft] trait QueriesTierTextAnalysis { this: Queries.type =>
           T(s, dir, "orders")
             .select(col("o_orderkey"), col("o_orderpriority")),
           "o_orderkey", factor = 2)
+        // tail stays a distributed orderBy (5-row result, but the
+        // salted join + decimal sum over ~600k lineitem rows is
+        // compute-bound — the r18 localFrameOrdered experiment
+        // regressed it via the collect gate's width-4 small-plan path)
         joined.groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
             r4(dbl(decSum(col("l_quantity")))).as("sum_qty"))

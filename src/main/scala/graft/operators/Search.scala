@@ -65,14 +65,18 @@ object Search {
     * k-per-query multi-query fans. */
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
               rankCol: String = "rank", kRrf: Int = 60): DataFrame = {
-    val left = a.select(col(idCol), col(rankCol).as("_ra"))
-    val right = b.select(col(idCol), col(rankCol).as("_rb"))
-    left.join(right, Seq(idCol), "full_outer")
-      .select(col(idCol),
-        round(
-          coalesce(lit(1.0) / (lit(kRrf) + col("_ra")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(kRrf) + col("_rb")), lit(0.0)),
-          4).as("rrf"))
+    // union + one hash aggregation instead of a full-outer join: each
+    // ranker contributes its reciprocal-rank term as a row and the agg
+    // sums per id — same ≤2 IEEE addends per id as the join form
+    // (identical in either order; an absent side contributed exactly 0
+    // there and contributes no row here), but the whole fusion now
+    // rides ONE shuffle in the SAME job as both ranker subtrees, where
+    // the join paid two exchanges or a broadcast-build job (the r17
+    // kernel-deficit profile put hybrid_rrf's excess exactly there).
+    val terms = a.select(col(idCol), col(rankCol).cast("long").as("_r"))
+      .unionByName(b.select(col(idCol), col(rankCol).cast("long").as("_r")))
+    terms.groupBy(col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(kRrf) + col("_r"))), 4).as("rrf"))
   }
 
   /** [[rrfFuse]] for BATCHED rankings — fuses two (qid, id, rank)
@@ -83,14 +87,14 @@ object Search {
     * per-query top-k-bounded, so the join is (queries × k)-sized. */
   def rrfFuseMany(a: DataFrame, b: DataFrame, qidCol: String, idCol: String,
                   rankCol: String = "rank", kRrf: Int = 60): DataFrame = {
-    val left = a.select(col(qidCol), col(idCol), col(rankCol).as("_ra"))
-    val right = b.select(col(qidCol), col(idCol), col(rankCol).as("_rb"))
-    left.join(right, Seq(qidCol, idCol), "full_outer")
-      .select(col(qidCol), col(idCol),
-        round(
-          coalesce(lit(1.0) / (lit(kRrf) + col("_ra")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(kRrf) + col("_rb")), lit(0.0)),
-          4).as("rrf"))
+    // union + hash agg, same rationale (and same bit-identity argument)
+    // as [[rrfFuse]], keyed per (query, id)
+    val terms = a.select(col(qidCol), col(idCol),
+        col(rankCol).cast("long").as("_r"))
+      .unionByName(b.select(col(qidCol), col(idCol),
+        col(rankCol).cast("long").as("_r")))
+    terms.groupBy(col(qidCol), col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(kRrf) + col("_r"))), 4).as("rrf"))
   }
 
   /** Default ceiling on how much of the query side one broadcast may
