@@ -267,9 +267,16 @@ object Dedup {
   def cleanAndAdmit(incoming: DataFrame, corpus: DataFrame,
                     idCol: String, textCol: String, k: Int = 8,
                     minKeptTokens: Int = 1,
-                    minJaccard: Double = 0.8): DataFrame = {
+                    minJaccard: Double = 0.8,
+                    hashGrams: Boolean = false): DataFrame = {
+    // hashGrams — the 100 TB shape for the strip tier's gram semi-join:
+    // 8-byte xxhash64 keys instead of ~50-byte k-gram strings (AdmitProbe
+    // r18: 1.1 GB → ~180 MB of shuffle at a 1M-doc corpus). Decision-
+    // identical below the birthday bound (SpanDedup's scaladoc;
+    // equivalence asserted in SpanDedupSpec); the oracle-replayed
+    // declared rows keep the string default.
     val cleaned = SpanDedup.crossStripSpans(incoming, corpus,
-        idCol, textCol, k)
+        idCol, textCol, k, hashGrams)
       .filter(col("kept_tokens") >= minKeptTokens)
       .select(col("_id").as(idCol), col("cleaned_text").as(textCol))
     admitIncoming(cleaned, corpus, idCol, textCol, minJaccard)

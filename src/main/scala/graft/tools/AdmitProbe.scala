@@ -110,12 +110,24 @@ object AdmitProbe {
             Dedup.admitIncoming(incoming, corpus, "doc_id", "text")
           case "gated" =>
             Dedup.gateAndAdmit(incoming, corpus, "doc_id", "text")
+          case "clean" =>
+            // the full pretraining kernel: span-strip the batch against
+            // the corpus (native Shingles grams + row-local StripSpans,
+            // r18), then the two-tier admission on the cleaned text
+            Dedup.cleanAndAdmit(incoming, corpus, "doc_id", "text")
+          case "clean_hashed" =>
+            // the at-scale strip shape: the gram semi-join ships 8-byte
+            // xxhash64 keys instead of k-gram strings — decision-
+            // identical (asserted in SpanDedupSpec), shuffle collapses
+            Dedup.cleanAndAdmit(incoming, corpus, "doc_id", "text",
+              hashGrams = true)
         }
         admitted.count()
       }
 
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (nCorpus <- corpusSizes; kernel <- Seq("admit", "gated")) {
+    for (nCorpus <- corpusSizes;
+         kernel <- Seq("admit", "gated", "clean", "clean_hashed")) {
       val corpus = corpusOf(nCorpus)
       val incoming = incomingOf(nCorpus)
       run(kernel, incoming, corpus) // unmeasured warm pass (codegen)

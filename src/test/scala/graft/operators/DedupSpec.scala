@@ -538,4 +538,20 @@ class DedupSpec extends AnyFunSuite {
     assert(leaked.forall(!after2.contains(_)),
       s"releaseAdmissionCaches left entries: ${leaked.intersect(after2)}")
   }
+
+  test("cleanAndAdmit: hashGrams=true is decision-identical on the fixture") {
+    // the at-scale strip shape (8-byte gram keys in the semi-join,
+    // AdmitProbe r18: 2.5x less shuffle at a 1M-doc corpus) must admit
+    // exactly the same rows with exactly the same cleaned text
+    val fixture = graft.Tables.load(spark, TestSpark.sf0001, "documents")
+      .select($"doc_id", $"text")
+    val incoming = fixture.filter($"doc_id" >= 250)
+    val corpus = fixture.filter($"doc_id" < 250)
+    def rows(hashed: Boolean) = Dedup.withAdmissionScope {
+      Dedup.cleanAndAdmit(incoming, corpus, "doc_id", "text",
+          hashGrams = hashed)
+        .as[(Long, String)].collect.toSet
+    }
+    assert(rows(hashed = true) === rows(hashed = false))
+  }
 }
