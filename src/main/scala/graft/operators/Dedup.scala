@@ -339,8 +339,7 @@ object Dedup {
           exactKept, corpus, idCol, textCol, cands)
           .filter(col("jaccard") >= minJaccard)
           .select(col("id_new").as(idCol))
-        exactKept.join(broadcast(localIdFrame(verified)), Seq(idCol),
-          "left_anti")
+        antiByLocalIds(exactKept, verified, idCol)
       case None =>
         // candidate set exceeded the driver cap: keep the job alive with
         // the fully distributed shape — persist the lazy candidates so
@@ -367,6 +366,16 @@ object Dedup {
     * `equals` distinct matches Spark's grouping semantics (r15 advice;
     * ids are longs in every production caller, where the two agree). */
   private def localIdFrame(ids: DataFrame): DataFrame = {
+    val rows = localIdValues(ids).map(org.apache.spark.sql.Row(_))
+    ids.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), ids.schema)
+  }
+
+  /** EAGER collect of a (driver-bounded) single-column id frame,
+    * deduplicated with -0.0 → 0.0 normalized for float/double ids (so
+    * Java `equals` distinct matches Spark's grouping; ids are longs in
+    * every production caller). */
+  private def localIdValues(ids: DataFrame): Array[Any] = {
     def norm(v: Any): Any = v match {
       case d: java.lang.Double if d.doubleValue() == 0.0 =>
         java.lang.Double.valueOf(0.0)
@@ -374,11 +383,33 @@ object Dedup {
         java.lang.Float.valueOf(0.0f)
       case x => x
     }
-    val rows = graft.PlanGate.withAqeOffIfSmall(ids)(ids.collect())
+    graft.PlanGate.withAqeOffIfSmall(ids)(ids.collect())
       .map(r => norm(r.get(0))).distinct
-      .map(org.apache.spark.sql.Row(_))
-    ids.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), ids.schema)
+  }
+
+  /** Left-anti of `left` against the DRIVER-BOUNDED reject-id frame —
+    * as a plan-LITERAL NOT-IN filter when the collected set is small
+    * and long-typed: the LocalRelation broadcast anti-join pays a
+    * one-task build job per admission call (the r17 scheduler-floor
+    * note), the literal filter pays zero and pushes into the (cached)
+    * left scan. Anti-join null semantics preserved explicitly: a null
+    * left id never matches a key, so it is KEPT. Large or non-long id
+    * sets keep the broadcast anti-join. Decision-identical either way
+    * (same reject set applied). */
+  private def antiByLocalIds(left: DataFrame, ids: DataFrame,
+                             idCol: String): DataFrame = {
+    val vals = localIdValues(ids)
+    val longs = vals.collect { case l: java.lang.Long => l }
+    if (vals.isEmpty) left
+    else if (longs.length == vals.length && vals.length <= 10000)
+      left.filter(col(idCol).isNull ||
+        !col(idCol).isin(longs.toIndexedSeq: _*))
+    else {
+      val rows = vals.map(org.apache.spark.sql.Row(_))
+      left.join(broadcast(left.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), ids.schema)),
+        Seq(idCol), "left_anti")
+    }
   }
 
   /** The VECTOR-TIER incremental admission decision — [[admitIncoming]]
@@ -504,8 +535,7 @@ object Dedup {
             vecCol, cands)
           .filter(col("cos") >= minCosine)
           .select(col("id_new").as(idCol))
-        incoming.join(broadcast(localIdFrame(verified)), Seq(idCol),
-          "left_anti")
+        antiByLocalIds(incoming, verified, idCol)
       case None =>
         // overflow: distributed degrade, same shape as admitIncoming's
         // (registry-tracked persist — see the object header)
