@@ -249,9 +249,11 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
             .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
         val rejected = NearDup.jaccardVerify(docs, "doc_id", "text", cands)
           .filter(col("jaccard") >= 0.8)
-          .select(col("id_a").as("doc_id")).distinct()
+          .select(col("id_a").as("doc_id"))
+        // candidate-bounded reject set -> literal NOT-IN filter (zero
+        // broadcast-build jobs), same as the production kernel's tail
         localFrameOrdered(
-          exactKept.join(broadcast(rejected), Seq("doc_id"), "left_anti")
+          Dedup.antiByLocalIds(exactKept, rejected, "doc_id")
             .groupBy(col("lang"))
             .agg(count(lit(1)).as("n_admitted"),
               min(col("doc_id")).as("first_id")), "lang")
@@ -284,9 +286,11 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
             .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
         val rejected = NearDup.jaccardVerify(docs, "doc_id", "text", cands)
           .filter(col("jaccard") >= 0.8)
-          .select(col("id_a").as("doc_id")).distinct()
+          .select(col("id_a").as("doc_id"))
+        // candidate-bounded reject set -> literal NOT-IN filter (zero
+        // broadcast-build jobs), same as the production kernel's tail
         localFrameOrdered(
-          exactKept.join(broadcast(rejected), Seq("doc_id"), "left_anti")
+          Dedup.antiByLocalIds(exactKept, rejected, "doc_id")
             .groupBy(col("lang"))
             .agg(count(lit(1)).as("n_admitted"),
               min(col("doc_id")).as("first_id")), "lang")
@@ -324,8 +328,8 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
               .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
           val rejected = NearDup.jaccardVerify(docs, "doc_id", "text", cands)
             .filter(col("jaccard") >= 0.8)
-            .select(col("id_a").as("doc_id")).distinct()
-          exactKept.join(broadcast(rejected), Seq("doc_id"), "left_anti")
+            .select(col("id_a").as("doc_id"))
+          Dedup.antiByLocalIds(exactKept, rejected, "doc_id")
         }
         Dedup.withAdmissionScope {
           val adm1 = admitDay(
@@ -385,9 +389,9 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
                 .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
             val rejected = NearDup.jaccardVerify(rel, "doc_id", "text", cands)
               .filter(col("jaccard") >= 0.8)
-              .select(col("id_a").as("doc_id")).distinct()
+              .select(col("id_a").as("doc_id"))
             localFrameOrdered(
-              exactKept.join(broadcast(rejected), Seq("doc_id"), "left_anti")
+              Dedup.antiByLocalIds(exactKept, rejected, "doc_id")
                 .join(docs.select(col("doc_id"), col("lang")), "doc_id")
                 .groupBy(col("lang"))
                 .agg(count(lit(1)).as("n_admitted"),

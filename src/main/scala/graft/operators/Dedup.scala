@@ -396,8 +396,8 @@ object Dedup {
     * left id never matches a key, so it is KEPT. Large or non-long id
     * sets keep the broadcast anti-join. Decision-identical either way
     * (same reject set applied). */
-  private def antiByLocalIds(left: DataFrame, ids: DataFrame,
-                             idCol: String): DataFrame = {
+  private[graft] def antiByLocalIds(left: DataFrame, ids: DataFrame,
+                                    idCol: String): DataFrame = {
     val vals = localIdValues(ids)
     val longs = vals.collect { case l: java.lang.Long => l }
     if (vals.isEmpty) left
