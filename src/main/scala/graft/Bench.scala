@@ -281,6 +281,8 @@ object Bench {
         { Queries.sharedBucketedTables(spark, sfDir); () }),
       "_zorder_build" -> (() =>
         { Queries.sharedZorderPath(spark, sfDir); () }),
+      "_gramidx_build" -> (() =>
+        { Queries.sharedGramIndexPath(spark, sfDir); () }),
       "_hivepart_build" -> (() =>
         { Queries.sharedHivePartPath(spark, sfDir); () }),
       // the two table-statistics memos (embeddings (N, dim); documents

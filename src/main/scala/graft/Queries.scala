@@ -1951,6 +1951,24 @@ object Queries
     }
   }
 
+  /** Per-dir memo of the corpus GRAM-KEY index
+    * (`incr_span_strip_indexed`): the strip tier's maintained artifact
+    * — distinct corpus 8-gram keys + Bloom sidecar, built once per
+    * corpus version (the `_gramidx_build` infra line); the row prices
+    * the per-batch PROBE, which touches the corpus zero times. */
+  private[graft] val gramIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def sharedGramIndexPath(s: SparkSession, dir: String): String = {
+    val fp = docsFingerprint(dir)
+    bucketableTempMemo(gramIndexCache, dir, fp, "graft-gramidx") { path =>
+      SpanDedup.buildGramIndex(
+        T(s, dir, "documents").filter(col("doc_id") < 250),
+        "doc_id", "text", path, k = 8)
+      ()
+    }
+  }
+
   /** Per-dir memo of the hive-partitioned events table
     * (`q_partitioned_prune`): the partitioned layout is the deployed
     * store; the row prices the partition-pruned read, the write is the

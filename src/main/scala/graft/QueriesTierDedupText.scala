@@ -1429,6 +1429,73 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
          |WHERE d.doc_id >= 250 ORDER BY d.doc_id""".stripMargin),
       "incremental span dedup: incoming docs stripped of token runs copied from the corpus"),
 
+    "incr_span_strip_indexed" -> DeclaredQuery(
+      // incr_span_strip through the MAINTAINED gram-key artifact
+      // (SpanDedup.crossStripSpansIndexed): incoming gram positions
+      // probe the pre-built index's Bloom as a plan literal, the
+      // might-contain sliver confirms against the artifact's key
+      // table, and the CORPUS IS NEVER TOUCHED per batch — the
+      // amortized 100 TB shape AdmitProbe's clean-kernel table calls
+      // for. Same output contract as incr_span_strip (the Bloom is a
+      // router, never a decider; hashed gram keys are the spec-pinned
+      // decision-identical shape), so the SAME oracle replays it —
+      // the indexed path is oracle-green, not just spec-equal. The
+      // index build is the `_gramidx_build` infra line.
+      (s, dir) =>
+        SpanDedup.crossStripSpansIndexed(
+            T(s, dir, "documents").filter(col("doc_id") >= 250),
+            "doc_id", "text", sharedGramIndexPath(s, dir), k = 8)
+          .select(col("_id").as("doc_id"), col("kept_tokens"),
+            md5(col("cleaned_text")).as("cleaned_md5"))
+          .orderBy(asc("doc_id")),
+      Some("""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id >= 250),
+         |ct AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id < 250),
+         |gp AS (
+         |  SELECT doc_id, toks, CAST(unnest(range(1, len(toks)-6)) AS INT) AS pos
+         |  FROM t WHERE len(toks) >= 8),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |         array_to_string(list_slice(toks, pos, pos+7), ' ') AS gram
+         |  FROM gp),
+         |cgp AS (
+         |  SELECT toks, CAST(unnest(range(1, len(toks)-6)) AS INT) AS pos
+         |  FROM ct WHERE len(toks) >= 8),
+         |cg AS (
+         |  SELECT DISTINCT array_to_string(list_slice(toks, pos, pos+7), ' ')
+         |    AS gram
+         |  FROM cgp),
+         |p AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN cg USING (gram)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM p),
+         |isl2 AS (SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+         |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos)+7 AS e
+         |       FROM isl2 GROUP BY doc_id, island),
+         |covpos AS (
+         |  SELECT doc_id, CAST(unnest(range(s, e+1)) AS INT) AS pos FROM sp),
+         |tokpos AS (
+         |  SELECT doc_id, toks, CAST(unnest(range(1, len(toks)+1)) AS INT) AS pos
+         |  FROM t),
+         |keep AS (
+         |  SELECT tp.doc_id, tp.pos, list_extract(tp.toks, tp.pos) AS tok
+         |  FROM tokpos tp ANTI JOIN covpos c USING (doc_id, pos)),
+         |o AS (
+         |  SELECT doc_id, count(*) AS kept_tokens,
+         |         array_to_string(list(tok ORDER BY pos), ' ') AS cleaned
+         |  FROM keep GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(o.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |       md5(coalesce(o.cleaned, '')) AS cleaned_md5
+         |FROM documents d LEFT JOIN o USING (doc_id)
+         |WHERE d.doc_id >= 250 ORDER BY d.doc_id""".stripMargin),
+      "incremental span dedup through the maintained gram-key index: Bloom-routed probe + artifact semi-join, corpus untouched per batch"),
+
     "incr_clean_admit" -> DeclaredQuery(
       // the FULL ingestion kernel, chained: strip corpus-copied token
       // runs from the incoming batch (substring tier), drop docs with

@@ -154,6 +154,30 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got === Set((10L, 0L, "")))
   }
 
+  test("indexed strip ≡ direct cross strip on the fixture") {
+    // the maintained gram-key artifact (Bloom router + key table) must
+    // reproduce the direct corpus strip row-for-row — a Bloom false
+    // positive may only route a position into the confirming join,
+    // never mark it
+    val fixture = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select($"doc_id", $"text")
+    val inc = fixture.filter($"doc_id" >= 250)
+    val corp = fixture.filter($"doc_id" < 250)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gramidx-spec")
+    try {
+      val n = SpanDedup.buildGramIndex(corp, "doc_id", "text",
+        tmp.toString, k = 8)
+      assert(n > 0L)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, String)].collect.toSet
+      assert(
+        rows(SpanDedup.crossStripSpansIndexed(inc, "doc_id", "text",
+          tmp.toString, k = 8))
+          === rows(SpanDedup.crossStripSpans(inc, corp, "doc_id", "text",
+            k = 8)))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("native row-local strip ≡ the exploded twin: fixture + edges") {
     // the strip tail moved from posexplode → anti-join → collected
     // reassembly to one native StripSpans call per row; both forms
