@@ -112,6 +112,21 @@ object TextAnalysis {
     * shared-subtree trap). The aggregate form remains the standalone
     * oracle-checked query shape. */
   def repetitionRatioCol(text: Column, n: Int = 2): Column = {
+    // native single-pass expression (r18): the HOF fold below was an
+    // interpreted aggregate lambda per row — profiled as a ~0.5 s
+    // single-task stall when a chain evaluates it on a coalesced side
+    // (q_trainmix_e2e's offsets build). Parity pinned in
+    // TextAnalysisSpec; the aggregate-form equivalence in PropertySpec
+    // now exercises the native path.
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(
+      graft.expressions.RepetitionRatio(Bridge.expression(text), n))
+  }
+
+  /** The higher-order formulation [[repetitionRatioCol]] replaced —
+    * retained as the bit-parity twin TextAnalysisSpec compares against
+    * the native expression on the fixture + edge shapes. */
+  private[graft] def repetitionRatioColHof(text: Column, n: Int = 2): Column = {
     val grams = array_sort(NearDup.shingles(text, n))
     val folded = aggregate(grams,
       struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),

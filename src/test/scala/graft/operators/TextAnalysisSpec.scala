@@ -217,6 +217,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("native RepetitionRatio ≡ the HOF fold twin: fixture + edge shapes") {
+    import org.apache.spark.sql.functions.col
+    // short docs (< n tokens) must be NULL, all-same grams hit 1.0,
+    // and rounding must match Spark's HALF_UP round(x, 4)
+    val edges = Seq(
+      (1L, ""), (2L, "one"), (3L, "one two"),
+      (4L, "a a a a a a"), (5L, null.asInstanceOf[String]),
+      (6L, "x y x y x y z"), (7L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val fixture = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edges, fixture); n <- Seq(2, 3)) {
+      def m(c: org.apache.spark.sql.Column) =
+        df.select(col("doc_id"), c.as("r")).collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      assert(m(TextAnalysis.repetitionRatioCol(col("text"), n))
+        === m(TextAnalysis.repetitionRatioColHof(col("text"), n)),
+        s"n=$n")
+    }
+  }
+
   test("native GopherStats rules ≡ the HOF twin: fixture + edge shapes") {
     import org.apache.spark.sql.functions.col
     // edge shapes: empty doc (null ratios must fail the gate), all-space,
