@@ -76,22 +76,12 @@ object PlanGate {
       spark: org.apache.spark.sql.SparkSession)(
       settings: => Seq[(String, String)])(body: => T): T = {
     val sid = System.identityHashCode(spark.conf)
-    var applied: Seq[String] = Nil
-    confScopeLock.lock()
-    try {
-      val kvs = settings
-      kvs.foreach { case (k, v) =>
-        val key = (sid, k)
-        scopeState.get(key) match {
-          case Some(e) => scopeState(key) = e.copy(depth = e.depth + 1)
-          case None    => scopeState(key) = ScopeEntry(spark.conf.getOption(k), 1)
-        }
-        spark.conf.set(k, v)
-      }
-      applied = kvs.map(_._1)
-    } finally confScopeLock.unlock()
-    try body
-    finally {
+    // Appended per-key as each ledger entry opens, so a `conf.set` that
+    // throws mid-loop still unwinds exactly the keys already opened —
+    // an all-at-the-end assignment would leave their depths incremented
+    // forever (the pinned-override failure this ledger exists to stop).
+    val applied = scala.collection.mutable.ArrayBuffer.empty[String]
+    def closeApplied(): Unit = {
       confScopeLock.lock()
       try applied.foreach { k =>
         val key = (sid, k)
@@ -107,6 +97,23 @@ object PlanGate {
         }
       } finally confScopeLock.unlock()
     }
+    confScopeLock.lock()
+    try {
+      try {
+        val kvs = settings
+        kvs.foreach { case (k, v) =>
+          val key = (sid, k)
+          scopeState.get(key) match {
+            case Some(e) => scopeState(key) = e.copy(depth = e.depth + 1)
+            case None    => scopeState(key) = ScopeEntry(spark.conf.getOption(k), 1)
+          }
+          applied += k
+          spark.conf.set(k, v)
+        }
+      } finally confScopeLock.unlock()
+    } catch { case t: Throwable => closeApplied(); throw t }
+    try body
+    finally closeApplied()
   }
 
   /** Sum of the optimizer's leaf-relation size estimates — the plan's

@@ -2032,6 +2032,7 @@ object Queries
     hivePartCache.remove(dir)
     embStatsCache.remove(dir)
     docStatsCache.remove(dir)
+    gramIndexCache.remove(dir)
     polyRelCache.keySet.removeIf(_.startsWith(dir + "|"))
   }
 

@@ -404,6 +404,58 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
       Some(incrCleanAdmitFixedOracleSql),
       "clean-then-admit verdict under the closed-form hash: span strip + two-tier admission on the cleaned text, full DuckDB replay"),
 
+    "incr_clean_admit_indexed" -> DeclaredQuery(
+      // incr_clean_admit_fixed with the strip tier through the
+      // MAINTAINED gram-key artifact (r19 — the AdmitProbe-mandated
+      // composition now in the production kernel,
+      // Dedup.cleanAndAdmit(gramIndexPath) / the streaming mirror):
+      // incoming gram positions probe the pre-built Bloom router +
+      // key table, the corpus is NEVER re-processed by the strip,
+      // and the admission verdict replays under the closed-form hash
+      // — so the SAME full-chain oracle that replays the direct twin
+      // replays this one (indexed strip is row-identical: the Bloom
+      // routes, never decides; hashed gram keys are the spec-pinned
+      // decision-identical shape). The index build is the
+      // `_gramidx_build` infra line.
+      (s, dir) => {
+        val docs = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        val corpus = docs.filter(col("doc_id") < 250)
+        Dedup.withAdmissionScope {
+          val cleaned = SpanDedup.crossStripSpansIndexed(
+              docs.filter(col("doc_id") >= 250),
+              "doc_id", "text", sharedGramIndexPath(s, dir), k = 8)
+            .filter(col("kept_tokens") >= 1)
+            .select(col("_id").as("doc_id"), col("cleaned_text").as("text"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val exactKept = Dedup.incrementalExact(cleaned,
+              Dedup.tokenFingerprint(col("text")),
+              corpus, Dedup.tokenFingerprint(col("text")))
+            val rel = corpus.select(col("doc_id"), col("text")).union(cleaned)
+            val banded = NearDup.minHashPolyBanded(rel, "doc_id", "text")
+            val cands = NearDup.materializePairs(
+              NearDup.minHashPolyCrossPairs(
+                banded.join(exactKept.select(col("doc_id").as("_id")),
+                  Seq("_id"), "left_semi"),
+                banded.filter(col("_id") < 250))
+                .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+            val rejected = NearDup.jaccardVerify(rel, "doc_id", "text", cands)
+              .filter(col("jaccard") >= 0.8)
+              .select(col("id_a").as("doc_id"))
+            localFrameOrdered(
+              Dedup.antiByLocalIds(exactKept, rejected, "doc_id")
+                .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+                .groupBy(col("lang"))
+                .agg(count(lit(1)).as("n_admitted"),
+                  sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+                    .as("kept_tokens"),
+                  min(col("doc_id")).as("first_id")), "lang")
+          } finally cleaned.unpersist()
+        }
+      },
+      Some(incrCleanAdmitFixedOracleSql),
+      "clean-then-admit verdict with the strip tier through the maintained gram-key index: Bloom-routed probe, corpus untouched per batch, full DuckDB replay"),
+
     "incr_near_dup_embed" -> DeclaredQuery(
       // the VECTOR tier of incremental ingestion, driver-visible:
       // incoming vectors meet the existing corpus only inside shared
@@ -598,19 +650,50 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
         val day2 = docs.filter(col("doc_id") >= 375)
         Dedup.withAdmissionScope {
           val adm1 = Dedup.admitIncoming(day1, corpus, "doc_id", "text")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            adm1.count()
+            .select(col("doc_id"), col("text"), col("lang"))
+          // day-1's admitted batch is the day's corpus COMMIT — at
+          // scale a table append, here a driver-bounded LocalRelation
+          // (capped collect, persisted-frame fallback past the cap):
+          // day 2's three corpus-side reads and the final rollup then
+          // reference driver rows instead of a cached frame. Beyond
+          // skipping the cache-populate job, this keeps the day-2
+          // chain's SMALL-PLAN gates honest — an InMemoryRelation leaf
+          // reports MaxValue stats, so every gated collect inside
+          // day-2's kernel failed open to AQE and paid per-shuffle
+          // query-stage jobs (the r17 lesson; jobs 16 → fused, r19).
+          val cap = 1 << 18
+          val rows = graft.PlanGate.cappedCollect(adm1, cap + 1)
+          if (rows.length <= cap) {
+            val local = s.createDataFrame(
+              java.util.Arrays.asList(rows: _*), adm1.schema)
             val corpus2 = corpus.select(col("doc_id"), col("text"))
-              .union(adm1.select(col("doc_id"), col("text")))
+              .union(local.select(col("doc_id"), col("text")))
             val adm2 = Dedup.admitIncoming(day2, corpus2, "doc_id", "text")
             localFrameOrdered(
-              adm1.select(col("doc_id"), col("lang"), lit(1L).as("day"))
+              local.select(col("doc_id"), col("lang"), lit(1L).as("day"))
                 .union(adm2.select(col("doc_id"), col("lang"), lit(2L).as("day")))
                 .groupBy(col("day"), col("lang"))
                 .agg(count(lit(1)).as("n_admitted"),
                   min(col("doc_id")).as("first_id")), "day", "lang")
-          } finally adm1.unpersist()
+          } else {
+            // commit bigger than the driver cap: the distributed shape
+            // (persisted day-1 admissions), decision-identical
+            val adm1p = adm1
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              adm1p.count()
+              val corpus2 = corpus.select(col("doc_id"), col("text"))
+                .union(adm1p.select(col("doc_id"), col("text")))
+              val adm2 = Dedup.admitIncoming(day2, corpus2, "doc_id", "text")
+              localFrameOrdered(
+                adm1p.select(col("doc_id"), col("lang"), lit(1L).as("day"))
+                  .union(adm2.select(col("doc_id"), col("lang"),
+                    lit(2L).as("day")))
+                  .groupBy(col("day"), col("lang"))
+                  .agg(count(lit(1)).as("n_admitted"),
+                    min(col("doc_id")).as("first_id")), "day", "lang")
+            } finally adm1p.unpersist()
+          }
         }
       },
       None,

@@ -268,15 +268,36 @@ object Dedup {
                     idCol: String, textCol: String, k: Int = 8,
                     minKeptTokens: Int = 1,
                     minJaccard: Double = 0.8,
-                    hashGrams: Boolean = false): DataFrame = {
+                    hashGrams: Boolean = false,
+                    gramIndexPath: Option[String] = None): DataFrame = {
     // hashGrams — the 100 TB shape for the strip tier's gram semi-join:
     // 8-byte xxhash64 keys instead of ~50-byte k-gram strings (AdmitProbe
     // r18: 1.1 GB → ~180 MB of shuffle at a 1M-doc corpus). Decision-
     // identical below the birthday bound (SpanDedup's scaladoc;
     // equivalence asserted in SpanDedupSpec); the oracle-replayed
     // declared rows keep the string default.
-    val cleaned = SpanDedup.crossStripSpans(incoming, corpus,
-        idCol, textCol, k, hashGrams)
+    //
+    // gramIndexPath — the AMORTIZED strip shape: when the corpus has a
+    // maintained gram-key artifact ([[SpanDedup.buildGramIndex]],
+    // refreshed per commit via [[SpanDedup.refreshGramIndex]]), the
+    // strip tier probes it instead of re-processing the corpus — the
+    // per-batch cost becomes batch-bounded (AdmitProbe r18 priced the
+    // direct form's corpus-gram shuffle at ~1 GB per 100k-doc batch
+    // against a 1M-doc corpus; the indexed probe ships only the
+    // batch's might-contain sliver). Row-identical to the direct
+    // hashed form when the index is current (SpanDedupSpec); a stale
+    // index (commits since the last refresh) only WEAKENS stripping of
+    // just-admitted text — the artifact's documented safe-degrade
+    // staleness window. The admission tiers below always run against
+    // the LIVE corpus relation either way.
+    val stripped = gramIndexPath match {
+      case Some(path) =>
+        SpanDedup.crossStripSpansIndexed(incoming, idCol, textCol, path, k)
+      case None =>
+        SpanDedup.crossStripSpans(incoming, corpus, idCol, textCol, k,
+          hashGrams)
+    }
+    val cleaned = stripped
       .filter(col("kept_tokens") >= minKeptTokens)
       .select(col("_id").as(idCol), col("cleaned_text").as(textCol))
     admitIncoming(cleaned, corpus, idCol, textCol, minJaccard)

@@ -73,8 +73,12 @@ object Search {
     // rides ONE shuffle in the SAME job as both ranker subtrees, where
     // the join paid two exchanges or a broadcast-build job (the r17
     // kernel-deficit profile put hybrid_rrf's excess exactly there).
-    val terms = a.select(col(idCol), col(rankCol).cast("long").as("_r"))
-      .unionByName(b.select(col(idCol), col(rankCol).cast("long").as("_r")))
+    // rank is cast to DOUBLE, not long: integer ranks are exact either
+    // way (≤2^53), but a fractional ranker rank must not silently
+    // truncate, and a null rank's term nulls out and is skipped by the
+    // sum — the same 0-contribution the old coalesce form gave it.
+    val terms = a.select(col(idCol), col(rankCol).cast("double").as("_r"))
+      .unionByName(b.select(col(idCol), col(rankCol).cast("double").as("_r")))
     terms.groupBy(col(idCol))
       .agg(round(sum(lit(1.0) / (lit(kRrf) + col("_r"))), 4).as("rrf"))
   }
@@ -90,9 +94,9 @@ object Search {
     // union + hash agg, same rationale (and same bit-identity argument)
     // as [[rrfFuse]], keyed per (query, id)
     val terms = a.select(col(qidCol), col(idCol),
-        col(rankCol).cast("long").as("_r"))
+        col(rankCol).cast("double").as("_r"))
       .unionByName(b.select(col(qidCol), col(idCol),
-        col(rankCol).cast("long").as("_r")))
+        col(rankCol).cast("double").as("_r")))
     terms.groupBy(col(qidCol), col(idCol))
       .agg(round(sum(lit(1.0) / (lit(kRrf) + col("_r"))), 4).as("rrf"))
   }

@@ -247,16 +247,132 @@ object SpanDedup {
                      path: String, k: Int = 8, fpp: Double = 0.03): Long = {
     val keys = grams(corpus, idCol, textCol, k, hashGrams = true)
       .select(col("gram")).distinct()
-    keys.write.mode("overwrite").parquet(s"$path/grams")
+    // the distinct-key count rides the write as an observe metric (the
+    // store's stats-ride-the-write discipline) — the prior separate
+    // `back.count()` pass was one whole job per build/refresh
+    val obs = new org.apache.spark.sql.Observation(
+      "graft_gramidx_" + java.util.UUID.randomUUID())
+    keys.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/grams")
+    val n = math.max(1L,
+      obs.get("n").asInstanceOf[java.lang.Number].longValue())
     val spark = corpus.sparkSession
     val back = spark.read.parquet(s"$path/grams")
-    val n = math.max(1L, back.count()) // parquet-footer count
     val bf = back.stat.bloomFilter("gram", n, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, "bloom.bin"), bos.toByteArray)
+    // meta sidecar: the bloom's sizing parameters, so a REFRESH can
+    // build a mergeInPlace-compatible per-commit bloom (same expected-n
+    // + fpp ⇒ same bit width + hash count), plus the k the keys were
+    // shingled with — a refresh or probe at a different k would be
+    // silently wrong, so both validate against it
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "meta.json"),
+      s"""{"k":$k,"fpp":$fpp,"expected_n":$n,"n_keys":$n}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     n
+  }
+
+  /** Parsed `meta.json` of a gram index: (k, fpp, expectedN, nKeys).
+    * Absent for pre-r19 indexes → None (probe still works off the
+    * bloom + key table; refresh requires the meta). */
+  private[graft] def readGramIndexMeta(path: String)
+      : Option[(Int, Double, Long, Long)] = {
+    val p = java.nio.file.Paths.get(path, "meta.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      def num(key: String): String = {
+        val m = ("\"" + key + "\"\\s*:\\s*([0-9.eE+-]+)").r
+          .findFirstMatchIn(s)
+        m.map(_.group(1)).getOrElse(
+          throw new IllegalStateException(s"gram-index meta missing $key: $s"))
+      }
+      Some((num("k").toDouble.toInt, num("fpp").toDouble,
+        num("expected_n").toDouble.toLong, num("n_keys").toDouble.toLong))
+    }
+  }
+
+  /** Per-commit incremental REFRESH of a gram index — the maintained-
+    * artifact contract for the evolving corpus: the new generation's
+    * distinct gram keys append to the key table and fold into the
+    * Bloom via `mergeInPlace` (compatible by construction: the gen
+    * bloom is sized with the meta's original expected-n/fpp). Returns
+    * the gen's distinct-key count.
+    *
+    * Semantics under refresh:
+    *   - keys already present in older generations MAY appear again
+    *     (the gen is deduplicated only within itself — deduplicating
+    *     against the full table would rescan the corpus-sized
+    *     artifact per commit, defeating the amortization). Duplicate
+    *     keys only duplicate position HITS in the confirm join, and
+    *     the gaps-and-islands merge absorbs duplicate positions into
+    *     identical spans — row-identical output, bounded overwork
+    *     (≤ generations touching the key). A periodic full
+    *     [[buildGramIndex]] rebuild is the OPTIMIZE-style compaction
+    *     that re-distincts and re-sizes.
+    *   - once total keys materially exceed the meta's expected-n, the
+    *     bloom's fpp degrades; degradation only routes more positions
+    *     into the confirm join (performance), NEVER changes results —
+    *     a rebuild restores the target fpp.
+    *   - STALENESS is safe-degrade in both directions: keys-appended/
+    *     bloom-stale hides the new grams at the router (they strip on
+    *     the next refresh); bloom-merged/keys-stale routes them to a
+    *     confirm join that misses. Either way stripping of
+    *     just-committed text is only WEAKENED, never wrong — the same
+    *     window every maintained artifact here carries. */
+  def refreshGramIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                       path: String): Long = {
+    val (k, fpp, expectedN, nKeys) = readGramIndexMeta(path).getOrElse(
+      throw new IllegalStateException(
+        s"gram index at $path has no meta.json — rebuild with buildGramIndex"))
+    val spark = newDocs.sparkSession
+    val keys = grams(newDocs, idCol, textCol, k, hashGrams = true)
+      .select(col("gram")).distinct()
+    // stage the gen's keys (count riding the write), bloom-fold from
+    // the staged files, then move them into the key table — one scan
+    // of the new docs total
+    val staging = s"$path/.staging_${java.util.UUID.randomUUID()}"
+    val obs = new org.apache.spark.sql.Observation(
+      "graft_gramidx_ref_" + java.util.UUID.randomUUID())
+    keys.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(staging)
+    val nNew = obs.get("n").asInstanceOf[java.lang.Number].longValue()
+    val stagingDir = new java.io.File(staging)
+    if (nNew == 0L) {
+      org.apache.commons.io.FileUtils.deleteDirectory(stagingDir)
+      return 0L
+    }
+    val genBf = spark.read.parquet(staging)
+      .stat.bloomFilter("gram", expectedN, fpp)
+    val bf = {
+      val in = new java.io.BufferedInputStream(
+        new java.io.FileInputStream(s"$path/bloom.bin"))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    }
+    bf.mergeInPlace(genBf)
+    // keys first, bloom second (each step alone is safe-degrade, see
+    // the contract above); bloom swap is write-tmp + atomic move
+    stagingDir.listFiles().foreach { f =>
+      if (f.getName.startsWith("part-") || f.getName.startsWith(".part-"))
+        org.apache.commons.io.FileUtils.moveFileToDirectory(
+          f, new java.io.File(s"$path/grams"), false)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(stagingDir)
+    val tmp = java.nio.file.Paths.get(path, "bloom.bin.tmp")
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(tmp.toFile))
+    try bf.writeTo(out) finally out.close()
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path, "bloom.bin"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "meta.json"),
+      s"""{"k":$k,"fpp":$fpp,"expected_n":$expectedN,"n_keys":${nKeys + nNew}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    nNew
   }
 
   /** [[crossStripSpans]] against a PRE-BUILT gram index instead of the
@@ -270,18 +386,69 @@ object SpanDedup {
     * `crossStripSpans(incoming, corpus, …, hashGrams = true)` on the
     * corpus the index was built from (asserted in SpanDedupSpec);
     * the corpus contributes ZERO per-batch work. */
+  /** Ceiling on the serialized Bloom a probe may embed as a plan
+    * `Literal`: past this the filter ships with EVERY task binary and
+    * sits in the driver's plan — at the 10⁹-gram design point (a
+    * multi-GB sidecar, which also overflows a JVM byte array) that is
+    * a scale-killer, so bigger filters route through a torrent
+    * broadcast instead ([[graft.expressions.BloomMightContainBc]]);
+    * router decisions are bit-identical across the two forms. */
+  val MaxBloomLiteralBytes: Long = 64L << 20
+
+  /** Per-(bloom-file identity) broadcast memo for the over-gate path:
+    * repeated batches probing one index version reuse one broadcast.
+    * A refresh changes the file's (size, mtime) → new entry; the
+    * superseded broadcast is left to context GC (a concurrent probe
+    * may still hold it — the shared-artifact supersede discipline). */
+  private val bloomBcCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long),
+    org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]()
+
   def crossStripSpansIndexed(incoming: DataFrame, idCol: String,
                              textCol: String, indexPath: String,
-                             k: Int = 8): DataFrame = {
+                             k: Int = 8): DataFrame =
+    crossStripSpansIndexed(incoming, idCol, textCol, indexPath, k,
+      MaxBloomLiteralBytes)
+
+  /** [[crossStripSpansIndexed]] with an explicit literal-size gate —
+    * the spec entry point forcing the broadcast fallback at fixture
+    * scale (`maxLiteralBytes = 0`). */
+  private[graft] def crossStripSpansIndexed(incoming: DataFrame, idCol: String,
+                                            textCol: String, indexPath: String,
+                                            k: Int,
+                                            maxLiteralBytes: Long): DataFrame = {
     import org.apache.spark.sql.graftshim.Bridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
     val spark = incoming.sparkSession
-    val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(indexPath, "bloom.bin"))
+    readGramIndexMeta(indexPath).foreach { case (mk, _, _, _) =>
+      require(mk == k,
+        s"gram index at $indexPath was built with k=$mk, probed with k=$k")
+    }
+    val bloomFile = java.nio.file.Paths.get(indexPath, "bloom.bin")
+    val bloomSize = java.nio.file.Files.size(bloomFile)
     val inc = grams(incoming, idCol, textCol, k, hashGrams = true)
-    val mightContain = Bridge.column(BloomFilterMightContain(
-      Literal(bytes, BinaryType), Bridge.expression(col("gram"))))
+    val mightContain =
+      if (bloomSize <= maxLiteralBytes) {
+        val bytes = java.nio.file.Files.readAllBytes(bloomFile)
+        Bridge.column(BloomFilterMightContain(
+          Literal(bytes, BinaryType), Bridge.expression(col("gram"))))
+      } else {
+        val mtime = java.nio.file.Files.getLastModifiedTime(bloomFile).toMillis
+        val bc = bloomBcCache.computeIfAbsent(
+          (bloomFile.toAbsolutePath.toString, bloomSize, mtime), { _ =>
+            // streamed deserialize (no byte-array bound), shipped once
+            // per executor via torrent blocks, never in the plan
+            val in = new java.io.BufferedInputStream(
+              new java.io.FileInputStream(bloomFile.toFile))
+            val bf =
+              try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+              finally in.close()
+            spark.sparkContext.broadcast(bf)
+          })
+        Bridge.column(graft.expressions.BloomMightContainBc(
+          bc, Bridge.expression(col("gram"))))
+      }
     val sliver = inc.filter(mightContain)
     // confirm join with the BATCH side broadcast: the artifact's key
     // table is distinct by construction, so the inner join emits each

@@ -52,6 +52,26 @@ final class SearchServer(spark: SparkSession, db: graft.VectorDb,
                          port: Int = 8080, host: String = "127.0.0.1",
                          loadRoots: Seq[String] = SearchServer.envLoadRoots) {
 
+  /** Dedicated session for the READ path (`/search`, `/count`) — a
+    * `newSession()` clone sharing the SparkContext, catalog data, and
+    * cache with `spark`, but with its OWN SQLConf: maintenance actions
+    * elsewhere in the process routinely open conf scopes
+    * (PlanGate.withConfScope — AQE off, shuffle width capped) around
+    * their bodies, and a search that happened to plan inside such a
+    * window would silently pick up those physical knobs (the r17/r18
+    * verdict residual documented at PlanGate.scala). Serving plans now
+    * always see the session's steady-state conf; mutations (`/add`,
+    * `/load`) stay on the caller's session, whose handle owns the
+    * corpus swap. */
+  private[graft] val serveSession: SparkSession = spark.newSession()
+
+  /** A read-path frame re-bound to [[serveSession]] (plan unchanged —
+    * the shared CacheManager still serves the cached corpus). */
+  private def served(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graftshim.Bridge.ofRows(
+      serveSession, df.queryExecution.logical)
+
   private val allowedRoots: Seq[java.nio.file.Path] =
     loadRoots.filter(_.nonEmpty).map { r =>
       val p = java.nio.file.Paths.get(r).toAbsolutePath.normalize
@@ -146,7 +166,8 @@ final class SearchServer(spark: SparkSession, db: graft.VectorDb,
       (ex.getRequestMethod, path) match {
         case ("GET", "/health") => respond(ex, 200, """{"status":"ok"}""")
         case ("GET", "/count") =>
-          respond(ex, 200, s"""{"count":${db.count}}""")
+          respond(ex, 200,
+            s"""{"count":${served(db.table).count()}}""")
         case ("GET", "/search") =>
           val p = queryParams(ex)
           p.get("q") match {
@@ -157,7 +178,7 @@ final class SearchServer(spark: SparkSession, db: graft.VectorDb,
               if (k < 1 || k > 1000)
                 respond(ex, 400, """{"error":"k must be in [1,1000]"}""")
               else {
-                val rows = db.search(q, k).collect()
+                val rows = served(db.search(q, k)).collect()
                 val items = rows.map { r =>
                   s"""{"chunk_id":${r.getLong(0)},""" +
                     s""""chunk_text":"${jsonEscape(r.getString(1))}",""" +

@@ -477,11 +477,20 @@ object VersionedCorpus {
   // under the lock, so the cap derives from a stable conf.
   private[graft] def withAqeOff[T](spark: SparkSession)(body: => T): T =
     graft.PlanGate.withConfScope(spark)({
-      val spKey = "spark.sql.shuffle.partitions"
-      val prevSp = spark.conf.get(spKey, "200")
-      val cappedSp =
-        try math.min(prevSp.toInt, 4).toString catch { case _: Throwable => "4" }
-      Seq("spark.sql.adaptive.enabled" -> "false", spKey -> cappedSp)
+      // Passthrough when AQE is already globally off (e.g. the
+      // SPARK_GRAFT_AQE=false bench A/B config): that configuration's
+      // whole point is to measure the session's own static settings,
+      // so gated small-plan actions must not silently re-cap the
+      // shuffle width to 4 — the r18 rewrite dropped this short-
+      // circuit and changed physical plans across the A/B comparison.
+      if (spark.conf.get("spark.sql.adaptive.enabled", "true") == "false") Nil
+      else {
+        val spKey = "spark.sql.shuffle.partitions"
+        val prevSp = spark.conf.get(spKey, "200")
+        val cappedSp =
+          try math.min(prevSp.toInt, 4).toString catch { case _: Throwable => "4" }
+        Seq("spark.sql.adaptive.enabled" -> "false", spKey -> cappedSp)
+      }
     })(body)
 
   /** The staged-commit write width for a SMALL input: ~16 MB of

@@ -109,13 +109,22 @@ object Streams {
   def incrementalCleanAdmission(docStream: DataFrame, corpus: DataFrame,
                                 idCol: String, textCol: String, k: Int = 8,
                                 minKeptTokens: Int = 1,
-                                minJaccard: Double = 0.8)
+                                minJaccard: Double = 0.8,
+                                gramIndexPath: Option[String] = None)
                                (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    // gramIndexPath — the amortized per-batch strip (the corpus's
+    // maintained gram-key artifact; see Dedup.cleanAndAdmit): the
+    // production streaming loop probes the artifact each micro-batch
+    // instead of re-shuffling the corpus's grams, and the ingestion
+    // job refreshes it (SpanDedup.refreshGramIndex) when admitted
+    // batches commit to the corpus store — staleness between commits
+    // is the artifact's documented safe-degrade window.
     docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       graft.operators.Dedup.withAdmissionScope {
         sink(graft.operators.Dedup.cleanAndAdmit(
-          batch, corpus, idCol, textCol, k, minKeptTokens, minJaccard), batchId)
+          batch, corpus, idCol, textCol, k, minKeptTokens, minJaccard,
+          hashGrams = false, gramIndexPath = gramIndexPath), batchId)
       }
     }
 

@@ -554,4 +554,26 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(rows(hashed = true) === rows(hashed = false))
   }
+
+  test("cleanAndAdmit over a current gram index ≡ the direct kernel") {
+    // the r19 composition: the production ingestion kernel rides the
+    // corpus's maintained gram-key artifact for its strip tier — with
+    // the index current, admissions and cleaned text are identical to
+    // the direct (corpus-gram-shuffling) form
+    val fixture = graft.Tables.load(spark, TestSpark.sf0001, "documents")
+      .select($"doc_id", $"text")
+    val incoming = fixture.filter($"doc_id" >= 250)
+    val corpus = fixture.filter($"doc_id" < 250)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-caa-gramidx")
+    try {
+      graft.operators.SpanDedup.buildGramIndex(corpus, "doc_id", "text",
+        tmp.toString, k = 8)
+      def rows(idx: Option[String]) = Dedup.withAdmissionScope {
+        Dedup.cleanAndAdmit(incoming, corpus, "doc_id", "text",
+            gramIndexPath = idx)
+          .as[(Long, String)].collect.toSet
+      }
+      assert(rows(Some(tmp.toString)) === rows(None))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
 }

@@ -178,6 +178,66 @@ class SpanDedupSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("broadcast-bloom fallback ≡ literal router ≡ direct strip") {
+    // the >64 MB fallback path (torrent-broadcast BloomMightContainBc
+    // instead of a plan Literal) must be decision-identical — forced at
+    // fixture scale by gating the literal at 0 bytes
+    val fixture = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select($"doc_id", $"text")
+    val inc = fixture.filter($"doc_id" >= 250)
+    val corp = fixture.filter($"doc_id" < 250)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gramidx-bc")
+    try {
+      SpanDedup.buildGramIndex(corp, "doc_id", "text", tmp.toString, k = 8)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, String)].collect.toSet
+      val direct = rows(SpanDedup.crossStripSpans(inc, corp,
+        "doc_id", "text", k = 8))
+      assert(rows(SpanDedup.crossStripSpansIndexed(inc, "doc_id", "text",
+        tmp.toString, k = 8, maxLiteralBytes = 0L)) === direct)
+      assert(rows(SpanDedup.crossStripSpansIndexed(inc, "doc_id", "text",
+        tmp.toString, k = 8)) === direct)
+      // a probe at the wrong k is refused, not silently wrong
+      intercept[IllegalArgumentException] {
+        SpanDedup.crossStripSpansIndexed(inc, "doc_id", "text",
+          tmp.toString, k = 5)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("refreshGramIndex: build + per-commit refresh ≡ rebuild on the union") {
+    // the maintained-artifact refresh contract: appending a commit's
+    // gen-distinct keys + bloom mergeInPlace must strip identically to
+    // a full rebuild over the grown corpus (cross-generation duplicate
+    // keys are absorbed by the islands merge)
+    val fixture = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select($"doc_id", $"text")
+    val day1 = fixture.filter($"doc_id" < 150)
+    val day2 = fixture.filter($"doc_id" >= 150 && $"doc_id" < 250)
+    val inc = fixture.filter($"doc_id" >= 250)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gramidx-ref")
+    try {
+      val n1 = SpanDedup.buildGramIndex(day1, "doc_id", "text",
+        tmp.toString, k = 8)
+      val n2 = SpanDedup.refreshGramIndex(day2, "doc_id", "text",
+        tmp.toString)
+      assert(n1 > 0L && n2 > 0L)
+      val meta = SpanDedup.readGramIndexMeta(tmp.toString).get
+      assert(meta._4 === n1 + n2) // n_keys tracks appended totals
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, String)].collect.toSet
+      assert(
+        rows(SpanDedup.crossStripSpansIndexed(inc, "doc_id", "text",
+          tmp.toString, k = 8))
+          === rows(SpanDedup.crossStripSpans(inc, day1.unionByName(day2),
+            "doc_id", "text", k = 8)))
+      // an empty commit is a no-op (and must not corrupt the artifact)
+      assert(SpanDedup.refreshGramIndex(day2.limit(0), "doc_id", "text",
+        tmp.toString) === 0L)
+      assert(SpanDedup.readGramIndexMeta(tmp.toString).get._4 === n1 + n2)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("native row-local strip ≡ the exploded twin: fixture + edges") {
     // the strip tail moved from posexplode → anti-join → collected
     // reassembly to one native StripSpans call per row; both forms

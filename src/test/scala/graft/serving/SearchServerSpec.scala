@@ -76,6 +76,41 @@ class SearchServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("a search issued during an open conf scope sees default knobs") {
+    // the r17/r18 prescription: the serve loop's read path runs on a
+    // dedicated newSession() clone, so a maintenance action's open
+    // PlanGate conf scope (AQE off, shuffle width capped) on the main
+    // session can never shape a serving plan
+    import spark.implicits._
+    val e = graft.functions.Embedder.default
+    val dir = java.nio.file.Files.createTempDirectory("srv-iso").toString + "/c"
+    graft.sources.EmbeddingCsv.write(Seq(
+      (1L, "d1", "alpha beta", e.embed("alpha beta")),
+      (2L, "d1", "gamma delta", e.embed("gamma delta"))
+    ).toDF("chunk_id", "document_id", "chunk_text", "vector_embedding"), dir)
+    val db = graft.VectorDb.open(spark, Some(dir))
+    val srv = new SearchServer(spark, db, port = 0).start()
+    try {
+      val port = srv.boundPort
+      val steadyWidth = srv.serveSession.conf.get("spark.sql.shuffle.partitions")
+      val steadyAqe = srv.serveSession.conf.get("spark.sql.adaptive.enabled")
+      graft.PlanGate.withConfScope(spark)(Seq(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "1")) {
+        // the scope is OPEN on the maintenance session…
+        assert(spark.conf.get("spark.sql.shuffle.partitions") === "1")
+        // …but the serve session's conf is untouched, and a live search
+        // through it succeeds with correct results
+        assert(srv.serveSession.conf.get("spark.sql.shuffle.partitions")
+          === steadyWidth)
+        assert(srv.serveSession.conf.get("spark.sql.adaptive.enabled")
+          === steadyAqe)
+        val (sc, body) = get(port, "/search?q=alpha%20beta&k=1")
+        assert(sc === 200 && body.contains(""""chunk_id":1"""), body)
+      }
+    } finally srv.stop()
+  }
+
   test("serving with the REAL transformer + file vocabulary: model-embedded search and add over HTTP") {
     // the reference's deployment shape end to end: a vocab-carrying GTFE
     // transformer in the VectorDb embed seat, fronted by the HTTP loop —

@@ -286,6 +286,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(batchRows.exists { case (id, t) => orig(id) != t })
   }
 
+  test("streaming clean-then-admit over the gram-key index ≡ direct batch kernel") {
+    // the r19 composition: the production micro-batch loop rides the
+    // corpus's MAINTAINED gram-key artifact (Bloom router + key table)
+    // instead of re-shuffling corpus grams per batch — admissions and
+    // cleaned text must equal the direct (index-free) batch kernel when
+    // the index is current
+    implicit val sql = spark.sqlContext
+    val dir = graft.TestSpark.sf0001
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-gramidx")
+    try {
+      graft.operators.SpanDedup.buildGramIndex(corpus, "doc_id", "text",
+        tmp.toString, k = 8)
+      val rows = incoming.select("doc_id", "text")
+        .as[(Long, String)].collect.toSeq.sortBy(_._1)
+      val mem = MemoryStream[(Long, String)]
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val q = Streams.incrementalCleanAdmission(
+        mem.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+        gramIndexPath = Some(tmp.toString)) {
+          (adm, _) =>
+            val got = adm.select("doc_id", "text").as[(Long, String)].collect()
+            admitted.synchronized { admitted ++= got }; ()
+        }.start()
+      rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      q.stop()
+      val direct = graft.operators.Dedup
+        .cleanAndAdmit(incoming, corpus, "doc_id", "text")
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+      assert(admitted.toSet === direct && direct.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("streaming quality-gated admission ≡ batch gateAndAdmit on the same rows") {
     implicit val sql = spark.sqlContext
     val dir = graft.TestSpark.sf0001
