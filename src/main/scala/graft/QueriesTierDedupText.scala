@@ -421,36 +421,41 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
         val docs = T(s, dir, "documents").filter(col("doc_id") < 2000)
         val corpus = docs.filter(col("doc_id") < 250)
         Dedup.withAdmissionScope {
-          val cleaned = SpanDedup.crossStripSpansIndexed(
+          // committed as a LocalRelation (capped collect, persist
+          // fallback — Dedup.localizeBatch): the indexed strip's
+          // confirm join carries a join-product size estimate that
+          // would fail every downstream small-plan gate open (r19
+          // profile: 23 jobs / 13 s task time with a lazy persist
+          // here vs the direct twin's 12 / 0.7 — the gates, not the
+          // strip, were the cost)
+          val cleaned = Dedup.localizeBatch(
+            SpanDedup.crossStripSpansIndexed(
               docs.filter(col("doc_id") >= 250),
               "doc_id", "text", sharedGramIndexPath(s, dir), k = 8)
             .filter(col("kept_tokens") >= 1)
-            .select(col("_id").as("doc_id"), col("cleaned_text").as("text"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val exactKept = Dedup.incrementalExact(cleaned,
-              Dedup.tokenFingerprint(col("text")),
-              corpus, Dedup.tokenFingerprint(col("text")))
-            val rel = corpus.select(col("doc_id"), col("text")).union(cleaned)
-            val banded = NearDup.minHashPolyBanded(rel, "doc_id", "text")
-            val cands = NearDup.materializePairs(
-              NearDup.minHashPolyCrossPairs(
-                banded.join(exactKept.select(col("doc_id").as("_id")),
-                  Seq("_id"), "left_semi"),
-                banded.filter(col("_id") < 250))
-                .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
-            val rejected = NearDup.jaccardVerify(rel, "doc_id", "text", cands)
-              .filter(col("jaccard") >= 0.8)
-              .select(col("id_a").as("doc_id"))
-            localFrameOrdered(
-              Dedup.antiByLocalIds(exactKept, rejected, "doc_id")
-                .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-                .groupBy(col("lang"))
-                .agg(count(lit(1)).as("n_admitted"),
-                  sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
-                    .as("kept_tokens"),
-                  min(col("doc_id")).as("first_id")), "lang")
-          } finally cleaned.unpersist()
+            .select(col("_id").as("doc_id"), col("cleaned_text").as("text")))
+          val exactKept = Dedup.incrementalExact(cleaned,
+            Dedup.tokenFingerprint(col("text")),
+            corpus, Dedup.tokenFingerprint(col("text")))
+          val rel = corpus.select(col("doc_id"), col("text")).union(cleaned)
+          val banded = NearDup.minHashPolyBanded(rel, "doc_id", "text")
+          val cands = NearDup.materializePairs(
+            NearDup.minHashPolyCrossPairs(
+              banded.join(exactKept.select(col("doc_id").as("_id")),
+                Seq("_id"), "left_semi"),
+              banded.filter(col("_id") < 250))
+              .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+          val rejected = NearDup.jaccardVerify(rel, "doc_id", "text", cands)
+            .filter(col("jaccard") >= 0.8)
+            .select(col("id_a").as("doc_id"))
+          localFrameOrdered(
+            Dedup.antiByLocalIds(exactKept, rejected, "doc_id")
+              .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+              .groupBy(col("lang"))
+              .agg(count(lit(1)).as("n_admitted"),
+                sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+                  .as("kept_tokens"),
+                min(col("doc_id")).as("first_id")), "lang")
         }
       },
       Some(incrCleanAdmitFixedOracleSql),

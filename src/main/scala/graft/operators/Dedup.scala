@@ -300,7 +300,52 @@ object Dedup {
     val cleaned = stripped
       .filter(col("kept_tokens") >= minKeptTokens)
       .select(col("_id").as(idCol), col("cleaned_text").as(textCol))
-    admitIncoming(cleaned, corpus, idCol, textCol, minJaccard)
+    // the INDEXED strip's confirm join carries a join-product size
+    // estimate (~13000× reality on the r19 fixture), which would ride
+    // into admitIncoming's exactKept cache stats and fail every
+    // downstream small-plan gate open — commit the cleaned batch as a
+    // LocalRelation (persist fallback past the driver cap) so the
+    // admission tiers gate on what the batch actually IS. The direct
+    // strip's estimate composes sanely (left-join root), so that path
+    // keeps its lazy shape.
+    val committed =
+      if (gramIndexPath.isDefined) localizeBatch(cleaned) else cleaned
+    admitIncoming(committed, corpus, idCol, textCol, minJaccard)
+  }
+
+  /** Commit a driver-boundable batch relation as a LocalRelation —
+    * the capped-collect-with-persist-fallback discipline of
+    * `incr_admit_seq`'s day-1 commit, shared so every admission kernel
+    * that stacks a stats-opaque subtree (the indexed strip tier's
+    * confirm join is estimated at the JOIN-PRODUCT of its children —
+    * ~8 GB for a 1.7k-row result on the r19 fixture) can hand its
+    * consumers a relation with ACCURATE statistics. Without it, every
+    * downstream small-plan gate (candidate collect, reject-set
+    * collect, final rollup) reads the inflated estimate, fails open to
+    * wide AQE execution, and pays ~2× the jobs and ~10× the task time
+    * at fixture scale (the r19 incr_clean_admit_indexed profile:
+    * 23 jobs / 13 s task time vs the direct twin's 12 / 0.7).
+    *
+    * Persist-FIRST, then one capped collect through the cache (scans
+    * every partition — `cappedCollect`'s high initial-partition scope
+    * — so the cache is fully populated by the probe itself): a batch
+    * under the cap comes back as a LocalRelation and the transient
+    * cache entry is dropped; past the cap the POPULATED persisted
+    * frame is returned (registry-tracked, released by the enclosing
+    * admission scope), so the at-scale path never executes the
+    * upstream plan twice. Decision-identical either way — same rows,
+    * same downstream joins. */
+  private[graft] def localizeBatch(df: DataFrame,
+                                   cap: Int = 1 << 18): DataFrame = {
+    val persisted = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = graft.PlanGate.cappedCollect(persisted, cap + 1)
+    if (rows.length <= cap) {
+      try persisted.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+    } else registerCache(persisted)
   }
 
   /** QUALITY-GATED admission — the production ingestion order: the

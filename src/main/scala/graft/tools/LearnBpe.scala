@@ -35,9 +35,29 @@ object LearnBpe {
 
   /** DataFrame-native BPE merge learning over a (word, freq) relation.
     * Returns the merges in priority order; the driver holds one
-    * (left, right) pair per iteration plus the result list. */
+    * (left, right) pair per iteration plus the result list.
+    *
+    * A loop over a SMALL input (leaf stats under the PlanGate bound)
+    * runs with AQE scoped off for its whole duration: every iteration
+    * is one pair-count exchange + a driver argmax, and AQE's
+    * per-exchange query-stage materialization pays one scheduler-floor
+    * job per shuffle with nothing to re-plan — at 12 merges that was
+    * 28 jobs for ~0.2 s of task time (r19 profile). The gate keys on
+    * the INPUT relation (parquet-backed stats; the loop's own
+    * checkpointed generations only shrink), so a billion-type
+    * vocabulary keeps adaptive planning — skew splits on hot symbol
+    * pairs are exactly what matters there. Results are partitioning-
+    * invariant either way (exact counts, total-order argmax). */
   def learnDistributed(spark: SparkSession, wordFreq: DataFrame,
-                       numMerges: Int): IndexedSeq[(String, String)] = {
+                       numMerges: Int): IndexedSeq[(String, String)] =
+    if (graft.PlanGate.leafBytes(wordFreq)
+        <= BigInt(graft.PlanGate.smallPlanBytes))
+      graft.sources.VersionedCorpus.withAqeOff(spark)(
+        learnDistributedImpl(spark, wordFreq, numMerges))
+    else learnDistributedImpl(spark, wordFreq, numMerges)
+
+  private def learnDistributedImpl(spark: SparkSession, wordFreq: DataFrame,
+                                   numMerges: Int): IndexedSeq[(String, String)] = {
     // lineage truncation per generation: a LAZY LOCAL CHECKPOINT — the
     // next iteration's pair-count job materializes it, after which both
     // the logical plan AND the RDD object graph are cut at this
