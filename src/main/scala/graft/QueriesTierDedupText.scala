@@ -237,9 +237,16 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
         val docs = T(s, dir, "documents").filter(col("doc_id") < 2000)
         val incoming = docs.filter(col("doc_id") >= 250)
         val corpus = docs.filter(col("doc_id") < 250)
-        val exactKept = Dedup.incrementalExact(incoming,
+        // the exact-tier survivors land driver-side ONCE (batch-bounded
+        // by the twin's fixture slice; localizeBatch's persist fallback
+        // covers anything bigger): every downstream reference — the
+        // banded semi-join against the LocalRelation memo, the reject
+        // anti-join, the rollup — then rides LocalRelations, whose
+        // broadcast builds submit NO job (LocalTableScan.executeCollect
+        // is driver-side), cutting the row's scheduler-floor jobs
+        val exactKept = Dedup.localizeBatch(Dedup.incrementalExact(incoming,
           Dedup.tokenFingerprint(col("text")),
-          corpus, Dedup.tokenFingerprint(col("text")))
+          corpus, Dedup.tokenFingerprint(col("text"))))
         val banded = sharedPolyMinhashBanded(s, dir)
         val cands = NearDup.materializePairs(
           NearDup.minHashPolyCrossPairs(
@@ -274,9 +281,10 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
         val incoming = docs.filter(col("doc_id") >= 250)
           .filter(TextAnalysis.gopherPass(col("text")))
         val corpus = docs.filter(col("doc_id") < 250)
-        val exactKept = Dedup.incrementalExact(incoming,
+        // exact-tier survivors driver-local (see incr_admit_fixed)
+        val exactKept = Dedup.localizeBatch(Dedup.incrementalExact(incoming,
           Dedup.tokenFingerprint(col("text")),
-          corpus, Dedup.tokenFingerprint(col("text")))
+          corpus, Dedup.tokenFingerprint(col("text"))))
         val banded = sharedPolyMinhashBanded(s, dir)
         val cands = NearDup.materializePairs(
           NearDup.minHashPolyCrossPairs(
@@ -316,9 +324,16 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
         val corpus = docs.filter(col("doc_id") < 250)
         val banded = sharedPolyMinhashBanded(s, dir)
         def admitDay(day: DataFrame, corpusDf: DataFrame): DataFrame = {
-          val exactKept = Dedup.incrementalExact(day,
+          // exact-tier survivors driver-local (see incr_admit_fixed):
+          // each day's downstream chain — banded semi-join, reject
+          // anti-join, the day-2 corpus union, the final rollup — then
+          // rides LocalRelations whose broadcast builds are job-free,
+          // and the day-1 commit needs no persist+count (the localize
+          // IS the commit; the persisted-frame fallback past the cap
+          // remains the at-scale shape)
+          val exactKept = Dedup.localizeBatch(Dedup.incrementalExact(day,
             Dedup.tokenFingerprint(col("text")),
-            corpusDf, Dedup.tokenFingerprint(col("text")))
+            corpusDf, Dedup.tokenFingerprint(col("text"))))
           val cands = NearDup.materializePairs(
             NearDup.minHashPolyCrossPairs(
               banded.join(exactKept.select(col("doc_id").as("_id")),
@@ -334,20 +349,16 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
         Dedup.withAdmissionScope {
           val adm1 = admitDay(
             docs.filter(col("doc_id") >= 250 && col("doc_id") < 375), corpus)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            adm1.count()
-            val adm2 = admitDay(docs.filter(col("doc_id") >= 375),
-              corpus.select(col("doc_id"), col("text"), col("lang"))
-                .union(adm1.select(col("doc_id"), col("text"), col("lang"))))
-            localFrameOrdered(
-              adm1.select(col("doc_id"), col("lang"), lit(1L).as("day"))
-                .union(adm2.select(col("doc_id"), col("lang"),
-                  lit(2L).as("day")))
-                .groupBy(col("day"), col("lang"))
-                .agg(count(lit(1)).as("n_admitted"),
-                  min(col("doc_id")).as("first_id")), "day", "lang")
-          } finally adm1.unpersist()
+          val adm2 = admitDay(docs.filter(col("doc_id") >= 375),
+            corpus.select(col("doc_id"), col("text"), col("lang"))
+              .union(adm1.select(col("doc_id"), col("text"), col("lang"))))
+          localFrameOrdered(
+            adm1.select(col("doc_id"), col("lang"), lit(1L).as("day"))
+              .union(adm2.select(col("doc_id"), col("lang"),
+                lit(2L).as("day")))
+              .groupBy(col("day"), col("lang"))
+              .agg(count(lit(1)).as("n_admitted"),
+                min(col("doc_id")).as("first_id")), "day", "lang")
         }
       },
       Some(incrAdmitSeqFixedOracleSql),
@@ -376,9 +387,10 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
             .select(col("_id").as("doc_id"), col("cleaned_text").as("text"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val exactKept = Dedup.incrementalExact(cleaned,
+            // exact-tier survivors driver-local (see incr_admit_fixed)
+            val exactKept = Dedup.localizeBatch(Dedup.incrementalExact(cleaned,
               Dedup.tokenFingerprint(col("text")),
-              corpus, Dedup.tokenFingerprint(col("text")))
+              corpus, Dedup.tokenFingerprint(col("text"))))
             val rel = corpus.select(col("doc_id"), col("text")).union(cleaned)
             val banded = NearDup.minHashPolyBanded(rel, "doc_id", "text")
             val cands = NearDup.materializePairs(
@@ -434,9 +446,10 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
               "doc_id", "text", sharedGramIndexPath(s, dir), k = 8)
             .filter(col("kept_tokens") >= 1)
             .select(col("_id").as("doc_id"), col("cleaned_text").as("text")))
-          val exactKept = Dedup.incrementalExact(cleaned,
+          // exact-tier survivors driver-local (see incr_admit_fixed)
+          val exactKept = Dedup.localizeBatch(Dedup.incrementalExact(cleaned,
             Dedup.tokenFingerprint(col("text")),
-            corpus, Dedup.tokenFingerprint(col("text")))
+            corpus, Dedup.tokenFingerprint(col("text"))))
           val rel = corpus.select(col("doc_id"), col("text")).union(cleaned)
           val banded = NearDup.minHashPolyBanded(rel, "doc_id", "text")
           val cands = NearDup.materializePairs(

@@ -337,9 +337,20 @@ object Dedup {
     * same downstream joins. */
   private[graft] def localizeBatch(df: DataFrame,
                                    cap: Int = 1 << 18): DataFrame = {
+    // the small-plan gate reads the RAW plan's leaves (parquet scans —
+    // accurate) BEFORE the persist wraps them in an InMemoryRelation
+    // whose leaf stats are the inflated root estimate this helper
+    // exists to contain; the populate collect of a small batch then
+    // runs narrow instead of paying 32-wide cached-plan execution
+    val small = graft.PlanGate.leafBytes(df) <=
+      BigInt(graft.PlanGate.smallPlanBytes)
     val persisted = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rows = graft.PlanGate.cappedCollect(persisted, cap + 1)
+    def collect() = graft.PlanGate.cappedCollect(persisted, cap + 1)
+    val rows =
+      if (small)
+        graft.sources.VersionedCorpus.withAqeOff(df.sparkSession)(collect())
+      else collect()
     if (rows.length <= cap) {
       try persisted.unpersist(blocking = false)
       catch { case _: Throwable => () }
@@ -1189,13 +1200,22 @@ object Dedup {
         case None        => dropDuplicatesByKey(labeled, col("component"), col(idCol))
         case Some(score) => keepBestByKey(labeled, col("component"), score, col(idCol))
       }
-      val out = reps.join(sizes, "component")
-        .select(docs.columns.map(col) :+ col("component") :+ col("n_docs"): _*)
-        .persist(lvl)
-      // the materializing count runs under the same small-plan AQE gate
-      // as the labeling (cc is a cached label table; `docs` decides)
-      graft.PlanGate.withAqeOffIfSmall(docs)(out.count())
-      out
+      // the PERSIST must sit inside the small-plan scope, not just the
+      // count: Spark compiles a cached relation's physical plan eagerly
+      // at persist() with the session's CURRENT shuffle width, and
+      // cached-plan materialization keeps that width (no AQE
+      // coalescing), so persisting before the scope froze the label
+      // join + rep agg at full width — 32 tasks per downstream scan of
+      // the cache at fixture scale (r19 profile: the 843 ms stage in
+      // dedup_pipeline_lsh_fixed). Gate on `docs` (accurate parquet
+      // leaves); at-scale inputs keep adaptive planning as before.
+      graft.PlanGate.withAqeOffIfSmall(docs) {
+        val out = reps.join(sizes, "component")
+          .select(docs.columns.map(col) :+ col("component") :+ col("n_docs"): _*)
+          .persist(lvl)
+        out.count()
+        out
+      }
     } finally cc.unpersist()
   }
 
