@@ -308,8 +308,13 @@ object Dedup {
     // admission tiers gate on what the batch actually IS. The direct
     // strip's estimate composes sanely (left-join root), so that path
     // keeps its lazy shape.
+    // cap 2^16: conservative for a PRODUCTION kernel carrying document
+    // text — AdmitProbe-scale batches (100k+ docs) take the persisted
+    // fallback, i.e. exactly the pre-r19 shape the probe certified,
+    // while fixture/micro-batches localize
     val committed =
-      if (gramIndexPath.isDefined) localizeBatch(cleaned) else cleaned
+      if (gramIndexPath.isDefined) localizeBatch(cleaned, cap = 1 << 16)
+      else cleaned
     admitIncoming(committed, corpus, idCol, textCol, minJaccard)
   }
 
@@ -347,10 +352,20 @@ object Dedup {
     val persisted = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def collect() = graft.PlanGate.cappedCollect(persisted, cap + 1)
+    // the ROW cap cannot bound BYTES (a fat-text batch under the cap
+    // can still blow spark.driver.maxResultSize): a failed collect
+    // degrades to the persisted distributed shape instead of killing
+    // the ingestion job — the cache survives the aborted collect, so
+    // the degrade costs no recompute
     val rows =
-      if (small)
-        graft.sources.VersionedCorpus.withAqeOff(df.sparkSession)(collect())
-      else collect()
+      try {
+        if (small)
+          graft.sources.VersionedCorpus.withAqeOff(df.sparkSession)(collect())
+        else collect()
+      } catch {
+        case _: org.apache.spark.SparkException =>
+          return registerCache(persisted)
+      }
     if (rows.length <= cap) {
       try persisted.unpersist(blocking = false)
       catch { case _: Throwable => () }

@@ -576,4 +576,29 @@ class DedupSpec extends AnyFunSuite {
       assert(rows(Some(tmp.toString)) === rows(None))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
+
+  test("localizeBatch: LocalRelation under the cap, persisted fallback past it, identical rows") {
+    // the r19 stats-honesty commit point: under the cap the batch comes
+    // back as a LocalRelation (accurate stats for every downstream
+    // small-plan gate — the poisoned-estimate fix); past the cap the
+    // POPULATED persisted frame returns, decision-identical
+    val docs = graft.Tables.load(spark, TestSpark.sf0001, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 50)
+    val expected = docs.as[(Long, String)].collect.toSet
+    Dedup.withAdmissionScope {
+      val local = Dedup.localizeBatch(docs)
+      assert(local.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        "under-cap batch must commit as a LocalRelation")
+      assert(local.as[(Long, String)].collect.toSet === expected)
+      val spilled = Dedup.localizeBatch(docs, cap = 1)
+      assert(!spilled.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        "over-cap batch must keep the distributed (persisted) shape")
+      assert(spilled.storageLevel.useMemory ||
+        spilled.storageLevel.useDisk,
+        "over-cap fallback must return the persisted frame (populated by the probe collect)")
+      assert(spilled.as[(Long, String)].collect.toSet === expected)
+    }
+  }
 }
