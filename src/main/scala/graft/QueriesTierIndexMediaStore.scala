@@ -23,6 +23,28 @@ import graft.streaming.Streams
   * determinism contract live on [[Queries]] itself. */
 private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
 
+  /** The four bounded rankings `pq_recall_fixed` evaluates — the two
+    * per-query ADC orderings over the fixed codes then the two exact
+    * brute-force top-10s — as lazy frames for the row's ONE
+    * tagged-union collect (Search.collectIdLists) and its planView. */
+  private def pqRecallFixedRankings(s: SparkSession,
+                                    dir: String): Seq[DataFrame] = {
+    val pqf = sharedFixedPq(s, dir)
+    val emb8 = T(s, dir, "embeddings").filter(col("vec_id") % 8 === 0)
+    val enc = s.read.parquet(pqf.codesPath)
+    val calib = Seq(QueryVectors.q1, QueryVectors.q2)
+    calib.map { q =>
+      enc.select(col("vec_id"),
+          round(PqIndex.adcScore(col("codes"), q, pqf.codebooks), 4)
+            .as("sim"))
+        .orderBy(desc("sim"), asc("vec_id")).limit(50)
+        .select(col("vec_id"))
+    } ++ calib.map { q =>
+      Search.topK(emb8, "embedding", "vec_id", q, k = 10)
+        .select(col("vec_id"))
+    }
+  }
+
   private[graft] lazy val tierIndexMediaStore: ListMap[String, DeclaredQuery] = ListMap(
 
     // ----- non-SQL-expressible operators (driver does rows-only checks;
@@ -565,19 +587,33 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
         val pq = sharedPqIndex(s, dir)
         val emb = T(s, dir, "embeddings")
         val enc = s.read.parquet(pq.codesPath)
-        val rMax = math.min(emb.count(), PqMaxRerank.toLong).toInt
+        // corpus row count from the maintained stats memo (the
+        // `_embstats_build` infra line) instead of a fresh count job —
+        // the BM25 rows' corpusStats discipline applied here (r20)
+        val rMax = math.min(embStats(s, dir)._1, PqMaxRerank.toLong).toInt
         val dial = Seq(math.max(10, pq.rerank / 2), pq.rerank,
           math.min(rMax, pq.rerank * 2)).distinct.sorted
         val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        // ONE collect for the whole instrument (r19 verdict #4): the
+        // per-query ADC orderings and exact top-10s are independent
+        // bounded rankings — the tagged union pays the scheduler floor
+        // once instead of 4×, each branch keeping its exact subtree
+        // (lists element-identical to the sequential collects)
+        val lists = Search.collectIdLists(
+          calib.map { case (_, q) =>
+            enc.select(col("vec_id"),
+                round(PqIndex.adcScore(col("codes"), q, pq.codebooks), 4)
+                  .as("sim"))
+              .orderBy(desc("sim"), asc("vec_id")).limit(dial.max)
+              .select(col("vec_id"))
+          } ++ calib.map { case (_, q) =>
+            Search.topK(emb, "embedding", "vec_id", q, k = 10)
+              .select(col("vec_id"))
+          })
         val rows = for {
-          (qid, q) <- calib
-          adc = enc.select(col("vec_id"),
-              round(PqIndex.adcScore(col("codes"), q, pq.codebooks), 4)
-                .as("sim"))
-            .orderBy(desc("sim"), asc("vec_id")).limit(dial.max)
-            .collect().map(_.getLong(0)).toIndexedSeq
-          exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
-            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          ((qid, _), qi) <- calib.zipWithIndex
+          adc = lists(qi)
+          exact = lists(calib.length + qi).toSet
           r <- dial
         } yield {
           val hit = (adc.take(r).toSet & exact).size
@@ -605,20 +641,15 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
       // a parallel re-derivation. `pq_recall` keeps the calibrated
       // runtime dial over the trained codebooks.
       (s, dir) => {
-        val pqf = sharedFixedPq(s, dir)
-        val emb8 = T(s, dir, "embeddings").filter(col("vec_id") % 8 === 0)
-        val enc = s.read.parquet(pqf.codesPath)
         val dial = Seq(10, 20, 50)
         val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        // one tagged-union collect for all four bounded rankings (see
+        // pq_recall) — lists element-identical, scheduler floor paid once
+        val lists = Search.collectIdLists(pqRecallFixedRankings(s, dir))
         val rows = for {
-          (qid, q) <- calib
-          top = enc.select(col("vec_id"),
-              round(PqIndex.adcScore(col("codes"), q, pqf.codebooks), 4)
-                .as("sim"))
-            .orderBy(desc("sim"), asc("vec_id")).limit(dial.max)
-            .collect().map(_.getLong(0)).toIndexedSeq
-          exact = Search.topK(emb8, "embedding", "vec_id", q, k = 10)
-            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          ((qid, _), qi) <- calib.zipWithIndex
+          top = lists(qi)
+          exact = lists(calib.length + qi).toSet
           r <- dial
         } yield {
           val hit = (top.take(r).toSet & exact).size
@@ -681,7 +712,18 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
          |FROM (SELECT q.qid, d.r FROM q CROSS JOIN depths d) b
          |LEFT JOIN hits h ON h.qid = b.qid AND h.r = b.r
          |ORDER BY qid, rerank_depth""".stripMargin),
-      "PQ recall@10 at pinned depths under fixed codebooks — the quality instrument hash-matched against an independent engine"),
+      "PQ recall@10 at pinned depths under fixed codebooks — the quality instrument hash-matched against an independent engine",
+      // the distributed shape the row's ONE collect executes (the
+      // driver-side recall arithmetic truncates lineage): a tagged
+      // union of the four bounded rankings — representative for the
+      // whole recall family's r20 batched-collect form
+      planView = Some((s, dir) => {
+        val frames = pqRecallFixedRankings(s, dir)
+        frames.zipWithIndex.map { case (f, i) =>
+          f.select(lit(i).as("_q"),
+            col(f.columns.head).cast("long").as("_id"))
+        }.reduce(_ unionAll _)
+      })),
 
     "sq_topk" -> DeclaredQuery(
       // SQ8-accelerated top-k at the CALIBRATED operating point:
@@ -716,19 +758,27 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
         val sq = sharedSqIndex(s, dir)
         val emb = T(s, dir, "embeddings")
         val enc = s.read.parquet(sq.codesPath)
-        val rMax = math.min(emb.count(), PqMaxRerank.toLong).toInt
+        // memoized corpus count + one tagged-union collect for all four
+        // bounded rankings (see pq_recall) — lists element-identical
+        val rMax = math.min(embStats(s, dir)._1, PqMaxRerank.toLong).toInt
         val dial = Seq(math.max(10, sq.rerank / 2), sq.rerank,
           math.min(rMax, sq.rerank * 2)).distinct.sorted
         val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        val lists = Search.collectIdLists(
+          calib.map { case (_, q) =>
+            enc.select(col("vec_id"),
+                round(SqIndex.sqScore(col("codes"), q, sq.params), 4)
+                  .as("sim"))
+              .orderBy(desc("sim"), asc("vec_id")).limit(dial.max)
+              .select(col("vec_id"))
+          } ++ calib.map { case (_, q) =>
+            Search.topK(emb, "embedding", "vec_id", q, k = 10)
+              .select(col("vec_id"))
+          })
         val rows = for {
-          (qid, q) <- calib
-          top = enc.select(col("vec_id"),
-              round(SqIndex.sqScore(col("codes"), q, sq.params), 4)
-                .as("sim"))
-            .orderBy(desc("sim"), asc("vec_id")).limit(dial.max)
-            .collect().map(_.getLong(0)).toIndexedSeq
-          exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
-            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          ((qid, _), qi) <- calib.zipWithIndex
+          top = lists(qi)
+          exact = lists(calib.length + qi).toSet
           r <- dial
         } yield {
           val hit = (top.take(r).toSet & exact).size
@@ -759,15 +809,23 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
         val enc = s.read.parquet(sq.codesPath)
         val dial = Seq(10, 20, 50)
         val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        // one tagged-union collect for all four bounded rankings (see
+        // pq_recall) — lists element-identical, scheduler floor paid once
+        val lists = Search.collectIdLists(
+          calib.map { case (_, q) =>
+            enc.select(col("vec_id"),
+                round(SqIndex.sqScore(col("codes"), q, sq.params), 4)
+                  .as("sim"))
+              .orderBy(desc("sim"), asc("vec_id")).limit(dial.max)
+              .select(col("vec_id"))
+          } ++ calib.map { case (_, q) =>
+            Search.topK(emb, "embedding", "vec_id", q, k = 10)
+              .select(col("vec_id"))
+          })
         val rows = for {
-          (qid, q) <- calib
-          top = enc.select(col("vec_id"),
-              round(SqIndex.sqScore(col("codes"), q, sq.params), 4)
-                .as("sim"))
-            .orderBy(desc("sim"), asc("vec_id")).limit(dial.max)
-            .collect().map(_.getLong(0)).toIndexedSeq
-          exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
-            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          ((qid, _), qi) <- calib.zipWithIndex
+          top = lists(qi)
+          exact = lists(calib.length + qi).toSet
           r <- dial
         } yield {
           val hit = (top.take(r).toSet & exact).size
@@ -1054,18 +1112,26 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
         val ix = sharedIvfPqIndex(s, dir)
         val ivf = sharedIvfIndex(s, dir)
         val emb = T(s, dir, "embeddings")
-        val rMax = math.min(emb.count(), PqMaxRerank.toLong).toInt
+        // memoized corpus count + one tagged-union collect for all four
+        // bounded rankings (see pq_recall) — lists element-identical
+        val rMax = math.min(embStats(s, dir)._1, PqMaxRerank.toLong).toInt
         val dial = Seq(math.max(10, ix.rerank / 2), ix.rerank,
           math.min(rMax, ix.rerank * 2)).distinct.sorted
         val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        val lists = Search.collectIdLists(
+          calib.map { case (_, q) =>
+            PqIndex.probeIvfPq(s, ix.codesPath, "vec_id",
+                ivf.centroids, q, ix.codebooks, k = dial.max,
+                nprobe = ix.nprobe)
+              .select(col("vec_id"))
+          } ++ calib.map { case (_, q) =>
+            Search.topK(emb, "embedding", "vec_id", q, k = 10)
+              .select(col("vec_id"))
+          })
         val rows = for {
-          (qid, q) <- calib
-          adc = PqIndex.probeIvfPq(s, ix.codesPath, "vec_id",
-              ivf.centroids, q, ix.codebooks, k = dial.max,
-              nprobe = ix.nprobe)
-            .select(col("vec_id")).collect().map(_.getLong(0)).toIndexedSeq
-          exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
-            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          ((qid, _), qi) <- calib.zipWithIndex
+          adc = lists(qi)
+          exact = lists(calib.length + qi).toSet
           r <- dial
         } yield {
           val hit = (adc.take(r).toSet & exact).size
@@ -1096,13 +1162,21 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
         val emb = T(s, dir, "embeddings")
         val dial = Seq(10, 20, 50)
         val calib = Seq((1L, QueryVectors.q1), (2L, QueryVectors.q2))
+        // one tagged-union collect for all four bounded rankings (see
+        // pq_recall) — lists element-identical, scheduler floor paid once
+        val lists = Search.collectIdLists(
+          calib.map { case (_, q) =>
+            PqIndex.probeIvfPq(s, path, "vec_id", cents, q, cb,
+                k = dial.max, nprobe = 3)
+              .select(col("vec_id"))
+          } ++ calib.map { case (_, q) =>
+            Search.topK(emb, "embedding", "vec_id", q, k = 10)
+              .select(col("vec_id"))
+          })
         val rows = for {
-          (qid, q) <- calib
-          adc = PqIndex.probeIvfPq(s, path, "vec_id", cents, q, cb,
-              k = dial.max, nprobe = 3)
-            .select(col("vec_id")).collect().map(_.getLong(0)).toIndexedSeq
-          exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
-            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          ((qid, _), qi) <- calib.zipWithIndex
+          adc = lists(qi)
+          exact = lists(calib.length + qi).toSet
           r <- dial
         } yield {
           val hit = (adc.take(r).toSet & exact).size
@@ -1220,7 +1294,8 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
               ivf.centroids, ix.codebooks)
             .repartition(col("cluster_id"))
             .write.partitionBy("cluster_id").mode("append").parquet(path)
-          val n = emb.count().toInt
+          // corpus row count from the maintained stats memo — no count job
+          val n = embStats(s, dir)._1.toInt
           val probed = PqIndex.probeIvfPq(s, path, "vec_id", ivf.centroids,
               QueryVectors.q1, ix.codebooks, k = 10, nprobe = ivf.k,
               rerank = Some((emb, "embedding", math.max(10, n))))
@@ -1278,10 +1353,15 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
         def topAt(qid: Long, np: Int): Set[Long] =
           sweep.iterator.filter(t => t._1 == qid && t._2 < np).toSeq
             .sortBy(t => (-t._4, t._3)).take(10).map(_._3).toSet
+        // both queries' exact top-10s in ONE tagged-union collect (r19
+        // verdict #4) — sets element-identical to per-query collects
+        val exactLists = Search.collectIdLists(calib.map { case (_, q) =>
+          Search.topK(emb, "embedding", "vec_id", q, k = 10)
+            .select(col("vec_id"))
+        })
         val rows = for {
-          (qid, q) <- calib
-          exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
-            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          ((qid, _), qi) <- calib.zipWithIndex
+          exact = exactLists(qi).toSet
           nprobe <- dial
         } yield {
           val probed = topAt(qid, nprobe)
@@ -1322,10 +1402,15 @@ private[graft] trait QueriesTierIndexMediaStore { this: Queries.type =>
           sweep.iterator.filter(t => t._1 == qid && t._2 < np).toSeq
             .sortBy(t => (-t._4, t._3)).take(10).map(_._3).toSet
         val dial = Seq(1, 2, 3, 8)
+        // both queries' exact top-10s in ONE tagged-union collect (r19
+        // verdict #4) — sets element-identical to per-query collects
+        val exactLists = Search.collectIdLists(calib.map { case (_, q) =>
+          Search.topK(emb, "embedding", "vec_id", q, k = 10)
+            .select(col("vec_id"))
+        })
         val rows = for {
-          (qid, q) <- calib
-          exact = Search.topK(emb, "embedding", "vec_id", q, k = 10)
-            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          ((qid, _), qi) <- calib.zipWithIndex
+          exact = exactLists(qi).toSet
           nprobe <- dial
         } yield {
           val hit = (exact & topAt(qid, nprobe)).size

@@ -101,6 +101,40 @@ object Search {
       .agg(round(sum(lit(1.0) / (lit(kRrf) + col("_r"))), 4).as("rrf"))
   }
 
+  /** Collect several BOUNDED single-column id rankings in ONE Spark
+    * action — the multi-query batching the recall instruments need
+    * (each previously paid one collect job per query vector per side,
+    * so a 2-query × (approx, exact) evaluation paid the scheduler
+    * floor 4×). Every frame must already be a top-k-bounded ranking
+    * projected to its id column; each is tagged with its position, the
+    * tagged frames union, and one collect returns every list.
+    *
+    * Result identity: each branch keeps its EXACT original subtree
+    * (same TakeOrderedAndProject, same tie-breaks), so the returned
+    * lists are element-for-element what the sequential collects
+    * returned. Per-branch row order is preserved because a union
+    * concatenates its children's partitions in child order and each
+    * bounded ranking is a single sorted partition
+    * (TakeOrderedAndProject's internal single-partition shuffle is not
+    * a planner Exchange, so neither AQE query stages nor extra jobs
+    * appear — the whole union is one job at any scale).
+    *
+    * Scale shape: the branches' scans execute within one job exactly
+    * as they did across jobs — same bytes read, same per-branch top-k
+    * bound on what reaches the driver; only the per-action scheduling
+    * overhead collapses. */
+  def collectIdLists(frames: Seq[DataFrame]): IndexedSeq[IndexedSeq[Long]] = {
+    require(frames.nonEmpty, "collectIdLists needs at least one frame")
+    val tagged = frames.zipWithIndex.map { case (f, i) =>
+      f.select(lit(i).as("_q"), col(f.columns.head).cast("long").as("_id"))
+    }
+    val rows = tagged.reduce(_ unionAll _).collect()
+    val out = IndexedSeq.fill(frames.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Long])
+    rows.foreach(r => out(r.getInt(0)) += r.getLong(1))
+    out.map(_.toIndexedSeq)
+  }
+
   /** Default ceiling on how much of the query side one broadcast may
     * carry — sized to fit comfortably in executor memory alongside the
     * scan (the historical contract was "callers hold it"; now the

@@ -126,4 +126,30 @@ class SearchSpec extends AnyFunSuite {
     Search.scored(corpus, "embedding", Seq(1.0, 0.0)).collect()
     assert(corpus.columns.toSeq === before)
   }
+
+  test("collectIdLists: one action returns every ranking, order preserved") {
+    // the batched form must be element-for-element what the sequential
+    // per-frame collects return (the recall instruments' contract), and
+    // it must pay ONE job for the whole batch — that is its entire point
+    val queries = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 1.0))
+    val frames = queries.map(q =>
+      Search.topK(corpus, "embedding", "vec_id", q, k = 3).select("vec_id"))
+    val sequential = frames.map(
+      _.collect().map(_.getLong(0)).toIndexedSeq)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val batched = Search.collectIdLists(frames)
+      // listener bus is async; give it a beat to drain before reading
+      Thread.sleep(500)
+      assert(batched === sequential)
+      assert(jobs.get() === 1,
+        s"batched collect must submit exactly one job, got ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
