@@ -116,6 +116,24 @@ object PlanGate {
     finally closeApplied()
   }
 
+  /** The session's STEADY-STATE value of `key`: the ledger's recorded
+    * original when an open scope currently overrides it, the live conf
+    * otherwise. Passthrough decisions (e.g. withAqeOff's "AQE already
+    * globally off" short-circuit) must consult THIS, not the live
+    * conf — the live value can be a concurrent scope's temporary
+    * override, and a passthrough taken on it runs its body unscoped
+    * until the neighbor closes (the PlanGateSpec concurrency flake:
+    * ~1-in-3 full-suite runs observed aqe restored mid-body). Safe to
+    * call from inside a [[withConfScope]] settings block — the lock is
+    * reentrant. */
+  private[graft] def steadyConf(spark: org.apache.spark.sql.SparkSession,
+                                key: String): Option[String] = confScoped {
+    scopeState.get((System.identityHashCode(spark.conf), key)) match {
+      case Some(e) => e.original
+      case None    => spark.conf.getOption(key)
+    }
+  }
+
   /** Sum of the optimizer's leaf-relation size estimates — the plan's
     * read volume. `Long.MaxValue` when statistics are unavailable, so
     * an unknown plan NEVER takes the small-plan path. */

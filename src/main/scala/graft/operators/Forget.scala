@@ -39,13 +39,32 @@ object Forget {
              vectorIndexPath: Option[String] = None,
              vectorIdCol: String = "vec_id",
              extraStores: Seq[(String, String)] = Nil): Map[String, Long] = {
-    val idsOne = ids.select(ids.columns.head).distinct()
+    val persisted = ids.select(ids.columns.head).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // ONE counting pass doubles as the empty-request guard and the
-      // vector leg's tombstoned-id count (the old isEmpty probe + late
-      // count() paid two jobs for the same persisted relation)
-      val nIds = idsOne.count()
+      // LOCALIZE the request id set (r19 verdict #1, fusing the
+      // commit-latency family's staged jobs): an erasure request is
+      // operationally tiny — a subject's ids, a leak slab — while all
+      // three store legs broadcast it into their joins. Committed as a
+      // LocalRelation, every leg's broadcast builds driver-side with
+      // NO job (LocalTableScan.executeCollect), and the one capped
+      // collect replaces the old counting pass (the collected length
+      // IS the empty-guard count). A request past the cap — or one
+      // whose collect trips driver limits — keeps the persisted
+      // distributed shape and its counting pass: decision-identical,
+      // the pre-r20 plan exactly.
+      val cap = 1 << 16
+      val collected =
+        try Some(graft.PlanGate.cappedCollect(persisted, cap + 1))
+        catch { case _: org.apache.spark.SparkException => None }
+      val (idsOne, nIds) = collected match {
+        case Some(rows) if rows.length <= cap =>
+          try persisted.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+          (spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+            persisted.schema), rows.length.toLong)
+        case _ => (persisted, persisted.count())
+      }
       if (nIds == 0L) {
         // an empty request forgets nothing and commits nothing anywhere
         return (corpusRoot.map(_ => "corpus" -> 0L) ++
@@ -81,7 +100,11 @@ object Forget {
       }
       (corpus.map("corpus" -> _) ++ text.map("text_index" -> _) ++
         vec.map("vector_index" -> _) ++ extras).toMap
-    } finally idsOne.unpersist()
+    } finally {
+      // harmless double-unpersist when the localize already released it
+      try persisted.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
   }
 
   /** [[forget]] + the three physical applies, for the erasure requests

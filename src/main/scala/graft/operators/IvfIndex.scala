@@ -263,8 +263,28 @@ object IvfIndex {
     // .delete — duplicate tombstone ids are read-side harmless
     val sel = ids.select(ids.columns.head)
       .select(col(ids.columns.head).cast("long").as(idCol))
-    (if (idsDistinct) sel else sel.distinct())
-      .write.mode("overwrite").parquet(staging.toString)
+    val selD = if (idsDistinct) sel else sel.distinct()
+    // a DRIVER-HELD id set (the optimizer folded the frame to a
+    // LocalRelation — the erasure-request shape) commits its
+    // metadata-scale tombstone file driver-side: collect is a job-free
+    // LocalTableScan and the write is one small parquet sidecar (r20 —
+    // no scheduler-floor Spark job to persist keys the driver already
+    // holds). Distributed id sets keep the staged Spark write.
+    val localRows =
+      if (selD.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        Some(selD.collect())
+      else None
+    localRows match {
+      case Some(rows) =>
+        java.nio.file.Files.createDirectories(staging)
+        graft.sources.LocalParquet.writeKeys(
+          staging.resolve("part-00000-local.parquet"), idCol,
+          rows.toSeq.filterNot(_.isNullAt(0)).map(_.getLong(0)),
+          string = false)
+      case None =>
+        selD.write.mode("overwrite").parquet(staging.toString)
+    }
     val dir = java.nio.file.Paths.get(path, "_tombstones")
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.move(staging,
@@ -288,7 +308,33 @@ object IvfIndex {
       } finally s.close()
     }
     if (subs.isEmpty) None
-    else Some(spark.read.parquet(subs: _*).select(col(idCol)).distinct())
+    else {
+      // BOUNDED tombstone sets read driver-side (r20): the sidecars are
+      // metadata-scale, so under 4 MB the ids fold into a LocalRelation
+      // whose downstream broadcast builds with NO job — where the
+      // distributed distinct paid a scheduler-floor job per probe over
+      // a tombstoned index. Bigger backlogs (or an unreadable file)
+      // keep the distributed read; applyTombstonesPartitioned retires
+      // them either way. Result identity: same distinct id set, and
+      // the consumer joins are null-safe equi-joins.
+      val files = subs.flatMap(d =>
+        graft.sources.LocalParquet.listParquet(java.nio.file.Paths.get(d)))
+      val totalBytes = files.map(java.nio.file.Files.size(_)).sum
+      val local =
+        if (files.nonEmpty && totalBytes <= (4L << 20))
+          graft.sources.LocalParquet.readKeys(files, idCol)
+        else None
+      local match {
+        case Some(ks) =>
+          val ids = ks.collect { case n: java.lang.Number => n.longValue() }
+            .distinct
+          Some(spark.createDataFrame(
+            java.util.Arrays.asList(ids.map(org.apache.spark.sql.Row(_)): _*),
+            new org.apache.spark.sql.types.StructType().add(idCol, "long")))
+        case None =>
+          Some(spark.read.parquet(subs: _*).select(col(idCol)).distinct())
+      }
+    }
   }
 
   /** Drop tombstoned rows where the kept plan would have them. */

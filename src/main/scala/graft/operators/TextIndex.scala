@@ -465,13 +465,68 @@ object TextIndex {
   }
 
   /** Kill rows whose doc has a tombstone in a LATER batch than the
-    * row's own `_b` column. No tombstones → the input plan unchanged. */
+    * row's own `_b` column. No tombstones → the input plan unchanged.
+    *
+    * BOUNDED tombstone sets fold driver-side (r20, the VersionedCorpus
+    * snapshot discipline): tombstone files are metadata-scale sidecars
+    * — when their total bytes clear [[localTombBytes]] the driver reads
+    * the key sets directly (zero jobs) and the kill rule becomes a
+    * static predicate (≤ the IN-list budget) or a LocalRelation
+    * anti-join (whose broadcast builds job-free), instead of a
+    * broadcast built from a distributed scan that pays one
+    * scheduler-floor job PER QUERY over the index. Big tombstone
+    * backlogs keep the distributed broadcast join — and [[optimize]]
+    * retires them entirely. Semantics identical in all three forms:
+    * a row dies iff some tombstone batch LATER than its own holds its
+    * key (null keys never match). */
+  private val localTombBytes = 4L << 20
+  private val tombInListBudget = 1000
   private def applyTombstones(spark: SparkSession,
                               live: Seq[java.nio.file.Path],
                               rows: DataFrame): DataFrame = {
     val tombB = live.filter(b =>
       java.nio.file.Files.isDirectory(b.resolve("deletes")))
     if (tombB.isEmpty) return rows
+    val tombFiles = tombB.map(b =>
+      graft.sources.LocalParquet.listParquet(b.resolve("deletes")))
+    val totalBytes = tombFiles.flatten
+      .map(java.nio.file.Files.size(_)).sum
+    if (tombFiles.forall(_.nonEmpty) && totalBytes <= localTombBytes) {
+      val perBatch = tombB.zip(tombFiles).map { case (b, fs) =>
+        graft.sources.LocalParquet.readKeys(fs, "doc_id")
+          .map(ks => batchId(b) ->
+            ks.collect { case n: java.lang.Number => n.longValue() })
+      }
+      if (perBatch.forall(_.isDefined)) {
+        // max tombstone batch per key, driver-side — the join's
+        // aggregate, folded here
+        val tmax = new scala.collection.mutable.HashMap[Long, Long]()
+        perBatch.flatten.foreach { case (db, ks) =>
+          ks.foreach(k => if (tmax.getOrElse(k, Long.MinValue) < db)
+            tmax(k) = db)
+        }
+        if (tmax.isEmpty) return rows
+        if (tmax.size <= tombInListBudget) {
+          // static predicate: no join operator, no broadcast build job
+          val kill = tmax.groupBy(_._2).toSeq.sortBy(_._1)
+            .map { case (db, ks) =>
+              col("_b") < lit(db) &&
+                col("doc_id").isin(ks.keys.toSeq: _*)
+            }.reduce(_ || _)
+          return rows.filter(!coalesce(kill, lit(false)))
+        }
+        // LocalRelation anti-join: broadcast builds driver-side, no job
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(tmax.toSeq.map { case (k, db) =>
+            org.apache.spark.sql.Row(k, db)
+          }: _*),
+          new org.apache.spark.sql.types.StructType()
+            .add("_del_id", "long").add("_del_b", "long"))
+        return rows.join(broadcast(local),
+          rows("doc_id") === col("_del_id") && col("_del_b") > rows("_b"),
+          "left_anti")
+      }
+    }
     val tombs = tombB.map(b =>
       spark.read.parquet(b.resolve("deletes").toString)
         .withColumn("_del_b", lit(batchId(b))))

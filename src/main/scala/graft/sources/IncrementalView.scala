@@ -344,10 +344,13 @@ object IncrementalView {
     if (vanished.nonEmpty) {
       // rebuild the key frame with the SOURCE's group column type
       // (the view store pinned it at first commit); driver-deduped →
-      // the tombstone commit skips its distinct exchange
+      // the tombstone commit skips its distinct exchange — and as a
+      // LocalRelation (not an RDD-backed frame) the delete takes the
+      // r20 driver-side tombstone commit: zero Spark jobs for a
+      // vanished-group set the driver already holds
       val vdf = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          vanished.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+        java.util.Arrays.asList(
+          vanished.toSeq.map(org.apache.spark.sql.Row(_)): _*),
         new org.apache.spark.sql.types.StructType()
           .add(groupCol, gType))
       VersionedCorpus.delete(vdf, viewRoot, groupCol, keysDistinct = true)

@@ -483,10 +483,17 @@ object VersionedCorpus {
       // so gated small-plan actions must not silently re-cap the
       // shuffle width to 4 — the r18 rewrite dropped this short-
       // circuit and changed physical plans across the A/B comparison.
-      if (spark.conf.get("spark.sql.adaptive.enabled", "true") == "false") Nil
+      // The check reads the session's STEADY-STATE value through the
+      // scope ledger, never the live conf: a concurrent scope's
+      // temporary aqe=false would otherwise trip the passthrough and
+      // leave THIS body unscoped when the neighbor closes (r20 — the
+      // PlanGateSpec concurrency flake, real under parallel gated
+      // collects).
+      if (graft.PlanGate.steadyConf(spark, "spark.sql.adaptive.enabled")
+          .getOrElse("true") == "false") Nil
       else {
         val spKey = "spark.sql.shuffle.partitions"
-        val prevSp = spark.conf.get(spKey, "200")
+        val prevSp = graft.PlanGate.steadyConf(spark, spKey).getOrElse("200")
         val cappedSp =
           try math.min(prevSp.toInt, 4).toString catch { case _: Throwable => "4" }
         Seq("spark.sql.adaptive.enabled" -> "false", spKey -> cappedSp)
@@ -759,19 +766,103 @@ object VersionedCorpus {
     checkOrPinKey(root, keyCol)
     val staging = newStaging(root)
     val sel = keys.select(keys.col(keyCol))
-    val (n, klo, khi, _, bloom, keySet) = writeStagedWithStats(
-      if (keysDistinct) sel else sel.distinct(), root, staging,
-      collectKeys = true)
-    if (n == 0L) {
-      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
-      return -1L
+    // DRIVER-HELD key sets commit driver-side (r20, fusing the
+    // commit-latency family): a tombstone of keys the optimizer already
+    // folded to a LocalRelation (erasure requests, driver-deduped
+    // vanished-group sets) is metadata-scale — its count/bounds/Bloom
+    // are exact driver arithmetic and the key file is one LocalParquet
+    // sidecar write, so the commit pays ZERO Spark jobs where the
+    // staged observe-write paid one scheduler-floor job per tombstone.
+    // Everything downstream is byte-compatible: same file layout, same
+    // manifest fields, same memo population. Distributed, typed-odd,
+    // null-carrying, or over-cap key sets keep the staged write.
+    localDeleteKeys(sel) match {
+      case Some(vals0) =>
+        val vals = if (keysDistinct) vals0 else vals0.distinct
+        if (vals.isEmpty) {
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+          return -1L
+        }
+        val string = sel.schema.head.dataType ==
+          org.apache.spark.sql.types.StringType
+        java.nio.file.Files.createDirectories(staging)
+        LocalParquet.writeKeys(
+          staging.resolve("part-00000-local.parquet"), keyCol, vals, string)
+        val (klo, khi) =
+          if (string) (None, None)
+          else {
+            val ls = vals.map(_.asInstanceOf[Number].longValue())
+            (Some(ls.min), Some(ls.max))
+          }
+        val bloom = bloomParams(root).map { case (items, fpp) =>
+          // the staged path's BloomFilterAggregate puts xxhash64(key)
+          // with the SAME (items, bits) sizing; the hash values come
+          // from a job-free fold of the expression over a LocalRelation
+          // (ConvertToLocalRelation → driver-side executeCollect), so
+          // probe behavior is bit-identical across both commit forms
+          val bits = org.apache.spark.util.sketch.BloomFilter
+            .optimalNumOfBits(items, fpp)
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .create(items, bits)
+          val schema = new org.apache.spark.sql.types.StructType()
+            .add(sel.schema.head.copy(name = keyCol))
+          val local = sel.sparkSession.createDataFrame(
+            java.util.Arrays.asList(
+              vals.map(org.apache.spark.sql.Row(_)): _*), schema)
+          local.select(org.apache.spark.sql.functions
+              .xxhash64(org.apache.spark.sql.functions.col(keyCol)))
+            .collect().foreach(r => bf.putLong(r.getLong(0)))
+          val out = new java.io.ByteArrayOutputStream()
+          bf.writeTo(out)
+          out.toByteArray
+        }
+        val gen = claimGen(root, staging)
+        bloom.foreach(writeBloom(root, gen, _))
+        writeManifest(root, Commit(gen, vals.length.toLong, base = false,
+          kind = "delete", klo = klo, khi = khi))
+        memoizeTombKeys(root, gen, vals)
+        gen
+      case None =>
+        val (n, klo, khi, _, bloom, keySet) = writeStagedWithStats(
+          if (keysDistinct) sel else sel.distinct(), root, staging,
+          collectKeys = true)
+        if (n == 0L) {
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+          return -1L
+        }
+        val gen = claimGen(root, staging)
+        bloom.foreach(writeBloom(root, gen, _))
+        writeManifest(root,
+          Commit(gen, n, base = false, kind = "delete", klo = klo, khi = khi))
+        keySet.foreach(memoizeTombKeys(root, gen, _))
+        gen
     }
-    val gen = claimGen(root, staging)
-    bloom.foreach(writeBloom(root, gen, _))
-    writeManifest(root,
-      Commit(gen, n, base = false, kind = "delete", klo = klo, khi = khi))
-    keySet.foreach(memoizeTombKeys(root, gen, _))
-    gen
+  }
+
+  /** The delete keys as a driver-held value set — `Some` iff the frame
+    * already folded to a LocalRelation (collect is a job-free
+    * LocalTableScan), the key type is long/string (LocalParquet's
+    * domain; snapshot readers read tombstones with the pinned type, so
+    * an int key must keep the Spark write), the set clears the
+    * tombstone-memo cap, and no key is null (a null tombstone key is
+    * read-side inert but the staged write preserves it in the file and
+    * the manifest count — the feed's drift guard compares those, so the
+    * local form never silently drops one). */
+  private def localDeleteKeys(sel: DataFrame): Option[Seq[Any]] = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val typed = sel.schema.head.dataType match {
+      case LongType | StringType => true
+      case _                     => false
+    }
+    if (!typed) return None
+    sel.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if lr.data.lengthCompare(tombLocalMaxRows) <= 0 =>
+        val rows = sel.collect()
+        if (rows.exists(_.isNullAt(0))) None
+        else Some(rows.toSeq.map(_.get(0)))
+      case _ => None
+    }
   }
 
   /** CDC APPLY — one batch of keyed CHANGE rows folded into the store
@@ -795,7 +886,19 @@ object VersionedCorpus {
     * later generations); `seqCol` only orders WITHIN a batch — the
     * standard foreachBatch CDC caveat.
     *
-    * Returns (upsertGen, deleteGen), -1 for an empty half. */
+    * Returns (upsertGen, deleteGen), -1 for an empty half.
+    *
+    * Job economy (r20): both halves commit through ONE staged
+    * partitioned write ([[commitChangeHalves]]) — the upsert rows and
+    * the delete keys land in two partition directories of a single
+    * pass over the reduced batch, renamed into consecutive
+    * generations. The old sequential form paid two staged-write jobs
+    * (and a persist of the reduced batch to feed them); a CDC
+    * ingestion loop applying a batch per cycle pays the commit path
+    * half as often at ANY scale. Crash contract unchanged: the upsert
+    * generation publishes before the delete generation, exactly the
+    * sequential ordering — a death between them replays
+    * idempotently like any crashed applyChanges. */
   def applyChanges(batch: DataFrame, root: String, keyCol: String,
                    opCol: String, seqCol: String): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, desc, row_number, when, lit}
@@ -806,14 +909,156 @@ object VersionedCorpus {
     val latest = batch
       .withColumn("_vc_rn", row_number().over(w))
       .filter(col("_vc_rn") === 1).drop("_vc_rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val gU = upsert(latest.filter(col(opCol) =!= "D")
-        .drop(opCol, seqCol), root, keyCol)
-      val gD = delete(latest.filter(col(opCol) === "D")
-        .select(col(keyCol)), root, keyCol)
-      (gU, gD)
-    } finally latest.unpersist()
+    commitChangeHalves(latest, root, keyCol, opCol, seqCol)
+  }
+
+  /** One staged write, two generations: the reduced batch's non-delete
+    * rows (data columns only) and delete keys (key column, others null)
+    * write `partitionBy("_vc_half")` into a shared staging directory —
+    * each half's count/bounds/Bloom/key-set rides the SAME write as a
+    * half-conditional observe metric — and the two partition dirs are
+    * claimed as consecutive generations (upsert first, matching the
+    * sequential form's order). A delete generation's files carry the
+    * full schema with null data columns; every tombstone reader selects
+    * the key column explicitly, so the wider file is inert. Empty
+    * halves write no partition dir and return -1, like the sequential
+    * form. */
+  private def commitChangeHalves(latest: DataFrame, root: String,
+                                 keyCol: String, opCol: String,
+                                 seqCol: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, collect_set, count, lit, max, min, when, xxhash64}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val dataFields = latest.schema.fields
+      .filterNot(f => f.name == opCol || f.name == seqCol)
+    val dataSchema = new org.apache.spark.sql.types.StructType(dataFields)
+    checkOrPinSchema(root, dataSchema, evolve = false)
+    checkOrPinKey(root, keyCol)
+    val isDel = col(opCol) === "D"
+    val combined = latest.select(
+      (dataFields.map(f =>
+        (if (f.name == keyCol) col(f.name)
+         else when(!isDel, col(f.name)).otherwise(
+           lit(null).cast(f.dataType))).as(f.name)).toSeq :+
+        when(isDel, lit("d")).otherwise(lit("u")).as("_vc_half")): _*)
+    def integral(t: org.apache.spark.sql.types.DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    val keyType = dataSchema(keyCol).dataType
+    val statKey = pinnedKey(root).filter(k =>
+      k == keyCol && integral(keyType))
+    val extras = statsCols(root).filter(c =>
+      c != keyCol && dataFields.exists(f =>
+        f.name == c && integral(f.dataType)))
+    val bloomSpec = bloomParams(root).filter(_ =>
+      pinnedKey(root).contains(keyCol) &&
+        (integral(keyType) || keyType == StringType))
+    def bloomAgg(cond: org.apache.spark.sql.Column) =
+      bloomSpec.map { case (items, fpp) =>
+        val bits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(items, fpp)
+        org.apache.spark.sql.graftshim.Bridge.column(
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(
+              org.apache.spark.sql.graftshim.Bridge.expression(
+                when(cond, xxhash64(col(keyCol)))),
+              org.apache.spark.sql.catalyst.expressions.Literal(items),
+              org.apache.spark.sql.catalyst.expressions.Literal(bits))
+            .toAggregateExpression())
+      }
+    // the observe aggregates run over `combined`, which carries only
+    // the data columns + the half tag — condition on the tag
+    val u = col("_vc_half") === "u"
+    val d = col("_vc_half") === "d"
+    val width = smallCommitWidth(combined)
+    val keySets =
+      if (width.isDefined)
+        Seq(collect_set(when(u, col(keyCol))),
+          collect_set(when(d, col(keyCol))))
+      else Nil
+    val halfKey = (cond: org.apache.spark.sql.Column) =>
+      Seq(min(when(cond, col(keyCol).cast("long"))),
+        max(when(cond, col(keyCol).cast("long"))))
+    val aggCols = (Seq(count(when(u, lit(1))), count(when(d, lit(1)))) ++
+      statKey.toSeq.flatMap(_ => halfKey(u) ++ halfKey(d)) ++
+      extras.flatMap(c => Seq(min(when(u, col(c).cast("long"))),
+        max(when(u, col(c).cast("long"))))) ++
+      bloomAgg(u).toSeq ++ bloomAgg(d).toSeq ++ keySets)
+      .zipWithIndex.map { case (c, i) => c.as(s"_m$i") }
+    val staging = newStaging(root)
+    val obs = new org.apache.spark.sql.Observation(
+      "graft_cdc_" + java.util.UUID.randomUUID())
+    val dfw = width.fold(combined)(combined.coalesce)
+    def run(): Unit = dfw.observe(obs, aggCols.head, aggCols.tail: _*)
+      .write.partitionBy("_vc_half").mode("overwrite")
+      .parquet(staging.toString)
+    if (width.isDefined) withAqeOff(latest.sparkSession)(run()) else run()
+    val m = obs.get
+    def optAt(i: Int): Option[Long] = m(s"_m$i") match {
+      case null                => None
+      case v: java.lang.Number => Some(v.longValue)
+    }
+    val (nU, nD) = (optAt(0).getOrElse(0L), optAt(1).getOrElse(0L))
+    if (nU == 0L && nD == 0L) {
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      return (-1L, -1L)
+    }
+    val base = 2
+    val (uk, dk) =
+      if (statKey.isEmpty) ((None, None), (None, None))
+      else (((optAt(base), optAt(base + 1)), (optAt(base + 2), optAt(base + 3))))
+    val extrasBase = base + (if (statKey.isEmpty) 0 else 4)
+    val colStats = extras.zipWithIndex.flatMap { case (c, i) =>
+      (optAt(extrasBase + 2 * i), optAt(extrasBase + 2 * i + 1)) match {
+        case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
+        case _                    => None
+      }
+    }.toMap ++ statKey.filter(statsCols(root).contains).flatMap(k =>
+      uk match {
+        case (Some(lo), Some(hi)) => Some(k -> (lo, hi))
+        case _                    => None
+      })
+    val bloomBase = extrasBase + 2 * extras.length
+    def bloomAt(i: Int): Option[Array[Byte]] = m(s"_m$i") match {
+      case b: Array[Byte] => Some(b)
+      case _              => None
+    }
+    val (bloomU, bloomD) =
+      if (bloomSpec.isEmpty) (None, None)
+      else (bloomAt(bloomBase), bloomAt(bloomBase + 1))
+    val keysBase = bloomBase + 2 * bloomSpec.size
+    def keysAt(i: Int): Option[Seq[Any]] =
+      if (keySets.isEmpty) None
+      else m(s"_m$i") match {
+        case s: Seq[_] => Some(s.asInstanceOf[Seq[Any]])
+        case null      => Some(Seq.empty[Any])
+        case _         => None
+      }
+    def claimHalf(half: String, rows: Long, commit: Long => Commit,
+                  bloom: Option[Array[Byte]],
+                  keys: Option[Seq[Any]]): Long = {
+      val dir = staging.resolve(s"_vc_half=$half")
+      if (rows == 0L) return -1L
+      require(java.nio.file.Files.isDirectory(dir),
+        s"fused commit: observe counted $rows '$half' rows but the " +
+          s"partitioned write produced no $dir")
+      val gen = claimGen(root, dir)
+      bloom.foreach(writeBloom(root, gen, _))
+      writeManifest(root, commit(gen))
+      keys.foreach(memoizeTombKeys(root, gen, _))
+      gen
+    }
+    // upsert generation FIRST — the sequential form's commit order
+    val gU = claimHalf("u", nU,
+      g => Commit(g, nU, base = false, kind = "upsert",
+        klo = uk._1, khi = uk._2, stats = colStats),
+      bloomU, keysAt(keysBase))
+    val gD = claimHalf("d", nD,
+      g => Commit(g, nD, base = false, kind = "delete",
+        klo = dk._1, khi = dk._2),
+      bloomD, keysAt(keysBase + 1))
+    org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+    (gU, gD)
   }
 
   /** Snapshot window resolution from manifests only: the newest BASE
@@ -1349,10 +1594,18 @@ object VersionedCorpus {
       }
     // the delete side carries only (key, _change_type, _commit_gen);
     // allowMissingColumns null-fills its data columns, and the final
-    // select pins the declared column order
-    (dataPart.toSeq ++ delPart.toSeq)
+    // select pins the declared column order. A DELETE-ONLY window has
+    // no data part to union against, so its missing data columns are
+    // null-filled explicitly — without this the final select failed to
+    // resolve them (latent until r20: every exercised window happened
+    // to contain a data generation)
+    val joined = (dataPart.toSeq ++ delPart.toSeq)
       .reduce(_.unionByName(_, allowMissingColumns = true))
-      .select((pinned.fieldNames.toSeq :+ "_change_type" :+ "_commit_gen")
+    val filled = pinned.fields.foldLeft(joined)((df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType)))
+    filled.select(
+      (pinned.fieldNames.toSeq :+ "_change_type" :+ "_commit_gen")
         .map(col): _*)
   }
 

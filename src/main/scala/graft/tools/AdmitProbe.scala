@@ -151,10 +151,17 @@ object AdmitProbe {
         admitted.count()
       }
 
+    // SPARK_GRAFT_ADMIT_KERNELS restricts the kernel list (comma-
+    // separated) — the large-corpus certification points (4M/10M docs)
+    // only need the kernels whose growth is being compared, and the
+    // unindexed strip at 10M is minutes of deliberate corpus-rescan
+    val kernels = sys.env.get("SPARK_GRAFT_ADMIT_KERNELS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("admit", "gated", "clean", "clean_hashed",
+        "clean_indexed"))
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     for (nCorpus <- corpusSizes;
-         kernel <- Seq("admit", "gated", "clean", "clean_hashed",
-           "clean_indexed")) {
+         kernel <- kernels) {
       val corpus = corpusOf(nCorpus)
       val incoming = incomingOf(nCorpus)
       dropIdx() // one index per scale point, built pre-timing

@@ -18,6 +18,63 @@ class VersionedCorpusSpec extends AnyFunSuite {
     ids.map(i => (i.toLong, s"$tag text number $i", "en"))
       .toDF("doc_id", "text", "lang")
 
+  test("delete: driver-held key sets commit driver-side, equivalent to the staged form") {
+    // two stores with identical content; one deleted through a
+    // LocalRelation key frame (the r20 zero-job driver-side tombstone
+    // commit), one through a parquet-backed (distributed) key frame —
+    // manifests, snapshots, change feeds, Bloom bytes and pruned
+    // lookups must all agree
+    val rootL = freshRoot(); val rootD = freshRoot()
+    for (r <- Seq(rootL, rootD)) {
+      VersionedCorpus.append(docs(0 until 40, "a"), r)
+      VersionedCorpus.pinKey(r, "doc_id")
+      VersionedCorpus.pinBloom(r, expectedItems = 1000L)
+    }
+    val keysLocal = (5L until 15L).map(Tuple1(_)).toDF("doc_id")
+    assert(keysLocal.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val kdir = Files.createTempDirectory("graft-vcspec-keys")
+    keysLocal.write.mode("overwrite").parquet(s"$kdir/k")
+    val keysDist = spark.read.parquet(s"$kdir/k")
+    val gL = VersionedCorpus.delete(keysLocal, rootL, "doc_id",
+      keysDistinct = true)
+    val gD = VersionedCorpus.delete(keysDist, rootD, "doc_id",
+      keysDistinct = true)
+    assert(gL === gD)
+    val cL = VersionedCorpus.commits(rootL).last
+    val cD = VersionedCorpus.commits(rootD).last
+    assert((cL.rows, cL.kind, cL.klo, cL.khi)
+      === (cD.rows, cD.kind, cD.klo, cD.khi))
+    // identical Bloom bytes: the driver-built filter must be
+    // bit-identical to the staged write's BloomFilterAggregate output
+    val bL = Files.readAllBytes(
+      java.nio.file.Paths.get(rootL, "_manifest", s"$gL.bloom"))
+    val bD = Files.readAllBytes(
+      java.nio.file.Paths.get(rootD, "_manifest", s"$gD.bloom"))
+    assert(java.util.Arrays.equals(bL, bD), "bloom bytes diverge")
+    def state(r: String): (Seq[Long], Seq[(Long, String)], Seq[(Long, String)]) = (
+      VersionedCorpus.snapshot(spark, r).select("doc_id")
+        .as[Long].collect().sorted.toSeq,
+      VersionedCorpus.changesBetween(spark, r, -1L)
+        .select(col("doc_id"), col("_change_type"))
+        .as[(Long, String)].collect().sorted.toSeq,
+      // the DELETE-ONLY window (fromGen excludes the append): data
+      // columns null-fill — the feed shape a delete-only replica pull
+      // consumes (crashed before the r20 fill fix)
+      VersionedCorpus.changesBetween(spark, r, 0L)
+        .select(col("doc_id"), col("_change_type"))
+        .as[(Long, String)].collect().sorted.toSeq)
+    assert(state(rootL) === state(rootD))
+    // pruned lookups agree on a dead and a live key
+    for (k <- Seq(7L, 30L))
+      assert(VersionedCorpus.lookupKey(spark, rootL, k).count()
+        === VersionedCorpus.lookupKey(spark, rootD, k).count())
+    // the local-path key memo serves the mutated-key window (zero jobs)
+    assert(VersionedCorpus.windowMutatedKeys(rootL, 0L, gL)
+      .map(_.map(_.asInstanceOf[Number].longValue()).sorted)
+      === Some((5L until 15L).toSeq))
+  }
+
   test("append + snapshot round-trips content; manifests carry row counts") {
     val root = freshRoot()
     val g0 = VersionedCorpus.append(docs(0 until 10, "a"), root)
