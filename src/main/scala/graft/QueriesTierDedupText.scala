@@ -1096,22 +1096,37 @@ private[graft] trait QueriesTierDedupText { this: Queries.type =>
           VersionedCorpus.append(slice(0, 300), src)
           VersionedCorpus.pinKey(src, "doc_id")
           refresh()
-          VersionedCorpus.upsert(
-            slice(50, 80)
+          // each mutation wave lands as ONE applyChanges batch (r20,
+          // verdict #1 — batch tombstone + generation commits per
+          // cycle): the upsert rows and delete keys of a wave commit
+          // through a single fused staged write into an upsert
+          // generation + a delete generation — the same two generations
+          // the sequential upsert()/delete() calls produced (wave 3's
+          // two delete ranges merge into one tombstone, semantically
+          // identical under set semantics), so the change feed the
+          // refresh consumes and the final view are unchanged
+          // (oracle-proven) while each wave pays one commit job
+          // instead of two or three.
+          def wave(ups: DataFrame, dels: DataFrame): Unit = {
+            VersionedCorpus.applyChanges(
+              ups.withColumn("_op", lit("U"))
+                .unionByName(dels
+                  .withColumn("bucket", lit(null).cast("long"))
+                  .withColumn("text", lit(null).cast("string"))
+                  .withColumn("_op", lit("D")))
+                .withColumn("_seq", lit(1L)),
+              src, "doc_id", "_op", "_seq")
+            ()
+          }
+          wave(slice(50, 80)
               .withColumn("bucket", pmod(col("doc_id") + 1, lit(7)))
               .withColumn("text", concat(col("text"), lit(" u1"))),
-            src, "doc_id")
-          VersionedCorpus.delete(slice(200, 250).select("doc_id"),
-            src, "doc_id", keysDistinct = true)
+            slice(200, 250).select("doc_id"))
           VersionedCorpus.append(slice(300, 330), src)
           refresh()
-          VersionedCorpus.upsert(
-            slice(0, 10).withColumn("text", concat(col("text"), lit(" u3"))),
-            src, "doc_id")
-          VersionedCorpus.delete(slice(100, 110).select("doc_id"),
-            src, "doc_id", keysDistinct = true)
-          VersionedCorpus.delete(slice(150, 160).select("doc_id"),
-            src, "doc_id", keysDistinct = true)
+          wave(slice(0, 10).withColumn("text", concat(col("text"), lit(" u3"))),
+            slice(100, 110).select("doc_id")
+              .unionAll(slice(150, 160).select("doc_id")))
           refresh()
           localFrameOrdered(IncrementalView.read(s, view), "bucket")
         } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
